@@ -1,0 +1,69 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** End-to-end pipeline composition — the reference's `POST /process`
+  * (`text_processing.py:144-177`): ingest → enrich → clean → report.
+  *
+  * Unlike the reference's materialize-after-every-step pandas flow, the
+  * whole chain up to the report serializer is one lazy Catalyst plan: four
+  * broadcast joins, codegen'd string normalization, one hash-partition
+  * exchange for the keep-first dedup window, and one range exchange for the
+  * display sort. The LLM rewrite is resolved once over the global distinct
+  * summary set (per-value semantics identical to the reference's per-record
+  * batching, since the map is keyed by text).
+  */
+object Pipeline {
+
+  /** Run the full pipeline over request bodies already parsed to the
+    * record level. @return (record_id, report, request) in request order. */
+  def runRecords(records: DataFrame, dims: Option[Dims] = None,
+                 client: Llm.RewriteClient = Llm.MockClient): DataFrame = {
+    val fact = Ingest.flatten(records)
+    val d = dims.getOrElse(Dims.fallback(fact)).restrictedTo(fact)
+    val enriched = Enrich.enrich(fact, d)
+    val cleaned = Clean.clean(enriched).cache()
+    try {
+      val rewrite = Llm.rewriteMap(cleaned, client)
+      Report.report(cleaned, Ingest.requestEcho(records), rewrite)
+    } finally {
+      // Leave cleaned cached for this job; caller may unpersist via
+      // spark.catalog.clearCache() after consuming the result.
+      ()
+    }
+  }
+
+  /** Run on a single JSON request body (array of records or bare object). */
+  def run(spark: SparkSession, requestBody: String,
+          dims: Option[Dims] = None,
+          client: Llm.RewriteClient = Llm.MockClient): DataFrame =
+    runRecords(Ingest.parseBodies({
+      import spark.implicits._
+      spark.createDataset(Seq(requestBody))
+    }), dims, client)
+
+  /** The reference's shipped smoke fixture (`sample_request.json:1-29`),
+    * used by the flagship entry and the golden tests. */
+  val SampleRequest: String =
+    """[
+      |  {
+      |    "RECORD_ID": "R001",
+      |    "LANG_NO": "1",
+      |    "ORG_ID": "ORG_A",
+      |    "ITEMS": [
+      |      {
+      |        "ITEM_CODE": "I001",
+      |        "FINDINGS": [
+      |          {"DIAG_CODE": "D001", "COMMENT": "範例說明文字 A", "SUMMARY_CODE": "S001"}
+      |        ]
+      |      },
+      |      {
+      |        "ITEM_CODE": "I002",
+      |        "FINDINGS": [
+      |          {"DIAG_CODE": "D002", "COMMENT": "範例說明文字 B", "SUMMARY_CODE": "S002"}
+      |        ]
+      |      }
+      |    ]
+      |  }
+      |]""".stripMargin
+}
