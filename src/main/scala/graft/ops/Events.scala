@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-stream-shaped operators over the `events` table, batch side.
+  * The same tumbling-window aggregation runs as a genuine Structured
+  * Streaming query (watermark + availableNow) in
+  * [[graft.streaming.EventStream]] — batch/stream parity is asserted by
+  * `EventStreamSpec`.
+  *
+  * Window starts are emitted as epoch *seconds* (bigint), not timestamps:
+  * the source timestamps are nanosecond-precision parquet, which Spark
+  * surfaces as nanos-since-epoch longs and DuckDB as TIMESTAMP_NS —
+  * an integer bucket key sidesteps the tz-awareness mismatch between the
+  * two engines' timestamp outputs while preserving exact semantics.
+  */
+object Events {
+  // exact decimal sum, surfaced as double (see Relational.sumDec note)
+  private def decSum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling 1-hour window per event type (§2.9 extension — the
+    // reference has no streaming; SURVEY.md §7.5).
+    "e01_tumbling_hourly" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("total_value"))
+        .select(col("w.start").cast("long").as("hour_epoch"),
+          col("event_type"), col("n_events"), col("total_value"))
+    }),
+
+    // Sessionization: per-user session count with a 30-minute inactivity
+    // gap — lag window + running flag sum, the canonical two-window shape.
+    // Gap compared in integer microseconds: exact on both engines.
+    "e02_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("new_sess",
+          when(unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L)
+            .otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg((sum(col("new_sess")) + 1L).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+    }),
+
+    // JSON prop extraction (§2.8 X9 family): pull a typed value out of
+    // the semi-structured `props` column and aggregate it.
+    "e03_json_props" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"),
+          max(col("k")).as("max_k"))
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "e01_tumbling_hourly" ->
+      """SELECT epoch(time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP))::BIGINT AS hour_epoch,
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "e02_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events),
+        |g AS (
+        |  SELECT user_id,
+        |    CASE WHEN date_diff('microsecond', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e)
+        |SELECT user_id, CAST(sum(new_sess) + 1 AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM g GROUP BY user_id""".stripMargin,
+    "e03_json_props" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  count(*) AS n,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin)
+}

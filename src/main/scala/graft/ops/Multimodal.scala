@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Extracted per-blob metadata. `width`/`height` come from the stubbed
+  * decoder — see [[Multimodal.decodeStub]]. */
+case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long, height: Long,
+                     checksum: Long)
+
+/** Multimodal-column plumbing (SURVEY.md §7.5 / builder brief): treat
+  * media as opaque `binary` columns and run decode / feature-extraction
+  * as a partition-parallel typed pipeline.
+  *
+  * The container has no image/audio codecs, so [[decodeStub]] is a
+  * clearly-marked deterministic FAKE standing in for e.g. a JPEG header
+  * parse — but everything around it is the real Spark shape a 100 TB
+  * media pipeline needs:
+  *  - media bytes live in a `binary` column (here synthesized from
+  *    `documents.text` since the testdata ships no real blobs);
+  *  - decode runs in `mapPartitions` over a typed `Dataset`, i.e. one
+  *    executor-local loop per partition with no per-row UDF dispatch and
+  *    a natural place to hoist per-partition decoder init (codec context,
+  *    model handle) outside the row loop;
+  *  - the output is a typed, columnar-friendly metadata frame that joins
+  *    back to the catalog by key.
+  *
+  * Because the stub is pure integer arithmetic over the bytes, the
+  * DuckDB oracle can replicate it — giving the plumbing a real
+  * correctness gate, not just a rows>0 smoke check.
+  */
+object Multimodal {
+  /** STUB — deterministic fake decoder. A real deployment replaces this
+    * body with an actual codec call; signature and surrounding plumbing
+    * stay unchanged. */
+  def decodeStub(id: Long, bytes: Array[Byte]): MediaMeta = {
+    val n = bytes.length.toLong
+    var checksum = 0L
+    var i = 0
+    while (i < bytes.length) {
+      checksum = (checksum * 31 + (bytes(i) & 0xffL)) % Hashing.P
+      i += 1
+    }
+    MediaMeta(id, n, 16L + n % 64L, 16L + (n * 31L) % 64L, checksum)
+  }
+
+  /** Decode a `(id, binary)` frame into metadata, partition-parallel. */
+  def decode(blobs: DataFrame): Dataset[MediaMeta] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id").cast("long").as("_1"), col("media").as("_2"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // Per-partition init would go here (decoder context, arena, ...)
+        it.map { case (id, bytes) => decodeStub(id, bytes) }
+      }
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m01_media_meta" -> ((s, d) => {
+      val blobs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("media"))
+      decode(blobs).toDF()
+    }))
+
+  def oracle: Map[String, String] = Map(
+    // The stub is integer arithmetic over UTF-8 bytes (ASCII corpus ⇒
+    // bytes == code points), so DuckDB reproduces it exactly.
+    "m01_media_meta" ->
+      s"""SELECT doc_id,
+         |  octet_length(encode(text))::BIGINT AS n_bytes,
+         |  16 + octet_length(encode(text))::BIGINT % 64 AS width,
+         |  16 + (octet_length(encode(text))::BIGINT * 31) % 64 AS height,
+         |  ${Hashing.polyHashSql("text")} AS checksum
+         |FROM documents""".stripMargin)
+}

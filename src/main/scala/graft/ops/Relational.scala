@@ -1,0 +1,307 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational operator catalog over the harness star schema.
+  *
+  * Each query exercises one family from SURVEY.md §2 (the reference's
+  * operator inventory re-expressed over the harness testdata so the
+  * driver's DuckDB oracle can hash-compare it):
+  * aggregation (§2.4), broadcast star joins (§2.3), left-join null
+  * handling (X1), semi/anti membership (F2), keep-first dedup as a
+  * window (A2/W1), stable sort + top-k (O1), conditional defaults
+  * (X7/X8), rollup, set ops, string normalization (X3–X6).
+  *
+  * Scale discipline (100 TB north star):
+  *  - monetary aggregates go through `DECIMAL(18,2)` so partial/final
+  *    aggregation is exact and associative — a double `sum` differs
+  *    between engines and between partition counts; a decimal sum never
+  *    does;
+  *  - tiny dims (`region` 5 rows, `nation` 25) are `broadcast()` hinted;
+  *    fact-fact joins (orders⋈customer, lineitem⋈part) are left to
+  *    shuffle hash/sort-merge + AQE, which is the right call when both
+  *    sides are O(TB);
+  *  - every filter is a plain column predicate so it pushes into the
+  *    parquet scan (check `PushedFilters` in `.explain`).
+  */
+object Relational {
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+  // Sum exactly as DECIMAL (associative → partition-count-invariant),
+  // then surface as DOUBLE: the decimal→double cast of the same exact sum
+  // is identical on both engines, and a double output avoids
+  // decimal-precision/representation skew between Spark parquet and the
+  // oracle's result frame.
+  private def sumDec(c: org.apache.spark.sql.Column) =
+    sum(dec(c)).cast("double")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.4 A-family: grouped aggregation with partial/final hash agg
+    // (TPC-H Q1 flavor; reference site `data_preprocessing.py:63` max-agg).
+    "q01_agg_pricing" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sumDec(col("l_quantity")).as("sum_qty"),
+          sumDec(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * dec(col("l_discount"))).cast("double").as("sum_disc_revenue"),
+          count(lit(1)).as("count_order"),
+          max(col("l_quantity")).as("max_qty"))
+    }),
+
+    // §2.2 F1-family: predicate pushdown → scan-local filter + slim agg
+    // (TPC-H Q6 flavor). Date + range predicates reach the parquet reader.
+    "q02_filter_revenue" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") <  lit("1998-01-01").cast("timestamp") &&
+                col("l_discount").between(0.02, 0.09) &&
+                col("l_quantity") < 30)
+        .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))).cast("double").as("revenue"),
+             count(lit(1)).as("n_rows"))
+    }),
+
+    // §2.3 J1–J4: star-join enrichment chain. nation/region broadcast
+    // (like the reference's 4 dim joins, `db_to_dataframe.py:164-177`);
+    // orders⋈customer shuffles on the key — correct at 100 TB.
+    "q03_star_revenue" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sumDec(col("o_totalprice")).as("revenue"),
+             count(lit(1)).as("n_orders"))
+    }),
+
+    // §2.3 pitfall (a): left join fan-out + unmatched-null handling →
+    // X1 `coalesce(c, lit(0))` (reference `fillna('')`).
+    "q04_left_join_counts" -> ((s, d) => {
+      val p = Tables.part(s, d)
+      val l = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"),
+                                       sumDec(col("l_quantity")).as("qty"))
+      p.join(l, p("p_partkey") === l("l_partkey"), "left")
+        .select(col("p_partkey"), col("p_brand"),
+          coalesce(col("cnt"), lit(0L)).as("n_lines"),
+          coalesce(col("qty"), lit(0.0d)).as("total_qty"))
+    }),
+
+    // §2.2 F2: `$in` membership as a left-semi join (reference
+    // `db_to_dataframe.py:104` `$in` dim restriction).
+    "q05_semi_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    }),
+
+    // Anti-join complement of F2: customers with no urgent order.
+    "q06_anti_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // §2.5 W1/W2: ranking window — top-3 customers per market segment.
+    "q07_window_topk" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, d)
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("c_mktsegment"), col("rnk"), col("c_custkey"),
+                col("c_name"), col("c_acctbal"))
+    }),
+
+    // §2.4 A2 keep-first dedup re-expressed as the W1 window
+    // (`data_preprocessing.py:28`): first line (by ordinal) per order.
+    "q08_dedup_keepfirst" -> ((s, d) => {
+      // l_linenumber alone is NOT unique per order in the synthetic data —
+      // the window order must be a total order or keep-first is
+      // nondeterministic (the exact pitfall A2 solves with `_rid`).
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"))
+      Tables.lineitem(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+                col("l_quantity"))
+    }),
+
+    // §2.6 O1: global top-k — Spark plans TakeOrderedAndProject (no full
+    // sort materialization; each partition keeps k, driver merges).
+    "q09_topk_orders" -> ((s, d) => {
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+
+    // Rollup — subtotal + grand-total rows (Catalyst Expand + single agg).
+    "q10_rollup" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), sumDec(col("c_acctbal")).as("bal"))
+    }),
+
+    // §2.8 X7/X8 conditional-default family: CASE bucketing.
+    "q11_case_bucket" -> ((s, d) => {
+      Tables.orders(s, d)
+        .withColumn("tier",
+          when(col("o_totalprice") < 50000, "small")
+            .when(col("o_totalprice") < 150000, "medium")
+            .otherwise("large"))
+        .groupBy(col("tier"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sumDec(col("o_totalprice")).as("total"))
+    }),
+
+    // §2.4 A1: distinct on a projection.
+    "q12_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus")).distinct()
+    }),
+
+    // §2.7 set ops (engine extension — none in reference): big-ticket
+    // buyers who never placed an urgent order. Catalyst plans EXCEPT as
+    // aggregate + left-anti — the scalable shape.
+    "q13_except" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val big = o.filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("custkey"))
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey"))
+      big.except(urgent)
+    }),
+
+    // §2.8 X3–X6 string normalization family on `documents`: trim,
+    // regex squeeze, translate, case, substring — all codegen built-ins
+    // (reference `data_preprocessing.py:37-53`).
+    "q14_string_norm" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          upper(substring(col("text"), 1, 20)).as("head"),
+          length(col("text")).cast("long").as("n_chars_actual"),
+          trim(regexp_replace(col("text"), "\\s+", " ")).as("squeezed"),
+          translate(col("lang"), "aeiou", "AEIOU").as("lang_t"))
+    }),
+
+    // §2.2 F2 literal `isin` + §2.3 broadcast: orders from ASIA/EUROPE
+    // customers per priority.
+    "q15_isin_filter" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d).filter(col("r_name").isin("ASIA", "EUROPE"))
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "q01_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_revenue,
+        |  count(*) AS count_order,
+        |  max(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_revenue" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.09 AND l_quantity < 30""".stripMargin,
+    "q03_star_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q04_left_join_counts" ->
+      """SELECT p_partkey, p_brand,
+        |  coalesce(cnt, 0) AS n_lines,
+        |  coalesce(qty, 0.0) AS total_qty
+        |FROM part LEFT JOIN (
+        |  SELECT l_partkey, count(*) AS cnt,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |  FROM lineitem GROUP BY l_partkey
+        |) agg ON p_partkey = l_partkey""".stripMargin,
+    "q05_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
+    "q06_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
+    "q07_window_topk" ->
+      """SELECT c_mktsegment, rnk, c_custkey, c_name, c_acctbal FROM (
+        |  SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        |  FROM customer) ranked WHERE rnk <= 3""".stripMargin,
+    "q08_dedup_keepfirst" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice) AS rn
+        |  FROM lineitem) numbered WHERE rn = 1""".stripMargin,
+    "q09_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q10_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "q11_case_bucket" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+        |            WHEN o_totalprice < 150000 THEN 'medium'
+        |            ELSE 'large' END AS tier,
+        |  o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    "q12_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q13_except" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+    "q14_string_norm" ->
+      """SELECT doc_id,
+        |  upper(substring(text, 1, 20)) AS head,
+        |  length(text) AS n_chars_actual,
+        |  trim(regexp_replace(text, '\s+', ' ', 'g')) AS squeezed,
+        |  translate(lang, 'aeiou', 'AEIOU') AS lang_t
+        |FROM documents""".stripMargin,
+    "q15_isin_filter" ->
+      """SELECT r_name, o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name IN ('ASIA', 'EUROPE')
+        |GROUP BY r_name, o_orderpriority""".stripMargin)
+}

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the `events` table (engine extension —
+  * SURVEY.md §2.9/§7.5: the reference has no streaming; this is the
+  * Spark-native shape a continuously-ingesting deployment would run).
+  *
+  * The transformation is shared between batch and stream: tumbling
+  * 1-hour windows per event type with a 2-hour watermark. Run with the
+  * `availableNow` trigger it processes a static directory incrementally
+  * and terminates — which is how `EventStreamSpec` asserts stream ≡
+  * batch on the same input.
+  *
+  * Scale: stateful window agg keyed by (window, event_type) — state
+  * store size is O(active windows × types), bounded by the watermark;
+  * shuffle partitioning on the group key is exactly the batch plan's.
+  */
+object EventStream {
+  /** Raw parquet schema (ts read as nanos-since-epoch long — see
+    * `spark.sql.legacy.parquet.nanosAsLong`). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Normalize + window-aggregate; identical logic for batch & stream. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").cast("long").as("hour_epoch"),
+        col("event_type"), col("n_events"))
+
+  /** Open the events parquet as a stream. The testdata ships a single
+    * file, but FileStreamSource wants a directory — stream the sf dir
+    * with a glob filter (which is also the production shape: new event
+    * files landing in a directory are picked up incrementally). */
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+
+  /** Run to completion over the current directory contents
+    * (availableNow), collecting results via an in-memory sink table. */
+  def runAvailableNow(spark: SparkSession, sfDir: String,
+                      sinkTable: String): DataFrame = {
+    val q = hourlyCounts(readEvents(spark, sfDir))
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      // complete, not append: with a static input processed availableNow,
+      // append-mode would hold every window open until a later batch's
+      // watermark closes it and emit nothing.
+      .outputMode("complete")
+      .format("memory")
+      .queryName(sinkTable)
+      .start()
+    q.awaitTermination()
+    spark.table(sinkTable)
+  }
+}

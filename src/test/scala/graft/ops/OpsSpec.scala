@@ -1,0 +1,111 @@
+package graft.ops
+
+import graft.etl.TestSpark
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Per-operator sanity over the sf0.001 testdata: every catalog query
+  * runs, returns rows, and key invariants hold. (Value-level parity with
+  * DuckDB is the driver's correctness gate; golden report parity is
+  * GoldenPipelineSpec.) */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.session
+  val sf = "/root/testdata/sf0.001"
+
+  test("every catalog query executes and returns rows at sf0.001") {
+    graft.SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("every oracle key has a matching query key") {
+    val qs = graft.SparkEntry.queries.keySet
+    val orphans = graft.SparkEntry.oracleSql.keySet -- qs
+    assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
+  }
+
+  test("q09 top-k is ordered and bounded") {
+    val rows = Relational.queries("q09_topk_orders")(spark, sf).collect()
+    assert(rows.length == 10)
+    val prices = rows.map(_.getDouble(2))
+    assert(prices.sameElements(prices.sorted(Ordering[Double].reverse)))
+  }
+
+  test("q08 keep-first dedup yields one row per order, the lowest line") {
+    val df = Relational.queries("q08_dedup_keepfirst")(spark, sf)
+    val total = df.count()
+    val orders = df.select("l_orderkey").distinct().count()
+    assert(total == orders)
+  }
+
+  test("d02 jaccard values lie in (0, 1] and pairs are ordered") {
+    val rows = Dedup.queries("d02_ngram_jaccard")(spark, sf).collect()
+    assert(rows.nonEmpty, "expected planted near-dups at sf0.001")
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      val j = r.getDouble(3)
+      assert(j >= 0.6 && j <= 1.0)
+    }
+  }
+
+  test("d03 minhash-LSH candidates cover the high-jaccard pairs") {
+    val jac = Dedup.queries("d02_ngram_jaccard")(spark, sf).collect()
+      .filter(_.getDouble(3) >= 0.9).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Dedup.queries("d03_minhash_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = jac -- cand
+    assert(missed.isEmpty, s"LSH missed near-dup pairs: $missed")
+  }
+
+  test("k01 brute-force top-k: ranks 1..5 per probe, ordered by cosine") {
+    val rows = Similarity.queries("k01_knn_brute")(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    assert(rows.keySet == (0L until Similarity.NumProbes).toSet)
+    rows.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to Similarity.TopK).toSeq)
+      val byRank = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("k02 LSH neighbors are a subset of same-bucket exact scoring") {
+    // every (probe, neighbor) the LSH variant returns must appear in the
+    // brute-force ranking with cosine no higher than the exact rank-1
+    val brute = Similarity.queries("k01_knn_brute")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val lsh = Similarity.queries("k02_knn_lsh")(spark, sf).collect()
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      brute.get(key).foreach(c => assert(math.abs(c - r.getDouble(3)) < 1e-12))
+    }
+  }
+
+  test("m01 media metadata checksum equals the portable text hash") {
+    val meta = Multimodal.queries("m01_media_meta")(spark, sf)
+    val joined = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        Hashing.polyHash("text").as("fp"))
+      .join(meta, "doc_id")
+    assert(joined.filter(col("fp") =!= col("checksum")).count() == 0)
+  }
+
+  test("t04 fingerprint matches a locally computed reference value") {
+    val row = Tables.documents(spark, sf).select("doc_id", "text")
+      .filter(col("doc_id") === 0).collect().head
+    def poly(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % Hashing.P)
+    val fp = TextOps.queries("t04_fingerprint")(spark, sf)
+      .filter(col("doc_id") === 0).collect().head.getLong(1)
+    assert(fp == poly(row.getString(1)))
+  }
+
+  private def col(n: String) = org.apache.spark.sql.functions.col(n)
+
+  test("e02 session counts: at least one session per active user") {
+    val rows = Events.queries("e02_sessionize")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) >= 1L && r.getLong(1) <= r.getLong(2)))
+  }
+}
