@@ -111,12 +111,18 @@ object Llm {
     val spark = cleaned.sparkSession
     import spark.implicits._
     // One summary column per language, as the report stage reads them
-    // (`text_processing.py:15-20` positions 7).
-    val pairs = Schemas.LANG_SUBSET.toSeq.map { case (lang, cols) =>
-      cleaned.filter(trim(col("LANG_NO").cast("string")) === lang)
-        .select(lit(lang).as("_1"), col(cols(7)).cast("string").as("_2"))
-        .as[(String, String)]
-    }.reduce(_ union _)
+    // (`text_processing.py:15-20` positions 7) — selected in a SINGLE
+    // scan via a CASE over LANG_NO rather than one filtered pass per
+    // language (4× fewer scans of the cleaned frame; at scale this is
+    // the difference between one and four shuffreads of the fact table).
+    val lang = trim(col("LANG_NO").cast("string"))
+    val summary = Schemas.LANG_SUBSET.foldLeft(lit(null).cast("string")) {
+      case (acc, (l, cols)) => when(lang === l, col(cols(7)).cast("string")).otherwise(acc)
+    }
+    val pairs = cleaned
+      .select(lang.as("_1"), summary.as("_2"))
+      .filter(col("_2").isNotNull)
+      .as[(String, String)]
     rewritePairs(pairs, client, maxWorkers)
       .collect()
       .map { case (l, s, r) => (l, s) -> r }

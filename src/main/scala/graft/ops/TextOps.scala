@@ -62,6 +62,7 @@ object TextOps {
     // a deterministic, order-sensitive whole-doc signature (the building
     // block the dedup ops reuse per-shingle).
     "t04_fingerprint" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
       Tables.documents(s, d)
         .select(col("doc_id"), Hashing.polyHash("text").as("fp"))
     }),

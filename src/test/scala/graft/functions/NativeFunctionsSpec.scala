@@ -1,0 +1,57 @@
+package graft.functions
+
+import graft.etl.TestSpark
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native codegen expressions must be value-identical to the
+  * pure-builtin HOF forms they replace (which are in turn mirrored by
+  * the DuckDB oracle SQL). */
+class NativeFunctionsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.session
+  val sf = "/root/testdata/sf0.001"
+
+  test("graft_dot equals the zip_with/aggregate fold, bit for bit") {
+    VectorFunctions.register(spark)
+    val e = graft.ops.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"),
+        col("embedding"))
+    val both = e.select(
+      expr("graft_dot(embedding, embedding)").as("fast"),
+      expr("aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)").as("ref"))
+    assert(both.filter(col("fast") =!= col("ref")).count() == 0)
+  }
+
+  test("graft_dot handles mixed float/double inputs") {
+    VectorFunctions.register(spark)
+    val e = graft.ops.Tables.embeddings(spark, sf).limit(10)
+      .select(col("embedding"),
+        expr("transform(embedding, x -> cast(x as double))").as("vd"))
+    val both = e.select(
+      expr("graft_dot(embedding, vd)").as("mixed"),
+      expr("graft_dot(vd, vd)").as("dd"))
+    assert(both.filter(col("mixed") =!= col("dd")).count() == 0)
+  }
+
+  test("graft_polyhash equals the split/ascii/aggregate fold") {
+    VectorFunctions.register(spark)
+    val d = graft.ops.Tables.documents(spark, sf)
+    val both = d.select(
+      expr("graft_polyhash(text)").as("fast"),
+      expr(s"aggregate(transform(split(text, ''), ch -> ascii(ch)), 0L, " +
+           s"(acc, x) -> (acc * 31 + x) % ${graft.ops.Hashing.P}L)").as("ref"))
+    assert(both.filter(col("fast") =!= col("ref")).count() == 0)
+  }
+
+  test("graft_polyhash is null-safe and empty-safe") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val rows = Seq(Some("abc"), Some(""), None).toDF("s")
+      .select(expr("graft_polyhash(s)").as("h")).collect()
+    assert(rows(0).getLong(0) == (('a' * 31 + 'b') * 31 + 'c') % 1000000007L)
+    assert(rows(1).getLong(0) == 0L)
+    assert(rows(2).isNullAt(0))
+  }
+}

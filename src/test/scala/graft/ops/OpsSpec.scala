@@ -83,6 +83,7 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("m01 media metadata checksum equals the portable text hash") {
+    graft.functions.VectorFunctions.register(spark)
     val meta = Multimodal.queries("m01_media_meta")(spark, sf)
     val joined = Tables.documents(spark, sf)
       .select(org.apache.spark.sql.functions.col("doc_id"),
