@@ -1,0 +1,36 @@
+package graft.etl
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+import java.time.LocalDateTime
+
+/** S7/S8/X13 sink parity (`text_processing.py:60,157-174`). */
+class SinksSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.session
+
+  test("timestamped name matches the reference strftime format") {
+    val now = LocalDateTime.of(2026, 8, 12, 6, 30)
+    assert(Sinks.timestampedName("df_preprocessed_", ".csv", now) ==
+      "df_preprocessed_260812_0630.csv")
+  }
+
+  test("csv sink round-trips with header; singleFile yields one part") {
+    import spark.implicits._
+    val df = Seq(("R1", "report a"), ("R2", "report b")).toDF("record_id", "report")
+    val dir = Files.createTempDirectory("graft_csv").toString + "/out"
+    Sinks.writeCsv(df, dir, singleFile = true)
+    val parts = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".csv"))
+    assert(parts.length == 1, "singleFile must produce exactly one csv part")
+    val back = spark.read.option("header", "true").csv(dir)
+    assert(back.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("R1", "report a"), ("R2", "report b")))
+  }
+
+  test("json response matches the reference's [{\"report\": ...}] shape") {
+    import spark.implicits._
+    val df = Seq(("R1", "line1\nline2")).toDF("record_id", "report")
+    assert(Sinks.jsonResponse(df) == """[{"report":"line1\nline2"}]""")
+  }
+}
