@@ -19,7 +19,10 @@ object Pipeline {
     * record level. @return (record_id, report, request) in request order. */
   def runRecords(records: DataFrame, dims: Option[Dims] = None,
                  client: Llm.RewriteClient = Llm.MockClient): DataFrame = {
-    val fact = Ingest.flatten(records)
+    // Cache the fact: the fallback dims and the `$in` restriction derive
+    // from it, so without a cache every broadcast-build job (4 dims +
+    // code set + org/max scalars) re-runs ingest+flatten from scratch.
+    val fact = Ingest.flatten(records).cache()
     val d = dims.getOrElse(Dims.fallback(fact)).restrictedTo(fact)
     val enriched = Enrich.enrich(fact, d)
     val cleaned = Clean.clean(enriched).cache()

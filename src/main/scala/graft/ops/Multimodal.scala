@@ -56,11 +56,35 @@ object Multimodal {
       }
   }
 
+  /** Frame size for [[queries]]' m02 chunker. */
+  val FrameBytes = 32
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_meta" -> ((s, d) => {
       val blobs = Tables.documents(s, d)
         .select(col("doc_id"), col("text").cast("binary").as("media"))
       decode(blobs).toDF()
+    }),
+
+    // Frame sampling: split each blob into fixed-size frames, one output
+    // row per frame with its offset and a content hash — the generator
+    // (explode) shape a video frame-sampler or audio chunker needs. The
+    // "media" is the ASCII text bytes (no codecs in the container), so
+    // the DuckDB oracle replicates the chunking on the string form.
+    "m02_media_frames" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      Tables.documents(s, d)
+        // guard: empty text would hit integer-division floor-vs-truncate
+        // divergence between engines
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("text"),
+          posexplode(expr(
+            s"transform(sequence(0, (length(text) - 1) div $FrameBytes), " +
+            s"i -> substring(text, i * $FrameBytes + 1, $FrameBytes))"))
+            .as(Seq("frame_idx", "frame")))
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          length(col("frame")).cast("long").as("frame_bytes"),
+          expr("graft_polyhash(frame)").as("frame_hash"))
     }))
 
   def oracle: Map[String, String] = Map(
@@ -72,5 +96,14 @@ object Multimodal {
          |  16 + octet_length(encode(text))::BIGINT % 64 AS width,
          |  16 + (octet_length(encode(text))::BIGINT * 31) % 64 AS height,
          |  ${Hashing.polyHashSql("text")} AS checksum
-         |FROM documents""".stripMargin)
+         |FROM documents""".stripMargin,
+    "m02_media_frames" ->
+      s"""SELECT doc_id, frame_idx, length(frame)::BIGINT AS frame_bytes,
+         |  ${Hashing.polyHashSql("frame")} AS frame_hash
+         |FROM (
+         |  SELECT doc_id,
+         |    unnest(range(0, ((length(text) - 1) // $FrameBytes) + 1)) AS frame_idx,
+         |    unnest(list_transform(range(0, ((length(text) - 1) // $FrameBytes) + 1),
+         |      i -> substring(text, (i * $FrameBytes + 1)::INTEGER, $FrameBytes))) AS frame
+         |  FROM documents WHERE length(text) > 0) frames""".stripMargin)
 }

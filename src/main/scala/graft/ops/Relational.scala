@@ -198,6 +198,45 @@ object Relational {
           translate(col("lang"), "aeiou", "AEIOU").as("lang_t"))
     }),
 
+    // CUBE — all grouping-set combinations in one Expand + agg pass.
+    "q16_cube" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .cube(col("c_mktsegment"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sumDec(col("o_totalprice")).as("total"))
+    }),
+
+    // Window FRAME (running aggregate): cumulative event value per user,
+    // ordered by time — decimal accumulation so partial order of the
+    // frame never changes the result.
+    "q17_running_sum" -> ((s, d) => {
+      // ordered by event_id (globally unique): a ts order key would be
+      // ns-vs-µs precision-sensitive between engines
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("running_value",
+          sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double"))
+        .select(col("event_id"), col("user_id"), col("running_value"))
+    }),
+
+    // Range join: equi key + date-band predicate (the as-of/band-join
+    // family) — lineitems shipped within 90 days of their order's date.
+    // Planned as a broadcast/shuffle hash join on the EQUI key with the
+    // band as a post-join filter: the scalable shape (never a cartesian).
+    "q18_range_join" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey") &&
+          l("l_shipdate") >= o("o_orderdate") &&
+          l("l_shipdate") < o("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          sumDec(col("l_extendedprice")).as("value"))
+    }),
+
     // §2.2 F2 literal `isin` + §2.3 broadcast: orders from ASIA/EUROPE
     // customers per priority.
     "q15_isin_filter" -> ((s, d) => {
@@ -296,6 +335,25 @@ object Relational {
         |  trim(regexp_replace(text, '\s+', ' ', 'g')) AS squeezed,
         |  translate(lang, 'aeiou', 'AEIOU') AS lang_t
         |FROM documents""".stripMargin,
+    "q16_cube" ->
+      """SELECT c_mktsegment, o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY CUBE (c_mktsegment, o_orderstatus)""".stripMargin,
+    "q17_running_sum" ->
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |FROM events""".stripMargin,
+    "q18_range_join" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS value
+        |FROM lineitem JOIN orders
+        |  ON l_orderkey = o_orderkey
+        |  AND l_shipdate >= o_orderdate
+        |  AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+        |GROUP BY o_orderpriority""".stripMargin,
     "q15_isin_filter" ->
       """SELECT r_name, o_orderpriority, count(*) AS n_orders
         |FROM orders
