@@ -58,10 +58,18 @@ object Dedup {
     "d02_ngram_jaccard" -> ((s, d) => {
       val sh = shingles(s, d)
       val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val inter = sh.as("a")
-        .join(sh.as("b"),
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // one pass: group docs per shingle, expand in-bucket pairs — the
+      // shingle set is computed ONCE (a self-join would run the whole
+      // shingle subplan twice) and the only shuffles are the two groupBys
+      val inter = sh
+        .groupBy(col("shingle"))
+        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(expr(
+          "flatten(transform(ids, (a, i) -> " +
+          "transform(slice(ids, i + 2, size(ids)), b -> struct(a AS doc_a, b AS doc_b))))"))
+          .as("p"))
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(count(lit(1)).as("inter"))
       val ca = counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"))
@@ -89,11 +97,17 @@ object Dedup {
       }
       val bands = sig.select(col("doc_id"),
         posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
-      bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // bucket-group + in-bucket pair expansion (see d02 note): the
+      // 16-min signature aggregation runs once, not once per join side
+      bands
+        .groupBy(col("band"), col("key"))
+        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(expr(
+          "flatten(transform(ids, (a, i) -> " +
+          "transform(slice(ids, i + 2, size(ids)), b -> struct(a AS doc_a, b AS doc_b))))"))
+          .as("p"))
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
         .distinct()
     }),
 
