@@ -35,17 +35,6 @@ object Clean {
           "\\s*\\(\\s*", "("),
         "\\s*\\)\\s*", ")"))
 
-  /** X4+X7 for the four SUMMARY columns (`data_preprocessing.py:58-60`) and
-    * four GROUP columns (`:68-70`): null→'' → strip newlines → empty →
-    * per-language default. Note the reference fills each *column* with that
-    * column's language default regardless of the row's LANG_NO. */
-  private def defaultFill(df: DataFrame, cols: Seq[(String, String)],
-                          defaults: Map[String, String]): DataFrame =
-    cols.foldLeft(df) { case (d, (c, lang)) =>
-      val cleaned = regexp_replace(coalesce(col(c).cast("string"), lit("")), "[\\r\\n]", "")
-      d.withColumn(c, when(cleaned === "", lit(defaults(lang))).otherwise(cleaned))
-    }
-
   /** X8 — GROUPNO renumber (`data_preprocessing.py:62-65`): group 0 and
     * null both become max+1 so the "Others" group renders last. The global
     * max (A3) joins back as a broadcast 1-row frame to keep the plan lazy
@@ -77,12 +66,39 @@ object Clean {
   def displaySort(df: DataFrame): DataFrame =
     df.orderBy(col("RECORD_ID"), col("GROUPNO"), col("TCNAME_ITEM"), col("_rid"))
 
-  /** Full `postprocess_multilang` chain in reference order. */
+  /** Full `postprocess_multilang` chain. Semantically the reference's
+    * stage order (COMMENT `data_preprocessing.py:37-55` → SUMMARY default
+    * fill `:58-60` → GROUPNO renumber `:62-65` → GROUP default fill
+    * `:68-70` → dedup `:72` → sort `:75`; each SUMMARY/GROUP column is
+    * filled with its own column-language default regardless of the row's
+    * LANG_NO), but the per-column normalizations touch disjoint columns,
+    * so they collapse into a SINGLE projection: chaining them as 10+
+    * `withColumn`s makes Catalyst re-resolve a deepening plan per step —
+    * measurable seconds of driver-side analysis on the full pipeline. */
   def clean(df: DataFrame): DataFrame = {
-    val c1 = cleanComment(df)
-    val c2 = defaultFill(c1, Schemas.SUMMARY_COLS, Schemas.LANG_DEFAULT_SUMMARY)
-    val c3 = renumberGroupNo(c2)
-    val c4 = defaultFill(c3, Schemas.GROUP_COLS, Schemas.LANG_DEFAULT_GROUP)
-    displaySort(keepFirst(c4))
+    val summaryDefaults = Schemas.SUMMARY_COLS.toMap
+      .map { case (c, lang) => c -> Schemas.LANG_DEFAULT_SUMMARY(lang) }
+    val groupDefaults = Schemas.GROUP_COLS.toMap
+      .map { case (c, lang) => c -> Schemas.LANG_DEFAULT_GROUP(lang) }
+    def fillExpr(c: String, default: String) = {
+      val cleaned = regexp_replace(coalesce(col(c).cast("string"), lit("")), "[\\r\\n]", "")
+      when(cleaned === "", lit(default)).otherwise(cleaned).as(c)
+    }
+    val commentExpr =
+      regexp_replace(
+        regexp_replace(
+          translate(
+            regexp_replace(coalesce(col("COMMENT").cast("string"), lit("")),
+              "[\\r\\n]", ""),
+            FULLWIDTH_SRC, FULLWIDTH_DST),
+          "\\s*\\(\\s*", "("),
+        "\\s*\\)\\s*", ")").as("COMMENT")
+    val normalized = df.select(df.columns.toSeq.map {
+      case "COMMENT" => commentExpr
+      case c if summaryDefaults.contains(c) => fillExpr(c, summaryDefaults(c))
+      case c if groupDefaults.contains(c) => fillExpr(c, groupDefaults(c))
+      case c => col(c)
+    }: _*)
+    displaySort(keepFirst(renumberGroupNo(normalized)))
   }
 }
