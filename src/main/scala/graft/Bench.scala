@@ -12,6 +12,7 @@ object Bench {
       // events.ts is parquet TIMESTAMP(NANOS); surface as ns-long
       // (graft.ops.Tables.events normalizes to TimestampType).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JIT + codegen + parquet-footer caches, so fixed

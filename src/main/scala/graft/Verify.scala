@@ -15,6 +15,7 @@ object Verify {
       // events.ts is parquet TIMESTAMP(NANOS); surface as ns-long
       // (graft.ops.Tables.events normalizes to TimestampType).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

