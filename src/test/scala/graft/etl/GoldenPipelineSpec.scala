@@ -84,6 +84,8 @@ object TestSpark {
       // events.ts is parquet TIMESTAMP(NANOS) (see graft.ops.Tables.events)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_spark_warehouse").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
