@@ -90,20 +90,47 @@ object Similarity {
         .select(col("probe_id"), col("rnk"), col("neighbor_id"), col("cos"))
     }),
 
-    // Label-centroid similarity: per-label mean vector (columnar agg via
-    // element-wise array fold), then each label's nearest other-label
-    // centroid — a tiny "IVF coarse quantizer" building block. No oracle
-    // (nested float agg order is engine-specific) → rows-only check.
-    "k03_label_centroids" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-        .select(col("label"), expr("transform(embedding, x -> cast(x as double))").as("v"))
-      val agg = e.groupBy(col("label"))
+    // IVF-style two-stage ANN: the `label` column plays the role of the
+    // coarse cells (a real deployment would k-means them); stage 1 finds
+    // each probe's nearest cell centroid, stage 2 searches exactly but
+    // ONLY within that cell — per-probe work drops from O(corpus) to
+    // O(corpus / cells), and the centroid table is a broadcast. Centroid
+    // sums fold in vec_id order (array_sort of collected structs) so the
+    // result is deterministic run-to-run. No DuckDB oracle: the centroid
+    // averaging's float-sum ordering has no portable SQL mirror →
+    // rows-only check; OpsSpec asserts the structural invariants.
+    "k03_ivf_knn" -> ((s, d) => {
+      val v = vecs(s, d)
+      val cents = Tables.embeddings(s, d)
+        .select(col("label"), col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .groupBy(col("label"))
         .agg(count(lit(1)).as("n"),
-          expr("aggregate(collect_list(v), " +
-               "array_repeat(0D, 64), (acc, x) -> zip_with(acc, x, (p, q) -> p + q))").as("sum_v"))
-        .select(col("label"), col("n"),
+          expr("aggregate(array_sort(collect_list(struct(vec_id, v))), " +
+               "array_repeat(0D, 64), (acc, x) -> zip_with(acc, x.v, (p, q) -> p + q))")
+            .as("sum_v"))
+        .select(col("label"),
           expr("transform(sum_v, x -> x / n)").as("centroid"))
-      agg.select(col("label"), col("n"))
+        .withColumn("cnrm", expr("sqrt(graft_dot(centroid, centroid))"))
+      val probes = v.filter(col("vec_id") < NumProbes)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pnrm"))
+      val wCell = Window.partitionBy(col("probe_id"))
+        .orderBy(col("ccos").desc, col("label"))
+      val probeCell = probes.crossJoin(broadcast(cents))
+        .withColumn("ccos",
+          expr("graft_dot(pv, centroid)") / (col("pnrm") * col("cnrm")))
+        .withColumn("crnk", row_number().over(wCell))
+        .filter(col("crnk") === 1)
+        .select(col("probe_id"), col("pv"), col("pnrm"), col("label"))
+      val wK = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      v.join(broadcast(probeCell), Seq("label"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("label"),
+          (expr("graft_dot(pv, v)") / (col("pnrm") * col("nrm"))).as("cos"))
+        .withColumn("rnk", row_number().over(wK).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("probe_id"), col("rnk"), col("neighbor_id"), col("label"), col("cos"))
     }))
 
   def oracle: Map[String, String] = {

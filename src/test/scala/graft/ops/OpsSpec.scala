@@ -82,6 +82,18 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("k03 IVF search: ranks within cell, no self-matches") {
+    val rows = Similarity.queries("k03_ivf_knn")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (probe, rs) =>
+      val ranks = rs.map(_.getLong(1)).sorted.toSeq
+      assert(ranks == (1L to ranks.length).toSeq, s"probe $probe ranks: $ranks")
+      assert(rs.forall(_.getLong(2) != probe), "neighbor must not be the probe")
+      assert(rs.map(_.getInt(3)).distinct.length == 1,
+        "all neighbors must come from the probe's chosen cell")
+    }
+  }
+
   test("m01 media metadata checksum equals the portable text hash") {
     graft.functions.VectorFunctions.register(spark)
     val meta = Multimodal.queries("m01_media_meta")(spark, sf)
