@@ -49,6 +49,42 @@ object Events {
           count(lit(1)).as("n_events"))
     }),
 
+    // AS-OF join (point-in-time): for each error event, the user's most
+    // recent purchase within the preceding hour. Spark lacks a native
+    // as-of join; the scalable composition is an equi join on the user
+    // key with a band predicate, then keep-latest via ranking window —
+    // the join shuffles on user_id only, the band keeps the fan-out to
+    // the tolerance window, and the window dedups per left row. (SURVEY
+    // §4: composition preferred over a custom physical operator while
+    // built-ins express the semantics.)
+    "e04_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"), col("us").as("err_us"))
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pur_id"), col("user_id"),
+          col("us").as("pur_us"), col("value").as("pur_value"))
+      val w = Window.partitionBy(col("err_id"))
+        .orderBy(col("pur_us").desc, col("pur_id").desc)
+      err.join(pur, Seq("user_id"))
+        .filter(col("pur_us") <= col("err_us") &&
+          col("pur_us") > col("err_us") - 3600000000L)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("err_id"), col("user_id"), col("pur_id"), col("pur_value"))
+    }),
+
+    // PIVOT: events long→wide, one count column per event type (fixed
+    // value list ⇒ single-pass CASE aggregation, no extra shuffle).
+    "e05_pivot" -> ((s, d) => {
+      val types = Seq("click", "view", "signup", "purchase", "error")
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L, types)
+    }),
+
     // JSON prop extraction (§2.8 X9 family): pull a typed value out of
     // the semi-structured `props` column and aggregate it.
     "e03_json_props" -> ((s, d) => {
@@ -75,6 +111,27 @@ object Events {
         |SELECT user_id, CAST(sum(new_sess) + 1 AS BIGINT) AS n_sessions,
         |  count(*) AS n_events
         |FROM g GROUP BY user_id""".stripMargin,
+    "e04_asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |    date_diff('microsecond', TIMESTAMP '1970-01-01', ts::TIMESTAMP) AS us
+        |  FROM events),
+        |err AS (SELECT event_id AS err_id, user_id, us AS err_us FROM ev WHERE event_type = 'error'),
+        |pur AS (SELECT event_id AS pur_id, user_id, us AS pur_us, value AS pur_value FROM ev WHERE event_type = 'purchase'),
+        |joined AS (
+        |  SELECT err_id, err.user_id AS user_id, pur_id, pur_value,
+        |    row_number() OVER (PARTITION BY err_id ORDER BY pur_us DESC, pur_id DESC) AS rn
+        |  FROM err JOIN pur ON err.user_id = pur.user_id
+        |    AND pur_us <= err_us AND pur_us > err_us - 3600000000)
+        |SELECT err_id, user_id, pur_id, pur_value FROM joined WHERE rn = 1""".stripMargin,
+    "e05_pivot" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS "click",
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS "view",
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS "signup",
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS "purchase",
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS "error"
+        |FROM events GROUP BY user_id""".stripMargin,
     "e03_json_props" ->
       """SELECT event_type,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
