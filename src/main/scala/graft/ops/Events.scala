@@ -33,6 +33,17 @@ object Events {
           col("event_type"), col("n_events"), col("total_value"))
     }),
 
+    // SLIDING window: 2-hour windows advancing hourly — every event
+    // contributes to two buckets (Spark expands via the window
+    // generator; the oracle mirrors with a two-way shifted UNION ALL).
+    "e06_sliding_window" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("w.start").cast("long").as("window_epoch"),
+          col("event_type"), col("n_events"))
+    }),
+
     // Sessionization: per-user session count with a 30-minute inactivity
     // gap — lag window + running flag sum, the canonical two-window shape.
     // Gap compared in integer microseconds: exact on both engines.
@@ -111,6 +122,14 @@ object Events {
         |SELECT user_id, CAST(sum(new_sess) + 1 AS BIGINT) AS n_sessions,
         |  count(*) AS n_events
         |FROM g GROUP BY user_id""".stripMargin,
+    "e06_sliding_window" ->
+      """SELECT window_epoch, event_type, count(*) AS n_events FROM (
+        |  SELECT epoch(time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP))::BIGINT AS window_epoch,
+        |         event_type FROM events
+        |  UNION ALL
+        |  SELECT epoch(time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP))::BIGINT - 3600,
+        |         event_type FROM events
+        |) expanded GROUP BY window_epoch, event_type""".stripMargin,
     "e04_asof_join" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, event_type, value,
