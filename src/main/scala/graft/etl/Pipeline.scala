@@ -45,6 +45,31 @@ object Pipeline {
       spark.createDataset(Seq(requestBody))
     }), dims, client)
 
+  /** EP1 with the reference's CSV intermediates
+    * (`text_processing.py:157-166`): persists the cleaned frame and the
+    * final report table under timestamped names in `outDir`, then
+    * returns the report frame. Single-file CSVs mirror the reference's
+    * artifact shape; pass `singleFile = false` at scale. */
+  def runAndPersist(spark: SparkSession, requestBody: String, outDir: String,
+                    dims: Option[Dims] = None,
+                    client: Llm.RewriteClient = Llm.MockClient,
+                    singleFile: Boolean = true): DataFrame = {
+    val records = Ingest.parseBodies({
+      import spark.implicits._
+      spark.createDataset(Seq(requestBody))
+    })
+    val fact = Ingest.flatten(records).cache()
+    val d = dims.getOrElse(Dims.fallback(fact)).restrictedTo(fact)
+    val cleaned = Clean.clean(Enrich.enrich(fact, d)).cache()
+    Sinks.writeCsv(cleaned.drop("_rid"),
+      s"$outDir/${Sinks.timestampedName("df_preprocessed_", "")}", singleFile)
+    val rewrite = Llm.rewriteMap(cleaned, client)
+    val report = Report.report(cleaned, Ingest.requestEcho(records), rewrite)
+    Sinks.writeCsv(report,
+      s"$outDir/${Sinks.timestampedName("df_result_", "")}", singleFile)
+    report
+  }
+
   /** The reference's shipped smoke fixture (`sample_request.json:1-29`),
     * used by the flagship entry and the golden tests. */
   val SampleRequest: String =

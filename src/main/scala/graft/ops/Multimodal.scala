@@ -59,6 +59,9 @@ object Multimodal {
   /** Frame size for [[queries]]' m02 chunker. */
   val FrameBytes = 32
 
+  /** Downsampling stride for m03's resize stub. */
+  val ResizeStep = 4
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_meta" -> ((s, d) => {
       val blobs = Tables.documents(s, d)
@@ -85,6 +88,21 @@ object Multimodal {
         .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
           length(col("frame")).cast("long").as("frame_bytes"),
           expr("graft_polyhash(frame)").as("frame_hash"))
+    }),
+
+    // Resize/downsample stub: keep every 4th byte — the plumbing shape
+    // of a thumbnail/re-encode stage (input blob → smaller blob +
+    // refreshed metadata), with the transform portable enough for the
+    // oracle to replicate on the string form.
+    "m03_media_resize" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      Tables.documents(s, d)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          expr(s"concat_ws('', transform(sequence(0, (length(text) - 1) div $ResizeStep), " +
+               s"i -> substring(text, i * $ResizeStep + 1, 1)))").as("small"))
+        .select(col("doc_id"), length(col("small")).cast("long").as("n_bytes_small"),
+          expr("graft_polyhash(small)").as("small_hash"))
     }))
 
   def oracle: Map[String, String] = Map(
@@ -105,5 +123,13 @@ object Multimodal {
          |    unnest(range(0, ((length(text) - 1) // $FrameBytes) + 1)) AS frame_idx,
          |    unnest(list_transform(range(0, ((length(text) - 1) // $FrameBytes) + 1),
          |      i -> substring(text, (i * $FrameBytes + 1)::INTEGER, $FrameBytes))) AS frame
-         |  FROM documents WHERE length(text) > 0) frames""".stripMargin)
+         |  FROM documents WHERE length(text) > 0) frames""".stripMargin,
+    "m03_media_resize" ->
+      s"""SELECT doc_id, length(small)::BIGINT AS n_bytes_small,
+         |  ${Hashing.polyHashSql("small")} AS small_hash
+         |FROM (
+         |  SELECT doc_id,
+         |    list_aggregate(list_transform(range(0, ((length(text) - 1) // $ResizeStep) + 1),
+         |      i -> substring(text, (i * $ResizeStep + 1)::INTEGER, 1)), 'string_agg', '') AS small
+         |  FROM documents WHERE length(text) > 0) resized""".stripMargin)
 }

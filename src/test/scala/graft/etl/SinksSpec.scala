@@ -28,6 +28,18 @@ class SinksSpec extends AnyFunSuite {
       Set(("R1", "report a"), ("R2", "report b")))
   }
 
+  test("runAndPersist writes both CSV intermediates and returns the report") {
+    val dir = Files.createTempDirectory("graft_ep1").toString
+    val out = Pipeline.runAndPersist(spark, Pipeline.SampleRequest, dir)
+    assert(out.count() == 1)
+    val written = new java.io.File(dir).listFiles().map(_.getName).sorted
+    assert(written.exists(_.startsWith("df_preprocessed_")), written.mkString(","))
+    assert(written.exists(_.startsWith("df_result_")), written.mkString(","))
+    val cleanedBack = spark.read.option("header", "true")
+      .csv(s"$dir/${written.find(_.startsWith("df_preprocessed_")).get}")
+    assert(cleanedBack.count() == 2) // two findings in the sample request
+  }
+
   test("json response matches the reference's [{\"report\": ...}] shape") {
     import spark.implicits._
     val df = Seq(("R1", "line1\nline2")).toDF("record_id", "report")
