@@ -25,15 +25,15 @@ object Bench {
       spark.range(1000000L).selectExpr("sum(id)").collect()
       val warm = new java.io.File("/root/testdata/sf0.001")
       val warmDir = if (warm.isDirectory) warm.getPath else sfDir
-      Seq("q01_agg_pricing", "q03_star_revenue", "q08_dedup_keepfirst",
-        "q10_rollup", "d02_ngram_jaccard", "d03_minhash_lsh",
-        "d05_embedding_neardup", "k01_knn_brute", "k03_ivf_knn",
-        "e01_tumbling_hourly", "m01_media_meta", "p01_pipeline_report")
-        .foreach { n =>
-          try SparkEntry.queries(n)(spark, warmDir).count()
-          catch { case _: Throwable => () }
-        }
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).count()
+        catch { case _: Throwable => () }
+      }
     } catch { case _: Throwable => () }
+    // drop warmup leftovers (pipeline caches, broadcasts) so the
+    // measured phase doesn't run under their GC pressure
+    spark.catalog.clearCache()
+    System.gc()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
