@@ -25,15 +25,19 @@ import org.apache.spark.sql.functions._
 object Dedup {
   import Hashing._
 
-  /** Distinct token-3-gram shingles per doc: (doc_id, shingle). */
-  private def shingles(s: SparkSession, d: String): DataFrame =
+  private val ShingleArr =
+    "array_distinct(transform(sequence(0, size(tk) - 3), " +
+    "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))"
+
+  private def tokenized(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), expr("filter(split(text, ' '), x -> x <> '')").as("tk"))
       .filter(size(col("tk")) >= 3)
-      .select(col("doc_id"),
-        explode(expr(
-          "array_distinct(transform(sequence(0, size(tk) - 3), " +
-          "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))")).as("shingle"))
+
+  /** Distinct token-3-gram shingles per doc: (doc_id, shingle). */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    tokenized(s, d)
+      .select(col("doc_id"), explode(expr(ShingleArr)).as("shingle"))
 
   /** DuckDB CTE mirroring [[shingles]] — `sh(doc_id, shingle)`. */
   private val shinglesSql: String =

@@ -67,6 +67,22 @@ object TextOps {
         .select(col("doc_id"), Hashing.polyHash("text").as("fp"))
     }),
 
+    // TF/DF statistics — the exact-integer core of TF-IDF (the idf log
+    // stays downstream: transcendental functions are not bit-portable
+    // across engines, the counts are). One explode + two aggregations;
+    // df joins back on the token key.
+    "t06_tf_df" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(expr("filter(split(text, ' '), x -> x <> '')")).as("token"))
+      val tf = tok.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tok.select(col("doc_id"), col("token")).distinct()
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      tf.join(df, "token")
+        .select(col("doc_id"), col("token"), col("tf"), col("df"))
+    }),
+
     // Language-ID n-gram/stopword heuristic: score = English stopword
     // hits per token; classify en vs unk. (The synthetic corpus is
     // English-vocab with a `lang` label column; the heuristic's value is
@@ -102,6 +118,13 @@ object TextOps {
         |FROM documents""".stripMargin,
     "t04_fingerprint" ->
       s"SELECT doc_id, ${Hashing.polyHashSql("text")} AS fp FROM documents",
+    "t06_tf_df" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM (SELECT DISTINCT doc_id, token FROM tok) u GROUP BY token)
+        |SELECT tf.doc_id, tf.token, tf.tf, df.df FROM tf JOIN df ON tf.token = df.token""".stripMargin,
     "t05_lang_id" ->
       s"""SELECT doc_id, lang AS labeled_lang,
          |  CASE WHEN len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''), x -> x IN ($swList))) >= 2
