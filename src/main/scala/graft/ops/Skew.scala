@@ -42,6 +42,25 @@ object Skew {
         .withColumnRenamed("key", "l_returnflag")
     }),
 
+    // Typed-Aggregator top-k (UDAF surface): per-segment top-3 customers
+    // via a bounded k-row buffer — partials shrink to k BEFORE the
+    // shuffle, unlike the window formulation (q07) which shuffles every
+    // row. Identical results; the oracle reuses the windowed SQL.
+    "q21_topk_aggregator" -> ((s, d) => {
+      import org.apache.spark.sql.functions.udaf
+      val topk = udaf(new graft.functions.TopKAggregator(3))
+      Tables.customer(s, d)
+        .select(col("c_mktsegment"),
+          struct(col("c_acctbal").as("value"), col("c_custkey").as("key"),
+            col("c_name").as("payload")).as("r"))
+        .groupBy(col("c_mktsegment"))
+        .agg(topk(col("r.value"), col("r.key"), col("r.payload")).as("top"))
+        .select(col("c_mktsegment"), posexplode(col("top")).as(Seq("i", "t")))
+        .select(col("c_mktsegment"), (col("i") + 1).cast("long").as("rnk"),
+          col("t.key").as("c_custkey"), col("t.payload").as("c_name"),
+          col("t.value").as("c_acctbal"))
+    }),
+
     // Distinct aggregate (Expand-based two-phase distinct): active users
     // and event count per type.
     "q19_count_distinct" -> ((s, d) => {
@@ -56,6 +75,12 @@ object Skew {
       """SELECT l_returnflag, count(*) AS n,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q21_topk_aggregator" ->
+      """SELECT c_mktsegment, rnk, c_custkey, c_name, c_acctbal FROM (
+        |  SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        |  FROM customer) ranked WHERE rnk <= 3""".stripMargin,
     "q19_count_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
         |  count(*) AS n_events
