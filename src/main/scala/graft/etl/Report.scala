@@ -113,6 +113,16 @@ object Report {
   /** Assemble reports: cleaned frame → one `(record_id, report, request)`
     * row per record, in request order (`text_processing.py:33-62`).
     *
+    * Documented divergences from the reference, both for degenerate
+    * inputs only:
+    *  - a record whose findings are ALL filtered out (empty ITEMS, or
+    *    every COMMENT blank) makes the reference crash with a KeyError
+    *    at `text_processing.py:39` (`get_group` on a missing key) → the
+    *    whole request 500s; here the record is simply absent from the
+    *    output — graceful degradation over crash replication;
+    *  - duplicate RECORD_IDs across records emit one output row per
+    *    distinct id (first request echoed), not one per request entry.
+    *
     * @param cleaned  output of [[Clean.clean]] (22 columns + `_rid`)
     * @param echo     output of [[Ingest.requestEcho]]
     * @param rewrite  (langNo, summary) → rewritten, from [[Llm.rewriteMap]]

@@ -61,6 +61,22 @@ class GoldenPipelineSpec extends AnyFunSuite {
     assert(out.toSeq === golden.toSeq)
   }
 
+  test("record with no surviving findings is omitted, not a crash") {
+    // the reference 500s on this input (KeyError at text_processing.py:39);
+    // the engine degrades gracefully — documented divergence in Report
+    val body =
+      """[
+        |  {"RECORD_ID": "RX", "LANG_NO": "1", "ORG_ID": "O", "ITEMS": [
+        |    {"ITEM_CODE": "I1", "FINDINGS": [
+        |      {"DIAG_CODE": "D1", "COMMENT": "   ", "SUMMARY_CODE": "S"}]}]},
+        |  {"RECORD_ID": "RY", "LANG_NO": "1", "ORG_ID": "O", "ITEMS": [
+        |    {"ITEM_CODE": "I1", "FINDINGS": [
+        |      {"DIAG_CODE": "D1", "COMMENT": "ok", "SUMMARY_CODE": "S"}]}]}
+        |]""".stripMargin
+    val out = Pipeline.run(spark, body).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("RY"))
+  }
+
   test("pipeline output is invariant under input partitioning") {
     val body = resource("/rich_request.json")
     val records = Ingest.parseBodies(spark.createDataset(Seq(body)))
