@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session configuration for the graft engine, with the 100 TB
+  * reasoning attached to each knob (builder brief: "spill-aware — size
+  * shuffle.partitions and maxPartitionBytes so partitions fit in
+  * executor memory at the target SF").
+  *
+  * Local-mode values are set here; the scaladoc records what changes on
+  * a real cluster so the knowledge ships with the library rather than a
+  * runbook.
+  */
+object Conf {
+  /** Apply the engine's standard settings to a session builder.
+    *
+    * @param cores parallelism of the local master; on a cluster this
+    *              maps to total executor cores and
+    *              `spark.sql.shuffle.partitions` should instead be
+    *              ~2-3× total cores (or left to AQE coalescing from a
+    *              high initial value — at 100 TB start from
+    *              `input bytes / 128MB` and let
+    *              `spark.sql.adaptive.coalescePartitions` shrink).
+    */
+  def configure(b: SparkSession.Builder, cores: Int): SparkSession.Builder =
+    b
+      // one shuffle partition per core locally; see @param cores for
+      // the cluster-scale sizing rule
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      // 128MB parquet splits (default) keep scan tasks memory-bounded;
+      // lower it if rows are wide (embeddings/media) so a partition's
+      // decompressed batch still fits the executor's columnar buffer
+      .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+      // AQE stays ON: runtime re-plan gives partition coalescing,
+      // skew-join splitting, and shuffle-to-broadcast demotion — the
+      // mechanisms that survive 1000× data growth without retuning
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.ts is parquet TIMESTAMP(NANOS); surface as ns-long
+      // (graft.ops.Tables.events normalizes to TimestampType)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // native functions + HOF-rewrite optimizer rule
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+
+  /** Standard local session for the driver mains. */
+  def localSession(cores: Int): SparkSession = {
+    val s = configure(SparkSession.builder().master(s"local[$cores]"), cores)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

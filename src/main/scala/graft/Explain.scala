@@ -11,14 +11,7 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val which = args.headOption.getOrElse("all")
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.001")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .getOrCreate()
+    val spark = Conf.localSession(4)
     spark.sparkContext.setLogLevel("ERROR")
     val qs =
       if (which == "all") SparkEntry.queries.toSeq.sortBy(_._1)

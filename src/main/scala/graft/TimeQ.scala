@@ -7,13 +7,7 @@ import org.apache.spark.sql.SparkSession
   * (sequential tiny jobs are the usual fixed-overhead culprit). */
 object TimeQ {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .getOrCreate()
+    val spark = Conf.localSession(4)
     spark.sparkContext.setLogLevel("ERROR")
     @volatile var jobs = 0
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
