@@ -65,6 +65,27 @@ class StorageLayoutSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(bucketed == plain)
   }
 
+  test("orc and json-lines sources round-trip losslessly") {
+    val base = Files.createTempDirectory("graft_fmt").toString
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"))
+    li.write.mode("overwrite").orc(s"$base/li_orc")
+    val orcBack = spark.read.orc(s"$base/li_orc")
+    assert(orcBack.count() == li.count())
+    assert(orcBack.schema == li.schema)
+
+    val docs = Tables.documents(spark, sf)
+    docs.write.mode("overwrite").json(s"$base/docs_json")
+    val jsonBack = spark.read.json(s"$base/docs_json")
+    assert(jsonBack.count() == docs.count())
+    val a = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = jsonBack.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == b)
+  }
+
   test("partitioned write prunes non-matching partitions at scan time") {
     val dir = Files.createTempDirectory("graft_part").toString + "/events_by_type"
     Tables.events(spark, sf).write
