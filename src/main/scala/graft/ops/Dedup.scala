@@ -25,6 +25,14 @@ import org.apache.spark.sql.functions._
 object Dedup {
   import Hashing._
 
+  /** Ultra-common-shingle guard for the Jaccard candidate generator: a
+    * shingle shared by d docs yields O(d²) candidate pairs, so one stop-
+    * phrase shingle at corpus scale would dominate the whole job. Far
+    * above any df in the testdata (max 25 at sf0.1) — the cap only ever
+    * binds where the pairs were near-useless anyway (a shingle in 1000+
+    * docs carries no dedup signal). Mirrored in the oracle. */
+  val MaxShingleDf = 1000
+
   private val ShingleArr =
     "array_distinct(transform(sequence(0, size(tk) - 3), " +
     "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))"
@@ -68,7 +76,7 @@ object Dedup {
       val inter = sh
         .groupBy(col("shingle"))
         .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) > 1)
+        .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxShingleDf)
         .select(explode(expr(
           "flatten(transform(ids, (a, i) -> " +
           "transform(slice(ids, i + 2, size(ids)), b -> struct(a AS doc_a, b AS doc_b))))"))
@@ -170,8 +178,11 @@ object Dedup {
       "d02_ngram_jaccard" ->
         s"""WITH $shinglesSql,
            |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+           |ok AS (SELECT shingle FROM sh GROUP BY shingle
+           |       HAVING count(*) BETWEEN 2 AND $MaxShingleDf),
            |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
            |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |       JOIN ok ON a.shingle = ok.shingle
            |       GROUP BY 1, 2)
            |SELECT doc_a, doc_b, inter,
            |  inter::DOUBLE / (ca.n_sh + cb.n_sh - inter)::DOUBLE AS jaccard
