@@ -1,26 +1,29 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Deduplication operators for a training-data pipeline over `documents`
-  * and `embeddings` (SURVEY.md §7.5): exact hash-dedup, token-3-gram
-  * Jaccard, MinHash + LSH banding, SimHash, and embedding-cosine
-  * near-dup.
+/** Deduplication operators for a training-data pipeline (SURVEY.md
+  * §7.5): exact hash-dedup, token-n-gram Jaccard, MinHash + LSH banding,
+  * SimHash, and embedding-cosine near-dup.
+  *
+  * Each operator is a PUBLIC parameterized function over caller columns
+  * — the library surface a user deduplicates their own tables with; the
+  * `queries` map just instantiates them on the harness `documents` /
+  * `embeddings` tables for the driver's DuckDB oracle.
   *
   * Design for 100 TB:
   *  - everything is shingle/token-level `explode` → hash-partitioned
-  *    `groupBy`/self-join on the shingle key — the classic scalable shape
-  *    (no per-pair work until candidates are bucketed; the only O(n²)
-  *    operator is the cosine near-dup, whose scale path is the LSH
-  *    variant in [[Similarity]]);
-  *  - hashes are the engine-portable [[Hashing.polyHash]] (codegen'd
-  *    higher-order functions), so the driver's DuckDB oracle reproduces
-  *    every intermediate value bit-for-bit;
-  *  - MinHash signatures are one `groupBy(doc_id)` with 16 `min` aggs
-  *    (partial map-side mins → tiny shuffle), then band keys explode to a
-  *    (band, key) self-join — at 1000 executors the band join shuffles
-  *    only signature rows, never documents.
+  *    `groupBy` on the shingle key, with in-bucket pair expansion — no
+  *    per-pair work outside a shared bucket, and the signature subplans
+  *    run once (not once per self-join side);
+  *  - a document-frequency cap ([[MaxShingleDf]]) bounds the O(df²)
+  *    blow-up of ultra-common shingles;
+  *  - hashes are the engine-portable [[Hashing.polyHash]], so the
+  *    driver's oracle reproduces every intermediate value bit-for-bit;
+  *  - the only O(n²) operator is the brute-force cosine near-dup — the
+  *    correctness baseline whose scale path is [[Similarity]]'s LSH/IVF
+  *    bucketing.
   */
 object Dedup {
   import Hashing._
@@ -33,134 +36,148 @@ object Dedup {
     * docs carries no dedup signal). Mirrored in the oracle. */
   val MaxShingleDf = 1000
 
-  private val ShingleArr =
-    "array_distinct(transform(sequence(0, size(tk) - 3), " +
-    "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))"
+  private def shingleArr(n: Int) =
+    s"array_distinct(transform(sequence(0, size(tk) - $n), " +
+    s"i -> concat_ws(' ', ${(0 until n).map(j => s"tk[i+$j]").mkString(", ")})))"
 
-  private def tokenized(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), expr("filter(split(text, ' '), x -> x <> '')").as("tk"))
-      .filter(size(col("tk")) >= 3)
+  /** Distinct token-n-gram shingles: `(doc_id, shingle)`. */
+  def shingles(docs: DataFrame, id: String, text: String, n: Int = 3): DataFrame =
+    docs
+      .select(col(id).as("doc_id"),
+        expr(s"filter(split($text, ' '), x -> x <> '')").as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(col("doc_id"), explode(expr(shingleArr(n))).as("shingle"))
 
-  /** Distinct token-3-gram shingles per doc: (doc_id, shingle). */
-  private def shingles(s: SparkSession, d: String): DataFrame =
-    tokenized(s, d)
-      .select(col("doc_id"), explode(expr(ShingleArr)).as("shingle"))
+  /** In-bucket ordered-pair expansion of a grouped id list — shared by
+    * the Jaccard and LSH candidate generators. Input must have an `ids`
+    * array column; output `(doc_a, doc_b)` with doc_a < doc_b. */
+  private def expandPairs(buckets: DataFrame): DataFrame =
+    buckets
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> " +
+        "transform(slice(ids, i + 2, size(ids)), b -> struct(a AS doc_a, b AS doc_b))))"))
+        .as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
 
-  /** DuckDB CTE mirroring [[shingles]] — `sh(doc_id, shingle)`. */
+  /** Exact dedup by content hash: one row per distinct content with the
+    * lowest id as the keeper (the A2 keep-first rule with an explicit
+    * deterministic order key). Output: `(sig, keep_id, n_dups)`. */
+  def exactDedup(docs: DataFrame, id: String, content: String): DataFrame =
+    docs.groupBy(md5(col(content)).as("sig"))
+      .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Token-n-gram Jaccard near-dup pairs at or above `threshold`.
+    * Output: `(doc_a, doc_b, inter, jaccard)`. */
+  def jaccardPairs(docs: DataFrame, id: String, text: String,
+                   threshold: Double, n: Int = 3): DataFrame = {
+    val sh = shingles(docs, id, text, n)
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // one pass: group docs per shingle, expand in-bucket pairs — the
+    // shingle set is computed ONCE (a self-join would run the whole
+    // shingle subplan twice) and the only shuffles are the two groupBys
+    val inter = expandPairs(
+      sh.groupBy(col("shingle"))
+        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxShingleDf))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    val ca = counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"))
+    val cb = counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"))
+    inter.join(ca, "doc_a").join(cb, "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+  }
+
+  /** MinHash + LSH candidate pairs: 16 minhashes = 4 bands × 4 rows;
+    * docs sharing any full band key are candidates (re-verify the tiny
+    * candidate set with [[jaccardPairs]]). Output: `(doc_a, doc_b)`. */
+  def minhashCandidates(docs: DataFrame, id: String, text: String,
+                        n: Int = 3): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    val h = shingles(docs, id, text, n).withColumn("h", polyHash("shingle"))
+    val mhAggs = (0 until Bands * RowsPerBand).map { i =>
+      min(expr(s"(${MinHashA(i)}L * h + ${MinHashB(i)}L) % ${P}L")).as(s"mh$i")
+    }
+    val sig = h.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
+    val bandKeys = (0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}")
+      expr(s"concat_ws('_', ${cols.mkString(", ")})")
+    }
+    val bands = sig.select(col("doc_id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+    // bucket-group + in-bucket pair expansion (see jaccardPairs note):
+    // the 16-min signature aggregation runs once, not once per join side
+    expandPairs(
+      bands.groupBy(col("band"), col("key"))
+        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1))
+      .distinct()
+  }
+
+  /** 32-bit SimHash signature per doc from term-frequency-weighted token
+    * hashes. One explode over bit positions keeps it relational (no
+    * per-doc UDF) and partial-aggregates map-side. Output:
+    * `(doc_id, simhash)`. */
+  def simhash(docs: DataFrame, id: String, text: String): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    docs
+      .select(col(id).as("doc_id"),
+        explode(expr(s"filter(split($text, ' '), x -> x <> '')")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
+      .withColumn("h", polyHash("token"))
+      .select(col("doc_id"), col("cnt"), col("h"),
+        explode(expr("sequence(0, 31)")).as("j"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(when(expr("(h div shiftleft(1L, j)) % 2") === 1, col("cnt"))
+        .otherwise(-col("cnt"))).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, j)")).otherwise(0L))
+        .as("simhash"))
+  }
+
+  /** Brute-force embedding-cosine near-dup pairs at or above
+    * `threshold`. Dot products run through the native codegen'd
+    * [[graft.functions.DotProduct]] — float elements widen to double
+    * before multiplying and accumulate in index order, so the oracle's
+    * explicit double fold reproduces the exact same IEEE doubles (and
+    * the tight loop is ~12× faster than zip_with/aggregate HOFs on 2M
+    * pairs). O(n²) by construction — the exact baseline; bucket at
+    * scale via [[Similarity]]. Output: `(vec_a, vec_b, cos)`. */
+  def cosineNearDup(vectors: DataFrame, id: String, vec: String,
+                    threshold: Double): DataFrame = {
+    graft.functions.VectorFunctions.register(vectors.sparkSession)
+    val v = vectors
+      .select(col(id).as("vec_id"), col(vec).as("v"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+    v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", expr("graft_dot(a.v, b.v)") / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_exact_dedup" -> ((s, d) =>
+      exactDedup(Tables.documents(s, d), "doc_id", "text")),
+    // Threshold 0.6 sits far from both the planted near-dups (≥0.9) and
+    // the background (≤0.1) — no float-boundary ambiguity.
+    "d02_ngram_jaccard" -> ((s, d) =>
+      jaccardPairs(Tables.documents(s, d), "doc_id", "text", threshold = 0.6)),
+    "d03_minhash_lsh" -> ((s, d) =>
+      minhashCandidates(Tables.documents(s, d), "doc_id", "text")),
+    "d04_simhash" -> ((s, d) =>
+      simhash(Tables.documents(s, d), "doc_id", "text")),
+    "d05_embedding_neardup" -> ((s, d) =>
+      cosineNearDup(Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.45)))
+
+  /** DuckDB CTE mirroring [[shingles]] with n=3 — `sh(doc_id, shingle)`. */
   private val shinglesSql: String =
     """tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
       |       FROM documents WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 3),
       |sh AS (SELECT DISTINCT doc_id, shingle FROM (
       |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
       |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle FROM tk) raw)""".stripMargin
-
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Exact dedup: group by content hash, keep lowest doc_id
-    // (the A2 keep-first rule with an explicit deterministic order key).
-    "d01_exact_dedup" -> ((s, d) => {
-      Tables.documents(s, d)
-        .groupBy(md5(col("text")).as("sig"))
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
-    }),
-
-    // n-gram Jaccard near-dup: shingle self-join → |A∩B| → J = i/(|A|+|B|-i).
-    // Threshold 0.6 sits far from both the planted near-dups (≥0.9) and the
-    // background (≤0.1) — no float-boundary ambiguity.
-    "d02_ngram_jaccard" -> ((s, d) => {
-      val sh = shingles(s, d)
-      val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      // one pass: group docs per shingle, expand in-bucket pairs — the
-      // shingle set is computed ONCE (a self-join would run the whole
-      // shingle subplan twice) and the only shuffles are the two groupBys
-      val inter = sh
-        .groupBy(col("shingle"))
-        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxShingleDf)
-        .select(explode(expr(
-          "flatten(transform(ids, (a, i) -> " +
-          "transform(slice(ids, i + 2, size(ids)), b -> struct(a AS doc_a, b AS doc_b))))"))
-          .as("p"))
-        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(count(lit(1)).as("inter"))
-      val ca = counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"))
-      val cb = counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"))
-      inter.join(ca, "doc_a").join(cb, "doc_b")
-        .withColumn("jaccard",
-          col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
-        .filter(col("jaccard") >= 0.6)
-        .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
-    }),
-
-    // MinHash + LSH banding: 16 minhashes = 4 bands × 4 rows; docs sharing
-    // any full band key are candidate pairs. Candidate generation only —
-    // callers re-verify with d02 on the (tiny) candidate set.
-    "d03_minhash_lsh" -> ((s, d) => {
-      graft.functions.VectorFunctions.register(s)
-      val h = shingles(s, d).withColumn("h", polyHash("shingle"))
-      val mhAggs = (0 until Bands * RowsPerBand).map { i =>
-        min(expr(s"(${MinHashA(i)}L * h + ${MinHashB(i)}L) % ${P}L")).as(s"mh$i")
-      }
-      val sig = h.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
-      val bandKeys = (0 until Bands).map { b =>
-        val cols = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}")
-        expr(s"concat_ws('_', ${cols.mkString(", ")})")
-      }
-      val bands = sig.select(col("doc_id"),
-        posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
-      // bucket-group + in-bucket pair expansion (see d02 note): the
-      // 16-min signature aggregation runs once, not once per join side
-      bands
-        .groupBy(col("band"), col("key"))
-        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) > 1)
-        .select(explode(expr(
-          "flatten(transform(ids, (a, i) -> " +
-          "transform(slice(ids, i + 2, size(ids)), b -> struct(a AS doc_a, b AS doc_b))))"))
-          .as("p"))
-        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-        .distinct()
-    }),
-
-    // SimHash: 32-bit signed-sum signature over term-frequency-weighted
-    // token hashes. One explode over bit positions keeps it relational
-    // (no per-doc UDF) and partial-aggregates map-side.
-    "d04_simhash" -> ((s, d) => {
-      graft.functions.VectorFunctions.register(s)
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(expr("filter(split(text, ' '), x -> x <> '')")).as("token"))
-        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
-        .withColumn("h", polyHash("token"))
-      tok
-        .select(col("doc_id"), col("cnt"), col("h"),
-          explode(expr("sequence(0, 31)")).as("j"))
-        .groupBy(col("doc_id"), col("j"))
-        .agg(sum(when(expr("(h div shiftleft(1L, j)) % 2") === 1, col("cnt"))
-          .otherwise(-col("cnt"))).as("s"))
-        .groupBy(col("doc_id"))
-        .agg(sum(when(col("s") > 0, expr("shiftleft(1L, j)")).otherwise(0L))
-          .as("simhash"))
-    }),
-
-    // Embedding cosine near-dup, brute force (correctness baseline; the
-    // bucketed scale path is Similarity.k02). Dot products run through
-    // the native codegen'd graft_dot expression — float elements widen
-    // to double before multiplying and accumulate in index order, so the
-    // oracle's explicit double fold reproduces the exact same IEEE
-    // doubles (and the tight loop is ~20× faster than zip_with/aggregate
-    // HOFs on 2M pairs).
-    "d05_embedding_neardup" -> ((s, d) => {
-      graft.functions.VectorFunctions.register(s)
-      val v = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").as("v"))
-        .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
-      v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .withColumn("cos", expr("graft_dot(a.v, b.v)") / (col("a.nrm") * col("b.nrm")))
-        .filter(col("cos") >= 0.45)
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
-    }))
 
   def oracle: Map[String, String] = {
     val mh = (0 until Bands * RowsPerBand).map { i =>
