@@ -60,14 +60,9 @@ object Events {
           count(lit(1)).as("n_events"))
     }),
 
-    // AS-OF join (point-in-time): for each error event, the user's most
-    // recent purchase within the preceding hour. Spark lacks a native
-    // as-of join; the scalable composition is an equi join on the user
-    // key with a band predicate, then keep-latest via ranking window —
-    // the join shuffles on user_id only, the band keeps the fan-out to
-    // the tolerance window, and the window dedups per left row. (SURVEY
-    // §4: composition preferred over a custom physical operator while
-    // built-ins express the semantics.)
+    // AS-OF join (point-in-time) via the generic Joins.asOf operator:
+    // for each error event, the user's most recent purchase within the
+    // preceding hour.
     "e04_asof_join" -> ((s, d) => {
       val ev = Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
       val err = ev.filter(col("event_type") === "error")
@@ -75,13 +70,9 @@ object Events {
       val pur = ev.filter(col("event_type") === "purchase")
         .select(col("event_id").as("pur_id"), col("user_id"),
           col("us").as("pur_us"), col("value").as("pur_value"))
-      val w = Window.partitionBy(col("err_id"))
-        .orderBy(col("pur_us").desc, col("pur_id").desc)
-      err.join(pur, Seq("user_id"))
-        .filter(col("pur_us") <= col("err_us") &&
-          col("pur_us") > col("err_us") - 3600000000L)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      Joins.asOf(err, pur, Seq("user_id"),
+          leftId = "err_id", leftTs = "err_us", rightTs = "pur_us",
+          rightTie = "pur_id", toleranceMicros = 3600000000L)
         .select(col("err_id"), col("user_id"), col("pur_id"), col("pur_value"))
     }),
 

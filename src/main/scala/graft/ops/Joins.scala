@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Join operators Spark lacks natively, composed from built-ins
+  * (SURVEY.md §4: composition preferred over a custom physical operator
+  * while built-ins express the semantics — Catalyst then keeps
+  * optimizing through them).
+  */
+object Joins {
+
+  /** As-of (point-in-time) join: for each left row, the single LATEST
+    * right row with `rightTs <= leftTs` and within `toleranceMicros`,
+    * matched on the equi `keys`.
+    *
+    * Scalable shape: the join shuffles on the equi keys only; the time
+    * band is a post-join filter bounding fan-out to the tolerance
+    * window; the keep-latest ranking window dedups per left row. Never a
+    * cartesian — a right row outside the key+band never materializes.
+    *
+    * @param leftId    column uniquely identifying a left row (window key)
+    * @param leftTs    left event-time column, epoch MICROSECONDS (long)
+    * @param rightTs   right event-time column, epoch microseconds (long)
+    * @param rightTie  deterministic tie-break among equal `rightTs`
+    *                  (highest wins)
+    * @return left+right columns of the matched pair, one row per left
+    *         row that had a match
+    */
+  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+           leftId: String, leftTs: String, rightTs: String, rightTie: String,
+           toleranceMicros: Long): DataFrame = {
+    val w = Window.partitionBy(col(leftId))
+      .orderBy(col(rightTs).desc, col(rightTie).desc)
+    left.join(right, keys)
+      .filter(col(rightTs) <= col(leftTs) &&
+        col(rightTs) > col(leftTs) - toleranceMicros)
+      .withColumn("_asof_rn", row_number().over(w))
+      .filter(col("_asof_rn") === 1)
+      .drop("_asof_rn")
+  }
+}
