@@ -3,15 +3,16 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Text-analysis operators for a training-data pipeline over `documents`
-  * (SURVEY.md §7.5): tokenization, token frequencies, quality scoring,
-  * token counting (whitespace + regex), language-ID heuristic, and a
-  * rolling-hash document fingerprint.
+/** Text-analysis operators for a training-data pipeline (SURVEY.md
+  * §7.5): tokenization, token frequencies, quality scoring, token
+  * counting (whitespace + regex), language-ID heuristic, rolling-hash
+  * document fingerprinting, and TF/DF statistics.
   *
-  * Everything here is built-in expressions / higher-order functions —
-  * fully whole-stage-codegen'd, no UDFs, so a 100 TB `documents` scan
-  * stays one embarrassingly-parallel map stage (plus one shuffle for the
-  * token-frequency aggregation, which is the minimum possible).
+  * The per-document operators are `withX` enrichers — they append
+  * columns to whatever frame the caller has, so a cleaning pipeline
+  * chains them in ONE codegen'd map over the scan (no UDFs, no extra
+  * stage per feature). Corpus-level statistics (token frequencies,
+  * TF/DF) are standalone aggregations with the minimum one shuffle.
   */
 object TextOps {
   /** English stopword sample for the ratio + language-ID heuristics.
@@ -19,83 +20,93 @@ object TextOps {
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
   private def swList = Stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** Quality-gate features: length, word count, stopword count/ratio,
+    * punctuation count. Appends `len, n_words, n_stop, n_punct,
+    * stop_ratio`. */
+  def withQuality(df: DataFrame, text: String): DataFrame =
+    df
+      .withColumn("_words", expr(s"filter(split($text, ' '), x -> x <> '')"))
+      .withColumn("len", length(col(text)).cast("long"))
+      .withColumn("n_words", size(col("_words")).cast("long"))
+      .withColumn("n_stop",
+        expr(s"size(filter(_words, x -> x IN ($swList)))").cast("long"))
+      .withColumn("n_punct",
+        expr(s"size(filter(split($text, ''), ch -> ch IN ('.', ',', '!', '?', ';', ':')))").cast("long"))
+      .withColumn("stop_ratio",
+        col("n_stop").cast("double") / col("n_words").cast("double"))
+      .drop("_words")
+
+  /** Token counting two ways: whitespace split vs BPE-ish regex classes
+    * (runs of letters / digits / single other-symbols). Appends
+    * `n_ws_tokens, n_re_tokens`. */
+  def withTokenCounts(df: DataFrame, text: String): DataFrame =
+    df
+      .withColumn("n_ws_tokens",
+        expr(s"size(filter(split($text, ' '), x -> x <> ''))").cast("long"))
+      .withColumn("n_re_tokens",
+        regexp_count(col(text), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long"))
+
+  /** Order-sensitive whole-document rolling-hash fingerprint (the
+    * portable [[Hashing.polyHash]]). Appends `fp`. */
+  def withFingerprint(df: DataFrame, text: String): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    df.withColumn("fp", expr(s"graft_polyhash($text)"))
+  }
+
+  /** Stopword-hit language-ID heuristic. Appends `guessed_lang,
+    * n_stopword_hits`. (The synthetic corpus is English-vocab; the
+    * heuristic's value is its determinism + single-map shape.) */
+  def withLanguageId(df: DataFrame, text: String): DataFrame =
+    df
+      .withColumn("_hits", expr(
+        s"size(filter(filter(split($text, ' '), x -> x <> ''), x -> x IN ($swList)))"))
+      .withColumn("guessed_lang",
+        when(col("_hits") >= 2, "en").otherwise("unk"))
+      .withColumn("n_stopword_hits", col("_hits").cast("long"))
+      .drop("_hits")
+
+  /** Corpus token frequencies, top `k`. Output: `(token, freq)`. */
+  def tokenFrequencies(df: DataFrame, text: String, k: Int): DataFrame =
+    df.select(explode(split(col(text), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(k)
+
+  /** TF/DF statistics — the exact-integer core of TF-IDF (the idf log
+    * stays downstream: transcendental functions are not bit-portable
+    * across engines, the counts are). Output:
+    * `(doc_id, token, tf, df)`. */
+  def tfDf(docs: DataFrame, id: String, text: String): DataFrame = {
+    val tok = docs.select(col(id).as("doc_id"),
+      explode(expr(s"filter(split($text, ' '), x -> x <> '')")).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tok.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(df, "token")
+      .select(col("doc_id"), col("token"), col("tf"), col("df"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Tokenize + explode + frequency count: the S3 generator shape over
-    // text. One shuffle (token agg), map-side partial counts first.
-    "t01_token_freq" -> ((s, d) => {
-      Tables.documents(s, d)
-        .select(explode(split(col("text"), " ")).as("token"))
-        .filter(col("token") =!= "")
-        .groupBy(col("token"))
-        .agg(count(lit(1)).as("freq"))
-        .orderBy(col("freq").desc, col("token"))
-        .limit(25)
-    }),
-
-    // Quality scoring: length, word count, stopword ratio, punct count,
-    // mean word length — the classic pre-training quality gates.
-    "t02_quality" -> ((s, d) => {
-      Tables.documents(s, d)
-        .withColumn("words", expr("filter(split(text, ' '), x -> x <> '')"))
-        .select(
-          col("doc_id"),
-          length(col("text")).cast("long").as("len"),
-          size(col("words")).cast("long").as("n_words"),
-          expr(s"size(filter(words, x -> x IN ($swList)))").cast("long").as("n_stop"),
-          expr("""size(filter(split(text, ''), ch -> ch IN ('.', ',', '!', '?', ';', ':')))""").cast("long").as("n_punct"),
-          // int/int division: one IEEE op, bit-identical across engines
-          (expr("size(filter(words, x -> x IN (" + swList + ")))").cast("double") /
-            size(col("words")).cast("double")).as("stop_ratio"))
-    }),
-
-    // Token counting two ways: whitespace split vs BPE-ish regex classes
-    // (runs of letters / digits / single other-symbols).
-    "t03_token_counts" -> ((s, d) => {
-      Tables.documents(s, d)
-        .select(
-          col("doc_id"),
-          expr("size(filter(split(text, ' '), x -> x <> ''))").cast("long").as("n_ws_tokens"),
-          regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long").as("n_re_tokens"))
-    }),
-
-    // Document fingerprint: base-31 rolling hash over all code points —
-    // a deterministic, order-sensitive whole-doc signature (the building
-    // block the dedup ops reuse per-shingle).
-    "t04_fingerprint" -> ((s, d) => {
-      graft.functions.VectorFunctions.register(s)
-      Tables.documents(s, d)
-        .select(col("doc_id"), Hashing.polyHash("text").as("fp"))
-    }),
-
-    // TF/DF statistics — the exact-integer core of TF-IDF (the idf log
-    // stays downstream: transcendental functions are not bit-portable
-    // across engines, the counts are). One explode + two aggregations;
-    // df joins back on the token key.
-    "t06_tf_df" -> ((s, d) => {
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(expr("filter(split(text, ' '), x -> x <> '')")).as("token"))
-      val tf = tok.groupBy(col("doc_id"), col("token"))
-        .agg(count(lit(1)).as("tf"))
-      val df = tok.select(col("doc_id"), col("token")).distinct()
-        .groupBy(col("token")).agg(count(lit(1)).as("df"))
-      tf.join(df, "token")
-        .select(col("doc_id"), col("token"), col("tf"), col("df"))
-    }),
-
-    // Language-ID n-gram/stopword heuristic: score = English stopword
-    // hits per token; classify en vs unk. (The synthetic corpus is
-    // English-vocab with a `lang` label column; the heuristic's value is
-    // its determinism + shape — one codegen'd map over the scan.)
-    "t05_lang_id" -> ((s, d) => {
-      Tables.documents(s, d)
-        .withColumn("words", expr("filter(split(text, ' '), x -> x <> '')"))
-        .withColumn("hits", expr(s"size(filter(words, x -> x IN ($swList)))"))
-        .select(
-          col("doc_id"), col("lang").as("labeled_lang"),
-          when(col("hits") >= 2, "en").otherwise("unk").as("guessed_lang"),
-          col("hits").cast("long").as("n_stopword_hits"))
-    }))
+    "t01_token_freq" -> ((s, d) =>
+      tokenFrequencies(Tables.documents(s, d), "text", 25)),
+    "t02_quality" -> ((s, d) =>
+      withQuality(Tables.documents(s, d), "text")
+        .select("doc_id", "len", "n_words", "n_stop", "n_punct", "stop_ratio")),
+    "t03_token_counts" -> ((s, d) =>
+      withTokenCounts(Tables.documents(s, d), "text")
+        .select("doc_id", "n_ws_tokens", "n_re_tokens")),
+    "t04_fingerprint" -> ((s, d) =>
+      withFingerprint(Tables.documents(s, d), "text")
+        .select("doc_id", "fp")),
+    "t05_lang_id" -> ((s, d) =>
+      withLanguageId(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("lang").as("labeled_lang"),
+          col("guessed_lang"), col("n_stopword_hits"))),
+    "t06_tf_df" -> ((s, d) =>
+      tfDf(Tables.documents(s, d), "doc_id", "text")))
 
   def oracle: Map[String, String] = Map(
     "t01_token_freq" ->
