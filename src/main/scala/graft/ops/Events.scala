@@ -22,6 +22,25 @@ object Events {
   private def decSum(c: org.apache.spark.sql.Column) =
     sum(c.cast(DecimalType(18, 2))).cast("double")
 
+  /** Batch sessionization: per-key session count with an inactivity-gap
+    * rule — lag window + running flag sum. The stateful-streaming
+    * counterpart with identical semantics is
+    * [[graft.streaming.Sessionize]] (asserted equal in SessionizeSpec).
+    * Gap compared in integer microseconds: exact on any engine.
+    * Output: `(user_id, n_sessions, n_events)`. */
+  def sessionCounts(events: DataFrame, user: String, ts: String, id: String,
+                    gapMicros: Long): DataFrame = {
+    val byUser = Window.partitionBy(col(user)).orderBy(col(ts), col(id))
+    events
+      .withColumn("_prev_us", lag(unix_micros(col(ts)), 1).over(byUser))
+      .withColumn("_new_sess",
+        when(unix_micros(col(ts)) - col("_prev_us") > gapMicros, 1L)
+          .otherwise(0L))
+      .groupBy(col(user).as("user_id"))
+      .agg((sum(col("_new_sess")) + 1L).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling 1-hour window per event type (§2.9 extension — the
     // reference has no streaming; SURVEY.md §7.5).
@@ -44,21 +63,11 @@ object Events {
           col("event_type"), col("n_events"))
     }),
 
-    // Sessionization: per-user session count with a 30-minute inactivity
-    // gap — lag window + running flag sum, the canonical two-window shape.
-    // Gap compared in integer microseconds: exact on both engines.
-    "e02_sessionize" -> ((s, d) => {
-      val byUser = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      Tables.events(s, d)
-        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
-        .withColumn("new_sess",
-          when(unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L)
-            .otherwise(0L))
-        .groupBy(col("user_id"))
-        .agg((sum(col("new_sess")) + 1L).as("n_sessions"),
-          count(lit(1)).as("n_events"))
-    }),
+    // Sessionization with a 30-minute inactivity gap, via the generic
+    // sessionCounts operator.
+    "e02_sessionize" -> ((s, d) =>
+      sessionCounts(Tables.events(s, d), "user_id", "ts", "event_id",
+        gapMicros = 1800000000L)),
 
     // AS-OF join (point-in-time) via the generic Joins.asOf operator:
     // for each error event, the user's most recent purchase within the
