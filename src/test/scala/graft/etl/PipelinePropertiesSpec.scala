@@ -1,0 +1,55 @@
+package graft.etl
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** Partition-invariance of the FULL pipeline on randomized structured
+  * requests (SURVEY.md §7.2: the `_rid` ingest ordinal must make every
+  * order-dependent operator deterministic for arbitrary inputs, not
+  * just the golden fixtures). */
+class PipelinePropertiesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.session
+
+  /** Seeded random request body: multi-record, all languages, shared
+    * diag codes (summary sharing), duplicate findings, empty/whitespace
+    * comments, full-width punctuation. */
+  private def randomBody(seed: Long, nRecords: Int): String = {
+    val rnd = new Random(seed)
+    def pick(vs: String*) = vs(rnd.nextInt(vs.length))
+    val comments = Seq("正常（範圍內） 值", "需要\r\n追蹤", "ok value", "  ", "",
+      "５０％ 以上！", "テスト結果", "简体 说明")
+    val records = (0 until nRecords).map { r =>
+      val items = (0 until 1 + rnd.nextInt(3)).map { i =>
+        val findings = (0 until 1 + rnd.nextInt(3)).map { _ =>
+          s"""{"DIAG_CODE": "D${rnd.nextInt(5)}", "COMMENT": ${escape(pick(comments: _*))}, "SUMMARY_CODE": "X"}"""
+        }
+        s"""{"ITEM_CODE": "I${rnd.nextInt(4)}", "FINDINGS": [${findings.mkString(", ")}]}"""
+      }
+      s"""{"RECORD_ID": "R$r", "LANG_NO": "${1 + rnd.nextInt(4)}", "ORG_ID": "O${rnd.nextInt(2)}", "ITEMS": [${items.mkString(", ")}]}"""
+    }
+    s"[${records.mkString(", ")}]"
+  }
+  private def escape(s: String): String =
+    "\"" + s.flatMap {
+      case '\r' => "\\r"; case '\n' => "\\n"; case '"' => "\\\""
+      case c => c.toString
+    } + "\""
+
+  test("full pipeline is partition-count invariant on random requests") {
+    import spark.implicits._
+    Seq(3L, 17L, 42L).foreach { seed =>
+      val body = randomBody(seed, nRecords = 6)
+      val records = Ingest.parseBodies(spark.createDataset(Seq(body)))
+      val base = Pipeline.runRecords(records).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).sortBy(_._1).toSeq
+      assert(base.nonEmpty, s"seed $seed produced an empty pipeline output")
+      Seq(1, 5).foreach { n =>
+        val rep = Pipeline.runRecords(records.repartition(n)).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getString(2))).sortBy(_._1).toSeq
+        assert(rep == base, s"seed $seed: output changed under repartition($n)")
+      }
+    }
+  }
+}
