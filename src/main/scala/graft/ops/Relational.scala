@@ -237,6 +237,28 @@ object Relational {
           sumDec(col("l_extendedprice")).as("value"))
     }),
 
+    // SQL front door (spark.sql over a temp view) + correlated scalar
+    // subquery — Catalyst de-correlates it into an aggregate + join, the
+    // only scalable shape. Each customer's largest order(s).
+    "q22_sql_correlated" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM orders_v o
+          |WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders_v o2
+          |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
+    }),
+
+    // §2.7 INTERSECT — customers with both an urgent and a big-ticket
+    // order (Catalyst plans it as aggregate + left-semi).
+    "q23_intersect" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey"))
+      val big = o.filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("custkey"))
+      urgent.intersect(big)
+    }),
+
     // §2.2 F2 literal `isin` + §2.3 broadcast: orders from ASIA/EUROPE
     // customers per priority.
     "q15_isin_filter" -> ((s, d) => {
@@ -354,6 +376,14 @@ object Relational {
         |  AND l_shipdate >= o_orderdate
         |  AND l_shipdate < o_orderdate + INTERVAL 90 DAY
         |GROUP BY o_orderpriority""".stripMargin,
+    "q22_sql_correlated" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin,
+    "q23_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000""".stripMargin,
     "q15_isin_filter" ->
       """SELECT r_name, o_orderpriority, count(*) AS n_orders
         |FROM orders
