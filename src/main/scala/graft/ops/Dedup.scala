@@ -67,23 +67,37 @@ object Dedup {
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_dups"))
 
   /** Token-n-gram Jaccard near-dup pairs at or above `threshold`.
-    * Output: `(doc_a, doc_b, inter, jaccard)`. */
+    * Output: `(doc_a, doc_b, inter, jaccard)`.
+    *
+    * Two shuffles total: per-doc shingle counts are `size()` of the
+    * distinct-shingle array BEFORE the explode (a map-side expression —
+    * aggregating the exploded shingle set for counts would shuffle
+    * token-level data a second time), and they ride through the bucket
+    * groupBy inside the collected id structs, so no count-join either. */
   def jaccardPairs(docs: DataFrame, id: String, text: String,
                    threshold: Double, n: Int = 3): DataFrame = {
-    val sh = shingles(docs, id, text, n)
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    // one pass: group docs per shingle, expand in-bucket pairs — the
-    // shingle set is computed ONCE (a self-join would run the whole
-    // shingle subplan twice) and the only shuffles are the two groupBys
-    val inter = expandPairs(
-      sh.groupBy(col("shingle"))
-        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxShingleDf))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter"))
-    val ca = counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"))
-    val cb = counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"))
-    inter.join(ca, "doc_a").join(cb, "doc_b")
+    val sh = docs
+      .select(col(id).as("doc_id"),
+        expr(s"filter(split($text, ' '), x -> x <> '')").as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(col("doc_id"), expr(shingleArr(n)).as("sh_arr"))
+      .select(col("doc_id"), size(col("sh_arr")).cast("long").as("n_sh"),
+        explode(col("sh_arr")).as("shingle"))
+    // one pass: group (doc, n_sh) structs per shingle, expand in-bucket
+    // pairs — the shingle set is computed ONCE (a self-join would run
+    // the whole shingle subplan twice); the pair expansion carries both
+    // docs' shingle counts so the jaccard is a post-agg expression
+    sh.groupBy(col("shingle"))
+      .agg(sort_array(collect_set(struct(col("doc_id"), col("n_sh")))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxShingleDf)
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> " +
+        "transform(slice(ids, i + 2, size(ids)), b -> struct(" +
+        "a.doc_id AS doc_a, a.n_sh AS n_a, b.doc_id AS doc_b, b.n_sh AS n_b))))"))
+        .as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("inter"),
+        min(col("p.n_a")).as("n_a"), min(col("p.n_b")).as("n_b"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)

@@ -174,15 +174,18 @@ object Relational {
     }),
 
     // §2.7 set ops (engine extension — none in reference): big-ticket
-    // buyers who never placed an urgent order. Catalyst plans EXCEPT as
-    // aggregate + left-anti — the scalable shape.
+    // buyers who never placed an urgent order. EXCEPT-of-two-branches
+    // would scan `orders` twice (Catalyst plans it aggregate +
+    // left-anti but cannot merge the scans); a single
+    // groupBy(custkey) + bool_or flags + filter is the same set with
+    // ONE scan and one shuffle, partials map-side.
     "q13_except" -> ((s, d) => {
-      val o = Tables.orders(s, d)
-      val big = o.filter(col("o_totalprice") > 400000)
-        .select(col("o_custkey").as("custkey"))
-      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
-        .select(col("o_custkey").as("custkey"))
-      big.except(urgent)
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(bool_or(col("o_totalprice") > 400000).as("_big"),
+          bool_or(col("o_orderpriority") === "1-URGENT").as("_urgent"))
+        .filter(col("_big") && !col("_urgent"))
+        .select(col("custkey"))
     }),
 
     // §2.8 X3–X6 string normalization family on `documents`: trim,
@@ -249,14 +252,16 @@ object Relational {
     }),
 
     // §2.7 INTERSECT — customers with both an urgent and a big-ticket
-    // order (Catalyst plans it as aggregate + left-semi).
+    // order. Same single-scan shape as q13: INTERSECT-of-branches
+    // (aggregate + left-semi) reads `orders` twice; bool_or flags over
+    // one groupBy(custkey) read it once.
     "q23_intersect" -> ((s, d) => {
-      val o = Tables.orders(s, d)
-      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
-        .select(col("o_custkey").as("custkey"))
-      val big = o.filter(col("o_totalprice") > 300000)
-        .select(col("o_custkey").as("custkey"))
-      urgent.intersect(big)
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(bool_or(col("o_orderpriority") === "1-URGENT").as("_urgent"),
+          bool_or(col("o_totalprice") > 300000).as("_big"))
+        .filter(col("_urgent") && col("_big"))
+        .select(col("custkey"))
     }),
 
     // §2.2 F2 literal `isin` + §2.3 broadcast: orders from ASIA/EUROPE

@@ -77,15 +77,21 @@ object TextOps {
   /** TF/DF statistics — the exact-integer core of TF-IDF (the idf log
     * stays downstream: transcendental functions are not bit-portable
     * across engines, the counts are). Output:
-    * `(doc_id, token, tf, df)`. */
+    * `(doc_id, token, tf, df)`.
+    *
+    * Single scan, two exchanges: `tf` has exactly one row per
+    * (doc, token), so df = `count(*) OVER (PARTITION BY token)` on `tf`
+    * itself — no second aggregation of the exploded token set and no
+    * rejoin on `token` (which would shuffle token-level data twice and
+    * scan the corpus twice). */
   def tfDf(docs: DataFrame, id: String, text: String): DataFrame = {
     val tok = docs.select(col(id).as("doc_id"),
       explode(expr(s"filter(split($text, ' '), x -> x <> '')")).as("token"))
     val tf = tok.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val df = tok.select(col("doc_id"), col("token")).distinct()
-      .groupBy(col("token")).agg(count(lit(1)).as("df"))
-    tf.join(df, "token")
+    tf.withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("token"))))
       .select(col("doc_id"), col("token"), col("tf"), col("df"))
   }
 
