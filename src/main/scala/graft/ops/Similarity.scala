@@ -35,9 +35,15 @@ object Similarity {
   val NumPlanes = 4
 
   /** Integer hyperplane weights w(i,j) from an LCG over (i,j) — portable
-    * to SQL as a literal list. */
-  def weight(i: Int, j: Int): Long =
-    ((1103515245L * (i * 64 + j) + 12345L) % 2039L) - 1019L
+    * to SQL as a literal list. `dims` strides the plane index so any
+    * embedding width gets a distinct deterministic weight matrix. */
+  def weight(i: Int, j: Int, dims: Int = 64): Long =
+    ((1103515245L * (i * dims + j) + 12345L) % 2039L) - 1019L
+
+  /** Element quantization scale for the IVF centroid sums: a power of
+    * two, so `x * Quant` only shifts the exponent (exact in IEEE) and
+    * `floor` lands on the same integer in every engine. */
+  val Quant = 1048576L
 
   private def cosExpr: String =
     "graft_dot(a.v, b.v) / (a.nrm * b.nrm)"
@@ -75,9 +81,9 @@ object Similarity {
     * (sign bits of [[NumPlanes]] integer hyperplanes) are scored. Same
     * output shape as [[knnBrute]]; recall < 1 by construction. */
   def knnLsh(vectors: DataFrame, id: String, vec: String,
-             isProbe: Column => Column, k: Int): DataFrame = {
+             isProbe: Column => Column, k: Int, dims: Int = 64): DataFrame = {
     val bitCols = (0 until NumPlanes).map { i =>
-      val w = (0 until 64).map(j => s"${weight(i, j)}D").mkString(", ")
+      val w = (0 until dims).map(j => s"${weight(i, j, dims)}D").mkString(", ")
       when(expr(s"graft_dot(v, array($w))") > 0d, 1 << i).otherwise(0)
     }
     val v = prep(vectors, id, vec).withColumn("bucket", bitCols.reduce(_ + _))
@@ -93,9 +99,18 @@ object Similarity {
     * deployment would k-means them); stage 1 finds each probe's nearest
     * cell centroid, stage 2 searches exactly but ONLY within that cell —
     * per-probe work drops from O(corpus) to O(corpus / cells), and the
-    * centroid table is a broadcast. Centroid sums fold in id order
-    * (array_sort of collected structs) so the result is deterministic
-    * run-to-run. Output: `(probe_id, rnk, neighbor_id, cell, cos)`. */
+    * centroid table is a broadcast.
+    *
+    * Centroids are exact integer arithmetic: each element quantizes to
+    * `floor(x · 2²⁰)` (power-of-two scale — the multiply is exact) and
+    * sums per (cell, position). Integer sums are order-independent and
+    * mergeable, so the aggregate partial is O(dims) per cell — a hot
+    * cell never concentrates its vectors in one buffer (the previous
+    * collect_list fold held O(cell·dims) and would OOM an executor at
+    * 100×), and the result is deterministic AND expressible in portable
+    * SQL, so k03 carries a full DuckDB oracle. Works for any embedding
+    * width (no hardcoded dim). Output:
+    * `(probe_id, rnk, neighbor_id, cell, cos)`. */
   def ivfKnn(vectors: DataFrame, id: String, vec: String, cell: String,
              isProbe: Column => Column, k: Int): DataFrame = {
     graft.functions.VectorFunctions.register(vectors.sparkSession)
@@ -103,14 +118,17 @@ object Similarity {
       .select(col(id).as("vec_id"), col(vec).as("v"), col(cell).as("cell"))
       .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
     val cents = vectors
-      .select(col(cell).as("cell"), col(id).as("vec_id"),
-        expr(s"transform($vec, x -> cast(x as double))").as("dv"))
+      .select(col(cell).as("cell"),
+        posexplode(expr(
+          s"transform($vec, x -> cast(floor(cast(x as double) * ${Quant}D) as bigint))"))
+          .as(Seq("pos", "q")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
       .groupBy(col("cell"))
-      .agg(count(lit(1)).as("n"),
-        expr("aggregate(array_sort(collect_list(struct(vec_id, dv))), " +
-             "array_repeat(0D, 64), (acc, x) -> zip_with(acc, x.dv, (p, q) -> p + q))")
-          .as("sum_v"))
-      .select(col("cell"), expr("transform(sum_v, x -> x / n)").as("centroid"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(pos, sq, n))), " +
+        s"s -> (cast(s.sq as double) / cast(s.n as double)) / ${Quant}D)")
+        .as("centroid"))
       .withColumn("cnrm", expr("sqrt(graft_dot(centroid, centroid))"))
     val probes = v.filter(isProbe(col("vec_id")))
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pnrm"))
@@ -140,9 +158,6 @@ object Similarity {
     "k02_knn_lsh" -> ((s, d) =>
       knnLsh(Tables.embeddings(s, d), "vec_id", "embedding",
         _ < NumProbes, TopK)),
-    // No DuckDB oracle for k03: the centroid averaging's float-sum
-    // ordering has no portable SQL mirror → rows-only check; OpsSpec
-    // asserts the structural invariants.
     "k03_ivf_knn" -> ((s, d) =>
       ivfKnn(Tables.embeddings(s, d), "vec_id", "embedding", "label",
         _ < NumProbes, 3)
@@ -194,6 +209,46 @@ object Similarity {
            |  SELECT probe_id, neighbor_id, cos,
            |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
            |  FROM scored)
-           |SELECT probe_id, rnk, neighbor_id, cos FROM ranked WHERE rnk <= $TopK""".stripMargin)
+           |SELECT probe_id, rnk, neighbor_id, cos FROM ranked WHERE rnk <= $TopK""".stripMargin,
+      // Exact mirror of ivfKnn: floor(x·2^20) quantization (power-of-two
+      // scale — bit-exact in both engines), integer sums per (cell,
+      // pos), centroid elements rebuilt in pos order via list(ORDER BY),
+      // then the same two-stage rank with identical tie-breaks. The
+      // testdata embedding width (64) is inlined here; the Spark side is
+      // width-generic.
+      "k03_ivf_knn" ->
+        s"""WITH n AS (
+           |  SELECT vec_id, label AS cell, list_transform(embedding, x -> x::DOUBLE) AS v,
+           |    sqrt(reduce(list_prepend(0.0, list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)), (acc, x) -> acc + x)) AS nrm
+           |  FROM embeddings),
+           |q AS (
+           |  SELECT cell, i AS pos, CAST(floor(v[i] * $Quant) AS BIGINT) AS q
+           |  FROM n, (SELECT unnest(range(1, 65)) AS i) idx),
+           |cq AS (SELECT cell, pos, sum(q) AS sq, count(*) AS cnt FROM q GROUP BY 1, 2),
+           |cent AS (
+           |  SELECT cell, list((sq::DOUBLE / cnt::DOUBLE) / $Quant ORDER BY pos) AS centroid
+           |  FROM cq GROUP BY cell),
+           |cn AS (
+           |  SELECT cell, centroid,
+           |    sqrt(reduce(list_prepend(0.0, list_transform(centroid, x -> x * x)), (acc, x) -> acc + x)) AS cnrm
+           |  FROM cent),
+           |pc AS (
+           |  SELECT probe_id, pv, pnrm, cell FROM (
+           |    SELECT p.vec_id AS probe_id, p.v AS pv, p.nrm AS pnrm, c.cell,
+           |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+           |        reduce(list_prepend(0.0, list_transform(range(1, 65), i -> p.v[i] * c.centroid[i])), (acc, x) -> acc + x)
+           |          / (p.nrm * c.cnrm) DESC, c.cell) AS crnk
+           |    FROM n p, cn c WHERE p.vec_id < $NumProbes) t
+           |  WHERE crnk = 1),
+           |scored AS (
+           |  SELECT pc.probe_id, b.vec_id AS neighbor_id, pc.cell,
+           |    reduce(list_prepend(0.0, list_transform(range(1, 65), i -> pc.pv[i] * b.v[i])), (acc, x) -> acc + x)
+           |      / (pc.pnrm * b.nrm) AS cos
+           |  FROM pc JOIN n b ON b.cell = pc.cell AND b.vec_id <> pc.probe_id),
+           |ranked AS (
+           |  SELECT probe_id, neighbor_id, cell, cos,
+           |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+           |  FROM scored)
+           |SELECT probe_id, rnk, neighbor_id, cell AS label, cos FROM ranked WHERE rnk <= 3""".stripMargin)
   }
 }

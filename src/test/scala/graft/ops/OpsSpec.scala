@@ -82,6 +82,27 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("k02 LSH generalizes to non-64-dim embeddings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val data = (0L until 40L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val vecs = data.toDF("vec_id", "embedding")
+    val out = Similarity.knnLsh(vecs, "vec_id", "embedding", _ < 3, k = 2, dims = 8)
+      .collect()
+    assert(out.nonEmpty, "8-dim LSH returned no candidates")
+    val m = data.toMap
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i).toDouble * b(i).toDouble)
+    out.foreach { r =>
+      val (p, n) = (r.getLong(0), r.getLong(2))
+      assert(r.getLong(1) >= 1L && r.getLong(1) <= 2L)
+      assert(p != n)
+      val exp = dot(m(p), m(n)) / (math.sqrt(dot(m(p), m(p))) * math.sqrt(dot(m(n), m(n))))
+      assert(math.abs(exp - r.getDouble(3)) < 1e-12,
+        s"cosine mismatch for ($p, $n): got ${r.getDouble(3)}, want $exp")
+    }
+  }
+
   test("k03 IVF search: ranks within cell, no self-matches") {
     val rows = Similarity.queries("k03_ivf_knn")(spark, sf).collect()
     assert(rows.nonEmpty)
