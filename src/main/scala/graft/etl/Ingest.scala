@@ -19,7 +19,15 @@ object Ingest {
   /** Parse request bodies (each element one JSON array of records, or a
     * bare record object — `text_processing.py:152` coerces a bare dict to
     * a 1-element list) into a record-level frame
-    * `(_rec_ord: bigint, record: struct)`.
+    * `(_rec_ord: struct(_body_ord: bigint, _rec_pos: int), record)`.
+    *
+    * `_rec_ord` is a STRUCT sort key, not packed arithmetic: the earlier
+    * `_body_ord * 2^20 + _rec_pos` encoding silently collided once a body
+    * held >2^20 records and wrapped negative past 1024 input partitions
+    * (monotonically_increasing_id puts the partition index in the high
+    * bits), breaking every order-dependent operator exactly at scale.
+    * Struct comparison is lexicographic with no range limits — the same
+    * design `_rid` already uses.
     *
     * Scale note: each body is parsed and exploded on its executor — no
     * driver-side JSON handling; a Dataset of millions of bodies
@@ -32,16 +40,15 @@ object Ingest {
       // body order → record order: bodies are independent requests; within a
       // body, array position is the order. monotonically_increasing_id is
       // stable per partition and partitions are ordered by index, so record
-      // order across bodies follows input order.
+      // order across bodies follows input order (as a SORT key; never as
+      // arithmetic).
       .withColumn("_body_ord", monotonically_increasing_id())
       .withColumn("_parsed",
         coalesce(
           from_json($"_body", Schemas.request),
           array(from_json($"_body", Schemas.record))))
     df.select($"_body_ord", posexplode($"_parsed").as(Seq("_rec_pos", "record")))
-      .select(
-        (($"_body_ord" * 1048576L) + $"_rec_pos").as("_rec_ord"),
-        $"record")
+      .select(struct($"_body_ord", $"_rec_pos").as("_rec_ord"), $"record")
   }
 
   /** Record-level frame for a single in-memory request body (the reference's
@@ -55,8 +62,9 @@ object Ingest {
     *
     * Input: `(_rec_ord, record)` from [[parseBodies]]. Output columns:
     * `RECORD_ID, LANG_NO, ORG_ID, ITEM_CODE, DIAG_CODE, COMMENT,
-    * SUMMARY_CODE, _rid` where `_rid = struct(_rec_ord, _item_pos,
-    * _find_pos)` is the lexicographically sortable ingest ordinal.
+    * SUMMARY_CODE, _rid` where `_rid = struct(_body_ord, _rec_pos,
+    * _item_pos, _find_pos)` is the lexicographically sortable ingest
+    * ordinal (collision-free at any body/record count).
     *
     * Semantics matched to the reference:
     *  - records with empty `ITEMS` produce no rows (pandas
@@ -84,7 +92,8 @@ object Ingest {
         col("_finding.DIAG_CODE").as("DIAG_CODE"),
         col("_finding.COMMENT").as("COMMENT"),
         col("_finding.SUMMARY_CODE").as("SUMMARY_CODE"),
-        struct(col("_rec_ord"), col("_item_pos"),
+        struct(col("_rec_ord._body_ord").as("_body_ord"),
+          col("_rec_ord._rec_pos").as("_rec_pos"), col("_item_pos"),
           coalesce(col("_find_pos"), lit(0)).as("_find_pos")).as("_rid"))
       // F1 — drop rows whose trimmed COMMENT is null/empty
       // (`db_to_dataframe.py:41-44`).
@@ -99,18 +108,20 @@ object Ingest {
     val spark = records.sparkSession
     import spark.implicits._
     val echoed = records
-      .select(col("_rec_ord"), col("record"))
-      .as[(Long, MedRecord)]
-      .map { case (ord, rec) =>
-        (ord, Option(rec.RECORD_ID).getOrElse(""), PyJson.dumps(rec))
+      .select(col("_rec_ord._body_ord"), col("_rec_ord._rec_pos"), col("record"))
+      .as[(Long, Int, MedRecord)]
+      .map { case (bodyOrd, recPos, rec) =>
+        (bodyOrd, recPos, Option(rec.RECORD_ID).getOrElse(""), PyJson.dumps(rec))
       }
-      .toDF("_rec_ord", "RECORD_ID", "_request_json")
+      .toDF("_body_ord", "_rec_pos", "RECORD_ID", "_request_json")
     // first record in request order wins per RECORD_ID
     // (`text_processing.py:51` — linear `next()` search).
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy($"RECORD_ID").orderBy($"_rec_ord")
+    val w = Window.partitionBy($"RECORD_ID").orderBy($"_body_ord", $"_rec_pos")
     echoed.withColumn("_rn", row_number().over(w))
       .filter($"_rn" === 1).drop("_rn")
+      .select(struct($"_body_ord", $"_rec_pos").as("_rec_ord"),
+        $"RECORD_ID", $"_request_json")
   }
 }
 

@@ -157,7 +157,7 @@ object Report {
           val rid = r.getStruct(ridIdx)
           (if (r.isNullAt(groupNoIdx)) Int.MaxValue else r.getInt(groupNoIdx),
             s(r, tcItemIdx),
-            (rid.getLong(0), rid.getInt(1), rid.getInt(2)))
+            (rid.getLong(0), rid.getInt(1), rid.getInt(2), rid.getInt(3)))
         }
         val lang = s(rows.head, langIdx).trim
         val (gi, ii, ci, si) = langCols.getOrElse(lang, langCols("1"))

@@ -24,21 +24,30 @@ import org.apache.spark.sql.types._
   * oracle uses, so results stay bit-identical cross-engine. Accumulation
   * is in index order (left fold), again matching the oracle.
   *
-  * Null semantics: null if either array is null (standard binary
-  * expression null-intolerance); elements are assumed non-null (embedding
-  * vectors) — containsNull inputs are rejected by the type check.
+  * Null semantics match the HOF form exactly (so the
+  * [[graft.plans.RewriteHofDotProduct]] optimizer rule is value-identical
+  * on EVERY input, not just well-formed ones): null if either array is
+  * null, null if the lengths differ (zip_with pads the shorter side with
+  * null, poisoning the fold), and null if any element is null. The
+  * per-element null check is only emitted when the input type's
+  * containsNull says it can fire — non-null-element arrays keep the bare
+  * tight loop.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
 
-  // containsNull=true is accepted (parquet list elements are nullable by
-  // default) but elements are ASSUMED non-null, as embedding vectors are.
   private def elemType(e: Expression): Option[DataType] = e.dataType match {
     case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
     case _ => None
+  }
+
+  private def mayHaveNullElems(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
   }
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -58,11 +67,13 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null
     val (ta, tb) = (elemType(left).get, elemType(right).get)
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += get(a, ta, i) * get(b, tb, i)
       i += 1
     }
@@ -79,13 +90,28 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      // element-null guard compiled in only when the input type admits
+      // null elements — clean arrays keep the branch-free loop body
+      val checks = Seq(
+        if (mayHaveNullElems(left)) Some(s"$a.isNullAt($i)") else None,
+        if (mayHaveNullElems(right)) Some(s"$b.isNullAt($i)") else None).flatten
+      val nullGuard =
+        if (checks.isEmpty) ""
+        else s"if (${checks.mkString(" || ")}) { ${ev.isNull} = true; break; }"
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ${getter(ta, a, i)} * ${getter(tb, b, i)};
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullGuard
+         |    $acc += ${getter(ta, a, i)} * ${getter(tb, b, i)};
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $acc;
+         |  }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
   }

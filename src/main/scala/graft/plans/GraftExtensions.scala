@@ -18,9 +18,14 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   * primitive loop (measured ~12× on the sf0.1 embedding near-dup query)
   * without changing a line. The match is deliberately narrow — double
   * element types, literal 0.0 seed, bare multiply/add lambdas, identity
-  * finish — so the rewrite is provably value-identical (left fold in
-  * index order, exactly [[DotProduct]]'s contract;
-  * `NativeFunctionsSpec` asserts bit-equality).
+  * finish — and [[DotProduct]] reproduces the HOF's null semantics
+  * exactly (null on whole-array null, on length mismatch — zip_with pads
+  * the shorter side with null, poisoning the fold — and on any null
+  * element), so the rewrite is value-identical on every input, including
+  * malformed ones. The rule is installed globally via
+  * `spark.sql.extensions`, so this totality matters: any user query
+  * matching the pattern must not change results.
+  * `NativeFunctionsSpec` asserts bit-equality and the edge cases.
   */
 object RewriteHofDotProduct extends Rule[LogicalPlan] {
   private def isDoubleArray(e: Expression): Boolean = e.dataType match {

@@ -35,6 +35,28 @@ class NativeFunctionsSpec extends AnyFunSuite {
     assert(both.filter(col("mixed") =!= col("dd")).count() == 0)
   }
 
+  test("graft_dot matches HOF null semantics on length mismatch and null elements") {
+    // expected values hand-evaluated from the HOF's contract (the HOF
+    // form itself would be rewritten to DotProduct by the installed
+    // optimizer rule, so it can't serve as the reference here):
+    // zip_with pads the shorter array with null and a null product
+    // poisons the aggregate fold → any mismatch or null element is NULL
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val rows = Seq(
+      (Seq[Option[Double]](Some(1), Some(2)), Seq[Option[Double]](Some(3), Some(4))),
+      (Seq[Option[Double]](Some(1), Some(2)), Seq[Option[Double]](Some(3))),
+      (Seq[Option[Double]](Some(1), None), Seq[Option[Double]](Some(3), Some(4))),
+      (Seq[Option[Double]](), Seq[Option[Double]]()))
+      .toDF("a", "b")
+      .select(expr("graft_dot(a, b)").as("d"))
+      .collect()
+    assert(rows(0).getDouble(0) == 11.0)
+    assert(rows(1).isNullAt(0), "length mismatch must be null")
+    assert(rows(2).isNullAt(0), "null element must be null")
+    assert(rows(3).getDouble(0) == 0.0)
+  }
+
   test("graft_polyhash equals the split/ascii/aggregate fold") {
     VectorFunctions.register(spark)
     val d = graft.ops.Tables.documents(spark, sf)
