@@ -1,6 +1,6 @@
 package graft
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, struct, sum, xxhash64}
+import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
 
 object Bench {
   /** Force full evaluation of every output column. `count()` is NOT
@@ -8,14 +8,28 @@ object Bench {
     * bare count projection-only queries degenerate to row-counting
     * scans and their timings are fiction. Hashing a struct of all
     * columns into one aggregate makes every expression execute while
-    * keeping driver traffic to a single row. Falls back to count for
-    * the rare output type xxhash64 can't take (e.g. maps). */
+    * keeping driver traffic to a single row.
+    *
+    * The combining aggregate is `bit_xor`, NOT `sum`: xxhash64 yields
+    * full-range 64-bit longs, and under ANSI mode (Spark 4 default) a
+    * long sum over them overflows almost surely, aborting the job
+    * mid-scan — which times the query only up to its first overflow.
+    * XOR is closed on Long, so every row is evaluated and the job
+    * always completes.
+    *
+    * The rare output type xxhash64 can't take (e.g. maps) fails
+    * ANALYSIS, before execution — fall back to count() for those and
+    * accept the pruning (never collect the full result: pulling every
+    * row to the driver would time serialization, not the query). */
   private def materialize(df: DataFrame): Unit = {
     val forced =
-      try df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
-        .agg(sum(col("h")))
-      catch { case _: Throwable => df }
-    forced.collect()
+      try Some(df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+        .agg(expr("bit_xor(h)")))
+      catch { case _: AnalysisException => None }
+    forced match {
+      case Some(f) => f.collect()
+      case None    => df.count()
+    }
     ()
   }
 
@@ -25,6 +39,17 @@ object Bench {
     else if (s.size % 2 == 1) s(s.size / 2)
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -52,21 +77,36 @@ object Bench {
     // measured phase doesn't run under their GC pressure
     spark.catalog.clearCache()
     System.gc()
-    val samples: Seq[Map[String, Double]] = (1 to math.max(1, reps)).map { _ =>
-      SparkEntry.queries.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
+    // Measured phase: a failure is REPORTED per query, never swallowed —
+    // a timing whose query aborted mid-run is fiction, and the err field
+    // is what distinguishes it from an honest number.
+    val samples: Seq[Map[String, (Double, Option[String])]] =
+      (1 to math.max(1, reps)).map { _ =>
+        SparkEntry.queries.map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          val err =
+            try { materialize(fn(spark, sfDir)); None }
+            catch { case e: Throwable =>
+              Some(e.getClass.getSimpleName + ": " +
+                Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString.take(200))
+            }
+          name -> ((System.nanoTime() - t0) / 1e9, err)
+        }
       }
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map { name =>
+      name -> median(samples.map(_.get(name).map(_._1).getOrElse(-1.0)))
     }
-    val results = SparkEntry.queries.keys.map { name =>
-      name -> median(samples.map(_.getOrElse(name, -1.0)))
-    }.toMap
-    val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":" + v }
+    val errors = names.map { name =>
+      name -> samples.flatMap(_.get(name).flatMap(_._2)).headOption
+    }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val errJson = errors
+      .map { case (k, e) => "\"" + k + "\":" + e.map(jsonStr).getOrElse("null") }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":${math.max(1, reps)},"cpus":$cpus}""")
+    val total = results.map(_._2).sum
+    val nErr = errors.count(_._2.isDefined)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_err":$nErr,"sf":"$sfDir","reps":${math.max(1, reps)},"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -102,30 +102,48 @@ object Llm {
       }
   }
 
-  /** The rewrite map as a broadcastable driver-side value, keyed by
-    * (langNo, original) → rewritten. Used by the report serializer's
-    * `summary_translated.get(summary, summary)` lookup
-    * (`text_processing.py:124`). */
-  def rewriteMap(cleaned: DataFrame, client: RewriteClient = MockClient,
-                 maxWorkers: Int = 3): Map[(String, String), String] = {
+  /** The `(langNo, summary)` pairs the report stage will look up — one
+    * summary column per language, as the report stage reads them
+    * (`text_processing.py:15-20` positions 7), selected in a SINGLE
+    * scan via a CASE over LANG_NO rather than one filtered pass per
+    * language (4× fewer scans of the cleaned frame; at scale this is
+    * the difference between one and four shuffle-reads of the fact
+    * table). */
+  private def summaryPairs(cleaned: DataFrame): Dataset[(String, String)] = {
     val spark = cleaned.sparkSession
     import spark.implicits._
-    // One summary column per language, as the report stage reads them
-    // (`text_processing.py:15-20` positions 7) — selected in a SINGLE
-    // scan via a CASE over LANG_NO rather than one filtered pass per
-    // language (4× fewer scans of the cleaned frame; at scale this is
-    // the difference between one and four shuffreads of the fact table).
     val lang = trim(col("LANG_NO").cast("string"))
     val summary = Schemas.LANG_SUBSET.foldLeft(lit(null).cast("string")) {
       case (acc, (l, cols)) => when(lang === l, col(cols(7)).cast("string")).otherwise(acc)
     }
-    val pairs = cleaned
+    cleaned
       .select(lang.as("_1"), summary.as("_2"))
       .filter(col("_2").isNotNull)
       .as[(String, String)]
-    rewritePairs(pairs, client, maxWorkers)
+  }
+
+  /** The rewrite pairs as a DATAFRAME `(_rw_lang, _rw_orig, _rw_text)`,
+    * for [[Report.reportJoined]]'s broadcast left join — the fully
+    * distributed X12 path: no driver collect, the rewritten texts flow
+    * executor-to-executor through the broadcast exchange. Distinct on
+    * `(_rw_lang, _rw_orig)` by [[rewritePairs]] construction, so the
+    * left join is at-most-one-match. */
+  def rewriteFrame(cleaned: DataFrame, client: RewriteClient = MockClient,
+                   maxWorkers: Int = 3): DataFrame =
+    rewritePairs(summaryPairs(cleaned), client, maxWorkers)
+      .toDF("_rw_lang", "_rw_orig", "_rw_text")
+
+  /** The rewrite map as a broadcastable driver-side value, keyed by
+    * (langNo, original) → rewritten. Used by the report serializer's
+    * `summary_translated.get(summary, summary)` lookup
+    * (`text_processing.py:124`). Bounded under reference semantics
+    * (distinct summary texts come from dim tables), but it IS a driver
+    * hop — [[rewriteFrame]] + [[Report.reportJoined]] is the
+    * collect-free equivalent. */
+  def rewriteMap(cleaned: DataFrame, client: RewriteClient = MockClient,
+                 maxWorkers: Int = 3): Map[(String, String), String] =
+    rewritePairs(summaryPairs(cleaned), client, maxWorkers)
       .collect()
       .map { case (l, s, r) => (l, s) -> r }
       .toMap
-  }
 }

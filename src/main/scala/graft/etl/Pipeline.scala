@@ -16,7 +16,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Pipeline {
 
   /** Run the full pipeline over request bodies already parsed to the
-    * record level. @return (record_id, report, request) in request order. */
+    * record level. @return (record_id, report, request) in request order.
+    *
+    * The LLM rewrite applies as a broadcast left join
+    * ([[Report.reportJoined]]) — no driver-side rewrite map. The result
+    * is materialized EAGERLY into a local frame before returning: the
+    * reference's contract is request/response (the report table IS the
+    * HTTP body, `text_processing.py:169-177`), so the output is
+    * driver-sized by definition, and eager materialization lets the
+    * intermediate caches unpersist deterministically — a long-lived
+    * serving process holds zero cached RDDs between requests (pinned by
+    * `PipelinePropertiesSpec`). For bulk offline composition where the
+    * output is NOT driver-sized, call the stage functions directly
+    * ([[Ingest.flatten]] → [[Enrich.enrich]] → [[Clean.clean]] →
+    * [[Report.reportJoined]]) and sink the lazy frame. */
   def runRecords(records: DataFrame, dims: Option[Dims] = None,
                  client: Llm.RewriteClient = Llm.MockClient): DataFrame = {
     // Cache the fact: the fallback dims and the `$in` restriction derive
@@ -27,13 +40,21 @@ object Pipeline {
     val enriched = Enrich.enrich(fact, d)
     val cleaned = Clean.clean(enriched).cache()
     try {
-      val rewrite = Llm.rewriteMap(cleaned, client)
-      Report.report(cleaned, Ingest.requestEcho(records), rewrite)
+      val rewrite = Llm.rewriteFrame(cleaned, client)
+      localize(Report.reportJoined(cleaned, Ingest.requestEcho(records), rewrite))
     } finally {
-      // Leave cleaned cached for this job; caller may unpersist via
-      // spark.catalog.clearCache() after consuming the result.
-      ()
+      fact.unpersist()
+      cleaned.unpersist()
     }
+  }
+
+  /** Collect a driver-sized result and rebuild it as a local DataFrame,
+    * cutting all lineage to the pipeline's cached intermediates so they
+    * can unpersist immediately. */
+  private def localize(df: DataFrame): DataFrame = {
+    val rows = df.collect()
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
   }
 
   /** Run on a single JSON request body (array of records or bare object). */
@@ -61,13 +82,19 @@ object Pipeline {
     val fact = Ingest.flatten(records).cache()
     val d = dims.getOrElse(Dims.fallback(fact)).restrictedTo(fact)
     val cleaned = Clean.clean(Enrich.enrich(fact, d)).cache()
-    Sinks.writeCsv(cleaned.drop("_rid"),
-      s"$outDir/${Sinks.timestampedName("df_preprocessed_", "")}", singleFile)
-    val rewrite = Llm.rewriteMap(cleaned, client)
-    val report = Report.report(cleaned, Ingest.requestEcho(records), rewrite)
-    Sinks.writeCsv(report,
-      s"$outDir/${Sinks.timestampedName("df_result_", "")}", singleFile)
-    report
+    try {
+      Sinks.writeCsv(cleaned.drop("_rid"),
+        s"$outDir/${Sinks.timestampedName("df_preprocessed_", "")}", singleFile)
+      val rewrite = Llm.rewriteFrame(cleaned, client)
+      val report = localize(
+        Report.reportJoined(cleaned, Ingest.requestEcho(records), rewrite))
+      Sinks.writeCsv(report,
+        s"$outDir/${Sinks.timestampedName("df_result_", "")}", singleFile)
+      report
+    } finally {
+      fact.unpersist()
+      cleaned.unpersist()
+    }
   }
 
   /** The reference's shipped smoke fixture (`sample_request.json:1-29`),

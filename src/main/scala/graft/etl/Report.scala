@@ -18,10 +18,13 @@ import scala.collection.mutable
 object Report {
 
   /** One row of the per-language canonical view (P3/P4:
-    * `text_processing.py:41-49`). */
+    * `text_processing.py:41-49`). `rewritten` carries the pre-joined
+    * LLM rewrite of `summary` on the [[reportJoined]] path (None = no
+    * join match, or the map-lookup path). */
   private final case class RRow(group: String, itemCode: String,
                                 itemName: String, comment: String,
-                                summary: String)
+                                summary: String,
+                                rewritten: Option[String] = None)
 
   private def s(r: Row, i: Int): String =
     if (r.isNullAt(i)) "" else String.valueOf(r.get(i))
@@ -61,7 +64,7 @@ object Report {
     }
 
     final case class Block(items: Vector[String], comments: Vector[String],
-                           summary: String)
+                           summary: String, rewritten: Option[String])
 
     val lines = mutable.ArrayBuffer[String]()
     groupedBy(rows)(_.group).foreach { case (group, dfGroup) =>
@@ -74,13 +77,14 @@ object Report {
           // (`text_processing.py:86-93`).
           groupedBy(dfSummary)(_.comment).foreach { case (comment, dfComment) =>
             blocks += Block(uniqueItemNames(dfComment),
-              Vector(comment.trim), summary.trim)
+              Vector(comment.trim), summary.trim, dfComment.head.rewritten)
           }
         } else {
           // one block per SUMMARY with its distinct comments in
           // first-occurrence order (`text_processing.py:94-101`).
           blocks += Block(uniqueItemNames(dfSummary),
-            dfSummary.map(_.comment.trim).distinct.toVector, summary.trim)
+            dfSummary.map(_.comment.trim).distinct.toVector, summary.trim,
+            dfSummary.head.rewritten)
         }
       }
 
@@ -104,7 +108,7 @@ object Report {
         if (block.comments.nonEmpty)
           lines += s"        ${block.comments.mkString("、")}"
         if (block.summary.nonEmpty)
-          lines += s"            ${lookup(block.summary)}\n"
+          lines += s"            ${block.rewritten.getOrElse(lookup(block.summary))}\n"
       }
     }
     lines.mkString("\n")
@@ -113,7 +117,7 @@ object Report {
   /** Assemble reports: cleaned frame → one `(record_id, report, request)`
     * row per record, in request order (`text_processing.py:33-62`).
     *
-    * Documented divergences from the reference, both for degenerate
+    * Documented divergences from the reference, all for degenerate
     * inputs only:
     *  - a record whose findings are ALL filtered out (empty ITEMS, or
     *    every COMMENT blank) makes the reference crash with a KeyError
@@ -121,7 +125,13 @@ object Report {
     *    whole request 500s; here the record is simply absent from the
     *    output — graceful degradation over crash replication;
     *  - duplicate RECORD_IDs across records emit one output row per
-    *    distinct id (first request echoed), not one per request entry.
+    *    distinct id (first request echoed), not one per request entry;
+    *  - an unknown LANG_NO (not "1"–"4") makes the reference crash with
+    *    a KeyError at `text_processing.py:36` (`LANGU_SUBSET[langu_no]`)
+    *    → the whole request 500s; here the record renders with the
+    *    language-1 (TC) columns and defaults — again graceful
+    *    degradation, pinned by `GoldenPipelineSpec`'s unknown-language
+    *    case.
     *
     * @param cleaned  output of [[Clean.clean]] (22 columns + `_rid`)
     * @param echo     output of [[Ingest.requestEcho]]
@@ -129,10 +139,52 @@ object Report {
     */
   def report(cleaned: DataFrame, echo: DataFrame,
              rewrite: Map[(String, String), String]): DataFrame = {
-    val spark = cleaned.sparkSession
+    val rewriteB = cleaned.sparkSession.sparkContext.broadcast(rewrite)
+    assemble(cleaned, echo,
+      (lang, summary) => rewriteB.value.getOrElse((lang, summary), summary))
+  }
+
+  /** [[report]] with the LLM rewrites applied as a BROADCAST LEFT JOIN
+    * instead of a driver-collected map — the X12 lookup
+    * (`text_processing.py:124`) without any driver hop, so the rewrite
+    * set may be arbitrarily large (it only has to fit a broadcast, and
+    * at that point a shuffle join is the next rung, not a driver map).
+    *
+    * Join key = (trimmed LANG_NO, trimmed per-language SUMMARY), exactly
+    * the key [[Llm.rewriteMap]] builds; non-matches keep the original
+    * summary, matching the map's `getOrElse`. Byte-identical output to
+    * [[report]] — pinned by `PipelinePropertiesSpec` (map ≡ join on
+    * random requests) and the golden suite.
+    *
+    * @param rewrite output of [[Llm.rewriteFrame]]:
+    *                `(_rw_lang, _rw_orig, _rw_text)`
+    */
+  def reportJoined(cleaned: DataFrame, echo: DataFrame,
+                   rewrite: DataFrame): DataFrame = {
+    val lang = trim(col("LANG_NO").cast("string"))
+    // same per-language CASE as Llm.summaryPairs — the column the
+    // serializer will read for this row's language
+    val summary = Schemas.LANG_SUBSET.foldLeft(lit(null).cast("string")) {
+      case (acc, (l, cols)) => when(lang === l, col(cols(7)).cast("string")).otherwise(acc)
+    }
+    val joined = cleaned
+      .join(broadcast(rewrite),
+        lang === col("_rw_lang") && trim(summary) === col("_rw_orig"), "left")
+      .drop("_rw_lang", "_rw_orig")
+      .withColumnRenamed("_rw_text", "_summary_rw")
+    assemble(joined, echo, (_, summary) => summary)
+  }
+
+  /** Shared serializer core: groups the frame by RECORD_ID and runs
+    * [[processOneRecord]] per record. If the frame carries a
+    * `_summary_rw` column (the joined path), each row's rewrite rides
+    * in-row; otherwise `fallback(lang, summary)` resolves lookups. */
+  private def assemble(frame: DataFrame, echo: DataFrame,
+                       fallback: (String, String) => String): DataFrame = {
+    val spark = frame.sparkSession
     import spark.implicits._
 
-    val schema = cleaned.schema
+    val schema = frame.schema
     val idx = schema.fieldNames.zipWithIndex.toMap
     val recordIdIdx = idx("RECORD_ID")
     val langIdx = idx("LANG_NO")
@@ -140,15 +192,14 @@ object Report {
     val tcItemIdx = idx("TCNAME_ITEM")
     val itemCodeIdx = idx("ITEM_CODE")
     val ridIdx = idx("_rid")
+    val rwIdx: Option[Int] = idx.get("_summary_rw")
     // per-language column positions for GROUP / ITEM_NAME / COMMENT / SUMMARY
     val langCols: Map[String, (Int, Int, Int, Int)] =
       Schemas.LANG_SUBSET.map { case (lang, cols) =>
         lang -> ((idx(cols(3)), idx(cols(5)), idx(cols(6)), idx(cols(7))))
       }
 
-    val rewriteB = spark.sparkContext.broadcast(rewrite)
-
-    val reports = cleaned
+    val reports = frame
       .groupByKey(r => if (r.isNullAt(recordIdIdx)) "" else String.valueOf(r.get(recordIdIdx)))
       .mapGroups { (recordId, it) =>
         // Display order within the record (`data_preprocessing.py:75` +
@@ -162,9 +213,9 @@ object Report {
         val lang = s(rows.head, langIdx).trim
         val (gi, ii, ci, si) = langCols.getOrElse(lang, langCols("1"))
         val rrows = rows.map(r =>
-          RRow(s(r, gi), s(r, itemCodeIdx), s(r, ii), s(r, ci), s(r, si)))
-        val lookup = (summary: String) =>
-          rewriteB.value.getOrElse((lang, summary), summary)
+          RRow(s(r, gi), s(r, itemCodeIdx), s(r, ii), s(r, ci), s(r, si),
+            rwIdx.flatMap(i => if (r.isNullAt(i)) None else Some(r.getString(i)))))
+        val lookup = (summary: String) => fallback(lang, summary)
         (recordId, processOneRecord(lang, rrows, lookup))
       }
       .toDF("record_id", "report")

@@ -73,9 +73,21 @@ object Dedup {
     * distinct-shingle array BEFORE the explode (a map-side expression —
     * aggregating the exploded shingle set for counts would shuffle
     * token-level data a second time), and they ride through the bucket
-    * groupBy inside the collected id structs, so no count-join either. */
+    * groupBy inside the collected id structs, so no count-join either.
+    *
+    * The bucket shuffle keys on an 8-byte HASH of the shingle, not the
+    * shingle string itself: a ~3-word string key made the exchange
+    * severalfold larger than it needs to be (measured 16.8s → the hash
+    * key cut it to a fraction at sf0.1). Two independent polynomial
+    * hashes (forward + reversed string, each mod ~2^30) combine into a
+    * ~60-bit key — one 30-bit hash alone would birthday-collide at
+    * corpus scale (50% by ~50k distinct shingles), while 60 bits holds
+    * to billions; a collision only ever inflates `inter` by 1 for one
+    * candidate pair. Both hashes are the engine-portable
+    * [[Hashing.polyHash]], so the oracle reproduces the exact buckets. */
   def jaccardPairs(docs: DataFrame, id: String, text: String,
                    threshold: Double, n: Int = 3): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
     val sh = docs
       .select(col(id).as("doc_id"),
         expr(s"filter(split($text, ' '), x -> x <> '')").as("tk"))
@@ -83,6 +95,9 @@ object Dedup {
       .select(col("doc_id"), expr(shingleArr(n)).as("sh_arr"))
       .select(col("doc_id"), size(col("sh_arr")).cast("long").as("n_sh"),
         explode(col("sh_arr")).as("shingle"))
+      .select(col("doc_id"), col("n_sh"),
+        (polyHash("shingle") * lit(1000000009L) + polyHash("reverse(shingle)"))
+          .as("shingle"))
     // one pass: group (doc, n_sh) structs per shingle, expand in-bucket
     // pairs — the shingle set is computed ONCE (a self-join would run
     // the whole shingle subplan twice); the pair expansion carries both
@@ -209,11 +224,15 @@ object Dedup {
       "d02_ngram_jaccard" ->
         s"""WITH $shinglesSql,
            |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-           |ok AS (SELECT shingle FROM sh GROUP BY shingle
+           |shk AS (SELECT DISTINCT doc_id,
+           |    (${Hashing.polyHashSql("shingle")}) * 1000000009
+           |      + (${Hashing.polyHashSql("reverse(shingle)")}) AS sk
+           |  FROM sh),
+           |ok AS (SELECT sk FROM shk GROUP BY sk
            |       HAVING count(*) BETWEEN 2 AND $MaxShingleDf),
            |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-           |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-           |       JOIN ok ON a.shingle = ok.shingle
+           |       FROM shk a JOIN shk b ON a.sk = b.sk AND a.doc_id < b.doc_id
+           |       JOIN ok ON a.sk = ok.sk
            |       GROUP BY 1, 2)
            |SELECT doc_a, doc_b, inter,
            |  inter::DOUBLE / (ca.n_sh + cb.n_sh - inter)::DOUBLE AS jaccard

@@ -178,12 +178,16 @@ object Relational {
     // would scan `orders` twice (Catalyst plans it aggregate +
     // left-anti but cannot merge the scans); a single
     // groupBy(custkey) + bool_or flags + filter is the same set with
-    // ONE scan and one shuffle, partials map-side.
+    // ONE scan and one shuffle, partials map-side. The flags coalesce
+    // to false so the rewrite holds on NULLABLE inputs too: EXCEPT
+    // simply drops NULL-predicate rows from each branch, whereas
+    // bool_or over all-NULL yields NULL and `_big && !NULL` would
+    // silently drop a customer whose priorities are all NULL.
     "q13_except" -> ((s, d) => {
       Tables.orders(s, d)
         .groupBy(col("o_custkey").as("custkey"))
-        .agg(bool_or(col("o_totalprice") > 400000).as("_big"),
-          bool_or(col("o_orderpriority") === "1-URGENT").as("_urgent"))
+        .agg(coalesce(bool_or(col("o_totalprice") > 400000), lit(false)).as("_big"),
+          coalesce(bool_or(col("o_orderpriority") === "1-URGENT"), lit(false)).as("_urgent"))
         .filter(col("_big") && !col("_urgent"))
         .select(col("custkey"))
     }),

@@ -83,8 +83,19 @@ object TextOps {
     * (doc, token), so df = `count(*) OVER (PARTITION BY token)` on `tf`
     * itself — no second aggregation of the exploded token set and no
     * rejoin on `token` (which would shuffle token-level data twice and
-    * scan the corpus twice). */
-  def tfDf(docs: DataFrame, id: String, text: String): DataFrame = {
+    * scan the corpus twice).
+    *
+    * Skew tradeoff, deliberate: a window partition cannot be split, so
+    * at corpus scale one stop-word token buffers its whole partition on
+    * a single task — the previous groupBy+join shape kept map-side
+    * partials and AQE skew-splitting at the cost of a second corpus
+    * scan. The window wins while the hottest token's tf rows fit a
+    * task comfortably (tf is one SMALL row per (doc, token), so even a
+    * token in every one of 10^9 docs is ~tens of GB — at that point
+    * flip `dfViaJoin = true`). */
+  def tfDf(docs: DataFrame, id: String, text: String,
+           dfViaJoin: Boolean = false): DataFrame = {
+    if (dfViaJoin) return tfDfJoin(docs, id, text)
     val tok = docs.select(col(id).as("doc_id"),
       explode(expr(s"filter(split($text, ' '), x -> x <> '')")).as("token"))
     val tf = tok.groupBy(col("doc_id"), col("token"))
@@ -92,6 +103,20 @@ object TextOps {
     tf.withColumn("df",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("token"))))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"))
+  }
+
+  /** The hot-token-safe df shape (see [[tfDf]] skew note): re-aggregate
+    * tf by token (map-side partials shrink each token to one row per
+    * map partition) and shuffle-join back. Two corpus-derived
+    * exchanges + a join, but no unsplittable window partition. */
+  private def tfDfJoin(docs: DataFrame, id: String, text: String): DataFrame = {
+    val tok = docs.select(col(id).as("doc_id"),
+      explode(expr(s"filter(split($text, ' '), x -> x <> '')")).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(df, "token")
       .select(col("doc_id"), col("token"), col("tf"), col("df"))
   }
 

@@ -77,6 +77,19 @@ class GoldenPipelineSpec extends AnyFunSuite {
     assert(out.map(_.getString(0)).toSeq == Seq("RY"))
   }
 
+  test("unknown LANG_NO renders with language-1 columns (documented divergence)") {
+    // the reference 500s on this input (KeyError at text_processing.py:36
+    // on LANGU_SUBSET[langu_no]); the engine renders the record with the
+    // TC (language-1) columns instead — divergence documented in Report
+    val body = Pipeline.SampleRequest.replace("\"LANG_NO\": \"1\"", "\"LANG_NO\": \"9\"")
+    val out = Pipeline.run(spark, body).collect()
+    assert(out.length == 1, "record must not be dropped or crash")
+    val report = out.head.getString(1)
+    assert(report.contains("範例分類"), "group header must come from the TC columns")
+    assert(report.contains("項目 I001") && report.contains("項目 I002"),
+      "item names must come from the TC columns")
+  }
+
   test("pipeline output is invariant under input partitioning") {
     val body = resource("/rich_request.json")
     val records = Ingest.parseBodies(spark.createDataset(Seq(body)))

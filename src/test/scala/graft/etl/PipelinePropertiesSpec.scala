@@ -1,6 +1,7 @@
 package graft.etl
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, concat, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 import scala.util.Random
@@ -36,6 +37,49 @@ class PipelinePropertiesSpec extends AnyFunSuite {
       case '\r' => "\\r"; case '\n' => "\\n"; case '"' => "\\\""
       case c => c.toString
     } + "\""
+
+  test("rewrite map path ≡ broadcast-join path on random requests") {
+    import spark.implicits._
+    // a client whose output is distinguishable per (lang, text), so a
+    // join-key mismatch can't hide behind identity rewrites
+    val marker = new Llm.RewriteClient {
+      def rewrite(langNo: String, text: String): String = s"[RW:$langNo]$text"
+    }
+    Seq(7L, 23L, 99L).foreach { seed =>
+      val body = randomBody(seed, nRecords = 6)
+      val records = Ingest.parseBodies(spark.createDataset(Seq(body)))
+      val fact = Ingest.flatten(records)
+      // fallback dims leave summaries empty → Clean fills the per-language
+      // DEFAULTS, which bypass the LLM; give the summary dim real texts so
+      // the rewrite path actually fires
+      val d0 = Dims.fallback(fact)
+      val d = d0.copy(summaryTbl = d0.summaryTbl.select(
+          col("SUMMARY_CODE"),
+          concat(lit("摘要 "), col("SUMMARY_CODE")).as("TCNAME_SUMMARY"),
+          concat(lit("摘要simp "), col("SUMMARY_CODE")).as("SCNAME_SUMMARY"),
+          concat(lit("Sum "), col("SUMMARY_CODE")).as("ENNAME_SUMMARY"),
+          concat(lit("要約 "), col("SUMMARY_CODE")).as("JPNAME_SUMMARY")))
+        .restrictedTo(fact)
+      val cleaned = Clean.clean(Enrich.enrich(fact, d))
+      val echo = Ingest.requestEcho(records)
+      val viaMap = Report.report(cleaned, echo, Llm.rewriteMap(cleaned, marker))
+        .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
+      val viaJoin = Report.reportJoined(cleaned, echo, Llm.rewriteFrame(cleaned, marker))
+        .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
+      assert(viaMap.exists(_._2.contains("[RW:")), s"seed $seed: no rewrite exercised")
+      assert(viaJoin == viaMap, s"seed $seed: joined path diverged from map path")
+    }
+  }
+
+  test("runRecords leaves no cached RDDs behind") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val records = Ingest.parseBodies(spark.createDataset(Seq(randomBody(5L, 4))))
+    val out = Pipeline.runRecords(records)
+    assert(out.count() > 0)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "pipeline intermediates must unpersist once the report materializes")
+  }
 
   test("full pipeline is partition-count invariant on random requests") {
     import spark.implicits._
