@@ -52,11 +52,11 @@ object Bench {
     } + "\""
 
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDir = Conf.Env.sfDir
     // default 32 = the driver's local[32] environment; medians over
     // SPARK_GRAFT_REPS runs so one GC pause can't misrank a query
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val cpus = Conf.Env.cpus()
+    val reps = Conf.Env.reps
     val spark = Conf.localSession(cpus)
     // Untimed warmup: JIT + codegen + parquet-footer caches, so fixed
     // startup cost isn't attributed to whichever query happens to run

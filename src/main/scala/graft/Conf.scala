@@ -51,4 +51,32 @@ object Conf {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** The engine's single documented environment surface — the `.env`
+    * equivalent of the reference's scattered `os.getenv` reads
+    * (`llm_processing.py:12,99-100`, `db_to_dataframe.py:47-54`). Every
+    * driver main reads through here; nothing else in the engine touches
+    * `sys.env`, so this object IS the config contract.
+    *
+    * | variable | used by | default |
+    * |---|---|---|
+    * | SPARK_GRAFT_SF_DIR   | Bench/Verify data dir | /root/testdata/sf0.1 |
+    * | SPARK_GRAFT_CPUS     | local[-n] parallelism | 32 |
+    * | SPARK_GRAFT_REPS     | bench repetitions     | 3 |
+    * | GRAFT_DIMS_DIR       | Serve: parquet dim dir (else fallback synthesis) | unset |
+    * | GRAFT_SERVE_PORT     | Serve: listen port    | 8000 |
+    * | AZURE_OPENAI_ENDPOINT / _API_KEY / _API_VERSION | live LLM client ([[graft.etl.LlmHttp.fromEnv]]) | unset → mock |
+    */
+  object Env {
+    private def get(k: String): Option[String] =
+      sys.env.get(k).filter(_.nonEmpty)
+    def sfDir: String = get("SPARK_GRAFT_SF_DIR").getOrElse("/root/testdata/sf0.1")
+    /** default 32 = the harness's local[32] box for Bench/Serve; the
+      * lighter mains (Verify/Demo) pass 4 */
+    def cpus(default: Int = 32): Int =
+      get("SPARK_GRAFT_CPUS").map(_.toInt).getOrElse(default)
+    def reps: Int = get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3)
+    def dimsDir: Option[String] = get("GRAFT_DIMS_DIR")
+    def servePort: Int = get("GRAFT_SERVE_PORT").map(_.toInt).getOrElse(8000)
+  }
 }
