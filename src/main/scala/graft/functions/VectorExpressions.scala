@@ -184,5 +184,21 @@ object VectorFunctions {
       "graft_polyhash",
       (exprs: Seq[Expression]) => PolyHash(exprs.head),
       "built-in")
+    // the token-window hash family takes its small-int parameters as
+    // foldable literals, resolved at registration into case-class params
+    def lit(e: Expression): Int = e.eval().asInstanceOf[Number].intValue()
+    reg.createOrReplaceTempFunction(
+      "graft_shingle_hashes",
+      (exprs: Seq[Expression]) =>
+        ShingleHashes(exprs.head, lit(exprs(1)), lit(exprs(2)) != 0),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_minhash",
+      (exprs: Seq[Expression]) => MinHashSig(exprs.head, lit(exprs(1))),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_simhash",
+      (exprs: Seq[Expression]) => SimHash(exprs.head),
+      "built-in")
   }
 }

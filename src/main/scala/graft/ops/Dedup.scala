@@ -88,16 +88,23 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, id: String, text: String,
                    threshold: Double, n: Int = 3): DataFrame = {
     graft.functions.VectorFunctions.register(docs.sparkSession)
+    // Shingle hashing is one native map-side pass over the token array
+    // ([[graft.functions.ShingleHashes]]): per-token partial hashes
+    // compose into each window's (fwd·C + rev) key with no shingle-string
+    // materialization — the interpreted HOF form
+    // (transform+concat_ws+array_distinct, then polyhash over the built
+    // strings) spent 4.8s of a 6.5s sf0.1 run inside the single scan
+    // stage, before any shuffle could spread the work. Values are
+    // bit-identical, so the oracle SQL below is unchanged; n_sh counts
+    // distinct hashes rather than distinct strings (equal up to a ~2^-60
+    // within-doc collision).
     val sh = docs
       .select(col(id).as("doc_id"),
         expr(s"filter(split($text, ' '), x -> x <> '')").as("tk"))
       .filter(size(col("tk")) >= n)
-      .select(col("doc_id"), expr(shingleArr(n)).as("sh_arr"))
-      .select(col("doc_id"), size(col("sh_arr")).cast("long").as("n_sh"),
-        explode(col("sh_arr")).as("shingle"))
-      .select(col("doc_id"), col("n_sh"),
-        (polyHash("shingle") * lit(1000000009L) + polyHash("reverse(shingle)"))
-          .as("shingle"))
+      .select(col("doc_id"), expr(s"graft_shingle_hashes(tk, $n, 1)").as("hs"))
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_sh"),
+        explode(col("hs")).as("shingle"))
     // one pass: group (doc, n_sh) structs per shingle, expand in-bucket
     // pairs — the shingle set is computed ONCE (a self-join would run
     // the whole shingle subplan twice); the pair expansion carries both
@@ -125,13 +132,21 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, id: String, text: String,
                         n: Int = 3): DataFrame = {
     graft.functions.VectorFunctions.register(docs.sparkSession)
-    val h = shingles(docs, id, text, n).withColumn("h", polyHash("shingle"))
-    val mhAggs = (0 until Bands * RowsPerBand).map { i =>
-      min(expr(s"(${MinHashA(i)}L * h + ${MinHashB(i)}L) % ${P}L")).as(s"mh$i")
-    }
-    val sig = h.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
+    // The 16-min signature is computed map-side in one native pass
+    // ([[graft.functions.MinHashSig]]): min is duplicate-insensitive, so
+    // folding raw windows equals folding the distinct shingle set the
+    // oracle aggregates — same values, but the token-level explode +
+    // per-doc groupBy shuffle is GONE. The only remaining exchange
+    // carries 4 band keys per doc: at corpus scale that is the
+    // difference between shuffling the token stream and shuffling a few
+    // dozen bytes per document.
+    val sig = docs
+      .select(col(id).as("doc_id"),
+        expr(s"filter(split($text, ' '), x -> x <> '')").as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(col("doc_id"), expr(s"graft_minhash(tk, $n)").as("mh"))
     val bandKeys = (0 until Bands).map { b =>
-      val cols = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}")
+      val cols = (0 until RowsPerBand).map(r => s"mh[${b * RowsPerBand + r}]")
       expr(s"concat_ws('_', ${cols.mkString(", ")})")
     }
     val bands = sig.select(col("doc_id"),
@@ -146,24 +161,22 @@ object Dedup {
   }
 
   /** 32-bit SimHash signature per doc from term-frequency-weighted token
-    * hashes. One explode over bit positions keeps it relational (no
-    * per-doc UDF) and partial-aggregates map-side. Output:
-    * `(doc_id, simhash)`. */
+    * hashes, as ONE map-side native expression
+    * ([[graft.functions.SimHash]]) — zero shuffles, embarrassingly
+    * parallel at any corpus size. The per-(doc, token)-count relational
+    * shape (groupBy token, explode 32 bit positions, two more groupBys)
+    * computes `Σ_distinct-tokens cnt·(±1)` per bit; the expression folds
+    * `±1` per token OCCURRENCE, which is the same sum — so the oracle is
+    * unchanged. Docs with no tokens are absent from the output, matching
+    * the relational form (explode of an empty array yields no rows).
+    * Output: `(doc_id, simhash)`. */
   def simhash(docs: DataFrame, id: String, text: String): DataFrame = {
     graft.functions.VectorFunctions.register(docs.sparkSession)
     docs
       .select(col(id).as("doc_id"),
-        explode(expr(s"filter(split($text, ' '), x -> x <> '')")).as("token"))
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
-      .withColumn("h", polyHash("token"))
-      .select(col("doc_id"), col("cnt"), col("h"),
-        explode(expr("sequence(0, 31)")).as("j"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(when(expr("(h div shiftleft(1L, j)) % 2") === 1, col("cnt"))
-        .otherwise(-col("cnt"))).as("s"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, j)")).otherwise(0L))
-        .as("simhash"))
+        expr(s"filter(split($text, ' '), x -> x <> '')").as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"), expr("graft_simhash(tk)").as("simhash"))
   }
 
   /** Brute-force embedding-cosine near-dup pairs at or above

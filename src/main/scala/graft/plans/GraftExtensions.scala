@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotProduct, PolyHash}
+import graft.functions.{DotProduct, MinHashSig, PolyHash, ShingleHashes, SimHash}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
@@ -67,6 +67,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_polyhash"),
       new ExpressionInfo(classOf[PolyHash].getName, "graft_polyhash"),
       (exprs: Seq[Expression]) => PolyHash(exprs.head)))
+    def lit(e: Expression): Int = e.eval().asInstanceOf[Number].intValue()
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+      (exprs: Seq[Expression]) =>
+        ShingleHashes(exprs.head, lit(exprs(1)), lit(exprs(2)) != 0)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+      (exprs: Seq[Expression]) => MinHashSig(exprs.head, lit(exprs(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash].getName, "graft_simhash"),
+      (exprs: Seq[Expression]) => SimHash(exprs.head)))
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
   }
 }

@@ -85,6 +85,81 @@ class NativeFunctionsSpec extends AnyFunSuite {
     assert(out.head.getLong(0) == ('x' * 31 + 'y') % 1000000007L)
   }
 
+  /** The HOF/string reference forms the token-window expressions must
+    * reproduce bit-for-bit (these are what the DuckDB oracles mirror). */
+  private def shingleStrings(n: Int) =
+    s"array_distinct(transform(sequence(0, size(tk) - $n), " +
+    s"i -> concat_ws(' ', ${(0 until n).map(j => s"tk[i+$j]").mkString(", ")})))"
+
+  private def tokens(df: org.apache.spark.sql.DataFrame, col0: String) =
+    df.select(expr(s"filter(split($col0, ' '), x -> x <> '')").as("tk"))
+
+  test("graft_shingle_hashes(combined) equals hashing the shingle strings") {
+    VectorFunctions.register(spark)
+    val d = tokens(graft.ops.Tables.documents(spark, sf), "text")
+      .filter(size(col("tk")) >= 3)
+    val both = d.select(
+      expr("graft_shingle_hashes(tk, 3, 1)").as("fast"),
+      expr(s"array_sort(transform(${shingleStrings(3)}, s -> " +
+           "graft_polyhash(s) * 1000000009L + graft_polyhash(reverse(s))))").as("ref"))
+    assert(both.filter(col("fast") =!= col("ref")).count() == 0)
+  }
+
+  test("graft_shingle_hashes(forward) and graft_minhash match the string path") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    // adversarial tokens: unicode (code-point hashing), repeated shingles
+    // (distinctness), single-window and window-count edges
+    val d = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b c a b c a b c a b c",
+      "範例 說明 文字 範例 說明",
+      "x y z",
+      "one two three four").toDF("text")
+    val t = tokens(d, "text").filter(size(col("tk")) >= 3)
+    val fwd = t.select(
+      expr("graft_shingle_hashes(tk, 3, 0)").as("fast"),
+      expr(s"array_sort(transform(${shingleStrings(3)}, s -> graft_polyhash(s)))").as("ref"))
+    assert(fwd.filter(col("fast") =!= col("ref")).count() == 0)
+    val mhRef = (0 until graft.ops.Hashing.MinHashA.length).map { i =>
+      s"array_min(transform(${shingleStrings(3)}, s -> " +
+      s"(${graft.ops.Hashing.MinHashA(i)}L * graft_polyhash(s) + " +
+      s"${graft.ops.Hashing.MinHashB(i)}L) % ${graft.ops.Hashing.P}L))"
+    }.mkString("array(", ", ", ")")
+    val mh = t.select(expr("graft_minhash(tk, 3)").as("fast"), expr(mhRef).as("ref"))
+    assert(mh.filter(col("fast") =!= col("ref")).count() == 0)
+  }
+
+  test("graft_simhash equals the relational count/bit-explode form") {
+    VectorFunctions.register(spark)
+    val d = graft.ops.Tables.documents(spark, "/root/testdata/sf0.01")
+    val fast = graft.ops.Dedup.simhash(d, "doc_id", "text")
+    val ref = d
+      .select(col("doc_id"), explode(expr("filter(split(text, ' '), x -> x <> '')")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
+      .withColumn("h", expr("graft_polyhash(token)"))
+      .select(col("doc_id"), col("cnt"), col("h"), explode(expr("sequence(0, 31)")).as("j"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(when(expr("(h div shiftleft(1L, j)) % 2") === 1, col("cnt"))
+        .otherwise(-col("cnt"))).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, j)")).otherwise(0L)).as("simhash"))
+    assert(fast.count() == ref.count())
+    assert(fast.join(ref, Seq("doc_id", "simhash")).count() == fast.count())
+  }
+
+  test("token-window expressions handle empty and too-short inputs") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val rows = Seq(Seq[String](), Seq("a"), Seq("a", "b")).toDF("tk")
+      .select(
+        expr("graft_shingle_hashes(tk, 3, 1)").as("sh"),
+        expr("graft_simhash(tk)").as("sim"))
+      .collect()
+    assert(rows.forall(_.getSeq[Long](0).isEmpty), "no window => empty hash array")
+    assert(rows(0).getLong(1) == 0L, "no tokens => simhash 0")
+  }
+
   test("optimizer rule rewrites the HOF dot-product pattern to DotProduct") {
     val e = graft.ops.Tables.embeddings(spark, sf)
       .select(org.apache.spark.sql.functions.expr(
