@@ -126,6 +126,66 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
   }
 
+  /** [[jaccardPairs]]' 100 TB scale path: identical output, candidate
+    * generation by PREFIX FILTERING (the all-pairs similarity-search
+    * technique of Bayardo/Ma/Srikant, "Scaling Up All Pairs Similarity
+    * Search", WWW'07).
+    *
+    * Each doc indexes only its `n_sh − ⌈t·n_sh⌉ + 1` SMALLEST shingle
+    * hashes (the arrays from `graft_shingle_hashes` are already sorted).
+    * Why that is lossless: `J(A,B) ≥ t ⟹ |A∩B| ≥ t·|A∪B| ≥
+    * ⌈t·max(|A|,|B|)⌉`; if the intersection avoided A's prefix entirely
+    * it would fit in A's suffix of size `⌈t·|A|⌉ − 1` — too small. So the
+    * smallest shared hash lies in BOTH prefixes, and every qualifying
+    * pair collides in at least one prefix bucket: zero false negatives.
+    *
+    * What changes at scale vs [[jaccardPairs]]: the bucket shuffle
+    * carries a `(1−t)` fraction of the shingle stream, and the in-bucket
+    * pair blow-up (Σ df²) shrinks roughly quadratically. Candidates are
+    * then verified EXACTLY — a length-ratio prune
+    * (`min·1 ≥ t·max`, implied by `J ≥ t`) first, then a join back to
+    * the full sorted hash arrays for `array_intersect` — so the output
+    * is the same row set [[jaccardPairs]] produces (pinned by OpsSpec
+    * equivalence + the shared DuckDB oracle). The [[MaxShingleDf]] cap
+    * applies to prefix buckets here (full-index buckets there); at or
+    * below the cap the two are identical, and a capped bucket carried
+    * no dedup signal either way. */
+  def jaccardPairsPrefix(docs: DataFrame, id: String, text: String,
+                         threshold: Double, n: Int = 3): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    val arr = docs
+      .select(col(id).as("doc_id"),
+        expr(s"filter(split($text, ' '), x -> x <> '')").as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(col("doc_id"), expr(s"graft_shingle_hashes(tk, $n, 1)").as("hs"))
+      .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n_sh"))
+    val pre = arr.select(col("doc_id"), col("n_sh"),
+      explode(expr(
+        s"slice(hs, 1, cast(size(hs) - ceil($threshold * size(hs)) + 1 as int))"))
+        .as("h"))
+    val cand = pre.groupBy(col("h"))
+      .agg(sort_array(collect_set(struct(col("doc_id"), col("n_sh")))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxShingleDf)
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> " +
+        "transform(slice(ids, i + 2, size(ids)), b -> struct(" +
+        "a.doc_id AS doc_a, a.n_sh AS n_a, b.doc_id AS doc_b, b.n_sh AS n_b))))"))
+        .as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.n_a").as("n_a"),
+        col("p.doc_b").as("doc_b"), col("p.n_b").as("n_b"))
+      .filter(least(col("n_a"), col("n_b")).cast("double") >=
+        lit(threshold) * greatest(col("n_a"), col("n_b")).cast("double"))
+      .distinct()
+    cand
+      .join(arr.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
+      .join(arr.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+  }
+
   /** MinHash + LSH candidate pairs: 16 minhashes = 4 bands × 4 rows;
     * docs sharing any full band key are candidates (re-verify the tiny
     * candidate set with [[jaccardPairs]]). Output: `(doc_a, doc_b)`. */
@@ -206,6 +266,10 @@ object Dedup {
     // the background (≤0.1) — no float-boundary ambiguity.
     "d02_ngram_jaccard" -> ((s, d) =>
       jaccardPairs(Tables.documents(s, d), "doc_id", "text", threshold = 0.6)),
+    // Same semantics as d02 via the prefix-filtered scale path — the
+    // oracle below is d02's verbatim, because the output is the same set.
+    "d06_jaccard_prefix" -> ((s, d) =>
+      jaccardPairsPrefix(Tables.documents(s, d), "doc_id", "text", threshold = 0.6)),
     "d03_minhash_lsh" -> ((s, d) =>
       minhashCandidates(Tables.documents(s, d), "doc_id", "text")),
     "d04_simhash" -> ((s, d) =>
@@ -230,12 +294,10 @@ object Dedup {
         .mkString(" || '_' || ")
       s"SELECT doc_id, $b AS band, $key AS key FROM sig"
     }.mkString("\n  UNION ALL ")
-    Map(
-      "d01_exact_dedup" ->
-        """SELECT md5(text) AS sig, min(doc_id) AS keep_id, count(*) AS n_dups
-          |FROM documents GROUP BY md5(text)""".stripMargin,
-      "d02_ngram_jaccard" ->
-        s"""WITH $shinglesSql,
+    // d06 outputs the SAME set as d02 (prefix filtering is a lossless
+    // candidate pruning), so both keys share one oracle text.
+    val jaccardSql =
+      s"""WITH $shinglesSql,
            |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
            |shk AS (SELECT DISTINCT doc_id,
            |    (${Hashing.polyHashSql("shingle")}) * 1000000009
@@ -252,7 +314,13 @@ object Dedup {
            |FROM pr
            |JOIN cnt ca ON pr.doc_a = ca.doc_id
            |JOIN cnt cb ON pr.doc_b = cb.doc_id
-           |WHERE inter::DOUBLE / (ca.n_sh + cb.n_sh - inter)::DOUBLE >= 0.6""".stripMargin,
+           |WHERE inter::DOUBLE / (ca.n_sh + cb.n_sh - inter)::DOUBLE >= 0.6""".stripMargin
+    Map(
+      "d01_exact_dedup" ->
+        """SELECT md5(text) AS sig, min(doc_id) AS keep_id, count(*) AS n_dups
+          |FROM documents GROUP BY md5(text)""".stripMargin,
+      "d02_ngram_jaccard" -> jaccardSql,
+      "d06_jaccard_prefix" -> jaccardSql,
       "d03_minhash_lsh" ->
         s"""WITH $shinglesSql,
            |h AS (SELECT doc_id, ${Hashing.polyHashSql("shingle")} AS h FROM sh),

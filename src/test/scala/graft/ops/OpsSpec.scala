@@ -49,6 +49,21 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("d06 prefix-filtered jaccard equals the full-index jaccard exactly") {
+    // prefix filtering must be a LOSSLESS candidate pruning: same pairs,
+    // same inter counts, same jaccard doubles — at two scales and at a
+    // second threshold to exercise different prefix lengths
+    for ((dir, t) <- Seq((sf, 0.6), (sf, 0.35), ("/root/testdata/sf0.01", 0.6))) {
+      val docs = Tables.documents(spark, dir)
+      val full = Dedup.jaccardPairs(docs, "doc_id", "text", t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val pre = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(pre == full, s"prefix!=full at dir=$dir t=$t " +
+        s"(missing=${(full -- pre).take(3)}, extra=${(pre -- full).take(3)})")
+    }
+  }
+
   test("d03 minhash-LSH candidates cover the high-jaccard pairs") {
     val jac = Dedup.queries("d02_ngram_jaccard")(spark, sf).collect()
       .filter(_.getDouble(3) >= 0.9).map(r => (r.getLong(0), r.getLong(1))).toSet
