@@ -65,6 +65,25 @@ object TextOps {
       .withColumn("n_stopword_hits", col("_hits").cast("long"))
       .drop("_hits")
 
+  /** PII-style redaction patterns, chosen to parse identically under
+    * Java regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongNumRe = "[0-9]{4,}"
+
+  /** PII-style redaction cascade: emails → `[EMAIL]`, then 4+-digit
+    * runs → `[NUM]` (in that order — an email's digits are consumed by
+    * the email pass first, so the counts are disjoint by construction).
+    * Appends `redacted, n_emails, n_nums`. Pure map-side — one codegen'd
+    * projection, no shuffle, the scale-ideal shape for a cleaning
+    * pass. */
+  def withRedaction(df: DataFrame, text: String): DataFrame =
+    df
+      .withColumn("_r1", regexp_replace(col(text), EmailRe, "[EMAIL]"))
+      .withColumn("n_emails", regexp_count(col(text), lit(EmailRe)).cast("long"))
+      .withColumn("n_nums", regexp_count(col("_r1"), lit(LongNumRe)).cast("long"))
+      .withColumn("redacted", regexp_replace(col("_r1"), LongNumRe, "[NUM]"))
+      .drop("_r1")
+
   /** Corpus token frequencies, top `k`. Output: `(token, freq)`. */
   def tokenFrequencies(df: DataFrame, text: String, k: Int): DataFrame =
     df.select(explode(split(col(text), " ")).as("token"))
@@ -137,7 +156,10 @@ object TextOps {
         .select(col("doc_id"), col("lang").as("labeled_lang"),
           col("guessed_lang"), col("n_stopword_hits"))),
     "t06_tf_df" -> ((s, d) =>
-      tfDf(Tables.documents(s, d), "doc_id", "text")))
+      tfDf(Tables.documents(s, d), "doc_id", "text")),
+    "t07_redact" -> ((s, d) =>
+      withRedaction(Tables.documents(s, d), "text")
+        .select("doc_id", "redacted", "n_emails", "n_nums")))
 
   def oracle: Map[String, String] = Map(
     "t01_token_freq" ->
@@ -167,6 +189,14 @@ object TextOps {
         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
         |df AS (SELECT token, count(*) AS df FROM (SELECT DISTINCT doc_id, token FROM tok) u GROUP BY token)
         |SELECT tf.doc_id, tf.token, tf.tf, df.df FROM tf JOIN df ON tf.token = df.token""".stripMargin,
+    "t07_redact" ->
+      s"""SELECT doc_id,
+         |  regexp_replace(regexp_replace(text, '$EmailRe', '[EMAIL]', 'g'),
+         |                 '$LongNumRe', '[NUM]', 'g') AS redacted,
+         |  len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
+         |  len(regexp_extract_all(regexp_replace(text, '$EmailRe', '[EMAIL]', 'g'),
+         |                         '$LongNumRe')) AS n_nums
+         |FROM documents""".stripMargin,
     "t05_lang_id" ->
       s"""SELECT doc_id, lang AS labeled_lang,
          |  CASE WHEN len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''), x -> x IN ($swList))) >= 2

@@ -73,6 +73,48 @@ class OpsSpec extends AnyFunSuite {
     assert(missed.isEmpty, s"LSH missed near-dup pairs: $missed")
   }
 
+  test("t07 redaction cascade on crafted PII rows") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "contact me at a.b+c@ex-ample.org or 12345 extension 678"),
+      (2L, "two mails x@y.io z9@q.net and card 1234567890123456"),
+      (3L, "clean text no pii at all"),
+      (4L, "")).toDF("doc_id", "text")
+    val r = TextOps.withRedaction(d, "text")
+      .select("doc_id", "redacted", "n_emails", "n_nums")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getString(1) == "contact me at [EMAIL] or [NUM] extension 678")
+    assert(r(1L).getLong(2) == 1 && r(1L).getLong(3) == 1)
+    assert(r(2L).getString(1) == "two mails [EMAIL] [EMAIL] and card [NUM]")
+    assert(r(2L).getLong(2) == 2 && r(2L).getLong(3) == 1)
+    assert(r(3L).getString(1) == "clean text no pii at all")
+    assert(r(3L).getLong(2) == 0 && r(3L).getLong(3) == 0)
+    assert(r(4L).getString(1) == "")
+  }
+
+  test("s01/s02 sampling is deterministic, stratified, and bounded") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val s1a = Sampling.queries("s01_sample_rate")(spark, "/root/testdata/sf0.01")
+      .collect().map(_.getLong(0)).sorted
+    val s1b = Sampling.queries("s01_sample_rate")(spark, "/root/testdata/sf0.01")
+      .collect().map(_.getLong(0)).sorted
+    assert(s1a.sameElements(s1b), "rate sample must be identical across runs")
+    // rough rate sanity: en ~0.5 of ~218 en docs, binomial 5-sigma bounds
+    val enTotal = docs.filter(col("lang") === "en").count().toDouble
+    val enKept = Sampling.queries("s01_sample_rate")(spark, "/root/testdata/sf0.01")
+      .filter(col("lang") === "en").count().toDouble
+    assert(math.abs(enKept - 0.5 * enTotal) < 5 * math.sqrt(enTotal * 0.25),
+      s"en kept $enKept of $enTotal, expected ~half")
+    val s2 = Sampling.queries("s02_sample_fixed")(spark, "/root/testdata/sf0.01")
+    val perLang = s2.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLang.values.forall(_ == 20), s"expected exactly 20 per lang: $perLang")
+    // the rank window must compile to WindowGroupLimit (map-side k-prune
+    // before the exchange — the scale contract of the operator)
+    val plan = s2.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+  }
+
   test("k01 brute-force top-k: ranks 1..5 per probe, ordered by cosine") {
     val rows = Similarity.queries("k01_knn_brute")(spark, sf).collect()
       .groupBy(_.getLong(0))
