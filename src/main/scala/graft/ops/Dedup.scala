@@ -259,6 +259,38 @@ object Dedup {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
   }
 
+  /** [[cosineNearDup]]'s scale path: only pairs sharing a random-
+    * hyperplane LSH bucket (the [[Similarity.weight]] planes — same
+    * integer-LCG family as k02, so the DuckDB oracle rebuilds identical
+    * buckets) are scored. With p planes the corpus splits into 2^p
+    * buckets, cutting scored pairs ~2^p-fold; a qualifying pair at
+    * cosine t lands in the same bucket with probability
+    * (1 − arccos(t)/π)^p — p trades recall against cost, and a
+    * production deployment ORs several independent plane sets for
+    * recall amplification (exactly d03's band trick). The bucket is the
+    * shuffle key of a plain self-equi-join: buckets co-locate without
+    * ever materializing a bucket in memory, so a hot bucket spills
+    * rather than OOMs; raise p to keep buckets balanced at corpus
+    * scale. Output: `(vec_a, vec_b, cos)` ⊆ the exact operator's rows. */
+  def cosineNearDupLsh(vectors: DataFrame, id: String, vec: String,
+                       threshold: Double, planes: Int = Similarity.NumPlanes,
+                       dims: Int = 64): DataFrame = {
+    graft.functions.VectorFunctions.register(vectors.sparkSession)
+    val bitCols = (0 until planes).map { i =>
+      val w = (0 until dims).map(j => s"${Similarity.weight(i, j, dims)}D").mkString(", ")
+      when(expr(s"graft_dot(v, array($w))") > 0d, 1 << i).otherwise(0)
+    }
+    val v = vectors
+      .select(col(id).as("vec_id"), col(vec).as("v"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+      .withColumn("bucket", bitCols.reduce(_ + _))
+    v.as("a").join(v.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", expr("graft_dot(a.v, b.v)") / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> ((s, d) =>
       exactDedup(Tables.documents(s, d), "doc_id", "text")),
@@ -275,7 +307,9 @@ object Dedup {
     "d04_simhash" -> ((s, d) =>
       simhash(Tables.documents(s, d), "doc_id", "text")),
     "d05_embedding_neardup" -> ((s, d) =>
-      cosineNearDup(Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.45)))
+      cosineNearDup(Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.45)),
+    "d07_neardup_lsh" -> ((s, d) =>
+      cosineNearDupLsh(Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.45)))
 
   /** DuckDB CTE mirroring [[shingles]] with n=3 — `sh(doc_id, shingle)`. */
   private val shinglesSql: String =
@@ -357,6 +391,29 @@ object Dedup {
           |    reduce(list_prepend(0.0, list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])),
           |           (acc, x) -> acc + x) / (a.nrm * b.nrm) AS cos
           |  FROM n a JOIN n b ON a.vec_id < b.vec_id) pairs
-          |WHERE cos >= 0.45""".stripMargin)
+          |WHERE cos >= 0.45""".stripMargin,
+      "d07_neardup_lsh" -> {
+        val wLists = (0 until Similarity.NumPlanes).map { i =>
+          (0 until 64).map(j => Similarity.weight(i, j)).mkString("[", ", ", "]")
+        }
+        val bucketSql = (0 until Similarity.NumPlanes).map { i =>
+          s"""CASE WHEN reduce(list_prepend(0.0, list_transform(range(1, 65),
+             |  k -> v[k] * (${wLists(i)}::BIGINT[])[k])), (acc, x) -> acc + x) > 0
+             |  THEN ${1 << i} ELSE 0 END""".stripMargin
+        }.mkString(" + ")
+        s"""WITH v AS (
+           |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+           |n AS (
+           |  SELECT vec_id, v,
+           |    sqrt(reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm,
+           |    $bucketSql AS bucket
+           |  FROM v)
+           |SELECT vec_a, vec_b, cos FROM (
+           |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |    reduce(list_prepend(0.0, list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])),
+           |           (acc, x) -> acc + x) / (a.nrm * b.nrm) AS cos
+           |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) pairs
+           |WHERE cos >= 0.45""".stripMargin
+      })
   }
 }

@@ -64,6 +64,15 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("d07 LSH near-dup pairs are a subset of the exact pairs") {
+    val exact = Dedup.queries("d05_embedding_neardup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.queries("d07_neardup_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty, "expected planted near-dups to share a bucket")
+    assert((lsh -- exact).isEmpty, "bucketing must only REMOVE pairs")
+  }
+
   test("d03 minhash-LSH candidates cover the high-jaccard pairs") {
     val jac = Dedup.queries("d02_ngram_jaccard")(spark, sf).collect()
       .filter(_.getDouble(3) >= 0.9).map(r => (r.getLong(0), r.getLong(1))).toSet
