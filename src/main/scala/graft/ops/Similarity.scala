@@ -109,10 +109,14 @@ object Similarity {
     * collect_list fold held O(cell·dims) and would OOM an executor at
     * 100×), and the result is deterministic AND expressible in portable
     * SQL, so k03 carries a full DuckDB oracle. Works for any embedding
-    * width (no hardcoded dim). Output:
+    * width (no hardcoded dim). `nprobe` is the standard IVF recall knob:
+    * search the `nprobe` nearest cells instead of 1 — cost scales
+    * linearly, recall approaches exact as nprobe → cells (the harness
+    * query keeps nprobe = 1, so the oracle is unchanged; callers tune
+    * it per workload). Output:
     * `(probe_id, rnk, neighbor_id, cell, cos)`. */
   def ivfKnn(vectors: DataFrame, id: String, vec: String, cell: String,
-             isProbe: Column => Column, k: Int): DataFrame = {
+             isProbe: Column => Column, k: Int, nprobe: Int = 1): DataFrame = {
     graft.functions.VectorFunctions.register(vectors.sparkSession)
     val v = vectors
       .select(col(id).as("vec_id"), col(vec).as("v"), col(cell).as("cell"))
@@ -138,7 +142,7 @@ object Similarity {
       .withColumn("ccos",
         expr("graft_dot(pv, centroid)") / (col("pnrm") * col("cnrm")))
       .withColumn("crnk", row_number().over(wCell))
-      .filter(col("crnk") === 1)
+      .filter(col("crnk") <= nprobe)
       .select(col("probe_id"), col("pv"), col("pnrm"), col("cell"))
     val wK = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))

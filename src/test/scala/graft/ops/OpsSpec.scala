@@ -181,6 +181,24 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("k03 nprobe widens monotonically toward the brute answer") {
+    val e = Tables.embeddings(spark, sf)
+    def ids(nprobe: Int) =
+      Similarity.ivfKnn(e, "vec_id", "embedding", "label",
+        _ < Similarity.NumProbes, 3, nprobe).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val one = ids(1)
+    val all = ids(Int.MaxValue) // every cell = exact search
+    assert(one.nonEmpty)
+    // exact top-3 over all cells must dominate cosine-wise: every rank-1
+    // neighbor found with nprobe=1 whose cell was correct stays; the
+    // nprobe=max result equals brute-force top-3 restricted semantics
+    val brute = Similarity.knnBrute(e, "vec_id", "embedding",
+      _ < Similarity.NumProbes, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(all == brute, "nprobe = #cells must equal the exact search")
+  }
+
   test("m01 media metadata checksum equals the portable text hash") {
     graft.functions.VectorFunctions.register(spark)
     val meta = Multimodal.queries("m01_media_meta")(spark, sf)
