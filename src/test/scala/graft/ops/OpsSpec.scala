@@ -64,6 +64,39 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("c01 connected components: chain graph, clique merge, and union-find cross-check") {
+    import spark.implicits._
+    // a 6-node path (forces multiple propagation rounds: diameter 5),
+    // a separate triangle, and an isolated edge
+    val edges = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L),
+      (20L, 21L), (21L, 22L), (20L, 22L),
+      (30L, 31L)).toDF("doc_a", "doc_b")
+    val got = Clusters.connectedComponents(edges, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((10L to 15L).forall(got(_) == 10L), s"path must collapse to 10: $got")
+    assert((20L to 22L).forall(got(_) == 20L))
+    assert(got(30L) == 30L && got(31L) == 30L)
+    assert(got.size == 11)
+
+    // cross-check the real query against a local union-find on the pairs
+    val pairs = Dedup.jaccardPairs(Tables.documents(spark, sf), "doc_id", "text", 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (x, y) =>
+      val (rx, ry) = (find(x), find(y))
+      if (rx != ry) { if (rx < ry) parent(ry) = rx else parent(rx) = ry }
+    }
+    val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(x => x -> find(x)).toMap
+    val c01 = Clusters.queries("c01_dup_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c01 == expected, "spark components must equal local union-find")
+  }
+
   test("d07 LSH near-dup pairs are a subset of the exact pairs") {
     val exact = Dedup.queries("d05_embedding_neardup")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
