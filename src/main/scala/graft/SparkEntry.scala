@@ -25,6 +25,7 @@ object SparkEntry {
     ops.Relational.queries ++ ops.TextOps.queries ++ ops.Dedup.queries ++
       ops.Similarity.queries ++ ops.Events.queries ++ ops.Multimodal.queries ++
       ops.Skew.queries ++ ops.Sampling.queries ++ ops.Clusters.queries ++
+      ops.Sketches.queries ++
       Map(
         // Reference-parity pipeline as a query (ignores sfDir — its input
         // is the reference's own sample request). Non-SQL-expressible
@@ -37,5 +38,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++ ops.TextOps.oracle ++ ops.Dedup.oracle ++
       ops.Similarity.oracle ++ ops.Events.oracle ++ ops.Multimodal.oracle ++
-      ops.Skew.oracle ++ ops.Sampling.oracle ++ ops.Clusters.oracle
+      ops.Skew.oracle ++ ops.Sampling.oracle ++ ops.Clusters.oracle ++
+      ops.Sketches.oracle
 }

@@ -157,6 +157,21 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
   }
 
+  test("x01 HLL estimate: within 3 standard errors and partition-invariant") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+    val exact = li.select("l_partkey").distinct().count().toDouble
+    val est = Sketches.hllDistinct(li.select("l_partkey"), "l_partkey")
+      .collect().head.getDouble(1)
+    // m = 64 → standard error 1.04/sqrt(64) = 13%; allow 3 sigma
+    assert(math.abs(est - exact) / exact < 0.39,
+      s"est $est vs exact $exact out of tolerance")
+    // register max is mergeable: any repartitioning yields the SAME bits
+    val est13 = Sketches.hllDistinct(
+      li.select("l_partkey").repartition(13), "l_partkey")
+      .collect().head.getDouble(1)
+    assert(est == est13, "estimate must be partition-invariant bit-for-bit")
+  }
+
   test("k01 brute-force top-k: ranks 1..5 per probe, ordered by cosine") {
     val rows = Similarity.queries("k01_knn_brute")(spark, sf).collect()
       .groupBy(_.getLong(0))
