@@ -148,6 +148,36 @@ class NativeFunctionsSpec extends AnyFunSuite {
     assert(fast.join(ref, Seq("doc_id", "simhash")).count() == fast.count())
   }
 
+  test("token-window expressions equal the string forms on random token arrays") {
+    // property check: arbitrary token mixes (ascii words, CJK, digits,
+    // punctuation, 1-char tokens) across n = 2..4 — the native
+    // Rabin-Karp composition must match hashing the built shingle
+    // strings exactly, every time
+    VectorFunctions.register(spark)
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val token = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)).suchThat(_.nonEmpty),
+      Gen.oneOf("範例", "说明", "テスト", "a", "zz", "x1", ".", "!?", "@@@"))
+    val gen = for {
+      n <- Gen.choose(2, 4)
+      toks <- Gen.listOf(token)
+    } yield (n, toks)
+    val p = Prop.forAll(gen) { case (n, toks) =>
+      val df = Seq(toks).toDF("tk").filter(size(col("tk")) >= n)
+      val rows = df.select(
+        expr(s"graft_shingle_hashes(tk, $n, 1)").as("fast"),
+        expr(s"array_sort(transform(${shingleStrings(n)}, s -> " +
+             "graft_polyhash(s) * 1000000009L + graft_polyhash(reverse(s))))").as("ref")).collect()
+      rows.isEmpty || {
+        val r = rows.head
+        r.getSeq[Long](0) == r.getSeq[Long](1)
+      }
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(80), p)
+    assert(r.passed, r.status.toString)
+  }
+
   test("token-window expressions handle empty and too-short inputs") {
     VectorFunctions.register(spark)
     import spark.implicits._
