@@ -46,6 +46,14 @@ object Clusters {
     var labels = edges.select(col("src").as("id"), col("src").as("label"))
       .distinct()
       .cache()
+    // Convergence check rides the SAME aggregation that materializes the
+    // round: labels are monotone non-increasing, so the label-sum
+    // strictly decreases on every non-converged round and the fixpoint
+    // is exactly "sum unchanged" — no join against the previous labels,
+    // one job per round. Decimal sum: no overflow at any id range.
+    def labelSum(l: DataFrame): java.math.BigDecimal =
+      l.agg(sum(col("label").cast("decimal(38,0)"))).collect().head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {
       // each node's next label: min over (its label, its neighbors' labels)
@@ -56,11 +64,11 @@ object Clusters {
         .union(labels)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .cache()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") < col("old")).count()
+      val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
     }
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
