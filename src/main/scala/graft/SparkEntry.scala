@@ -25,7 +25,7 @@ object SparkEntry {
     ops.Relational.queries ++ ops.TextOps.queries ++ ops.Dedup.queries ++
       ops.Similarity.queries ++ ops.Events.queries ++ ops.Multimodal.queries ++
       ops.Skew.queries ++ ops.Sampling.queries ++ ops.Clusters.queries ++
-      ops.Sketches.queries ++
+      ops.Sketches.queries ++ ops.BloomJoin.queries ++
       Map(
         // Reference-parity pipeline as a query (ignores sfDir — its input
         // is the reference's own sample request). Non-SQL-expressible
@@ -39,5 +39,5 @@ object SparkEntry {
     ops.Relational.oracle ++ ops.TextOps.oracle ++ ops.Dedup.oracle ++
       ops.Similarity.oracle ++ ops.Events.oracle ++ ops.Multimodal.oracle ++
       ops.Skew.oracle ++ ops.Sampling.oracle ++ ops.Clusters.oracle ++
-      ops.Sketches.oracle
+      ops.Sketches.oracle ++ ops.BloomJoin.oracle
 }

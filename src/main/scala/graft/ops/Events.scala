@@ -96,6 +96,27 @@ object Events {
         .na.fill(0L, types)
     }),
 
+    // FUNNEL: click → purchase conversion within 1 hour, as a single
+    // VALUE-RANGE window frame — no self-join: one exchange on user_id,
+    // and each click reads "earliest purchase in (t, t+1h]" straight
+    // from its frame. The frame is value-based (RANGE, not ROWS), so
+    // equal-timestamp tie order cannot change the result — the partition
+    // invariance the oracle comparison needs for free.
+    "e07_funnel" -> ((s, d) => {
+      val HourMicros = 3600000000L
+      val ev = Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(1L, HourMicros)
+      ev
+        .withColumn("next_pur_us",
+          min(when(col("event_type") === "purchase", col("us"))).over(w))
+        .filter(col("event_type") === "click")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          count(col("next_pur_us")).as("n_converted"))
+    }),
+
     // JSON prop extraction (§2.8 X9 family): pull a typed value out of
     // the semi-structured `props` column and aggregate it.
     "e03_json_props" -> ((s, d) => {
@@ -151,6 +172,19 @@ object Events {
         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS "purchase",
         |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS "error"
         |FROM events GROUP BY user_id""".stripMargin,
+    "e07_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    date_diff('microsecond', TIMESTAMP '1970-01-01', ts::TIMESTAMP) AS us
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_type,
+        |    min(CASE WHEN event_type = 'purchase' THEN us END)
+        |      OVER (PARTITION BY user_id ORDER BY us
+        |            RANGE BETWEEN 1 FOLLOWING AND 3600000000 FOLLOWING) AS npu
+        |  FROM e)
+        |SELECT user_id, count(*) AS n_clicks, count(npu) AS n_converted
+        |FROM w WHERE event_type = 'click' GROUP BY user_id""".stripMargin,
     "e03_json_props" ->
       """SELECT event_type,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

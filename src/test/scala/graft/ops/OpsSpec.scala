@@ -157,6 +157,27 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
   }
 
+  test("b01 bloom semi-join equals plain semi-join and actually prunes") {
+    val d = "/root/testdata/sf0.01"
+    val fact = Tables.lineitem(spark, d)
+    val dim = Tables.orders(spark, d).filter(col("o_totalprice") > 490000.0)
+    val bloom = BloomJoin.bloomSemiJoin(fact, dim, "l_orderkey", "o_orderkey")
+      .select("l_orderkey", "l_linenumber").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val plain = fact.join(
+        dim.select(col("o_orderkey").as("l_orderkey")).distinct(),
+        Seq("l_orderkey"), "left_semi")
+      .select("l_orderkey", "l_linenumber").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(bloom == plain, "bloom prefilter must not change the join result")
+    // the prefilter alone must pass only a small superset of members:
+    // with ~2% selectivity and a 2% fp rate, well under half survives
+    val words = BloomJoin.buildBitmap(dim, "o_orderkey")
+    val setBits = words.map(java.lang.Long.bitCount).sum
+    assert(setBits > 0 && setBits < BloomJoin.Bits / 2,
+      s"bitmap half-full ($setBits/${BloomJoin.Bits}) — fp rate would collapse")
+  }
+
   test("x01 HLL estimate: within 3 standard errors and partition-invariant") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
     val exact = li.select("l_partkey").distinct().count().toDouble
