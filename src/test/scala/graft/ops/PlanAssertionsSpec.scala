@@ -1,0 +1,82 @@
+package graft.ops
+
+import graft.etl.TestSpark
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape contracts: the scale properties the operators claim
+  * (pushdown, broadcast selection, shuffle counts, map-side pruning)
+  * asserted mechanically on the physical plan, so a refactor that
+  * silently degrades a plan — an extra exchange, a broadcast that
+  * became a shuffle join, a filter that stopped reaching the scan —
+  * fails CI instead of surfacing as a 100× slowdown in production. */
+class PlanAssertionsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
+  lazy val spark: SparkSession = TestSpark.session
+  val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): SparkPlan =
+    graft.SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+
+  private def shuffles(p: SparkPlan): Int =
+    collectWithSubqueries(p) { case e: ShuffleExchangeLike => e }.size
+
+  test("q02: the revenue filter is pushed down to the parquet scan") {
+    val formatted = graft.SparkEntry.queries("q02_filter_revenue")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("PushedFilters: ["), formatted.take(2000))
+    assert(formatted.matches("(?s).*PushedFilters: \\[[^\\]].*"),
+      "expected at least one pushed filter:\n" + formatted.take(2000))
+  }
+
+  test("q03: the star join broadcasts its dimension sides") {
+    val s = plan("q03_star_revenue").toString
+    assert(s.contains("BroadcastHashJoin"), s.take(2000))
+    assert(!s.contains("SortMergeJoin"),
+      "dims must broadcast, not sort-merge:\n" + s.take(2000))
+  }
+
+  test("d04 simhash plans with zero exchanges (pure map-side)") {
+    assert(shuffles(plan("d04_simhash")) == 0)
+  }
+
+  test("t02 quality scoring plans with zero exchanges (pure map-side)") {
+    assert(shuffles(plan("t02_quality")) == 0)
+  }
+
+  test("s01 rate sampling plans with zero exchanges (pure map-side)") {
+    assert(shuffles(plan("s01_sample_rate")) == 0)
+  }
+
+  test("d03 minhash plans exactly two exchanges (bands + distinct), no token shuffle") {
+    // map-side signatures: the only exchanges are the 4-key-per-doc band
+    // bucket groupBy and the candidate-pair distinct
+    assert(shuffles(plan("d03_minhash_lsh")) == 2)
+  }
+
+  test("t06 tf/df plans a single corpus-derived aggregation + one window exchange") {
+    // single-scan shape: tf groupBy exchange + df window exchange only
+    assert(shuffles(plan("t06_tf_df")) == 2)
+  }
+
+  test("x01 HLL shuffles at most the register count") {
+    // one exchange for the register groupBy (<= 64 rows), one for the
+    // final single-row aggregate
+    assert(shuffles(plan("x01_hll_distinct")) <= 2)
+  }
+
+  test("b01 bloom probe is inlined arithmetic on the fact side") {
+    val s = plan("b01_bloom_semi").toString
+    assert(s.contains("element_at"), "bitmap probe must be inline:\n" + s.take(2000))
+    assert(s.contains("BroadcastHashJoin") || s.contains("broadcast"),
+      "the exact semi should broadcast the small dim:\n" + s.take(2000))
+  }
+
+  test("q07/s02 rank-limit windows pre-prune map-side (WindowGroupLimit)") {
+    assert(plan("q07_window_topk").toString.contains("WindowGroupLimit"))
+    assert(plan("s02_sample_fixed").toString.contains("WindowGroupLimit"))
+  }
+}
