@@ -268,6 +268,25 @@ object Relational {
         .select(col("custkey"))
     }),
 
+    // §2.5 EXACT group quantiles by explicit rank arithmetic — NOT
+    // percentile_approx (whose t-digest is engine-private and
+    // non-portable): value at rank ⌈q·n⌉ in the group's value order.
+    // One window exchange; the oracle repeats the identical window
+    // math, so the doubles match bit-for-bit.
+    "q24_quantiles" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("qty"), col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("qty"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          max(when(col("rn") === ceil(col("n") * 0.5), col("qty"))).as("p50"),
+          max(when(col("rn") === ceil(col("n") * 0.9), col("qty"))).as("p90"))
+    }),
+
     // §2.2 F2 literal `isin` + §2.3 broadcast: orders from ASIA/EUROPE
     // customers per priority.
     "q15_isin_filter" -> ((s, d) => {
@@ -400,5 +419,16 @@ object Relational {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name IN ('ASIA', 'EUROPE')
-        |GROUP BY r_name, o_orderpriority""".stripMargin)
+        |GROUP BY r_name, o_orderpriority""".stripMargin,
+    "q24_quantiles" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_quantity::DOUBLE AS qty,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY l_quantity::DOUBLE, l_orderkey, l_linenumber) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  max(CASE WHEN rn = ceil(n * 0.5) THEN qty END) AS p50,
+        |  max(CASE WHEN rn = ceil(n * 0.9) THEN qty END) AS p90
+        |FROM r GROUP BY l_returnflag""".stripMargin)
 }
