@@ -35,6 +35,14 @@ import org.apache.spark.sql.functions._
 object Clusters {
 
   /** Connected components over an undirected pair list.
+    *
+    * The RETURNED frame is cached (already materialized by the final
+    * convergence check) and stays so: its lineage encodes every
+    * propagation round, so dropping the cache would make any downstream
+    * action replay the whole iteration. Long-lived sessions should
+    * `unpersist()` it when done — same ownership contract as a
+    * checkpointed GraphX result.
+    *
     * @param pairs frame with two id columns (`a`, `b`), each row an edge
     * @return `(doc_id, cluster_id)` — one row per node that appears in
     *         at least one edge, labeled with its component's min id */
@@ -80,13 +88,32 @@ object Clusters {
     components.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_members"))
 
+  /** The end of the dedup pipeline: the corpus with every non-keeper
+    * removed — each duplicate cluster keeps exactly its min-id doc,
+    * unpaired docs pass through untouched. One anti-join against the
+    * (tiny) non-keeper set: `|components| − |clusters|` rows, which
+    * broadcast at any realistic dup rate. */
+  def dedupCorpus(docs: DataFrame, id: String,
+                  pairs: DataFrame, a: String, b: String): DataFrame = {
+    val nonKeepers = connectedComponents(pairs, a, b)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(id))
+    docs.join(nonKeepers, Seq(id), "left_anti")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // clusters over the d02 near-dup pairs: every doc that has at least
     // one near-dup, labeled with its cluster's canonical keeper
     "c01_dup_clusters" -> ((s, d) =>
       connectedComponents(
         Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", threshold = 0.6),
-        "doc_a", "doc_b")))
+        "doc_a", "doc_b")),
+    // the deduplicated corpus: near-dup clusters keep their min-id doc
+    "c02_dedup_corpus" -> ((s, d) =>
+      dedupCorpus(Tables.documents(s, d), "doc_id",
+        Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", threshold = 0.6),
+        "doc_a", "doc_b")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))))
 
   def oracle: Map[String, String] = Map(
     // the same fixpoint as a recursive CTE: comp enumerates
@@ -104,5 +131,20 @@ object Clusters {
          |  UNION
          |  SELECT e.dst, c.label FROM comp c JOIN edges e ON e.src = c.id)
          |SELECT id AS doc_id, min(label) AS cluster_id FROM comp GROUP BY id""".stripMargin
+    },
+    "c02_dedup_corpus" -> {
+      val pairsSql = Dedup.oracle("d02_ngram_jaccard")
+      s"""WITH RECURSIVE pairs AS ($pairsSql),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |comp(id, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, c.label FROM comp c JOIN edges e ON e.src = c.id),
+         |lab AS (SELECT id, min(label) AS cluster FROM comp GROUP BY id)
+         |SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM lab WHERE cluster < id)""".stripMargin
     })
 }

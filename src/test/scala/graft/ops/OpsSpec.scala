@@ -97,6 +97,21 @@ class OpsSpec extends AnyFunSuite {
     assert(c01 == expected, "spark components must equal local union-find")
   }
 
+  test("c02 dedup corpus keeps exactly one doc per cluster plus all unpaired docs") {
+    val total = Tables.documents(spark, sf).count()
+    val comps = Clusters.queries("c01_dup_clusters")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nonKeepers = comps.count { case (id, c) => id != c }
+    val kept = Clusters.queries("c02_dedup_corpus")(spark, sf).count()
+    assert(kept == total - nonKeepers)
+    // keepers themselves survive
+    val keptIds = Clusters.queries("c02_dedup_corpus")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    comps.foreach { case (id, c) =>
+      assert(keptIds.contains(id) == (id == c), s"doc $id cluster $c kept=${keptIds.contains(id)}")
+    }
+  }
+
   test("d07 LSH near-dup pairs are a subset of the exact pairs") {
     val exact = Dedup.queries("d05_embedding_neardup")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
