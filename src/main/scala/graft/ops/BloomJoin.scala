@@ -27,36 +27,37 @@ import org.apache.spark.sql.functions._
   * table, no UDF.
   */
 object BloomJoin {
-  /** 4096 bits = 64 words: false-positive rate ~ (1−e^(−kn/m))^k ≈ 2%
-    * at n = 1000 dim keys, k = 3 — and m is a parameter for bigger
-    * dims (the driver-side cost is m/64 longs either way). */
+  /** Default 4096 bits = 64 words: false-positive rate ~
+    * (1−e^(−kn/m))^k ≈ 2% at n = 1000 dim keys, k = 3. Size `bits` to
+    * ~4·dim-cardinality for a few-percent fp rate — the driver-side
+    * cost is bits/64 longs either way. */
   val Bits: Int = 4096
-  val Words: Int = Bits / 64
   val K: Int = 3
 
-  private def posSql(key: String, i: Int): String =
+  private def posSql(key: String, i: Int, bits: Int): String =
     s"((graft_polyhash(cast($key as string)) * ${Hashing.MinHashA(i)}L + " +
-    s"${Hashing.MinHashB(i)}L) % ${Hashing.P}L) % $Bits"
+    s"${Hashing.MinHashB(i)}L) % ${Hashing.P}L) % $bits"
 
   /** The i-th bit position of one key, as (word index, mask) columns. */
-  private def wordMask(key: String, i: Int): (Column, Column) =
-    (expr(s"cast((${posSql(key, i)}) div 64 as int)"),
-      expr(s"shiftleft(1L, cast((${posSql(key, i)}) % 64 as int))"))
+  private def wordMask(key: String, i: Int, bits: Int): (Column, Column) =
+    (expr(s"cast((${posSql(key, i, bits)}) div 64 as int)"),
+      expr(s"shiftleft(1L, cast((${posSql(key, i, bits)}) % 64 as int))"))
 
-  /** Build the dim-side bitmap: [[Words]] longs. Runs one small Spark
+  /** Build the dim-side bitmap: `bits/64` longs. Runs one small Spark
     * job (the sketch materialization — same class of driver hop as any
     * broadcast build). */
-  def buildBitmap(dim: DataFrame, dimKey: String): Array[Long] = {
+  def buildBitmap(dim: DataFrame, dimKey: String,
+                  bits: Int = Bits, k: Int = K): Array[Long] = {
     graft.functions.VectorFunctions.register(dim.sparkSession)
     val rows = dim
-      .select((0 until K).map { i =>
-        val (w, m) = wordMask(dimKey, i)
+      .select((0 until k).map { i =>
+        val (w, m) = wordMask(dimKey, i, bits)
         struct(w.as("w"), m.as("m")).as(s"p$i")
       }: _*)
-      .select(explode(array((0 until K).map(i => col(s"p$i")): _*)).as("p"))
+      .select(explode(array((0 until k).map(i => col(s"p$i")): _*)).as("p"))
       .groupBy(col("p.w")).agg(bit_or(col("p.m")).as("bits"))
       .collect()
-    val words = new Array[Long](Words)
+    val words = new Array[Long](bits / 64)
     rows.foreach(r => words(r.getInt(0)) = r.getLong(1))
     words
   }
@@ -65,12 +66,13 @@ object BloomJoin {
     * the k bit tests drop before the exchange; the left-semi join then
     * removes false positives. Result rows = plain `left_semi` exactly. */
   def bloomSemiJoin(fact: DataFrame, dim: DataFrame,
-                    factKey: String, dimKey: String): DataFrame = {
+                    factKey: String, dimKey: String,
+                    bits: Int = Bits, k: Int = K): DataFrame = {
     graft.functions.VectorFunctions.register(fact.sparkSession)
-    val words = buildBitmap(dim, dimKey)
+    val words = buildBitmap(dim, dimKey, bits, k)
     val bitmap = typedLit(words.toSeq)
-    val passes = (0 until K).map { i =>
-      val (w, m) = wordMask(factKey, i)
+    val passes = (0 until k).map { i =>
+      val (w, m) = wordMask(factKey, i, bits)
       (element_at(bitmap, w + 1).bitwiseAND(m)) =!= 0L
     }.reduce(_ && _)
     fact.filter(passes)

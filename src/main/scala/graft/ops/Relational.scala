@@ -273,6 +273,13 @@ object Relational {
     // non-portable): value at rank ⌈q·n⌉ in the group's value order.
     // One window exchange; the oracle repeats the identical window
     // math, so the doubles match bit-for-bit.
+    // Scale caveat, deliberate: exact quantiles need a total sort per
+    // group, and a window partition cannot split — with few distinct
+    // groups (6 returnflags) each group is one unsplittable sort task
+    // at corpus scale. The scale paths are a sketch (KLL/t-digest,
+    // approximate) or two-phase exact selection (histogram count, then
+    // a filtered second pass); this operator is the exact,
+    // oracle-checkable baseline those would be validated against.
     "q24_quantiles" -> ((s, d) => {
       val w = Window.partitionBy(col("l_returnflag"))
         .orderBy(col("qty"), col("l_orderkey"), col("l_linenumber"))
