@@ -195,7 +195,11 @@ object TextHash { // public: whole-stage generated code calls into it
 private[functions] trait TokenArrayExpression extends UnaryExpression {
   override def dataType: DataType
   override def nullIntolerant: Boolean = true
+  /** Window width, where applicable; 1 for width-free expressions. */
+  def windowN: Int = 1
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if windowN < 1 => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires n >= 1, got $windowN")
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires an array<string> column, got ${t.sql}")
@@ -210,6 +214,7 @@ case class ShingleHashes(child: Expression, n: Int, combined: Boolean)
     extends TokenArrayExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_shingle_hashes"
+  override def windowN: Int = n
 
   override def nullSafeEval(input: Any): Any =
     TextHash.shingleHashes(input.asInstanceOf[ArrayData], n, combined)
@@ -229,6 +234,7 @@ case class MinHashSig(child: Expression, n: Int)
     extends TokenArrayExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash"
+  override def windowN: Int = n
 
   override def nullSafeEval(input: Any): Any =
     TextHash.minhash(input.asInstanceOf[ArrayData], n)

@@ -59,8 +59,13 @@ object Clusters {
     // strictly decreases on every non-converged round and the fixpoint
     // is exactly "sum unchanged" — no join against the previous labels,
     // one job per round. Decimal sum: no overflow at any id range.
+    // sum over an EMPTY label table is SQL NULL — coalesce to 0 so a
+    // pair-free input (a corpus with no duplicates) converges instead
+    // of NPE-ing on the comparison
     def labelSum(l: DataFrame): java.math.BigDecimal =
-      l.agg(sum(col("label").cast("decimal(38,0)"))).collect().head.getDecimal(0)
+      l.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")))
+        .collect().head.getDecimal(0)
     var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {

@@ -95,6 +95,12 @@ class OpsSpec extends AnyFunSuite {
     val c01 = Clusters.queries("c01_dup_clusters")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(c01 == expected, "spark components must equal local union-find")
+
+    // a corpus with no duplicates: empty pair set must converge to an
+    // empty labeling, not NPE on the null label-sum
+    val none = Clusters.connectedComponents(
+      edges.filter(col("doc_a") < 0), "doc_a", "doc_b")
+    assert(none.count() == 0)
   }
 
   test("c02 dedup corpus keeps exactly one doc per cluster plus all unpaired docs") {
