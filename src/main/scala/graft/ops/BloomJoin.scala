@@ -75,8 +75,10 @@ object BloomJoin {
       val (w, m) = wordMask(factKey, i, bits)
       (element_at(bitmap, w + 1).bitwiseAND(m)) =!= 0L
     }.reduce(_ && _)
+    // no distinct on the build side: left_semi ignores duplicate
+    // matches, so deduping would only add an exchange
     fact.filter(passes)
-      .join(dim.select(col(dimKey).as(factKey)).distinct(), Seq(factKey), "left_semi")
+      .join(dim.select(col(dimKey).as(factKey)), Seq(factKey), "left_semi")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

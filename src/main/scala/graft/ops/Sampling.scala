@@ -35,12 +35,15 @@ object Sampling {
   private val B = Hashing.MinHashB(0)
   private val P = Hashing.P
 
+  // pmod, not %: both engines' % follows the dividend's sign, so a
+  // negative id would hash negative and always pass the rate gate —
+  // the (x % P + P) % P form keeps the coin fair over the full id range
   private def h(id: String): Column =
-    expr(s"((($id % ${P}L) * ${A}L + ${B}L) % ${P}L)")
+    expr(s"(((($id % ${P}L + ${P}L) % ${P}L) * ${A}L + ${B}L) % ${P}L)")
 
   /** SQL fragment of [[h]] for the DuckDB oracles. */
   private def hSql(id: String): String =
-    s"((($id % $P) * $A + $B) % $P)"
+    s"(((($id % $P + $P) % $P) * $A + $B) % $P)"
 
   /** Keep each row iff `h(id) < rate(stratum)·P` — per-stratum Bernoulli
     * sampling with a deterministic coin. Rates are compared as exact
