@@ -149,7 +149,16 @@ object Dedup {
     * equivalence + the shared DuckDB oracle). The [[MaxShingleDf]] cap
     * applies to prefix buckets here (full-index buckets there); at or
     * below the cap the two are identical, and a capped bucket carried
-    * no dedup signal either way. */
+    * no dedup signal either way.
+    *
+    * The hash-array subplan is evaluated once for the prefix index and
+    * once per verify-join side (3 column-pruned scans + re-hashing)
+    * rather than cached or carried through the bucket shuffle:
+    * shipping each doc's full array inside every exploded prefix row
+    * would multiply the exchange by the array width, which is exactly
+    * the cost the prefix filter exists to avoid — recomputing a
+    * map-side projection is the cheaper side of that trade at every
+    * scale. */
   def jaccardPairsPrefix(docs: DataFrame, id: String, text: String,
                          threshold: Double, n: Int = 3): DataFrame = {
     graft.functions.VectorFunctions.register(docs.sparkSession)
