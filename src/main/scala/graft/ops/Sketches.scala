@@ -95,11 +95,58 @@ object Sketches {
           .as("est"))
   }
 
+  /** Count-Min sketch width (columns per hash row) and depth (hash
+    * rows). w=1024, d=3: overestimate ≤ 2e/w · N ≈ 0.5% of the stream
+    * per probe with probability 1−e^−d ≈ 95% (Cormode & Muthukrishnan
+    * 2005). All integer arithmetic → bit-portable. */
+  val CmsWidth: Int = 1024
+  val CmsDepth: Int = 3
+
+  private def cmsColSql(h: String, i: Int): String =
+    s"((($h) * ${Hashing.MinHashA(i)} + ${Hashing.MinHashB(i)}) % ${Hashing.P}) % $CmsWidth"
+
+  /** Count-Min frequency estimates for a fixed probe list over a token
+    * stream. The sketch is the mergeable core: counter cells are plain
+    * `(row, col) → sum` — map-side partial aggregation shrinks any
+    * input to at most d·w cells per partition, and the shuffle carries
+    * at most d·w rows regardless of corpus size (same scale contract
+    * as the HLL registers). The probe read-out joins the (tiny) cell
+    * table d times via one exploded (probe, row, col) frame and takes
+    * the min across rows — CMS never underestimates, overestimates by
+    * collision mass only. Output: `(token, est)` per probe. */
+  def cmsFrequencies(docs: DataFrame, textCol: String,
+                     probes: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.VectorFunctions.register(spark)
+    import spark.implicits._
+    val cellStructs = (0 until CmsDepth).map { i =>
+      s"struct(${i} AS row, ${cmsColSql("h", i)} AS col)"
+    }.mkString(", ")
+    val cells = docs
+      .select(explode(expr(s"filter(split($textCol, ' '), x -> x <> '')")).as("token"))
+      .select(expr("graft_polyhash(token)").as("h"))
+      .select(explode(expr(s"array($cellStructs)")).as("c"))
+      .groupBy(col("c.row").as("row"), col("c.col").as("col"))
+      .agg(count(lit(1)).as("cnt"))
+    val probeCells = probes.toDF("token")
+      .select(col("token"), expr("graft_polyhash(token)").as("h"))
+      .select(col("token"), explode(expr(s"array($cellStructs)")).as("c"))
+      .select(col("token"), col("c.row").as("row"), col("c.col").as("col"))
+    probeCells
+      .join(cells, Seq("row", "col"), "left")
+      .groupBy(col("token"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // distinct suppliers-per-part key space on lineitem: ~20k-80k
     // distinct values at test SFs — squarely the raw-HLL regime n >> 64
     "x01_hll_distinct" -> ((s, d) =>
-      hllDistinct(Tables.lineitem(s, d).select(col("l_partkey")), "l_partkey")))
+      hllDistinct(Tables.lineitem(s, d).select(col("l_partkey")), "l_partkey")),
+    // frequency estimates for the stopword probe set over the document
+    // token stream — compare x02 est against t01's exact top counts
+    "x02_cms_freq" -> ((s, d) =>
+      cmsFrequencies(Tables.documents(s, d), "text", TextOps.Stopwords)))
 
   def oracle: Map[String, String] = Map(
     "x01_hll_distinct" -> {
@@ -112,5 +159,26 @@ object Sketches {
          |SELECT ${M}::BIGINT AS n_registers,
          |  ${Alpha * M * M} / (s + ($M - hit)::DOUBLE) AS est
          |FROM s""".stripMargin
+    },
+    "x02_cms_freq" -> {
+      val ph = Hashing.polyHashSql("token")
+      val cellUnion = (0 until CmsDepth).map { i =>
+        s"SELECT $i AS row, ${cmsColSql("h", i)} AS col, token FROM th"
+      }.mkString("\nUNION ALL ")
+      val probeList = TextOps.Stopwords.map(w => s"('$w')").mkString(", ")
+      s"""WITH tok AS (
+         |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+         |  FROM documents),
+         |th AS (SELECT token, ($ph) AS h FROM tok),
+         |tc AS ($cellUnion),
+         |cells AS (SELECT row, col, count(*) AS cnt FROM tc GROUP BY 1, 2),
+         |probes(token) AS (VALUES $probeList),
+         |ph AS (SELECT token, ($ph) AS h FROM probes),
+         |pc AS (${(0 until CmsDepth).map { i =>
+             s"SELECT token, $i AS row, ${cmsColSql("h", i)} AS col FROM ph"
+           }.mkString("\nUNION ALL ")})
+         |SELECT pc.token, min(coalesce(cells.cnt, 0)) AS est
+         |FROM pc LEFT JOIN cells ON pc.row = cells.row AND pc.col = cells.col
+         |GROUP BY pc.token""".stripMargin
     })
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.etl.TestSpark
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Per-operator sanity over the sf0.001 testdata: every catalog query
@@ -212,6 +213,31 @@ class OpsSpec extends AnyFunSuite {
       li.select("l_partkey").repartition(13), "l_partkey")
       .collect().head.getDouble(1)
     assert(est == est13, "estimate must be partition-invariant bit-for-bit")
+  }
+
+  test("x02 CMS estimates dominate exact counts and stay within the error bound") {
+    val d = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, d)
+    import spark.implicits._
+    val exact = docs
+      .select(explode(expr("filter(split(text, ' '), x -> x <> '')")).as("token"))
+      .filter(col("token").isin(TextOps.Stopwords: _*))
+      .groupBy("token").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs
+      .select(explode(expr("filter(split(text, ' '), x -> x <> '')")).as("token"))
+      .count()
+    val est = Sketches.queries("x02_cms_freq")(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == TextOps.Stopwords.toSet)
+    TextOps.Stopwords.foreach { w =>
+      val ex = exact.getOrElse(w, 0L)
+      assert(est(w) >= ex, s"CMS must never underestimate: $w est=${est(w)} exact=$ex")
+      // 2N/w Markov bound per row, taken to the min over d rows — allow
+      // the full single-row bound as slack
+      assert(est(w) - ex <= 2.0 * total / Sketches.CmsWidth + 1,
+        s"$w overestimate ${est(w) - ex} beyond bound")
+    }
   }
 
   test("k01 brute-force top-k: ranks 1..5 per probe, ordered by cosine") {
