@@ -117,6 +117,24 @@ object Events {
           count(col("next_pur_us")).as("n_converted"))
     }),
 
+    // COHORT RETENTION: users grouped by signup week, counted distinct
+    // per week-offset of later activity — the classic retention matrix.
+    // Weeks are INTEGER division of epoch-micros (no calendar/timezone
+    // functions), so both engines bucket identically; two aggregations
+    // + one equi-join on user_id, every stage key-partitioned.
+    "e08_cohort_retention" -> ((s, d) => {
+      val WeekUs = 604800000000L // 7 * 24 * 3600 * 1e6
+      val ev = Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
+      val cohorts = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(expr(s"min(us) div $WeekUs").as("cohort_week"))
+      ev.join(cohorts, Seq("user_id"))
+        .withColumn("week_n", expr(s"us div $WeekUs") - col("cohort_week"))
+        .filter(col("week_n") >= 0)
+        .groupBy(col("cohort_week"), col("week_n"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+    }),
+
     // JSON prop extraction (§2.8 X9 family): pull a typed value out of
     // the semi-structured `props` column and aggregate it.
     "e03_json_props" -> ((s, d) => {
@@ -185,6 +203,19 @@ object Events {
         |  FROM e)
         |SELECT user_id, count(*) AS n_clicks, count(npu) AS n_converted
         |FROM w WHERE event_type = 'click' GROUP BY user_id""".stripMargin,
+    "e08_cohort_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    date_diff('microsecond', TIMESTAMP '1970-01-01', ts::TIMESTAMP) AS us
+        |  FROM events),
+        |cohorts AS (
+        |  SELECT user_id, min(us) // 604800000000 AS cohort_week
+        |  FROM e WHERE event_type = 'signup' GROUP BY user_id)
+        |SELECT cohort_week, (e.us // 604800000000) - cohort_week AS week_n,
+        |  count(DISTINCT e.user_id) AS n_active
+        |FROM e JOIN cohorts USING (user_id)
+        |WHERE (e.us // 604800000000) - cohort_week >= 0
+        |GROUP BY 1, 2""".stripMargin,
     "e03_json_props" ->
       """SELECT event_type,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
