@@ -72,11 +72,14 @@ object Sketches {
   val ScatterA: Long = Hashing.MinHashA(1)
   val ScatterB: Long = Hashing.MinHashB(1)
 
-  /** HLL distinct estimate of a string column. Output: one row
-    * `(n_registers, est)`. */
-  def hllDistinct(df: DataFrame, valueCol: String): DataFrame = {
+  /** The HLL REGISTER TABLE of a string column: `(bucket, r)`, at most
+    * [[M]] rows. This is the mergeable artifact — persist one per
+    * shard/day/source and [[hllMerge]] them later; max-per-bucket makes
+    * merge associative, commutative, and idempotent, so any merge tree
+    * over any partitioning yields the identical registers. */
+  def hllRegisters(df: DataFrame, valueCol: String): DataFrame = {
     graft.functions.VectorFunctions.register(df.sparkSession)
-    val regs = df
+    df
       .select(expr(
         s"(graft_polyhash(cast($valueCol as string)) * ${ScatterA}L + ${ScatterB}L) % ${Hashing.P}L")
         .as("h"))
@@ -84,16 +87,30 @@ object Sketches {
       .select((col("h") % M).as("bucket"), expr(s"h div $M").as("w"))
       .select(col("bucket"), (lit(WBits) - bitLenCase("w") + 1).as("rho"))
       .groupBy(col("bucket")).agg(max(col("rho")).as("r"))
+  }
+
+  /** Merge register tables (any number, any overlap): per-bucket max. */
+  def hllMerge(registers: DataFrame*): DataFrame =
+    registers.reduce(_ unionByName _)
+      .groupBy(col("bucket")).agg(max(col("r")).as("r"))
+
+  /** The estimate read-out of a register table. Output: one row
+    * `(n_registers, est)`. */
+  def hllEstimate(registers: DataFrame): DataFrame =
     // Σ 2^-r over the m registers; buckets never hit contribute 2^0 = 1
     // (m − hit count of them). power-of-two doubles and the ordered sum
     // keep the arithmetic exact cross-engine.
-    regs
+    registers
       .select(expr("cast(power(2.0D, -cast(r as double)) as double)").as("t"))
       .agg(count(lit(1)).as("hit"), sum(col("t")).as("s"))
       .select(lit(M.toLong).as("n_registers"),
         (lit(Alpha * M * M) / (col("s") + (lit(M) - col("hit")).cast("double")))
           .as("est"))
-  }
+
+  /** HLL distinct estimate of a string column. Output: one row
+    * `(n_registers, est)`. */
+  def hllDistinct(df: DataFrame, valueCol: String): DataFrame =
+    hllEstimate(hllRegisters(df, valueCol))
 
   /** Count-Min sketch width (columns per hash row) and depth (hash
     * rows). w=1024, d=3: overestimate ≤ 2e/w · N ≈ 0.5% of the stream

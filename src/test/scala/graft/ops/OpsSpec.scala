@@ -215,6 +215,19 @@ class OpsSpec extends AnyFunSuite {
     assert(est == est13, "estimate must be partition-invariant bit-for-bit")
   }
 
+  test("x01 register merge of disjoint shards equals the whole-input sketch") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.01").select("l_partkey")
+    val (a, b) = (li.filter(col("l_partkey") % 2 === 0),
+      li.filter(col("l_partkey") % 2 =!= 0))
+    val merged = Sketches.hllEstimate(
+      Sketches.hllMerge(
+        Sketches.hllRegisters(a, "l_partkey"),
+        Sketches.hllRegisters(b, "l_partkey")))
+      .collect().head.getDouble(1)
+    val whole = Sketches.hllDistinct(li, "l_partkey").collect().head.getDouble(1)
+    assert(merged == whole, "shard-merge must be bit-identical to whole-input")
+  }
+
   test("x02 CMS estimates dominate exact counts and stay within the error bound") {
     val d = "/root/testdata/sf0.01"
     val docs = Tables.documents(spark, d)
