@@ -350,6 +350,37 @@ class OpsSpec extends AnyFunSuite {
 
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 
+  test("e07 funnel semantics on crafted sequences") {
+    import spark.implicits._
+    val Hour = 3600000000L
+    // user 1: click then purchase in-window (converts);
+    // user 2: purchase BEFORE click only (no conversion);
+    // user 3: click, purchase exactly at click ts (excluded: strictly after);
+    // user 4: click, purchase at exactly +1h (included: inclusive bound)
+    val df = Seq(
+      (1L, 1L, "click", 1000L), (2L, 1L, "purchase", 2000L),
+      (3L, 2L, "purchase", 1000L), (4L, 2L, "click", 2000L),
+      (5L, 3L, "click", 5000L), (6L, 3L, "purchase", 5000L),
+      (7L, 4L, "click", 0L), (8L, 4L, "purchase", Hour))
+      .toDF("event_id", "user_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .select("event_id", "user_id", "event_type", "ts")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+      .rangeBetween(1L, Hour)
+    val out = df
+      .withColumn("next_pur_us",
+        min(when(col("event_type") === "purchase", unix_micros(col("ts")))).over(w))
+      .filter(col("event_type") === "click")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_clicks"), count(col("next_pur_us")).as("n_converted"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == (1L, 1L))
+    assert(out(2L) == (1L, 0L), "purchase before click must not convert")
+    assert(out(3L) == (1L, 0L), "same-instant purchase excluded (strictly after)")
+    assert(out(4L) == (1L, 1L), "purchase at exactly +1h included")
+  }
+
   test("e02 session counts: at least one session per active user") {
     val rows = Events.queries("e02_sessionize")(spark, sf).collect()
     assert(rows.nonEmpty)
