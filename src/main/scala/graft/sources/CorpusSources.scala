@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Corpus readers for the formats training data actually arrives in —
+  * JSONL dumps, CSV exports, ORC/parquet lake files — all normalized to
+  * the same `documents` schema so every downstream operator
+  * ([[graft.ops.TextOps]], [[graft.ops.Dedup]], [[graft.ops.Sampling]],
+  * …) is source-agnostic.
+  *
+  * Scale rules encoded here:
+  *  - the schema is ALWAYS passed explicitly — schema inference reads
+  *    the whole input once before the real job (2× the scan at corpus
+  *    scale) and can silently widen types between batches;
+  *  - malformed records go to PERMISSIVE null-rows rather than failing
+  *    the job (a 100 TB crawl always has a few broken lines); callers
+  *    needing a quarantine use `columnNameOfCorruptRecord`;
+  *  - JSONL is splittable by line and CSV by row only when uncompressed
+  *    or block-compressed (bzip2) — gzip forces one task per file, so
+  *    shard gzip corpora into many files upstream (documented here
+  *    because it is the #1 accidental single-task scan in the wild);
+  *  - ORC/parquet read through the vectorized reader with predicate
+  *    pushdown + column pruning; prefer them for re-reads.
+  */
+object CorpusSources {
+  /** The canonical documents schema every reader lands on. */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** JSON-lines corpus: one JSON object per line. */
+  def readJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(documentsSchema)
+      .option("mode", "PERMISSIVE")
+      .json(path)
+
+  /** CSV corpus with a header row. `multiLine=false` keeps the input
+    * line-splittable; escaped quotes/newlines inside `text` follow RFC
+    * 4180 via the default quote handling. */
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(documentsSchema)
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+
+  /** ORC corpus (vectorized, pushdown-capable, like parquet). */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(documentsSchema).orc(path)
+}

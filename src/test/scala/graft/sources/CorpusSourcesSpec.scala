@@ -1,0 +1,57 @@
+package graft.sources
+
+import graft.etl.TestSpark
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Every corpus format must be a drop-in source: the same documents
+  * written as JSONL / CSV / ORC read back row-identical to the parquet
+  * original, and a downstream operator (exact dedup) produces identical
+  * results from each. */
+class CorpusSourcesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.session
+  val sf = "/root/testdata/sf0.001"
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_id", "text", "lang", "source", "n_chars")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSet
+
+  test("jsonl, csv, and orc round-trip the parquet corpus row-identically") {
+    val docs = graft.ops.Tables.documents(spark, sf)
+    val base = rows(docs)
+    val dir = Files.createTempDirectory("corpus_src_").toString
+
+    docs.write.json(s"$dir/jsonl")
+    docs.write.option("header", "true").csv(s"$dir/csv")
+    docs.write.orc(s"$dir/orc")
+
+    assert(rows(CorpusSources.readJsonl(spark, s"$dir/jsonl")) == base)
+    assert(rows(CorpusSources.readCsv(spark, s"$dir/csv")) == base)
+    assert(rows(CorpusSources.readOrc(spark, s"$dir/orc")) == base)
+
+    // and a real operator is source-agnostic over them
+    val viaParquet = graft.ops.Dedup.exactDedup(docs, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val viaJsonl = graft.ops.Dedup.exactDedup(
+        CorpusSources.readJsonl(spark, s"$dir/jsonl"), "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaJsonl == viaParquet)
+  }
+
+  test("malformed jsonl lines degrade to null rows, not job failure") {
+    val dir = Files.createTempDirectory("corpus_bad_").toString
+    Files.write(java.nio.file.Paths.get(s"$dir/part.jsonl"),
+      ("""{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}""" + "\n" +
+       """{not json at all""" + "\n" +
+       """{"doc_id": 2, "text": "also ok", "lang": "en", "source": "s", "n_chars": 7}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = CorpusSources.readJsonl(spark, dir).collect()
+    assert(out.length == 3)
+    assert(out.count(_.isNullAt(1)) == 1, "the broken line must surface as a null row")
+    assert(out.filter(!_.isNullAt(0)).map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+}
