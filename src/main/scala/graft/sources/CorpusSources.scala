@@ -52,4 +52,21 @@ object CorpusSources {
   /** ORC corpus (vectorized, pushdown-capable, like parquet). */
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(documentsSchema).orc(path)
+
+  /** Sharded corpus writer: bounds records per output file so the next
+    * consumer gets splittable, evenly-sized shards regardless of this
+    * job's partitioning (one 50 GB gzip shard is the classic way to
+    * hand the next pipeline a single-task scan). `maxRecordsPerFile`
+    * caps file size without a repartition — each task rolls to a new
+    * file at the limit; add `partitionBy` columns for directory-level
+    * pruning on top. */
+  def writeSharded(df: DataFrame, path: String, format: String,
+                   maxRecordsPerFile: Long,
+                   partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .format(format)
+      .mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
+  }
 }

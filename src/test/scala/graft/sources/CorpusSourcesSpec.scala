@@ -42,6 +42,22 @@ class CorpusSourcesSpec extends AnyFunSuite {
     assert(viaJsonl == viaParquet)
   }
 
+  test("sharded writer bounds records per file and partitions by column") {
+    val docs = graft.ops.Tables.documents(spark, sf).coalesce(1)
+    val dir = Files.createTempDirectory("corpus_shard_").toString
+    CorpusSources.writeSharded(docs, s"$dir/out", "parquet",
+      maxRecordsPerFile = 20, partitionBy = Seq("lang"))
+    val files = Files.walk(java.nio.file.Paths.get(s"$dir/out")).iterator()
+    val parquets = Iterator.continually(files)
+      .takeWhile(_.hasNext).map(_.next().toString)
+      .filter(_.endsWith(".parquet")).toVector
+    // 50 docs, <= 20 rows/file, >= 2 langs => strictly more files than langs
+    assert(parquets.size > 2, s"expected sharding, got ${parquets.size} files")
+    assert(parquets.exists(_.contains("lang=")), "expected lang= partition dirs")
+    val back = spark.read.schema(CorpusSources.documentsSchema).parquet(s"$dir/out")
+    assert(back.count() == docs.count())
+  }
+
   test("malformed jsonl lines degrade to null rows, not job failure") {
     val dir = Files.createTempDirectory("corpus_bad_").toString
     Files.write(java.nio.file.Paths.get(s"$dir/part.jsonl"),
