@@ -32,10 +32,15 @@ object Pipeline {
     * [[Report.reportJoined]]) and sink the lazy frame. */
   def runRecords(records: DataFrame, dims: Option[Dims] = None,
                  client: Llm.RewriteClient = Llm.MockClient): DataFrame = {
-    // Cache the fact: the fallback dims and the `$in` restriction derive
-    // from it, so without a cache every broadcast-build job (4 dims +
-    // code set + org/max scalars) re-runs ingest+flatten from scratch.
-    val fact = Ingest.flatten(records).cache()
+    // LOCALIZE the fact rather than cache it: the request path's input
+    // is driver-sized by contract (see class doc — bulk flows compose
+    // the stage functions directly), and a dozen downstream jobs read
+    // the fact to build broadcasts (4 dims + code set + org/max
+    // scalars). Against a cached distributed frame each of those jobs
+    // pays scheduling + block-manager reads; against a LocalTableScan
+    // they are plan-local. Same rows either way — the golden suite
+    // stays byte-exact.
+    val fact = localize(Ingest.flatten(records))
     val d = dims.getOrElse(Dims.fallback(fact)).restrictedTo(fact)
     val enriched = Enrich.enrich(fact, d)
     val cleaned = Clean.clean(enriched).cache()
@@ -43,7 +48,6 @@ object Pipeline {
       val rewrite = Llm.rewriteFrame(cleaned, client)
       localize(Report.reportJoined(cleaned, Ingest.requestEcho(records), rewrite))
     } finally {
-      fact.unpersist()
       cleaned.unpersist()
     }
   }
@@ -79,7 +83,7 @@ object Pipeline {
       import spark.implicits._
       spark.createDataset(Seq(requestBody))
     })
-    val fact = Ingest.flatten(records).cache()
+    val fact = localize(Ingest.flatten(records)) // see runRecords note
     val d = dims.getOrElse(Dims.fallback(fact)).restrictedTo(fact)
     val cleaned = Clean.clean(Enrich.enrich(fact, d)).cache()
     try {
@@ -92,7 +96,6 @@ object Pipeline {
         s"$outDir/${Sinks.timestampedName("df_result_", "")}", singleFile)
       report
     } finally {
-      fact.unpersist()
       cleaned.unpersist()
     }
   }
