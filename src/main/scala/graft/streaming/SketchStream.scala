@@ -1,0 +1,46 @@
+package graft.streaming
+
+import graft.ops.Sketches
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Streaming cardinality monitoring (engine extension, SURVEY.md
+  * §2.9/§7.5): the portable HLL of [[graft.ops.Sketches]] maintained
+  * incrementally over a stream.
+  *
+  * Works because the register table IS a streaming-friendly aggregate:
+  * `max(rho) per bucket` is associative/commutative/idempotent, so the
+  * state store holds at most m = 64 rows forever — O(1) state at any
+  * stream rate — and every micro-batch folds in mergeably. The same
+  * [[graft.ops.Sketches.hllRegisters]] column expressions run
+  * unchanged; only the groupBy executes under the streaming state
+  * manager. `SketchStreamSpec` asserts the availableNow registers (and
+  * therefore the estimate) are bit-identical to the batch sketch of
+  * the same input.
+  */
+object SketchStream {
+  /** Incremental register table of a streaming string column — at most
+    * [[graft.ops.Sketches.M]] rows, complete-mode output. */
+  def hllRegistersStream(df: DataFrame, valueCol: String): DataFrame =
+    Sketches.hllRegisters(df, valueCol)
+
+  /** Run to completion over a documents directory, returning the final
+    * register table from the in-memory sink. */
+  def runAvailableNow(spark: SparkSession, dir: String,
+                      sinkTable: String): DataFrame = {
+    val q = hllRegistersStream(
+        spark.readStream
+          .schema(CurateStream.rawSchema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir),
+        "doc_id")
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      // complete mode: the register table is the whole (bounded) state
+      .outputMode("complete")
+      .format("memory")
+      .queryName(sinkTable)
+      .start()
+    q.awaitTermination()
+    spark.table(sinkTable)
+  }
+}

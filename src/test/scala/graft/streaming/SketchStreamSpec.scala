@@ -1,0 +1,31 @@
+package graft.streaming
+
+import graft.etl.TestSpark
+import graft.ops.Sketches
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The streaming HLL must land on bit-identical registers (hence a
+  * bit-identical estimate) to the batch sketch of the same input —
+  * register max is idempotent and mergeable, so micro-batching cannot
+  * change the fixpoint. */
+class SketchStreamSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.session
+  val sf = "/root/testdata/sf0.001"
+
+  test("availableNow streaming registers equal the batch sketch bit-for-bit") {
+    val streamed = SketchStream.runAvailableNow(spark, sf, "hll_stream_sink")
+    val streamedRegs = streamed.collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val batchRegs = Sketches.hllRegisters(
+        graft.ops.Tables.documents(spark, sf).select("doc_id"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(streamedRegs == batchRegs)
+
+    val streamedEst = Sketches.hllEstimate(streamed).collect().head.getDouble(1)
+    val batchEst = Sketches.hllDistinct(
+        graft.ops.Tables.documents(spark, sf).select("doc_id"), "doc_id")
+      .collect().head.getDouble(1)
+    assert(streamedEst == batchEst)
+  }
+}
