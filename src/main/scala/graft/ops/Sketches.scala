@@ -112,6 +112,31 @@ object Sketches {
   def hllDistinct(df: DataFrame, valueCol: String): DataFrame =
     hllEstimate(hllRegisters(df, valueCol))
 
+  /** Per-GROUP HLL distinct estimate — the common production shape
+    * (distinct users per day, distinct tokens per source, …). One
+    * aggregation keyed on (group, bucket): the shuffle carries at most
+    * m rows per group whatever the input size, vs count(DISTINCT)'s
+    * full value stream — THE reason to sketch at 100 TB. Read-out is
+    * the same exact arithmetic per group. Output: `(group, est)`. */
+  def hllDistinctBy(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    df
+      .select(col(groupCol).as("grp"), expr(
+        s"(graft_polyhash(cast($valueCol as string)) * ${ScatterA}L + ${ScatterB}L) % ${Hashing.P}L")
+        .as("h"))
+      .filter(col("h").isNotNull)
+      .select(col("grp"), (col("h") % M).as("bucket"), expr(s"h div $M").as("w"))
+      .select(col("grp"), col("bucket"), (lit(WBits) - bitLenCase("w") + 1).as("rho"))
+      .groupBy(col("grp"), col("bucket")).agg(max(col("rho")).as("r"))
+      .select(col("grp"),
+        expr("cast(power(2.0D, -cast(r as double)) as double)").as("t"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("hit"), sum(col("t")).as("s"))
+      .select(col("grp"),
+        (lit(Alpha * M * M) / (col("s") + (lit(M) - col("hit")).cast("double")))
+          .as("est"))
+  }
+
   /** Count-Min sketch width (columns per hash row) and depth (hash
     * rows). w=1024, d=3: overestimate ≤ 2e/w · N ≈ 0.5% of the stream
     * per probe with probability 1−e^−d ≈ 95% (Cormode & Muthukrishnan
@@ -163,7 +188,11 @@ object Sketches {
     // frequency estimates for the stopword probe set over the document
     // token stream — compare x02 est against t01's exact top counts
     "x02_cms_freq" -> ((s, d) =>
-      cmsFrequencies(Tables.documents(s, d), "text", TextOps.Stopwords)))
+      cmsFrequencies(Tables.documents(s, d), "text", TextOps.Stopwords)),
+    // distinct parts per returnflag — per-group sketch read-out
+    "x03_hll_by_group" -> ((s, d) =>
+      hllDistinctBy(Tables.lineitem(s, d), "l_returnflag", "l_partkey")
+        .withColumnRenamed("grp", "l_returnflag")))
 
   def oracle: Map[String, String] = Map(
     "x01_hll_distinct" -> {
@@ -174,6 +203,20 @@ object Sketches {
          |      FROM b GROUP BY bucket),
          |s AS (SELECT count(*) AS hit, sum(power(2.0, -r)) AS s FROM r)
          |SELECT ${M}::BIGINT AS n_registers,
+         |  ${Alpha * M * M} / (s + ($M - hit)::DOUBLE) AS est
+         |FROM s""".stripMargin
+    },
+    "x03_hll_by_group" -> {
+      val ph = Hashing.polyHashSql("CAST(l_partkey AS VARCHAR)")
+      s"""WITH h AS (
+         |  SELECT l_returnflag AS grp,
+         |    (($ph) * $ScatterA + $ScatterB) % ${Hashing.P} AS h
+         |  FROM lineitem),
+         |b AS (SELECT grp, h % $M AS bucket, h // $M AS w FROM h WHERE h IS NOT NULL),
+         |r AS (SELECT grp, bucket, max($WBits - (${bitLenSql("w")}) + 1) AS r
+         |      FROM b GROUP BY grp, bucket),
+         |s AS (SELECT grp, count(*) AS hit, sum(power(2.0, -r)) AS s FROM r GROUP BY grp)
+         |SELECT grp AS l_returnflag,
          |  ${Alpha * M * M} / (s + ($M - hit)::DOUBLE) AS est
          |FROM s""".stripMargin
     },
