@@ -294,6 +294,60 @@ object Relational {
           max(when(col("rn") === ceil(col("n") * 0.9), col("qty"))).as("p90"))
     }),
 
+    // §2.5 EXACT group quantiles, SCALE PATH — same answer as q24 (it
+    // shares q24's oracle text verbatim) via two-phase histogram-prune
+    // selection instead of q24's one unsplittable per-group window sort:
+    //   Pass 1 — per-(group, unit-bucket) counts by groupBy: fully
+    //     splittable, map-side partials; the only windows in the plan run
+    //     over this HISTOGRAM (≤ #buckets rows per group, never O(rows)).
+    //   Locate — the bucket whose cumulative count spans each target rank
+    //     r = ⌈q·n⌉, plus the count strictly below it: a handful of rows.
+    //   Pass 2 — broadcast-join the bracket set back onto the fact (only
+    //     bracket-bucket rows survive), histogram the DISTINCT values
+    //     within the bracket, and take the smallest value whose
+    //     below+within-cumulative crosses r.
+    // Equivalence to q24: the value at rank r depends only on the value
+    // order (q24's orderkey/linenumber tie-break never changes the VALUE
+    // at a rank, only which physical row carries it), and
+    //   value@r = min { v : count(qty ≤ v) ≥ r },
+    // which is exactly what the bracket + within-bucket cumulative
+    // computes. At 100 TB each group's quantile costs two splittable
+    // aggregations + windows over bounded histograms — no single-task
+    // sort anywhere (PlanAssertionsSpec pins this mechanically).
+    "q25_quantiles_2p" -> ((s, d) => {
+      val vals = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("g"),
+          col("l_quantity").cast("double").as("qty"))
+      // Pass 1: bucketed histogram. Unit-width floor buckets suit this
+      // column; any monotone bucketizer preserves the math.
+      val hist = vals.groupBy(col("g"), floor(col("qty")).as("bkt"))
+        .agg(count(lit(1)).as("cnt"))
+      val cum = hist
+        .withColumn("cum",
+          sum(col("cnt")).over(Window.partitionBy(col("g")).orderBy(col("bkt"))))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("g"))))
+      val brackets = Seq(0.5 -> "p50", 0.9 -> "p90").map { case (q, label) =>
+        cum.withColumn("r", ceil(col("n") * q))
+          .filter(col("cum") >= col("r") && col("cum") - col("cnt") < col("r"))
+          .select(col("g").as("bg"), lit(label).as("q"), col("bkt"),
+            (col("cum") - col("cnt")).as("below"), col("r"))
+      }.reduce(_ union _)
+      // Pass 2: the bracket set is ≤ #groups × #quantiles rows → broadcast.
+      val inBracket = vals.join(broadcast(brackets),
+          vals("g") === col("bg") && floor(vals("qty")) === col("bkt"))
+      val byVal = inBracket
+        .groupBy(col("g"), col("q"), col("qty"), col("below"), col("r"))
+        .agg(count(lit(1)).as("c"))
+      byVal
+        .withColumn("cum2", col("below") +
+          sum(col("c")).over(Window.partitionBy(col("g"), col("q")).orderBy(col("qty"))))
+        .filter(col("cum2") >= col("r"))
+        .groupBy(col("g"), col("q")).agg(min(col("qty")).as("v"))
+        .groupBy(col("g").as("l_returnflag"))
+        .agg(max(when(col("q") === "p50", col("v"))).as("p50"),
+          max(when(col("q") === "p90", col("v"))).as("p90"))
+    }),
+
     // §2.2 F2 literal `isin` + §2.3 broadcast: orders from ASIA/EUROPE
     // customers per priority.
     "q15_isin_filter" -> ((s, d) => {
@@ -428,6 +482,19 @@ object Relational {
         |WHERE r_name IN ('ASIA', 'EUROPE')
         |GROUP BY r_name, o_orderpriority""".stripMargin,
     "q24_quantiles" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_quantity::DOUBLE AS qty,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY l_quantity::DOUBLE, l_orderkey, l_linenumber) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  max(CASE WHEN rn = ceil(n * 0.5) THEN qty END) AS p50,
+        |  max(CASE WHEN rn = ceil(n * 0.9) THEN qty END) AS p90
+        |FROM r GROUP BY l_returnflag""".stripMargin,
+    // q25 computes the SAME answer as q24 through the two-phase plan, so
+    // it reuses q24's oracle text verbatim: one ground truth, two plans.
+    "q25_quantiles_2p" ->
       """WITH r AS (
         |  SELECT l_returnflag, l_quantity::DOUBLE AS qty,
         |    row_number() OVER (PARTITION BY l_returnflag

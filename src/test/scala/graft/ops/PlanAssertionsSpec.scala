@@ -75,6 +75,27 @@ class PlanAssertionsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       "the exact semi should broadcast the small dim:\n" + s.take(2000))
   }
 
+  test("q25 two-phase quantiles: every window sorts a histogram, never the raw fact") {
+    // q24's documented scale-killer is a window partitioned on 6 group
+    // values over ALL fact rows (one unsplittable sort task per group).
+    // q25's contract: each WindowExec's subtree contains an aggregation
+    // (the bucket/value histogram) between the window and any scan, so
+    // window partitions are bounded by histogram size, not row count.
+    val p = plan("q25_quantiles_2p")
+    val windows = collectWithSubqueries(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "expected histogram windows in the two-phase plan")
+    windows.foreach { w =>
+      val aggBelow = collect(w.child) {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }
+      assert(aggBelow.nonEmpty,
+        "window must run over an aggregated histogram, not raw rows:\n" +
+          w.toString.take(1500))
+    }
+  }
+
   test("q07/s02 rank-limit windows pre-prune map-side (WindowGroupLimit)") {
     assert(plan("q07_window_topk").toString.contains("WindowGroupLimit"))
     assert(plan("s02_sample_fixed").toString.contains("WindowGroupLimit"))
