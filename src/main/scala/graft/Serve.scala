@@ -47,8 +47,13 @@ object Serve {
     }
 
     server.createContext("/", (ex: HttpExchange) =>
-      respond(ex, 200,
-        """{"message": "Text Processing Pipeline Demo API is running"}"""))
+      // com.sun.net.httpserver treats "/" as a catch-all prefix; the
+      // reference FastAPI app 404s unknown paths, so match only the
+      // exact root and mirror FastAPI's {"detail": "Not Found"} otherwise
+      if (ex.getRequestURI.getPath == "/")
+        respond(ex, 200,
+          """{"message": "Text Processing Pipeline Demo API is running"}""")
+      else respond(ex, 404, """{"detail": "Not Found"}"""))
 
     server.createContext("/process", (ex: HttpExchange) => {
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)

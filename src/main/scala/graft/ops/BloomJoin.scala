@@ -49,7 +49,10 @@ object BloomJoin {
   def buildBitmap(dim: DataFrame, dimKey: String,
                   bits: Int = Bits, k: Int = K): Array[Long] = {
     graft.functions.VectorFunctions.register(dim.sparkSession)
-    val rows = dim
+    // NULL dim keys can never match a semi-join, and graft_polyhash(null)
+    // would propagate a null word index into getInt below — drop them
+    // before hashing (keeps bitmap build ≡ left_semi exactly).
+    val rows = dim.filter(col(dimKey).isNotNull)
       .select((0 until k).map { i =>
         val (w, m) = wordMask(dimKey, i, bits)
         struct(w.as("w"), m.as("m")).as(s"p$i")

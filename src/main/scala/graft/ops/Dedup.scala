@@ -86,7 +86,8 @@ object Dedup {
     * candidate pair. Both hashes are the engine-portable
     * [[Hashing.polyHash]], so the oracle reproduces the exact buckets. */
   def jaccardPairs(docs: DataFrame, id: String, text: String,
-                   threshold: Double, n: Int = 3): DataFrame = {
+                   threshold: Double, n: Int = 3,
+                   maxDf: Int = MaxShingleDf): DataFrame = {
     graft.functions.VectorFunctions.register(docs.sparkSession)
     // Shingle hashing is one native map-side pass over the token array
     // ([[graft.functions.ShingleHashes]]): per-token partial hashes
@@ -111,7 +112,7 @@ object Dedup {
     // docs' shingle counts so the jaccard is a post-agg expression
     sh.groupBy(col("shingle"))
       .agg(sort_array(collect_set(struct(col("doc_id"), col("n_sh")))).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxShingleDf)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxDf)
       .select(explode(expr(
         "flatten(transform(ids, (a, i) -> " +
         "transform(slice(ids, i + 2, size(ids)), b -> struct(" +
@@ -146,10 +147,23 @@ object Dedup {
     * (`min·1 ≥ t·max`, implied by `J ≥ t`) first, then a join back to
     * the full sorted hash arrays for `array_intersect` — so the output
     * is the same row set [[jaccardPairs]] produces (pinned by OpsSpec
-    * equivalence + the shared DuckDB oracle). The [[MaxShingleDf]] cap
-    * applies to prefix buckets here (full-index buckets there); at or
-    * below the cap the two are identical, and a capped bucket carried
-    * no dedup signal either way.
+    * equivalence — including a small-cap crafted corpus — and the
+    * shared DuckDB oracle).
+    *
+    * Df-cap consistency: [[jaccardPairs]]' `inter` counts only shingles
+    * whose doc-frequency is ≤ `maxDf` (capped buckets are dropped
+    * before pair expansion), so the verify here subtracts the
+    * high-df hash set from the intersection too — `array_except` the
+    * capped hashes, computed by one count-aggregation over the hash
+    * stream (map-side partial counts; the exchange carries 8-byte
+    * key + count rows, a fraction of the doc-struct bucket shuffle it
+    * replaces). Both paths therefore compute the identical df-capped
+    * Jaccard. The candidate prefix buckets keep the cap as well, and
+    * that stays LOSSLESS w.r.t. the capped semantics: if the capped
+    * Jaccard is ≥ t then the uncapped shared shingles alone number
+    * ≥ ⌈t·max(|A|,|B|)⌉, so their smallest member lies in both docs'
+    * prefixes (same suffix-pigeonhole argument as above) and its
+    * prefix df ≤ full df ≤ maxDf — the bucket survives.
     *
     * The hash-array subplan is evaluated once for the prefix index and
     * once per verify-join side (3 column-pruned scans + re-hashing)
@@ -160,7 +174,8 @@ object Dedup {
     * map-side projection is the cheaper side of that trade at every
     * scale. */
   def jaccardPairsPrefix(docs: DataFrame, id: String, text: String,
-                         threshold: Double, n: Int = 3): DataFrame = {
+                         threshold: Double, n: Int = 3,
+                         maxDf: Int = MaxShingleDf): DataFrame = {
     graft.functions.VectorFunctions.register(docs.sparkSession)
     val arr = docs
       .select(col(id).as("doc_id"),
@@ -174,7 +189,7 @@ object Dedup {
         .as("h"))
     val cand = pre.groupBy(col("h"))
       .agg(sort_array(collect_set(struct(col("doc_id"), col("n_sh")))).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxShingleDf)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxDf)
       .select(explode(expr(
         "flatten(transform(ids, (a, i) -> " +
         "transform(slice(ids, i + 2, size(ids)), b -> struct(" +
@@ -185,10 +200,21 @@ object Dedup {
       .filter(least(col("n_a"), col("n_b")).cast("double") >=
         lit(threshold) * greatest(col("n_a"), col("n_b")).cast("double"))
       .distinct()
+    // the high-df hash set (df computed over the FULL index, matching
+    // jaccardPairs' bucket df): tiny by construction — only shingles in
+    // > maxDf docs — so it rides into the verify as one broadcast row
+    val capped = arr
+      .select(explode(col("hs")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .agg(collect_set(col("h")).as("capped_hs"))
     cand
       .join(arr.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
       .join(arr.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
-      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .crossJoin(broadcast(capped))
+      .withColumn("inter",
+        size(array_intersect(array_except(col("hs_a"), col("capped_hs")), col("hs_b")))
+          .cast("long"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)

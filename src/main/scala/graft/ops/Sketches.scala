@@ -102,7 +102,10 @@ object Sketches {
     // keep the arithmetic exact cross-engine.
     registers
       .select(expr("cast(power(2.0D, -cast(r as double)) as double)").as("t"))
-      .agg(count(lit(1)).as("hit"), sum(col("t")).as("s"))
+      // coalesce: sum over ZERO register rows (empty/all-null input) is
+      // SQL NULL; the defined small-n estimate there is the m-empty-
+      // register read-out (s = 0, hit = 0 → est = α·m²/m), not NULL
+      .agg(count(lit(1)).as("hit"), coalesce(sum(col("t")), lit(0.0)).as("s"))
       .select(lit(M.toLong).as("n_registers"),
         (lit(Alpha * M * M) / (col("s") + (lit(M) - col("hit")).cast("double")))
           .as("est"))

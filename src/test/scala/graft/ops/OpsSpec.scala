@@ -65,6 +65,32 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("d02/d06 stay equivalent when the df cap binds (crafted hyper-frequent shingle)") {
+    // testdata df maxes at ~25, far below MaxShingleDf — so the capped
+    // paths (d02 drops the bucket; d06 array_excepts the hash from its
+    // verify intersection) only diverge-or-agree at corpus scale. Force
+    // the cap here: every doc shares the stop-shingle "a b c" (df 5 >
+    // maxDf 4); the two paths must still produce identical df-capped
+    // pairs, inter counts, and jaccard doubles.
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c x1 x2 x3 x4 x5"),
+      (2L, "a b c x1 x2 x3 x4 x6"),
+      (3L, "a b c y1 y2 y3 y4 y5"),
+      (4L, "a b c y1 y2 y3 y4 y6"),
+      (5L, "a b c z1 z2 z3 z4 z5")).toDF("doc_id", "text")
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val full = key(Dedup.jaccardPairs(docs, "doc_id", "text", 0.3, 3, maxDf = 4).collect())
+    val pre = key(Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 0.3, 3, maxDf = 4).collect())
+    assert(full.nonEmpty, "crafted near-dup pairs must survive the cap")
+    assert(pre == full, s"capped prefix!=full " +
+      s"(missing=${(full -- pre).take(3)}, extra=${(pre -- full).take(3)})")
+    // and the cap genuinely binds on this corpus (inter excludes "a b c")
+    val uncapped = key(Dedup.jaccardPairs(docs, "doc_id", "text", 0.3, 3, maxDf = 1000).collect())
+    assert(uncapped != full, "crafted corpus must actually exercise the df cap")
+  }
+
   test("c01 connected components: chain graph, clique merge, and union-find cross-check") {
     import spark.implicits._
     // a 6-node path (forces multiple propagation rounds: diameter 5),
