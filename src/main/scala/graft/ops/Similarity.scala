@@ -155,6 +155,175 @@ object Similarity {
       .select(col("probe_id"), col("rnk"), col("neighbor_id"), col("cell"), col("cos"))
   }
 
+  /** k-means defaults for the harness catalog entries (k04/k05). */
+  val KmeansK = 8
+  val KmeansIters = 3
+
+  /** Seed-permutation hash for k-means init: affine family member 1 of
+    * [[Hashing.MinHashA]] (member 0 belongs to the sampling operators),
+    * with the pmod guard so negative ids stay fair. Portable to DuckDB
+    * literal-for-literal. */
+  private val SeedA = Hashing.MinHashA(1)
+  private val SeedB = Hashing.MinHashB(1)
+  private val SeedP = Hashing.P
+
+  /** Deterministic distributed k-means (Lloyd's) over an embedding
+    * column; returns the final assignment `(vec_id, cluster)`. This is
+    * the IVF index *build* the k03 scaladoc promised ("a real deployment
+    * would k-means them") — feed the result to [[ivfKnnTrained]].
+    *
+    * Determinism & oracle-parity choices (k04 carries a full DuckDB
+    * oracle, generated by [[kmeansOracleSql]] as the unrolled CTE chain):
+    *  - SEEDS: the k vectors with the smallest affine hash of their id —
+    *    a fixed pseudo-random permutation every engine replays (`rand()`
+    *    re-rolls per partition on recovery/repartition). Fetched with
+    *    orderBy+limit = `TakeOrderedAndProject`: per-partition top-k then
+    *    a k-row merge, NO single-partition global sort.
+    *  - ASSIGN (spherical k-means): each vector goes to the centroid
+    *    maximizing `dot(v, c)/|c|` — the cosine argmax (dividing by the
+    *    constant `|v|` cannot change it), ties broken on cluster id. The
+    *    k·dims centroid table broadcasts; the corpus side is one
+    *    codegen'd map + a per-vector rank window.
+    *  - UPDATE: member elements quantize to `floor(x·2²⁰)` (the
+    *    power-of-two [[Quant]] trick from [[ivfKnn]]) so per-(cluster,
+    *    pos) sums are order-independent longs — mergeable map-side
+    *    partials, identical under any partitioning, bit-reproducible in
+    *    DuckDB. Between iterations the k·dims sums come back to the
+    *    driver (same O(k·d) driver state as Spark MLlib's KMeans — never
+    *    data-sized) and go out as the next broadcast.
+    *  - FIXED iteration count (no convergence predicate) keeps the SQL
+    *    replay static; a cluster that loses all members drops out of
+    *    later rounds in both engines alike.
+    *
+    * At 100 TB each iteration is one corpus scan plus a k·dims-bounded
+    * shuffle — the canonical scalable k-means shape. Requires non-zero
+    * vectors (a zero seed centroid would make the cosine undefined). */
+  def kmeansAssign(vectors: DataFrame, id: String, vec: String,
+                   k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 1, "k-means needs k >= 1 and iters >= 1")
+    val spark = vectors.sparkSession
+    graft.functions.VectorFunctions.register(spark)
+    import spark.implicits._
+    val v = vectors.select(
+        col(id).as("vec_id"),
+        expr(s"transform($vec, x -> cast(x as double))").as("v"))
+      .withColumn("qv",
+        expr(s"transform(v, x -> cast(floor(x * ${Quant}D) as bigint))"))
+    // scanned once per iteration (+ once for seeding) — cache for the
+    // training loop, release before handing back the lazy assignment
+    v.persist()
+    try {
+      val hc = expr(s"((((vec_id % ${SeedP}L + ${SeedP}L) % ${SeedP}L) " +
+        s"* ${SeedA}L + ${SeedB}L) % ${SeedP}L)")
+      // sort+limit+collect returns rows in sort order (TakeOrderedAndProject)
+      val seed: Seq[(Long, Seq[Long], Long)] = v
+        .select(col("qv"), hc.as("h"), col("vec_id"))
+        .orderBy(col("h"), col("vec_id")).limit(k)
+        .collect().toSeq.zipWithIndex
+        .map { case (r, i) => ((i + 1).toLong, r.getSeq[Long](0), 1L) }
+
+      def assign(cents: Seq[(Long, Seq[Long], Long)]): DataFrame = {
+        val cdf = cents.toDF("cluster", "sq", "n")
+          .withColumn("centroid", expr(
+            s"transform(sq, s -> (cast(s as double) / cast(n as double)) / ${Quant}D)"))
+          .withColumn("cnrm", expr("sqrt(graft_dot(centroid, centroid))"))
+          .select(col("cluster"), col("centroid"), col("cnrm"))
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("score").desc, col("cluster"))
+        v.crossJoin(broadcast(cdf))
+          .withColumn("score", expr("graft_dot(v, centroid)") / col("cnrm"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") === 1)
+          .select(col("vec_id"), col("cluster"), col("qv"))
+      }
+
+      var cents = seed
+      var out: DataFrame = null
+      for (i <- 1 to iters) {
+        val a = assign(cents)
+        if (i < iters)
+          cents = a
+            .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "q")))
+            .groupBy(col("cluster"), col("pos"))
+            .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+            .groupBy(col("cluster"))
+            .agg(expr("transform(array_sort(collect_list(struct(pos, sq))), s -> s.sq)")
+                .as("sq"),
+              max(col("n")).as("n"))
+            .collect().toSeq
+            .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+            .sortBy(_._1)
+        else out = a.select(col("vec_id"), col("cluster"))
+      }
+      out
+    } finally v.unpersist(false)
+  }
+
+  /** [[ivfKnn]] over TRAINED cells: joins a `(vec_id, cluster)`
+    * assignment — typically [[kmeansAssign]]'s output — onto the vectors
+    * and runs the same two-stage search with the learned partition as
+    * the coarse quantizer. The pre-existing `cell`-column variant stays
+    * for corpora that arrive already partitioned. Output column `cell`
+    * carries the trained cluster id. */
+  def ivfKnnTrained(vectors: DataFrame, id: String, vec: String,
+                    assign: DataFrame, isProbe: Column => Column,
+                    k: Int, nprobe: Int = 1): DataFrame = {
+    val cells = assign.select(col("vec_id").as(id), col("cluster").as("ivf_cell"))
+    ivfKnn(vectors.join(cells, id), id, vec, "ivf_cell", isProbe, k, nprobe)
+  }
+
+  /** DuckDB replay of [[kmeansAssign]]: the fixed iterations unrolled
+    * into a generated CTE chain (`q` → seed `g0` → per-iteration
+    * `n{i-1}` centroids / `a{i}` assignments / `g{i}` sums). `body`
+    * is the final SELECT, defaulting to the k04 assignment dump; k05
+    * passes the IVF-search SQL instead, referencing `q` and the last
+    * `a{iters}`. */
+  def kmeansOracleSql(k: Int, iters: Int, dims: Int = 64,
+                      body: String = ""): String = {
+    def fold(a: String, b: String) =
+      s"reduce(list_prepend(0.0, list_transform(range(1, ${dims + 1}), " +
+        s"j -> $a[j] * $b[j])), (acc, x) -> acc + x)"
+    def nrm(a: String) =
+      s"sqrt(reduce(list_prepend(0.0, list_transform($a, x -> x * x)), (acc, x) -> acc + x))"
+    val ctes = scala.collection.mutable.ArrayBuffer[String]()
+    ctes += s"""q AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+       |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * $Quant) AS BIGINT)) AS qv
+       |  FROM embeddings)""".stripMargin
+    ctes += s"""g0 AS (
+       |  SELECT cluster, sq, n FROM (
+       |    SELECT row_number() OVER (ORDER BY
+       |        (((vec_id % $SeedP + $SeedP) % $SeedP) * $SeedA + $SeedB) % $SeedP,
+       |        vec_id) AS cluster,
+       |      qv AS sq, 1::BIGINT AS n
+       |    FROM q) s
+       |  WHERE cluster <= $k)""".stripMargin
+    for (i <- 1 to iters) {
+      ctes += s"""n${i - 1} AS (
+         |  SELECT cluster, centroid, ${nrm("centroid")} AS cnrm FROM (
+         |    SELECT cluster, list_transform(sq, s -> (s::DOUBLE / n::DOUBLE) / $Quant) AS centroid
+         |    FROM g${i - 1}) c)""".stripMargin
+      ctes += s"""a$i AS (
+         |  SELECT vec_id, qv, cluster FROM (
+         |    SELECT q.vec_id, q.qv, c.cluster,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${fold("q.v", "c.centroid")} / c.cnrm DESC, c.cluster) AS rnk
+         |    FROM q, n${i - 1} c) t
+         |  WHERE rnk = 1)""".stripMargin
+      if (i < iters)
+        ctes += s"""g$i AS (
+           |  SELECT cluster, list(sq ORDER BY pos) AS sq, max(n) AS n FROM (
+           |    SELECT cluster, pos, sum(qe) AS sq, count(*) AS n FROM (
+           |      SELECT cluster, idx.j AS pos, qv[idx.j] AS qe
+           |      FROM a$i, (SELECT unnest(range(1, ${dims + 1})) AS j) idx) e
+           |    GROUP BY 1, 2) p
+           |  GROUP BY cluster)""".stripMargin
+    }
+    val fin = if (body.nonEmpty) body
+      else s"SELECT vec_id, cluster FROM a$iters"
+    "WITH " + ctes.mkString(",\n") + "\n" + fin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k01_knn_brute" -> ((s, d) =>
       knnBrute(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -165,7 +334,16 @@ object Similarity {
     "k03_ivf_knn" -> ((s, d) =>
       ivfKnn(Tables.embeddings(s, d), "vec_id", "embedding", "label",
         _ < NumProbes, 3)
-        .withColumnRenamed("cell", "label")))
+        .withColumnRenamed("cell", "label")),
+    "k04_kmeans" -> ((s, d) =>
+      kmeansAssign(Tables.embeddings(s, d), "vec_id", "embedding",
+        KmeansK, KmeansIters)),
+    "k05_ivf_trained" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      ivfKnnTrained(e, "vec_id", "embedding",
+        kmeansAssign(e, "vec_id", "embedding", KmeansK, KmeansIters),
+        _ < NumProbes, 3)
+    }))
 
   def oracle: Map[String, String] = {
     val wLists = (0 until NumPlanes).map { i =>
@@ -253,6 +431,45 @@ object Similarity {
            |  SELECT probe_id, neighbor_id, cell, cos,
            |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
            |  FROM scored)
-           |SELECT probe_id, rnk, neighbor_id, cell AS label, cos FROM ranked WHERE rnk <= 3""".stripMargin)
+           |SELECT probe_id, rnk, neighbor_id, cell AS label, cos FROM ranked WHERE rnk <= 3""".stripMargin,
+      "k04_kmeans" -> kmeansOracleSql(KmeansK, KmeansIters),
+      // k05 = the k03 search over a{iters}' trained cells: the kmeans CTE
+      // chain plus the IVF two-stage SQL (CTE q is shared; the IVF base
+      // relation joins the final assignment on vec_id).
+      "k05_ivf_trained" -> kmeansOracleSql(KmeansK, KmeansIters, body =
+        s""",
+           |n AS (
+           |  SELECT q.vec_id, a.cluster AS cell, q.v, q.qv,
+           |    sqrt(reduce(list_prepend(0.0, list_transform(q.v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+           |  FROM q JOIN a$KmeansIters a USING (vec_id)),
+           |qq AS (
+           |  SELECT cell, idx.i AS pos, qv[idx.i] AS qe
+           |  FROM n, (SELECT unnest(range(1, 65)) AS i) idx),
+           |cq AS (SELECT cell, pos, sum(qe) AS sq, count(*) AS cnt FROM qq GROUP BY 1, 2),
+           |cent AS (
+           |  SELECT cell, list((sq::DOUBLE / cnt::DOUBLE) / $Quant ORDER BY pos) AS centroid
+           |  FROM cq GROUP BY cell),
+           |cn AS (
+           |  SELECT cell, centroid,
+           |    sqrt(reduce(list_prepend(0.0, list_transform(centroid, x -> x * x)), (acc, x) -> acc + x)) AS cnrm
+           |  FROM cent),
+           |pc AS (
+           |  SELECT probe_id, pv, pnrm, cell FROM (
+           |    SELECT p.vec_id AS probe_id, p.v AS pv, p.nrm AS pnrm, c.cell,
+           |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+           |        reduce(list_prepend(0.0, list_transform(range(1, 65), i -> p.v[i] * c.centroid[i])), (acc, x) -> acc + x)
+           |          / (p.nrm * c.cnrm) DESC, c.cell) AS crnk
+           |    FROM n p, cn c WHERE p.vec_id < $NumProbes) t
+           |  WHERE crnk = 1),
+           |scored AS (
+           |  SELECT pc.probe_id, b.vec_id AS neighbor_id, pc.cell,
+           |    reduce(list_prepend(0.0, list_transform(range(1, 65), i -> pc.pv[i] * b.v[i])), (acc, x) -> acc + x)
+           |      / (pc.pnrm * b.nrm) AS cos
+           |  FROM pc JOIN n b ON b.cell = pc.cell AND b.vec_id <> pc.probe_id),
+           |ranked AS (
+           |  SELECT probe_id, neighbor_id, cell, cos,
+           |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+           |  FROM scored)
+           |SELECT probe_id, rnk, neighbor_id, cell, cos FROM ranked WHERE rnk <= 3""".stripMargin))
   }
 }

@@ -354,6 +354,58 @@ class OpsSpec extends AnyFunSuite {
     assert(all == brute, "nprobe = #cells must equal the exact search")
   }
 
+  test("k04 k-means recovers well-separated crafted clusters") {
+    import spark.implicits._
+    // 3 orthogonal directions, 20 noisy members each — any sane k-means
+    // run must put members of the same direction in the same cluster
+    val rnd = new scala.util.Random(11)
+    val data = (0L until 60L).map { i =>
+      val axis = (i % 3).toInt
+      val base = Array.fill(6)(0.05f * (rnd.nextFloat() - 0.5f))
+      base(axis * 2) += 1f
+      (i, base)
+    }
+    val out = Similarity.kmeansAssign(data.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 3, iters = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 60)
+    (0 until 3).foreach { axis =>
+      val labels = data.collect { case (i, _) if i % 3 == axis => out(i) }
+      assert(labels.distinct.length == 1,
+        s"axis $axis split across clusters ${labels.distinct.mkString(",")}")
+    }
+    assert((0L until 3L).map(out).distinct.length == 3,
+      "distinct axes must land in distinct clusters")
+  }
+
+  test("k04 assignments are invariant under input repartitioning") {
+    val e = Tables.embeddings(spark, sf)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.kmeansAssign(df, "vec_id", "embedding",
+        Similarity.KmeansK, Similarity.KmeansIters)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(e) == run(e.repartition(7)),
+      "quantized k-means must not depend on partitioning")
+  }
+
+  test("k05 trained IVF: neighbors come from the probe's trained cell") {
+    val e = Tables.embeddings(spark, sf)
+    val assign = Similarity.kmeansAssign(e, "vec_id", "embedding",
+      Similarity.KmeansK, Similarity.KmeansIters)
+    val cellOf = assign.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val rows = Similarity.ivfKnnTrained(e, "vec_id", "embedding", assign,
+      _ < Similarity.NumProbes, 3).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (probe, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.length).toSeq)
+      rs.foreach { r =>
+        assert(r.getLong(2) != probe)
+        assert(cellOf(r.getLong(2)) == r.getLong(3),
+          "neighbor must belong to the cell it was scored in")
+      }
+    }
+  }
+
   test("m01 media metadata checksum equals the portable text hash") {
     graft.functions.VectorFunctions.register(spark)
     val meta = Multimodal.queries("m01_media_meta")(spark, sf)
