@@ -31,7 +31,15 @@ object SparkEntry {
         // is the reference's own sample request). Non-SQL-expressible
         // (hierarchical report serialization) → rows-only check.
         "p01_pipeline_report" -> ((s: SparkSession, _: String) =>
-          graft.etl.Pipeline.run(s, graft.etl.Pipeline.SampleRequest)))
+          graft.etl.Pipeline.run(s, graft.etl.Pipeline.SampleRequest)),
+        // The serializer's decision layer (ordered nested grouping, block
+        // reorder, header suppression) as a relational plan over a
+        // documents-derived hierarchy — SQL-expressible, so unlike p01 it
+        // carries a full hash oracle.
+        "p02_report_blocks" -> ((s: SparkSession, d: String) =>
+          graft.etl.Report.reportBlocks(
+            graft.etl.Report.blocksInput(ops.Tables.documents(s, d)),
+            graft.etl.Report.BlocksDefault)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -39,5 +47,6 @@ object SparkEntry {
     ops.Relational.oracle ++ ops.TextOps.oracle ++ ops.Dedup.oracle ++
       ops.Similarity.oracle ++ ops.Events.oracle ++ ops.Multimodal.oracle ++
       ops.Skew.oracle ++ ops.Sampling.oracle ++ ops.Clusters.oracle ++
-      ops.Sketches.oracle ++ ops.BloomJoin.oracle
+      ops.Sketches.oracle ++ ops.BloomJoin.oracle ++
+      Map("p02_report_blocks" -> graft.etl.Report.blocksOracleSql)
 }

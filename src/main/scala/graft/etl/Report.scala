@@ -21,7 +21,7 @@ object Report {
     * `text_processing.py:41-49`). `rewritten` carries the pre-joined
     * LLM rewrite of `summary` on the [[reportJoined]] path (None = no
     * join match, or the map-lookup path). */
-  private final case class RRow(group: String, itemCode: String,
+  private[etl] final case class RRow(group: String, itemCode: String,
                                 itemName: String, comment: String,
                                 summary: String,
                                 rewritten: Option[String] = None)
@@ -113,6 +113,170 @@ object Report {
     }
     lines.mkString("\n")
   }
+
+  /** The serializer's DECISION layer — ordered nested grouping (A5–A8),
+    * block reorder by first-seen item tuple (O2) and run-length header
+    * suppression (W2) — re-expressed as a fully relational window/agg
+    * plan, one block per output row. [[processOneRecord]] makes the same
+    * decisions sequentially inside `mapGroups`; this variant exists so
+    * they sit under the DuckDB hash gate (query `p02_report_blocks`) and
+    * so the block structure is queryable without string assembly.
+    * `ReportBlocksSpec` pins the two layers to each other: assembling
+    * these rows reproduces [[processOneRecord]]'s text byte-for-byte.
+    *
+    * Input frame columns: `record_id` (any orderable type), `grp`,
+    * `item_code`, `item_name`, `comment`, `summary` (strings), `ord`
+    * (long; the display order, unique per row — the `_rid` analog).
+    *
+    * Decision mapping (reference `text_processing.py:66-126`):
+    *  - pandas `groupby(sort=False)` = "first occurrence wins" = `min(ord)`
+    *    windows per (grp), (grp, summary), (grp, summary, comment);
+    *  - the default-summary branch blocks per COMMENT, others per
+    *    SUMMARY: `blk_first`/`blk2` switch on `summary = default`;
+    *  - per-block item names: first occurrence keyed by TRIMMED code
+    *    (`uniqueItemNames`) = min-ord per code + `min_by` name, reheaded
+    *    in code-first order;
+    *  - per-block comments: trimmed-distinct in first-occurrence order
+    *    (the default branch's single comment falls out of the same
+    *    aggregate, since its block key pins the comment);
+    *  - reorder = `row_number` over (first_seen(items), original index);
+    *    suppression = `lag(items)` inequality. Item tuples compare by
+    *    their `、`-joined header string (collision with a `、` inside a
+    *    name is theoretically possible, never in the reference's data).
+    *
+    * Scale shape: everything is hash-partitionable by record — windows
+    * partition by (record_id, …) and aggregations group by block keys, so
+    * the plan is shuffle-on-record-key then map-local, no global sort,
+    * no driver state. Output: one row per block,
+    * `(record_id, grp_ord, grp, block_ord, show_header, items, comments,
+    * summary)`. */
+  def reportBlocks(frame: DataFrame, defaultSummary: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wG = Window.partitionBy(col("record_id"), col("grp"))
+    val wS = Window.partitionBy(col("record_id"), col("grp"), col("summary"))
+    val wC = Window.partitionBy(col("record_id"), col("grp"), col("summary"),
+      col("comment"))
+    val b1 = frame
+      .withColumn("is_def", col("summary") === lit(defaultSummary))
+      .withColumn("g_first", min(col("ord")).over(wG))
+      .withColumn("s_first", min(col("ord")).over(wS))
+      .withColumn("c_first", min(col("ord")).over(wC))
+      .withColumn("blk_first",
+        when(col("is_def"), col("c_first")).otherwise(col("s_first")))
+      .withColumn("blk2", when(col("is_def"), col("comment")).otherwise(lit("")))
+    val blkKeyNames =
+      Seq("record_id", "grp", "summary", "blk2", "g_first", "s_first", "blk_first")
+    val blkKeys = blkKeyNames.map(col)
+    val items = b1
+      .groupBy(blkKeys :+ trim(col("item_code")).as("code"): _*)
+      .agg(min(col("ord")).as("code_first"),
+        min_by(trim(col("item_name")), col("ord")).as("name"))
+      .groupBy(blkKeys: _*)
+      .agg(expr("transform(array_sort(collect_list(struct(code_first, name))), s -> s.name)")
+        .as("item_names"))
+    val comments = b1
+      .groupBy(blkKeys :+ trim(col("comment")).as("cmt"): _*)
+      .agg(min(col("ord")).as("cmt_first"))
+      .groupBy(blkKeys: _*)
+      .agg(expr("transform(array_sort(collect_list(struct(cmt_first, cmt))), s -> s.cmt)")
+        .as("comment_list"))
+    val wEnum = Window.partitionBy(col("record_id"), col("grp"))
+      .orderBy(col("s_first"), col("blk_first"))
+    val e0 = items.join(comments, blkKeyNames)
+      .withColumn("blk_idx", row_number().over(wEnum))
+      .withColumn("items_key", array_join(col("item_names"), "、"))
+    val wFS = Window.partitionBy(col("record_id"), col("grp"), col("items_key"))
+    val wOrd = Window.partitionBy(col("record_id"), col("grp"))
+      .orderBy(col("first_seen"), col("blk_idx"))
+    val wRec = Window.partitionBy(col("record_id")).orderBy(col("g_first"))
+    e0.withColumn("first_seen", min(col("blk_idx")).over(wFS))
+      .withColumn("block_ord", row_number().over(wOrd).cast("long"))
+      .withColumn("prev_key", lag(col("items_key"), 1).over(wOrd))
+      .withColumn("show_header",
+        col("prev_key").isNull || col("prev_key") =!= col("items_key"))
+      .withColumn("grp_ord", dense_rank().over(wRec).cast("long"))
+      .select(col("record_id"), col("grp_ord"), trim(col("grp")).as("grp"),
+        col("block_ord"), col("show_header"), col("items_key").as("items"),
+        array_join(col("comment_list"), "、").as("comments"),
+        trim(col("summary")).as("summary"))
+  }
+
+  /** The `p02_report_blocks` input: a synthetic hierarchy frame derived
+    * from the harness `documents` table (docs bucket into records; `lang`
+    * plays the group so groups interleave; every third row carries the
+    * default summary to exercise the per-comment branch). Mirrored
+    * literally by [[blocksOracleSql]]. */
+  def blocksInput(docs: DataFrame): DataFrame = docs.select(
+    (col("doc_id") % 40).as("record_id"),
+    col("lang").as("grp"),
+    col("source").as("item_code"),
+    upper(col("source")).as("item_name"),
+    concat(lit("c"), (col("doc_id") % 7).cast("string")).as("comment"),
+    when(col("doc_id") % 3 === 0, lit(BlocksDefault))
+      .otherwise(concat(lit("s"), (col("doc_id") % 5).cast("string"))).as("summary"),
+    col("doc_id").as("ord"))
+
+  val BlocksDefault = "-"
+
+  /** DuckDB replay of [[blocksInput]] → [[reportBlocks]]. */
+  def blocksOracleSql: String =
+    s"""WITH src AS (
+       |  SELECT doc_id % 40 AS record_id, lang AS grp, source AS item_code,
+       |    upper(source) AS item_name,
+       |    'c' || CAST(doc_id % 7 AS VARCHAR) AS comment,
+       |    CASE WHEN doc_id % 3 = 0 THEN '$BlocksDefault'
+       |         ELSE 's' || CAST(doc_id % 5 AS VARCHAR) END AS summary,
+       |    doc_id AS ord
+       |  FROM documents),
+       |b1 AS (
+       |  SELECT *, summary = '$BlocksDefault' AS is_def,
+       |    min(ord) OVER (PARTITION BY record_id, grp) AS g_first,
+       |    min(ord) OVER (PARTITION BY record_id, grp, summary) AS s_first,
+       |    min(ord) OVER (PARTITION BY record_id, grp, summary, comment) AS c_first
+       |  FROM src),
+       |b2 AS (
+       |  SELECT *, CASE WHEN is_def THEN c_first ELSE s_first END AS blk_first,
+       |    CASE WHEN is_def THEN comment ELSE '' END AS blk2
+       |  FROM b1),
+       |i0 AS (
+       |  SELECT record_id, grp, summary, blk2, g_first, s_first, blk_first,
+       |    trim(item_code) AS code, min(ord) AS code_first,
+       |    min_by(trim(item_name), ord) AS name
+       |  FROM b2 GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
+       |i1 AS (
+       |  SELECT record_id, grp, summary, blk2, g_first, s_first, blk_first,
+       |    list(name ORDER BY code_first) AS item_names
+       |  FROM i0 GROUP BY 1, 2, 3, 4, 5, 6, 7),
+       |c0 AS (
+       |  SELECT record_id, grp, summary, blk2, g_first, s_first, blk_first,
+       |    trim(comment) AS cmt, min(ord) AS cmt_first
+       |  FROM b2 GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
+       |c1 AS (
+       |  SELECT record_id, grp, summary, blk2, g_first, s_first, blk_first,
+       |    list(cmt ORDER BY cmt_first) AS comment_list
+       |  FROM c0 GROUP BY 1, 2, 3, 4, 5, 6, 7),
+       |e0 AS (
+       |  SELECT i1.*, c1.comment_list,
+       |    row_number() OVER (PARTITION BY i1.record_id, i1.grp
+       |      ORDER BY i1.s_first, i1.blk_first) AS blk_idx,
+       |    array_to_string(i1.item_names, '、') AS items_key
+       |  FROM i1 JOIN c1 USING (record_id, grp, summary, blk2, g_first, s_first, blk_first)),
+       |e1 AS (
+       |  SELECT *, min(blk_idx) OVER (PARTITION BY record_id, grp, items_key) AS first_seen
+       |  FROM e0),
+       |e2 AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY record_id, grp ORDER BY first_seen, blk_idx) AS block_ord,
+       |    lag(items_key) OVER (PARTITION BY record_id, grp ORDER BY first_seen, blk_idx) AS prev_key
+       |  FROM e1)
+       |SELECT record_id,
+       |  dense_rank() OVER (PARTITION BY record_id ORDER BY g_first) AS grp_ord,
+       |  trim(grp) AS grp, block_ord,
+       |  (prev_key IS NULL OR prev_key <> items_key) AS show_header,
+       |  items_key AS items,
+       |  array_to_string(comment_list, '、') AS comments,
+       |  trim(summary) AS summary
+       |FROM e2""".stripMargin
 
   /** Assemble reports: cleaned frame → one `(record_id, report, request)`
     * row per record, in request order (`text_processing.py:33-62`).
