@@ -255,6 +255,50 @@ object Dedup {
       .distinct()
   }
 
+  /** The composed MinHash dedup a user actually runs (d08): LSH band
+    * candidates ([[minhashCandidates]]) re-verified EXACTLY against the
+    * full shingle-hash arrays, keeping pairs with true Jaccard ≥
+    * `threshold` — the classic recall-from-bands / precision-from-verify
+    * split (Broder '97; the C4/GPT-3 dedup recipe).
+    *
+    * Semantics note vs [[jaccardPairs]]: the verify here computes TRUE
+    * Jaccard over each pair's complete hash sets — no [[MaxShingleDf]]
+    * involvement, because no per-shingle bucket expansion happens on the
+    * verify path (candidates arrive from the band join, whose cost is
+    * bounded by the band keys, not by shingle df). Output ⊆ the true-
+    * Jaccard pair set, missing only pairs the bands missed (recall
+    * (1-(1-t^r)^b); OpsSpec pins output = d02 ∩ d03 where the cap is
+    * slack).
+    *
+    * Scale shape: signatures are one map-side native pass (few dozen
+    * bytes/doc shuffled); the candidate set is band-bounded and tiny
+    * relative to the corpus; the verify is two hash equi-joins on doc id
+    * against a column-pruned re-projection of the hash arrays (same
+    * recompute-over-carry trade as [[jaccardPairsPrefix]] — shipping
+    * arrays through the band shuffle would multiply it by the array
+    * width). Output: `(doc_a, doc_b, inter, jaccard)`. */
+  def minhashVerifiedPairs(docs: DataFrame, id: String, text: String,
+                           threshold: Double, n: Int = 3): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    val cand = minhashCandidates(docs, id, text, n)
+    val arr = docs
+      .select(col(id).as("doc_id"),
+        expr(s"filter(split($text, ' '), x -> x <> '')").as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(col("doc_id"), expr(s"graft_shingle_hashes(tk, $n, 1)").as("hs"))
+    cand
+      .join(arr.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
+        size(col("hs")).cast("long").as("n_a")), Seq("doc_a"))
+      .join(arr.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"),
+        size(col("hs")).cast("long").as("n_b")), Seq("doc_b"))
+      .withColumn("inter",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+  }
+
   /** 32-bit SimHash signature per doc from term-frequency-weighted token
     * hashes, as ONE map-side native expression
     * ([[graft.functions.SimHash]]) — zero shuffles, embarrassingly
@@ -339,6 +383,9 @@ object Dedup {
       jaccardPairsPrefix(Tables.documents(s, d), "doc_id", "text", threshold = 0.6)),
     "d03_minhash_lsh" -> ((s, d) =>
       minhashCandidates(Tables.documents(s, d), "doc_id", "text")),
+    "d08_minhash_verified" -> ((s, d) =>
+      minhashVerifiedPairs(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.6)),
     "d04_simhash" -> ((s, d) =>
       simhash(Tables.documents(s, d), "doc_id", "text")),
     "d05_embedding_neardup" -> ((s, d) =>
@@ -401,6 +448,37 @@ object Dedup {
            |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
            |FROM bands a JOIN bands b
            |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""".stripMargin,
+      // d08 = the d03 band join (candidates) verified with TRUE Jaccard
+      // over the 60-bit shingle-hash sets (no df cap — see scaladoc).
+      "d08_minhash_verified" ->
+        s"""WITH $shinglesSql,
+           |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+           |shk AS (SELECT DISTINCT doc_id,
+           |    (${Hashing.polyHashSql("shingle")}) * 1000000009
+           |      + (${Hashing.polyHashSql("reverse(shingle)")}) AS sk
+           |  FROM sh),
+           |h AS (SELECT doc_id, ${Hashing.polyHashSql("shingle")} AS h FROM sh),
+           |sig AS (SELECT doc_id,
+           |  $mh
+           |  FROM h GROUP BY doc_id),
+           |bands AS (
+           |  $bandSelects),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+           |pr AS (
+           |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+           |  FROM cand c
+           |  JOIN shk a ON a.doc_id = c.doc_a
+           |  JOIN shk b ON b.doc_id = c.doc_b AND b.sk = a.sk
+           |  GROUP BY 1, 2)
+           |SELECT doc_a, doc_b, inter,
+           |  inter::DOUBLE / (ca.n_sh + cb.n_sh - inter)::DOUBLE AS jaccard
+           |FROM pr
+           |JOIN cnt ca ON pr.doc_a = ca.doc_id
+           |JOIN cnt cb ON pr.doc_b = cb.doc_id
+           |WHERE inter::DOUBLE / (ca.n_sh + cb.n_sh - inter)::DOUBLE >= 0.6""".stripMargin,
       "d04_simhash" ->
         s"""WITH tok AS (
            |  SELECT doc_id, token, count(*) AS cnt FROM (

@@ -91,6 +91,28 @@ class OpsSpec extends AnyFunSuite {
     assert(uncapped != full, "crafted corpus must actually exercise the df cap")
   }
 
+  test("d08 verified MinHash = exact pairs restricted to band candidates") {
+    // on testdata the df cap is slack, so d02 computes TRUE Jaccard —
+    // d08 must equal d02's rows for exactly the (doc_a, doc_b) the d03
+    // bands surfaced, with identical inter counts and jaccard doubles
+    val docs = Tables.documents(spark, sf)
+    val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.6)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val verified = Dedup.minhashVerifiedPairs(docs, "doc_id", "text", 0.6)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(verified.nonEmpty, "planted near-dups must survive verification")
+    val expected = exact.filter { case (k, _) => cand(k) }
+    assert(verified == expected,
+      s"missing=${(expected.keySet -- verified.keySet).take(3)} " +
+        s"extra=${(verified.keySet -- expected.keySet).take(3)}")
+  }
+
   test("c01 connected components: chain graph, clique merge, and union-find cross-check") {
     import spark.implicits._
     // a 6-node path (forces multiple propagation rounds: diameter 5),
