@@ -36,12 +36,11 @@ object Clusters {
 
   /** Connected components over an undirected pair list.
     *
-    * The RETURNED frame is cached (already materialized by the final
-    * convergence check) and stays so: its lineage encodes every
-    * propagation round, so dropping the cache would make any downstream
-    * action replay the whole iteration. Long-lived sessions should
-    * `unpersist()` it when done — same ownership contract as a
-    * checkpointed GraphX result.
+    * The RETURNED frame reads the final round's localCheckpoint (already
+    * materialized by the convergence check): downstream actions replay
+    * nothing, and the executor blocks are released by the context
+    * cleaner once the frame is unreferenced — same ownership contract
+    * as a checkpointed GraphX result.
     *
     * @param pairs frame with two id columns (`a`, `b`), each row an edge
     * @return `(doc_id, cluster_id)` — one row per node that appears in
@@ -51,9 +50,14 @@ object Clusters {
       .union(pairs.select(col(b).cast("long").as("src"), col(a).cast("long").as("dst")))
       .distinct()
       .cache()
+    // localCheckpoint, not cache: `next` references `labels` twice (join
+    // + union), so lineage doubles every round — harmless at dup-clique
+    // depth (2-3 rounds) but exponential on a high-diameter graph.
+    // Checkpointing materializes the round to executor blocks and cuts
+    // the plan; labels still never touch the driver.
     var labels = edges.select(col("src").as("id"), col("src").as("label"))
       .distinct()
-      .cache()
+      .localCheckpoint()
     // Convergence check rides the SAME aggregation that materializes the
     // round: labels are monotone non-increasing, so the label-sum
     // strictly decreases on every non-converged round and the fixpoint
@@ -76,15 +80,98 @@ object Clusters {
         .select(col("dst").as("id"), col("src_label").as("label"))
         .union(labels)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .cache()
+        .localCheckpoint()
       val nextSum = labelSum(next)
-      labels.unpersist()
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
     }
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** [[connectedComponents]] with the adversarial-graph escape hatch:
+    * `contract = true` switches to star contraction. */
+  def connectedComponents(pairs: DataFrame, a: String, b: String,
+                          contract: Boolean): DataFrame =
+    if (contract) connectedComponentsContracted(pairs, a, b)._1
+    else connectedComponents(pairs, a, b)
+
+  /** Connected components by STAR CONTRACTION (alternating large-star /
+    * small-star, Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the documented fix for min-label propagation's
+    * long-chain boundary: propagation needs diameter-many rounds (a
+    * pathological 1M-node chain = 1M shuffles), contraction halves path
+    * lengths every round and converges in O(log²·) rounds — ~10 for a
+    * 1000-node chain (pinned by OpsSpec).
+    *
+    * Round = two edge rewrites, each one hash shuffle + a per-node
+    * window min (no collect, no driver state beyond the convergence
+    * counters):
+    *  - LARGE-STAR: every node's strictly-larger neighbors re-link to
+    *    the minimum of its closed neighborhood — `min(v) over
+    *    (partition by u)` on the bidirected edge list, emit `(v,
+    *    least(min, u))` for `v > u`;
+    *  - SMALL-STAR: edges keyed by their larger endpoint re-link that
+    *    node and all its ≤-neighbors to their collective minimum.
+    * Both emit canonical `(hi, lo)` edges (`hi > lo` invariant holds by
+    * construction, so no re-canonicalization shuffle). Fixpoint = the
+    * edge set stops changing (exact `except` check, not a checksum); at
+    * fixpoint every component is a star centered on its minimum id.
+    *
+    * Output identical to [[connectedComponents]] (OpsSpec pins equality
+    * on the harness pairs, random graphs, and chains — so c01's oracle
+    * covers this path too). Returns (labels, rounds); rounds is the
+    * contraction-round count, exposed for the convergence spec. */
+  def connectedComponentsContracted(pairs: DataFrame, a: String,
+                                    b: String): (DataFrame, Int) = {
+    val raw = pairs
+      .select(col(a).cast("long").as("x"), col(b).cast("long").as("y"))
+    val nodes = raw
+      .select(explode(array(col("x"), col("y"))).as("id")).distinct()
+    // localCheckpoint (not cache): each round references the previous
+    // round's edges 4× (bidirect union + except), so lineage doubles per
+    // round — at the ~10 rounds a chain needs, an un-truncated plan is
+    // exponentially large before a single task runs. Checkpointing
+    // materializes to executor-local blocks and CUTS the plan, the
+    // standard idiom for iterative graph algorithms (GraphX does the
+    // same); propagation above survives on cache only because dup
+    // cliques converge in 2-3 rounds.
+    var edges = raw.filter(col("x") =!= col("y"))
+      .select(greatest(col("x"), col("y")).as("hi"),
+        least(col("x"), col("y")).as("lo"))
+      .distinct().localCheckpoint()
+    var n = edges.count()
+    var rounds = 0
+    var converged = n == 0L
+    import org.apache.spark.sql.expressions.Window
+    while (!converged) {
+      require(rounds < 100, "star contraction failed to converge in 100 rounds")
+      val wU = Window.partitionBy(col("u"))
+      val ls = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .union(edges.select(col("lo").as("u"), col("hi").as("v")))
+        .withColumn("m", least(min(col("v")).over(wU), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+      val wHi = Window.partitionBy(col("hi"))
+      val ss = ls.withColumn("m", min(col("lo")).over(wHi))
+      val next = ss.filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .union(ss.select(col("hi"), col("m").as("lo")))
+        .distinct().localCheckpoint()
+      val nNext = next.count()
+      converged = nNext == n && next.except(edges).isEmpty
+      edges = next
+      n = nNext
+      rounds += 1
+    }
+    // at fixpoint the edges are (member, component-min) stars; roots and
+    // self-loop-only nodes label themselves via the left join
+    val labels = nodes
+      .join(edges.select(col("hi").as("id"), col("lo").as("parent")), Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("parent"), col("id")).as("cluster_id"))
+    (labels, rounds)
   }
 
   /** Cluster summary: keeper (= cluster id = min doc id) and member

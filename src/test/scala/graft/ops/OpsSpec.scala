@@ -113,6 +113,34 @@ class OpsSpec extends AnyFunSuite {
         s"extra=${(verified.keySet -- expected.keySet).take(3)}")
   }
 
+  test("star contraction: 1000-node chain converges in O(log n) rounds") {
+    import spark.implicits._
+    // the adversarial case for min-label propagation: a path graph of
+    // diameter 999 (propagation would need ~500 rounds). Contraction
+    // must land every node on root 0 in ~log2(n) rounds.
+    val chain = (0L until 999L).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, rounds) = Clusters.connectedComponentsContracted(chain, "a", "b")
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 1000)
+    assert(got.forall(_._2 == 0L), s"non-root labels: ${got.filter(_._2 != 0L).take(3).mkString(",")}")
+    assert(rounds <= 20, s"chain took $rounds rounds — not O(log n)")
+  }
+
+  test("star contraction ≡ min-label propagation on random graphs and harness pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // sparse random graph: many small components, some with chains
+    val edges = (0 until 300).map(_ => (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .toDF("a", "b")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(asSet(Clusters.connectedComponents(edges, "a", "b", contract = true)) ==
+      asSet(Clusters.connectedComponents(edges, "a", "b")))
+    val pairs = Dedup.jaccardPairs(Tables.documents(spark, sf), "doc_id", "text", 0.6)
+    assert(asSet(Clusters.connectedComponents(pairs, "doc_a", "doc_b", contract = true)) ==
+      asSet(Clusters.connectedComponents(pairs, "doc_a", "doc_b")))
+  }
+
   test("c01 connected components: chain graph, clique merge, and union-find cross-check") {
     import spark.implicits._
     // a 6-node path (forces multiple propagation rounds: diameter 5),
