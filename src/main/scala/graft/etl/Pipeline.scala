@@ -52,6 +52,37 @@ object Pipeline {
     }
   }
 
+  /** EP1 as ONE LAZY Catalyst plan — the corpus-scale twin of
+    * [[runRecords]]. Same stage composition (flatten → enrich → clean →
+    * LLM rewrite join → report), but nothing is collected, cached, or
+    * localized: the returned frame is a pure logical plan the caller can
+    * sink with `df.write` / [[Sinks.writeReportJsonl]], `explain`, or
+    * compose further. Output is byte-identical to [[runRecords]]
+    * (pinned by `PipelinePropertiesSpec` on random requests and the
+    * golden fixtures) and `repartition(n)`-invariant — every
+    * order-dependent operator keys on the `_rid` / `_rec_ord` ingest
+    * ordinals, never on physical row order.
+    *
+    * Scale notes:
+    *  - the cleaned subtree feeds BOTH the rewrite-pair scan and the
+    *    report serializer; with no cache the fact scan appears twice in
+    *    the physical plan. At corpus scale persist the upstream `records`
+    *    frame (or checkpoint `Clean.clean`'s output) if the input scan is
+    *    expensive — the engine will not hide a persistence decision
+    *    inside a lazy API;
+    *  - dims resolve exactly as in [[runRecords]]: explicit dims are
+    *    broadcast after a left-semi restriction to the fact's codes;
+    *    fallback dims derive from the fact frame itself, still lazily.
+    */
+  def runDistributed(records: DataFrame, dims: Option[Dims] = None,
+                     client: Llm.RewriteClient = Llm.MockClient): DataFrame = {
+    val fact = Ingest.flatten(records)
+    val d = dims.getOrElse(Dims.fallback(fact)).restrictedTo(fact)
+    val cleaned = Clean.clean(Enrich.enrich(fact, d))
+    val rewrite = Llm.rewriteFrame(cleaned, client)
+    Report.reportJoined(cleaned, Ingest.requestEcho(records), rewrite)
+  }
+
   /** Collect a driver-sized result and rebuild it as a local DataFrame,
     * cutting all lineage to the pipeline's cached intermediates so they
     * can unpersist immediately. */

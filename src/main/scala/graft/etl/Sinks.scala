@@ -47,4 +47,36 @@ object Sinks {
   def jsonResponse(reports: DataFrame): String =
     jsonRecords(reports).collect().map(_.getString(0))
       .mkString("[", ", ", "]")
+
+  /** Report-table schema as it round-trips through the JSONL sink. */
+  val reportSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("record_id",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("report",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("request",
+        org.apache.spark.sql.types.StringType)))
+
+  /** S8 at scale — the sharded JSONL report sink. The single-file CSV /
+    * driver-side JSON shapes above mirror the reference's per-request
+    * artifacts (`text_processing.py:157-166,174`); this is the layout a
+    * corpus-sized [[Pipeline.runDistributed]] output actually lands in:
+    * one JSON object per line, `maxRecordsPerFile` bounding shard size
+    * WITHOUT a repartition (each task rolls to a new file at the limit),
+    * so the next consumer always gets splittable, evenly-sized shards.
+    * Round-trip (`readReportJsonl` ≡ input frame) is pinned by
+    * `SinksSpec`. */
+  def writeReportJsonl(reports: DataFrame, path: String,
+                       maxRecordsPerFile: Long = 1000000L): Unit =
+    graft.sources.CorpusSources.writeSharded(
+      reports.select(col("record_id"), col("report"), col("request")),
+      path, "json", maxRecordsPerFile)
+
+  /** Read a [[writeReportJsonl]] shard directory back — explicit schema
+    * (never inference: that would double-scan the corpus) on the same
+    * PERMISSIVE JSONL contract as [[graft.sources.CorpusSources]]. */
+  def readReportJsonl(spark: org.apache.spark.sql.SparkSession,
+                      path: String): DataFrame =
+    spark.read.schema(reportSchema).option("mode", "PERMISSIVE").json(path)
 }

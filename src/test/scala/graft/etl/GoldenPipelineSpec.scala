@@ -90,6 +90,21 @@ class GoldenPipelineSpec extends AnyFunSuite {
       "item names must come from the TC columns")
   }
 
+  test("runDistributed is golden-equal to run on sample and rich fixtures") {
+    val sample = Pipeline.run(spark, Pipeline.SampleRequest).collect().toSeq
+    val sampleLazy = Pipeline.runDistributed(
+      Ingest.parseBodies(spark.createDataset(Seq(Pipeline.SampleRequest))))
+      .collect().toSeq
+    assert(sampleLazy === sample)
+
+    val body = resource("/rich_request.json")
+    val rich = Pipeline.run(spark, body, dims = Some(richDims)).collect().toSeq
+    val richLazy = Pipeline.runDistributed(
+      Ingest.parseBodies(spark.createDataset(Seq(body))), Some(richDims))
+      .collect().toSeq
+    assert(richLazy === rich)
+  }
+
   test("pipeline output is invariant under input partitioning") {
     val body = resource("/rich_request.json")
     val records = Ingest.parseBodies(spark.createDataset(Seq(body)))

@@ -81,6 +81,87 @@ class PipelinePropertiesSpec extends AnyFunSuite {
       "pipeline intermediates must unpersist once the report materializes")
   }
 
+  test("runDistributed ≡ runRecords on random requests (marker client)") {
+    import spark.implicits._
+    val marker = new Llm.RewriteClient {
+      def rewrite(langNo: String, text: String): String = s"[RW:$langNo]$text"
+    }
+    Seq(11L, 29L).foreach { seed =>
+      val records = Ingest.parseBodies(
+        spark.createDataset(Seq(randomBody(seed, nRecords = 5))))
+      val eager = Pipeline.runRecords(records, client = marker).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).sortBy(_._1).toSeq
+      val lazyOut = Pipeline.runDistributed(records, client = marker).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).sortBy(_._1).toSeq
+      assert(eager.nonEmpty, s"seed $seed produced empty output")
+      assert(lazyOut == eager, s"seed $seed: runDistributed diverged from runRecords")
+    }
+  }
+
+  test("runDistributed composes without running any Spark job (fully lazy)") {
+    import spark.implicits._
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val descs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        descs.add(js.stageInfos.map(si => si.name + "@" + si.details.linesIterator
+          .take(3).mkString("|")).mkString(" / "))
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // the listener bus is async: job events from earlier tests may still be
+    // draining. Settle until the count is quiet before taking the baseline.
+    def settle(): Int = {
+      var last = -1
+      var quietSince = System.nanoTime()
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (System.nanoTime() < deadline &&
+             System.nanoTime() - quietSince < 500L * 1000 * 1000) {
+        val c = jobs.get()
+        if (c != last) { last = c; quietSince = System.nanoTime() }
+        Thread.sleep(25)
+      }
+      jobs.get()
+    }
+    try {
+      // a sentinel query's job count is not 1 under AQE (each query stage
+      // is its own job) — measure it instead of assuming
+      val cInit = settle()
+      spark.range(1).count()
+      val cA = settle()
+      val sentinelCost = cA - cInit
+      assert(sentinelCost > 0, "sentinel must run at least one job")
+      val records = Ingest.parseBodies(spark.createDataset(Seq(randomBody(1L, 3))))
+      val out = Pipeline.runDistributed(records)
+      // force full analysis — still no execution may happen
+      out.queryExecution.optimizedPlan
+      spark.range(1).count() // post-composition sentinel
+      val cB = settle()
+      assert(cB - cA == sentinelCost,
+        s"expected only the sentinel's $sentinelCost job(s); composition ran " +
+          s"${cB - cA - sentinelCost} extra: " + descs.toArray.mkString("[", "; ", "]"))
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+        "runDistributed must not cache anything")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("runDistributed is partition-count invariant on random requests") {
+    import spark.implicits._
+    Seq(13L, 37L).foreach { seed =>
+      val records = Ingest.parseBodies(spark.createDataset(Seq(randomBody(seed, 6))))
+      val base = Pipeline.runDistributed(records).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).sortBy(_._1).toSeq
+      assert(base.nonEmpty, s"seed $seed produced an empty pipeline output")
+      Seq(1, 5).foreach { n =>
+        val rep = Pipeline.runDistributed(records.repartition(n)).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getString(2))).sortBy(_._1).toSeq
+        assert(rep == base, s"seed $seed: output changed under repartition($n)")
+      }
+    }
+  }
+
   test("full pipeline is partition-count invariant on random requests") {
     import spark.implicits._
     Seq(3L, 17L, 42L).foreach { seed =>

@@ -40,6 +40,36 @@ class SinksSpec extends AnyFunSuite {
     assert(cleanedBack.count() == 2) // two findings in the sample request
   }
 
+  test("sharded JSONL report sink bounds shard size and round-trips") {
+    import spark.implicits._
+    val df = (1 to 10)
+      .map(i => (s"R$i", s"report line\nwith 縮排 $i", s"""{"RECORD_ID": "R$i"}"""))
+      .toDF("record_id", "report", "request")
+      .repartition(1) // single task → file rolling is purely maxRecordsPerFile
+    val dir = Files.createTempDirectory("graft_jsonl").toString + "/reports"
+    Sinks.writeReportJsonl(df, dir, maxRecordsPerFile = 3L)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+    assert(parts.length >= 4, s"10 rows at 3/file must roll ≥4 shards, got ${parts.length}")
+    val back = Sinks.readReportJsonl(spark, dir)
+    assert(back.schema === Sinks.reportSchema)
+    assert(back.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet ==
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet)
+  }
+
+  test("runDistributed output round-trips through the JSONL sink") {
+    import spark.implicits._
+    val out = Pipeline.runDistributed(
+      Ingest.parseBodies(spark.createDataset(Seq(Pipeline.SampleRequest))))
+    val dir = Files.createTempDirectory("graft_jsonl_ep1").toString + "/reports"
+    Sinks.writeReportJsonl(out, dir)
+    val back = Sinks.readReportJsonl(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).sortBy(_._1).toSeq
+    val direct = out.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).sortBy(_._1).toSeq
+    assert(back == direct && back.nonEmpty)
+  }
+
   test("json response matches the reference's [{\"report\": ...}] shape") {
     import spark.implicits._
     val df = Seq(("R1", "line1\nline2")).toDF("record_id", "report")
