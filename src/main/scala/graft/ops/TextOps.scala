@@ -125,6 +125,39 @@ object TextOps {
       .select(col("doc_id"), col("token"), col("tf"), col("df"))
   }
 
+  /** Seeded-sample estimate of the hottest token's document frequency —
+    * the statistic the [[tfDfAuto]] skew switch decides on. One small
+    * job over `fraction` of the corpus (distinct tokens per sampled doc
+    * → per-token count → max), scaled back up by 1/fraction. An
+    * AQE-style runtime-stats probe: O(sample) extra work, no second
+    * full corpus scan. */
+  private[graft] def estimatedMaxDf(docs: DataFrame, text: String,
+                                    fraction: Double, seed: Long): Long = {
+    val frac = math.min(1.0, math.max(fraction, 1e-4))
+    val sampledMax = docs.sample(withReplacement = false, frac, seed)
+      .select(explode(array_distinct(
+        expr(s"filter(split($text, ' '), x -> x <> '')"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .agg(coalesce(max(col("df")), lit(0L)).as("maxdf"))
+      .head().getLong(0)
+    math.round(sampledMax / frac)
+  }
+
+  /** [[tfDf]] with the skew decision made by the ENGINE, not a caller
+    * flag: probe the hottest token's df from a seeded sample and take
+    * the single-exchange window path while the hottest window partition
+    * stays comfortably task-sized, else the hot-token-safe
+    * groupBy+join path. Both paths compute the identical answer (the
+    * t06 oracle covers whichever fires), so the switch affects only
+    * the physical shape. `maxWindowDf` defaults to ~50M tf rows — tens
+    * of task-local GB headroom below that, exactly the [[tfDf]]
+    * skew-note boundary. */
+  def tfDfAuto(docs: DataFrame, id: String, text: String,
+               maxWindowDf: Long = 50L * 1000 * 1000,
+               sampleFraction: Double = 0.01, seed: Long = 42L): DataFrame =
+    tfDf(docs, id, text,
+      dfViaJoin = estimatedMaxDf(docs, text, sampleFraction, seed) > maxWindowDf)
+
   /** The hot-token-safe df shape (see [[tfDf]] skew note): re-aggregate
     * tf by token (map-side partials shrink each token to one row per
     * map partition) and shuffle-join back. Two corpus-derived
@@ -156,7 +189,7 @@ object TextOps {
         .select(col("doc_id"), col("lang").as("labeled_lang"),
           col("guessed_lang"), col("n_stopword_hits"))),
     "t06_tf_df" -> ((s, d) =>
-      tfDf(Tables.documents(s, d), "doc_id", "text")),
+      tfDfAuto(Tables.documents(s, d), "doc_id", "text")),
     "t07_redact" -> ((s, d) =>
       withRedaction(Tables.documents(s, d), "text")
         .select("doc_id", "redacted", "n_emails", "n_nums")))
