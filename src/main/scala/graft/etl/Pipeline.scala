@@ -65,10 +65,20 @@ object Pipeline {
     *
     * Scale notes:
     *  - the cleaned subtree feeds BOTH the rewrite-pair scan and the
-    *    report serializer; with no cache the fact scan appears twice in
-    *    the physical plan. At corpus scale persist the upstream `records`
-    *    frame (or checkpoint `Clean.clean`'s output) if the input scan is
-    *    expensive — the engine will not hide a persistence decision
+    *    report serializer (and `records` also feeds the request echo);
+    *    with no cache those subtrees evaluate independently. The input
+    *    must therefore be DETERMINISTIC — re-evaluating it must yield
+    *    the same rows — because the `_rid`/`_rec_ord` ordinals derive
+    *    from `monotonically_increasing_id`, and a nondeterministic
+    *    source (a `sample`, an unstable shuffle output, a task retry
+    *    over changing data) could assign different ordinals per branch,
+    *    silently changing keep-first dedup and output order. For such
+    *    sources persist or checkpoint `records` first; the
+    *    repartition-invariance guarantee holds only for deterministic
+    *    inputs. With no cache the fact scan also appears twice in the
+    *    physical plan — at corpus scale persist the upstream `records`
+    *    frame (or checkpoint `Clean.clean`'s output) if the input scan
+    *    is expensive; the engine will not hide a persistence decision
     *    inside a lazy API;
     *  - dims resolve exactly as in [[runRecords]]: explicit dims are
     *    broadcast after a left-semi restriction to the fact's codes;

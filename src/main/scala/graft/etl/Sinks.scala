@@ -64,7 +64,9 @@ object Sinks {
     * corpus-sized [[Pipeline.runDistributed]] output actually lands in:
     * one JSON object per line, `maxRecordsPerFile` bounding shard size
     * WITHOUT a repartition (each task rolls to a new file at the limit),
-    * so the next consumer always gets splittable, evenly-sized shards.
+    * so the next consumer always gets splittable, bounded-size shards
+    * (an upper bound per file — tasks with few rows still emit small
+    * shards).
     * Round-trip (`readReportJsonl` ≡ input frame) is pinned by
     * `SinksSpec`. */
   def writeReportJsonl(reports: DataFrame, path: String,

@@ -151,7 +151,15 @@ object TextOps {
     * t06 oracle covers whichever fires), so the switch affects only
     * the physical shape. `maxWindowDf` defaults to ~50M tf rows — tens
     * of task-local GB headroom below that, exactly the [[tfDf]]
-    * skew-note boundary. */
+    * skew-note boundary.
+    *
+    * EAGER at construction: the probe is a Spark job that runs when this
+    * method is CALLED, not when the returned frame executes — so
+    * `tfDfAuto` cannot sit inside a fully lazy composition (use [[tfDf]]
+    * with an explicit flag there), and any benchmark of the returned
+    * frame includes the probe's sample-scan cost. That is the AQE
+    * trade: one O(sample) job buys the right physical shape before the
+    * corpus-sized job runs. */
   def tfDfAuto(docs: DataFrame, id: String, text: String,
                maxWindowDf: Long = 50L * 1000 * 1000,
                sampleFraction: Double = 0.01, seed: Long = 42L): DataFrame =

@@ -112,17 +112,10 @@ class PipelinePropertiesSpec extends AnyFunSuite {
     }
     spark.sparkContext.addSparkListener(listener)
     // the listener bus is async: job events from earlier tests may still be
-    // draining. Settle until the count is quiet before taking the baseline.
+    // draining. Drain it fully (not a wall-clock quiet period, which can
+    // flake on a loaded machine) before reading the counter.
     def settle(): Int = {
-      var last = -1
-      var quietSince = System.nanoTime()
-      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
-      while (System.nanoTime() < deadline &&
-             System.nanoTime() - quietSince < 500L * 1000 * 1000) {
-        val c = jobs.get()
-        if (c != last) { last = c; quietSince = System.nanoTime() }
-        Thread.sleep(25)
-      }
+      org.apache.spark.graft.TestListenerBus.waitUntilEmpty(spark.sparkContext)
       jobs.get()
     }
     try {

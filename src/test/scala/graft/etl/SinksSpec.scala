@@ -53,8 +53,13 @@ class SinksSpec extends AnyFunSuite {
     assert(parts.length >= 4, s"10 rows at 3/file must roll ≥4 shards, got ${parts.length}")
     val back = Sinks.readReportJsonl(spark, dir)
     assert(back.schema === Sinks.reportSchema)
-    assert(back.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet ==
-      df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet)
+    // Sorted-sequence compare, not Set: a file-rolling sink's failure
+    // mode is duplicating or dropping rows with identical content.
+    assert(back.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1).toSeq ==
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        .sortBy(_._1).toSeq)
+    assert(back.count() == df.count())
   }
 
   test("runDistributed output round-trips through the JSONL sink") {
