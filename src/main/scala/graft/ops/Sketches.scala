@@ -35,32 +35,46 @@ import org.apache.spark.sql.functions._
   * count exactly (n small enough to correct is small enough to count).
   */
 object Sketches {
-  /** Register-count exponent: m = 2^p = 64 registers → ~13% standard
-    * error, tiny enough that the oracle SQL stays readable. */
+  /** DEFAULT register-count exponent: m = 2^p = 64 registers → ~13%
+    * standard error, tiny enough that the oracle SQL stays readable.
+    * Every entry point takes `p` as a parameter (4 ≤ p ≤ 16); standard
+    * error is 1.04/√m, so p=8 (m=256) → 6.5%, p=12 (m=4096) → 1.6%.
+    * The shuffle still carries at most m rows whatever the input. */
   val P2: Int = 6
   val M: Int = 1 << P2
 
-  /** alpha_m for m = 64 (Flajolet et al. 2007, the published constant
-    * for m ≥ 64: 0.709). */
-  val Alpha: Double = 0.709
+  /** alpha_m (Flajolet et al. 2007): published constants for small m,
+    * the asymptotic formula for m ≥ 128. */
+  def alphaFor(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _  => 0.7213 / (1.0 + 1.079 / m)
+  }
 
-  /** Bit length of the post-bucket hash remainder: polyHash < 2^30,
-    * so h div 64 < 2^24. */
-  val WBits: Int = 24
+  /** alpha for the default m = 64. */
+  val Alpha: Double = alphaFor(M)
 
-  private def bitLenCase(w: String): Column = {
-    // bitlength(w) as a nested CASE over the 24 possible widths — pure
+  /** Bit length of the post-bucket hash remainder: the scattered
+    * polyHash is < [[Hashing.P]] < 2^30, so h div 2^p < 2^(30−p). */
+  def wBits(p: Int): Int = 30 - p
+
+  /** [[wBits]] for the default p. */
+  val WBits: Int = wBits(P2)
+
+  private def bitLenCase(w: String, bits: Int): Column = {
+    // bitlength(w) as a nested CASE over the possible widths — pure
     // integer compares, portable to any SQL engine. Ascending fold so
     // the WIDEST width check lands outermost (the conditions overlap:
-    // w ≥ 2^23 implies w ≥ 1, so nesting order is load-bearing).
-    (1 to WBits).foldLeft(lit(0)) { (acc, k) =>
+    // w ≥ 2^(bits-1) implies w ≥ 1, so nesting order is load-bearing).
+    (1 to bits).foldLeft(lit(0)) { (acc, k) =>
       when(expr(w) >= (1L << (k - 1)), lit(k)).otherwise(acc)
     }
   }
 
   /** SQL fragment mirroring [[bitLenCase]]. */
-  private def bitLenSql(w: String): String =
-    "CASE " + (WBits to 1 by -1).map { k =>
+  private def bitLenSql(w: String, bits: Int): String =
+    "CASE " + (bits to 1 by -1).map { k =>
       s"WHEN $w >= ${1L << (k - 1)} THEN $k"
     }.mkString(" ") + " ELSE 0 END"
 
@@ -73,19 +87,21 @@ object Sketches {
   val ScatterB: Long = Hashing.MinHashB(1)
 
   /** The HLL REGISTER TABLE of a string column: `(bucket, r)`, at most
-    * [[M]] rows. This is the mergeable artifact — persist one per
+    * 2^p rows. This is the mergeable artifact — persist one per
     * shard/day/source and [[hllMerge]] them later; max-per-bucket makes
     * merge associative, commutative, and idempotent, so any merge tree
-    * over any partitioning yields the identical registers. */
-  def hllRegisters(df: DataFrame, valueCol: String): DataFrame = {
+    * over any partitioning yields the identical registers. Merge only
+    * register tables built with the SAME p. */
+  def hllRegisters(df: DataFrame, valueCol: String, p: Int = P2): DataFrame = {
+    val m = 1 << p
     graft.functions.VectorFunctions.register(df.sparkSession)
     df
       .select(expr(
         s"(graft_polyhash(cast($valueCol as string)) * ${ScatterA}L + ${ScatterB}L) % ${Hashing.P}L")
         .as("h"))
       .filter(col("h").isNotNull)
-      .select((col("h") % M).as("bucket"), expr(s"h div $M").as("w"))
-      .select(col("bucket"), (lit(WBits) - bitLenCase("w") + 1).as("rho"))
+      .select((col("h") % m).as("bucket"), expr(s"h div $m").as("w"))
+      .select(col("bucket"), (lit(wBits(p)) - bitLenCase("w", wBits(p)) + 1).as("rho"))
       .groupBy(col("bucket")).agg(max(col("rho")).as("r"))
   }
 
@@ -94,9 +110,10 @@ object Sketches {
     registers.reduce(_ unionByName _)
       .groupBy(col("bucket")).agg(max(col("r")).as("r"))
 
-  /** The estimate read-out of a register table. Output: one row
-    * `(n_registers, est)`. */
-  def hllEstimate(registers: DataFrame): DataFrame =
+  /** The estimate read-out of a register table built with exponent `p`.
+    * Output: one row `(n_registers, est)`. */
+  def hllEstimate(registers: DataFrame, p: Int = P2): DataFrame = {
+    val m = 1 << p
     // Σ 2^-r over the m registers; buckets never hit contribute 2^0 = 1
     // (m − hit count of them). power-of-two doubles and the ordered sum
     // keep the arithmetic exact cross-engine.
@@ -106,14 +123,15 @@ object Sketches {
       // SQL NULL; the defined small-n estimate there is the m-empty-
       // register read-out (s = 0, hit = 0 → est = α·m²/m), not NULL
       .agg(count(lit(1)).as("hit"), coalesce(sum(col("t")), lit(0.0)).as("s"))
-      .select(lit(M.toLong).as("n_registers"),
-        (lit(Alpha * M * M) / (col("s") + (lit(M) - col("hit")).cast("double")))
+      .select(lit(m.toLong).as("n_registers"),
+        (lit(alphaFor(m) * m * m) / (col("s") + (lit(m) - col("hit")).cast("double")))
           .as("est"))
+  }
 
   /** HLL distinct estimate of a string column. Output: one row
     * `(n_registers, est)`. */
-  def hllDistinct(df: DataFrame, valueCol: String): DataFrame =
-    hllEstimate(hllRegisters(df, valueCol))
+  def hllDistinct(df: DataFrame, valueCol: String, p: Int = P2): DataFrame =
+    hllEstimate(hllRegisters(df, valueCol, p), p)
 
   /** Per-GROUP HLL distinct estimate — the common production shape
     * (distinct users per day, distinct tokens per source, …). One
@@ -121,22 +139,25 @@ object Sketches {
     * m rows per group whatever the input size, vs count(DISTINCT)'s
     * full value stream — THE reason to sketch at 100 TB. Read-out is
     * the same exact arithmetic per group. Output: `(group, est)`. */
-  def hllDistinctBy(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+  def hllDistinctBy(df: DataFrame, groupCol: String, valueCol: String,
+                    p: Int = P2): DataFrame = {
+    val m = 1 << p
     graft.functions.VectorFunctions.register(df.sparkSession)
     df
       .select(col(groupCol).as("grp"), expr(
         s"(graft_polyhash(cast($valueCol as string)) * ${ScatterA}L + ${ScatterB}L) % ${Hashing.P}L")
         .as("h"))
       .filter(col("h").isNotNull)
-      .select(col("grp"), (col("h") % M).as("bucket"), expr(s"h div $M").as("w"))
-      .select(col("grp"), col("bucket"), (lit(WBits) - bitLenCase("w") + 1).as("rho"))
+      .select(col("grp"), (col("h") % m).as("bucket"), expr(s"h div $m").as("w"))
+      .select(col("grp"), col("bucket"),
+        (lit(wBits(p)) - bitLenCase("w", wBits(p)) + 1).as("rho"))
       .groupBy(col("grp"), col("bucket")).agg(max(col("rho")).as("r"))
       .select(col("grp"),
         expr("cast(power(2.0D, -cast(r as double)) as double)").as("t"))
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("hit"), sum(col("t")).as("s"))
       .select(col("grp"),
-        (lit(Alpha * M * M) / (col("s") + (lit(M) - col("hit")).cast("double")))
+        (lit(alphaFor(m) * m * m) / (col("s") + (lit(m) - col("hit")).cast("double")))
           .as("est"))
   }
 
@@ -183,6 +204,39 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  /** DuckDB oracle for [[hllDistinct]] — generated per precision so any
+    * p runs the identical arithmetic the Spark plan does. */
+  def hllDistinctSql(table: String, valueSql: String, p: Int): String = {
+    val m = 1 << p
+    val ph = Hashing.polyHashSql(valueSql)
+    s"""WITH h AS (SELECT (($ph) * $ScatterA + $ScatterB) % ${Hashing.P} AS h FROM $table),
+       |b AS (SELECT h % $m AS bucket, h // $m AS w FROM h WHERE h IS NOT NULL),
+       |r AS (SELECT bucket, max(${wBits(p)} - (${bitLenSql("w", wBits(p))}) + 1) AS r
+       |      FROM b GROUP BY bucket),
+       |s AS (SELECT count(*) AS hit, sum(power(2.0, -r)) AS s FROM r)
+       |SELECT ${m}::BIGINT AS n_registers,
+       |  ${alphaFor(m) * m * m} / (s + ($m - hit)::DOUBLE) AS est
+       |FROM s""".stripMargin
+  }
+
+  /** DuckDB oracle for [[hllDistinctBy]], generated per precision. */
+  def hllByGroupSql(table: String, groupSql: String, groupOut: String,
+                    valueSql: String, p: Int): String = {
+    val m = 1 << p
+    val ph = Hashing.polyHashSql(valueSql)
+    s"""WITH h AS (
+       |  SELECT $groupSql AS grp,
+       |    (($ph) * $ScatterA + $ScatterB) % ${Hashing.P} AS h
+       |  FROM $table),
+       |b AS (SELECT grp, h % $m AS bucket, h // $m AS w FROM h WHERE h IS NOT NULL),
+       |r AS (SELECT grp, bucket, max(${wBits(p)} - (${bitLenSql("w", wBits(p))}) + 1) AS r
+       |      FROM b GROUP BY grp, bucket),
+       |s AS (SELECT grp, count(*) AS hit, sum(power(2.0, -r)) AS s FROM r GROUP BY grp)
+       |SELECT grp AS $groupOut,
+       |  ${alphaFor(m) * m * m} / (s + ($m - hit)::DOUBLE) AS est
+       |FROM s""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // distinct suppliers-per-part key space on lineitem: ~20k-80k
     // distinct values at test SFs — squarely the raw-HLL regime n >> 64
@@ -195,34 +249,22 @@ object Sketches {
     // distinct parts per returnflag — per-group sketch read-out
     "x03_hll_by_group" -> ((s, d) =>
       hllDistinctBy(Tables.lineitem(s, d), "l_returnflag", "l_partkey")
-        .withColumnRenamed("grp", "l_returnflag")))
+        .withColumnRenamed("grp", "l_returnflag")),
+    // the same distinct-count at 4x the default precision (m=256,
+    // ~6.5% se): pins the per-p generation path end to end — registers,
+    // alpha, wBits, and the generated oracle all re-derive from p
+    "x04_hll_p8" -> ((s, d) =>
+      hllDistinct(Tables.lineitem(s, d).select(col("l_partkey")), "l_partkey",
+        p = 8)))
 
   def oracle: Map[String, String] = Map(
-    "x01_hll_distinct" -> {
-      val ph = Hashing.polyHashSql("CAST(l_partkey AS VARCHAR)")
-      s"""WITH h AS (SELECT (($ph) * $ScatterA + $ScatterB) % ${Hashing.P} AS h FROM lineitem),
-         |b AS (SELECT h % $M AS bucket, h // $M AS w FROM h WHERE h IS NOT NULL),
-         |r AS (SELECT bucket, max($WBits - (${bitLenSql("w")}) + 1) AS r
-         |      FROM b GROUP BY bucket),
-         |s AS (SELECT count(*) AS hit, sum(power(2.0, -r)) AS s FROM r)
-         |SELECT ${M}::BIGINT AS n_registers,
-         |  ${Alpha * M * M} / (s + ($M - hit)::DOUBLE) AS est
-         |FROM s""".stripMargin
-    },
-    "x03_hll_by_group" -> {
-      val ph = Hashing.polyHashSql("CAST(l_partkey AS VARCHAR)")
-      s"""WITH h AS (
-         |  SELECT l_returnflag AS grp,
-         |    (($ph) * $ScatterA + $ScatterB) % ${Hashing.P} AS h
-         |  FROM lineitem),
-         |b AS (SELECT grp, h % $M AS bucket, h // $M AS w FROM h WHERE h IS NOT NULL),
-         |r AS (SELECT grp, bucket, max($WBits - (${bitLenSql("w")}) + 1) AS r
-         |      FROM b GROUP BY grp, bucket),
-         |s AS (SELECT grp, count(*) AS hit, sum(power(2.0, -r)) AS s FROM r GROUP BY grp)
-         |SELECT grp AS l_returnflag,
-         |  ${Alpha * M * M} / (s + ($M - hit)::DOUBLE) AS est
-         |FROM s""".stripMargin
-    },
+    "x01_hll_distinct" ->
+      hllDistinctSql("lineitem", "CAST(l_partkey AS VARCHAR)", P2),
+    "x03_hll_by_group" ->
+      hllByGroupSql("lineitem", "l_returnflag", "l_returnflag",
+        "CAST(l_partkey AS VARCHAR)", P2),
+    "x04_hll_p8" ->
+      hllDistinctSql("lineitem", "CAST(l_partkey AS VARCHAR)", 8),
     "x02_cms_freq" -> {
       val ph = Hashing.polyHashSql("token")
       val cellUnion = (0 until CmsDepth).map { i =>

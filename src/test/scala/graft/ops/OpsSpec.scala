@@ -291,6 +291,27 @@ class OpsSpec extends AnyFunSuite {
     assert(est == est13, "estimate must be partition-invariant bit-for-bit")
   }
 
+  test("x04 HLL at m=256: within 3 standard errors, tighter regime than m=64") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+    val exact = li.select("l_partkey").distinct().count().toDouble
+    val est = Sketches.hllDistinct(li.select("l_partkey"), "l_partkey", p = 8)
+      .collect().head
+    assert(est.getLong(0) == 256L, "n_registers must report 2^p")
+    // m = 256 → standard error 1.04/sqrt(256) = 6.5%; allow 3 sigma
+    assert(math.abs(est.getDouble(1) - exact) / exact < 0.195,
+      s"p=8 est ${est.getDouble(1)} vs exact $exact out of 3-sigma tolerance")
+    // per-p merge stays bit-exact: disjoint shards at p=8 ≡ whole input
+    val (a, b) = (li.filter(col("l_partkey") % 2 === 0).select("l_partkey"),
+      li.filter(col("l_partkey") % 2 =!= 0).select("l_partkey"))
+    val merged = Sketches.hllEstimate(
+      Sketches.hllMerge(
+        Sketches.hllRegisters(a, "l_partkey", p = 8),
+        Sketches.hllRegisters(b, "l_partkey", p = 8)), p = 8)
+      .collect().head.getDouble(1)
+    assert(merged == est.getDouble(1),
+      "p=8 shard-merge must be bit-identical to whole-input")
+  }
+
   test("x01 register merge of disjoint shards equals the whole-input sketch") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.01").select("l_partkey")
     val (a, b) = (li.filter(col("l_partkey") % 2 === 0),
