@@ -205,6 +205,22 @@ object Clusters {
       dedupCorpus(Tables.documents(s, d), "doc_id",
         Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", threshold = 0.6),
         "doc_a", "doc_b")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
+    // c01/c02 over the SCALE pair source: d08's band-then-verify
+    // (minhashVerifiedPairs) — the pipeline a corpus-scale user actually
+    // runs, where candidate generation is band-bounded instead of
+    // bucket-expanded. Composed oracle: the d08 pair SQL feeds the same
+    // recursive-CTE fixpoint.
+    "c03_clusters_minhash" -> ((s, d) =>
+      connectedComponents(
+        Dedup.minhashVerifiedPairs(Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.6),
+        "doc_a", "doc_b")),
+    "c04_dedup_minhash" -> ((s, d) =>
+      dedupCorpus(Tables.documents(s, d), "doc_id",
+        Dedup.minhashVerifiedPairs(Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.6),
+        "doc_a", "doc_b")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))))
 
   def oracle: Map[String, String] = Map(
@@ -226,6 +242,34 @@ object Clusters {
     },
     "c02_dedup_corpus" -> {
       val pairsSql = Dedup.oracle("d02_ngram_jaccard")
+      s"""WITH RECURSIVE pairs AS ($pairsSql),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |comp(id, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, c.label FROM comp c JOIN edges e ON e.src = c.id),
+         |lab AS (SELECT id, min(label) AS cluster FROM comp GROUP BY id)
+         |SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM lab WHERE cluster < id)""".stripMargin
+    },
+    "c03_clusters_minhash" -> {
+      val pairsSql = Dedup.oracle("d08_minhash_verified")
+      s"""WITH RECURSIVE pairs AS ($pairsSql),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |comp(id, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, c.label FROM comp c JOIN edges e ON e.src = c.id)
+         |SELECT id AS doc_id, min(label) AS cluster_id FROM comp GROUP BY id""".stripMargin
+    },
+    "c04_dedup_minhash" -> {
+      val pairsSql = Dedup.oracle("d08_minhash_verified")
       s"""WITH RECURSIVE pairs AS ($pairsSql),
          |edges AS (
          |  SELECT doc_a AS src, doc_b AS dst FROM pairs

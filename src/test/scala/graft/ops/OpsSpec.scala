@@ -180,6 +180,28 @@ class OpsSpec extends AnyFunSuite {
     assert(none.count() == 0)
   }
 
+  test("c03/c04 minhash-sourced clustering: subset of exact-pair clustering, consistent corpus") {
+    // band recall can only DROP edges vs the exact d02 pair set, so every
+    // c03 cluster assignment must map each doc to a label ≥ its c01 label
+    // (fewer merges → labels can only stay or split upward), and c04 must
+    // keep a superset of c02's kept docs
+    val c01 = Clusters.queries("c01_dup_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val c03 = Clusters.queries("c03_clusters_minhash")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c03.keySet.subsetOf(c01.keySet),
+      "minhash-paired docs must be a subset of exact-paired docs")
+    c03.foreach { case (id, label) =>
+      assert(label >= c01(id), s"doc $id: band-sourced label $label below exact ${c01(id)}")
+    }
+    val c02Kept = Clusters.queries("c02_dedup_corpus")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val c04Kept = Clusters.queries("c04_dedup_minhash")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(c02Kept.subsetOf(c04Kept),
+      "dropping edges can only keep MORE docs — c04 must cover c02's keepers")
+  }
+
   test("c02 dedup corpus keeps exactly one doc per cluster plus all unpaired docs") {
     val total = Tables.documents(spark, sf).count()
     val comps = Clusters.queries("c01_dup_clusters")(spark, sf)
