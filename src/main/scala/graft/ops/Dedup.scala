@@ -299,6 +299,47 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
   }
 
+  /** Cross-corpus n-gram contamination (d09) — benchmark
+    * DECONTAMINATION, the step a training pipeline runs before any
+    * model sees the corpus: find every training document sharing at
+    * least one token-n-gram with a held-out/benchmark set, so those
+    * docs can be dropped or scrubbed (the GPT-3/PaLM n-gram-overlap
+    * recipe).
+    *
+    * Scale shape: the probe side is a benchmark — thousands of docs,
+    * small BY DEFINITION — so its distinct shingle-hash set broadcasts
+    * and the corpus side stays one map-side native-hash pass + an
+    * explode filtered by the broadcast hash join, then a groupBy on
+    * (doc, hash) cardinality. No shuffle ever carries corpus token
+    * data except the per-doc hit counts. If the probe outgrows
+    * broadcast, drop the `broadcast` hint and Spark falls back to a
+    * hash join on `sk` — same result. Hashes are the same 60-bit
+    * portable shingle keys as [[jaccardPairs]] (collision inflates a
+    * hit count by 1 with ~2^-60 probability).
+    *
+    * Output: `(doc_id, n_hits)` — corpus docs with ≥1 shared n-gram and
+    * how many distinct probe n-grams they contain. Anti-join the ids
+    * against the corpus to decontaminate. */
+  def contaminationHits(corpus: DataFrame, id: String, text: String,
+                        probe: DataFrame, probeText: String,
+                        n: Int = 3): DataFrame = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
+    val probeSet = probe
+      .select(expr(s"filter(split($probeText, ' '), x -> x <> '')").as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(explode(expr(s"graft_shingle_hashes(tk, $n, 1)")).as("sk"))
+      .distinct()
+    // graft_shingle_hashes already dedups within a doc, so (doc_id, sk)
+    // is distinct without a shuffle
+    val corpusSh = corpus
+      .select(col(id).as("doc_id"),
+        expr(s"filter(split($text, ' '), x -> x <> '')").as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(col("doc_id"), explode(expr(s"graft_shingle_hashes(tk, $n, 1)")).as("sk"))
+    corpusSh.join(broadcast(probeSet), Seq("sk"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+  }
+
   /** 32-bit SimHash signature per doc from term-frequency-weighted token
     * hashes, as ONE map-side native expression
     * ([[graft.functions.SimHash]]) — zero shuffles, embarrassingly
@@ -391,7 +432,15 @@ object Dedup {
     "d05_embedding_neardup" -> ((s, d) =>
       cosineNearDup(Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.45)),
     "d07_neardup_lsh" -> ((s, d) =>
-      cosineNearDupLsh(Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.45)))
+      cosineNearDupLsh(Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.45)),
+    // decontamination: src0 docs stand in for the held-out benchmark,
+    // the remaining 19 sources are the training corpus
+    "d09_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      contaminationHits(
+        docs.filter(col("source") =!= "src0"), "doc_id", "text",
+        docs.filter(col("source") === "src0"), "text")
+    }))
 
   /** DuckDB CTE mirroring [[shingles]] with n=3 — `sh(doc_id, shingle)`. */
   private val shinglesSql: String =
@@ -527,6 +576,27 @@ object Dedup {
            |           (acc, x) -> acc + x) / (a.nrm * b.nrm) AS cos
            |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) pairs
            |WHERE cos >= 0.45""".stripMargin
+      },
+      // d09 — the same 60-bit shingle keys, one side filtered to the
+      // probe sub-corpus, counted per training doc
+      "d09_decontaminate" -> {
+        def shingleKeys(cte: String, where: String) =
+          s"""tk$cte AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |       FROM documents WHERE ($where)
+             |         AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 3),
+             |sh$cte AS (SELECT DISTINCT doc_id, shingle FROM (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+             |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle FROM tk$cte) raw),
+             |sk$cte AS (SELECT DISTINCT doc_id,
+             |    (${Hashing.polyHashSql("shingle")}) * 1000000009
+             |      + (${Hashing.polyHashSql("reverse(shingle)")}) AS sk
+             |  FROM sh$cte)""".stripMargin
+        s"""WITH ${shingleKeys("c", "source <> 'src0'")},
+           |${shingleKeys("p", "source = 'src0'")},
+           |probe AS (SELECT DISTINCT sk FROM skp)
+           |SELECT c.doc_id, count(*) AS n_hits
+           |FROM skc c JOIN probe USING (sk)
+           |GROUP BY c.doc_id""".stripMargin
       })
   }
 }

@@ -75,6 +75,45 @@ object Sampling {
       .filter(col("rk") <= k)
   }
 
+  /** Deterministic train/val/test split assignment (s03) — every
+    * training pipeline's first partitioning decision. Each row lands in
+    * the split whose cumulative hash range covers `h(id)`: the
+    * assignment is a pure map-side expression (zero shuffles, zero
+    * state), stable under repartition/recovery/re-runs (same affine-
+    * hash coin as [[sampleByRate]]), and docs never migrate between
+    * splits when the corpus grows — the membership of a given id is a
+    * function of the id alone, the property that keeps yesterday's test
+    * set uncontaminated by tomorrow's training run.
+    *
+    * `splits` are (name, weight) in order; weights normalize to 1. */
+  def splitAssign(df: DataFrame, id: String,
+                  splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "at least one split")
+    val total = splits.map(_._2).sum
+    // cumulative EXACT long thresholds — engines agree bit-for-bit
+    val cuts = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
+      .tail.map(f => (f * P).toLong)
+    val c = splits.map(_._1).zip(cuts).init
+      .foldRight(lit(splits.last._1): Column) { case ((name, cut), acc) =>
+        when(h(id) < cut, lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", c)
+  }
+
+  /** The CASE expression of [[splitAssign]] as oracle SQL. */
+  private def splitSql(id: String, splits: Seq[(String, Double)]): String = {
+    val total = splits.map(_._2).sum
+    val cuts = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
+      .tail.map(f => (f * P).toLong)
+    "CASE " + splits.map(_._1).zip(cuts).init.map { case (name, cut) =>
+      s"WHEN ${hSql(id)} < $cut THEN '$name'"
+    }.mkString(" ") + s" ELSE '${splits.last._1}' END"
+  }
+
+  /** The split spec the s03 harness query instantiates. */
+  val DefaultSplits: Seq[(String, Double)] =
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_sample_rate" -> ((s, d) =>
       sampleByRate(Tables.documents(s, d), "doc_id", "lang",
@@ -82,7 +121,10 @@ object Sampling {
         .select(col("doc_id"), col("lang"), col("source"))),
     "s02_sample_fixed" -> ((s, d) =>
       sampleFixedPerStratum(Tables.documents(s, d), "doc_id", "lang", k = 20)
-        .select(col("lang"), col("doc_id"), col("rk"))))
+        .select(col("lang"), col("doc_id"), col("rk"))),
+    "s03_split_assign" -> ((s, d) =>
+      splitAssign(Tables.documents(s, d), "doc_id", DefaultSplits)
+        .select(col("doc_id"), col("split"))))
 
   def oracle: Map[String, String] = Map(
     "s01_sample_rate" ->
@@ -95,5 +137,8 @@ object Sampling {
          |    row_number() OVER (PARTITION BY lang
          |                       ORDER BY ${hSql("doc_id")}, doc_id) AS rk
          |  FROM documents) ranked
-         |WHERE rk <= 20""".stripMargin)
+         |WHERE rk <= 20""".stripMargin,
+    "s03_split_assign" ->
+      s"""SELECT doc_id, ${splitSql("doc_id", DefaultSplits)} AS split
+         |FROM documents""".stripMargin)
 }

@@ -161,6 +161,66 @@ object Sketches {
           .as("est"))
   }
 
+  /** The HISTOGRAM REGISTER TABLE of a numeric column: `(bkt, cnt)`
+    * with `bkt = floor(value / width)` — the mergeable quantile-sketch
+    * artifact, same ownership model as [[hllRegisters]]: persist one
+    * per shard/day/source, [[histMerge]] later, read quantiles out with
+    * [[histQuantiles]]. Per-bucket counts are plain sums, so merge is
+    * associative/commutative and any merge tree over any partitioning
+    * yields identical registers; the shuffle carries at most
+    * range/width rows regardless of input size. Error is deterministic,
+    * not probabilistic: a quantile read-out is exact to its bucket —
+    * est ≤ true quantile < est + width. (q24/q25 are the exact twins;
+    * this is the artifact you keep when the data is gone.) NULLs and
+    * NaNs are excluded (no bucket). */
+  def histRegisters(df: DataFrame, valueCol: String, width: Double): DataFrame =
+    df.select(floor(col(valueCol).cast("double") / width).cast("long").as("bkt"))
+      .filter(col("bkt").isNotNull)
+      .groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))
+
+  /** Merge histogram register tables built with the SAME width. */
+  def histMerge(registers: DataFrame*): DataFrame =
+    registers.reduce(_ unionByName _)
+      .groupBy(col("bkt")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Quantile read-out of a histogram register table: for each
+    * requested q, the lower edge of the bucket containing rank
+    * `ceil(n·q)`. One row, one column per label. The cumulative window
+    * here is a single-partition sort over the REGISTER table — bounded
+    * by range/width (thousands of rows), never by the corpus; the
+    * corpus-sized work all happened map-side in [[histRegisters]]. */
+  def histQuantiles(registers: DataFrame, width: Double,
+                    qs: Seq[(Double, String)]): DataFrame = {
+    val cum = registers
+      .withColumn("cum", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("bkt"))))
+      .withColumn("n", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+    cum.agg(
+      qs.head match { case (q, label) =>
+        (min(when(col("cum") >= ceil(col("n") * q), col("bkt"))) * width)
+          .cast("double").as(label) },
+      qs.tail.map { case (q, label) =>
+        (min(when(col("cum") >= ceil(col("n") * q), col("bkt"))) * width)
+          .cast("double").as(label) }: _*)
+  }
+
+  /** DuckDB oracle for [[histRegisters]] → [[histQuantiles]]. */
+  def histQuantilesSql(table: String, valueSql: String, width: Double,
+                       qs: Seq[(Double, String)]): String = {
+    val sels = qs.map { case (q, label) =>
+      s"CAST(min(CASE WHEN cum >= ceil(n * $q) THEN bkt END) * $width AS DOUBLE) AS $label"
+    }.mkString(",\n  ")
+    s"""WITH r AS (
+       |  SELECT CAST(floor(($valueSql)::DOUBLE / $width) AS BIGINT) AS bkt,
+       |    count(*) AS cnt
+       |  FROM $table WHERE ($valueSql) IS NOT NULL GROUP BY 1),
+       |c AS (SELECT bkt,
+       |  CAST(sum(cnt) OVER (ORDER BY bkt) AS BIGINT) AS cum,
+       |  CAST(sum(cnt) OVER () AS BIGINT) AS n FROM r)
+       |SELECT $sels FROM c""".stripMargin
+  }
+
   /** Count-Min sketch width (columns per hash row) and depth (hash
     * rows). w=1024, d=3: overestimate ≤ 2e/w · N ≈ 0.5% of the stream
     * per probe with probability 1−e^−d ≈ 95% (Cormode & Muthukrishnan
@@ -255,7 +315,13 @@ object Sketches {
     // alpha, wBits, and the generated oracle all re-derive from p
     "x04_hll_p8" -> ((s, d) =>
       hllDistinct(Tables.lineitem(s, d).select(col("l_partkey")), "l_partkey",
-        p = 8)))
+        p = 8)),
+    // quantiles of extended price from a width-1000 histogram sketch:
+    // ~100 register rows stand in for the whole lineitem distribution
+    "x05_hist_quantiles" -> ((s, d) =>
+      histQuantiles(
+        histRegisters(Tables.lineitem(s, d), "l_extendedprice", 1000.0),
+        1000.0, Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99"))))
 
   def oracle: Map[String, String] = Map(
     "x01_hll_distinct" ->
@@ -265,6 +331,9 @@ object Sketches {
         "CAST(l_partkey AS VARCHAR)", P2),
     "x04_hll_p8" ->
       hllDistinctSql("lineitem", "CAST(l_partkey AS VARCHAR)", 8),
+    "x05_hist_quantiles" ->
+      histQuantilesSql("lineitem", "l_extendedprice", 1000.0,
+        Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")),
     "x02_cms_freq" -> {
       val ph = Hashing.polyHashSql("token")
       val cellUnion = (0 until CmsDepth).map { i =>

@@ -277,6 +277,78 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
   }
 
+  test("s03 split assignment is total, weight-proportional, and growth-stable") {
+    val d = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, d)
+    val assigned = Sampling.queries("s03_split_assign")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(assigned.size == docs.count(), "every doc gets exactly one split")
+    val counts = assigned.values.groupBy(identity).view.mapValues(_.size).toMap
+    val n = assigned.size.toDouble
+    Sampling.DefaultSplits.foreach { case (name, w) =>
+      val got = counts.getOrElse(name, 0).toDouble
+      assert(math.abs(got - w * n) < 5 * math.sqrt(n * w * (1 - w)),
+        s"$name: $got of $n, expected ~${w * n}")
+    }
+    // growth stability: assignments computed on a SUBSET agree row-for-
+    // row with the full corpus — membership is a function of the id only
+    val subset = Sampling
+      .splitAssign(docs.filter(col("doc_id") % 3 === 0), "doc_id",
+        Sampling.DefaultSplits)
+      .collect().map(r => r.getLong(0) -> r.getString(r.length - 1)).toMap
+    subset.foreach { case (id, s) =>
+      assert(assigned(id) == s, s"doc $id migrated from ${assigned(id)} to $s")
+    }
+  }
+
+  test("d09 contamination hits are exactly the docs sharing a probe shingle") {
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, d)
+    // local ground truth from the string-level shingle sets
+    def shingleSet(rows: Array[(Long, String)]): Map[Long, Set[String]] =
+      rows.map { case (id, text) =>
+        val tk = text.split(" ").filter(_.nonEmpty)
+        id -> (if (tk.length < 3) Set.empty[String]
+               else tk.sliding(3).map(_.mkString(" ")).toSet)
+      }.toMap
+    val all = docs.select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val probe = shingleSet(all.filter(_._3 == "src0").map(t => (t._1, t._2)))
+      .values.flatten.toSet
+    val corpus = shingleSet(all.filter(_._3 != "src0").map(t => (t._1, t._2)))
+    val expected = corpus.map { case (id, sh) => id -> (sh & probe).size }
+      .filter(_._2 > 0)
+    val got = Dedup.queries("d09_decontaminate")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(got == expected, "hit counts must equal string-level ground truth")
+  }
+
+  test("x05 histogram sketch: shard merge is exact and quantiles bucket-bound the truth") {
+    val d = "/root/testdata/sf0.01"
+    val li = Tables.lineitem(spark, d)
+    val width = 1000.0
+    val whole = Sketches.queries("x05_hist_quantiles")(spark, d).collect().head
+    // merge invariance: two disjoint shards re-merged read out identically
+    val (a, b) = (li.filter(col("l_orderkey") % 2 === 0),
+      li.filter(col("l_orderkey") % 2 =!= 0))
+    val merged = Sketches.histQuantiles(
+      Sketches.histMerge(
+        Sketches.histRegisters(a, "l_extendedprice", width),
+        Sketches.histRegisters(b, "l_extendedprice", width)),
+      width, Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")).collect().head
+    assert(merged == whole, "shard-merge read-out must be bit-identical")
+    // deterministic error contract: est ≤ true quantile < est + width
+    val n = li.count()
+    val sortedVals = li.select(col("l_extendedprice").cast("double"))
+      .orderBy(col("l_extendedprice")).collect().map(_.getDouble(0))
+    Seq(0.5 -> 0, 0.9 -> 1, 0.99 -> 2).foreach { case (q, i) =>
+      val truth = sortedVals((math.ceil(n * q) - 1).toInt)
+      val est = whole.getDouble(i)
+      assert(est <= truth && truth < est + width,
+        s"q=$q: est $est must bucket-bound truth $truth")
+    }
+  }
+
   test("b01 bloom semi-join equals plain semi-join and actually prunes") {
     val d = "/root/testdata/sf0.01"
     val fact = Tables.lineitem(spark, d)
