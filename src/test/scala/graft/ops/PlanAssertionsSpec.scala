@@ -100,4 +100,45 @@ class PlanAssertionsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(plan("q07_window_topk").toString.contains("WindowGroupLimit"))
     assert(plan("s02_sample_fixed").toString.contains("WindowGroupLimit"))
   }
+
+  test("s03 split assignment plans with zero exchanges (pure map-side)") {
+    assert(shuffles(plan("s03_split_assign")) == 0)
+  }
+
+  test("d09 decontamination broadcasts the probe set; corpus tokens never shuffle") {
+    val p = plan("d09_decontaminate")
+    val s = p.toString
+    assert(s.contains("BroadcastHashJoin"),
+      "probe hash set must broadcast:\n" + s.take(2000))
+    // only two exchanges: the probe-side distinct (probe-sized) and the
+    // per-doc hit-count groupBy — the corpus shingle stream itself stays
+    // map-side
+    assert(shuffles(p) == 2, s"expected 2 exchanges:\n" + s.take(2000))
+  }
+
+  test("x05 histogram quantiles: every window sorts registers, never the raw fact") {
+    // same contract as q25: the single-partition cumulative window is
+    // over the bounded register table (an aggregation sits between the
+    // window and any scan), so its size is range/width, not corpus rows
+    val p = plan("x05_hist_quantiles")
+    val windows = collectWithSubqueries(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "expected cumulative windows in the read-out")
+    windows.foreach { w =>
+      val aggBelow = collect(w.child) {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }
+      assert(aggBelow.nonEmpty,
+        "window must run over aggregated registers, not raw rows:\n" +
+          w.toString.take(1500))
+    }
+  }
+
+  test("k04 final assignment broadcasts the centroid table") {
+    val s = plan("k04_kmeans").toString
+    assert(s.contains("Broadcast"), "centroids must broadcast:\n" + s.take(2000))
+    assert(!s.contains("SortMergeJoin"),
+      "the k-row centroid side must never sort-merge:\n" + s.take(2000))
+  }
 }
