@@ -114,6 +114,22 @@ object Sampling {
   val DefaultSplits: Seq[(String, Double)] =
     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
+  /** Per-ROW weighted Bernoulli sampling (s04): keep each row with
+    * probability `weightExpr` (any expression in [0, 1] — a quality
+    * score, a per-source up/down-weight, a length-based curriculum
+    * rate). The same deterministic affine coin as [[sampleByRate]], so
+    * re-runs, repartitions, and recomputed partitions keep identical
+    * rows; still a pure map-side filter, zero shuffles. The comparison
+    * is `h(id) < floor(weight·P)` with the product computed in IEEE
+    * doubles — both engines round identically, so the oracle matches
+    * bit-for-bit even at weight boundaries. */
+  def sampleByWeight(df: DataFrame, id: String, weightExpr: String): DataFrame =
+    df.filter(h(id) < floor(expr(weightExpr).cast("double") * P).cast("long"))
+
+  /** SQL mirror of [[sampleByWeight]]'s predicate. */
+  private def weightSql(id: String, weightExpr: String): String =
+    s"${hSql(id)} < CAST(floor(($weightExpr)::DOUBLE * $P) AS BIGINT)"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_sample_rate" -> ((s, d) =>
       sampleByRate(Tables.documents(s, d), "doc_id", "lang",
@@ -124,7 +140,12 @@ object Sampling {
         .select(col("lang"), col("doc_id"), col("rk"))),
     "s03_split_assign" -> ((s, d) =>
       splitAssign(Tables.documents(s, d), "doc_id", DefaultSplits)
-        .select(col("doc_id"), col("split"))))
+        .select(col("doc_id"), col("split"))),
+    // length-proportional curriculum weight: longer docs keep more often
+    "s04_sample_weighted" -> ((s, d) =>
+      sampleByWeight(Tables.documents(s, d), "doc_id",
+        "least(cast(n_chars as double) / 4000.0, 1.0)")
+        .select(col("doc_id"), col("lang"), col("n_chars"))))
 
   def oracle: Map[String, String] = Map(
     "s01_sample_rate" ->
@@ -140,5 +161,8 @@ object Sampling {
          |WHERE rk <= 20""".stripMargin,
     "s03_split_assign" ->
       s"""SELECT doc_id, ${splitSql("doc_id", DefaultSplits)} AS split
-         |FROM documents""".stripMargin)
+         |FROM documents""".stripMargin,
+    "s04_sample_weighted" ->
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE ${weightSql("doc_id", "least(n_chars / 4000.0, 1.0)")}""".stripMargin)
 }

@@ -205,6 +205,55 @@ object Sketches {
           .cast("double").as(label) }: _*)
   }
 
+  /** Per-GROUP histogram registers: `(grp, bkt, cnt)` — the common
+    * production shape (length percentiles per language, latency
+    * percentiles per endpoint, …). Same merge/read-out contract as
+    * [[histRegisters]] per group. */
+  def histRegistersBy(df: DataFrame, groupCol: String, valueCol: String,
+                      width: Double): DataFrame =
+    df.select(col(groupCol).as("grp"),
+        floor(col(valueCol).cast("double") / width).cast("long").as("bkt"))
+      .filter(col("bkt").isNotNull)
+      .groupBy(col("grp"), col("bkt")).agg(count(lit(1)).as("cnt"))
+
+  /** Per-group quantile read-out of a [[histRegistersBy]] table: one row
+    * per group, one column per label. The cumulative window partitions
+    * on the group, so each partition is that group's register count
+    * (range/width rows), never its row count. */
+  def histQuantilesBy(registers: DataFrame, width: Double,
+                      qs: Seq[(Double, String)]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val cum = registers
+      .withColumn("cum", sum(col("cnt")).over(
+        w.partitionBy(col("grp")).orderBy(col("bkt"))))
+      .withColumn("n", sum(col("cnt")).over(w.partitionBy(col("grp"))))
+    cum.groupBy(col("grp")).agg(
+      qs.head match { case (q, label) =>
+        (min(when(col("cum") >= ceil(col("n") * q), col("bkt"))) * width)
+          .cast("double").as(label) },
+      qs.tail.map { case (q, label) =>
+        (min(when(col("cum") >= ceil(col("n") * q), col("bkt"))) * width)
+          .cast("double").as(label) }: _*)
+  }
+
+  /** DuckDB oracle for [[histRegistersBy]] → [[histQuantilesBy]]. */
+  def histQuantilesBySql(table: String, groupSql: String, groupOut: String,
+                         valueSql: String, width: Double,
+                         qs: Seq[(Double, String)]): String = {
+    val sels = qs.map { case (q, label) =>
+      s"CAST(min(CASE WHEN cum >= ceil(n * $q) THEN bkt END) * $width AS DOUBLE) AS $label"
+    }.mkString(",\n  ")
+    s"""WITH r AS (
+       |  SELECT $groupSql AS grp,
+       |    CAST(floor(($valueSql)::DOUBLE / $width) AS BIGINT) AS bkt,
+       |    count(*) AS cnt
+       |  FROM $table WHERE ($valueSql) IS NOT NULL GROUP BY 1, 2),
+       |c AS (SELECT grp, bkt,
+       |  CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY bkt) AS BIGINT) AS cum,
+       |  CAST(sum(cnt) OVER (PARTITION BY grp) AS BIGINT) AS n FROM r)
+       |SELECT grp AS $groupOut, $sels FROM c GROUP BY grp""".stripMargin
+  }
+
   /** DuckDB oracle for [[histRegisters]] → [[histQuantiles]]. */
   def histQuantilesSql(table: String, valueSql: String, width: Double,
                        qs: Seq[(Double, String)]): String = {
@@ -321,7 +370,14 @@ object Sketches {
     "x05_hist_quantiles" -> ((s, d) =>
       histQuantiles(
         histRegisters(Tables.lineitem(s, d), "l_extendedprice", 1000.0),
-        1000.0, Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99"))))
+        1000.0, Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99"))),
+    // per-returnflag price percentiles from grouped registers
+    "x06_hist_by_group" -> ((s, d) =>
+      histQuantilesBy(
+        histRegistersBy(Tables.lineitem(s, d), "l_returnflag",
+          "l_extendedprice", 1000.0),
+        1000.0, Seq(0.5 -> "p50", 0.9 -> "p90"))
+        .withColumnRenamed("grp", "l_returnflag")))
 
   def oracle: Map[String, String] = Map(
     "x01_hll_distinct" ->
@@ -334,6 +390,9 @@ object Sketches {
     "x05_hist_quantiles" ->
       histQuantilesSql("lineitem", "l_extendedprice", 1000.0,
         Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")),
+    "x06_hist_by_group" ->
+      histQuantilesBySql("lineitem", "l_returnflag", "l_returnflag",
+        "l_extendedprice", 1000.0, Seq(0.5 -> "p50", 0.9 -> "p90")),
     "x02_cms_freq" -> {
       val ph = Hashing.polyHashSql("token")
       val cellUnion = (0 until CmsDepth).map { i =>

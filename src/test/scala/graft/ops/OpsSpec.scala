@@ -349,6 +349,43 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("s04 weighted sampling: deterministic, extreme weights are certain") {
+    val d = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, d)
+    val a = Sampling.queries("s04_sample_weighted")(spark, d)
+      .collect().map(_.getLong(0)).sorted
+    val b = Sampling.queries("s04_sample_weighted")(spark, d)
+      .collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b), "weighted sample must be identical across runs")
+    // weight 1.0 keeps everything, weight 0.0 keeps nothing
+    assert(Sampling.sampleByWeight(docs, "doc_id", "1.0").count() == docs.count())
+    assert(Sampling.sampleByWeight(docs, "doc_id", "0.0").count() == 0)
+    // kept set ⊆ what a uniformly-higher weight keeps (monotone in weight)
+    val low = Sampling.sampleByWeight(docs, "doc_id",
+      "least(cast(n_chars as double) / 8000.0, 1.0)")
+      .collect().map(_.getLong(0)).toSet
+    assert(low.subsetOf(a.toSet), "halving weights must only drop rows")
+  }
+
+  test("x06 per-group histogram quantiles bucket-bound each group's truth") {
+    val d = "/root/testdata/sf0.01"
+    val li = Tables.lineitem(spark, d)
+    val width = 1000.0
+    val got = Sketches.queries("x06_hist_by_group")(spark, d)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val byGroup = li.select(col("l_returnflag"), col("l_extendedprice").cast("double"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    byGroup.foreach { case (g, vals) =>
+      val (p50, p90) = got(g)
+      Seq(0.5 -> p50, 0.9 -> p90).foreach { case (q, est) =>
+        val truth = vals((math.ceil(vals.length * q) - 1).toInt)
+        assert(est <= truth && truth < est + width,
+          s"group $g q=$q: est $est must bucket-bound truth $truth")
+      }
+    }
+  }
+
   test("b01 bloom semi-join equals plain semi-join and actually prunes") {
     val d = "/root/testdata/sf0.01"
     val fact = Tables.lineitem(spark, d)
