@@ -143,6 +143,28 @@ object Events {
         .groupBy(col("event_type"))
         .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"),
           max(col("k")).as("max_k"))
+    }),
+
+    // INTERVAL JOIN: view → purchase attribution — every purchase a
+    // user makes within 30 minutes after a view, with the delay. The
+    // batch twin of [[graft.streaming.JoinStream]]'s watermarked
+    // stream-stream join (JoinStreamSpec pins stream ≡ this). Equi-key
+    // on user_id carries the shuffle; the time range is a post-join
+    // filter, so the plan is one hash exchange per side, no theta join.
+    "e09_interval_join" -> ((s, d) => {
+      val HalfHourUs = 1800000000L
+      val ev = Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          col("us").as("v_us"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pur_id"), col("user_id"),
+          col("us").as("p_us"))
+      v.join(p, Seq("user_id"))
+        .filter(col("p_us") > col("v_us") &&
+          col("p_us") <= col("v_us") + HalfHourUs)
+        .select(col("view_id"), col("pur_id"), col("user_id"),
+          expr("(p_us - v_us) div 1000000").as("delay_s"))
     }))
 
   def oracle: Map[String, String] = Map(
@@ -221,5 +243,16 @@ object Events {
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(*) AS n,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-        |FROM events GROUP BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type""".stripMargin,
+    "e09_interval_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |    date_diff('microsecond', TIMESTAMP '1970-01-01', ts::TIMESTAMP) AS us
+        |  FROM events),
+        |v AS (SELECT event_id AS view_id, user_id, us AS v_us FROM ev WHERE event_type = 'view'),
+        |p AS (SELECT event_id AS pur_id, user_id, us AS p_us FROM ev WHERE event_type = 'purchase')
+        |SELECT view_id, pur_id, v.user_id AS user_id,
+        |  (p_us - v_us) // 1000000 AS delay_s
+        |FROM v JOIN p ON v.user_id = p.user_id
+        |  AND p_us > v_us AND p_us <= v_us + 1800000000""".stripMargin)
 }
