@@ -299,6 +299,63 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
   }
 
+  /** INCREMENTAL dedup (d10) — near-dups of a DELTA batch against an
+    * existing CORPUS, the shape a growing pipeline actually runs: a
+    * daily crawl dedups against everything already ingested WITHOUT
+    * re-pairing the corpus against itself. Same band-then-verify
+    * recipe as [[minhashVerifiedPairs]], but candidates come from a
+    * CROSS-SET band join (delta bands ⋈ corpus bands), so no
+    * within-set pair ever expands: cost scales with |delta| and the
+    * band collision rate, not |corpus|² or even |corpus| pair volume.
+    *
+    * Scale shape: both sides' signatures are one map-side native pass;
+    * the band join shuffles 4 keys/doc per side (broadcast the delta
+    * side if it is small enough — Spark's planner decides from stats);
+    * the exact-Jaccard verify re-projects shingle arrays only for docs
+    * that banded together. State nothing: yesterday's corpus bands can
+    * be a persisted table appended to daily, which is the production
+    * deployment of this operator.
+    *
+    * Output: `(corpus_id, delta_id, inter, jaccard)` with true Jaccard
+    * ≥ `threshold`. */
+  def minhashVerifiedAgainst(corpus: DataFrame, delta: DataFrame,
+                             id: String, text: String, threshold: Double,
+                             n: Int = 3): DataFrame = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
+    def bands(docs: DataFrame, out: String): DataFrame = {
+      val sig = docs
+        .select(col(id).as(out),
+          expr(s"filter(split($text, ' '), x -> x <> '')").as("tk"))
+        .filter(size(col("tk")) >= n)
+        .select(col(out), expr(s"graft_minhash(tk, $n)").as("mh"))
+      val bandKeys = (0 until Bands).map { b =>
+        val cols = (0 until RowsPerBand).map(r => s"mh[${b * RowsPerBand + r}]")
+        expr(s"concat_ws('_', ${cols.mkString(", ")})")
+      }
+      sig.select(col(out), posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+    }
+    def arr(docs: DataFrame, out: String, hs: String, nsh: String): DataFrame =
+      docs
+        .select(col(id).as(out),
+          expr(s"filter(split($text, ' '), x -> x <> '')").as("tk"))
+        .filter(size(col("tk")) >= n)
+        .select(col(out), expr(s"graft_shingle_hashes(tk, $n, 1)").as(hs))
+        .select(col(out), col(hs), size(col(hs)).cast("long").as(nsh))
+    val cand = bands(corpus, "corpus_id")
+      .join(bands(delta, "delta_id"), Seq("band", "key"))
+      .select(col("corpus_id"), col("delta_id"))
+      .distinct()
+    cand
+      .join(arr(corpus, "corpus_id", "hs_a", "n_a"), Seq("corpus_id"))
+      .join(arr(delta, "delta_id", "hs_b", "n_b"), Seq("delta_id"))
+      .withColumn("inter",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("corpus_id"), col("delta_id"), col("inter"), col("jaccard"))
+  }
+
   /** Cross-corpus n-gram contamination (d09) — benchmark
     * DECONTAMINATION, the step a training pipeline runs before any
     * model sees the corpus: find every training document sharing at
@@ -433,6 +490,15 @@ object Dedup {
       cosineNearDup(Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.45)),
     "d07_neardup_lsh" -> ((s, d) =>
       cosineNearDupLsh(Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.45)),
+    // incremental dedup: odd doc ids are the arriving delta, even ids
+    // the standing corpus
+    "d10_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      minhashVerifiedAgainst(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0),
+        "doc_id", "text", threshold = 0.6)
+    }),
     // decontamination: src0 docs stand in for the held-out benchmark,
     // the remaining 19 sources are the training corpus
     "d09_decontaminate" -> ((s, d) => {
@@ -576,6 +642,55 @@ object Dedup {
            |           (acc, x) -> acc + x) / (a.nrm * b.nrm) AS cos
            |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) pairs
            |WHERE cos >= 0.45""".stripMargin
+      },
+      // d10 — band-then-verify across two sub-corpora: per-side
+      // signature/band/shingle-key CTEs, cross-set candidates, exact
+      // Jaccard verify
+      "d10_incremental_dedup" -> {
+        def side(sfx: String, where: String) = {
+          val bandSel = (0 until Bands).map { b =>
+            val key = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}")
+              .mkString(" || '_' || ")
+            s"SELECT doc_id, $b AS band, $key AS key FROM sig$sfx"
+          }.mkString("\n  UNION ALL ")
+          val mhSel = (0 until Bands * RowsPerBand).map { i =>
+            s"min((${MinHashA(i)} * h + ${MinHashB(i)}) % $P) AS mh$i"
+          }.mkString(",\n  ")
+          s"""tk$sfx AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |       FROM documents WHERE ($where)
+             |         AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 3),
+             |sh$sfx AS (SELECT DISTINCT doc_id, shingle FROM (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+             |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle FROM tk$sfx) raw),
+             |cnt$sfx AS (SELECT doc_id, count(*) AS n_sh FROM sh$sfx GROUP BY doc_id),
+             |sk$sfx AS (SELECT DISTINCT doc_id,
+             |    (${Hashing.polyHashSql("shingle")}) * 1000000009
+             |      + (${Hashing.polyHashSql("reverse(shingle)")}) AS sk
+             |  FROM sh$sfx),
+             |h$sfx AS (SELECT doc_id, ${Hashing.polyHashSql("shingle")} AS h FROM sh$sfx),
+             |sig$sfx AS (SELECT doc_id,
+             |  $mhSel
+             |  FROM h$sfx GROUP BY doc_id),
+             |bands$sfx AS (
+             |  $bandSel)""".stripMargin
+        }
+        s"""WITH ${side("c", "doc_id % 2 = 0")},
+           |${side("d", "doc_id % 2 = 1")},
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS corpus_id, b.doc_id AS delta_id
+           |  FROM bandsc a JOIN bandsd b ON a.band = b.band AND a.key = b.key),
+           |pr AS (
+           |  SELECT cand.corpus_id, cand.delta_id, count(*) AS inter
+           |  FROM cand
+           |  JOIN skc a ON a.doc_id = cand.corpus_id
+           |  JOIN skd b ON b.doc_id = cand.delta_id AND b.sk = a.sk
+           |  GROUP BY 1, 2)
+           |SELECT corpus_id, delta_id, inter,
+           |  inter::DOUBLE / (ca.n_sh + cb.n_sh - inter)::DOUBLE AS jaccard
+           |FROM pr
+           |JOIN cntc ca ON pr.corpus_id = ca.doc_id
+           |JOIN cntd cb ON pr.delta_id = cb.doc_id
+           |WHERE inter::DOUBLE / (ca.n_sh + cb.n_sh - inter)::DOUBLE >= 0.6""".stripMargin
       },
       // d09 — the same 60-bit shingle keys, one side filtered to the
       // probe sub-corpus, counted per training doc

@@ -349,6 +349,21 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("d10 incremental dedup = full-corpus verified pairs restricted to cross-set") {
+    // band keys are per-doc, so a cross-parity pair bands together in
+    // the incremental join iff it does in the whole-corpus d08 run —
+    // d10 must equal d08 filtered to (even, odd) pairs, re-oriented
+    val d08 = Dedup.queries("d08_minhash_verified")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = d08.collect {
+      case (a, b) if a % 2 == 0 && b % 2 == 1 => (a, b)
+      case (a, b) if a % 2 == 1 && b % 2 == 0 => (b, a)
+    }
+    val d10 = Dedup.queries("d10_incremental_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(d10 == expected, s"d10 $d10 vs cross-parity d08 $expected")
+  }
+
   test("s04 weighted sampling: deterministic, extreme weights are certain") {
     val d = "/root/testdata/sf0.01"
     val docs = Tables.documents(spark, d)
