@@ -145,6 +145,22 @@ object Events {
           max(col("k")).as("max_k"))
     }),
 
+    // NATIVE SESSION WINDOWS: per-session aggregates via Spark's
+    // built-in `session_window` (gap-merged intervals, Tungsten state
+    // merging) — the declarative twin of e02's count-oriented
+    // sessionize and streaming's custom-state Sessionize. One exchange
+    // on user_id; sessions merge when an event lands strictly inside
+    // the previous event's gap window ([ts, ts+gap) intervals — an
+    // event at exactly ts+gap opens a NEW session, which the oracle's
+    // `>= gap` flag mirrors).
+    "e10_session_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), unix_micros(col("w.start")).as("sess_start"),
+          col("n_events"))),
+
     // INTERVAL JOIN: view → purchase attribution — every purchase a
     // user makes within 30 minutes after a view, with the delay. The
     // batch twin of [[graft.streaming.JoinStream]]'s watermarked
@@ -244,6 +260,23 @@ object Events {
         |  count(*) AS n,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
+    "e10_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    date_diff('microsecond', TIMESTAMP '1970-01-01', ts::TIMESTAMP) AS us
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, us, event_id,
+        |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, us,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT user_id, min(us) AS sess_start, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     "e09_interval_join" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, event_type,

@@ -39,7 +39,11 @@ object Tables {
     val raw = t(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType =>
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+        // integer `div`, NOT `/`: epoch-ns needs 61 bits, so the double
+        // division `/ 1000` rounds (±1µs) where DuckDB's ns→µs cast
+        // truncates — the mismatch surfaces in any query that outputs
+        // raw µs (e10's sess_start caught it)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case TimestampType => raw
       case other =>
         raw.withColumn("ts", col("ts").cast(TimestampType))
