@@ -103,7 +103,41 @@ object Multimodal {
                s"i -> substring(text, i * $ResizeStep + 1, 1)))").as("small"))
         .select(col("doc_id"), length(col("small")).cast("long").as("n_bytes_small"),
           expr("graft_polyhash(small)").as("small_hash"))
+    }),
+
+    // Media-embedding → ANN composition: a deterministic stub
+    // "embedding model" (8 affine-hash projections of the content hash
+    // onto [-1, 1] — standing in for a CLIP/audio encoder; replace the
+    // expression, keep the plumbing) feeds the SAME brute top-k shape
+    // as k01: probes broadcast, one corpus pass, rank window per probe.
+    // This is the multimodal→similarity loop a media pipeline runs:
+    // decode → embed → index/search, all portable enough to oracle.
+    "m04_media_knn" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val P = Hashing.P
+      val dims = (0 until EmbedDims).map { j =>
+        s"cast((h * ${Hashing.MinHashA(j)}L + ${Hashing.MinHashB(j)}L) % ${P}L as double) / $P.0D * 2.0D - 1.0D"
+      }.mkString(", ")
+      val emb = Tables.documents(s, d)
+        .select(col("doc_id"), expr("graft_polyhash(text)").as("h"))
+        .select(col("doc_id"), expr(s"array($dims)").as("e"))
+      val probes = emb.filter(col("doc_id") < KnnProbes)
+        .select(col("doc_id").as("probe_id"), col("e").as("pe"))
+      val corpus = emb.filter(col("doc_id") >= KnnProbes)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id"))
+        .orderBy(col("score").desc, col("doc_id"))
+      corpus.crossJoin(broadcast(probes))
+        .withColumn("score", expr("graft_dot(e, pe)"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= KnnK)
+        .select(col("probe_id"), col("doc_id"), col("rk"), col("score"))
     }))
+
+  /** m04 stub-embedding dimensionality and search parameters. */
+  val EmbedDims = 8
+  val KnnProbes = 3L
+  val KnnK = 3
 
   def oracle: Map[String, String] = Map(
     // The stub is integer arithmetic over UTF-8 bytes (ASCII corpus ⇒
@@ -131,5 +165,28 @@ object Multimodal {
          |  SELECT doc_id,
          |    list_aggregate(list_transform(range(0, ((length(text) - 1) // $ResizeStep) + 1),
          |      i -> substring(text, (i * $ResizeStep + 1)::INTEGER, 1)), 'string_agg', '') AS small
-         |  FROM documents WHERE length(text) > 0) resized""".stripMargin)
+         |  FROM documents WHERE length(text) > 0) resized""".stripMargin,
+    "m04_media_knn" -> {
+      val P = Hashing.P
+      // e0..e7 as scalar columns; the dot product expands to the same
+      // left-associated addition chain graft_dot folds (acc starts at
+      // 0.0, and 0.0 + t0 == t0 exactly)
+      val dims = (0 until EmbedDims).map { j =>
+        s"((h * ${Hashing.MinHashA(j)} + ${Hashing.MinHashB(j)}) % $P)::DOUBLE / $P.0 * 2.0 - 1.0 AS e$j"
+      }.mkString(",\n    ")
+      val dot = (0 until EmbedDims).map(j => s"c.e$j * p.e$j").mkString(" + ")
+      s"""WITH h AS (SELECT doc_id, ${Hashing.polyHashSql("text")} AS h FROM documents),
+         |v AS (SELECT doc_id,
+         |    $dims
+         |  FROM h),
+         |scored AS (
+         |  SELECT p.doc_id AS probe_id, c.doc_id AS doc_id, $dot AS score
+         |  FROM v c, v p WHERE p.doc_id < $KnnProbes AND c.doc_id >= $KnnProbes),
+         |ranked AS (
+         |  SELECT probe_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY probe_id
+         |                       ORDER BY score DESC, doc_id) AS rk
+         |  FROM scored)
+         |SELECT probe_id, doc_id, rk, score FROM ranked WHERE rk <= $KnnK""".stripMargin
+    })
 }
