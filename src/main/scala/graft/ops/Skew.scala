@@ -33,7 +33,50 @@ object Skew {
       .agg(sum(col("_n")).as("n"), sum(col("_s")).cast("double").as("total"))
   }
 
+  /** SALTED JOIN — the join-side twin of [[saltedAgg]], for a skewed
+    * fact⋈dim join where the dim is too big to broadcast and a handful
+    * of hot fact keys would pin one reducer: the fact side gets a
+    * deterministic salt in [0, salts), the dim side is REPLICATED once
+    * per salt value (an explode of a literal range — `salts`× the dim,
+    * which is the explicit price of spreading each hot key over `salts`
+    * reducers), and the equi-join runs on (key, salt). Row-for-row
+    * identical to the plain join — every fact row meets exactly the one
+    * dim replica carrying its salt — which the q26 oracle (plain JOIN)
+    * verifies.
+    *
+    * (AQE's skew-join split covers sort-merge joins automatically;
+    * this operator is for the cases that defeat it: skew invisible to
+    * stats, bucketed tables AQE won't re-split, or a deliberate
+    * fixed-topology job. Salt is a row-hash mod N, not rand(), so
+    * recovery/re-runs land rows identically.) */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+                 dimKey: String, salts: Int, saltOn: Column): DataFrame = {
+    // the salt must VARY WITHIN a join key (a hash of the key itself
+    // would send every hot-key row to the same reducer again) — the
+    // caller points `saltOn` at any per-row-varying columns
+    val saltedFact = fact.withColumn("_salt",
+      pmod(xxhash64(saltOn), lit(salts.toLong)))
+    val repDim = dim
+      .withColumn("_salt", explode(expr(s"sequence(0L, ${salts - 1}L)")))
+      .withColumnRenamed(dimKey, factKey)
+    saltedFact.join(repDim, Seq(factKey, "_salt")).drop("_salt")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Salted fact⋈dim join on the order key, aggregated per priority —
+    // identical to the plain join+group the oracle runs. Salt derives
+    // from the line number (varies within an order), never the key.
+    "q26_salted_join" -> ((s, d) => {
+      saltedJoin(Tables.lineitem(s, d),
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+        "l_orderkey", "o_orderkey", salts = 8,
+        saltOn = struct(col("l_linenumber"), col("l_partkey")))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast(
+            org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_qty"))
+    }),
     // Salted two-phase aggregation over the 3-key (hot) l_returnflag —
     // identical results to the plain GROUP BY the oracle runs.
     "q20_salted_agg" -> ((s, d) => {
@@ -71,6 +114,11 @@ object Skew {
     }))
 
   def oracle: Map[String, String] = Map(
+    "q26_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     "q20_salted_agg" ->
       """SELECT l_returnflag, count(*) AS n,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total

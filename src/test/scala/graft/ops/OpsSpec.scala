@@ -349,6 +349,32 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q26 salted join equals the plain join row-for-row and spreads hot keys") {
+    val d = "/root/testdata/sf0.001"
+    val li = Tables.lineitem(spark, d)
+    val ord = Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val salted = Skew.saltedJoin(li, ord, "l_orderkey", "o_orderkey",
+        salts = 8, saltOn = struct(col("l_linenumber"), col("l_partkey")))
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_orderpriority"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+    val plain = li
+      .join(ord.withColumnRenamed("o_orderkey", "l_orderkey"), Seq("l_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_orderpriority"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+    assert(salted == plain, "salting must not change the join result")
+    // the salt must actually spread: rows of one multi-line order land
+    // on more than one salt value
+    val spread = li
+      .withColumn("_salt", pmod(xxhash64(
+        struct(col("l_linenumber"), col("l_partkey"))), lit(8L)))
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("_salt")).as("n_salts"), count(lit(1)).as("n"))
+      .filter(col("n") >= 4)
+    assert(spread.filter(col("n_salts") > 1).count() > 0,
+      "multi-row keys must hash to multiple salts")
+  }
+
   test("d10 incremental dedup = full-corpus verified pairs restricted to cross-set") {
     // band keys are per-doc, so a cross-parity pair bands together in
     // the incremental join iff it does in the whole-corpus d08 run —
