@@ -49,6 +49,38 @@ object EventStream {
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
 
+  /** Native SESSION windows on the stream — the streaming twin of the
+    * batch `e10_session_window` query and the declarative counterpart
+    * of [[Sessionize]]'s custom-state shape: `session_window` under a
+    * watermark lets the state store merge gap-overlapping sessions per
+    * key and EVICT a session once the watermark passes its close —
+    * state is O(open sessions), the built-in bound that
+    * flatMapGroupsWithState needs hand-written timeout logic for.
+    * Identical logic batch & stream; `EventStreamSpec` pins stream ≡
+    * the e10 batch query. */
+  def sessionAggs(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("sess_start"),
+        col("n_events"))
+
+  /** [[sessionAggs]] drained availableNow into a memory sink. */
+  def runSessionsAvailableNow(spark: SparkSession, sfDir: String,
+                              sinkTable: String): DataFrame = {
+    val q = sessionAggs(readEvents(spark, sfDir))
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("complete")
+      .format("memory")
+      .queryName(sinkTable)
+      .start()
+    q.awaitTermination()
+    spark.table(sinkTable)
+  }
+
   /** Run to completion over the current directory contents
     * (availableNow), collecting results via an in-memory sink table. */
   def runAvailableNow(spark: SparkSession, sfDir: String,

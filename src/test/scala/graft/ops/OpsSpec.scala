@@ -349,6 +349,30 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("new operators degrade cleanly on empty inputs") {
+    val docs = Tables.documents(spark, sf)
+    val none = docs.filter(col("doc_id") < 0)
+    // d09: empty probe set → no contamination hits (not an error/NPE)
+    assert(Dedup.contaminationHits(docs, "doc_id", "text", none, "text")
+      .count() == 0)
+    // d10: empty delta → no pairs; empty corpus → no pairs
+    assert(Dedup.minhashVerifiedAgainst(docs, none, "doc_id", "text", 0.6)
+      .count() == 0)
+    assert(Dedup.minhashVerifiedAgainst(none, docs, "doc_id", "text", 0.6)
+      .count() == 0)
+    // x05: empty registers → one row of NULL quantiles (agg over zero
+    // rows), the SQL-natural "no data" read-out
+    val empty = Sketches.histQuantiles(
+      Sketches.histRegisters(none, "n_chars", 10.0), 10.0,
+      Seq(0.5 -> "p50"))
+    val row = empty.collect()
+    assert(row.length == 1 && row.head.isNullAt(0),
+      "empty sketch must read out as NULL, not throw")
+    // s03: single split → every doc lands in it
+    val one = Sampling.splitAssign(docs, "doc_id", Seq("all" -> 1.0))
+    assert(one.filter(col("split") =!= "all").count() == 0)
+  }
+
   test("q26 salted join equals the plain join row-for-row and spreads hot keys") {
     val d = "/root/testdata/sf0.001"
     val li = Tables.lineitem(spark, d)

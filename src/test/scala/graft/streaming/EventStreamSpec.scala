@@ -27,4 +27,15 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("availableNow native session windows match the e10 batch query") {
+    val streamed = EventStream.runSessionsAvailableNow(spark, sf, "es_sess_sink")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    val batch = graft.ops.Events.queries("e10_session_window")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
 }
