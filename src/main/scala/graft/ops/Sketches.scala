@@ -205,6 +205,58 @@ object Sketches {
           .cast("double").as(label) }: _*)
   }
 
+  /** Set-overlap estimation between two keyed corpora from their HLL
+    * registers alone (x07) — estimate |A|, |B|, |A∪B| (register merge),
+    * and by inclusion-exclusion |A∩B| and Jaccard, WITHOUT ever joining
+    * the underlying data: the practical way to compare two 100 TB
+    * crawls (do they overlap enough to dedup jointly?) for the cost of
+    * two corpus scans and 3·2^p register rows. All arithmetic is the
+    * same exact cross-engine read-out as [[hllEstimate]], so even the
+    * derived intersection/Jaccard match the oracle bit-for-bit.
+    * Inclusion-exclusion inherits both sketches' error — the result is
+    * a cheap screening statistic, not a dedup decision; d09/d10 are
+    * the exact-verify paths. Output: one row
+    * `(est_a, est_b, est_union, est_intersect, jaccard_est)`. */
+  def hllOverlap(a: DataFrame, aCol: String, b: DataFrame, bCol: String,
+                 p: Int = P2): DataFrame = {
+    val ra = hllRegisters(a, aCol, p)
+    val rb = hllRegisters(b, bCol, p)
+    val ea = hllEstimate(ra, p).select(col("est").as("est_a"))
+    val eb = hllEstimate(rb, p).select(col("est").as("est_b"))
+    val eu = hllEstimate(hllMerge(ra, rb), p).select(col("est").as("est_union"))
+    ea.crossJoin(eb).crossJoin(eu)
+      .withColumn("est_intersect", col("est_a") + col("est_b") - col("est_union"))
+      .withColumn("jaccard_est", col("est_intersect") / col("est_union"))
+  }
+
+  /** DuckDB oracle for [[hllOverlap]]: the [[hllDistinctSql]] read-out
+    * inlined three times (side A, side B, merged registers). */
+  def hllOverlapSql(table: String, valueSql: String, whereA: String,
+                    whereB: String, p: Int): String = {
+    val m = 1 << p
+    val ph = Hashing.polyHashSql(valueSql)
+    def regs(cte: String, where: String) =
+      s"""h$cte AS (SELECT (($ph) * $ScatterA + $ScatterB) % ${Hashing.P} AS h
+         |  FROM $table WHERE ($where)),
+         |b$cte AS (SELECT h % $m AS bucket, h // $m AS w FROM h$cte WHERE h IS NOT NULL),
+         |r$cte AS (SELECT bucket, max(${wBits(p)} - (${bitLenSql("w", wBits(p))}) + 1) AS r
+         |      FROM b$cte GROUP BY bucket)""".stripMargin
+    def est(regsSql: String) =
+      s"""SELECT ${alphaFor(m) * m * m} /
+         |  ((SELECT coalesce(sum(power(2.0, -r)), 0.0) FROM $regsSql)
+         |   + ($m - (SELECT count(*) FROM $regsSql))::DOUBLE)""".stripMargin
+    s"""WITH ${regs("a", whereA)},
+       |${regs("b", whereB)},
+       |ru AS (SELECT bucket, max(r) AS r FROM (
+       |  SELECT * FROM ra UNION ALL SELECT * FROM rb) u GROUP BY bucket),
+       |e AS (SELECT (${est("ra")}) AS est_a, (${est("rb")}) AS est_b,
+       |  (${est("ru")}) AS est_union)
+       |SELECT est_a, est_b, est_union,
+       |  est_a + est_b - est_union AS est_intersect,
+       |  (est_a + est_b - est_union) / est_union AS jaccard_est
+       |FROM e""".stripMargin
+  }
+
   /** Per-GROUP histogram registers: `(grp, bkt, cnt)` — the common
     * production shape (length percentiles per language, latency
     * percentiles per endpoint, …). Same merge/read-out contract as
@@ -377,7 +429,17 @@ object Sketches {
         histRegistersBy(Tables.lineitem(s, d), "l_returnflag",
           "l_extendedprice", 1000.0),
         1000.0, Seq(0.5 -> "p50", 0.9 -> "p90"))
-        .withColumnRenamed("grp", "l_returnflag")))
+        .withColumnRenamed("grp", "l_returnflag")),
+    // part-key overlap between the returned and acknowledged line
+    // populations, estimated purely from registers
+    "x07_hll_overlap" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      hllOverlap(
+        li.filter(col("l_returnflag") === "R").select(col("l_partkey")),
+        "l_partkey",
+        li.filter(col("l_returnflag") === "A").select(col("l_partkey")),
+        "l_partkey")
+    }))
 
   def oracle: Map[String, String] = Map(
     "x01_hll_distinct" ->
@@ -393,6 +455,9 @@ object Sketches {
     "x06_hist_by_group" ->
       histQuantilesBySql("lineitem", "l_returnflag", "l_returnflag",
         "l_extendedprice", 1000.0, Seq(0.5 -> "p50", 0.9 -> "p90")),
+    "x07_hll_overlap" ->
+      hllOverlapSql("lineitem", "CAST(l_partkey AS VARCHAR)",
+        "l_returnflag = 'R'", "l_returnflag = 'A'", P2),
     "x02_cms_freq" -> {
       val ph = Hashing.polyHashSql("token")
       val cellUnion = (0 until CmsDepth).map { i =>

@@ -508,6 +508,29 @@ class OpsSpec extends AnyFunSuite {
       "p=8 shard-merge must be bit-identical to whole-input")
   }
 
+  test("x07 overlap estimate: union reads like the unioned input, bounds hold") {
+    val d = "/root/testdata/sf0.01"
+    val li = Tables.lineitem(spark, d)
+    val ra = li.filter(col("l_returnflag") === "R").select("l_partkey")
+    val ab = li.filter(col("l_returnflag") === "A").select("l_partkey")
+    val row = Sketches.queries("x07_hll_overlap")(spark, d).collect().head
+    val (estA, estB, estU, estI) =
+      (row.getDouble(0), row.getDouble(1), row.getDouble(2), row.getDouble(3))
+    // merged registers must read out bit-identically to sketching the
+    // physically unioned input — merge ≡ union is the sketch's contract
+    val unionEst = Sketches.hllDistinct(ra.unionByName(ab), "l_partkey")
+      .collect().head.getDouble(1)
+    assert(estU == unionEst, "register-merge union must equal unioned-input sketch")
+    // inclusion-exclusion stays within the summed 3-sigma bounds
+    val exactA = ra.distinct().count().toDouble
+    val exactB = ab.distinct().count().toDouble
+    val exactI = ra.intersect(ab).count().toDouble
+    val slack = 0.39 * (exactA + exactB) // 3 sigma at m=64 per operand
+    assert(math.abs(estI - exactI) < slack,
+      s"est intersect $estI vs exact $exactI beyond slack $slack")
+    assert(estA > 0 && estB > 0 && estI <= math.min(estA, estB) + slack)
+  }
+
   test("x01 register merge of disjoint shards equals the whole-input sketch") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.01").select("l_partkey")
     val (a, b) = (li.filter(col("l_partkey") % 2 === 0),
