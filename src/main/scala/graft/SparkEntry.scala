@@ -26,6 +26,7 @@ object SparkEntry {
       ops.Similarity.queries ++ ops.Events.queries ++ ops.Multimodal.queries ++
       ops.Skew.queries ++ ops.Sampling.queries ++ ops.Clusters.queries ++
       ops.Sketches.queries ++ ops.BloomJoin.queries ++
+      ops.Pack.queries ++ ops.Search.queries ++
       Map(
         // Reference-parity pipeline as a query (ignores sfDir — its input
         // is the reference's own sample request). Non-SQL-expressible
@@ -48,5 +49,6 @@ object SparkEntry {
       ops.Similarity.oracle ++ ops.Events.oracle ++ ops.Multimodal.oracle ++
       ops.Skew.oracle ++ ops.Sampling.oracle ++ ops.Clusters.oracle ++
       ops.Sketches.oracle ++ ops.BloomJoin.oracle ++
+      ops.Pack.oracle ++ ops.Search.oracle ++
       Map("p02_report_blocks" -> graft.etl.Report.blocksOracleSql)
 }

@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Sequence packing for training-data assembly (SURVEY.md §7.5
+  * extensions): assign each document a position in a stream of
+  * fixed-capacity chunks (context windows), the step every LLM
+  * pre-training pipeline runs between curation and tokenized shards.
+  *
+  * Concat-packing semantics: documents are laid head-to-tail in id
+  * order and the stream is sliced every `capacity` units, so
+  * `chunk_id = ⌊prefix_sum / capacity⌋` and `chunk_off` is the
+  * document's offset inside its first chunk (documents longer than the
+  * remaining room straddle a boundary — the train-time reader slices
+  * them, attention masks handle the seam).
+  *
+  * The interesting part at 100 TB is the GLOBAL prefix sum. A plain
+  * `sum(...) OVER (ORDER BY id)` window has one unpartitioned frame —
+  * Spark executes it as a single-task sort, the classic scale cliff.
+  * [[packChunks]] instead runs the canonical two-pass distributed scan:
+  *
+  *  1. range-exchange + in-partition sort on the id (Spark's normal
+  *     distributed-sort machinery — every partition splittable);
+  *  2. job 1: one `O(#partitions)` pass collecting each partition's
+  *     weight SUM (one long per partition to the driver — KBs at any
+  *     corpus size);
+  *  3. job 2: re-reads the SAME shuffle output (same RDD lineage, so
+  *     the DAG scheduler skips the map stage) and streams each
+  *     partition once, seeded with its broadcast prefix offset.
+  *
+  * This is the one operator family where `mapPartitions` genuinely
+  * beats any declarative form — a scan is per-partition imperative by
+  * nature — and the RDD surface is confined to the two passes.
+  * Determinism: for a deterministic input the range boundaries,
+  * per-partition sums, and offsets are all functions of the data
+  * (RangePartitioner's sketch is seeded by partition index), so re-runs
+  * and task retries reproduce identical assignments.
+  *
+  * [[packChunksBySource]] is the window-native twin for the common
+  * "never mix sources in a chunk" policy: the frame partitions by
+  * source, so every window partition is one source — splittable across
+  * sources, and the right tool whenever the per-source row volume fits
+  * a task. The a01/a02 pair mirrors q24/q25 and d05/d07: same math,
+  * exact baseline vs scale shape.
+  */
+object Pack {
+  /** Default chunk capacity used by the harness queries (characters —
+    * the synthetic corpus carries `n_chars`; a tokenized corpus would
+    * pass its token-count column). */
+  val DefaultCapacity: Long = 2048L
+
+  /** Global concat-packing via the two-pass distributed prefix scan.
+    * Output: `(doc_id, chunk_id, chunk_off)`, one row per input row.
+    * `id` must be unique (it is the total order); NULL weights count
+    * as 0. */
+  def packChunks(docs: DataFrame, id: String, weight: String,
+                 capacity: Long = DefaultCapacity): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val spark = docs.sparkSession
+    val base = docs
+      .select(col(id).cast("long").as("doc_id"),
+        coalesce(col(weight).cast("long"), lit(0L)).as("w"))
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions("doc_id")
+    // ONE RDD object for both jobs: job 2 reuses job 1's range-shuffle
+    // output (identical shuffle dependency → map stage skipped).
+    val rdd = base.rdd
+    // Pass 1: per-partition totals — O(#partitions) longs on the driver.
+    val partSums = rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var s = 0L; it.foreach(r => s += r.getLong(1)); Iterator((i, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _).dropRight(1)
+    val bcOffsets = spark.sparkContext.broadcast(offsets)
+    // Pass 2: stream each partition once, seeded with its offset.
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = bcOffsets.value(i)
+      it.map { r =>
+        val start = acc
+        acc += r.getLong(1)
+        Row(r.getLong(0), start / capacity, start % capacity)
+      }
+    }
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("chunk_id", LongType, nullable = false),
+      StructField("chunk_off", LongType, nullable = false))))
+  }
+
+  /** Per-stratum concat-packing: chunks never span a `strata` value, so
+    * the prefix sum partitions by source and a plain window computes it
+    * — splittable across sources, single exchange. Output:
+    * `(strata, doc_id, chunk_id, chunk_off)`. */
+  def packChunksBySource(docs: DataFrame, id: String, weight: String,
+                         strata: String,
+                         capacity: Long = DefaultCapacity): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val w = Window.partitionBy(col(strata)).orderBy(col(id))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(strata), col(id).cast("long").as("doc_id"),
+        coalesce(col(weight).cast("long"), lit(0L)).as("w"))
+      .withColumn("excl", coalesce(sum(col("w")).over(w), lit(0L)))
+      // `div`, not `/`: integral floor division stays exact at any
+      // corpus size (a double quotient loses ulps past 2^53)
+      .select(col(strata), col("doc_id"),
+        expr(s"excl div ${capacity}L").as("chunk_id"),
+        expr(s"excl % ${capacity}L").as("chunk_off"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a01_pack_chunks" -> ((s, d) =>
+      packChunks(Tables.documents(s, d), "doc_id", "n_chars")),
+    "a02_pack_by_source" -> ((s, d) =>
+      packChunksBySource(Tables.documents(s, d), "doc_id", "n_chars", "source")))
+
+  def oracle: Map[String, String] = Map(
+    "a01_pack_chunks" ->
+      s"""SELECT doc_id,
+         |  CAST(excl // $DefaultCapacity AS BIGINT) AS chunk_id,
+         |  CAST(excl % $DefaultCapacity AS BIGINT) AS chunk_off
+         |FROM (
+         |  SELECT doc_id,
+         |    coalesce(sum(n_chars) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+         |  FROM documents) t""".stripMargin,
+    "a02_pack_by_source" ->
+      s"""SELECT source, doc_id,
+         |  CAST(excl // $DefaultCapacity AS BIGINT) AS chunk_id,
+         |  CAST(excl % $DefaultCapacity AS BIGINT) AS chunk_off
+         |FROM (
+         |  SELECT source, doc_id,
+         |    coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+         |  FROM documents) t""".stripMargin)
+}

@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval over the document corpus (SURVEY.md §7.5
+  * extensions): BM25 ranked retrieval and positional phrase match — the
+  * query-side complement of the TF/DF statistics ([[TextOps.tfDf]]) and
+  * the ops a curation pipeline runs to pull targeted slices ("find the
+  * docs most about X") out of a 100 TB corpus.
+  *
+  * Scale shapes:
+  *  - [[bm25TopK]] filters the exploded token stream to the query's
+  *    terms BEFORE any exchange — tf and df of a term depend only on
+  *    docs containing it, so the filter is lossless and the shuffled
+  *    volume is proportional to the query's posting lists, not the
+  *    corpus. Corpus-level scalars (doc count, mean length) reduce to
+  *    one tiny aggregate broadcast back; the final top-k is
+  *    `TakeOrderedAndProject` (per-partition heaps, no global sort).
+  *  - [[phraseMatch]] is positional-posting-list adjacency: both sides
+  *    of the self-join are pruned to the two phrase terms map-side,
+  *    then co-shuffle on `(doc_id, pos)` — the classic inverted-index
+  *    phrase plan, never materializing full positions.
+  *
+  * Portability note (same contract as [[TextOps.tfDf]]): the BM25 score
+  * is IEEE-double arithmetic plus one `ln` — products/quotients are
+  * bit-exact across engines, `ln` can differ in the last ulp, so the
+  * emitted score is quantized to micro-units (`round(s·10^6)` as a
+  * long), keeping the oracle comparison exact while preserving 6
+  * decimals of ranking resolution.
+  */
+object Search {
+  /** Okapi BM25 constants (standard defaults). The normalizer is
+    * written `0.25 + 0.75·dl/avgdl` — 1−b constant-folded by hand so
+    * both engines evaluate the identical literal (0.25 and 0.75 are
+    * exact binary doubles). */
+  val K1 = 1.2
+  val BTimesInv = 0.75
+
+  /** The harness query/phrase (terms drawn from the synthetic corpus
+    * vocabulary with distinct document frequencies). */
+  val DefaultQuery: Seq[String] = Seq("spark", "query", "fast")
+  val DefaultPhrase: (String, String) = ("fast", "query")
+
+  /** Top-`k` documents by BM25 score for a bag-of-words query.
+    * Output: `(doc_id, score_q6)` — score in micro-units, ranked
+    * `(score_q6 DESC, doc_id)` for a total order. */
+  def bm25TopK(docs: DataFrame, id: String, text: String,
+               terms: Seq[String] = DefaultQuery, k: Int = 10): DataFrame = {
+    require(terms.nonEmpty, "at least one query term")
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val words = s"filter(split($text, ' '), x -> x <> '')"
+    // corpus scalars: one row, broadcast
+    val stats = docs
+      .select(expr(s"size($words)").cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // query-term postings only: the explode drops every non-query token
+    // before the exchange; dl rides along so no corpus rejoin is needed
+    val tok = docs.select(col(id).as("doc_id"),
+      expr(s"size($words)").cast("long").as("dl"),
+      explode(expr(s"filter($words, x -> x IN ($termList))")).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))))
+      .withColumn("s", col("idf") *
+        (col("tf").cast("double") * lit(K1 + 1)) /
+        (col("tf").cast("double") +
+          lit(K1) * (lit(0.25) + lit(BTimesInv) * col("dl").cast("double") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("s")) * lit(1e6)).cast("long").as("score_q6"))
+      .orderBy(col("score_q6").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Documents containing the exact two-word phrase, with occurrence
+    * counts — positional-posting adjacency: `pos(second) = pos(first)+1`
+    * within a doc. Output: `(doc_id, n_occurrences)`. */
+  def phraseMatch(docs: DataFrame, id: String, text: String,
+                  phrase: (String, String) = DefaultPhrase): DataFrame = {
+    val (w1, w2) = phrase
+    val words = s"filter(split($text, ' '), x -> x <> '')"
+    def postings(term: String) = docs
+      .select(col(id).as("doc_id"),
+        posexplode(expr(words)).as(Seq("pos", "token")))
+      .filter(col("token") === term)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+    val a = postings(w1)
+    val b = postings(w2).withColumnRenamed("pos", "pos2")
+    a.join(b, a("doc_id") === b("doc_id") && col("pos2") === col("pos") + 1)
+      .groupBy(a("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r01_bm25" -> ((s, d) =>
+      bm25TopK(Tables.documents(s, d), "doc_id", "text")),
+    "r02_phrase" -> ((s, d) =>
+      phraseMatch(Tables.documents(s, d), "doc_id", "text")))
+
+  private def termList = DefaultQuery.map(t => s"'$t'").mkString(", ")
+
+  def oracle: Map[String, String] = Map(
+    "r01_bm25" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text,
+         |    len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS dl
+         |  FROM documents),
+         |stats AS (
+         |  SELECT count(*)::BIGINT AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+         |  FROM base),
+         |tok AS (
+         |  SELECT doc_id, dl,
+         |    unnest(list_filter(list_filter(string_split(text, ' '), x -> x <> ''),
+         |                       x -> x IN ($termList))) AS token
+         |  FROM base),
+         |tf AS (
+         |  SELECT doc_id, token, count(*)::BIGINT AS tf, max(dl) AS dl
+         |  FROM tok GROUP BY 1, 2),
+         |dfq AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |    ln(1.0 + (stats.n_docs::DOUBLE - dfq.df::DOUBLE + 0.5)
+         |             / (dfq.df::DOUBLE + 0.5))
+         |    * (tf.tf::DOUBLE * ${K1 + 1})
+         |    / (tf.tf::DOUBLE + $K1 * (0.25 + $BTimesInv * tf.dl::DOUBLE
+         |        / (stats.sum_dl::DOUBLE / stats.n_docs::DOUBLE))) AS s
+         |  FROM tf JOIN dfq USING (token) CROSS JOIN stats)
+         |SELECT doc_id, CAST(round(sum(s) * 1000000.0) AS BIGINT) AS score_q6
+         |FROM sc GROUP BY doc_id
+         |ORDER BY score_q6 DESC, doc_id LIMIT 10""".stripMargin,
+    "r02_phrase" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         |  FROM documents),
+         |tok AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(ws) + 1),
+         |      i -> struct_pack(pos := i, tok := ws[i]))) AS u
+         |  FROM w),
+         |p AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM tok)
+         |SELECT a.doc_id, count(*) AS n_occurrences
+         |FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |WHERE a.tok = '${DefaultPhrase._1}' AND b.tok = '${DefaultPhrase._2}'
+         |GROUP BY a.doc_id""".stripMargin)
+}

@@ -84,6 +84,52 @@ object TextOps {
       .withColumn("redacted", regexp_replace(col("_r1"), LongNumRe, "[NUM]"))
       .drop("_r1")
 
+  /** Gopher-style repetition features (Rae et al. 2021 §A1.1): what
+    * fraction of a document is repeated phrasing. Appends `n_bigrams,
+    * n_unique_bigrams, dup_bigram_frac, top_bigram_count,
+    * top_bigram_frac` (fractions NULL when the doc has < 2 words).
+    *
+    * ZERO-shuffle by construction — the naive relational form (explode
+    * bigrams → groupBy(doc, bigram) → re-agg by doc) shuffles the whole
+    * exploded corpus twice to answer a per-document question. Documents
+    * are bounded (context-window sized), so each doc's stats compute
+    * inside one codegen'd projection instead: build the bigram list with
+    * `transform`, count distincts with `array_distinct`, and find the
+    * modal bigram's count as the longest run of the SORTED list via a
+    * single `aggregate` fold — O(n log n) per doc, no exchange, no
+    * state, embarrassingly parallel at any corpus size. */
+  def withRepetition(df: DataFrame, text: String): DataFrame =
+    df
+      .withColumn("_w", expr(s"filter(split($text, ' '), x -> x <> '')"))
+      .withColumn("_bg", expr(
+        """CASE WHEN size(_w) >= 2
+          |  THEN transform(sequence(0, size(_w) - 2),
+          |         i -> concat(element_at(_w, i + 1), ' ', element_at(_w, i + 2)))
+          |  ELSE cast(array() AS array<string>) END""".stripMargin))
+      .withColumn("n_bigrams", size(col("_bg")).cast("long"))
+      .withColumn("n_unique_bigrams",
+        size(array_distinct(col("_bg"))).cast("long"))
+      // modal count = longest run in the sorted list ('' never collides:
+      // words are non-empty, so every bigram has length >= 3)
+      .withColumn("top_bigram_count", expr(
+        """aggregate(array_sort(_bg),
+          |  named_struct('prev', '', 'run', 0L, 'best', 0L),
+          |  (acc, x) -> IF(x = acc.prev,
+          |    named_struct('prev', x, 'run', acc.run + 1L,
+          |                 'best', greatest(acc.best, acc.run + 1L)),
+          |    named_struct('prev', x, 'run', 1L,
+          |                 'best', greatest(acc.best, 1L))),
+          |  acc -> acc.best)""".stripMargin))
+      .withColumn("dup_bigram_frac",
+        when(col("n_bigrams") === 0, lit(null).cast("double"))
+          .otherwise((col("n_bigrams") - col("n_unique_bigrams")).cast("double") /
+            col("n_bigrams").cast("double")))
+      .withColumn("top_bigram_frac",
+        when(col("n_bigrams") === 0, lit(null).cast("double"))
+          .otherwise(col("top_bigram_count").cast("double") /
+            col("n_bigrams").cast("double")))
+      .drop("_w", "_bg")
+
   /** Corpus token frequencies, top `k`. Output: `(token, freq)`. */
   def tokenFrequencies(df: DataFrame, text: String, k: Int): DataFrame =
     df.select(explode(split(col(text), " ")).as("token"))
@@ -200,7 +246,11 @@ object TextOps {
       tfDfAuto(Tables.documents(s, d), "doc_id", "text")),
     "t07_redact" -> ((s, d) =>
       withRedaction(Tables.documents(s, d), "text")
-        .select("doc_id", "redacted", "n_emails", "n_nums")))
+        .select("doc_id", "redacted", "n_emails", "n_nums")),
+    "t08_repetition" -> ((s, d) =>
+      withRepetition(Tables.documents(s, d), "text")
+        .select("doc_id", "n_bigrams", "n_unique_bigrams", "dup_bigram_frac",
+          "top_bigram_count", "top_bigram_frac")))
 
   def oracle: Map[String, String] = Map(
     "t01_token_freq" ->
@@ -238,6 +288,35 @@ object TextOps {
          |  len(regexp_extract_all(regexp_replace(text, '$EmailRe', '[EMAIL]', 'g'),
          |                         '$LongNumRe')) AS n_nums
          |FROM documents""".stripMargin,
+    // relational mirror of the map-side fold: explode → count → re-agg
+    // computes the identical modal/distinct statistics
+    "t08_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ws) >= 2
+        |      THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])
+        |      ELSE [] END AS bgs
+        |  FROM w),
+        |ex AS (SELECT doc_id, unnest(bgs) AS b FROM bg),
+        |cnt AS (SELECT doc_id, b, count(*) AS c FROM ex GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |    count(*) AS n_unique, max(c) AS top
+        |  FROM cnt GROUP BY 1)
+        |SELECT bg.doc_id,
+        |  coalesce(a.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(a.n_unique, 0) AS n_unique_bigrams,
+        |  CASE WHEN a.n_bigrams IS NULL THEN NULL
+        |       ELSE (a.n_bigrams - a.n_unique)::DOUBLE / a.n_bigrams::DOUBLE
+        |  END AS dup_bigram_frac,
+        |  coalesce(a.top, 0) AS top_bigram_count,
+        |  CASE WHEN a.n_bigrams IS NULL THEN NULL
+        |       ELSE a.top::DOUBLE / a.n_bigrams::DOUBLE
+        |  END AS top_bigram_frac
+        |FROM bg LEFT JOIN agg a ON bg.doc_id = a.doc_id""".stripMargin,
     "t05_lang_id" ->
       s"""SELECT doc_id, lang AS labeled_lang,
          |  CASE WHEN len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''), x -> x IN ($swList))) >= 2

@@ -754,4 +754,99 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     rows.foreach(r => assert(r.getLong(1) >= 1L && r.getLong(1) <= r.getLong(2)))
   }
+
+  test("t08 repetition stats on crafted documents") {
+    import spark.implicits._
+    // "a b a b a b": bigrams [a b, b a, a b, b a, a b] → n=5, unique=2,
+    // modal "a b"×3; one-word and empty docs have no bigrams → NULL fracs
+    val docs = Seq((1L, "a b a b a b"), (2L, "x"), (3L, ""),
+      (4L, "u v w"), (5L, "r r r r")).toDF("doc_id", "text")
+    val out = TextOps.withRepetition(docs, "text")
+      .select("doc_id", "n_bigrams", "n_unique_bigrams", "dup_bigram_frac",
+        "top_bigram_count", "top_bigram_frac")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 5L && out(1L).getLong(2) == 2L)
+    assert(out(1L).getDouble(3) == 0.6 && out(1L).getLong(4) == 3L &&
+      out(1L).getDouble(5) == 0.6)
+    Seq(2L, 3L).foreach { id =>
+      assert(out(id).getLong(1) == 0L && out(id).isNullAt(3) && out(id).isNullAt(5))
+    }
+    assert(out(4L).getLong(1) == 2L && out(4L).getLong(2) == 2L &&
+      out(4L).getDouble(3) == 0.0)
+    // "r r r r": bigrams [r r, r r, r r] — one value, run of 3
+    assert(out(5L).getLong(4) == 3L && out(5L).getDouble(5) == 1.0)
+  }
+
+  test("a01 global packing equals a sequential scan and is partition-invariant") {
+    import spark.implicits._
+    val cap = 10L
+    val weights = Seq(3L, 9L, 4L, 10L, 25L, 1L, 0L, 7L, 2L, 6L)
+    val docs = weights.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "n_chars")
+    // sequential reference: exclusive prefix sum in id order
+    val expected = weights.scanLeft(0L)(_ + _).dropRight(1).zipWithIndex
+      .map { case (start, i) => (i.toLong, start / cap, start % cap) }.toSet
+    for (parts <- Seq(1, 3, 8)) {
+      val got = Pack.packChunks(docs.repartition(parts), "doc_id", "n_chars", cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("a01/a02 packing invariants on the corpus") {
+    val a01 = Pack.queries("a01_pack_chunks")(spark, sf).collect()
+    // chunk ids are dense from 0; offsets bounded by capacity
+    val maxChunk = a01.map(_.getLong(1)).max
+    assert(a01.map(_.getLong(1)).toSet == (0L to maxChunk).toSet,
+      "global chunk ids must be dense")
+    a01.foreach(r => assert(r.getLong(2) >= 0 && r.getLong(2) < Pack.DefaultCapacity))
+    // a02: within each source the packing matches a per-source sequential scan
+    val docs = Tables.documents(spark, sf)
+      .select("source", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = docs.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.map(_._3).scanLeft(0L)(_ + _).dropRight(1).zip(sorted).map {
+        case (start, (_, id, _)) =>
+          (src, id, start / Pack.DefaultCapacity, start % Pack.DefaultCapacity)
+      }.toSeq
+    }.toSet
+    val got = Pack.queries("a02_pack_by_source")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
+  }
+
+  test("r01 bm25 ranks higher-tf docs first on a crafted corpus") {
+    import spark.implicits._
+    // same length docs: doc 1 saturated with query terms, doc 2 one hit,
+    // doc 3 none (absent from results); doc 4 longer with one hit —
+    // length normalization must rank it below doc 2
+    val docs = Seq(
+      (1L, "spark query fast spark query fast"),
+      (2L, "spark pad pad pad pad pad"),
+      (3L, "pad pad pad pad pad pad"),
+      (4L, "spark pad pad pad pad pad pad pad pad pad pad pad"))
+      .toDF("doc_id", "text")
+    val rows = Search.bm25TopK(docs, "doc_id", "text").collect()
+    val ids = rows.map(_.getLong(0))
+    assert(ids.head == 1L, s"saturated doc must rank first, got ${ids.toSeq}")
+    assert(!ids.contains(3L), "doc without query terms must not appear")
+    val score = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(score(2L) > score(4L), "longer doc with same tf must score lower")
+    val scores = rows.map(_.getLong(1))
+    assert(scores.sameElements(scores.sorted(Ordering[Long].reverse)))
+  }
+
+  test("r02 phrase match counts exact adjacencies only") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "fast query fast query"),   // two occurrences
+      (2L, "fast slow query"),         // words present, not adjacent
+      (3L, "query fast"),              // reversed order only
+      (4L, "a fast query b"))          // one occurrence
+      .toDF("doc_id", "text")
+    val out = Search.phraseMatch(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 4L -> 1L))
+  }
 }
