@@ -322,6 +322,80 @@ object Sketches {
        |SELECT $sels FROM c""".stripMargin
   }
 
+  /** BOTTOM-K (k-minimum-values) sketch of a string column: the k
+    * smallest scattered hashes of the DISTINCT value set, each paired
+    * with a representative value — `(h, v)`, at most k rows. The third
+    * member of the mergeable-sketch family ([[hllRegisters]],
+    * [[histRegisters]]): union any shard sketches, re-take the k
+    * smallest ([[bottomKMerge]]), and the result is identical to
+    * sketching the whole corpus — minimum-of-sets is associative,
+    * commutative, idempotent.
+    *
+    * What it buys over HLL: the sketch IS a uniform sample of the
+    * distinct values (a value's hash rank is a fixed pseudo-random
+    * permutation — [[Sampling]]'s coin applied to sets), so one
+    * artifact answers distinct-count estimation
+    * ([[bottomKEstimate]]: (k−1)·P/h₍ₖ₎, Bar-Yossef et al. 2002),
+    * "show me representative distinct values", and downstream set
+    * comparisons. All arithmetic is integer + one exact double
+    * division, so estimates match any engine bit-for-bit.
+    *
+    * Scale shape: the dedup is a hash aggregate (map-side partials —
+    * the exchange carries each partition's distinct hashes once) and
+    * the k-smallest is `TakeOrderedAndProject` (per-partition heaps,
+    * never a global sort). The exchange is bounded by the DISTINCT
+    * count, not the row count — when even that is too hot, sketch
+    * per shard (one pass each, k rows out) and [[bottomKMerge]]. */
+  def bottomKSketch(df: DataFrame, valueCol: String, k: Int = BottomK): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    df
+      .select(expr(
+        s"(graft_polyhash(cast($valueCol as string)) * ${ScatterA}L + ${ScatterB}L) % ${Hashing.P}L")
+        .as("h"), col(valueCol).cast("string").as("v"))
+      .filter(col("h").isNotNull)
+      // min(v) per hash: deterministic representative (collisions are
+      // ~n²/2P rare but must not make the artifact run-dependent)
+      .groupBy(col("h")).agg(min(col("v")).as("v"))
+      .orderBy(col("h")).limit(k)
+  }
+
+  /** Default sketch size: se ≈ 1/√(k−2) ≈ 8.9%. */
+  val BottomK: Int = 128
+
+  /** Merge bottom-k sketches built with the SAME hash (any overlap). */
+  def bottomKMerge(k: Int, sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy(col("h")).agg(min(col("v")).as("v"))
+      .orderBy(col("h")).limit(k)
+
+  /** Distinct-count read-out: with fewer than k hashes the sketch IS
+    * the distinct set (exact count); at capacity, the k-th smallest of
+    * a uniform [0, P) sample estimates n ≈ (k−1)·P/h₍ₖ₎. Output: one
+    * row `(k_cap, n_in_sketch, est)`. */
+  def bottomKEstimate(sketch: DataFrame, k: Int = BottomK): DataFrame =
+    sketch
+      .agg(count(lit(1)).as("n_in_sketch"), max(col("h")).as("hk"))
+      .select(lit(k.toLong).as("k_cap"), col("n_in_sketch"),
+        when(col("n_in_sketch") < k, col("n_in_sketch").cast("double"))
+          .otherwise(lit((k - 1).toDouble * Hashing.P.toDouble) /
+            col("hk").cast("double"))
+          .as("est"))
+
+  /** DuckDB oracle for [[bottomKSketch]] → [[bottomKEstimate]]. */
+  def bottomKSql(table: String, valueSql: String, k: Int): String = {
+    val ph = Hashing.polyHashSql(valueSql)
+    s"""WITH h AS (
+       |  SELECT DISTINCT (($ph) * $ScatterA + $ScatterB) % ${Hashing.P} AS h
+       |  FROM $table),
+       |s AS (SELECT h FROM h WHERE h IS NOT NULL ORDER BY h LIMIT $k),
+       |a AS (SELECT count(*) AS n_in_sketch, max(h) AS hk FROM s)
+       |SELECT ${k}::BIGINT AS k_cap, n_in_sketch,
+       |  CASE WHEN n_in_sketch < $k THEN n_in_sketch::DOUBLE
+       |       ELSE ${(k - 1).toDouble * Hashing.P.toDouble} / hk::DOUBLE
+       |  END AS est
+       |FROM a""".stripMargin
+  }
+
   /** Count-Min sketch width (columns per hash row) and depth (hash
     * rows). w=1024, d=3: overestimate ≤ 2e/w · N ≈ 0.5% of the stream
     * per probe with probability 1−e^−d ≈ 95% (Cormode & Muthukrishnan
@@ -430,6 +504,11 @@ object Sketches {
           "l_extendedprice", 1000.0),
         1000.0, Seq(0.5 -> "p50", 0.9 -> "p90"))
         .withColumnRenamed("grp", "l_returnflag")),
+    // bottom-k distinct sketch of the same key space as x01 — the
+    // sample-bearing estimator beside the register-bearing one
+    "x08_bottomk" -> ((s, d) =>
+      bottomKEstimate(bottomKSketch(
+        Tables.lineitem(s, d).select(col("l_partkey")), "l_partkey"))),
     // part-key overlap between the returned and acknowledged line
     // populations, estimated purely from registers
     "x07_hll_overlap" -> ((s, d) => {
@@ -458,6 +537,8 @@ object Sketches {
     "x07_hll_overlap" ->
       hllOverlapSql("lineitem", "CAST(l_partkey AS VARCHAR)",
         "l_returnflag = 'R'", "l_returnflag = 'A'", P2),
+    "x08_bottomk" ->
+      bottomKSql("lineitem", "CAST(l_partkey AS VARCHAR)", BottomK),
     "x02_cms_freq" -> {
       val ph = Hashing.polyHashSql("token")
       val cellUnion = (0 until CmsDepth).map { i =>

@@ -837,6 +837,34 @@ class OpsSpec extends AnyFunSuite {
     assert(scores.sameElements(scores.sorted(Ordering[Long].reverse)))
   }
 
+  test("x08 bottom-k: exact under capacity, 3-sigma above it, merge-invariant") {
+    import spark.implicits._
+    // under capacity the sketch IS the distinct set → exact count
+    val tiny = (1 to 50).map(i => s"v$i").toDF("v")
+    val exact = Sketches.bottomKEstimate(Sketches.bottomKSketch(tiny, "v")).head()
+    assert(exact.getLong(1) == 50L && exact.getDouble(2) == 50.0)
+    // above capacity: estimate within 3 standard errors of the truth
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+    val truth = li.select("l_partkey").distinct().count().toDouble
+    val est = Sketches.bottomKEstimate(
+      Sketches.bottomKSketch(li.select(col("l_partkey")), "l_partkey"))
+      .head().getDouble(2)
+    val se = truth / math.sqrt(Sketches.BottomK - 2)
+    assert(math.abs(est - truth) <= 3 * se,
+      s"est=$est truth=$truth beyond 3se=${3 * se}")
+    // sketch(shards merged) == sketch(whole), bit-identical artifact
+    val parts = Seq(
+      li.filter(col("l_orderkey") % 3 === 0),
+      li.filter(col("l_orderkey") % 3 === 1),
+      li.filter(col("l_orderkey") % 3 === 2))
+      .map(p => Sketches.bottomKSketch(p.select(col("l_partkey")), "l_partkey"))
+    val merged = Sketches.bottomKMerge(Sketches.BottomK, parts: _*)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val whole = Sketches.bottomKSketch(li.select(col("l_partkey")), "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(merged == whole)
+  }
+
   test("r02 phrase match counts exact adjacencies only") {
     import spark.implicits._
     val docs = Seq(
