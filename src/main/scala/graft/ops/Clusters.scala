@@ -193,6 +193,49 @@ object Clusters {
     docs.join(nonKeepers, Seq(id), "left_anti")
   }
 
+  /** SEMANTIC deduplication (c05) — SemDeDup (Abbas et al., 2023,
+    * arXiv:2303.09540) re-expressed relationally: near-duplicate
+    * MEANING, not near-duplicate text, caught by comparing embeddings
+    * only WITHIN k-means clusters. Cluster the corpus with
+    * [[Similarity.kmeansAssign]] (k chosen so clusters are small —
+    * SemDeDup uses k ≈ corpus/1000), score cosine on within-cluster
+    * pairs only, and flag every vector that has a smaller-id
+    * within-cluster neighbor at cosine ≥ `tau`.
+    *
+    * The flag is the one-pass DOMINANCE rule (drop b if some kept-or-
+    * dropped a < b is τ-close), not transitive closure — feed the pair
+    * list to [[connectedComponents]] when full semantic clusters are
+    * wanted, exactly as c01 does for d02's textual pairs.
+    *
+    * Scale shape: the O(n²) cosine pass of d05 becomes Σ|cluster|²
+    * — the whole point of SemDeDup — and the pair scan is a plain
+    * self-equi-join on the cluster key: clusters co-locate via the
+    * shuffle, a hot cluster spills rather than OOMs, and k is the
+    * knob that bounds |cluster|. The k-means train is k04's: one
+    * corpus scan per iteration, O(k·dims) driver exchange.
+    * Output: `(vec_id, cluster, is_dup)` — one row per vector. */
+  def semanticDedup(vectors: DataFrame, id: String, vec: String,
+                    k: Int, iters: Int, tau: Double): DataFrame = {
+    graft.functions.VectorFunctions.register(vectors.sparkSession)
+    val assign = Similarity.kmeansAssign(vectors, id, vec, k, iters)
+    val v = vectors.select(col(id).as("vec_id"),
+        expr(s"transform($vec, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+      .join(assign, "vec_id")
+    val dups = v.as("a").join(v.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+      .filter(expr("graft_dot(a.v, b.v)") / (col("a.nrm") * col("b.nrm")) >= tau)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    v.select(col("vec_id"), col("cluster"))
+      .join(dups.withColumn("_d", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("_d"), lit(false)).as("is_dup"))
+  }
+
+  /** c05's cosine threshold: same planted-vs-background separation
+    * argument as d05 (planted near-dups ≥ 0.9, background ≤ 0.1). */
+  val SemDedupTau = 0.45
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // clusters over the d02 near-dup pairs: every doc that has at least
     // one near-dup, labeled with its cluster's canonical keeper
@@ -221,7 +264,10 @@ object Clusters {
         Dedup.minhashVerifiedPairs(Tables.documents(s, d), "doc_id", "text",
           threshold = 0.6),
         "doc_a", "doc_b")
-        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
+    "c05_semantic_dedup" -> ((s, d) =>
+      semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+        Similarity.KmeansK, Similarity.KmeansIters, SemDedupTau)))
 
   def oracle: Map[String, String] = Map(
     // the same fixpoint as a recursive CTE: comp enumerates
@@ -282,5 +328,21 @@ object Clusters {
          |lab AS (SELECT id, min(label) AS cluster FROM comp GROUP BY id)
          |SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT id FROM lab WHERE cluster < id)""".stripMargin
-    })
+    },
+    // c05 — the k04 kmeans CTE chain (shared generator) + within-cluster
+    // cosine dominance over the final assignment
+    "c05_semantic_dedup" -> Similarity.kmeansOracleSql(
+      Similarity.KmeansK, Similarity.KmeansIters, body =
+        s""",
+           |nv AS (
+           |  SELECT q.vec_id, a.cluster, q.v,
+           |    sqrt(reduce(list_prepend(0.0, list_transform(q.v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+           |  FROM q JOIN a${Similarity.KmeansIters} a USING (vec_id)),
+           |dup AS (
+           |  SELECT DISTINCT b.vec_id
+           |  FROM nv a JOIN nv b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+           |  WHERE reduce(list_prepend(0.0, list_transform(range(1, 65), i -> a.v[i] * b.v[i])), (acc, x) -> acc + x)
+           |      / (a.nrm * b.nrm) >= $SemDedupTau)
+           |SELECT n.vec_id, n.cluster, (d.vec_id IS NOT NULL) AS is_dup
+           |FROM nv n LEFT JOIN dup d ON n.vec_id = d.vec_id""".stripMargin))
 }

@@ -468,6 +468,55 @@ object Dedup {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
   }
 
+  /** Cross-document duplicated n-gram statistics (d11) — the
+    * span-level view of repetition that document-level dedup misses:
+    * boilerplate headers, license blocks, and templated fragments
+    * repeat across documents that are NOT near-duplicates as wholes
+    * (the motivation for substring-level dedup in Lee et al., "
+    * Deduplicating Training Data Makes Language Models Better", 2022).
+    * For each doc with ≥ n tokens: `n_grams` = total n-gram positions,
+    * `n_dup_grams` = positions whose n-gram also occurs in at least
+    * one OTHER document, and their ratio. A doc with a high `dup_frac`
+    * but no d02/d08 partner is exactly the templated-fragment case.
+    *
+    * Unlike [[shingles]] this keeps every POSITION (no array_distinct):
+    * the statistic weights a repeated span by how much of the document
+    * it covers. Shape: one (doc, gram) pre-aggregation (map-side
+    * partials collapse within-doc repeats before the exchange), a
+    * gram-keyed doc-frequency aggregation over it, a shuffle join back
+    * on the gram key, and bounded per-doc rollups — every exchange keys
+    * on gram or doc_id, nothing collects. At corpus scale the gram
+    * strings would carry the shuffle; swap the key to the 8-byte
+    * [[graft.functions.TextHashExpressions]] shingle hash exactly as
+    * [[jaccardPairs]] does (kept as strings here for oracle
+    * readability). Output: `(doc_id, n_grams, n_dup_grams, dup_frac)`. */
+  def dupNgramStats(docs: DataFrame, id: String, text: String,
+                    n: Int = 5): DataFrame = {
+    val grams = docs
+      .select(col(id).as("doc_id"),
+        expr(s"filter(split($text, ' '), x -> x <> '')").as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(tk) - $n), " +
+        s"i -> concat_ws(' ', ${(0 until n).map(j => s"tk[i+$j]").mkString(", ")}))"))
+        .as("gram"))
+    val perDocGram = grams.groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+    val docFreq = perDocGram.groupBy(col("gram"))
+      .agg(count(lit(1)).as("gdf"))
+    val totals = perDocGram.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"))
+    val dups = perDocGram
+      .join(docFreq.filter(col("gdf") >= 2), "gram")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_dup_grams"))
+    totals.join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"))
+      .withColumn("dup_frac",
+        col("n_dup_grams").cast("double") / col("n_grams").cast("double"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> ((s, d) =>
       exactDedup(Tables.documents(s, d), "doc_id", "text")),
@@ -506,7 +555,9 @@ object Dedup {
       contaminationHits(
         docs.filter(col("source") =!= "src0"), "doc_id", "text",
         docs.filter(col("source") === "src0"), "text")
-    }))
+    }),
+    "d11_dup_ngram_spans" -> ((s, d) =>
+      dupNgramStats(Tables.documents(s, d), "doc_id", "text", n = 5)))
 
   /** DuckDB CTE mirroring [[shingles]] with n=3 — `sh(doc_id, shingle)`. */
   private val shinglesSql: String =
@@ -712,6 +763,26 @@ object Dedup {
            |SELECT c.doc_id, count(*) AS n_hits
            |FROM skc c JOIN probe USING (sk)
            |GROUP BY c.doc_id""".stripMargin
-      })
+      },
+      // d11 — positioned 5-grams (no DISTINCT: every occurrence counts),
+      // doc frequency over the (doc, gram) pre-aggregation, per-doc
+      // rollups; CASTs pin DuckDB's HUGEINT sum back to BIGINT
+      "d11_dup_ngram_spans" ->
+        """WITH tk AS (
+          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+          |  FROM documents
+          |  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 5),
+          |g AS (
+          |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 3),
+          |    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]))) AS gram
+          |  FROM tk),
+          |g1 AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+          |gdf AS (SELECT gram, count(*) AS gdf FROM g1 GROUP BY gram),
+          |tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams FROM g1 GROUP BY doc_id),
+          |dup AS (SELECT g1.doc_id, CAST(sum(g1.c) AS BIGINT) AS n_dup
+          |        FROM g1 JOIN gdf USING (gram) WHERE gdf.gdf >= 2 GROUP BY g1.doc_id)
+          |SELECT t.doc_id, t.n_grams, coalesce(d.n_dup, 0) AS n_dup_grams,
+          |  coalesce(d.n_dup, 0)::DOUBLE / t.n_grams::DOUBLE AS dup_frac
+          |FROM tot t LEFT JOIN dup d USING (doc_id)""".stripMargin)
   }
 }

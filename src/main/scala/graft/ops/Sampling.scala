@@ -130,6 +130,86 @@ object Sampling {
   private def weightSql(id: String, weightExpr: String): String =
     s"${hSql(id)} < CAST(floor(($weightExpr)::DOUBLE * $P) AS BIGINT)"
 
+  /** Token-budget corpus cap (s05) — the curation step that holds a
+    * training mix to a fixed token budget per stratum (per language,
+    * per source): order each stratum's docs by `priority` DESC (ties on
+    * the id), keep docs while the running token total stays within
+    * `budget`. Output: `(stratum, id, n_tokens)` of the kept docs.
+    *
+    * Scale caveat, deliberate (same pattern as q24 vs q25): the running
+    * sum is a window over the whole stratum, and a window partition
+    * cannot split — with few strata (5 languages) each stratum is one
+    * unsplittable sort+scan task at corpus scale. This is the exact,
+    * oracle-checkable baseline; [[tokenBudgetTwoPass]] computes the
+    * identical kept set with no stratum-sized window anywhere. */
+  def tokenBudget(df: DataFrame, id: String, strata: String,
+                  tokens: Column, priority: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(strata))
+      .orderBy(col(priority).desc, col(id))
+    df.withColumn("n_tokens", tokens)
+      .withColumn("_cum", sum(col("n_tokens")).over(w))
+      .filter(col("_cum") <= budget)
+      .select(col(strata), col(id), col("n_tokens"))
+  }
+
+  /** [[tokenBudget]], SCALE PATH (s06) — same kept set (it shares s05's
+    * oracle text verbatim) via two-phase histogram-prune selection
+    * instead of one unsplittable per-stratum running-sum window:
+    *   Pass 1 — bucket `priority` by `bucketWidth` and sum tokens per
+    *     (stratum, bucket) with a fully splittable groupBy; the only
+    *     window runs over this HISTOGRAM (≤ #buckets rows per stratum),
+    *     descending, to find each stratum's BRACKET bucket — the bucket
+    *     whose cumulative token total first exceeds the budget — and
+    *     `below`, the total in buckets above it.
+    *   Pass 2 — buckets above the bracket are kept wholesale (their
+    *     running total is ≤ below ≤ budget at every doc); buckets below
+    *     are dropped wholesale; only BRACKET-bucket docs run the exact
+    *     running sum, seeded at `below` — a window whose partition is
+    *     one bucket's population, bounded by `bucketWidth`, not the
+    *     stratum (shrink the width — or re-bracket recursively — to
+    *     tighten the bound).
+    * Equivalence: bucketing by `priority div width` is monotone in the
+    * keep order, so the global running total at any doc decomposes into
+    * whole-buckets-above + within-bucket prefix — exactly what the
+    * bracket + seeded window compute. Priorities must be non-negative
+    * (integer `div` bucketing). */
+  def tokenBudgetTwoPass(df: DataFrame, id: String, strata: String,
+                         tokens: Column, priority: String, budget: Long,
+                         bucketWidth: Long = 32L): DataFrame = {
+    val vals = df.select(col(strata).as("g"), col(id).as("_id"),
+        col(priority).cast("long").as("pr"), tokens.as("n_tokens"))
+      .withColumn("bkt", expr(s"pr div $bucketWidth"))
+    val hist = vals.groupBy(col("g"), col("bkt"))
+      .agg(sum(col("n_tokens")).as("wsum"))
+    val cum = hist.withColumn("cum",
+      sum(col("wsum")).over(Window.partitionBy(col("g")).orderBy(col("bkt").desc)))
+    // ≤ 1 row per stratum → broadcast; absent row = stratum under budget
+    val bracket = cum
+      .filter(col("cum") > budget && col("cum") - col("wsum") <= budget)
+      .select(col("g").as("bg"), col("bkt").as("bbkt"),
+        (col("cum") - col("wsum")).as("below"))
+    val joined = vals.join(broadcast(bracket),
+      vals("g") === col("bg"), "left")
+    val above = joined
+      .filter(col("bbkt").isNull || col("bkt") > col("bbkt"))
+      .select(col("g"), col("_id"), col("n_tokens"))
+    val w2 = Window.partitionBy(col("g")).orderBy(col("pr").desc, col("_id"))
+    val inBracket = joined.filter(col("bkt") === col("bbkt"))
+      .withColumn("_cum", col("below") + sum(col("n_tokens")).over(w2))
+      .filter(col("_cum") <= budget)
+      .select(col("g"), col("_id"), col("n_tokens"))
+    above.union(inBracket)
+      .select(col("g").as(strata), col("_id").as(id), col("n_tokens"))
+  }
+
+  /** The harness token-budget spec: cap each language at [[BudgetTokens]]
+    * whitespace tokens, preferring longer documents (`n_chars` DESC). */
+  val BudgetTokens = 2500L
+
+  /** Whitespace token count, matching t03's `n_ws_tokens` exactly. */
+  private def nTokens(text: String): Column =
+    expr(s"size(filter(split($text, ' '), x -> x <> ''))").cast("long")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_sample_rate" -> ((s, d) =>
       sampleByRate(Tables.documents(s, d), "doc_id", "lang",
@@ -145,7 +225,13 @@ object Sampling {
     "s04_sample_weighted" -> ((s, d) =>
       sampleByWeight(Tables.documents(s, d), "doc_id",
         "least(cast(n_chars as double) / 4000.0, 1.0)")
-        .select(col("doc_id"), col("lang"), col("n_chars"))))
+        .select(col("doc_id"), col("lang"), col("n_chars"))),
+    "s05_token_budget" -> ((s, d) =>
+      tokenBudget(Tables.documents(s, d), "doc_id", "lang",
+        nTokens("text"), "n_chars", BudgetTokens)),
+    "s06_token_budget_2p" -> ((s, d) =>
+      tokenBudgetTwoPass(Tables.documents(s, d), "doc_id", "lang",
+        nTokens("text"), "n_chars", BudgetTokens)))
 
   def oracle: Map[String, String] = Map(
     "s01_sample_rate" ->
@@ -164,5 +250,23 @@ object Sampling {
          |FROM documents""".stripMargin,
     "s04_sample_weighted" ->
       s"""SELECT doc_id, lang, n_chars FROM documents
-         |WHERE ${weightSql("doc_id", "least(n_chars / 4000.0, 1.0)")}""".stripMargin)
+         |WHERE ${weightSql("doc_id", "least(n_chars / 4000.0, 1.0)")}""".stripMargin,
+    "s05_token_budget" -> tokenBudgetOracle,
+    // s06 computes the same kept set through the two-pass histogram
+    // shape, so it shares s05's oracle text verbatim
+    "s06_token_budget_2p" -> tokenBudgetOracle)
+
+  /** Shared s05/s06 oracle: the windowed running-sum definition is the
+    * SPEC of the kept set; s06's bracket decomposition must reproduce it
+    * exactly. The unique (n_chars DESC, doc_id) order makes DuckDB's
+    * default RANGE frame equal to ROWS, matching Spark. */
+  private def tokenBudgetOracle: String =
+    s"""SELECT lang, doc_id, n_tokens FROM (
+       |  SELECT lang, doc_id, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY lang
+       |                        ORDER BY n_chars DESC, doc_id) AS cum
+       |  FROM (SELECT lang, doc_id, n_chars,
+       |          CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+       |        FROM documents) t) c
+       |WHERE cum <= $BudgetTokens""".stripMargin
 }

@@ -877,4 +877,71 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(1L -> 2L, 4L -> 1L))
   }
+
+  test("s06 two-pass token budget equals the s05 window spec at any budget") {
+    val docs = Tables.documents(spark, sf)
+    val tokens = expr("size(filter(split(text, ' '), x -> x <> ''))").cast("long")
+    def kept(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Long)] =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // budgets straddling every regime: trims inside the top bucket,
+    // mid-corpus, barely trims, and keeps everything
+    for (budget <- Seq(50L, 300L, 2500L, 1000000L)) {
+      val base = kept(Sampling.tokenBudget(docs, "doc_id", "lang",
+        tokens, "n_chars", budget))
+      val twoPass = kept(Sampling.tokenBudgetTwoPass(docs, "doc_id", "lang",
+        tokens, "n_chars", budget))
+      assert(twoPass == base, s"budget $budget: two-pass diverged from window spec")
+      // and the decomposition is partitioning-invariant
+      val repart = kept(Sampling.tokenBudgetTwoPass(docs.repartition(7),
+        "doc_id", "lang", tokens, "n_chars", budget))
+      assert(repart == base, s"budget $budget: repartition changed the kept set")
+    }
+    // budget 0 keeps nothing on either path
+    assert(Sampling.tokenBudget(docs, "doc_id", "lang", tokens, "n_chars", 0L)
+      .count() == 0L)
+    assert(Sampling.tokenBudgetTwoPass(docs, "doc_id", "lang", tokens, "n_chars", 0L)
+      .count() == 0L)
+  }
+
+  test("d11 exact-duplicate docs have dup_frac 1.0; fractions stay in [0,1]") {
+    val stats = Dedup.queries("d11_dup_ngram_spans")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    stats.values.foreach { case (n, dup, frac) =>
+      assert(dup >= 0 && dup <= n && frac >= 0.0 && frac <= 1.0)
+    }
+    // crafted corpus pins the span semantics exactly: twins share ALL
+    // grams, a unique doc shares none, a doc embedding one twin 5-gram
+    // shares exactly that position
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g"),                  // exact twin of 2
+      (2L, "a b c d e f g"),
+      (3L, "h i j k l m n o"),                // unique
+      (4L, "p q r s t a b c d e u v w"))      // embeds twins' "a b c d e"
+      .toDF("doc_id", "text")
+    val crafted = Dedup.dupNgramStats(docs, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(crafted(1L) == ((3L, 3L, 1.0)) && crafted(2L) == ((3L, 3L, 1.0)))
+    assert(crafted(3L) == ((4L, 0L, 0.0)))
+    assert(crafted(4L) == ((9L, 1L, 1.0 / 9.0)))
+  }
+
+  test("c05 semantic dedup flags exactly the dominated ends of in-cluster pairs") {
+    val out = Clusters.queries("c05_semantic_dedup")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val emb = Tables.embeddings(spark, sf)
+    assert(out.size == emb.count().toInt, "one row per vector")
+    // independent reference: brute-force pairs at the same tau,
+    // restricted to pairs whose ends share a c05 cluster
+    val pairs = Dedup.cosineNearDup(emb, "vec_id", "embedding",
+      Clusters.SemDedupTau)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expectDup = pairs.collect {
+      case (a, b) if out(a)._1 == out(b)._1 => math.max(a, b)
+    }.toSet
+    val flagged = out.collect { case (id, (_, true)) => id }.toSet
+    assert(flagged == expectDup,
+      s"flag set diverged: extra=${flagged -- expectDup} missing=${expectDup -- flagged}")
+    assert(flagged.nonEmpty, "testdata should contain semantic near-dups")
+  }
 }

@@ -135,6 +135,38 @@ class PlanAssertionsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("s06 token budget: bracket locator windows a histogram; bracket set broadcasts") {
+    // s05's documented scale-killer is the running-sum window over whole
+    // strata. s06's contract: the bracket-locating cumulative window runs
+    // over the (stratum, bucket) HISTOGRAM (an aggregation sits between
+    // it and any scan); only the bracket-bucket residue window touches
+    // raw rows, and the ≤1-row-per-stratum bracket set reaches the fact
+    // via broadcast.
+    val p = plan("s06_token_budget_2p")
+    val windows = collectWithSubqueries(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "expected the bracket-locator window")
+    val overHistogram = windows.filter { w =>
+      collect(w.child) {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.nonEmpty
+    }
+    assert(overHistogram.nonEmpty,
+      "the cumulative bracket locator must window an aggregated histogram")
+    assert(p.toString.contains("BroadcastHashJoin"),
+      "the per-stratum bracket set must broadcast:\n" + p.toString.take(2000))
+  }
+
+  test("c05 semantic dedup: pair scoring is cluster-keyed, never cartesian") {
+    // the SemDeDup point: cosine pairs come from a self-equi-join on the
+    // cluster key (shuffle co-location), not an all-pairs product — the
+    // only nested-loop join allowed is the k-row centroid broadcast
+    val s = plan("c05_semantic_dedup").toString
+    assert(!s.contains("CartesianProduct"),
+      "within-cluster scoring must not plan a cartesian product:\n" + s.take(2000))
+  }
+
   test("k04 final assignment broadcasts the centroid table") {
     val s = plan("k04_kmeans").toString
     assert(s.contains("Broadcast"), "centroids must broadcast:\n" + s.take(2000))
