@@ -156,6 +156,20 @@ object Relational {
         .agg(count(lit(1)).as("n_cust"), sumDec(col("c_acctbal")).as("bal"))
     }),
 
+    // §2.6 GROUPING SETS — the general form rollup (q10) and cube (q16)
+    // are special cases of: an arbitrary set list, here one that is
+    // neither a rollup chain nor a power set. Same single-pass Expand
+    // shape: each input row replicates once per grouping set before one
+    // hash aggregation — no per-set rescan of the fact.
+    "q27_grouping_sets" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sumDec(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_rows"))),
+
     // §2.8 X7/X8 conditional-default family: CASE bucketing.
     "q11_case_bucket" -> ((s, d) => {
       Tables.orders(s, d)
@@ -426,6 +440,12 @@ object Relational {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "q27_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""".stripMargin,
     "q11_case_bucket" ->
       """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
         |            WHEN o_totalprice < 150000 THEN 'medium'

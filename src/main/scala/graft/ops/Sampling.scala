@@ -206,6 +206,42 @@ object Sampling {
     * whitespace tokens, preferring longer documents (`n_chars` DESC). */
   val BudgetTokens = 2500L
 
+  /** Mixture resampling (s07) — re-weight a corpus toward TARGET stratum
+    * proportions (the application step of domain-reweighting methods like
+    * DoReMi: weights come in, the engine realizes them): stratum `g`
+    * gets sampling rate `min(1, budget·w_g / tokens_g)`, so the expected
+    * kept-token mass of each stratum approaches `budget·w_g`, and each
+    * row keeps via the same deterministic affine coin as [[sampleByRate]].
+    *
+    * Two-pass, both scale-flat: the totals aggregation collapses to one
+    * row per stratum (map-side partials), the rate table broadcasts
+    * back, and the keep decision is a map-side filter — no data-sized
+    * shuffle anywhere, same recovery-stable guarantees as s01/s04.
+    * Strata without a weight rate 0 (dropped entirely).
+    * Output: `(stratum, id, n_tokens)` of kept rows. */
+  def mixtureSample(df: DataFrame, id: String, strata: String,
+                    tokens: Column, weights: Map[String, Double],
+                    budget: Long): DataFrame = {
+    val wCol = weights.foldLeft(lit(0.0)) { case (acc, (k, w)) =>
+      when(col(strata) === k, lit(w)).otherwise(acc)
+    }
+    val rates = df.withColumn("n_tokens", tokens)
+      .groupBy(col(strata)).agg(sum(col("n_tokens")).as("_toks"))
+      .withColumn("_rate", least(lit(1.0),
+        lit(budget.toDouble) * wCol / col("_toks").cast("double")))
+      .select(col(strata), col("_rate"))
+    df.withColumn("n_tokens", tokens)
+      .join(broadcast(rates), strata)
+      .filter(h(id) < floor(col("_rate") * P).cast("long"))
+      .select(col(strata), col(id), col("n_tokens"))
+  }
+
+  /** The s07 harness spec: skew the five languages toward en/zh under a
+    * 6000-token budget. */
+  val MixtureWeights: Map[String, Double] =
+    Map("en" -> 0.4, "zh" -> 0.3, "de" -> 0.1, "es" -> 0.1, "fr" -> 0.1)
+  val MixtureBudget = 6000L
+
   /** Whitespace token count, matching t03's `n_ws_tokens` exactly. */
   private def nTokens(text: String): Column =
     expr(s"size(filter(split($text, ' '), x -> x <> ''))").cast("long")
@@ -231,7 +267,10 @@ object Sampling {
         nTokens("text"), "n_chars", BudgetTokens)),
     "s06_token_budget_2p" -> ((s, d) =>
       tokenBudgetTwoPass(Tables.documents(s, d), "doc_id", "lang",
-        nTokens("text"), "n_chars", BudgetTokens)))
+        nTokens("text"), "n_chars", BudgetTokens)),
+    "s07_mixture_sample" -> ((s, d) =>
+      mixtureSample(Tables.documents(s, d), "doc_id", "lang",
+        nTokens("text"), MixtureWeights, MixtureBudget)))
 
   def oracle: Map[String, String] = Map(
     "s01_sample_rate" ->
@@ -254,7 +293,25 @@ object Sampling {
     "s05_token_budget" -> tokenBudgetOracle,
     // s06 computes the same kept set through the two-pass histogram
     // shape, so it shares s05's oracle text verbatim
-    "s06_token_budget_2p" -> tokenBudgetOracle)
+    "s06_token_budget_2p" -> tokenBudgetOracle,
+    // s07 — the rate formula repeated literally (budget·w first, then
+    // the divide, then one floor·P compare — identical IEEE order)
+    "s07_mixture_sample" -> {
+      val wCase = "CASE " + MixtureWeights.map { case (k, w) =>
+        s"WHEN lang = '$k' THEN $w"
+      }.mkString(" ") + " ELSE 0.0 END"
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |tot AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS toks FROM t GROUP BY lang),
+         |r AS (SELECT lang,
+         |        least(1.0, (${MixtureBudget.toDouble} * $wCase) / toks::DOUBLE) AS rate
+         |      FROM tot)
+         |SELECT t.lang, t.doc_id, t.n_tokens
+         |FROM t JOIN r USING (lang)
+         |WHERE ${hSql("doc_id")} < CAST(floor(r.rate * $P) AS BIGINT)""".stripMargin
+    })
 
   /** Shared s05/s06 oracle: the windowed running-sum definition is the
     * SPEC of the kept set; s06's bracket decomposition must reproduce it

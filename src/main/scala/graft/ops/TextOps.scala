@@ -226,6 +226,38 @@ object TextOps {
       .select(col("doc_id"), col("token"), col("tf"), col("df"))
   }
 
+  /** Gopher-style document quality filter (t09) — the rule-based gate
+    * of Rae et al. 2021 (Gopher, §A.1.1) scaled to the harness corpus:
+    * word-count bounds, mean-word-length bounds, and a minimum-stopword
+    * rule applied only where the stopword list's language matches
+    * (our list is English, so the rule binds on `lang = 'en'` docs).
+    * Emits the features AND the verdict, not just the survivors — a
+    * curation pipeline wants to audit what a rule dropped and why
+    * before it deletes anything.
+    *
+    * One codegen'd map over the scan, zero shuffles (pinned by
+    * PlanAssertionsSpec) — embarrassingly parallel at any corpus size.
+    * Output: `(doc_id, n_words, mean_word_len, n_stop, keep)`. */
+  def gopherFilter(df: DataFrame, id: String, text: String, lang: String,
+                   minWords: Long = 15L, maxWords: Long = 90L,
+                   minMeanWl: Double = 2.0, maxMeanWl: Double = 12.0,
+                   minStops: Long = 2L): DataFrame =
+    df
+      .withColumn("_words", expr(s"filter(split($text, ' '), x -> x <> '')"))
+      .withColumn("n_words", size(col("_words")).cast("long"))
+      .withColumn("_sl",
+        expr("aggregate(_words, 0L, (acc, x) -> acc + length(x))"))
+      .withColumn("mean_word_len",
+        col("_sl").cast("double") / col("n_words").cast("double"))
+      .withColumn("n_stop",
+        expr(s"size(filter(_words, x -> x IN ($swList)))").cast("long"))
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(minMeanWl, maxMeanWl) &&
+          (col(lang) =!= "en" || col("n_stop") >= minStops))
+      .select(col(id).as("doc_id"), col("n_words"), col("mean_word_len"),
+        col("n_stop"), col("keep"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_freq" -> ((s, d) =>
       tokenFrequencies(Tables.documents(s, d), "text", 25)),
@@ -250,7 +282,9 @@ object TextOps {
     "t08_repetition" -> ((s, d) =>
       withRepetition(Tables.documents(s, d), "text")
         .select("doc_id", "n_bigrams", "n_unique_bigrams", "dup_bigram_frac",
-          "top_bigram_count", "top_bigram_frac")))
+          "top_bigram_count", "top_bigram_frac")),
+    "t09_gopher_filter" -> ((s, d) =>
+      gopherFilter(Tables.documents(s, d), "doc_id", "text", "lang")))
 
   def oracle: Map[String, String] = Map(
     "t01_token_freq" ->
@@ -322,5 +356,21 @@ object TextOps {
          |  CASE WHEN len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''), x -> x IN ($swList))) >= 2
          |       THEN 'en' ELSE 'unk' END AS guessed_lang,
          |  len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''), x -> x IN ($swList))) AS n_stopword_hits
-         |FROM documents""".stripMargin)
+         |FROM documents""".stripMargin,
+    // t09 — the rule features recomputed over the same token list; the
+    // int-init reduce equals Spark's 0L aggregate (values < 2^31/doc)
+    "t09_gopher_filter" ->
+      s"""SELECT doc_id, n_words,
+         |  sl::DOUBLE / n_words::DOUBLE AS mean_word_len, n_stop,
+         |  (n_words BETWEEN 15 AND 90)
+         |    AND (sl::DOUBLE / n_words::DOUBLE BETWEEN 2.0 AND 12.0)
+         |    AND (lang <> 'en' OR n_stop >= 2) AS keep
+         |FROM (
+         |  SELECT doc_id, lang,
+         |    CAST(len(w) AS BIGINT) AS n_words,
+         |    CAST(reduce(list_prepend(0, list_transform(w, x -> length(x))), (acc, x) -> acc + x) AS BIGINT) AS sl,
+         |    CAST(len(list_filter(w, x -> x IN ($swList))) AS BIGINT) AS n_stop
+         |  FROM (SELECT doc_id, lang,
+         |          list_filter(string_split(text, ' '), x -> x <> '') AS w
+         |        FROM documents) toks) t""".stripMargin)
 }

@@ -926,6 +926,52 @@ class OpsSpec extends AnyFunSuite {
     assert(crafted(4L) == ((9L, 1L, 1.0 / 9.0)))
   }
 
+  test("t09 gopher rules fire individually on crafted documents") {
+    import spark.implicits._
+    val docs = Seq(
+      // 20 words, normal lengths, has stopwords → keep
+      (1L, ("the quick brown fox jumps over the lazy dog and " * 2).trim, "en"),
+      (2L, "too short a doc", "en"),                       // < 15 words
+      (3L, Seq.fill(20)("pneumonoultramicroscopics").mkString(" "), "en"), // mean_wl > 12
+      (4L, Seq.fill(20)("wort").mkString(" "), "en"),      // no stopwords, en → drop
+      (5L, Seq.fill(20)("wort").mkString(" "), "de"))      // no stopwords, non-en → keep
+      .toDF("doc_id", "text", "lang")
+    val out = TextOps.gopherFilter(docs, "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false, 5L -> true))
+  }
+
+  test("s07 mixture sampling: kept sets grow monotonically with the budget") {
+    val docs = Tables.documents(spark, sf)
+    val tokens = expr("size(filter(split(text, ' '), x -> x <> ''))").cast("long")
+    def kept(budget: Long): Set[Long] =
+      Sampling.mixtureSample(docs, "doc_id", "lang", tokens,
+        Sampling.MixtureWeights, budget)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val sets = Seq(1000L, 6000L, 100000L, 100000000L).map(kept)
+    sets.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(lo.subsetOf(hi), "raising the budget must only add documents")
+    }
+    // a budget covering every stratum at weight-min keeps the whole corpus
+    assert(sets.last.size == docs.count().toInt)
+    // a stratum with no weight disappears entirely
+    val noEn = Sampling.mixtureSample(docs, "doc_id", "lang", tokens,
+      Sampling.MixtureWeights - "en", 100000000L)
+    assert(noEn.filter(col("lang") === "en").count() == 0)
+    assert(noEn.filter(col("lang") =!= "en").count() > 0)
+  }
+
+  test("q27 grouping sets equal the union of its constituent group-bys") {
+    val out = Relational.queries("q27_grouping_sets")(spark, sf).collect()
+    val li = Tables.lineitem(spark, sf)
+    val byBoth = li.groupBy("l_returnflag", "l_linestatus").count().count()
+    val byStatus = li.select("l_linestatus").distinct().count()
+    assert(out.length == byBoth + byStatus + 1)
+    // the grand-total row aggregates everything
+    val grand = out.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1 && grand.head.getLong(3) == li.count())
+  }
+
   test("c05 semantic dedup flags exactly the dominated ends of in-cluster pairs") {
     val out = Clusters.queries("c05_semantic_dedup")(spark, sf)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap

@@ -167,6 +167,32 @@ class PlanAssertionsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       "within-cluster scoring must not plan a cartesian product:\n" + s.take(2000))
   }
 
+  test("t09 gopher filter plans with zero exchanges (pure map-side)") {
+    assert(shuffles(plan("t09_gopher_filter")) == 0)
+  }
+
+  test("s07 mixture sampling: one totals exchange, rate table broadcasts back") {
+    // the only shuffle is the per-stratum totals aggregation (stratum-
+    // cardinality rows); the rate table re-joins by broadcast and the
+    // keep decision stays map-side
+    val p = plan("s07_mixture_sample")
+    assert(shuffles(p) <= 2, "totals aggregation must be the only exchange")
+    assert(p.toString.contains("BroadcastHashJoin"),
+      "the rate table must broadcast:\n" + p.toString.take(2000))
+  }
+
+  test("q27 grouping sets plan one Expand + one aggregation, no fact rescan") {
+    val p = plan("q27_grouping_sets")
+    val expands = collectWithSubqueries(p) {
+      case e: org.apache.spark.sql.execution.ExpandExec => e
+    }
+    assert(expands.size == 1, "grouping sets must expand once, not rescan per set")
+    val scans = collectWithSubqueries(p) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1, "one scan of the fact for all grouping sets")
+  }
+
   test("k04 final assignment broadcasts the centroid table") {
     val s = plan("k04_kmeans").toString
     assert(s.contains("Broadcast"), "centroids must broadcast:\n" + s.take(2000))
