@@ -170,6 +170,34 @@ object Relational {
         .agg(sumDec(col("l_quantity")).as("sum_qty"),
           count(lit(1)).as("n_rows"))),
 
+    // Gaps-and-islands: runs of the same event_type per user (the W2
+    // run-length family — `report_generation.py:61-78` suppresses
+    // repeated headers by detecting exactly these runs — generalized to
+    // the classic streak-detection shape). lag() flags run starts, a
+    // running sum numbers the islands, then one aggregation collapses
+    // each island to its bounds. BOTH window functions share one
+    // (partition, order) spec → ONE exchange + sort evaluates them
+    // together, and the island aggregation's keys include the window's
+    // partition key, so hashpartitioning(user_id) already satisfies the
+    // groupBy distribution — no second shuffle (pinned in
+    // PlanAssertionsSpec).
+    "q28_gaps_islands" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      Tables.events(s, d)
+        .withColumn("_chg",
+          when(lag(col("event_type"), 1).over(w) === col("event_type"), lit(0))
+            .otherwise(lit(1)))
+        .withColumn("_island", sum(col("_chg")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("_island"), col("event_type"))
+        .agg(min(col("event_id")).as("start_event"),
+          max(col("event_id")).as("end_event"),
+          count(lit(1)).as("n_events"))
+        .filter(col("n_events") >= 2)
+        .select(col("user_id"), col("event_type"),
+          col("start_event"), col("end_event"), col("n_events"))
+    }),
+
     // §2.8 X7/X8 conditional-default family: CASE bucketing.
     "q11_case_bucket" -> ((s, d) => {
       Tables.orders(s, d)
@@ -446,6 +474,24 @@ object Relational {
         |  count(*) AS n_rows
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""".stripMargin,
+    // NULL = x is NULL → ELSE 1, exactly Spark's when().otherwise on the
+    // first row of each user; event_id is globally unique so the ROWS
+    // frame is well-defined on both engines
+    "q28_gaps_islands" ->
+      """WITH chg AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) = event_type
+        |         THEN 0 ELSE 1 END AS c
+        |  FROM events),
+        |isl AS (
+        |  SELECT user_id, event_id, event_type,
+        |    sum(c) OVER (PARTITION BY user_id ORDER BY event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM chg)
+        |SELECT user_id, event_type, min(event_id) AS start_event,
+        |  max(event_id) AS end_event, count(*) AS n_events
+        |FROM isl GROUP BY user_id, island, event_type
+        |HAVING count(*) >= 2""".stripMargin,
     "q11_case_bucket" ->
       """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
         |            WHEN o_totalprice < 150000 THEN 'medium'

@@ -242,6 +242,33 @@ object Sampling {
     Map("en" -> 0.4, "zh" -> 0.3, "de" -> 0.1, "es" -> 0.1, "fr" -> 0.1)
   val MixtureBudget = 6000L
 
+  /** Exact-fraction stratified sample (s08): per stratum, keep the
+    * `ceil(frac·n)` rows smallest under the hash permutation — the
+    * exact-count counterpart of [[sampleByRate]] (whose kept count is
+    * only binomially close to `frac·n`). Stratum counts come from a
+    * one-row-per-stratum aggregation broadcast back onto the rank
+    * window, so the only data-sized cost is the per-stratum sort.
+    *
+    * Scale trade, deliberate: because the cutoff `ceil(frac·n)` is
+    * data-dependent, `WindowGroupLimit` cannot pre-prune map-side the
+    * way [[sampleFixedPerStratum]]'s constant k does — each stratum
+    * pays a full rank window. When strata are few and huge, prefer s01
+    * (approximate, zero-shuffle) or s02 (constant-k, map-pruned); s08
+    * is the path when the contract is an exact per-stratum count.
+    *
+    * The stratum size comes from a whole-partition `count(*)` window
+    * sharing the rank window's partitioning — both windows evaluate
+    * behind ONE exchange (no separate counts aggregation, no join;
+    * pinned in PlanAssertionsSpec). Appends `rk` (1-based hash rank). */
+  def stratifiedExact(df: DataFrame, id: String, strata: String,
+                      frac: Double): DataFrame = {
+    val w = Window.partitionBy(col(strata)).orderBy(h(id), col(id))
+    df.withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col(strata))))
+      .filter(col("rk") <= ceil(col("_n").cast("double") * frac).cast("long"))
+      .drop("_n")
+  }
+
   /** Whitespace token count, matching t03's `n_ws_tokens` exactly. */
   private def nTokens(text: String): Column =
     expr(s"size(filter(split($text, ' '), x -> x <> ''))").cast("long")
@@ -270,7 +297,10 @@ object Sampling {
         nTokens("text"), "n_chars", BudgetTokens)),
     "s07_mixture_sample" -> ((s, d) =>
       mixtureSample(Tables.documents(s, d), "doc_id", "lang",
-        nTokens("text"), MixtureWeights, MixtureBudget)))
+        nTokens("text"), MixtureWeights, MixtureBudget)),
+    "s08_stratified_exact" -> ((s, d) =>
+      stratifiedExact(Tables.documents(s, d), "doc_id", "lang", frac = 0.15)
+        .select(col("lang"), col("doc_id"), col("rk"))))
 
   def oracle: Map[String, String] = Map(
     "s01_sample_rate" ->
@@ -311,7 +341,16 @@ object Sampling {
          |SELECT t.lang, t.doc_id, t.n_tokens
          |FROM t JOIN r USING (lang)
          |WHERE ${hSql("doc_id")} < CAST(floor(r.rate * $P) AS BIGINT)""".stripMargin
-    })
+    },
+    // ceil over the same IEEE double product on both engines
+    "s08_stratified_exact" ->
+      s"""SELECT lang, doc_id, rk FROM (
+         |  SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang
+         |                       ORDER BY ${hSql("doc_id")}, doc_id) AS rk,
+         |    count(*) OVER (PARTITION BY lang) AS n
+         |  FROM documents) ranked
+         |WHERE rk <= CAST(ceil(n::DOUBLE * 0.15) AS BIGINT)""".stripMargin)
 
   /** Shared s05/s06 oracle: the windowed running-sum definition is the
     * SPEC of the kept set; s06's bracket decomposition must reproduce it

@@ -277,6 +277,50 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
   }
 
+  test("s08 exact stratified sample keeps exactly ceil(frac·n) per stratum") {
+    val d = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, d)
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Sampling.queries("s08_stratified_exact")(spark, d)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (lang, n) =>
+      assert(kept(lang) == math.ceil(n * 0.15).toLong,
+        s"$lang: kept ${kept(lang)} of $n, expected ceil(0.15·$n)")
+    }
+    // the kept set is the s02 machinery's hash order: rk is 1..k dense
+    val rks = Sampling.queries("s08_stratified_exact")(spark, d)
+      .filter(col("lang") === "en").collect().map(_.getLong(2)).sorted
+    assert(rks.sameElements(1L to rks.length), "rk must be dense 1..k")
+  }
+
+  test("q28 gaps-islands matches a per-user brute-force recomputation") {
+    val rows = Relational.queries("q28_gaps_islands")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    // brute force: sort each user's events, run-length encode
+    val events = Tables.events(spark, sf)
+      .select("user_id", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val brute = events.groupBy(_._1).flatMap { case (uid, es) =>
+      val sorted = es.sortBy(_._2)
+      val islands = scala.collection.mutable.ListBuffer
+        .empty[scala.collection.mutable.ListBuffer[(Long, String)]]
+      sorted.foreach { case (_, eid, typ) =>
+        if (islands.nonEmpty && islands.last.head._2 == typ)
+          islands.last += ((eid, typ))
+        else islands += scala.collection.mutable.ListBuffer((eid, typ))
+      }
+      islands.filter(_.size >= 2).map { isl =>
+        (uid, isl.head._2, isl.map(_._1).min, isl.map(_._1).max,
+          isl.size.toLong)
+      }
+    }.toSet
+    assert(rows == brute,
+      s"islands differ: extra=${rows -- brute} missing=${brute -- rows}")
+  }
+
   test("s03 split assignment is total, weight-proportional, and growth-stable") {
     val d = "/root/testdata/sf0.01"
     val docs = Tables.documents(spark, d)

@@ -199,4 +199,17 @@ class PlanAssertionsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(!s.contains("SortMergeJoin"),
       "the k-row centroid side must never sort-merge:\n" + s.take(2000))
   }
+
+  test("q28 gaps-islands: one exchange serves both windows AND the island agg") {
+    // lag + running sum share a (partition, order) spec, and the island
+    // aggregation's keys include user_id, so hashpartitioning(user_id)
+    // satisfies its distribution — the whole query is one shuffle
+    assert(shuffles(plan("q28_gaps_islands")) == 1)
+  }
+
+  test("s08 exact stratified sample: rank + stratum-count windows share one exchange") {
+    // the per-stratum count comes from a whole-partition window over the
+    // rank window's partitioning, not a separate aggregation + join
+    assert(shuffles(plan("s08_stratified_exact")) == 1)
+  }
 }
