@@ -258,6 +258,88 @@ object TextOps {
       .select(col(id).as("doc_id"), col("n_words"), col("mean_word_len"),
         col("n_stop"), col("keep"))
 
+  /** Unigram-LM quality score (t10) — the CCNet-style perplexity proxy:
+    * each document scores the mean log-probability of its tokens under
+    * an add-one-smoothed unigram model truncated to the corpus's top
+    * `vocabSize` words (everything else is OOV and takes the smoothing
+    * floor). Low scores flag boilerplate/gibberish the way a real LM
+    * filter does, with the LM itself learned from the corpus in the
+    * same job.
+    *
+    * Scale shape, two passes over the exploded tokens but NO
+    * token-sized shuffle anywhere:
+    *  - vocab pass: groupBy(token) shrinks map-side to per-partition
+    *    distinct tokens before the exchange; top-V is
+    *    `TakeOrderedAndProject`; the total-token count is a map-side
+    *    sum of per-doc sizes straight off the scan (NOT `cnt.agg(sum)`,
+    *    which would duplicate the token-groupBy subtree — Catalyst
+    *    plans each occurrence separately);
+    *  - score pass: a doc's exploded tokens all live in the partition
+    *    that generated them, so the partial aggregate collapses them to
+    *    ONE row per document before the exchange — the shuffle carries
+    *    one (doc, sum, count) triple per doc, never per token. The
+    *    bounded vocab + the scalar total broadcast onto it.
+    * Score is micro-unit quantized (`score_q6`, the r01 convention) so
+    * both engines agree despite 1-ulp `ln` differences. Docs with no
+    * tokens are absent (no tokens → no distribution to score).
+    * Output: `(doc_id, n_tokens, logp_q6)`. */
+  def unigramLogProb(docs: DataFrame, id: String, text: String,
+                     vocabSize: Int = 32): DataFrame = {
+    val toks = docs.select(col(id).as("doc_id"),
+      explode(expr(s"filter(split($text, ' '), x -> x <> '')")).as("token"))
+    val cnt = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val top = cnt.orderBy(col("c").desc, col("token")).limit(vocabSize)
+    val total = docs.agg(
+      sum(expr(s"size(filter(split($text, ' '), x -> x <> ''))").cast("long"))
+        .as("_total"))
+    val denom = (col("_total") + lit(vocabSize) + lit(1)).cast("double")
+    toks
+      .join(broadcast(top), Seq("token"), "left")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(log((coalesce(col("c"), lit(0L)) + lit(1)).cast("double")
+          / denom)) * lit(1e6)).cast("long").as("logp_q6"))
+  }
+
+  /** Per-document word-distribution entropy (t11) — Shannon entropy of
+    * the doc's unigram histogram, `ln n − (Σ c·ln c)/n`: 0 for a
+    * one-word-repeated doc, `ln n` for all-distinct; with t08's
+    * repetition fractions it's the standard diversity axis of a quality
+    * dashboard.
+    *
+    * ZERO shuffles: documents are context-window bounded, so the
+    * histogram never materializes — sort the token list and fold it
+    * once (the t08 sorted-run idiom), closing each run's `c·ln c` term
+    * as the run ends. One codegen'd projection over the scan,
+    * embarrassingly parallel. Micro-unit quantized like t10; NULL
+    * entropy for token-less docs (no distribution to measure).
+    * Output: `(doc_id, n_words, entropy_q6)`. */
+  def withEntropy(df: DataFrame, text: String): DataFrame =
+    df
+      .withColumn("_w", expr(s"filter(split($text, ' '), x -> x <> '')"))
+      .withColumn("n_words", size(col("_w")).cast("long"))
+      // fold state: (prev word, current run length, Σ c·ln c so far);
+      // finish closes the final run ('' never collides — words are
+      // non-empty)
+      .withColumn("_sclnc", expr(
+        """aggregate(array_sort(_w),
+          |  named_struct('prev', '', 'run', 0L, 's', 0.0D),
+          |  (acc, x) -> IF(x = acc.prev,
+          |    named_struct('prev', x, 'run', acc.run + 1L, 's', acc.s),
+          |    named_struct('prev', x, 'run', 1L,
+          |      's', acc.s + IF(acc.run > 0L,
+          |        cast(acc.run AS DOUBLE) * ln(cast(acc.run AS DOUBLE)), 0.0D))),
+          |  acc -> acc.s + IF(acc.run > 0L,
+          |    cast(acc.run AS DOUBLE) * ln(cast(acc.run AS DOUBLE)), 0.0D)""".stripMargin + ")"))
+      .withColumn("entropy_q6",
+        when(col("n_words") > 0,
+          round((log(col("n_words").cast("double"))
+            - col("_sclnc") / col("n_words").cast("double")) * lit(1e6))
+            .cast("long")))
+      .drop("_w", "_sclnc")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_freq" -> ((s, d) =>
       tokenFrequencies(Tables.documents(s, d), "text", 25)),
@@ -284,7 +366,12 @@ object TextOps {
         .select("doc_id", "n_bigrams", "n_unique_bigrams", "dup_bigram_frac",
           "top_bigram_count", "top_bigram_frac")),
     "t09_gopher_filter" -> ((s, d) =>
-      gopherFilter(Tables.documents(s, d), "doc_id", "text", "lang")))
+      gopherFilter(Tables.documents(s, d), "doc_id", "text", "lang")),
+    "t10_unigram_logprob" -> ((s, d) =>
+      unigramLogProb(Tables.documents(s, d), "doc_id", "text")),
+    "t11_entropy" -> ((s, d) =>
+      withEntropy(Tables.documents(s, d), "text")
+        .select("doc_id", "n_words", "entropy_q6")))
 
   def oracle: Map[String, String] = Map(
     "t01_token_freq" ->
@@ -372,5 +459,38 @@ object TextOps {
          |    CAST(len(list_filter(w, x -> x IN ($swList))) AS BIGINT) AS n_stop
          |  FROM (SELECT doc_id, lang,
          |          list_filter(string_split(text, ' '), x -> x <> '') AS w
-         |        FROM documents) toks) t""".stripMargin)
+         |        FROM documents) toks) t""".stripMargin,
+    // t10 — the same truncated-vocab model built relationally: top-32
+    // tokens by (count DESC, token), add-one smoothing over
+    // (total + V + 1), mean-of-ln per doc, micro-unit quantized
+    "t10_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        |  FROM documents),
+        |cnt AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+        |top AS (SELECT token, c FROM cnt ORDER BY c DESC, token LIMIT 32),
+        |tot AS (SELECT CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS total
+        |        FROM documents)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(round(avg(ln((COALESCE(top.c, 0) + 1)::DOUBLE
+        |    / (tot.total + 32 + 1)::DOUBLE)) * 1000000.0) AS BIGINT) AS logp_q6
+        |FROM toks LEFT JOIN top USING (token) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
+    // t11 — the fold's Σ c·ln c term built relationally (explode →
+    // per-(doc, word) counts → per-doc sum); same entropy identity
+    "t11_entropy" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_words
+        |  FROM documents),
+        |ex AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id, t, count(*) AS c FROM ex GROUP BY 1, 2),
+        |s AS (SELECT doc_id, sum(c::DOUBLE * ln(c::DOUBLE)) AS sclnc FROM c GROUP BY doc_id)
+        |SELECT w.doc_id, w.n_words,
+        |  CASE WHEN w.n_words > 0 THEN
+        |    CAST(round((ln(w.n_words::DOUBLE) - s.sclnc / w.n_words::DOUBLE) * 1000000.0) AS BIGINT)
+        |  END AS entropy_q6
+        |FROM w LEFT JOIN s USING (doc_id)""".stripMargin)
 }

@@ -821,6 +821,38 @@ class OpsSpec extends AnyFunSuite {
     assert(out(5L).getLong(4) == 3L && out(5L).getDouble(5) == 1.0)
   }
 
+  test("t11 entropy on crafted documents matches the closed forms") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a a"), (2L, "p q r s"), (3L, ""),
+      (4L, "x x y y")).toDF("doc_id", "text")
+    val out = TextOps.withEntropy(docs, "text")
+      .select("doc_id", "n_words", "entropy_q6")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // one repeated word → entropy 0
+    assert(out(1L).getLong(1) == 4L && out(1L).getLong(2) == 0L)
+    // all distinct → ln(4)
+    assert(out(2L).getLong(2) == math.round(math.log(4.0) * 1e6))
+    // empty → no distribution
+    assert(out(3L).getLong(1) == 0L && out(3L).isNullAt(2))
+    // two values, 2/2 split → ln(2)
+    assert(out(4L).getLong(2) == math.round(math.log(2.0) * 1e6))
+  }
+
+  test("t10 unigram score ranks in-vocab text above OOV gibberish") {
+    import spark.implicits._
+    // vocabSize=2 truncates to {a, b}; doc 3 is pure OOV
+    val docs = Seq((1L, "a a b a b a"), (2L, "a b z"),
+      (3L, "q r s t")).toDF("doc_id", "text")
+    val out = TextOps.unigramLogProb(docs, "doc_id", "text", vocabSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .map(t => t._1 -> t).toMap
+    assert(out(1L)._2 == 6L, "n_tokens counts every occurrence")
+    assert(out(1L)._3 > out(2L)._3 && out(2L)._3 > out(3L)._3,
+      s"score must fall with OOV mass: $out")
+    // closed form for doc 3: every token OOV → ln(1/(13+2+1)) each
+    assert(out(3L)._3 == math.round(math.log(1.0 / 16.0) * 1e6))
+  }
+
   test("a01 global packing equals a sequential scan and is partition-invariant") {
     import spark.implicits._
     val cap = 10L

@@ -200,6 +200,21 @@ class PlanAssertionsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       "the k-row centroid side must never sort-merge:\n" + s.take(2000))
   }
 
+  test("t11 entropy plans with zero exchanges (pure map-side fold)") {
+    assert(shuffles(plan("t11_entropy")) == 0)
+  }
+
+  test("t10 unigram score: vocab broadcasts; the score shuffle is per-doc partials") {
+    val p = plan("t10_unigram_logprob")
+    val s = p.toString
+    assert(s.contains("BroadcastHashJoin"), "the top-V vocab must broadcast")
+    assert(!s.contains("SortMergeJoin"),
+      "token-level rows must never sort-merge:\n" + s.take(2000))
+    // vocab build + scalar total + per-doc score = exactly three
+    // exchanges, none of them token-sized post-partial-agg
+    assert(shuffles(p) == 3)
+  }
+
   test("q28 gaps-islands: one exchange serves both windows AND the island agg") {
     // lag + running sum share a (partition, order) spec, and the island
     // aggregation's keys include user_id, so hashpartitioning(user_id)
