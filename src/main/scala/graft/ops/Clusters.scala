@@ -193,6 +193,34 @@ object Clusters {
     docs.join(nonKeepers, Seq(id), "left_anti")
   }
 
+  /** [[dedupCorpus]] with the keeper chosen by QUALITY, not identity
+    * (c06): real curation pipelines keep each duplicate cluster's BEST
+    * document — here longest (`qualityKey` DESC), ties on min id — not
+    * its arbitrary min-id member, because near-dup clusters routinely
+    * mix a full document with its truncated or boilerplate-wrapped
+    * variants and the min id is as likely to be the mutilated copy.
+    *
+    * Same scale envelope as c02: the component table is dup-docs-sized
+    * (tiny relative to the corpus), so the quality join broadcasts it
+    * against the corpus, the keeper rank windows over the component
+    * table alone, and the resulting non-keeper set anti-joins back —
+    * the corpus itself never shuffles. */
+  def dedupCorpusBest(docs: DataFrame, id: String, qualityKey: String,
+                      pairs: DataFrame, a: String, b: String): DataFrame = {
+    val comp = connectedComponents(pairs, a, b)
+      .select(col("doc_id").as(id), col("cluster_id"))
+    val scored = docs.select(col(id), col(qualityKey))
+      .join(broadcast(comp), Seq(id))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col(qualityKey).desc, col(id))
+    val nonKeepers = scored
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") > 1)
+      .select(col(id))
+    docs.join(broadcast(nonKeepers), Seq(id), "left_anti")
+  }
+
   /** SEMANTIC deduplication (c05) — SemDeDup (Abbas et al., 2023,
     * arXiv:2303.09540) re-expressed relationally: near-duplicate
     * MEANING, not near-duplicate text, caught by comparing embeddings
@@ -267,7 +295,15 @@ object Clusters {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
     "c05_semantic_dedup" -> ((s, d) =>
       semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
-        Similarity.KmeansK, Similarity.KmeansIters, SemDedupTau)))
+        Similarity.KmeansK, Similarity.KmeansIters, SemDedupTau)),
+    // c02 with the keeper chosen by quality (longest doc) instead of
+    // min id — what a curation pipeline actually keeps
+    "c06_dedup_keep_best" -> ((s, d) =>
+      dedupCorpusBest(Tables.documents(s, d), "doc_id", "n_chars",
+        Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.6),
+        "doc_a", "doc_b")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))))
 
   def oracle: Map[String, String] = Map(
     // the same fixpoint as a recursive CTE: comp enumerates
@@ -328,6 +364,26 @@ object Clusters {
          |lab AS (SELECT id, min(label) AS cluster FROM comp GROUP BY id)
          |SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT id FROM lab WHERE cluster < id)""".stripMargin
+    },
+    "c06_dedup_keep_best" -> {
+      val pairsSql = Dedup.oracle("d02_ngram_jaccard")
+      s"""WITH RECURSIVE pairs AS ($pairsSql),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |comp(id, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, c.label FROM comp c JOIN edges e ON e.src = c.id),
+         |lab AS (SELECT id, min(label) AS cluster FROM comp GROUP BY id),
+         |ranked AS (
+         |  SELECT l.id,
+         |    row_number() OVER (PARTITION BY l.cluster
+         |                       ORDER BY d.n_chars DESC, l.id) AS rk
+         |  FROM lab l JOIN documents d ON d.doc_id = l.id)
+         |SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM ranked WHERE rk > 1)""".stripMargin
     },
     // c05 — the k04 kmeans CTE chain (shared generator) + within-cluster
     // cosine dominance over the final assignment

@@ -127,6 +127,58 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
   }
 
+  /** Directed shingle-CONTAINMENT near-dup pairs (d12): emit
+    * `(doc_src, doc_sup)` whenever `|src∩sup| / |src| ≥ threshold` —
+    * the asymmetric cousin of [[jaccardPairs]] that catches a document
+    * EMBEDDED in a larger one (quote-and-extend plagiarism, a doc plus
+    * boilerplate wrapper, truncated re-crawls), which symmetric Jaccard
+    * misses precisely because the union in its denominator is dominated
+    * by the larger doc. Broder's "containment" resemblance variant
+    * (SEQUENCES '97).
+    *
+    * Same two-shuffle physical shape as [[jaccardPairs]] (one bucket
+    * groupBy over 60-bit shingle-hash keys carrying (id, n_sh) structs,
+    * one pair re-agg); each undirected intersection then expands to its
+    * two directed rows map-side, each judged against its own source
+    * size. Df-capped like d02: shingles in more than `maxDf` docs drop
+    * out of `inter` on both engines.
+    * Output: `(doc_src, doc_sup, inter, containment)`. */
+  def containmentPairs(docs: DataFrame, id: String, text: String,
+                       threshold: Double, n: Int = 3,
+                       maxDf: Int = MaxShingleDf): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    val sh = docs
+      .select(col(id).as("doc_id"),
+        expr(s"filter(split($text, ' '), x -> x <> '')").as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(col("doc_id"), expr(s"graft_shingle_hashes(tk, $n, 1)").as("hs"))
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_sh"),
+        explode(col("hs")).as("shingle"))
+    sh.groupBy(col("shingle"))
+      .agg(sort_array(collect_set(struct(col("doc_id"), col("n_sh")))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxDf)
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> " +
+        "transform(slice(ids, i + 2, size(ids)), b -> struct(" +
+        "a.doc_id AS doc_a, a.n_sh AS n_a, b.doc_id AS doc_b, b.n_sh AS n_b))))"))
+        .as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("inter"),
+        min(col("p.n_a")).as("n_a"), min(col("p.n_b")).as("n_b"))
+      .select(explode(array(
+        struct(col("doc_a").as("doc_src"), col("doc_b").as("doc_sup"),
+          col("inter"),
+          (col("inter").cast("double") / col("n_a").cast("double"))
+            .as("containment")),
+        struct(col("doc_b").as("doc_src"), col("doc_a").as("doc_sup"),
+          col("inter"),
+          (col("inter").cast("double") / col("n_b").cast("double"))
+            .as("containment")))).as("r"))
+      .select(col("r.doc_src"), col("r.doc_sup"), col("r.inter"),
+        col("r.containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** [[jaccardPairs]]' 100 TB scale path: identical output, candidate
     * generation by PREFIX FILTERING (the all-pairs similarity-search
     * technique of Bayardo/Ma/Srikant, "Scaling Up All Pairs Similarity
@@ -524,6 +576,9 @@ object Dedup {
     // the background (≤0.1) — no float-boundary ambiguity.
     "d02_ngram_jaccard" -> ((s, d) =>
       jaccardPairs(Tables.documents(s, d), "doc_id", "text", threshold = 0.6)),
+    "d12_containment" -> ((s, d) =>
+      containmentPairs(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.7)),
     // Same semantics as d02 via the prefix-filtered scale path — the
     // oracle below is d02's verbatim, because the output is the same set.
     "d06_jaccard_prefix" -> ((s, d) =>
@@ -603,6 +658,30 @@ object Dedup {
           |FROM documents GROUP BY md5(text)""".stripMargin,
       "d02_ngram_jaccard" -> jaccardSql,
       "d06_jaccard_prefix" -> jaccardSql,
+      // d12 — the undirected intersections of the d02 machinery, each
+      // expanded to its two directed rows over its own source size
+      "d12_containment" ->
+        s"""WITH $shinglesSql,
+           |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+           |shk AS (SELECT DISTINCT doc_id,
+           |    (${Hashing.polyHashSql("shingle")}) * 1000000009
+           |      + (${Hashing.polyHashSql("reverse(shingle)")}) AS sk
+           |  FROM sh),
+           |ok AS (SELECT sk FROM shk GROUP BY sk
+           |       HAVING count(*) BETWEEN 2 AND $MaxShingleDf),
+           |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+           |       FROM shk a JOIN shk b ON a.sk = b.sk AND a.doc_id < b.doc_id
+           |       JOIN ok ON a.sk = ok.sk
+           |       GROUP BY 1, 2)
+           |SELECT doc_src, doc_sup, inter, containment FROM (
+           |  SELECT pr.doc_a AS doc_src, pr.doc_b AS doc_sup, pr.inter,
+           |    pr.inter::DOUBLE / ca.n_sh::DOUBLE AS containment
+           |  FROM pr JOIN cnt ca ON pr.doc_a = ca.doc_id
+           |  UNION ALL
+           |  SELECT pr.doc_b AS doc_src, pr.doc_a AS doc_sup, pr.inter,
+           |    pr.inter::DOUBLE / cb.n_sh::DOUBLE AS containment
+           |  FROM pr JOIN cnt cb ON pr.doc_b = cb.doc_id) d
+           |WHERE containment >= 0.7""".stripMargin,
       "d03_minhash_lsh" ->
         s"""WITH $shinglesSql,
            |h AS (SELECT doc_id, ${Hashing.polyHashSql("shingle")} AS h FROM sh),

@@ -821,6 +821,44 @@ class OpsSpec extends AnyFunSuite {
     assert(out(5L).getLong(4) == 3L && out(5L).getDouble(5) == 1.0)
   }
 
+  test("d12 containment catches an embedded doc that Jaccard misses") {
+    import spark.implicits._
+    val small = "w1 w2 w3 w4 w5 w6"
+    val big = small + " " + (1 to 30).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, big),
+      (3L, "totally different words here entirely")).toDF("doc_id", "text")
+    // every shingle of doc 1 appears in doc 2 → containment(1→2) = 1.0
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text", threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(cont.exists { case (src, sup, c) => src == 1L && sup == 2L && c == 1.0 },
+      s"embedded doc must contain at 1.0: ${cont.mkString(", ")}")
+    assert(!cont.exists(_._1 == 2L), "the big doc is NOT contained in the small one")
+    // symmetric Jaccard misses the same pair: 4 shared of 37 union
+    val jac = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.6)
+      .collect()
+    assert(jac.isEmpty, s"jaccard must miss the embedding: ${jac.mkString(", ")}")
+  }
+
+  test("c06 keeps each cluster's longest doc, not its min id") {
+    import spark.implicits._
+    val base = "join filter window sort merge scan batch stream"
+    val docs = Seq(
+      (10L, base, 8L),                       // truncated variant, SMALLER id
+      (11L, base + " extra", 14L),           // full variant — must win
+      (12L, "unrelated text standing alone completely", 5L))
+      .toDF("doc_id", "text", "n_chars")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.6)
+    assert(pairs.count() == 1, "10 and 11 must pair")
+    val kept = Clusters.dedupCorpusBest(docs, "doc_id", "n_chars",
+      pairs, "doc_a", "doc_b").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 12L),
+      s"keeper must be the longest (11), singleton passes through: $kept")
+    // contrast: identity-keeper c02 would keep min id 10
+    val c02kept = Clusters.dedupCorpus(docs, "doc_id", pairs, "doc_a", "doc_b")
+      .collect().map(_.getLong(0)).toSet
+    assert(c02kept == Set(10L, 12L))
+  }
+
   test("t11 entropy on crafted documents matches the closed forms") {
     import spark.implicits._
     val docs = Seq((1L, "a a a a"), (2L, "p q r s"), (3L, ""),
