@@ -79,6 +79,59 @@ object Search {
       .limit(k)
   }
 
+  /** Top-`k` documents by TF-IDF COSINE similarity to a bag-of-words
+    * query (r03) — the vector-space-model twin of [[bm25TopK]]: doc
+    * weight `tf·ln(N/df)`, query weight `ln(N/df)` per distinct term,
+    * score = dot/(‖d‖·‖q‖). Cosine's length normalization is the whole
+    * point — and also the scale difference from r01: the document norm
+    * ranges over ALL the doc's terms, so the plan builds the full
+    * TF-IDF index (per-doc tf, corpus df), not just the query's posting
+    * lists. That is the classic INDEX-TIME precompute — a production
+    * deployment materializes `(doc, norm)` once and prunes to postings
+    * per query exactly like r01; expressed here as one plan so the
+    * oracle can check the composition.
+    *
+    * Shape: tf groupBy collapses each doc's tokens map-side (explode
+    * output is partition-local per doc); df re-agg is vocab-sized and
+    * broadcasts back (at a 100 TB vocab, drop the broadcast hint and
+    * let it shuffle-join — the semantics don't move); dot product and
+    * norm compute in ONE per-doc aggregation (the query-term indicator
+    * folds the dot into the same pass); query norm is a one-row
+    * aggregate cross-joined in. Top-k is `TakeOrderedAndProject`.
+    * Score micro-quantized like r01. Output: `(doc_id, score_q6)`. */
+  def tfidfCosineTopK(docs: DataFrame, id: String, text: String,
+                      terms: Seq[String] = DefaultQuery, k: Int = 10): DataFrame = {
+    require(terms.nonEmpty, "at least one query term")
+    val termCols = terms.map(lit)
+    val words = s"filter(split($text, ' '), x -> x <> '')"
+    val tok = docs.select(col(id).as("doc_id"),
+      explode(expr(words)).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val idf = log(col("n_docs").cast("double") / col("df").cast("double"))
+    val qnorm = dfr.filter(col("token").isin(termCols: _*))
+      .crossJoin(broadcast(nDocs))
+      .agg(sqrt(sum(idf * idf)).as("qnrm"))
+    tf.join(broadcast(dfr), "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf", idf)
+      .withColumn("w", col("tf").cast("double") * col("idf"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("token").isin(termCols: _*), col("w") * col("idf"))
+          .otherwise(lit(0.0))).as("dot"),
+        sqrt(sum(col("w") * col("w"))).as("nrm"))
+      .filter(col("dot") > 0)
+      .crossJoin(broadcast(qnorm))
+      .select(col("doc_id"),
+        round(col("dot") / (col("nrm") * col("qnrm")) * lit(1e6))
+          .cast("long").as("score_q6"))
+      .orderBy(col("score_q6").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Documents containing the exact two-word phrase, with occurrence
     * counts — positional-posting adjacency: `pos(second) = pos(first)+1`
     * within a doc. Output: `(doc_id, n_occurrences)`. */
@@ -102,7 +155,9 @@ object Search {
     "r01_bm25" -> ((s, d) =>
       bm25TopK(Tables.documents(s, d), "doc_id", "text")),
     "r02_phrase" -> ((s, d) =>
-      phraseMatch(Tables.documents(s, d), "doc_id", "text")))
+      phraseMatch(Tables.documents(s, d), "doc_id", "text")),
+    "r03_tfidf_cosine" -> ((s, d) =>
+      tfidfCosineTopK(Tables.documents(s, d), "doc_id", "text")))
 
   private def termList = DefaultQuery.map(t => s"'$t'").mkString(", ")
 
@@ -148,5 +203,32 @@ object Search {
          |SELECT a.doc_id, count(*) AS n_occurrences
          |FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
          |WHERE a.tok = '${DefaultPhrase._1}' AND b.tok = '${DefaultPhrase._2}'
-         |GROUP BY a.doc_id""".stripMargin)
+         |GROUP BY a.doc_id""".stripMargin,
+    // r03 — the same index build relationally; the idf product is
+    // written x·x (not pow) to match the Spark column expression
+    "r03_tfidf_cosine" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+         |  FROM documents),
+         |tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+         |dfq AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         |nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+         |w AS (
+         |  SELECT tf.doc_id, tf.token,
+         |    ln(nd.n_docs::DOUBLE / dfq.df::DOUBLE) AS idf,
+         |    tf.tf::DOUBLE * ln(nd.n_docs::DOUBLE / dfq.df::DOUBLE) AS w
+         |  FROM tf JOIN dfq USING (token) CROSS JOIN nd),
+         |qn AS (
+         |  SELECT sqrt(sum(ln(nd.n_docs::DOUBLE / df::DOUBLE)
+         |                  * ln(nd.n_docs::DOUBLE / df::DOUBLE))) AS qnrm
+         |  FROM dfq CROSS JOIN nd WHERE token IN ($termList)),
+         |agg AS (
+         |  SELECT doc_id,
+         |    sum(CASE WHEN token IN ($termList) THEN w * idf ELSE 0.0 END) AS dot,
+         |    sqrt(sum(w * w)) AS nrm
+         |  FROM w GROUP BY doc_id)
+         |SELECT doc_id, CAST(round(dot / (nrm * qn.qnrm) * 1000000.0) AS BIGINT) AS score_q6
+         |FROM agg CROSS JOIN qn
+         |WHERE dot > 0
+         |ORDER BY score_q6 DESC, doc_id LIMIT 10""".stripMargin)
 }

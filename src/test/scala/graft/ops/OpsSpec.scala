@@ -951,6 +951,27 @@ class OpsSpec extends AnyFunSuite {
     assert(scores.sameElements(scores.sorted(Ordering[Long].reverse)))
   }
 
+  test("r03 tf-idf cosine length-normalizes and rewards query-term purity") {
+    import spark.implicits._
+    // doc 1 is PURE query terms (cosine 1 up to idf weighting); doc 2
+    // has the same query tf diluted by off-query mass — cosine must
+    // rank 1 above 2 (raw dot product alone would tie them); doc 3 has
+    // no query terms (absent)
+    val docs = Seq(
+      (1L, "spark query fast"),
+      (2L, "spark query fast pad pad pad pad pad pad"),
+      (3L, "pad pad pad pad"),
+      (4L, "spark spark spark query query fast"))
+      .toDF("doc_id", "text")
+    val rows = Search.tfidfCosineTopK(docs, "doc_id", "text").collect()
+    val score = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!score.contains(3L), "doc without query terms must not appear")
+    assert(score(1L) > score(2L),
+      s"dilution must lower cosine: $score")
+    val scores = rows.map(_.getLong(1))
+    assert(scores.sameElements(scores.sorted(Ordering[Long].reverse)))
+  }
+
   test("x08 bottom-k: exact under capacity, 3-sigma above it, merge-invariant") {
     import spark.implicits._
     // under capacity the sketch IS the distinct set → exact count
