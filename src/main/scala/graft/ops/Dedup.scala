@@ -468,6 +468,57 @@ object Dedup {
       .select(col("doc_id"), expr("graft_simhash(tk)").as("simhash"))
   }
 
+  /** SimHash near-dup PAIRS (d13) — the operator [[simhash]]'s
+    * signatures exist to feed: all pairs within Hamming distance
+    * `maxHamming`, found by Manku/Jain/Sarma's pigeonhole banding
+    * (WWW'07, Google's web-dedup design). Split the 32-bit signature
+    * into `maxHamming + 1` bands: two signatures differing in ≤ r bits
+    * must agree EXACTLY on at least one band (r bits cannot dirty r+1
+    * bands), so a band-equality join finds every qualifying pair with
+    * zero false negatives, and `bit_count(a ^ b) ≤ r` verifies each
+    * candidate exactly.
+    *
+    * Scale shape: signatures are one map-side native expression per
+    * doc; each doc emits `r+1` 8-byte band keys (vs d03's 4 minhash
+    * band keys — same exchange discipline, no token data ever
+    * shuffles); in-bucket pair expansion + popcount verify, then one
+    * distinct to merge pairs caught by several bands. Skew caveat: a
+    * signature value shared by a dense near-dup cluster lands its
+    * whole cluster in one bucket — the Σdf² blow-up is inherent to
+    * banding (same as d03); feed the pairs to [[Clusters]] and dedup
+    * rather than enumerating a mega-cluster's pairs downstream.
+    * Output: `(doc_a, doc_b, hamming)`. */
+  def simhashPairs(docs: DataFrame, id: String, text: String,
+                   maxHamming: Int = 1): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 8, "0 <= maxHamming < 8")
+    val bands = maxHamming + 1
+    val width = 32 / bands
+    val sig = simhash(docs, id, text)
+    // band b < bands-1 takes `width` bits; the last band the remainder
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      explode(expr(
+        s"""transform(sequence(0, ${bands - 1}), b -> named_struct(
+           |  'band', b,
+           |  'key', IF(b = ${bands - 1},
+           |    simhash div shiftleft(1L, b * $width),
+           |    (simhash div shiftleft(1L, b * $width)) % shiftleft(1L, $width))))""".stripMargin))
+        .as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_set(struct(col("doc_id"), col("simhash")))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> " +
+        "transform(slice(ids, i + 2, size(ids)), b -> struct(" +
+        "a.doc_id AS doc_a, a.simhash AS sig_a, b.doc_id AS doc_b, b.simhash AS sig_b))))"))
+        .as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        expr("bit_count(p.sig_a ^ p.sig_b)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Brute-force embedding-cosine near-dup pairs at or above
     * `threshold`. Dot products run through the native codegen'd
     * [[graft.functions.DotProduct]] — float elements widen to double
@@ -588,6 +639,8 @@ object Dedup {
     "d08_minhash_verified" -> ((s, d) =>
       minhashVerifiedPairs(Tables.documents(s, d), "doc_id", "text",
         threshold = 0.6)),
+    "d13_simhash_pairs" -> ((s, d) =>
+      simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 1)),
     "d04_simhash" -> ((s, d) =>
       simhash(Tables.documents(s, d), "doc_id", "text")),
     "d05_embedding_neardup" -> ((s, d) =>
@@ -631,6 +684,19 @@ object Dedup {
         .mkString(" || '_' || ")
       s"SELECT doc_id, $b AS band, $key AS key FROM sig"
     }.mkString("\n  UNION ALL ")
+    val simhashSql =
+      s"""WITH tok AS (
+         |  SELECT doc_id, token, count(*) AS cnt FROM (
+         |    SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+         |    FROM documents) t GROUP BY 1, 2),
+         |th AS (SELECT doc_id, cnt, ${Hashing.polyHashSql("token")} AS h FROM tok),
+         |bits AS (
+         |  SELECT doc_id, j,
+         |    sum(CASE WHEN ((h // (1::BIGINT << j::INTEGER)) % 2) = 1 THEN cnt ELSE -cnt END) AS s
+         |  FROM th, (SELECT unnest(range(0, 32)) AS j) js GROUP BY 1, 2)
+         |SELECT doc_id,
+         |  CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j::INTEGER) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM bits GROUP BY doc_id""".stripMargin
     // d06 outputs the SAME set as d02 (prefix filtering is a lossless
     // candidate pruning), so both keys share one oracle text.
     val jaccardSql =
@@ -724,19 +790,16 @@ object Dedup {
            |JOIN cnt ca ON pr.doc_a = ca.doc_id
            |JOIN cnt cb ON pr.doc_b = cb.doc_id
            |WHERE inter::DOUBLE / (ca.n_sh + cb.n_sh - inter)::DOUBLE >= 0.6""".stripMargin,
-      "d04_simhash" ->
-        s"""WITH tok AS (
-           |  SELECT doc_id, token, count(*) AS cnt FROM (
-           |    SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
-           |    FROM documents) t GROUP BY 1, 2),
-           |th AS (SELECT doc_id, cnt, ${Hashing.polyHashSql("token")} AS h FROM tok),
-           |bits AS (
-           |  SELECT doc_id, j,
-           |    sum(CASE WHEN ((h // (1::BIGINT << j::INTEGER)) % 2) = 1 THEN cnt ELSE -cnt END) AS s
-           |  FROM th, (SELECT unnest(range(0, 32)) AS j) js GROUP BY 1, 2)
-           |SELECT doc_id,
-           |  CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j::INTEGER) ELSE 0 END) AS BIGINT) AS simhash
-           |FROM bits GROUP BY doc_id""".stripMargin,
+      "d04_simhash" -> simhashSql,
+      // d13 — the oracle is the SPEC, not the banding: every pair of
+      // signatures within Hamming r (banding + verify is lossless, so
+      // the engine's band-bounded plan computes the identical set)
+      "d13_simhash_pairs" ->
+        s"""WITH s AS ($simhashSql)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+           |FROM s a JOIN s b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1""".stripMargin,
       "d05_embedding_neardup" ->
         """WITH v AS (
           |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),

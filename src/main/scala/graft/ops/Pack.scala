@@ -112,11 +112,54 @@ object Pack {
         expr(s"excl % ${capacity}L").as("chunk_off"))
   }
 
+  /** Sliding-window document chunking (a03) — the OTHER packing policy:
+    * instead of concatenating docs into a stream ([[packChunks]]), split
+    * each long document into fixed-size overlapping token windows
+    * (`chunkSize` tokens every `stride`; `chunkSize − stride` tokens of
+    * overlap carry context across the seam) — the
+    * `return_overflowing_tokens` convention of tokenizer pipelines.
+    * Chunk starts run `0, stride, 2·stride, …` up to the first chunk
+    * that reaches the document's end, so every token is covered and no
+    * trailing chunk is a redundant suffix of its predecessor.
+    *
+    * Pure map-side — one generator over the scan, no shuffle, no state;
+    * the per-doc chunk count is bounded by the context-window-bounded
+    * doc length. Output: `(doc_id, chunk_idx, start_tok,
+    * n_chunk_tokens, chunk_text)`. */
+  def slidingChunks(docs: DataFrame, id: String, text: String,
+                    chunkSize: Int = 24, stride: Int = 16): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      "need 0 < stride <= chunkSize")
+    docs
+      .select(col(id).as("doc_id"),
+        expr(s"filter(split($text, ' '), x -> x <> '')").as("_w"))
+      .filter(size(col("_w")) > 0)
+      .select(col("doc_id"),
+        explode(expr(
+          s"""transform(
+             |  sequence(0, IF(size(_w) <= $chunkSize, 0,
+             |    (size(_w) - $chunkSize + $stride - 1) div $stride)),
+             |  i -> named_struct(
+             |    'chunk_idx', cast(i AS BIGINT),
+             |    'start_tok', cast(i * $stride AS BIGINT),
+             |    'n_chunk_tokens',
+             |      cast(size(slice(_w, i * $stride + 1, $chunkSize)) AS BIGINT),
+             |    'chunk_text',
+             |      array_join(slice(_w, i * $stride + 1, $chunkSize), ' ')))""".stripMargin))
+          .as("c"))
+      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+        col("c.start_tok").as("start_tok"),
+        col("c.n_chunk_tokens").as("n_chunk_tokens"),
+        col("c.chunk_text").as("chunk_text"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_pack_chunks" -> ((s, d) =>
       packChunks(Tables.documents(s, d), "doc_id", "n_chars")),
     "a02_pack_by_source" -> ((s, d) =>
-      packChunksBySource(Tables.documents(s, d), "doc_id", "n_chars", "source")))
+      packChunksBySource(Tables.documents(s, d), "doc_id", "n_chars", "source")),
+    "a03_sliding_chunks" -> ((s, d) =>
+      slidingChunks(Tables.documents(s, d), "doc_id", "text")))
 
   def oracle: Map[String, String] = Map(
     "a01_pack_chunks" ->
@@ -136,5 +179,23 @@ object Pack {
          |  SELECT source, doc_id,
          |    coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
-         |  FROM documents) t""".stripMargin)
+         |  FROM documents) t""".stripMargin,
+    // a03 — same start rule: 0, stride, …, first start whose chunk
+    // reaches the end; DuckDB list_slice is 1-based inclusive-end
+    "a03_sliding_chunks" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |nz AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) > 0),
+        |ch AS (
+        |  SELECT doc_id, ws,
+        |    unnest(range(0, 1 + CASE WHEN n <= 24 THEN 0
+        |                             ELSE (n - 24 + 16 - 1) // 16 END)) AS i
+        |  FROM nz)
+        |SELECT doc_id,
+        |  CAST(i AS BIGINT) AS chunk_idx,
+        |  CAST(i * 16 AS BIGINT) AS start_tok,
+        |  CAST(len(list_slice(ws, i * 16 + 1, i * 16 + 24)) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(list_slice(ws, i * 16 + 1, i * 16 + 24), ' ') AS chunk_text
+        |FROM ch""".stripMargin)
 }

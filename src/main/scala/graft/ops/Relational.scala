@@ -198,6 +198,26 @@ object Relational {
           col("start_event"), col("end_event"), col("n_events"))
     }),
 
+    // Curriculum bucketing: ntile quartiles + percent_rank over a
+    // quality axis, per stratum — the assignment step of
+    // curriculum-ordered training (easy→hard scheduling needs every doc
+    // labeled with its difficulty quantile). Per-LANG windows, not a
+    // global ORDER BY: a global ntile is one unsplittable frame (the
+    // q24 cliff); partitioned by stratum each frame is a task. Both
+    // functions share one (partition, order) spec → one exchange. The
+    // (n_chars, doc_id) order key is unique, so ntile's bucket
+    // boundaries and percent_rank's ranks are total-order deterministic
+    // on both engines.
+    "q29_ntile_buckets" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("bucket", ntile(4).over(w).cast("long"))
+        .withColumn("pct_q6",
+          round(percent_rank().over(w) * lit(1e6)).cast("long"))
+    }),
+
     // §2.8 X7/X8 conditional-default family: CASE bucketing.
     "q11_case_bucket" -> ((s, d) => {
       Tables.orders(s, d)
@@ -492,6 +512,12 @@ object Relational {
         |  max(event_id) AS end_event, count(*) AS n_events
         |FROM isl GROUP BY user_id, island, event_type
         |HAVING count(*) >= 2""".stripMargin,
+    "q29_ntile_buckets" ->
+      """SELECT doc_id, lang, n_chars,
+        |  CAST(ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS bucket,
+        |  CAST(round(percent_rank() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+        |             * 1000000.0) AS BIGINT) AS pct_q6
+        |FROM documents""".stripMargin,
     "q11_case_bucket" ->
       """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
         |            WHEN o_totalprice < 150000 THEN 'medium'

@@ -859,6 +859,53 @@ class OpsSpec extends AnyFunSuite {
     assert(c02kept == Set(10L, 12L))
   }
 
+  test("d13 banding finds exactly the brute-force hamming ball") {
+    // completeness of the pigeonhole: banding + verify must equal the
+    // all-pairs popcount over the same signatures
+    val sigs = Dedup.simhash(Tables.documents(spark, sf), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      if java.lang.Long.bitCount(sa ^ sb) <= 1
+    } yield (a, b, java.lang.Long.bitCount(sa ^ sb).toLong)).toSet
+    val banded = Dedup.queries("d13_simhash_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute,
+      s"missing=${(brute -- banded).take(5)} extra=${(banded -- brute).take(5)}")
+  }
+
+  test("a03 sliding chunks cover every token with the declared overlap") {
+    import spark.implicits._
+    val text40 = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, text40), (2L, "a b c"), (3L, "")).toDF("doc_id", "text")
+    val rows = Pack.slidingChunks(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    val d1 = rows.filter(_._1 == 1L).sortBy(_._2)
+    // 40 tokens, chunk 24, stride 16 → starts 0 and 16; second reaches the end
+    assert(d1.map(_._3).toSeq == Seq(0L, 16L), s"starts: ${d1.toSeq}")
+    assert(d1(0)._4 == 24L && d1(1)._4 == 24L)
+    assert(d1(0)._5.endsWith("w24") && d1(1)._5.startsWith("w17") &&
+      d1(1)._5.endsWith("w40"), "8-token overlap carries context across the seam")
+    // short doc → one whole-doc chunk; empty doc absent
+    val d2 = rows.filter(_._1 == 2L)
+    assert(d2.length == 1 && d2.head._4 == 3L && d2.head._5 == "a b c")
+    assert(!rows.exists(_._1 == 3L))
+  }
+
+  test("q29 ntile buckets are balanced and order-monotone per stratum") {
+    val rows = Relational.queries("q29_ntile_buckets")(spark, sf)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val sizes = rs.groupBy(_._3).view.mapValues(_.size).values
+      assert(sizes.max - sizes.min <= 1, s"$lang buckets must differ by <= 1")
+      // bucket is monotone in the order key
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._3).sameElements(sorted.map(_._3).sorted),
+        s"$lang bucket assignment must follow the n_chars order")
+    }
+  }
+
   test("t11 entropy on crafted documents matches the closed forms") {
     import spark.implicits._
     val docs = Seq((1L, "a a a a"), (2L, "p q r s"), (3L, ""),

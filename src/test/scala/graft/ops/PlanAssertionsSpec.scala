@@ -215,6 +215,20 @@ class PlanAssertionsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(shuffles(p) == 3)
   }
 
+  test("a03 sliding chunks plan with zero exchanges (pure generator)") {
+    assert(shuffles(plan("a03_sliding_chunks")) == 0)
+  }
+
+  test("d13 simhash pairs: band groupBy + pair distinct, no token shuffle") {
+    // signatures are map-side; the only exchanges key on 8-byte band
+    // keys and the deduped pair rows
+    assert(shuffles(plan("d13_simhash_pairs")) == 2)
+  }
+
+  test("q29 ntile + percent_rank share a single per-stratum exchange") {
+    assert(shuffles(plan("q29_ntile_buckets")) == 1)
+  }
+
   test("q28 gaps-islands: one exchange serves both windows AND the island agg") {
     // lag + running sum share a (partition, order) spec, and the island
     // aggregation's keys include user_id, so hashpartitioning(user_id)
