@@ -242,6 +242,47 @@ object Sampling {
     Map("en" -> 0.4, "zh" -> 0.3, "de" -> 0.1, "es" -> 0.1, "fr" -> 0.1)
   val MixtureBudget = 6000L
 
+  /** Temperature-scaled mixture (s09) — [[mixtureSample]] with the
+    * target weights DERIVED from the corpus itself instead of handed
+    * in: stratum `g`'s weight is its token share raised to `1/τ` and
+    * renormalized, the standard multilingual temperature-sampling rule
+    * (τ→∞ flattens toward uniform, τ=1 keeps natural proportions) used
+    * because natural web shares starve tail languages. The realized
+    * rate is then `min(1, budget·w_g/tokens_g)` with the same
+    * deterministic affine coin.
+    *
+    * One extra wrinkle over s07, zero extra passes: shares need the
+    * GLOBAL token total, which is a window-sum over the (stratum-
+    * cardinality) totals frame — tiny, no data-sized work. Everything
+    * else keeps s07's shape: one totals aggregation, broadcast rate
+    * table, map-side filter. Output: `(stratum, id, n_tokens)`. */
+  def temperatureSample(df: DataFrame, id: String, strata: String,
+                        tokens: Column, tau: Double,
+                        budget: Long): DataFrame = {
+    require(tau > 0, "temperature must be positive")
+    val byAll = Window.partitionBy()
+    val totals = df.withColumn("n_tokens", tokens)
+      .groupBy(col(strata)).agg(sum(col("n_tokens")).as("_toks"))
+      // stratum-cardinality frame: the empty-partition window is fine
+      .withColumn("_share",
+        col("_toks").cast("double") / sum(col("_toks")).over(byAll).cast("double"))
+      .withColumn("_pw", pow(col("_share"), lit(1.0 / tau)))
+      .withColumn("_w", col("_pw") / sum(col("_pw")).over(byAll))
+      .withColumn("_rate", least(lit(1.0),
+        lit(budget.toDouble) * col("_w") / col("_toks").cast("double")))
+      .select(col(strata), col("_rate"))
+    df.withColumn("n_tokens", tokens)
+      .join(broadcast(totals), strata)
+      .filter(h(id) < floor(col("_rate") * P).cast("long"))
+      .select(col(strata), col(id), col("n_tokens"))
+  }
+
+  /** The s09 harness spec: τ = 2 halves the exponent (square-root
+    * flattening — tail strata upweighted) under the same 6000-token
+    * budget as s07. */
+  val Temperature = 2.0
+  val TemperatureBudget = 6000L
+
   /** Exact-fraction stratified sample (s08): per stratum, keep the
     * `ceil(frac·n)` rows smallest under the hash permutation — the
     * exact-count counterpart of [[sampleByRate]] (whose kept count is
@@ -300,7 +341,10 @@ object Sampling {
         nTokens("text"), MixtureWeights, MixtureBudget)),
     "s08_stratified_exact" -> ((s, d) =>
       stratifiedExact(Tables.documents(s, d), "doc_id", "lang", frac = 0.15)
-        .select(col("lang"), col("doc_id"), col("rk"))))
+        .select(col("lang"), col("doc_id"), col("rk"))),
+    "s09_temperature_sample" -> ((s, d) =>
+      temperatureSample(Tables.documents(s, d), "doc_id", "lang",
+        nTokens("text"), Temperature, TemperatureBudget)))
 
   def oracle: Map[String, String] = Map(
     "s01_sample_rate" ->
@@ -342,6 +386,24 @@ object Sampling {
          |FROM t JOIN r USING (lang)
          |WHERE ${hSql("doc_id")} < CAST(floor(r.rate * $P) AS BIGINT)""".stripMargin
     },
+    // s09 — the staged-CTE mirror of the withColumn chain (share → pow
+    // → renormalize → rate), identical IEEE op order at every step
+    "s09_temperature_sample" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |tot AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS toks FROM t GROUP BY lang),
+         |w1 AS (SELECT lang, toks,
+         |         toks::DOUBLE / (sum(toks) OVER ())::DOUBLE AS share FROM tot),
+         |w2 AS (SELECT lang, toks, pow(share, ${1.0 / Temperature}) AS pw FROM w1),
+         |w3 AS (SELECT lang, toks, pw / (sum(pw) OVER ()) AS w FROM w2),
+         |r AS (SELECT lang,
+         |        least(1.0, ${TemperatureBudget.toDouble} * w / toks::DOUBLE) AS rate
+         |      FROM w3)
+         |SELECT t.lang, t.doc_id, t.n_tokens
+         |FROM t JOIN r USING (lang)
+         |WHERE ${hSql("doc_id")} < CAST(floor(r.rate * $P) AS BIGINT)""".stripMargin,
     // ceil over the same IEEE double product on both engines
     "s08_stratified_exact" ->
       s"""SELECT lang, doc_id, rk FROM (

@@ -439,6 +439,42 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  /** Per-group [[cmsFrequencies]] (x09) — one CMS per `group` value,
+    * completing the sketch family's group symmetry (x01/x03, x05/x06):
+    * per-language or per-source token-frequency monitoring without a
+    * per-(group, token) exact aggregation. Cells key on
+    * `(group, row, col)`, so the shuffle carries at most d·w rows PER
+    * GROUP (map-side partials, the x02 contract per group); the probe
+    * table is groups × probes × d rows built from a stratum-cardinality
+    * distinct. Output: `(group, token, est)`. */
+  def cmsFrequenciesBy(docs: DataFrame, group: String, textCol: String,
+                       probes: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.VectorFunctions.register(spark)
+    import spark.implicits._
+    val cellStructs = (0 until CmsDepth).map { i =>
+      s"struct(${i} AS row, ${cmsColSql("h", i)} AS col)"
+    }.mkString(", ")
+    val cells = docs
+      .select(col(group).as("grp"),
+        explode(expr(s"filter(split($textCol, ' '), x -> x <> '')")).as("token"))
+      .select(col("grp"), expr("graft_polyhash(token)").as("h"))
+      .select(col("grp"), explode(expr(s"array($cellStructs)")).as("c"))
+      .groupBy(col("grp"), col("c.row").as("row"), col("c.col").as("col"))
+      .agg(count(lit(1)).as("cnt"))
+    val probeCells = docs.select(col(group).as("grp")).distinct()
+      .crossJoin(probes.toDF("token"))
+      .select(col("grp"), col("token"), expr("graft_polyhash(token)").as("h"))
+      .select(col("grp"), col("token"),
+        explode(expr(s"array($cellStructs)")).as("c"))
+      .select(col("grp"), col("token"),
+        col("c.row").as("row"), col("c.col").as("col"))
+    probeCells
+      .join(cells, Seq("grp", "row", "col"), "left")
+      .groupBy(col("grp"), col("token"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
   /** DuckDB oracle for [[hllDistinct]] — generated per precision so any
     * p runs the identical arithmetic the Spark plan does. */
   def hllDistinctSql(table: String, valueSql: String, p: Int): String = {
@@ -481,6 +517,11 @@ object Sketches {
     // token stream — compare x02 est against t01's exact top counts
     "x02_cms_freq" -> ((s, d) =>
       cmsFrequencies(Tables.documents(s, d), "text", TextOps.Stopwords)),
+    // one CMS per language — the group twin of x02
+    "x09_cms_by_group" -> ((s, d) =>
+      cmsFrequenciesBy(Tables.documents(s, d), "lang", "text",
+        TextOps.Stopwords)
+        .withColumnRenamed("grp", "lang")),
     // distinct parts per returnflag — per-group sketch read-out
     "x03_hll_by_group" -> ((s, d) =>
       hllDistinctBy(Tables.lineitem(s, d), "l_returnflag", "l_partkey")
@@ -559,5 +600,29 @@ object Sketches {
          |SELECT pc.token, min(coalesce(cells.cnt, 0)) AS est
          |FROM pc LEFT JOIN cells ON pc.row = cells.row AND pc.col = cells.col
          |GROUP BY pc.token""".stripMargin
+    },
+    "x09_cms_by_group" -> {
+      val ph = Hashing.polyHashSql("token")
+      val cellUnion = (0 until CmsDepth).map { i =>
+        s"SELECT grp, $i AS row, ${cmsColSql("h", i)} AS col, token FROM th"
+      }.mkString("\nUNION ALL ")
+      val probeList = TextOps.Stopwords.map(w => s"('$w')").mkString(", ")
+      s"""WITH tok AS (
+         |  SELECT lang AS grp,
+         |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+         |  FROM documents),
+         |th AS (SELECT grp, token, ($ph) AS h FROM tok),
+         |tc AS ($cellUnion),
+         |cells AS (SELECT grp, row, col, count(*) AS cnt FROM tc GROUP BY 1, 2, 3),
+         |probes(token) AS (VALUES $probeList),
+         |gp AS (SELECT DISTINCT lang AS grp FROM documents),
+         |ph AS (SELECT gp.grp, probes.token, ($ph) AS h FROM gp CROSS JOIN probes),
+         |pc AS (${(0 until CmsDepth).map { i =>
+             s"SELECT grp, token, $i AS row, ${cmsColSql("h", i)} AS col FROM ph"
+           }.mkString("\nUNION ALL ")})
+         |SELECT pc.grp AS lang, pc.token, min(coalesce(cells.cnt, 0)) AS est
+         |FROM pc LEFT JOIN cells ON pc.grp = cells.grp
+         |  AND pc.row = cells.row AND pc.col = cells.col
+         |GROUP BY pc.grp, pc.token""".stripMargin
     })
 }

@@ -613,6 +613,63 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("x09 per-group CMS dominates exact per-group counts within each group's bound") {
+    val d = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, d)
+    import spark.implicits._
+    val exact = docs
+      .select(col("lang"),
+        explode(expr("filter(split(text, ' '), x -> x <> '')")).as("token"))
+      .filter(col("token").isin(TextOps.Stopwords: _*))
+      .groupBy("lang", "token").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val totals = docs
+      .select(col("lang"),
+        explode(expr("filter(split(text, ' '), x -> x <> '')")).as("token"))
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = Sketches.queries("x09_cms_by_group")(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(est.keySet.map(_._1) == totals.keySet, "one sketch per group")
+    est.foreach { case ((g, w), e) =>
+      val ex = exact.getOrElse((g, w), 0L)
+      assert(e >= ex, s"($g,$w) est=$e < exact=$ex")
+      // collision mass is bounded by the GROUP's stream, not the corpus
+      assert(e - ex <= 2.0 * totals(g) / Sketches.CmsWidth + 1,
+        s"($g,$w) overestimate ${e - ex} beyond the group bound")
+    }
+  }
+
+  test("s09 temperature rates flatten toward the tail and realize binomially") {
+    val d = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, d)
+    val stats = docs
+      .select(col("lang"),
+        expr("size(filter(split(text, ' '), x -> x <> ''))").cast("long").as("n"))
+      .groupBy("lang").agg(sum("n").as("t"), count(lit(1)).as("nd"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val total = stats.values.map(_._1).sum.toDouble
+    val pw = stats.view.mapValues { case (t, _) =>
+      math.pow(t / total, 1.0 / Sampling.Temperature) }.toMap
+    val sw = pw.values.sum
+    val rate = stats.map { case (g, (t, _)) =>
+      g -> math.min(1.0, Sampling.TemperatureBudget * (pw(g) / sw) / t) }
+    // τ=2 upweights the token-poorest stratum relative to the richest
+    val poorest = stats.minBy(_._2._1)._1
+    val richest = stats.maxBy(_._2._1)._1
+    assert(rate(poorest) > rate(richest),
+      s"temperature must favor the tail: $rate")
+    val kept = Sampling.queries("s09_temperature_sample")(spark, d)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    stats.foreach { case (g, (_, nd)) =>
+      val exp = rate(g) * nd
+      val sd = math.sqrt(nd * rate(g) * (1 - rate(g)))
+      assert(math.abs(kept.getOrElse(g, 0L) - exp) <= 5 * sd + 1,
+        s"$g kept ${kept.getOrElse(g, 0L)}, expected ~$exp (5σ=$sd)")
+    }
+  }
+
   test("k01 brute-force top-k: ranks 1..5 per probe, ordered by cosine") {
     val rows = Similarity.queries("k01_knn_brute")(spark, sf).collect()
       .groupBy(_.getLong(0))
