@@ -416,22 +416,38 @@ object Sketches {
     * the min across rows — CMS never underestimates, overestimates by
     * collision mass only. Output: `(token, est)` per probe. */
   def cmsFrequencies(docs: DataFrame, textCol: String,
-                     probes: Seq[String]): DataFrame = {
-    val spark = docs.sparkSession
-    graft.functions.VectorFunctions.register(spark)
-    import spark.implicits._
-    val cellStructs = (0 until CmsDepth).map { i =>
-      s"struct(${i} AS row, ${cmsColSql("h", i)} AS col)"
-    }.mkString(", ")
-    val cells = docs
+                     probes: Seq[String]): DataFrame =
+    cmsProbe(cmsCells(docs, textCol), probes)
+
+  private def cmsCellStructs: String = (0 until CmsDepth).map { i =>
+    s"struct(${i} AS row, ${cmsColSql("h", i)} AS col)"
+  }.mkString(", ")
+
+  /** The mergeable CMS core as a standalone frame: `(row, col, cnt)`
+    * counter cells over a text column's token stream (≤ d·w rows).
+    * `sum per cell` is associative/commutative, so the same column
+    * expressions run under a streaming aggregation with O(d·w) state —
+    * [[graft.streaming.SketchStream.cmsCellsStream]] is this method on
+    * a `readStream` frame. */
+  def cmsCells(docs: DataFrame, textCol: String): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    docs
       .select(explode(expr(s"filter(split($textCol, ' '), x -> x <> '')")).as("token"))
       .select(expr("graft_polyhash(token)").as("h"))
-      .select(explode(expr(s"array($cellStructs)")).as("c"))
+      .select(explode(expr(s"array($cmsCellStructs)")).as("c"))
       .groupBy(col("c.row").as("row"), col("c.col").as("col"))
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Probe read-out over a [[cmsCells]] table: min across the d rows,
+    * zero for never-seen cells. */
+  def cmsProbe(cells: DataFrame, probes: Seq[String]): DataFrame = {
+    val spark = cells.sparkSession
+    graft.functions.VectorFunctions.register(spark)
+    import spark.implicits._
     val probeCells = probes.toDF("token")
       .select(col("token"), expr("graft_polyhash(token)").as("h"))
-      .select(col("token"), explode(expr(s"array($cellStructs)")).as("c"))
+      .select(col("token"), explode(expr(s"array($cmsCellStructs)")).as("c"))
       .select(col("token"), col("c.row").as("row"), col("c.col").as("col"))
     probeCells
       .join(cells, Seq("row", "col"), "left")

@@ -23,6 +23,33 @@ object SketchStream {
   def hllRegistersStream(df: DataFrame, valueCol: String): DataFrame =
     Sketches.hllRegisters(df, valueCol)
 
+  /** Incremental Count-Min cell table of a streaming text column —
+    * at most d·w rows of state, complete-mode output; per-cell `sum`
+    * is associative/commutative, so micro-batching cannot change the
+    * fixpoint. Probe with [[graft.ops.Sketches.cmsProbe]]. */
+  def cmsCellsStream(df: DataFrame, textCol: String): DataFrame =
+    Sketches.cmsCells(df, textCol)
+
+  /** Run the CMS stream to completion over a documents directory,
+    * returning the final cell table from the in-memory sink. */
+  def runCmsAvailableNow(spark: SparkSession, dir: String,
+                         sinkTable: String): DataFrame = {
+    val q = cmsCellsStream(
+        spark.readStream
+          .schema(CurateStream.rawSchema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir),
+        "text")
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("complete")
+      .format("memory")
+      .queryName(sinkTable)
+      .start()
+    q.awaitTermination()
+    spark.table(sinkTable)
+  }
+
   /** Run to completion over a documents directory, returning the final
     * register table from the in-memory sink. */
   def runAvailableNow(spark: SparkSession, dir: String,

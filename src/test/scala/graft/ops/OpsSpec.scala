@@ -963,6 +963,29 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("null text degrades to NULL features or absent rows, never a throw") {
+    // malformed JSONL ingestion produces null-text rows
+    // (CorpusSourcesSpec), so every text operator must tolerate them
+    import spark.implicits._
+    val docs = Seq((1L, "some real text here", "en", "src0", 19L),
+      (2L, null.asInstanceOf[String], "en", "src0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // enrichers: the null row survives with NULL features
+    val q = TextOps.withQuality(docs, "text").collect()
+    assert(q.length == 2 && q.exists(r => r.getLong(0) == 2L && r.isNullAt(5)))
+    val e = TextOps.withEntropy(docs, "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(e(2L).isNullAt(e(2L).fieldIndex("entropy_q6")))
+    // generators/pair ops: the null row simply contributes nothing
+    assert(Pack.slidingChunks(docs, "doc_id", "text")
+      .collect().forall(_.getLong(0) == 1L))
+    assert(Dedup.simhashPairs(docs, "doc_id", "text").collect().isEmpty)
+    assert(Dedup.jaccardPairs(docs, "doc_id", "text", 0.5).collect().isEmpty)
+    assert(TextOps.unigramLogProb(docs, "doc_id", "text")
+      .collect().forall(_.getLong(0) == 1L))
+    assert(TextOps.gopherFilter(docs, "doc_id", "text", "lang").count() == 2)
+  }
+
   test("t11 entropy on crafted documents matches the closed forms") {
     import spark.implicits._
     val docs = Seq((1L, "a a a a"), (2L, "p q r s"), (3L, ""),

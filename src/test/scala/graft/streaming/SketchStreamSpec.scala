@@ -28,4 +28,21 @@ class SketchStreamSpec extends AnyFunSuite {
       .collect().head.getDouble(1)
     assert(streamedEst == batchEst)
   }
+
+  test("availableNow streaming CMS cells equal the batch sketch bit-for-bit") {
+    val streamed = SketchStream.runCmsAvailableNow(spark, sf, "cms_stream_sink")
+    val streamedCells = streamed.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batchCells = Sketches.cmsCells(
+        graft.ops.Tables.documents(spark, sf), "text")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamedCells == batchCells)
+    // and the probe read-out over the streamed cells matches batch x02
+    val streamedEst = Sketches.cmsProbe(streamed, graft.ops.TextOps.Stopwords)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batchEst = Sketches.cmsFrequencies(
+        graft.ops.Tables.documents(spark, sf), "text", graft.ops.TextOps.Stopwords)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamedEst == batchEst)
+  }
 }
