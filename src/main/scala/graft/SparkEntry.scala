@@ -40,7 +40,27 @@ object SparkEntry {
         "p02_report_blocks" -> ((s: SparkSession, d: String) =>
           graft.etl.Report.reportBlocks(
             graft.etl.Report.blocksInput(ops.Tables.documents(s, d)),
-            graft.etl.Report.BlocksDefault)))
+            graft.etl.Report.BlocksDefault)),
+        // The full curation pipeline as ONE lazy plan — what a corpus
+        // user actually runs end-to-end: near-dup dedup (min-id keeper)
+        // → Gopher quality gate → deterministic split assignment. Every
+        // stage is an existing catalog operator; the composition stays
+        // declarative (no materialization between stages), so Catalyst
+        // prunes/pushes across stage boundaries, and the whole thing
+        // carries a composed DuckDB oracle.
+        "p03_curation_pipeline" -> ((s: SparkSession, d: String) => {
+          import org.apache.spark.sql.functions.col
+          val docs = ops.Tables.documents(s, d)
+          val kept = ops.Clusters.dedupCorpus(docs, "doc_id",
+            ops.Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.6),
+            "doc_a", "doc_b")
+          val good = kept.join(
+            ops.TextOps.gopherFilter(kept, "doc_id", "text", "lang")
+              .filter(col("keep")).select("doc_id"),
+            Seq("doc_id"), "left_semi")
+          ops.Sampling.splitAssign(good, "doc_id", ops.Sampling.DefaultSplits)
+            .select(col("doc_id"), col("lang"), col("split"))
+        }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -50,5 +70,38 @@ object SparkEntry {
       ops.Skew.oracle ++ ops.Sampling.oracle ++ ops.Clusters.oracle ++
       ops.Sketches.oracle ++ ops.BloomJoin.oracle ++
       ops.Pack.oracle ++ ops.Search.oracle ++
-      Map("p02_report_blocks" -> graft.etl.Report.blocksOracleSql)
+      Map("p02_report_blocks" -> graft.etl.Report.blocksOracleSql,
+        "p03_curation_pipeline" -> {
+          val pairsSql = ops.Dedup.oracle("d02_ngram_jaccard")
+          val swList = ops.TextOps.Stopwords.map(w => s"'$w'").mkString(", ")
+          s"""WITH RECURSIVE pairs AS ($pairsSql),
+             |edges AS (
+             |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+             |  UNION
+             |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+             |comp(id, label) AS (
+             |  SELECT src, src FROM edges
+             |  UNION
+             |  SELECT e.dst, c.label FROM comp c JOIN edges e ON e.src = c.id),
+             |lab AS (SELECT id, min(label) AS cluster FROM comp GROUP BY id),
+             |kept AS (
+             |  SELECT doc_id, lang, text FROM documents
+             |  WHERE doc_id NOT IN (SELECT id FROM lab WHERE cluster < id)),
+             |feat AS (
+             |  SELECT doc_id, lang,
+             |    CAST(len(w) AS BIGINT) AS n_words,
+             |    CAST(reduce(list_prepend(0, list_transform(w, x -> length(x))), (acc, x) -> acc + x) AS BIGINT) AS sl,
+             |    CAST(len(list_filter(w, x -> x IN ($swList))) AS BIGINT) AS n_stop
+             |  FROM (SELECT doc_id, lang,
+             |          list_filter(string_split(text, ' '), x -> x <> '') AS w
+             |        FROM kept) t),
+             |good AS (
+             |  SELECT doc_id, lang FROM feat
+             |  WHERE (n_words BETWEEN 15 AND 90)
+             |    AND (sl::DOUBLE / n_words::DOUBLE BETWEEN 2.0 AND 12.0)
+             |    AND (lang <> 'en' OR n_stop >= 2))
+             |SELECT doc_id, lang,
+             |  ${ops.Sampling.splitSql("doc_id", ops.Sampling.DefaultSplits)} AS split
+             |FROM good""".stripMargin
+        })
 }

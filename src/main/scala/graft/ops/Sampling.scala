@@ -100,8 +100,9 @@ object Sampling {
     df.withColumn("split", c)
   }
 
-  /** The CASE expression of [[splitAssign]] as oracle SQL. */
-  private def splitSql(id: String, splits: Seq[(String, Double)]): String = {
+  /** The CASE expression of [[splitAssign]] as oracle SQL (public so
+    * composed-pipeline oracles can reuse it verbatim). */
+  def splitSql(id: String, splits: Seq[(String, Double)]): String = {
     val total = splits.map(_._2).sum
     val cuts = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
       .tail.map(f => (f * P).toLong)

@@ -963,6 +963,22 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("p03 curation pipeline equals the composition of its stage queries") {
+    val kept = Clusters.queries("c02_dedup_corpus")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val good = TextOps.queries("t09_gopher_filter")(spark, sf)
+      .collect().filter(r => !r.isNullAt(4) && r.getBoolean(4))
+      .map(_.getLong(0)).toSet
+    val splits = Sampling.queries("s03_split_assign")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = (kept intersect good).map(id => id -> splits(id)).toMap
+    val p03 = graft.SparkEntry.queries("p03_curation_pipeline")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(p03 == expected,
+      s"missing=${(expected.keySet -- p03.keySet).take(5)} " +
+        s"extra=${(p03.keySet -- expected.keySet).take(5)}")
+  }
+
   test("null text degrades to NULL features or absent rows, never a throw") {
     // malformed JSONL ingestion produces null-text rows
     // (CorpusSourcesSpec), so every text operator must tolerate them
