@@ -52,6 +52,26 @@ object Events {
           col("event_type"), col("n_events"), col("total_value"))
     }),
 
+    // TRENDING: top-3 users by spend per daily window — the tumbling
+    // window feeding a rank window, the composition every "what's hot
+    // today" dashboard runs. The aggregation collapses to one row per
+    // (day, user) BEFORE the rank, and row_number's constant k compiles
+    // to WindowGroupLimit (map-side prune, the q07/s02 contract), so
+    // neither stage carries event-level data. Decimal spend sums keep
+    // the rank order exact and engine-portable.
+    "e11_trending_topk" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("day_epoch"))
+        .orderBy(col("total_value").desc, col("user_id"))
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 day").as("w"), col("user_id"))
+        .agg(decSum(col("value")).as("total_value"))
+        .select(col("w.start").cast("long").as("day_epoch"),
+          col("user_id"), col("total_value"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+    }),
+
     // SLIDING window: 2-hour windows advancing hourly — every event
     // contributes to two buckets (Spark expands via the window
     // generator; the oracle mirrors with a two-way shifted UNION ALL).
@@ -189,6 +209,18 @@ object Events {
         |  event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "e11_trending_topk" ->
+      """WITH agg AS (
+        |  SELECT epoch(time_bucket(INTERVAL 1 DAY, ts::TIMESTAMP))::BIGINT AS day_epoch,
+        |    user_id,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT day_epoch, user_id, total_value, rk FROM (
+        |  SELECT day_epoch, user_id, total_value,
+        |    row_number() OVER (PARTITION BY day_epoch
+        |                       ORDER BY total_value DESC, user_id) AS rk
+        |  FROM agg) ranked
+        |WHERE rk <= 3""".stripMargin,
     "e02_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events),
         |g AS (

@@ -62,6 +62,29 @@ object Multimodal {
   /** Downsampling stride for m03's resize stub. */
   val ResizeStep = 4
 
+  /** Frame sampling as a reusable frame table: split each blob into
+    * fixed-size frames, one row per frame with its offset and content
+    * hash — the generator (explode) shape a video frame-sampler or
+    * audio chunker needs. The "media" is the ASCII text bytes (no
+    * codecs in the container), so the DuckDB oracles replicate the
+    * chunking on the string form. Feeds m02 directly and m05's
+    * frame-level dedup. */
+  def mediaFrames(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    Tables.documents(s, d)
+      // guard: empty text would hit integer-division floor-vs-truncate
+      // divergence between engines
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        posexplode(expr(
+          s"transform(sequence(0, (length(text) - 1) div $FrameBytes), " +
+          s"i -> substring(text, i * $FrameBytes + 1, $FrameBytes))"))
+          .as(Seq("frame_idx", "frame")))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        length(col("frame")).cast("long").as("frame_bytes"),
+        expr("graft_polyhash(frame)").as("frame_hash"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_meta" -> ((s, d) => {
       val blobs = Tables.documents(s, d)
@@ -69,26 +92,21 @@ object Multimodal {
       decode(blobs).toDF()
     }),
 
-    // Frame sampling: split each blob into fixed-size frames, one output
-    // row per frame with its offset and a content hash — the generator
-    // (explode) shape a video frame-sampler or audio chunker needs. The
-    // "media" is the ASCII text bytes (no codecs in the container), so
-    // the DuckDB oracle replicates the chunking on the string form.
-    "m02_media_frames" -> ((s, d) => {
-      graft.functions.VectorFunctions.register(s)
-      Tables.documents(s, d)
-        // guard: empty text would hit integer-division floor-vs-truncate
-        // divergence between engines
-        .filter(length(col("text")) > 0)
-        .select(col("doc_id"), col("text"),
-          posexplode(expr(
-            s"transform(sequence(0, (length(text) - 1) div $FrameBytes), " +
-            s"i -> substring(text, i * $FrameBytes + 1, $FrameBytes))"))
-            .as(Seq("frame_idx", "frame")))
-        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
-          length(col("frame")).cast("long").as("frame_bytes"),
-          expr("graft_polyhash(frame)").as("frame_hash"))
-    }),
+    "m02_media_frames" -> ((s, d) => mediaFrames(s, d)),
+
+    // Frame-level exact dedup ACROSS media items — the d01 pattern over
+    // the m02 frame table (repeated intros/outros/watermark frames are
+    // the multimodal analogue of boilerplate text): one hash-keyed
+    // aggregation, keeper chosen by the packed (doc, frame) key so the
+    // min is a single exact-integer aggregate on both engines.
+    "m05_frame_dedup" -> ((s, d) =>
+      mediaFrames(s, d)
+        .groupBy(col("frame_hash"))
+        .agg(count(lit(1)).as("n_copies"),
+          min(col("doc_id") * lit(1000000L) + col("frame_idx")).as("_k"))
+        .select(col("frame_hash"), col("n_copies"),
+          expr("_k div 1000000L").as("keep_doc"),
+          expr("_k % 1000000L").as("keep_frame"))),
 
     // Resize/downsample stub: keep every 4th byte — the plumbing shape
     // of a thumbnail/re-encode stage (input blob → smaller blob +
@@ -158,6 +176,19 @@ object Multimodal {
          |    unnest(list_transform(range(0, ((length(text) - 1) // $FrameBytes) + 1),
          |      i -> substring(text, (i * $FrameBytes + 1)::INTEGER, $FrameBytes))) AS frame
          |  FROM documents WHERE length(text) > 0) frames""".stripMargin,
+    "m05_frame_dedup" ->
+      s"""WITH fr AS (
+         |  SELECT doc_id, frame_idx, ${Hashing.polyHashSql("frame")} AS frame_hash
+         |  FROM (
+         |    SELECT doc_id,
+         |      unnest(range(0, ((length(text) - 1) // $FrameBytes) + 1)) AS frame_idx,
+         |      unnest(list_transform(range(0, ((length(text) - 1) // $FrameBytes) + 1),
+         |        i -> substring(text, (i * $FrameBytes + 1)::INTEGER, $FrameBytes))) AS frame
+         |    FROM documents WHERE length(text) > 0) frames)
+         |SELECT frame_hash, count(*) AS n_copies,
+         |  CAST(min(doc_id * 1000000 + frame_idx) // 1000000 AS BIGINT) AS keep_doc,
+         |  CAST(min(doc_id * 1000000 + frame_idx) % 1000000 AS BIGINT) AS keep_frame
+         |FROM fr GROUP BY frame_hash""".stripMargin,
     "m03_media_resize" ->
       s"""SELECT doc_id, length(small)::BIGINT AS n_bytes_small,
          |  ${Hashing.polyHashSql("small")} AS small_hash

@@ -963,6 +963,35 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("m05 frame dedup partitions the frame table exactly") {
+    val frames = Multimodal.mediaFrames(spark, sf)
+    val total = frames.count()
+    val rows = Multimodal.queries("m05_frame_dedup")(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum == total,
+      "copy counts must partition the frame table")
+    // every keeper is a real (doc, frame) coordinate of its hash
+    val byCoord = frames.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    rows.foreach { r =>
+      assert(byCoord((r.getLong(2), r.getLong(3))) == r.getLong(0),
+        s"keeper (${r.getLong(2)},${r.getLong(3)}) must carry hash ${r.getLong(0)}")
+    }
+  }
+
+  test("e11 trending top-k is bounded, ranked, and map-side pruned") {
+    val q = Events.queries("e11_trending_topk")(spark, sf)
+    val rows = q.collect().groupBy(_.getLong(0))
+    rows.foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      val ordered = rs.sortBy(_.getLong(3))
+      assert(ordered.map(_.getDouble(2)).sameElements(
+        ordered.map(_.getDouble(2)).sorted(Ordering[Double].reverse)),
+        "rank must follow total_value DESC")
+    }
+    assert(q.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "constant-k rank must prune map-side")
+  }
+
   test("p03 curation pipeline equals the composition of its stage queries") {
     val kept = Clusters.queries("c02_dedup_corpus")(spark, sf)
       .collect().map(_.getLong(0)).toSet
