@@ -218,6 +218,28 @@ object Relational {
           round(percent_rank().over(w) * lit(1e6)).cast("long"))
     }),
 
+    // Full-outer join — the last join type missing from the catalog's
+    // J-family matrix (inner/left/semi/anti/range/as-of/salted are
+    // covered): year-over-year customer activity where either side may
+    // be absent. Keys COALESCE explicitly (not join-USING) so both
+    // engines emit the identical key column; both sides are aggregates
+    // (one row per customer) so the full-outer is a key-keyed shuffle
+    // join of two pre-shrunk inputs — the scale-correct shape (never
+    // full-outer raw fact tables when an aggregate precedes it).
+    "q30_full_outer" -> ((s, d) => {
+      def yearly(y: Int) = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+        .groupBy(col("o_custkey").as(s"k$y"))
+        .agg(count(lit(1)).as(s"n$y"))
+      val a = yearly(1996)
+      val b = yearly(1997)
+      a.join(b, col("k1996") === col("k1997"), "full_outer")
+        .select(coalesce(col("k1996"), col("k1997")).as("custkey"),
+          coalesce(col("n1996"), lit(0L)).as("n_1996"),
+          coalesce(col("n1997"), lit(0L)).as("n_1997"))
+    }),
+
     // §2.8 X7/X8 conditional-default family: CASE bucketing.
     "q11_case_bucket" -> ((s, d) => {
       Tables.orders(s, d)
@@ -512,6 +534,18 @@ object Relational {
         |  max(event_id) AS end_event, count(*) AS n_events
         |FROM isl GROUP BY user_id, island, event_type
         |HAVING count(*) >= 2""".stripMargin,
+    "q30_full_outer" ->
+      """WITH a AS (
+        |  SELECT o_custkey AS k, count(*) AS n FROM orders
+        |  WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+        |  GROUP BY 1),
+        |b AS (
+        |  SELECT o_custkey AS k, count(*) AS n FROM orders
+        |  WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1998-01-01'
+        |  GROUP BY 1)
+        |SELECT coalesce(a.k, b.k) AS custkey,
+        |  coalesce(a.n, 0) AS n_1996, coalesce(b.n, 0) AS n_1997
+        |FROM a FULL OUTER JOIN b ON a.k = b.k""".stripMargin,
     "q29_ntile_buckets" ->
       """SELECT doc_id, lang, n_chars,
         |  CAST(ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS bucket,

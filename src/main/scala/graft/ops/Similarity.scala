@@ -77,6 +77,30 @@ object Similarity {
           expr(cosExpr).as("cos")), k)
   }
 
+  /** FILTERED k-NN (k06) — "hybrid search": top-k nearest among only
+    * the vectors satisfying a METADATA predicate (the filtered-ANN
+    * feature of every production vector store: "nearest products in
+    * stock", "nearest docs with this license"). Probes come from the
+    * full set; only the eligible corpus is scored.
+    *
+    * The predicate applies to the RAW frame before projection, so it
+    * sits directly on the scan — at any scale the ineligible vectors
+    * never leave the parquet reader (`PushedFilters`, pinned by
+    * PlanAssertionsSpec), which is the pre-filter strategy; a
+    * post-filter ANN (search-then-filter) under-fills k when the
+    * predicate is selective. Output shape = [[knnBrute]]. */
+  def knnFiltered(vectors: DataFrame, id: String, vec: String,
+                  isProbe: Column => Column, corpusFilter: Column,
+                  k: Int): DataFrame = {
+    val corpus = prep(vectors.filter(corpusFilter), id, vec)
+    val probes = prep(vectors, id, vec).filter(isProbe(col("vec_id")))
+    topKPerProbe(
+      corpus.as("b").join(broadcast(probes.as("a")),
+          col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("probe_id"), col("b.vec_id").as("neighbor_id"),
+          expr(cosExpr).as("cos")), k)
+  }
+
   /** Approximate k-NN: only candidates sharing the probe's LSH bucket
     * (sign bits of [[NumPlanes]] integer hyperplanes) are scored. Same
     * output shape as [[knnBrute]]; recall < 1 by construction. */
@@ -331,6 +355,11 @@ object Similarity {
     "k02_knn_lsh" -> ((s, d) =>
       knnLsh(Tables.embeddings(s, d), "vec_id", "embedding",
         _ < NumProbes, TopK)),
+    // hybrid search: nearest neighbors among label < 5 vectors only (a
+    // comparison, so it reaches the parquet reader as a pushed filter)
+    "k06_filtered_knn" -> ((s, d) =>
+      knnFiltered(Tables.embeddings(s, d), "vec_id", "embedding",
+        _ < NumProbes, col("label") < 5, TopK)),
     "k03_ivf_knn" -> ((s, d) =>
       ivfKnn(Tables.embeddings(s, d), "vec_id", "embedding", "label",
         _ < NumProbes, 3)
@@ -369,6 +398,24 @@ object Similarity {
            |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
            |    $cosSql AS cos
            |  FROM n a JOIN n b ON a.vec_id < $NumProbes AND a.vec_id <> b.vec_id),
+           |ranked AS (
+           |  SELECT probe_id, neighbor_id, cos,
+           |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+           |  FROM scored)
+           |SELECT probe_id, rnk, neighbor_id, cos FROM ranked WHERE rnk <= $TopK""".stripMargin,
+      // k06 — k01 with the eligibility predicate on the corpus side
+      "k06_filtered_knn" ->
+        s"""WITH v AS (
+           |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+           |n AS (
+           |  SELECT vec_id, label, v,
+           |    sqrt(reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+           |  FROM v),
+           |scored AS (
+           |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+           |    $cosSql AS cos
+           |  FROM n a JOIN n b ON a.vec_id < $NumProbes AND a.vec_id <> b.vec_id
+           |  WHERE b.label < 5),
            |ranked AS (
            |  SELECT probe_id, neighbor_id, cos,
            |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk

@@ -258,6 +258,24 @@ object TextOps {
       .select(col(id).as("doc_id"), col("n_words"), col("mean_word_len"),
         col("n_stop"), col("keep"))
 
+  /** Adjacent-duplicate token removal (t12) — collapse immediate
+    * repetitions ("the the", generation stutter, copy-paste doubling)
+    * keeping the first of each run: the intra-document cleanup pass
+    * that runs BEFORE corpus-level dedup so repeated filler doesn't
+    * inflate shingle sets. Zero shuffles — one indexed `filter` HOF per
+    * doc (`get` is the null-safe 0-based lookup, so the first token
+    * never faults); idempotent by construction (a second pass finds no
+    * adjacent equals). Appends `cleaned, n_removed`. */
+  def withDedupAdjacent(df: DataFrame, text: String): DataFrame =
+    df
+      .withColumn("_w", expr(s"filter(split($text, ' '), x -> x <> '')"))
+      .withColumn("_kept", expr(
+        "filter(_w, (x, i) -> i = 0 OR x <> get(_w, i - 1))"))
+      .withColumn("cleaned", array_join(col("_kept"), " "))
+      .withColumn("n_removed",
+        (size(col("_w")) - size(col("_kept"))).cast("long"))
+      .drop("_w", "_kept")
+
   /** Unigram-LM quality score (t10) — the CCNet-style perplexity proxy:
     * each document scores the mean log-probability of its tokens under
     * an add-one-smoothed unigram model truncated to the corpus's top
@@ -371,7 +389,10 @@ object TextOps {
       unigramLogProb(Tables.documents(s, d), "doc_id", "text")),
     "t11_entropy" -> ((s, d) =>
       withEntropy(Tables.documents(s, d), "text")
-        .select("doc_id", "n_words", "entropy_q6")))
+        .select("doc_id", "n_words", "entropy_q6")),
+    "t12_dedup_adjacent" -> ((s, d) =>
+      withDedupAdjacent(Tables.documents(s, d), "text")
+        .select("doc_id", "cleaned", "n_removed")))
 
   def oracle: Map[String, String] = Map(
     "t01_token_freq" ->
@@ -492,5 +513,13 @@ object TextOps {
         |  CASE WHEN w.n_words > 0 THEN
         |    CAST(round((ln(w.n_words::DOUBLE) - s.sclnc / w.n_words::DOUBLE) * 1000000.0) AS BIGINT)
         |  END AS entropy_q6
-        |FROM w LEFT JOIN s USING (doc_id)""".stripMargin)
+        |FROM w LEFT JOIN s USING (doc_id)""".stripMargin,
+    // t12 — DuckDB's indexed lambda is 1-based where Spark's is 0-based;
+    // both keep the first element of every run
+    "t12_dedup_adjacent" ->
+      """SELECT doc_id,
+        |  array_to_string(list_filter(w, (x, i) -> i = 1 OR x <> w[i-1]), ' ') AS cleaned,
+        |  CAST(len(w) - len(list_filter(w, (x, i) -> i = 1 OR x <> w[i-1])) AS BIGINT) AS n_removed
+        |FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |      FROM documents) t""".stripMargin)
 }

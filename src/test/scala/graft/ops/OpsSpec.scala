@@ -963,6 +963,53 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("k06 filtered knn returns only eligible neighbors, still k-deep") {
+    val eligible = Tables.embeddings(spark, sf)
+      .filter(col("label") < 5).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val rows = Similarity.queries("k06_filtered_knn")(spark, sf).collect()
+    assert(rows.forall(r => eligible.contains(r.getLong(2))),
+      "every neighbor must satisfy the metadata predicate")
+    val perProbe = rows.groupBy(_.getLong(0))
+    assert(perProbe.keySet == (0L until Similarity.NumProbes).toSet)
+    perProbe.values.foreach(rs =>
+      assert(rs.map(_.getLong(1)).sorted.sameElements(1L to Similarity.TopK),
+        "pre-filtering must still fill all k ranks"))
+    // contrast with unfiltered k01: at least one probe's neighbor set
+    // changes (the predicate is selective, so this must bind)
+    val k01 = Similarity.queries("k01_knn_brute")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(rows.exists(r => !k01.contains((r.getLong(0), r.getLong(2)))),
+      "the filter must actually change some neighbor lists")
+  }
+
+  test("t12 collapses stutter runs, keeps first occurrences, idempotent") {
+    import spark.implicits._
+    val docs = Seq((1L, "the the the cat cat sat"), (2L, "a b a b"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextOps.withDedupAdjacent(docs, "text")
+      .select("doc_id", "cleaned", "n_removed")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "the cat sat" && out(1L).getLong(2) == 3L)
+    // non-adjacent repeats survive (this is stutter removal, not distinct)
+    assert(out(2L).getString(1) == "a b a b" && out(2L).getLong(2) == 0L)
+    assert(out(3L).getString(1) == "" && out(3L).getLong(2) == 0L)
+    // idempotence: a second pass removes nothing
+    val once = TextOps.withDedupAdjacent(docs, "text")
+      .select(col("doc_id"), col("cleaned").as("text"))
+    val again = TextOps.withDedupAdjacent(once, "text")
+      .select("n_removed").collect().map(_.getLong(0))
+    assert(again.forall(_ == 0L), "second pass must be a no-op")
+  }
+
+  test("q30 full outer surfaces both exclusive sides on the sf0.01 data") {
+    val rows = Relational.queries("q30_full_outer")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(rows.exists(r => r._1 == 0L && r._2 > 0L), "1997-only customers exist")
+    assert(rows.exists(r => r._1 > 0L && r._2 == 0L), "1996-only customers exist")
+    assert(rows.exists(r => r._1 > 0L && r._2 > 0L), "both-year customers exist")
+  }
+
   test("m05 frame dedup partitions the frame table exactly") {
     val frames = Multimodal.mediaFrames(spark, sf)
     val total = frames.count()

@@ -204,6 +204,19 @@ class PlanAssertionsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(shuffles(plan("t11_entropy")) == 0)
   }
 
+  test("t12 adjacent dedup plans with zero exchanges (pure map-side)") {
+    assert(shuffles(plan("t12_dedup_adjacent")) == 0)
+  }
+
+  test("k06 filtered knn pushes the metadata predicate into the scan") {
+    val formatted = graft.SparkEntry.queries("k06_filtered_knn")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.matches("(?s).*PushedFilters: \\[[^\\]]*LessThan\\(label,5\\).*"),
+      "label < 5 must reach the parquet reader:\n" +
+        formatted.take(3000))
+  }
+
   test("t10 unigram score: vocab broadcasts; the score shuffle is per-doc partials") {
     val p = plan("t10_unigram_logprob")
     val s = p.toString
