@@ -26,7 +26,7 @@ object SparkEntry {
       ops.Similarity.queries ++ ops.Events.queries ++ ops.Multimodal.queries ++
       ops.Skew.queries ++ ops.Sampling.queries ++ ops.Clusters.queries ++
       ops.Sketches.queries ++ ops.BloomJoin.queries ++
-      ops.Pack.queries ++ ops.Search.queries ++
+      ops.Pack.queries ++ ops.Search.queries ++ ops.Profile.queries ++
       Map(
         // Reference-parity pipeline as a query (ignores sfDir — its input
         // is the reference's own sample request). Non-SQL-expressible
@@ -69,7 +69,7 @@ object SparkEntry {
       ops.Similarity.oracle ++ ops.Events.oracle ++ ops.Multimodal.oracle ++
       ops.Skew.oracle ++ ops.Sampling.oracle ++ ops.Clusters.oracle ++
       ops.Sketches.oracle ++ ops.BloomJoin.oracle ++
-      ops.Pack.oracle ++ ops.Search.oracle ++
+      ops.Pack.oracle ++ ops.Search.oracle ++ ops.Profile.oracle ++
       Map("p02_report_blocks" -> graft.etl.Report.blocksOracleSql,
         "p03_curation_pipeline" -> {
           val pairsSql = ops.Dedup.oracle("d02_ngram_jaccard")

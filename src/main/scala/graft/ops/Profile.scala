@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-validation operators (SURVEY.md §7.5 extensions): column
+  * profiling and declarative constraint checking — the pre-training
+  * health gate every large pipeline runs before a corpus ships
+  * (the Deequ/Great-Expectations family re-expressed as plain
+  * aggregates).
+  *
+  * Scale shapes:
+  *  - [[profileColumns]] is one aggregate PER COLUMN, unioned: each
+  *    branch scans exactly one column (columnar pruning makes this
+  *    nearly free in parquet), and every statistic is an ordinary
+  *    map-side-partial aggregate. Deliberately NOT one multi-distinct
+  *    aggregate over all columns: Spark plans k distinct aggregates as
+  *    one Expand that replicates every row k times — a 5-column profile
+  *    would scan-equivalent 5× the table THROUGH one shuffle instead of
+  *    5 independent slim ones.
+  *  - [[checkConstraints]] evaluates each rule as a violation COUNT
+  *    (never materializing violating rows), so the report is one tiny
+  *    row per rule; referential rules are anti-join counts that
+  *    broadcast their (aggregated) key side when small.
+  */
+object Profile {
+  /** One profile row per column: null count, exact distinct count, and
+    * min/max rendered as strings (engine-portable for integer and
+    * ASCII string columns — profile floats with a histogram sketch
+    * instead, x05). Output: `(column, n_rows, n_nulls, n_distinct,
+    * min_str, max_str)`. */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile at least one column")
+    cols.map { c =>
+      df.select(col(c))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col(c))).as("n_nulls"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).cast("string").as("min_str"),
+          max(col(c)).cast("string").as("max_str"))
+        .select(lit(c).as("column"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_str"), col("max_str"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** A declarative data-quality rule: a name plus a violation-count
+    * frame (one row, one long). */
+  final case class Rule(name: String, violations: DataFrame)
+
+  /** Aggregate-count rule over one frame: violations = rows failing
+    * `predicate`. */
+  def rule(name: String, df: DataFrame, predicate: Column): Rule =
+    Rule(name, df.agg(
+      sum(when(!coalesce(predicate, lit(false)), 1L).otherwise(0L))
+        .cast("long").as("violations")))
+
+  /** Uniqueness rule: violations = rows beyond one per key value. */
+  def uniqueRule(name: String, df: DataFrame, key: String): Rule =
+    Rule(name, df.agg(
+      (count(col(key)) - countDistinct(col(key))).as("violations")))
+
+  /** Referential rule: violations = child rows whose `fk` has no match
+    * in `parent.pk` (NULL fks count as violations — use a predicate
+    * rule to allow them). */
+  def refRule(name: String, child: DataFrame, fk: String,
+              parent: DataFrame, pk: String): Rule =
+    Rule(name, child.select(col(fk))
+      .join(parent.select(col(pk)).distinct(),
+        col(fk) === col(pk), "left_anti")
+      .agg(count(lit(1)).cast("long").as("violations")))
+
+  /** Evaluate rules into one report frame:
+    * `(rule, violations, passed)`. */
+  def checkConstraints(rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "at least one rule")
+    rules.map { r =>
+      r.violations.select(lit(r.name).as("rule"),
+        col("violations"),
+        (col("violations") === 0L).as("passed"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** The harness constraint set over the star schema + corpus. */
+  def harnessRules(s: SparkSession, d: String): Seq[Rule] = Seq(
+    uniqueRule("documents.doc_id unique", Tables.documents(s, d), "doc_id"),
+    rule("documents.n_chars >= 0", Tables.documents(s, d),
+      col("n_chars") >= 0),
+    rule("documents.lang non-null", Tables.documents(s, d),
+      col("lang").isNotNull),
+    refRule("orders.o_custkey -> customer", Tables.orders(s, d), "o_custkey",
+      Tables.customer(s, d), "c_custkey"),
+    rule("lineitem.l_quantity in [1, 50]", Tables.lineitem(s, d),
+      col("l_quantity").between(1.0, 50.0)),
+    rule("events.ts non-null", Tables.events(s, d), col("ts").isNotNull))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v01_profile_columns" -> ((s, d) =>
+      profileColumns(Tables.documents(s, d),
+        Seq("doc_id", "lang", "source", "n_chars"))),
+    "v02_constraints" -> ((s, d) =>
+      checkConstraints(harnessRules(s, d))))
+
+  def oracle: Map[String, String] = Map(
+    "v01_profile_columns" -> {
+      val branches = Seq("doc_id", "lang", "source", "n_chars").map { c =>
+        s"""SELECT '$c' AS column, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_str,
+           |  CAST(max($c) AS VARCHAR) AS max_str
+           |FROM documents""".stripMargin
+      }
+      branches.mkString("\nUNION ALL\n")
+    },
+    "v02_constraints" ->
+      """SELECT rule, violations, violations = 0 AS passed FROM (
+        |  SELECT 'documents.doc_id unique' AS rule,
+        |    count(doc_id) - count(DISTINCT doc_id) AS violations FROM documents
+        |  UNION ALL
+        |  SELECT 'documents.n_chars >= 0',
+        |    CAST(sum(CASE WHEN NOT coalesce(n_chars >= 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'documents.lang non-null',
+        |    CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM documents
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey -> customer', count(*)
+        |  FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON o_custkey = c_custkey
+        |  WHERE c_custkey IS NULL
+        |  UNION ALL
+        |  SELECT 'lineitem.l_quantity in [1, 50]',
+        |    CAST(sum(CASE WHEN NOT coalesce(l_quantity BETWEEN 1.0 AND 50.0, FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'events.ts non-null',
+        |    CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events) rules""".stripMargin)
+}

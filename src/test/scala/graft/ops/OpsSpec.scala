@@ -1039,6 +1039,25 @@ class OpsSpec extends AnyFunSuite {
       "constant-k rank must prune map-side")
   }
 
+  test("v02 rules count violations exactly on crafted dirty data") {
+    import spark.implicits._
+    val dirty = Seq((1L, 5L), (1L, -2L), (2L, 3L),
+      (3L, -1L)).toDF("id", "v")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val report = Profile.checkConstraints(Seq(
+        Profile.uniqueRule("id unique", dirty, "id"),
+        Profile.rule("v >= 0", dirty, col("v") >= 0),
+        Profile.refRule("id -> parent", dirty, "id", parent, "pk")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(report("id unique") == (1L, false), "one duplicated id")
+    assert(report("v >= 0") == (2L, false), "two negative values")
+    assert(report("id -> parent") == (1L, false), "id 3 is an orphan")
+    // the harness star schema itself is clean
+    val harness = Profile.queries("v02_constraints")(spark, sf).collect()
+    assert(harness.forall(_.getBoolean(2)),
+      s"harness data must satisfy every rule: ${harness.mkString(", ")}")
+  }
+
   test("p03 curation pipeline equals the composition of its stage queries") {
     val kept = Clusters.queries("c02_dedup_corpus")(spark, sf)
       .collect().map(_.getLong(0)).toSet
