@@ -127,6 +127,19 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
   }
 
+  /** Normalization-insensitive exact dedup (d14) — [[exactDedup]] keyed
+    * on the CANONICAL form: lowercase, trimmed, whitespace-collapsed.
+    * The cheap first dedup rung every pipeline runs before shingle or
+    * MinHash methods: case and spacing variants of the same document
+    * hash apart under d01 but together here. Same one-shuffle
+    * hash-group shape; the normalization is a map-side expression.
+    * Output: `(sig, keep_id, n_dups)`. */
+  def exactDedupNormalized(docs: DataFrame, id: String,
+                           content: String): DataFrame =
+    docs.groupBy(
+        md5(regexp_replace(trim(lower(col(content))), "\\s+", " ")).as("sig"))
+      .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_dups"))
+
   /** Directed shingle-CONTAINMENT near-dup pairs (d12): emit
     * `(doc_src, doc_sup)` whenever `|src∩sup| / |src| ≥ threshold` —
     * the asymmetric cousin of [[jaccardPairs]] that catches a document
@@ -623,6 +636,8 @@ object Dedup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> ((s, d) =>
       exactDedup(Tables.documents(s, d), "doc_id", "text")),
+    "d14_normalized_dedup" -> ((s, d) =>
+      exactDedupNormalized(Tables.documents(s, d), "doc_id", "text")),
     // Threshold 0.6 sits far from both the planted near-dups (≥0.9) and
     // the background (≤0.1) — no float-boundary ambiguity.
     "d02_ngram_jaccard" -> ((s, d) =>
@@ -722,6 +737,12 @@ object Dedup {
       "d01_exact_dedup" ->
         """SELECT md5(text) AS sig, min(doc_id) AS keep_id, count(*) AS n_dups
           |FROM documents GROUP BY md5(text)""".stripMargin,
+      // d14 — Java's \s and RE2's \s agree on ASCII whitespace; the
+      // corpus is ASCII, so the canonical forms match byte-for-byte
+      "d14_normalized_dedup" ->
+        """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS sig,
+          |  min(doc_id) AS keep_id, count(*) AS n_dups
+          |FROM documents GROUP BY 1""".stripMargin,
       "d02_ngram_jaccard" -> jaccardSql,
       "d06_jaccard_prefix" -> jaccardSql,
       // d12 — the undirected intersections of the d02 machinery, each

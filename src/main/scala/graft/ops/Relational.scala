@@ -240,6 +240,23 @@ object Relational {
           coalesce(col("n1997"), lit(0L)).as("n_1997"))
     }),
 
+    // SCD-2 interval build: turn a change-event stream into
+    // validity-ranged dimension rows (`valid_from` .. `valid_to`,
+    // open-ended for the current version) — the warehouse pattern every
+    // as-of join (e04) consumes. One lead() window per entity;
+    // timestamps surface as epoch-microsecond longs (the engines'
+    // common precision).
+    "q31_scd2_intervals" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("valid_from_us", unix_micros(col("ts")))
+        .withColumn("valid_to_us", unix_micros(lead(col("ts"), 1).over(w)))
+        .withColumn("is_current", col("valid_to_us").isNull)
+        .select(col("user_id"), col("event_id"),
+          col("valid_from_us"), col("valid_to_us"), col("is_current"))
+    }),
+
     // §2.8 X7/X8 conditional-default family: CASE bucketing.
     "q11_case_bucket" -> ((s, d) => {
       Tables.orders(s, d)
@@ -534,6 +551,12 @@ object Relational {
         |  max(event_id) AS end_event, count(*) AS n_events
         |FROM isl GROUP BY user_id, island, event_type
         |HAVING count(*) >= 2""".stripMargin,
+    "q31_scd2_intervals" ->
+      """SELECT user_id, event_id,
+        |  epoch_us(ts::TIMESTAMP) AS valid_from_us,
+        |  epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)::TIMESTAMP) AS valid_to_us,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM events""".stripMargin,
     "q30_full_outer" ->
       """WITH a AS (
         |  SELECT o_custkey AS k, count(*) AS n FROM orders

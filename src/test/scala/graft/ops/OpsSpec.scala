@@ -1039,6 +1039,35 @@ class OpsSpec extends AnyFunSuite {
       "constant-k rank must prune map-side")
   }
 
+  test("d14 canonicalizes case/spacing variants that d01 keeps apart") {
+    import spark.implicits._
+    val docs = Seq((1L, "The  Fast   Query"), (2L, "the fast query"),
+      (3L, " THE FAST QUERY "), (4L, "a different doc")).toDF("doc_id", "text")
+    val d14 = Dedup.exactDedupNormalized(docs, "doc_id", "text").collect()
+    assert(d14.length == 2, "three variants + one distinct = two signatures")
+    val dupRow = d14.find(_.getLong(2) == 3L).get
+    assert(dupRow.getLong(1) == 1L, "keeper is the min id of the variant group")
+    assert(Dedup.exactDedup(docs, "doc_id", "text").count() == 4,
+      "raw exact dedup must keep all four apart")
+  }
+
+  test("q31 SCD-2 intervals tile each entity's timeline with one current row") {
+    val rows = Relational.queries("q31_scd2_intervals")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+    rows.groupBy(_._1).foreach { case (uid, rs) =>
+      assert(rs.count(_._4) == 1, s"user $uid must have exactly one current row")
+      val sorted = rs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3.contains(b._2),
+            s"user $uid: valid_to of one version must equal the next's valid_from")
+        case _ =>
+      }
+      assert(sorted.last._3.isEmpty, "the last version is open-ended")
+    }
+  }
+
   test("v02 rules count violations exactly on crafted dirty data") {
     import spark.implicits._
     val dirty = Seq((1L, 5L), (1L, -2L), (2L, 3L),
