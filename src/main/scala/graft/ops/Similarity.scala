@@ -119,6 +119,26 @@ object Similarity {
           expr(cosExpr).as("cos")), k)
   }
 
+  /** Recall@k of an approximate neighbor list against the exact one
+    * (k07) — the evaluation harness an ANN deployment runs whenever the
+    * index, the data distribution, or a knob (bands, nprobe, k) moves:
+    * per probe, the fraction of the exact top-k the approximate index
+    * recovered. Both inputs are `(probe_id, rnk, neighbor_id, …)`
+    * frames (any of k01/k02/k03/k05/k06); the join is probe+neighbor
+    * keyed over two k·probes-sized frames — negligible at any corpus
+    * size, so measuring recall continuously is free.
+    * Output: `(probe_id, n_hits, recall_q6)`. */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame =
+    exact.select(col("probe_id"), col("neighbor_id"))
+      .join(approx.select(col("probe_id"), col("neighbor_id"))
+          .withColumn("_hit", lit(1L)),
+        Seq("probe_id", "neighbor_id"), "left")
+      .groupBy(col("probe_id"))
+      .agg(sum(coalesce(col("_hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall_q6",
+        round(col("n_hits").cast("double") / lit(k.toDouble) * lit(1e6))
+          .cast("long"))
+
   /** IVF-style two-stage ANN: `cell` plays the coarse cells (a real
     * deployment would k-means them); stage 1 finds each probe's nearest
     * cell centroid, stage 2 searches exactly but ONLY within that cell —
@@ -372,7 +392,16 @@ object Similarity {
       ivfKnnTrained(e, "vec_id", "embedding",
         kmeansAssign(e, "vec_id", "embedding", KmeansK, KmeansIters),
         _ < NumProbes, 3)
-    }))
+    }),
+    // recall@k of the LSH index vs the exact baseline — the
+    // index-quality metric, computed by the engine itself
+    "k07_lsh_recall" -> ((s, d) =>
+      recallAtK(
+        knnBrute(Tables.embeddings(s, d), "vec_id", "embedding",
+          _ < NumProbes, TopK),
+        knnLsh(Tables.embeddings(s, d), "vec_id", "embedding",
+          _ < NumProbes, TopK),
+        TopK)))
 
   def oracle: Map[String, String] = {
     val wLists = (0 until NumPlanes).map { i =>
@@ -517,6 +546,19 @@ object Similarity {
            |  SELECT probe_id, neighbor_id, cell, cos,
            |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
            |  FROM scored)
-           |SELECT probe_id, rnk, neighbor_id, cell, cos FROM ranked WHERE rnk <= 3""".stripMargin))
+           |SELECT probe_id, rnk, neighbor_id, cell, cos FROM ranked WHERE rnk <= 3""".stripMargin)) match {
+      // k07 composes the k01/k02 texts verbatim (the recall of the
+      // approximate list against the exact one, per probe)
+      case m => m + ("k07_lsh_recall" ->
+        s"""WITH exact AS (${m("k01_knn_brute")}),
+           |approx AS (${m("k02_knn_lsh")})
+           |SELECT e.probe_id,
+           |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           |  CAST(round(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+           |             / ${TopK.toDouble} * 1000000.0) AS BIGINT) AS recall_q6
+           |FROM exact e LEFT JOIN approx a
+           |  ON e.probe_id = a.probe_id AND e.neighbor_id = a.neighbor_id
+           |GROUP BY e.probe_id""".stripMargin)
+    }
   }
 }

@@ -670,6 +670,26 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("k07 recall agrees with a direct overlap computation") {
+    val exact = Similarity.queries("k01_knn_brute")(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val approx = Similarity.queries("k02_knn_lsh")(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val recall = Similarity.queries("k07_lsh_recall")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(recall.keySet == exact.keySet, "one recall row per probe")
+    recall.foreach { case (p, (hits, q6)) =>
+      val expected = (exact(p) intersect approx.getOrElse(p, Set.empty)).size
+      assert(hits == expected, s"probe $p: $hits vs direct $expected")
+      assert(q6 == math.round(expected.toDouble / Similarity.TopK * 1e6))
+    }
+    // the LSH index on this data is useful but not perfect — recall
+    // must sit strictly between 0 and 1 somewhere, else the metric
+    // exercise is vacuous
+    assert(recall.values.exists(_._1 < Similarity.TopK), "some misses")
+    assert(recall.values.exists(_._1 > 0), "some hits")
+  }
+
   test("k01 brute-force top-k: ranks 1..5 per probe, ordered by cosine") {
     val rows = Similarity.queries("k01_knn_brute")(spark, sf).collect()
       .groupBy(_.getLong(0))
