@@ -40,4 +40,24 @@ object Joins {
       .filter(col("_asof_rn") === 1)
       .drop("_asof_rn")
   }
+
+  /** [[asOf]] in the FORWARD direction: for each left row, the single
+    * EARLIEST right row with `rightTs >= leftTs` within
+    * `toleranceMicros` — "the next fill after the order", the other
+    * half of a time-series engine's as-of pair. Same key-sharded,
+    * band-bounded, rank-deduped shape; only the comparison direction
+    * and the keep-order flip (lowest `rightTie` wins among equal
+    * timestamps, mirroring backward's highest). */
+  def asOfForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftId: String, leftTs: String, rightTs: String,
+                  rightTie: String, toleranceMicros: Long): DataFrame = {
+    val w = Window.partitionBy(col(leftId))
+      .orderBy(col(rightTs).asc, col(rightTie).asc)
+    left.join(right, keys)
+      .filter(col(rightTs) >= col(leftTs) &&
+        col(rightTs) < col(leftTs) + toleranceMicros)
+      .withColumn("_asof_rn", row_number().over(w))
+      .filter(col("_asof_rn") === 1)
+      .drop("_asof_rn")
+  }
 }

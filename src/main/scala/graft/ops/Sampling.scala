@@ -311,6 +311,28 @@ object Sampling {
       .drop("_n")
   }
 
+  /** Deterministic weighted reservoir (s10) — a fixed-size sample where
+    * inclusion probability scales with a per-row weight (Efraimidis &
+    * Spirakis 2006): each row keys on `u^(1/w)` with `u` the
+    * deterministic uniform `(h(id)+1)/(P+1)` ∈ (0,1), and the k largest
+    * keys win. The hash coin replaces `rand()` for the same reason as
+    * s01: re-runs, repartitions, and recovered partitions keep the
+    * identical sample.
+    *
+    * Scale shape: key computation is map-side; `orderBy(...).limit(k)`
+    * plans as `TakeOrderedAndProject` (per-partition heaps, no global
+    * sort). Rows with non-positive weight are excluded (ES requires
+    * w > 0). Output: the kept rows, key column dropped. */
+  def weightedReservoir(df: DataFrame, id: String, weight: Column,
+                        k: Int): DataFrame =
+    df.filter(weight > 0)
+      .withColumn("_wk", pow(
+        (h(id) + lit(1)).cast("double") / lit((P + 1).toDouble),
+        lit(1.0) / weight.cast("double")))
+      .orderBy(col("_wk").desc, col(id))
+      .limit(k)
+      .drop("_wk")
+
   /** Whitespace token count, matching t03's `n_ws_tokens` exactly. */
   private def nTokens(text: String): Column =
     expr(s"size(filter(split($text, ' '), x -> x <> ''))").cast("long")
@@ -345,7 +367,11 @@ object Sampling {
         .select(col("lang"), col("doc_id"), col("rk"))),
     "s09_temperature_sample" -> ((s, d) =>
       temperatureSample(Tables.documents(s, d), "doc_id", "lang",
-        nTokens("text"), Temperature, TemperatureBudget)))
+        nTokens("text"), Temperature, TemperatureBudget)),
+    "s10_weighted_reservoir" -> ((s, d) =>
+      weightedReservoir(Tables.documents(s, d), "doc_id", col("n_chars"),
+        k = 20)
+        .select(col("doc_id"), col("lang"), col("n_chars"))))
 
   def oracle: Map[String, String] = Map(
     "s01_sample_rate" ->
@@ -405,6 +431,15 @@ object Sampling {
          |SELECT t.lang, t.doc_id, t.n_tokens
          |FROM t JOIN r USING (lang)
          |WHERE ${hSql("doc_id")} < CAST(floor(r.rate * $P) AS BIGINT)""".stripMargin,
+    // s10 — the ES key repeated literally; pow and the divides run the
+    // same IEEE order on both engines
+    "s10_weighted_reservoir" ->
+      s"""SELECT doc_id, lang, n_chars FROM (
+         |  SELECT doc_id, lang, n_chars,
+         |    pow((${hSql("doc_id")} + 1)::DOUBLE / ${(P + 1).toDouble},
+         |        1.0 / n_chars::DOUBLE) AS wk
+         |  FROM documents WHERE n_chars > 0) keyed
+         |ORDER BY wk DESC, doc_id LIMIT 20""".stripMargin,
     // ceil over the same IEEE double product on both engines
     "s08_stratified_exact" ->
       s"""SELECT lang, doc_id, rk FROM (

@@ -1059,6 +1059,43 @@ class OpsSpec extends AnyFunSuite {
       "constant-k rank must prune map-side")
   }
 
+  test("e12 forward as-of picks each error's earliest eligible purchase") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value")).collect()
+    val errs = ev.filter(_.getString(2) == "error")
+    val purs = ev.filter(_.getString(2) == "purchase")
+    val expected = errs.flatMap { e =>
+      val cands = purs.filter(p => p.getLong(1) == e.getLong(1) &&
+        p.getLong(3) >= e.getLong(3) && p.getLong(3) < e.getLong(3) + 3600000000L)
+      if (cands.isEmpty) None
+      else {
+        val best = cands.minBy(p => (p.getLong(3), p.getLong(0)))
+        Some((e.getLong(0), best.getLong(0)))
+      }
+    }.toSet
+    val got = Events.queries("e12_asof_forward")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+  }
+
+  test("s10 weighted reservoir equals the direct ES computation") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val P = Hashing.P
+    val A = Hashing.MinHashA(0)
+    val B = Hashing.MinHashB(0)
+    def u(id: Long) = ((((id % P + P) % P) * A + B) % P + 1).toDouble / (P + 1).toDouble
+    val expected = docs.filter(_._2 > 0)
+      .map { case (id, w) => (id, math.pow(u(id), 1.0 / w)) }
+      .sortBy { case (id, k) => (-k, id) }.take(20).map(_._1).toSet
+    val got = Sampling.queries("s10_weighted_reservoir")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expected, s"diff=${(expected diff got) ++ (got diff expected)}")
+  }
+
   test("d14 canonicalizes case/spacing variants that d01 keeps apart") {
     import spark.implicits._
     val docs = Seq((1L, "The  Fast   Query"), (2L, "the fast query"),
