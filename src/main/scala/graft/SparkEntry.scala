@@ -72,18 +72,8 @@ object SparkEntry {
       ops.Pack.oracle ++ ops.Search.oracle ++ ops.Profile.oracle ++
       Map("p02_report_blocks" -> graft.etl.Report.blocksOracleSql,
         "p03_curation_pipeline" -> {
-          val pairsSql = ops.Dedup.oracle("d02_ngram_jaccard")
           val swList = ops.TextOps.Stopwords.map(w => s"'$w'").mkString(", ")
-          s"""WITH RECURSIVE pairs AS ($pairsSql),
-             |edges AS (
-             |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-             |  UNION
-             |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
-             |comp(id, label) AS (
-             |  SELECT src, src FROM edges
-             |  UNION
-             |  SELECT e.dst, c.label FROM comp c JOIN edges e ON e.src = c.id),
-             |lab AS (SELECT id, min(label) AS cluster FROM comp GROUP BY id),
+          s"""WITH RECURSIVE ${ops.Clusters.componentsCte(ops.Dedup.oracle("d02_ngram_jaccard"))},
              |kept AS (
              |  SELECT doc_id, lang, text FROM documents
              |  WHERE doc_id NOT IN (SELECT id FROM lab WHERE cluster < id)),

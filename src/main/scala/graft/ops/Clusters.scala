@@ -305,86 +305,54 @@ object Clusters {
         "doc_a", "doc_b")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))))
 
+  /** The recursive connected-components fixpoint as oracle SQL: the
+    * `edges → comp → lab(id, cluster)` CTE chain over a pair source.
+    * Shared by c01–c04, c06, and composed pipelines (p03) — one text,
+    * not N copies to keep coordinated. `withLab = false` stops at
+    * `comp` for the c01/c03 form that aggregates labels itself. */
+  def componentsCte(pairsSql: String, withLab: Boolean = true): String = {
+    val base =
+      s"""pairs AS ($pairsSql),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |comp(id, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, c.label FROM comp c JOIN edges e ON e.src = c.id)""".stripMargin
+    if (withLab)
+      base + ",\nlab AS (SELECT id, min(label) AS cluster FROM comp GROUP BY id)"
+    else base
+  }
+
   def oracle: Map[String, String] = Map(
     // the same fixpoint as a recursive CTE: comp enumerates
     // (node, label-of-any-node-that-reaches-it); min per node = the
     // component minimum — identical to min-label propagation's fixpoint
-    "c01_dup_clusters" -> {
-      val pairsSql = Dedup.oracle("d02_ngram_jaccard")
-      s"""WITH RECURSIVE pairs AS ($pairsSql),
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION
-         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
-         |comp(id, label) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.dst, c.label FROM comp c JOIN edges e ON e.src = c.id)
-         |SELECT id AS doc_id, min(label) AS cluster_id FROM comp GROUP BY id""".stripMargin
-    },
-    "c02_dedup_corpus" -> {
-      val pairsSql = Dedup.oracle("d02_ngram_jaccard")
-      s"""WITH RECURSIVE pairs AS ($pairsSql),
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION
-         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
-         |comp(id, label) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.dst, c.label FROM comp c JOIN edges e ON e.src = c.id),
-         |lab AS (SELECT id, min(label) AS cluster FROM comp GROUP BY id)
+    "c01_dup_clusters" ->
+      s"""WITH RECURSIVE ${componentsCte(Dedup.oracle("d02_ngram_jaccard"), withLab = false)}
+         |SELECT id AS doc_id, min(label) AS cluster_id FROM comp GROUP BY id""".stripMargin,
+    "c02_dedup_corpus" ->
+      s"""WITH RECURSIVE ${componentsCte(Dedup.oracle("d02_ngram_jaccard"))}
          |SELECT doc_id, lang, source, n_chars FROM documents
-         |WHERE doc_id NOT IN (SELECT id FROM lab WHERE cluster < id)""".stripMargin
-    },
-    "c03_clusters_minhash" -> {
-      val pairsSql = Dedup.oracle("d08_minhash_verified")
-      s"""WITH RECURSIVE pairs AS ($pairsSql),
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION
-         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
-         |comp(id, label) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.dst, c.label FROM comp c JOIN edges e ON e.src = c.id)
-         |SELECT id AS doc_id, min(label) AS cluster_id FROM comp GROUP BY id""".stripMargin
-    },
-    "c04_dedup_minhash" -> {
-      val pairsSql = Dedup.oracle("d08_minhash_verified")
-      s"""WITH RECURSIVE pairs AS ($pairsSql),
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION
-         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
-         |comp(id, label) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.dst, c.label FROM comp c JOIN edges e ON e.src = c.id),
-         |lab AS (SELECT id, min(label) AS cluster FROM comp GROUP BY id)
+         |WHERE doc_id NOT IN (SELECT id FROM lab WHERE cluster < id)""".stripMargin,
+    "c03_clusters_minhash" ->
+      s"""WITH RECURSIVE ${componentsCte(Dedup.oracle("d08_minhash_verified"), withLab = false)}
+         |SELECT id AS doc_id, min(label) AS cluster_id FROM comp GROUP BY id""".stripMargin,
+    "c04_dedup_minhash" ->
+      s"""WITH RECURSIVE ${componentsCte(Dedup.oracle("d08_minhash_verified"))}
          |SELECT doc_id, lang, source, n_chars FROM documents
-         |WHERE doc_id NOT IN (SELECT id FROM lab WHERE cluster < id)""".stripMargin
-    },
-    "c06_dedup_keep_best" -> {
-      val pairsSql = Dedup.oracle("d02_ngram_jaccard")
-      s"""WITH RECURSIVE pairs AS ($pairsSql),
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION
-         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
-         |comp(id, label) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.dst, c.label FROM comp c JOIN edges e ON e.src = c.id),
-         |lab AS (SELECT id, min(label) AS cluster FROM comp GROUP BY id),
+         |WHERE doc_id NOT IN (SELECT id FROM lab WHERE cluster < id)""".stripMargin,
+    "c06_dedup_keep_best" ->
+      s"""WITH RECURSIVE ${componentsCte(Dedup.oracle("d02_ngram_jaccard"))},
          |ranked AS (
          |  SELECT l.id,
          |    row_number() OVER (PARTITION BY l.cluster
          |                       ORDER BY d.n_chars DESC, l.id) AS rk
          |  FROM lab l JOIN documents d ON d.doc_id = l.id)
          |SELECT doc_id, lang, source, n_chars FROM documents
-         |WHERE doc_id NOT IN (SELECT id FROM ranked WHERE rk > 1)""".stripMargin
-    },
+         |WHERE doc_id NOT IN (SELECT id FROM ranked WHERE rk > 1)""".stripMargin,
     // c05 — the k04 kmeans CTE chain (shared generator) + within-cluster
     // cosine dominance over the final assignment
     "c05_semantic_dedup" -> Similarity.kmeansOracleSql(

@@ -87,18 +87,34 @@ object Dedup {
     * [[Hashing.polyHash]], so the oracle reproduces the exact buckets. */
   def jaccardPairs(docs: DataFrame, id: String, text: String,
                    threshold: Double, n: Int = 3,
-                   maxDf: Int = MaxShingleDf): DataFrame = {
+                   maxDf: Int = MaxShingleDf): DataFrame =
+    undirectedIntersections(docs, id, text, n, maxDf)
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+
+  /** Shared candidate machinery of [[jaccardPairs]] and
+    * [[containmentPairs]]: undirected shingle-set intersections
+    * `(doc_a, doc_b, inter, n_a, n_b)` with `doc_a < doc_b` — only the
+    * score each operator derives from them differs.
+    *
+    * Shingle hashing is one native map-side pass over the token array
+    * ([[graft.functions.ShingleHashes]]): per-token partial hashes
+    * compose into each window's (fwd·C + rev) key with no shingle-string
+    * materialization — the interpreted HOF form
+    * (transform+concat_ws+array_distinct, then polyhash over the built
+    * strings) spent 4.8s of a 6.5s sf0.1 run inside the single scan
+    * stage, before any shuffle could spread the work. Values are
+    * bit-identical, so the shared oracle CTEs are unchanged; n_sh counts
+    * distinct hashes rather than distinct strings (equal up to a ~2^-60
+    * within-doc collision). Per-doc shingle counts are `size()` of the
+    * distinct-shingle array BEFORE the explode and ride through the
+    * bucket groupBy inside the collected id structs — no count-join. */
+  private def undirectedIntersections(docs: DataFrame, id: String,
+                                      text: String, n: Int,
+                                      maxDf: Int): DataFrame = {
     graft.functions.VectorFunctions.register(docs.sparkSession)
-    // Shingle hashing is one native map-side pass over the token array
-    // ([[graft.functions.ShingleHashes]]): per-token partial hashes
-    // compose into each window's (fwd·C + rev) key with no shingle-string
-    // materialization — the interpreted HOF form
-    // (transform+concat_ws+array_distinct, then polyhash over the built
-    // strings) spent 4.8s of a 6.5s sf0.1 run inside the single scan
-    // stage, before any shuffle could spread the work. Values are
-    // bit-identical, so the oracle SQL below is unchanged; n_sh counts
-    // distinct hashes rather than distinct strings (equal up to a ~2^-60
-    // within-doc collision).
     val sh = docs
       .select(col(id).as("doc_id"),
         expr(s"filter(split($text, ' '), x -> x <> '')").as("tk"))
@@ -109,7 +125,7 @@ object Dedup {
     // one pass: group (doc, n_sh) structs per shingle, expand in-bucket
     // pairs — the shingle set is computed ONCE (a self-join would run
     // the whole shingle subplan twice); the pair expansion carries both
-    // docs' shingle counts so the jaccard is a post-agg expression
+    // docs' shingle counts so the score is a post-agg expression
     sh.groupBy(col("shingle"))
       .agg(sort_array(collect_set(struct(col("doc_id"), col("n_sh")))).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxDf)
@@ -121,10 +137,6 @@ object Dedup {
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("inter"),
         min(col("p.n_a")).as("n_a"), min(col("p.n_b")).as("n_b"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
   }
 
   /** Normalization-insensitive exact dedup (d14) — [[exactDedup]] keyed
@@ -158,26 +170,8 @@ object Dedup {
     * Output: `(doc_src, doc_sup, inter, containment)`. */
   def containmentPairs(docs: DataFrame, id: String, text: String,
                        threshold: Double, n: Int = 3,
-                       maxDf: Int = MaxShingleDf): DataFrame = {
-    graft.functions.VectorFunctions.register(docs.sparkSession)
-    val sh = docs
-      .select(col(id).as("doc_id"),
-        expr(s"filter(split($text, ' '), x -> x <> '')").as("tk"))
-      .filter(size(col("tk")) >= n)
-      .select(col("doc_id"), expr(s"graft_shingle_hashes(tk, $n, 1)").as("hs"))
-      .select(col("doc_id"), size(col("hs")).cast("long").as("n_sh"),
-        explode(col("hs")).as("shingle"))
-    sh.groupBy(col("shingle"))
-      .agg(sort_array(collect_set(struct(col("doc_id"), col("n_sh")))).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxDf)
-      .select(explode(expr(
-        "flatten(transform(ids, (a, i) -> " +
-        "transform(slice(ids, i + 2, size(ids)), b -> struct(" +
-        "a.doc_id AS doc_a, a.n_sh AS n_a, b.doc_id AS doc_b, b.n_sh AS n_b))))"))
-        .as("p"))
-      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .agg(count(lit(1)).as("inter"),
-        min(col("p.n_a")).as("n_a"), min(col("p.n_b")).as("n_b"))
+                       maxDf: Int = MaxShingleDf): DataFrame =
+    undirectedIntersections(docs, id, text, n, maxDf)
       .select(explode(array(
         struct(col("doc_a").as("doc_src"), col("doc_b").as("doc_sup"),
           col("inter"),
@@ -190,7 +184,6 @@ object Dedup {
       .select(col("r.doc_src"), col("r.doc_sup"), col("r.inter"),
         col("r.containment"))
       .filter(col("containment") >= threshold)
-  }
 
   /** [[jaccardPairs]]' 100 TB scale path: identical output, candidate
     * generation by PREFIX FILTERING (the all-pairs similarity-search

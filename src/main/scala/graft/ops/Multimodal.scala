@@ -99,6 +99,9 @@ object Multimodal {
     // the multimodal analogue of boilerplate text): one hash-keyed
     // aggregation, keeper chosen by the packed (doc, frame) key so the
     // min is a single exact-integer aggregate on both engines.
+    // PACKING BOUND: the 10^6 base requires frame_idx < 10^6 per blob
+    // (= 32 MB of media at FrameBytes=32) and doc_id < 2^63/10^6; a
+    // larger blob must raise the base or switch to a struct-min keeper.
     "m05_frame_dedup" -> ((s, d) =>
       mediaFrames(s, d)
         .groupBy(col("frame_hash"))

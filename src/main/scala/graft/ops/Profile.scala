@@ -49,10 +49,13 @@ object Profile {
   final case class Rule(name: String, violations: DataFrame)
 
   /** Aggregate-count rule over one frame: violations = rows failing
-    * `predicate`. */
+    * `predicate`. `count`, not `sum`, so an EMPTY frame reports 0
+    * violations / passed=true like the other rule builders (a sum over
+    * zero rows is NULL, which would silently drop the rule row from a
+    * `filter(passed)` gate). */
   def rule(name: String, df: DataFrame, predicate: Column): Rule =
     Rule(name, df.agg(
-      sum(when(!coalesce(predicate, lit(false)), 1L).otherwise(0L))
+      count(when(!coalesce(predicate, lit(false)), lit(1)))
         .cast("long").as("violations")))
 
   /** Uniqueness rule: violations = rows beyond one per key value. */
@@ -119,11 +122,11 @@ object Profile {
         |    count(doc_id) - count(DISTINCT doc_id) AS violations FROM documents
         |  UNION ALL
         |  SELECT 'documents.n_chars >= 0',
-        |    CAST(sum(CASE WHEN NOT coalesce(n_chars >= 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+        |    count(CASE WHEN NOT coalesce(n_chars >= 0, FALSE) THEN 1 END)
         |  FROM documents
         |  UNION ALL
         |  SELECT 'documents.lang non-null',
-        |    CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM documents
+        |    count(CASE WHEN lang IS NULL THEN 1 END) FROM documents
         |  UNION ALL
         |  SELECT 'orders.o_custkey -> customer', count(*)
         |  FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
@@ -131,9 +134,9 @@ object Profile {
         |  WHERE c_custkey IS NULL
         |  UNION ALL
         |  SELECT 'lineitem.l_quantity in [1, 50]',
-        |    CAST(sum(CASE WHEN NOT coalesce(l_quantity BETWEEN 1.0 AND 50.0, FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+        |    count(CASE WHEN NOT coalesce(l_quantity BETWEEN 1.0 AND 50.0, FALSE) THEN 1 END)
         |  FROM lineitem
         |  UNION ALL
         |  SELECT 'events.ts non-null',
-        |    CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events) rules""".stripMargin)
+        |    count(CASE WHEN ts IS NULL THEN 1 END) FROM events) rules""".stripMargin)
 }

@@ -261,10 +261,19 @@ object Sampling {
                         tokens: Column, tau: Double,
                         budget: Long): DataFrame = {
     require(tau > 0, "temperature must be positive")
-    val byAll = Window.partitionBy()
+    // whole-frame windows ORDERED BY the stratum: the token total is an
+    // integer sum (order-free), but Σ _pw is a DOUBLE fold, and an
+    // unordered whole-partition window would add in partition-arrival
+    // order — nondeterministic across runs, breaking the sampling
+    // family's re-run stability. Pinning the order makes Spark
+    // reproducible; the oracle mirrors the same ordered frame (engine
+    // internals may still associate a full-frame sum differently — a
+    // residual last-ulp risk shared with s07's rate divide).
+    val byAll = Window.partitionBy().orderBy(col(strata))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val totals = df.withColumn("n_tokens", tokens)
       .groupBy(col(strata)).agg(sum(col("n_tokens")).as("_toks"))
-      // stratum-cardinality frame: the empty-partition window is fine
+      // stratum-cardinality frame: the 1-task window is fine
       .withColumn("_share",
         col("_toks").cast("double") / sum(col("_toks")).over(byAll).cast("double"))
       .withColumn("_pw", pow(col("_share"), lit(1.0 / tau)))
@@ -414,7 +423,8 @@ object Sampling {
          |WHERE ${hSql("doc_id")} < CAST(floor(r.rate * $P) AS BIGINT)""".stripMargin
     },
     // s09 — the staged-CTE mirror of the withColumn chain (share → pow
-    // → renormalize → rate), identical IEEE op order at every step
+    // → renormalize → rate); the Σpw frame is ordered by lang on both
+    // sides to pin the double-fold order
     "s09_temperature_sample" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang,
@@ -424,7 +434,10 @@ object Sampling {
          |w1 AS (SELECT lang, toks,
          |         toks::DOUBLE / (sum(toks) OVER ())::DOUBLE AS share FROM tot),
          |w2 AS (SELECT lang, toks, pow(share, ${1.0 / Temperature}) AS pw FROM w1),
-         |w3 AS (SELECT lang, toks, pw / (sum(pw) OVER ()) AS w FROM w2),
+         |w3 AS (SELECT lang, toks,
+         |         pw / (sum(pw) OVER (ORDER BY lang
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS w
+         |       FROM w2),
          |r AS (SELECT lang,
          |        least(1.0, ${TemperatureBudget.toDouble} * w / toks::DOUBLE) AS rate
          |      FROM w3)

@@ -468,9 +468,7 @@ object Sketches {
     val spark = docs.sparkSession
     graft.functions.VectorFunctions.register(spark)
     import spark.implicits._
-    val cellStructs = (0 until CmsDepth).map { i =>
-      s"struct(${i} AS row, ${cmsColSql("h", i)} AS col)"
-    }.mkString(", ")
+    val cellStructs = cmsCellStructs
     val cells = docs
       .select(col(group).as("grp"),
         explode(expr(s"filter(split($textCol, ' '), x -> x <> '')")).as("token"))
