@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Streaming twin of the e11 trending query (engine extension,
+  * SURVEY.md §2.9/§7.5): per-day per-user spend maintained
+  * incrementally; the top-k RANK is a read-out over the (bounded)
+  * aggregate, exactly like the sketch streams' probe read-outs.
+  *
+  * Why the split: Spark does not evaluate rank windows on a streaming
+  * frame (they need the whole partition), but the aggregation state —
+  * one row per (day, user) — is precisely the bounded table a trending
+  * dashboard keeps hot. The stream maintains it in complete mode; any
+  * consumer ranks the current snapshot with the identical window the
+  * batch query uses ([[rankTopK]]), so stream-fed and batch trending
+  * agree row-for-row (`TrendStreamSpec`).
+  *
+  * Scale: state is O(days × active users), keyed like the batch plan's
+  * exchange; decimal sums keep the rank order exact across re-runs and
+  * engines.
+  */
+object TrendStream {
+  /** The shared aggregation stage — identical logic batch & stream. */
+  def dailySpend(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("ts"), "1 day").as("w"), col("user_id"))
+      .agg(sum(col("value").cast(DecimalType(18, 2))).cast("double")
+        .as("total_value"))
+      .select(col("w.start").cast("long").as("day_epoch"),
+        col("user_id"), col("total_value"))
+
+  /** The rank read-out both consumers run over the aggregate table —
+    * the e11 batch query is `rankTopK(dailySpend(batch), k)`. */
+  def rankTopK(agg: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("day_epoch"))
+      .orderBy(col("total_value").desc, col("user_id"))
+    agg.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  /** Run the spend stream to completion over an events directory,
+    * returning the final aggregate table from the in-memory sink. */
+  def runAvailableNow(spark: SparkSession, dir: String,
+                      sinkTable: String): DataFrame = {
+    val q = dailySpend(EventStream.readEvents(spark, dir))
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("complete")
+      .format("memory")
+      .queryName(sinkTable)
+      .start()
+    q.awaitTermination()
+    spark.table(sinkTable)
+  }
+}
