@@ -41,6 +41,26 @@ object Events {
         count(lit(1)).as("n_events"))
   }
 
+  /** Per-(day, user) decimal spend — the e11 aggregation stage, shared
+    * with [[graft.streaming.TrendStream]] so batch and stream-fed
+    * trending cannot drift. Expects a TIMESTAMP `ts` column. */
+  def dailySpend(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 day").as("w"), col("user_id"))
+      .agg(decSum(col("value")).as("total_value"))
+      .select(col("w.start").cast("long").as("day_epoch"),
+        col("user_id"), col("total_value"))
+
+  /** Top-k rank read-out over a [[dailySpend]] table (both the batch
+    * e11 query and the stream snapshot consumer run exactly this). */
+  def rankTopK(agg: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("day_epoch"))
+      .orderBy(col("total_value").desc, col("user_id"))
+    agg.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling 1-hour window per event type (§2.9 extension — the
     // reference has no streaming; SURVEY.md §7.5).
@@ -59,18 +79,8 @@ object Events {
     // to WindowGroupLimit (map-side prune, the q07/s02 contract), so
     // neither stage carries event-level data. Decimal spend sums keep
     // the rank order exact and engine-portable.
-    "e11_trending_topk" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("day_epoch"))
-        .orderBy(col("total_value").desc, col("user_id"))
-      Tables.events(s, d)
-        .groupBy(window(col("ts"), "1 day").as("w"), col("user_id"))
-        .agg(decSum(col("value")).as("total_value"))
-        .select(col("w.start").cast("long").as("day_epoch"),
-          col("user_id"), col("total_value"))
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .filter(col("rk") <= 3)
-    }),
+    "e11_trending_topk" -> ((s, d) =>
+      rankTopK(dailySpend(Tables.events(s, d)), k = 3)),
 
     // SLIDING window: 2-hour windows advancing hourly — every event
     // contributes to two buckets (Spark expands via the window

@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Streaming twin of the e11 trending query (engine extension,
   * SURVEY.md §2.9/§7.5): per-day per-user spend maintained
@@ -22,25 +21,17 @@ import org.apache.spark.sql.types.DecimalType
   * engines.
   */
 object TrendStream {
-  /** The shared aggregation stage — identical logic batch & stream. */
+  /** The shared stages live in [[graft.ops.Events]] (`dailySpend`,
+    * `rankTopK`) — the stream only normalizes the raw nanos `ts` to a
+    * TIMESTAMP first, so batch and stream run LITERALLY the same
+    * aggregation and read-out code. */
   def dailySpend(events: DataFrame): DataFrame =
-    events
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .groupBy(window(col("ts"), "1 day").as("w"), col("user_id"))
-      .agg(sum(col("value").cast(DecimalType(18, 2))).cast("double")
-        .as("total_value"))
-      .select(col("w.start").cast("long").as("day_epoch"),
-        col("user_id"), col("total_value"))
+    graft.ops.Events.dailySpend(
+      events.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
 
-  /** The rank read-out both consumers run over the aggregate table —
-    * the e11 batch query is `rankTopK(dailySpend(batch), k)`. */
-  def rankTopK(agg: DataFrame, k: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("day_epoch"))
-      .orderBy(col("total_value").desc, col("user_id"))
-    agg.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-  }
+  /** See [[graft.ops.Events.rankTopK]]. */
+  def rankTopK(agg: DataFrame, k: Int): DataFrame =
+    graft.ops.Events.rankTopK(agg, k)
 
   /** Run the spend stream to completion over an events directory,
     * returning the final aggregate table from the in-memory sink. */
