@@ -133,6 +133,22 @@ object Sketches {
   def hllDistinct(df: DataFrame, valueCol: String, p: Int = P2): DataFrame =
     hllEstimate(hllRegisters(df, valueCol, p), p)
 
+  /** Sketch-accuracy meta-query (x10) — the HLL estimate measured
+    * against the exact distinct count in one frame, the k07 idea
+    * applied to sketches: a pipeline that standardizes on sketches
+    * should re-check their error whenever the data distribution moves,
+    * and the check is one extra (exact) aggregation next to the sketch
+    * it audits. `rel_err_q6` is the signed relative error in
+    * micro-units. Output: `(n_registers, est, exact, rel_err_q6)`. */
+  def hllError(df: DataFrame, valueCol: String, p: Int = P2): DataFrame =
+    hllDistinct(df, valueCol, p)
+      .crossJoin(broadcast(
+        df.agg(countDistinct(col(valueCol)).as("exact"))))
+      .select(col("n_registers"), col("est"), col("exact"),
+        round((col("est") - col("exact").cast("double"))
+          / col("exact").cast("double") * lit(1e6)).cast("long")
+          .as("rel_err_q6"))
+
   /** Per-GROUP HLL distinct estimate — the common production shape
     * (distinct users per day, distinct tokens per source, …). One
     * aggregation keyed on (group, bucket): the shuffle carries at most
@@ -527,6 +543,9 @@ object Sketches {
     // distinct values at test SFs — squarely the raw-HLL regime n >> 64
     "x01_hll_distinct" -> ((s, d) =>
       hllDistinct(Tables.lineitem(s, d).select(col("l_partkey")), "l_partkey")),
+    // the x01 sketch audited against the exact count in one frame
+    "x10_hll_error" -> ((s, d) =>
+      hllError(Tables.lineitem(s, d).select(col("l_partkey")), "l_partkey")),
     // frequency estimates for the stopword probe set over the document
     // token stream — compare x02 est against t01's exact top counts
     "x02_cms_freq" -> ((s, d) =>
@@ -578,6 +597,12 @@ object Sketches {
   def oracle: Map[String, String] = Map(
     "x01_hll_distinct" ->
       hllDistinctSql("lineitem", "CAST(l_partkey AS VARCHAR)", P2),
+    "x10_hll_error" ->
+      s"""WITH sk AS (${hllDistinctSql("lineitem", "CAST(l_partkey AS VARCHAR)", P2)}),
+         |x AS (SELECT count(DISTINCT l_partkey) AS exact FROM lineitem)
+         |SELECT n_registers, est, exact,
+         |  CAST(round((est - exact::DOUBLE) / exact::DOUBLE * 1000000.0) AS BIGINT) AS rel_err_q6
+         |FROM sk CROSS JOIN x""".stripMargin,
     "x03_hll_by_group" ->
       hllByGroupSql("lineitem", "l_returnflag", "l_returnflag",
         "CAST(l_partkey AS VARCHAR)", P2),

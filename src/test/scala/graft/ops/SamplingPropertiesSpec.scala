@@ -69,4 +69,29 @@ class SamplingPropertiesSpec extends AnyFunSuite {
       got.select("grp").distinct().count() * 5) ||
       perGrp.forall(_._2 <= 5))
   }
+
+  test("weightedReservoir: exact k, repartition-invariant, weight-monotone for arbitrary ids") {
+    import spark.implicits._
+    Seq(23L, 42L).foreach { seed =>
+      val ids = idGen(Gen.Parameters.default.withSize(100),
+        org.scalacheck.rng.Seed(seed)).get.distinct
+      // weight grows with |id| so the monotonicity check has signal
+      val df = ids.toDF("id")
+        .withColumn("w", (abs(col("id")) % 1000L) + 1L)
+      val kept = Sampling.weightedReservoir(df, "id", col("w"), k = 30)
+        .collect().map(_.getLong(0)).toSet
+      assert(kept.size == math.min(30, ids.size), "exactly k rows kept")
+      val keptRep = Sampling
+        .weightedReservoir(df.repartition(7), "id", col("w"), k = 30)
+        .collect().map(_.getLong(0)).toSet
+      assert(keptRep == kept, s"seed $seed: sample changed under repartition")
+    }
+    // statistical monotonicity: across a population where half the rows
+    // carry 20x the weight, the heavy half must dominate the sample
+    val pop = (1L to 2000L).toDF("id")
+      .withColumn("w", when(col("id") % 2 === 0, 200L).otherwise(10L))
+    val heavy = Sampling.weightedReservoir(pop, "id", col("w"), k = 100)
+      .filter(col("id") % 2 === 0).count()
+    assert(heavy > 60, s"heavy-weight rows won only $heavy of 100 slots")
+  }
 }
