@@ -221,6 +221,31 @@ object Clusters {
     docs.join(broadcast(nonKeepers), Seq(id), "left_anti")
   }
 
+  /** Per-stratum duplication report (c07) — the observability readout a
+    * dedup deployment actually watches: for each source (or language,
+    * or crawl snapshot), how many documents belong to some near-dup
+    * cluster and what fraction of the stratum that is. High per-source
+    * dup rates localize the crawler or converter responsible.
+    *
+    * The component table is dup-docs-sized, so it broadcasts onto the
+    * corpus scan; the rest is one groupBy over (stratum) with counts —
+    * no corpus shuffle beyond the aggregation's partials. Rate is
+    * micro-unit quantized. Output: `(stratum, n_docs, n_dup_docs,
+    * dup_rate_q6)`. */
+  def dupRateByStratum(docs: DataFrame, id: String, strata: String,
+                       pairs: DataFrame, a: String, b: String): DataFrame = {
+    val dupDocs = connectedComponents(pairs, a, b)
+      .select(col("doc_id").as(id)).withColumn("_dup", lit(1L))
+    docs.select(col(id), col(strata))
+      .join(broadcast(dupDocs), Seq(id), "left")
+      .groupBy(col(strata))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("_dup"), lit(0L))).as("n_dup_docs"))
+      .withColumn("dup_rate_q6",
+        round(col("n_dup_docs").cast("double") / col("n_docs").cast("double")
+          * lit(1e6)).cast("long"))
+  }
+
   /** SEMANTIC deduplication (c05) — SemDeDup (Abbas et al., 2023,
     * arXiv:2303.09540) re-expressed relationally: near-duplicate
     * MEANING, not near-duplicate text, caught by comparing embeddings
@@ -296,6 +321,12 @@ object Clusters {
     "c05_semantic_dedup" -> ((s, d) =>
       semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
         Similarity.KmeansK, Similarity.KmeansIters, SemDedupTau)),
+    // per-source duplication observability over the d02 pair source
+    "c07_dup_rate" -> ((s, d) =>
+      dupRateByStratum(Tables.documents(s, d), "doc_id", "source",
+        Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.6),
+        "doc_a", "doc_b")),
     // c02 with the keeper chosen by quality (longest doc) instead of
     // min id — what a curation pipeline actually keeps
     "c06_dedup_keep_best" -> ((s, d) =>
@@ -344,6 +375,14 @@ object Clusters {
       s"""WITH RECURSIVE ${componentsCte(Dedup.oracle("d08_minhash_verified"))}
          |SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT id FROM lab WHERE cluster < id)""".stripMargin,
+    "c07_dup_rate" ->
+      s"""WITH RECURSIVE ${componentsCte(Dedup.oracle("d02_ngram_jaccard"))}
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN lab.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+         |  CAST(round(sum(CASE WHEN lab.id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+         |             / count(*)::DOUBLE * 1000000.0) AS BIGINT) AS dup_rate_q6
+         |FROM documents LEFT JOIN lab ON documents.doc_id = lab.id
+         |GROUP BY source""".stripMargin,
     "c06_dedup_keep_best" ->
       s"""WITH RECURSIVE ${componentsCte(Dedup.oracle("d02_ngram_jaccard"))},
          |ranked AS (

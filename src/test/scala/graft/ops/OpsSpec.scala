@@ -1096,6 +1096,24 @@ class OpsSpec extends AnyFunSuite {
     assert(got == expected, s"diff=${(expected diff got) ++ (got diff expected)}")
   }
 
+  test("c07 dup rates reconcile with the c01 cluster membership") {
+    val dupIds = Clusters.queries("c01_dup_clusters")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val bySource = Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val rows = Clusters.queries("c07_dup_rate")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    bySource.groupBy(_._2).foreach { case (src, docs) =>
+      val (n, dups, q6) = rows(src)
+      assert(n == docs.length)
+      val expected = docs.count(d => dupIds.contains(d._1))
+      assert(dups == expected, s"$src: $dups vs direct $expected")
+      assert(q6 == math.round(expected.toDouble / docs.length * 1e6))
+    }
+  }
+
   test("d14 canonicalizes case/spacing variants that d01 keeps apart") {
     import spark.implicits._
     val docs = Seq((1L, "The  Fast   Query"), (2L, "the fast query"),
