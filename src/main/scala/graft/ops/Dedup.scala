@@ -335,6 +335,41 @@ object Dedup {
     * recompute-over-carry trade as [[jaccardPairsPrefix]] — shipping
     * arrays through the band shuffle would multiply it by the array
     * width). Output: `(doc_a, doc_b, inter, jaccard)`. */
+  /** MinHash-ESTIMATED near-dup pairs (d15): band candidates scored by
+    * signature agreement alone — `est_jaccard = matching components /
+    * (Bands·RowsPerBand)`, the unbiased MinHash estimator — with NO
+    * exact shingle verify. The third point on the d03/d08 spectrum:
+    * d03 emits raw candidates, d08 pays a shingle-array join for exact
+    * Jaccard, d15 pays only a 16-int signature join for a ±1/√r
+    * estimate — the right trade when the downstream consumer (cluster
+    * + keep-one) tolerates estimator noise, which corpus dedup does.
+    * `/r` is a power-of-two divide at the default 16 components, so
+    * the estimate is exact binary on both engines.
+    * Output: `(doc_a, doc_b, n_agree, est_jaccard)`. */
+  def minhashEstimatedPairs(docs: DataFrame, id: String, text: String,
+                            threshold: Double, n: Int = 3): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    val r = Bands * RowsPerBand
+    val cand = minhashCandidates(docs, id, text, n)
+    val sig = docs
+      .select(col(id).as("doc_id"),
+        expr(s"filter(split($text, ' '), x -> x <> '')").as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(col("doc_id"), expr(s"graft_minhash(tk, $n)").as("mh"))
+    cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("mh").as("mh_a")),
+        Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("mh").as("mh_b")),
+        Seq("doc_b"))
+      .withColumn("n_agree",
+        expr("size(filter(zip_with(mh_a, mh_b, (x, y) -> x = y), b -> b))")
+          .cast("long"))
+      .withColumn("est_jaccard",
+        col("n_agree").cast("double") / lit(r.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_agree"), col("est_jaccard"))
+  }
+
   def minhashVerifiedPairs(docs: DataFrame, id: String, text: String,
                            threshold: Double, n: Int = 3): DataFrame = {
     graft.functions.VectorFunctions.register(docs.sparkSession)
@@ -647,6 +682,9 @@ object Dedup {
     "d08_minhash_verified" -> ((s, d) =>
       minhashVerifiedPairs(Tables.documents(s, d), "doc_id", "text",
         threshold = 0.6)),
+    "d15_minhash_estimate" -> ((s, d) =>
+      minhashEstimatedPairs(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.5)),
     "d13_simhash_pairs" -> ((s, d) =>
       simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 1)),
     "d04_simhash" -> ((s, d) =>
@@ -773,6 +811,30 @@ object Dedup {
            |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
            |FROM bands a JOIN bands b
            |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""".stripMargin,
+      // d15 = the d03 candidates scored by signature agreement alone
+      // (the unbiased MinHash estimator, /16 exact binary)
+      "d15_minhash_estimate" -> {
+        val agree = (0 until Bands * RowsPerBand)
+          .map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        val r = (Bands * RowsPerBand).toDouble
+        s"""WITH $shinglesSql,
+           |h AS (SELECT doc_id, ${Hashing.polyHashSql("shingle")} AS h FROM sh),
+           |sig AS (SELECT doc_id,
+           |  $mh
+           |  FROM h GROUP BY doc_id),
+           |bands AS (
+           |  $bandSelects),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b, CAST($agree AS BIGINT) AS n_agree,
+           |  ($agree)::DOUBLE / $r AS est_jaccard
+           |FROM cand JOIN sig sa ON cand.doc_a = sa.doc_id
+           |JOIN sig sb ON cand.doc_b = sb.doc_id
+           |WHERE ($agree)::DOUBLE / $r >= 0.5""".stripMargin
+      },
       // d08 = the d03 band join (candidates) verified with TRUE Jaccard
       // over the 60-bit shingle-hash sets (no df cap — see scaladoc).
       "d08_minhash_verified" ->

@@ -1096,6 +1096,28 @@ class OpsSpec extends AnyFunSuite {
     assert(got == expected, s"diff=${(expected diff got) ++ (got diff expected)}")
   }
 
+  test("d15 signature estimate tracks d08's exact jaccard within estimator noise") {
+    val exact = Dedup.queries("d08_minhash_verified")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val est = Dedup.queries("d15_minhash_estimate")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // every exact near-dup pair (J >= 0.6) must surface in the estimate
+    // list at threshold 0.5 unless the estimator undershot by > 0.1 —
+    // allow a small miss count, but the bulk must agree closely
+    val common = exact.keySet intersect est.keySet
+    assert(common.size >= exact.size * 0.8,
+      s"estimate missed too many exact pairs: ${exact.size - common.size}")
+    val errs = common.toSeq.map(k => math.abs(exact(k) - est(k)))
+    assert(errs.max <= 4 * math.sqrt(0.25 / 16.0) + 1e-9,
+      s"worst estimator error ${errs.max} beyond 4 standard errors")
+    // identical docs agree on every component
+    import spark.implicits._
+    val twins = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val t = Dedup.minhashEstimatedPairs(twins, "doc_id", "text", 0.5).collect()
+    assert(t.length == 1 && t.head.getDouble(3) == 1.0)
+  }
+
   test("c07 dup rates reconcile with the c01 cluster membership") {
     val dupIds = Clusters.queries("c01_dup_clusters")(spark, sf)
       .collect().map(_.getLong(0)).toSet
