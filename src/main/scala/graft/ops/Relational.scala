@@ -257,6 +257,41 @@ object Relational {
           col("valid_from_us"), col("valid_to_us"), col("is_current"))
     }),
 
+    // RFM segmentation: recency/frequency/monetary quartiles per
+    // customer, ranked WITHIN the customer's market segment — the
+    // classic CRM scoring query, and deliberately not a global ntile
+    // (one unsplittable frame, the q24 cliff): per-segment windows keep
+    // every frame a task, and "rank against your peer segment" is the
+    // business-correct comparison anyway. Three quartile axes share one
+    // exchange (same partition key, three sort orders); decimal spend
+    // keeps the monetary order exact; ties break on the key.
+    "q32_rfm" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val maxDate = orders.agg(max(col("o_orderdate")).as("_maxd"))
+      val perCust = orders.groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("_last"),
+          count(lit(1)).as("frequency"),
+          sumDec(col("o_totalprice")).as("monetary"))
+        .crossJoin(broadcast(maxDate))
+        .withColumn("recency_days",
+          datediff(col("_maxd"), col("_last")).cast("long"))
+      def seg(order: org.apache.spark.sql.Column*) = Window
+        .partitionBy(col("c_mktsegment")).orderBy(order: _*)
+      perCust
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .withColumn("r_q",
+          ntile(4).over(seg(col("recency_days"), col("o_custkey"))).cast("long"))
+        .withColumn("f_q",
+          ntile(4).over(seg(col("frequency").desc, col("o_custkey"))).cast("long"))
+        .withColumn("m_q",
+          ntile(4).over(seg(col("monetary").desc, col("o_custkey"))).cast("long"))
+        .select(col("o_custkey").as("custkey"), col("c_mktsegment"),
+          col("recency_days"), col("frequency"), col("monetary"),
+          concat(col("r_q"), col("f_q"), col("m_q")).as("rfm"))
+    }),
+
     // §2.8 X7/X8 conditional-default family: CASE bucketing.
     "q11_case_bucket" -> ((s, d) => {
       Tables.orders(s, d)
@@ -551,6 +586,22 @@ object Relational {
         |  max(event_id) AS end_event, count(*) AS n_events
         |FROM isl GROUP BY user_id, island, event_type
         |HAVING count(*) >= 2""".stripMargin,
+    "q32_rfm" ->
+      """WITH maxd AS (SELECT max(o_orderdate) AS d FROM orders),
+        |pc AS (
+        |  SELECT o_custkey, max(o_orderdate) AS last_o, count(*) AS frequency,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        |  FROM orders GROUP BY o_custkey),
+        |base AS (
+        |  SELECT o_custkey AS custkey, c_mktsegment,
+        |    CAST(date_diff('day', last_o::TIMESTAMP, maxd.d::TIMESTAMP) AS BIGINT) AS recency_days,
+        |    frequency, monetary
+        |  FROM pc CROSS JOIN maxd JOIN customer ON o_custkey = c_custkey)
+        |SELECT custkey, c_mktsegment, recency_days, frequency, monetary,
+        |  CAST(ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY recency_days, custkey) AS VARCHAR)
+        |  || CAST(ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY frequency DESC, custkey) AS VARCHAR)
+        |  || CAST(ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY monetary DESC, custkey) AS VARCHAR) AS rfm
+        |FROM base""".stripMargin,
     "q31_scd2_intervals" ->
       """SELECT user_id, event_id,
         |  epoch_us(ts::TIMESTAMP) AS valid_from_us,

@@ -970,6 +970,19 @@ class OpsSpec extends AnyFunSuite {
     assert(!rows.exists(_._1 == 3L))
   }
 
+  test("q32 RFM digits are balanced quartiles within each segment") {
+    val rows = Relational.queries("q32_rfm")(spark, sf)
+      .collect().map(r => (r.getString(1), r.getString(5)))
+    assert(rows.forall(_._2.matches("[1-4]{3}")), "rfm is three quartile digits")
+    rows.groupBy(_._1).foreach { case (seg, rs) =>
+      (0 until 3).foreach { axis =>
+        val sizes = rs.groupBy(_._2.charAt(axis)).view.mapValues(_.size).values
+        assert(sizes.max - sizes.min <= 1,
+          s"$seg axis $axis quartiles must differ by <= 1: ${sizes.toSeq}")
+      }
+    }
+  }
+
   test("q29 ntile buckets are balanced and order-monotone per stratum") {
     val rows = Relational.queries("q29_ntile_buckets")(spark, sf)
       .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
