@@ -115,6 +115,18 @@ object Events {
         .select(col("err_id"), col("user_id"), col("pur_id"), col("pur_value"))
     }),
 
+    // Distinct users per hour, SKETCHED: x03's per-group HLL with the
+    // time window as the group — the continuous-monitoring shape
+    // (cardinality per window) where exact count(DISTINCT) would
+    // shuffle every event; the registers cap the exchange at m rows
+    // per hour regardless of traffic.
+    "e13_hll_users_hourly" -> ((s, d) =>
+      Sketches.hllDistinctBy(
+        Tables.events(s, d)
+          .withColumn("hour_epoch", date_trunc("HOUR", col("ts")).cast("long")),
+        "hour_epoch", "user_id")
+        .withColumnRenamed("grp", "hour_epoch")),
+
     // Forward as-of: for each error, the FIRST purchase within the next
     // hour — the recovery/conversion direction e04's backward join
     // can't express.
@@ -278,6 +290,10 @@ object Events {
         |  FROM err JOIN pur ON err.user_id = pur.user_id
         |    AND pur_us <= err_us AND pur_us > err_us - 3600000000)
         |SELECT err_id, user_id, pur_id, pur_value FROM joined WHERE rn = 1""".stripMargin,
+    "e13_hll_users_hourly" ->
+      Sketches.hllByGroupSql("events",
+        "epoch(date_trunc('hour', ts::TIMESTAMP))::BIGINT", "hour_epoch",
+        "CAST(user_id AS VARCHAR)", Sketches.P2),
     "e12_asof_forward" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, event_type, value,

@@ -170,6 +170,21 @@ object Relational {
         .agg(sumDec(col("l_quantity")).as("sum_qty"),
           count(lit(1)).as("n_rows"))),
 
+    // Moving average over a sliding ROWS frame — the bounded-frame
+    // window family (q17 covers the unbounded running frame): each
+    // user's spend smoothed over their trailing 5 events. Bounded
+    // frames evaluate in O(1) memory per row; the decimal sum keeps the
+    // 5-term average exact before one double divide.
+    "q33_moving_avg" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(-4, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("avg5",
+          (sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double")
+            / count(lit(1)).over(w).cast("double")))
+        .select(col("event_id"), col("user_id"), col("avg5"))
+    }),
+
     // Gaps-and-islands: runs of the same event_type per user (the W2
     // run-length family — `report_generation.py:61-78` suppresses
     // repeated headers by detecting exactly these runs — generalized to
@@ -586,6 +601,13 @@ object Relational {
         |  max(event_id) AS end_event, count(*) AS n_events
         |FROM isl GROUP BY user_id, island, event_type
         |HAVING count(*) >= 2""".stripMargin,
+    "q33_moving_avg" ->
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    / (count(*) OVER w)::DOUBLE AS avg5
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q32_rfm" ->
       """WITH maxd AS (SELECT max(o_orderdate) AS d FROM orders),
         |pc AS (
