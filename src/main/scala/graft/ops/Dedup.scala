@@ -282,22 +282,31 @@ object Dedup {
   /** MinHash + LSH candidate pairs: 16 minhashes = 4 bands × 4 rows;
     * docs sharing any full band key are candidates (re-verify the tiny
     * candidate set with [[jaccardPairs]]). Output: `(doc_a, doc_b)`. */
-  def minhashCandidates(docs: DataFrame, id: String, text: String,
-                        n: Int = 3): DataFrame = {
+  /** Per-doc 16-component MinHash signatures `(doc_id, mh)` — computed
+    * map-side in one native pass ([[graft.functions.MinHashSig]]): min
+    * is duplicate-insensitive, so folding raw windows equals folding
+    * the distinct shingle set the oracle aggregates. Shared by
+    * [[minhashCandidates]] and [[minhashEstimatedPairs]] so the
+    * agreement join can never drift from the band candidates it joins
+    * against. */
+  private def minhashSignatures(docs: DataFrame, id: String, text: String,
+                                n: Int): DataFrame = {
     graft.functions.VectorFunctions.register(docs.sparkSession)
-    // The 16-min signature is computed map-side in one native pass
-    // ([[graft.functions.MinHashSig]]): min is duplicate-insensitive, so
-    // folding raw windows equals folding the distinct shingle set the
-    // oracle aggregates — same values, but the token-level explode +
-    // per-doc groupBy shuffle is GONE. The only remaining exchange
-    // carries 4 band keys per doc: at corpus scale that is the
-    // difference between shuffling the token stream and shuffling a few
-    // dozen bytes per document.
-    val sig = docs
+    docs
       .select(col(id).as("doc_id"),
         expr(s"filter(split($text, ' '), x -> x <> '')").as("tk"))
       .filter(size(col("tk")) >= n)
       .select(col("doc_id"), expr(s"graft_minhash(tk, $n)").as("mh"))
+  }
+
+  def minhashCandidates(docs: DataFrame, id: String, text: String,
+                        n: Int = 3): DataFrame = {
+    // The signature pass replaces the token-level explode + per-doc
+    // groupBy shuffle entirely. The only remaining exchange carries 4
+    // band keys per doc: at corpus scale that is the difference between
+    // shuffling the token stream and shuffling a few dozen bytes per
+    // document.
+    val sig = minhashSignatures(docs, id, text, n)
     val bandKeys = (0 until Bands).map { b =>
       val cols = (0 until RowsPerBand).map(r => s"mh[${b * RowsPerBand + r}]")
       expr(s"concat_ws('_', ${cols.mkString(", ")})")
@@ -335,41 +344,6 @@ object Dedup {
     * recompute-over-carry trade as [[jaccardPairsPrefix]] — shipping
     * arrays through the band shuffle would multiply it by the array
     * width). Output: `(doc_a, doc_b, inter, jaccard)`. */
-  /** MinHash-ESTIMATED near-dup pairs (d15): band candidates scored by
-    * signature agreement alone — `est_jaccard = matching components /
-    * (Bands·RowsPerBand)`, the unbiased MinHash estimator — with NO
-    * exact shingle verify. The third point on the d03/d08 spectrum:
-    * d03 emits raw candidates, d08 pays a shingle-array join for exact
-    * Jaccard, d15 pays only a 16-int signature join for a ±1/√r
-    * estimate — the right trade when the downstream consumer (cluster
-    * + keep-one) tolerates estimator noise, which corpus dedup does.
-    * `/r` is a power-of-two divide at the default 16 components, so
-    * the estimate is exact binary on both engines.
-    * Output: `(doc_a, doc_b, n_agree, est_jaccard)`. */
-  def minhashEstimatedPairs(docs: DataFrame, id: String, text: String,
-                            threshold: Double, n: Int = 3): DataFrame = {
-    graft.functions.VectorFunctions.register(docs.sparkSession)
-    val r = Bands * RowsPerBand
-    val cand = minhashCandidates(docs, id, text, n)
-    val sig = docs
-      .select(col(id).as("doc_id"),
-        expr(s"filter(split($text, ' '), x -> x <> '')").as("tk"))
-      .filter(size(col("tk")) >= n)
-      .select(col("doc_id"), expr(s"graft_minhash(tk, $n)").as("mh"))
-    cand
-      .join(sig.select(col("doc_id").as("doc_a"), col("mh").as("mh_a")),
-        Seq("doc_a"))
-      .join(sig.select(col("doc_id").as("doc_b"), col("mh").as("mh_b")),
-        Seq("doc_b"))
-      .withColumn("n_agree",
-        expr("size(filter(zip_with(mh_a, mh_b, (x, y) -> x = y), b -> b))")
-          .cast("long"))
-      .withColumn("est_jaccard",
-        col("n_agree").cast("double") / lit(r.toDouble))
-      .filter(col("est_jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("n_agree"), col("est_jaccard"))
-  }
-
   def minhashVerifiedPairs(docs: DataFrame, id: String, text: String,
                            threshold: Double, n: Int = 3): DataFrame = {
     graft.functions.VectorFunctions.register(docs.sparkSession)
@@ -390,6 +364,36 @@ object Dedup {
         (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+  }
+
+  /** MinHash-ESTIMATED near-dup pairs (d15): band candidates scored by
+    * signature agreement alone — `est_jaccard = matching components /
+    * (Bands·RowsPerBand)`, the unbiased MinHash estimator — with NO
+    * exact shingle verify. The third point on the d03/d08 spectrum:
+    * d03 emits raw candidates, d08 pays a shingle-array join for exact
+    * Jaccard, d15 pays only a 16-int signature join for a ±1/√r
+    * estimate — the right trade when the downstream consumer (cluster
+    * + keep-one) tolerates estimator noise, which corpus dedup does.
+    * `/r` is a power-of-two divide at the default 16 components, so
+    * the estimate is exact binary on both engines.
+    * Output: `(doc_a, doc_b, n_agree, est_jaccard)`. */
+  def minhashEstimatedPairs(docs: DataFrame, id: String, text: String,
+                            threshold: Double, n: Int = 3): DataFrame = {
+    val r = Bands * RowsPerBand
+    val cand = minhashCandidates(docs, id, text, n)
+    val sig = minhashSignatures(docs, id, text, n)
+    cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("mh").as("mh_a")),
+        Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("mh").as("mh_b")),
+        Seq("doc_b"))
+      .withColumn("n_agree",
+        expr("size(filter(zip_with(mh_a, mh_b, (x, y) -> x = y), b -> b))")
+          .cast("long"))
+      .withColumn("est_jaccard",
+        col("n_agree").cast("double") / lit(r.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_agree"), col("est_jaccard"))
   }
 
   /** INCREMENTAL dedup (d10) — near-dups of a DELTA batch against an
@@ -743,6 +747,20 @@ object Dedup {
          |SELECT doc_id,
          |  CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j::INTEGER) ELSE 0 END) AS BIGINT) AS simhash
          |FROM bits GROUP BY doc_id""".stripMargin
+    // The MinHash sig→bands→candidates chain shared verbatim by the
+    // d03/d08/d15 oracles (same coordination rule as componentsCte:
+    // one text, not N copies).
+    val sigBandsCte =
+      s"""h AS (SELECT doc_id, ${Hashing.polyHashSql("shingle")} AS h FROM sh),
+         |sig AS (SELECT doc_id,
+         |  $mh
+         |  FROM h GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects)""".stripMargin
+    val candSelect =
+      """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""".stripMargin
     // d06 outputs the SAME set as d02 (prefix filtering is a lossless
     // candidate pruning), so both keys share one oracle text.
     val jaccardSql =
@@ -802,15 +820,8 @@ object Dedup {
            |WHERE containment >= 0.7""".stripMargin,
       "d03_minhash_lsh" ->
         s"""WITH $shinglesSql,
-           |h AS (SELECT doc_id, ${Hashing.polyHashSql("shingle")} AS h FROM sh),
-           |sig AS (SELECT doc_id,
-           |  $mh
-           |  FROM h GROUP BY doc_id),
-           |bands AS (
-           |  $bandSelects)
-           |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |FROM bands a JOIN bands b
-           |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""".stripMargin,
+           |$sigBandsCte
+           |$candSelect""".stripMargin,
       // d15 = the d03 candidates scored by signature agreement alone
       // (the unbiased MinHash estimator, /16 exact binary)
       "d15_minhash_estimate" -> {
@@ -819,16 +830,9 @@ object Dedup {
           .mkString(" + ")
         val r = (Bands * RowsPerBand).toDouble
         s"""WITH $shinglesSql,
-           |h AS (SELECT doc_id, ${Hashing.polyHashSql("shingle")} AS h FROM sh),
-           |sig AS (SELECT doc_id,
-           |  $mh
-           |  FROM h GROUP BY doc_id),
-           |bands AS (
-           |  $bandSelects),
+           |$sigBandsCte,
            |cand AS (
-           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM bands a JOIN bands b
-           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+           |  $candSelect)
            |SELECT doc_a, doc_b, CAST($agree AS BIGINT) AS n_agree,
            |  ($agree)::DOUBLE / $r AS est_jaccard
            |FROM cand JOIN sig sa ON cand.doc_a = sa.doc_id
@@ -844,16 +848,9 @@ object Dedup {
            |    (${Hashing.polyHashSql("shingle")}) * 1000000009
            |      + (${Hashing.polyHashSql("reverse(shingle)")}) AS sk
            |  FROM sh),
-           |h AS (SELECT doc_id, ${Hashing.polyHashSql("shingle")} AS h FROM sh),
-           |sig AS (SELECT doc_id,
-           |  $mh
-           |  FROM h GROUP BY doc_id),
-           |bands AS (
-           |  $bandSelects),
+           |$sigBandsCte,
            |cand AS (
-           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM bands a JOIN bands b
-           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+           |  $candSelect),
            |pr AS (
            |  SELECT c.doc_a, c.doc_b, count(*) AS inter
            |  FROM cand c

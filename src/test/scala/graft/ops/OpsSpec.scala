@@ -1120,9 +1120,20 @@ class OpsSpec extends AnyFunSuite {
     val common = exact.keySet intersect est.keySet
     assert(common.size >= exact.size * 0.8,
       s"estimate missed too many exact pairs: ${exact.size - common.size}")
-    val errs = common.toSeq.map(k => math.abs(exact(k) - est(k)))
-    assert(errs.max <= 4 * math.sqrt(0.25 / 16.0) + 1e-9,
-      s"worst estimator error ${errs.max} beyond 4 standard errors")
+    // per-pair: |est − J| within 4 J-DEPENDENT standard errors
+    // (se = √(J(1−J)/16)) plus the half-component quantization step —
+    // a degenerate estimator (est pinned at any constant) fails this,
+    // since pairs with exact J = 1 have se = 0 and demand est = 1
+    common.foreach { k =>
+      val j = exact(k)
+      val bound = 4 * math.sqrt(j * (1 - j) / 16.0) + 1.0 / 32 + 1e-9
+      assert(math.abs(j - est(k)) <= bound,
+        s"pair $k: est ${est(k)} vs exact $j beyond $bound")
+    }
+    // the J-dependent bound has teeth: the harness near-dups sit at
+    // J >= 0.9 where it is ~0.28, so an estimator pinned at the 0.5
+    // threshold could not pass (|0.9 - 0.5| = 0.4); the J = 1 case is
+    // covered by the crafted twins below
     // identical docs agree on every component
     import spark.implicits._
     val twins = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"))
