@@ -170,6 +170,24 @@ object Relational {
         .agg(sumDec(col("l_quantity")).as("sum_qty"),
           count(lit(1)).as("n_rows"))),
 
+    // Ordered string aggregation (LISTAGG / string_agg family): each
+    // customer's order priorities concatenated in order-date order —
+    // the A4 order-preserving-list family as a catalog query. Spark has
+    // no ordered string_agg, so the order key rides inside the
+    // collected structs and one map-side sort_array fixes the order
+    // AFTER the (order-insensitive) aggregation — deterministic under
+    // any shuffle, no window needed. Struct sort is lexicographic on
+    // (orderkey), which is unique, so the order is total.
+    "q34_listagg" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(expr(
+          """array_join(transform(
+            |  array_sort(collect_list(struct(o_orderkey, o_orderpriority))),
+            |  x -> x.o_orderpriority), ',')""".stripMargin)
+          .as("priorities"),
+          count(lit(1)).as("n_orders"))),
+
     // Moving average over a sliding ROWS frame — the bounded-frame
     // window family (q17 covers the unbounded running frame): each
     // user's spend smoothed over their trailing 5 events. Bounded
@@ -601,6 +619,10 @@ object Relational {
         |  max(event_id) AS end_event, count(*) AS n_events
         |FROM isl GROUP BY user_id, island, event_type
         |HAVING count(*) >= 2""".stripMargin,
+    "q34_listagg" ->
+      """SELECT o_custkey, string_agg(o_orderpriority, ',' ORDER BY o_orderkey) AS priorities,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_custkey""".stripMargin,
     "q33_moving_avg" ->
       """SELECT event_id, user_id,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
