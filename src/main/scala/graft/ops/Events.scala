@@ -127,6 +127,34 @@ object Events {
         "hour_epoch", "user_id")
         .withColumnRenamed("grp", "hour_epoch")),
 
+    // Hourly anomaly z-scores: each hour's event count scored against
+    // the mean/stddev of its type's TRAILING 24 observations (a ROWS
+    // frame — observations, not wall hours, so gaps don't shrink the
+    // baseline) — the volume-anomaly monitor every ingestion pipeline
+    // runs. Bounded frame → O(1) state per row; z is quantized to
+    // MILLI-units (not the usual q6) because windowed stddev
+    // accumulates central moments in engine-specific order — 1e-15
+    // relative noise that q3 absorbs with margin. Hours with fewer
+    // than 2 trailing observations (sd undefined or 0) are unscored.
+    "e14_hourly_anomaly" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").cast("long").as("hour_epoch"),
+          col("event_type"), col("n"))
+      val trail = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("hour_epoch"))
+        .rowsBetween(-24, -1)
+      hourly
+        .withColumn("mu", avg(col("n")).over(trail))
+        .withColumn("sd", stddev_samp(col("n")).over(trail))
+        .filter(col("sd").isNotNull && col("sd") > 0)
+        .withColumn("z_q3",
+          round((col("n").cast("double") - col("mu")) / col("sd") * lit(1e3))
+            .cast("long"))
+        .select(col("hour_epoch"), col("event_type"), col("n"), col("z_q3"))
+    }),
+
     // Forward as-of: for each error, the FIRST purchase within the next
     // hour — the recovery/conversion direction e04's backward join
     // can't express.
@@ -290,6 +318,20 @@ object Events {
         |  FROM err JOIN pur ON err.user_id = pur.user_id
         |    AND pur_us <= err_us AND pur_us > err_us - 3600000000)
         |SELECT err_id, user_id, pur_id, pur_value FROM joined WHERE rn = 1""".stripMargin,
+    "e14_hourly_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT epoch(time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP))::BIGINT AS hour_epoch,
+        |    event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT hour_epoch, event_type, n,
+        |  CAST(round((n::DOUBLE - mu) / sd * 1000.0) AS BIGINT) AS z_q3
+        |FROM (
+        |  SELECT hour_epoch, event_type, n,
+        |    avg(n) OVER w AS mu, stddev_samp(n) OVER w AS sd
+        |  FROM hourly
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hour_epoch
+        |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)) t
+        |WHERE sd IS NOT NULL AND sd > 0""".stripMargin,
     "e13_hll_users_hourly" ->
       Sketches.hllByGroupSql("events",
         "epoch(date_trunc('hour', ts::TIMESTAMP))::BIGINT", "hour_epoch",

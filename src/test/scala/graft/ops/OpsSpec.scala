@@ -1072,6 +1072,38 @@ class OpsSpec extends AnyFunSuite {
       "constant-k rank must prune map-side")
   }
 
+  test("e14 z-scores reconcile with a direct trailing-window computation") {
+    val hourly = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("long"), col("event_type"), col("n"))
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    val expected = hourly.groupBy(_._1).flatMap { case (typ, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.indices.flatMap { i =>
+        val trail = sorted.slice(math.max(0, i - 24), i).map(_._3.toDouble)
+        if (trail.length < 2) None
+        else {
+          val mu = trail.sum / trail.length
+          val sd = math.sqrt(
+            trail.map(x => (x - mu) * (x - mu)).sum / (trail.length - 1))
+          if (sd <= 0) None
+          else Some((sorted(i)._2, typ) ->
+            math.round((sorted(i)._3 - mu) / sd * 1e3))
+        }
+      }
+    }.toMap
+    val got = Events.queries("e14_hourly_anomaly")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(got.keySet == expected.keySet,
+      s"scored-hour sets differ by ${(got.keySet diff expected.keySet).take(3)}")
+    // direct two-pass variance vs the engine's streaming moments can
+    // differ in the last quantized digit — allow 1 milli-unit
+    got.foreach { case (k, z) =>
+      assert(math.abs(z - expected(k)) <= 1, s"$k: $z vs ${expected(k)}")
+    }
+  }
+
   test("e12 forward as-of picks each error's earliest eligible purchase") {
     val ev = Tables.events(spark, sf)
       .select(col("event_id"), col("user_id"), col("event_type"),
