@@ -170,6 +170,21 @@ object Relational {
         .agg(sumDec(col("l_quantity")).as("sum_qty"),
           count(lit(1)).as("n_rows"))),
 
+    // Relational DIVISION ("for all"): customers ALL of whose orders
+    // are urgent-or-high priority — the universal-quantifier query
+    // classically written NOT EXISTS (order with another priority).
+    // Expressed as one aggregate (total = matching count), which beats
+    // the double anti-join form at scale: a single groupBy with
+    // map-side partials instead of two corpus-sized join inputs.
+    "q35_division" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            lit(1))).as("_n_match"))
+        .filter(col("n_orders") === col("_n_match"))
+        .select(col("o_custkey"), col("n_orders"))),
+
     // Ordered string aggregation (LISTAGG / string_agg family): each
     // customer's order priorities concatenated in order-date order —
     // the A4 order-preserving-list family as a catalog query. Spark has
@@ -619,6 +634,16 @@ object Relational {
         |  max(event_id) AS end_event, count(*) AS n_events
         |FROM isl GROUP BY user_id, island, event_type
         |HAVING count(*) >= 2""".stripMargin,
+    // the NOT EXISTS form — DuckDB states the universal quantifier
+    // directly, proving the aggregate decomposition computes division
+    "q35_division" ->
+      """SELECT o_custkey, count(*) AS n_orders
+        |FROM orders o
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders x
+        |  WHERE x.o_custkey = o.o_custkey
+        |    AND x.o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+        |GROUP BY o_custkey""".stripMargin,
     "q34_listagg" ->
       """SELECT o_custkey, string_agg(o_orderpriority, ',' ORDER BY o_orderkey) AS priorities,
         |  count(*) AS n_orders
