@@ -148,8 +148,13 @@ object Dedup {
     * Output: `(sig, keep_id, n_dups)`. */
   def exactDedupNormalized(docs: DataFrame, id: String,
                            content: String): DataFrame =
+    // explicit ASCII whitespace class, NOT \s: Java's \s includes
+    // vertical tab 0x0B while RE2-style engines' \s does not, so the
+    // class makes Spark↔oracle agreement by construction instead of
+    // by corpus assumption
     docs.groupBy(
-        md5(regexp_replace(trim(lower(col(content))), "\\s+", " ")).as("sig"))
+        md5(regexp_replace(trim(lower(col(content))),
+          "[ \\t\\n\\r\\f\\x0B]+", " ")).as("sig"))
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_dups"))
 
   /** Directed shingle-CONTAINMENT near-dup pairs (d12): emit
@@ -786,10 +791,11 @@ object Dedup {
       "d01_exact_dedup" ->
         """SELECT md5(text) AS sig, min(doc_id) AS keep_id, count(*) AS n_dups
           |FROM documents GROUP BY md5(text)""".stripMargin,
-      // d14 — Java's \s and RE2's \s agree on ASCII whitespace; the
-      // corpus is ASCII, so the canonical forms match byte-for-byte
+      // d14 — the same explicit ASCII whitespace class as the Spark
+      // side ([ \t\n\r\f\x0B]+), so agreement is by construction
+      // (Java \s vs RE2 \s differ on vertical tab 0x0B)
       "d14_normalized_dedup" ->
-        """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS sig,
+        """SELECT md5(regexp_replace(trim(lower(text)), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS sig,
           |  min(doc_id) AS keep_id, count(*) AS n_dups
           |FROM documents GROUP BY 1""".stripMargin,
       "d02_ngram_jaccard" -> jaccardSql,

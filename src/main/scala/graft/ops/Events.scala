@@ -148,7 +148,12 @@ object Events {
       hourly
         .withColumn("mu", avg(col("n")).over(trail))
         .withColumn("sd", stddev_samp(col("n")).over(trail))
-        .filter(col("sd").isNotNull && col("sd") > 0)
+        // the explicit frame count makes the <2-observations guard
+        // independent of spark.sql.legacy.statisticalAggregate (under
+        // which a 1-row stddev_samp is NaN, and NaN > 0 holds in
+        // Spark's ordering); same frame → same window exchange
+        .withColumn("_cnt", count(col("n")).over(trail))
+        .filter(col("_cnt") >= 2 && col("sd").isNotNull && col("sd") > 0)
         .withColumn("z_q3",
           round((col("n").cast("double") - col("mu")) / col("sd") * lit(1e3))
             .cast("long"))

@@ -97,19 +97,19 @@ object Multimodal {
     // Frame-level exact dedup ACROSS media items — the d01 pattern over
     // the m02 frame table (repeated intros/outros/watermark frames are
     // the multimodal analogue of boilerplate text): one hash-keyed
-    // aggregation, keeper chosen by the packed (doc, frame) key so the
-    // min is a single exact-integer aggregate on both engines.
-    // PACKING BOUND: the 10^6 base requires frame_idx < 10^6 per blob
-    // (= 32 MB of media at FrameBytes=32) and doc_id < 2^63/10^6; a
-    // larger blob must raise the base or switch to a struct-min keeper.
+    // aggregation, keeper chosen by a lexicographic STRUCT MIN over
+    // (doc_id, frame_idx) — a single exact aggregate on both engines
+    // (Spark min(struct(...)), DuckDB min({'d':…,'f':…})) with no
+    // overflow precondition, unlike an arithmetic doc*base+frame pack
+    // whose base bounds the frame index.
     "m05_frame_dedup" -> ((s, d) =>
       mediaFrames(s, d)
         .groupBy(col("frame_hash"))
         .agg(count(lit(1)).as("n_copies"),
-          min(col("doc_id") * lit(1000000L) + col("frame_idx")).as("_k"))
+          min(struct(col("doc_id"), col("frame_idx"))).as("_k"))
         .select(col("frame_hash"), col("n_copies"),
-          expr("_k div 1000000L").as("keep_doc"),
-          expr("_k % 1000000L").as("keep_frame"))),
+          col("_k.doc_id").as("keep_doc"),
+          col("_k.frame_idx").as("keep_frame"))),
 
     // Resize/downsample stub: keep every 4th byte — the plumbing shape
     // of a thumbnail/re-encode stage (input blob → smaller blob +
@@ -189,8 +189,8 @@ object Multimodal {
          |        i -> substring(text, (i * $FrameBytes + 1)::INTEGER, $FrameBytes))) AS frame
          |    FROM documents WHERE length(text) > 0) frames)
          |SELECT frame_hash, count(*) AS n_copies,
-         |  CAST(min(doc_id * 1000000 + frame_idx) // 1000000 AS BIGINT) AS keep_doc,
-         |  CAST(min(doc_id * 1000000 + frame_idx) % 1000000 AS BIGINT) AS keep_frame
+         |  CAST((min({'d': doc_id, 'f': frame_idx})).d AS BIGINT) AS keep_doc,
+         |  CAST((min({'d': doc_id, 'f': frame_idx})).f AS BIGINT) AS keep_frame
          |FROM fr GROUP BY frame_hash""".stripMargin,
     "m03_media_resize" ->
       s"""SELECT doc_id, length(small)::BIGINT AS n_bytes_small,

@@ -186,7 +186,7 @@ object Relational {
         .select(col("o_custkey"), col("n_orders"))),
 
     // Ordered string aggregation (LISTAGG / string_agg family): each
-    // customer's order priorities concatenated in order-date order —
+    // customer's order priorities concatenated in order-KEY order —
     // the A4 order-preserving-list family as a catalog query. Spark has
     // no ordered string_agg, so the order key rides inside the
     // collected structs and one map-side sort_array fixes the order

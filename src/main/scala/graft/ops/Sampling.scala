@@ -280,10 +280,17 @@ object Sampling {
       .withColumn("_w", col("_pw") / sum(col("_pw")).over(byAll))
       .withColumn("_rate", least(lit(1.0),
         lit(budget.toDouble) * col("_w") / col("_toks").cast("double")))
-      .select(col(strata), col("_rate"))
+      // the pow-derived rate is quantized to integer MICRO-units before
+      // the keep decision, and the decision itself is exact long
+      // arithmetic (h·10^6 < µrate·P): JVM Math.pow and libm pow are
+      // not correctly rounded, so a raw floor(rate·P) threshold could
+      // flip on a last-ulp divergence between engines; after q6 both
+      // sides compare identical integers
+      .withColumn("_mrate", round(col("_rate") * lit(1e6)).cast("long"))
+      .select(col(strata), col("_mrate"))
     df.withColumn("n_tokens", tokens)
       .join(broadcast(totals), strata)
-      .filter(h(id) < floor(col("_rate") * P).cast("long"))
+      .filter(h(id) * lit(1000000L) < col("_mrate") * lit(P))
       .select(col(strata), col(id), col("n_tokens"))
   }
 
@@ -331,13 +338,18 @@ object Sampling {
     * Scale shape: key computation is map-side; `orderBy(...).limit(k)`
     * plans as `TakeOrderedAndProject` (per-partition heaps, no global
     * sort). Rows with non-positive weight are excluded (ES requires
-    * w > 0). Output: the kept rows, key column dropped. */
+    * w > 0). The pow-derived key is quantized to integer PICO-units
+    * (q12) before ordering: pow is not correctly rounded, so raw
+    * double keys risk a cross-engine rank flip at the k-th boundary;
+    * q12 absorbs last-ulp noise (keys ∈ (0,1], quantum 10⁻¹² ≫ ulp)
+    * while ties stay deterministic under the id tiebreak. Output: the
+    * kept rows, key column dropped. */
   def weightedReservoir(df: DataFrame, id: String, weight: Column,
                         k: Int): DataFrame =
     df.filter(weight > 0)
-      .withColumn("_wk", pow(
+      .withColumn("_wk", round(pow(
         (h(id) + lit(1)).cast("double") / lit((P + 1).toDouble),
-        lit(1.0) / weight.cast("double")))
+        lit(1.0) / weight.cast("double")) * lit(1e12)).cast("long"))
       .orderBy(col("_wk").desc, col(id))
       .limit(k)
       .drop("_wk")
@@ -439,18 +451,20 @@ object Sampling {
          |           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS w
          |       FROM w2),
          |r AS (SELECT lang,
-         |        least(1.0, ${TemperatureBudget.toDouble} * w / toks::DOUBLE) AS rate
+         |        CAST(round(least(1.0, ${TemperatureBudget.toDouble} * w / toks::DOUBLE)
+         |          * 1000000.0) AS BIGINT) AS mrate
          |      FROM w3)
          |SELECT t.lang, t.doc_id, t.n_tokens
          |FROM t JOIN r USING (lang)
-         |WHERE ${hSql("doc_id")} < CAST(floor(r.rate * $P) AS BIGINT)""".stripMargin,
-    // s10 — the ES key repeated literally; pow and the divides run the
-    // same IEEE order on both engines
+         |WHERE ${hSql("doc_id")} * 1000000 < r.mrate * $P""".stripMargin,
+    // s10 — the ES key repeated literally, quantized to q12 integer
+    // units before ordering (pow is not correctly rounded; the quantum
+    // absorbs last-ulp cross-engine noise)
     "s10_weighted_reservoir" ->
       s"""SELECT doc_id, lang, n_chars FROM (
          |  SELECT doc_id, lang, n_chars,
-         |    pow((${hSql("doc_id")} + 1)::DOUBLE / ${(P + 1).toDouble},
-         |        1.0 / n_chars::DOUBLE) AS wk
+         |    CAST(round(pow((${hSql("doc_id")} + 1)::DOUBLE / ${(P + 1).toDouble},
+         |        1.0 / n_chars::DOUBLE) * 1000000000000.0) AS BIGINT) AS wk
          |  FROM documents WHERE n_chars > 0) keyed
          |ORDER BY wk DESC, doc_id LIMIT 20""".stripMargin,
     // ceil over the same IEEE double product on both engines
