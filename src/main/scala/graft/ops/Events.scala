@@ -272,6 +272,41 @@ object Events {
           col("p_us") <= col("v_us") + HalfHourUs)
         .select(col("view_id"), col("pur_id"), col("user_id"),
           expr("(p_us - v_us) div 1000000").as("delay_s"))
+    }),
+
+    // FORWARD-FILL (LOCF): every event annotated with the user's most
+    // recent purchase value at that instant — the time-series gap-fill
+    // primitive (last-observation-carried-forward) expressed as one
+    // ignoreNulls `last` over a running ROWS frame: the sparse column
+    // (value only on purchase rows) fills forward per user with O(1)
+    // window state, one exchange on user_id, no self-join. The total
+    // (us, event_id) order makes the fill deterministic under any
+    // partitioning; pass-through doubles stay exact cross-engine.
+    "e15_ffill" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("last_pur_value",
+          last(when(col("event_type") === "purchase", col("value")),
+            ignoreNulls = true).over(w))
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("event_type"), col("last_pur_value"))
+    }),
+
+    // TRANSITION MATRIX: (previous event type → event type) bigram
+    // counts per user journey — the first-order Markov readout behind
+    // path analysis and next-event prediction features. One lag window
+    // (exchange on user_id) feeding a 25-row aggregation whose map-side
+    // partials collapse everything before the final tiny shuffle.
+    "e16_transitions" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      ev.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
     }))
 
   def oracle: Map[String, String] = Map(
@@ -421,5 +456,27 @@ object Events {
         |SELECT view_id, pur_id, v.user_id AS user_id,
         |  (p_us - v_us) // 1000000 AS delay_s
         |FROM v JOIN p ON v.user_id = p.user_id
-        |  AND p_us > v_us AND p_us <= v_us + 1800000000""".stripMargin)
+        |  AND p_us > v_us AND p_us <= v_us + 1800000000""".stripMargin,
+    "e15_ffill" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |    date_diff('microsecond', TIMESTAMP '1970-01-01', ts::TIMESTAMP) AS us
+        |  FROM events)
+        |SELECT event_id, user_id, us, event_type,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_pur_value
+        |FROM ev""".stripMargin,
+    "e16_transitions" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |    date_diff('microsecond', TIMESTAMP '1970-01-01', ts::TIMESTAMP) AS us
+        |  FROM events),
+        |lagged AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_type
+        |  FROM ev)
+        |SELECT prev_type, event_type, count(*) AS n
+        |FROM lagged WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin)
 }

@@ -203,6 +203,65 @@ object Relational {
           .as("priorities"),
           count(lit(1)).as("n_orders"))),
 
+    // UNPIVOT (long↔wide, the inverse of e05's PIVOT): per-nation
+    // customer and supplier counts melted into (nation, entity, n) rows
+    // via Spark's native `unpivot` (a Generate/Expand — map-side, no
+    // shuffle beyond the two pre-shrunk aggregates; the dim join
+    // broadcasts). The oracle mirrors as UNION ALL, the relational
+    // definition of unpivot.
+    "q36_unpivot" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("customers"))
+      val su = Tables.supplier(s, d)
+        .groupBy(col("s_nationkey").as("nk"))
+        .agg(count(lit(1)).as("suppliers"))
+      Tables.nation(s, d)
+        .select(col("n_nationkey").as("nk"), col("n_name"))
+        .join(c, Seq("nk"), "left").join(su, Seq("nk"), "left")
+        .na.fill(0L, Seq("customers", "suppliers"))
+        .unpivot(Array(col("n_name")),
+          Array(col("customers"), col("suppliers")), "entity", "n")
+    }),
+
+    // Relative-standing windows: percent_rank + cume_dist over account
+    // balance within each market segment — the distribution-position
+    // family q29's ntile buckets don't expose. One exchange (both
+    // functions share the (segment, balance, key) spec); the unique
+    // order key makes rank arithmetic total-order deterministic, and
+    // (rank−1)/(n−1) over identical integers is a correctly-rounded
+    // IEEE divide on both engines — exact without quantization.
+    "q37_pct_windows" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+    }),
+
+    // RUNNING DISTINCT COUNT: distinct order priorities each customer
+    // has used, cumulatively over their order history. collect_set over
+    // a running frame would carry O(distinct) state per row; the
+    // scalable form is FIRST-OCCURRENCE FLAGS — row_number()==1 over
+    // (customer, priority) marks each first sighting, a running sum
+    // over (customer) counts them. Two keyed exchanges (the specs
+    // partition on different keys) — the inherent cost of running
+    // distinct, but each stage is hash-partitioned and O(1)-state,
+    // vs. the set-carrying form's per-row set state.
+    "q38_running_distinct" -> ((s, d) => {
+      val wFirst = Window.partitionBy(col("o_custkey"), col("o_orderpriority"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wRun = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("_first",
+          when(row_number().over(wFirst) === 1, lit(1L)).otherwise(lit(0L)))
+        .withColumn("n_distinct_prio", sum(col("_first")).over(wRun))
+        .select(col("o_orderkey"), col("o_custkey"), col("n_distinct_prio"))
+    }),
+
     // Moving average over a sliding ROWS frame — the bounded-frame
     // window family (q17 covers the unbounded running frame): each
     // user's spend smoothed over their trailing 5 events. Bounded
@@ -648,6 +707,33 @@ object Relational {
       """SELECT o_custkey, string_agg(o_orderpriority, ',' ORDER BY o_orderkey) AS priorities,
         |  count(*) AS n_orders
         |FROM orders GROUP BY o_custkey""".stripMargin,
+    // UNION ALL is the relational definition of unpivot
+    "q36_unpivot" ->
+      """WITH c AS (SELECT c_nationkey AS nk, count(*) AS n FROM customer GROUP BY 1),
+        |s AS (SELECT s_nationkey AS nk, count(*) AS n FROM supplier GROUP BY 1)
+        |SELECT n_name, 'customers' AS entity, coalesce(c.n, 0)::BIGINT AS n
+        |FROM nation LEFT JOIN c ON n_nationkey = c.nk
+        |UNION ALL
+        |SELECT n_name, 'suppliers' AS entity, coalesce(s.n, 0)::BIGINT AS n
+        |FROM nation LEFT JOIN s ON n_nationkey = s.nk""".stripMargin,
+    "q37_pct_windows" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)""".stripMargin,
+    "q38_running_distinct" ->
+      """WITH f AS (
+        |  SELECT o_orderkey, o_custkey, o_orderdate,
+        |    CASE WHEN row_number() OVER (PARTITION BY o_custkey, o_orderpriority
+        |                                 ORDER BY o_orderdate, o_orderkey) = 1
+        |         THEN 1 ELSE 0 END AS first_seen
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey,
+        |  CAST(sum(first_seen) OVER (PARTITION BY o_custkey
+        |                             ORDER BY o_orderdate, o_orderkey
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_distinct_prio
+        |FROM f""".stripMargin,
     "q33_moving_avg" ->
       """SELECT event_id, user_id,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
