@@ -289,6 +289,62 @@ object Clusters {
     * argument as d05 (planted near-dups ≥ 0.9, background ≤ 0.1). */
   val SemDedupTau = 0.45
 
+  /** PageRank over the near-dup graph (c09) — the iterative JOIN-based
+    * message-passing pattern (contributions flow along edges each
+    * round) that complements c01's monotone min-label fixpoint: rank
+    * centrality identifies template/boilerplate hubs that sit inside
+    * many near-dup pairs. Fixed `iters` power iterations, damping 0.85.
+    *
+    * Arithmetic is FIXED-POINT integer micro-units, not doubles: each
+    * round sums contributions across a node's in-edges, and a double
+    * sum's partial-aggregation order is partition-dependent — long
+    * sums are associative, so the result is partitioning-invariant and
+    * a DuckDB unrolled-CTE chain reproduces it bit-exactly (the k04
+    * generated-oracle pattern). Truncation div loses ≤1 micro-unit of
+    * mass per term — rank ORDER, the consumable, is unaffected.
+    *
+    * Scale shape: edges×deg precomputed once and cached; each round is
+    * one hash join (edges ⋈ ranks on src) + one keyed aggregation —
+    * no driver state beyond N (one long, same contract as the CC
+    * convergence counter); localCheckpoint truncates the iterative
+    * lineage exactly as [[connectedComponentsContracted]] does.
+    * Output: `(doc_id, pr_micro)` — rank mass in micro-units. */
+  def pageRank(pairs: DataFrame, a: String, b: String,
+               iters: Int): DataFrame = {
+    val edges = pairs
+      .select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
+      .union(pairs.select(col(b).cast("long").as("src"),
+        col(a).cast("long").as("dst")))
+      .distinct()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // contributions need src's degree every round: attach it once
+    val edgesDeg = edges.join(deg, "src")
+      .select(col("src"), col("dst"), col("deg")).cache()
+    val n = deg.count() // one driver long (node count)
+    if (n == 0) return pairs.sparkSession.emptyDataFrame
+      .select(lit(0L).as("doc_id"), lit(0L).as("pr_micro")).limit(0)
+    val teleport = 150000L / n // (1-d)·10^6 / N, truncated
+    var pr = deg.select(col("src").as("id"), lit(1000000L / n).as("pr"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = edgesDeg
+        .join(pr.withColumnRenamed("id", "src")
+          .withColumnRenamed("pr", "spr"), Seq("src"))
+        .select(col("dst").as("id"), expr("spr div deg").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("c"))
+      pr = deg.select(col("src").as("id"))
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(teleport) + expr("(850 * coalesce(c, 0L)) div 1000")).as("pr"))
+        .localCheckpoint()
+    }
+    edgesDeg.unpersist()
+    pr.select(col("id").as("doc_id"), col("pr").as("pr_micro"))
+  }
+
+  /** c09 iteration count: near-dup cliques mix in a handful of rounds. */
+  val PageRankIters = 5
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // clusters over the d02 near-dup pairs: every doc that has at least
     // one near-dup, labeled with its cluster's canonical keeper
@@ -334,7 +390,23 @@ object Clusters {
         Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
           threshold = 0.6),
         "doc_a", "doc_b")
-        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
+    // cluster-size histogram: the shape of the duplication problem at a
+    // glance (many pairs vs few huge template clusters) — two tiny
+    // aggregations over the component table
+    "c08_cluster_sizes" -> ((s, d) =>
+      clusterSummary(connectedComponents(
+        Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.6),
+        "doc_a", "doc_b"))
+        .groupBy(col("n_members").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))),
+    // rank centrality over the same near-dup graph
+    "c09_pagerank" -> ((s, d) =>
+      pageRank(
+        Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.6),
+        "doc_a", "doc_b", PageRankIters)))
 
   /** The recursive connected-components fixpoint as oracle SQL: the
     * `edges → comp → lab(id, cluster)` CTE chain over a pair source.
@@ -355,6 +427,37 @@ object Clusters {
     if (withLab)
       base + ",\nlab AS (SELECT id, min(label) AS cluster FROM comp GROUP BY id)"
     else base
+  }
+
+  /** The c09 fixed-point power iteration as a generated unrolled-CTE
+    * chain (the k04 kmeansOracleSql pattern): pr0 … pr`iters`, each
+    * round the same integer teleport + damped contribution sum the
+    * Spark loop computes. `//` (DuckDB) ≡ `div` (Spark) on the
+    * non-negative longs involved. */
+  def pageRankOracleSql(pairsSql: String, iters: Int): String = {
+    val head =
+      s"""WITH pairs AS ($pairsSql),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |nn AS (SELECT count(*) AS n FROM deg),
+         |pr0 AS (SELECT src AS id, 1000000 // (SELECT n FROM nn) AS pr FROM deg)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s""",
+         |pr$i AS (
+         |  SELECT d.src AS id,
+         |    150000 // (SELECT n FROM nn)
+         |      + (850 * coalesce(s.c, 0)) // 1000 AS pr
+         |  FROM deg d LEFT JOIN (
+         |    SELECT e.dst AS id, sum(p.pr // dg.deg) AS c
+         |    FROM edges e JOIN pr${i - 1} p ON e.src = p.id
+         |    JOIN deg dg ON dg.src = e.src
+         |    GROUP BY e.dst) s ON d.src = s.id)""".stripMargin
+    }.mkString
+    head + rounds +
+      s"\nSELECT id AS doc_id, CAST(pr AS BIGINT) AS pr_micro FROM pr$iters"
   }
 
   def oracle: Map[String, String] = Map(
@@ -383,6 +486,13 @@ object Clusters {
          |             / count(*)::DOUBLE * 1000000.0) AS BIGINT) AS dup_rate_q6
          |FROM documents LEFT JOIN lab ON documents.doc_id = lab.id
          |GROUP BY source""".stripMargin,
+    "c08_cluster_sizes" ->
+      s"""WITH RECURSIVE ${componentsCte(Dedup.oracle("d02_ngram_jaccard"))},
+         |sizes AS (SELECT cluster, count(*) AS sz FROM lab GROUP BY cluster)
+         |SELECT sz AS cluster_size, count(*) AS n_clusters
+         |FROM sizes GROUP BY sz""".stripMargin,
+    "c09_pagerank" ->
+      pageRankOracleSql(Dedup.oracle("d02_ngram_jaccard"), PageRankIters),
     "c06_dedup_keep_best" ->
       s"""WITH RECURSIVE ${componentsCte(Dedup.oracle("d02_ngram_jaccard"))},
          |ranked AS (

@@ -97,12 +97,52 @@ object Profile {
       col("l_quantity").between(1.0, 50.0)),
     rule("events.ts non-null", Tables.events(s, d), col("ts").isNotNull))
 
+  /** Distribution-DRIFT report (v03): per-stratum total-variation
+    * distance between the stratum's length histogram and the corpus
+    * histogram — the "did source X start shipping different data"
+    * monitor that catches what v02's row-level constraints can't (each
+    * row individually valid, the DISTRIBUTION shifted).
+    *
+    * Arithmetic is exact integers end-to-end: per-bucket shares in
+    * micro-units via long division, TVD = Σ|share_s − share_g| div 2 —
+    * long sums are associative, so the report is partition-invariant
+    * and engine-portable with no float fold anywhere.
+    *
+    * Scale shape: the corpus pays ONE aggregation (stratum × bucket
+    * counts); everything after operates on that tiny cube — stratum and
+    * global marginals re-aggregate it, the stratum×bucket densification
+    * (absent buckets MUST count toward drift) is a cross join of two
+    * marginals, all broadcast-sized. Output: `(stratum, n_docs,
+    * drift_q6)`. */
+  def lengthDrift(docs: DataFrame, strata: String, value: String,
+                  width: Long, nBuckets: Int): DataFrame = {
+    val cube = docs
+      .withColumn("_b", least(expr(s"$value div ${width}L"),
+        lit(nBuckets - 1L)))
+      .groupBy(col(strata), col("_b")).agg(count(lit(1)).as("cnt"))
+    val tot = cube.groupBy(col(strata)).agg(sum(col("cnt")).as("tot"))
+    val glob = cube.groupBy(col("_b")).agg(sum(col("cnt")).as("gcnt"))
+    val gtot = docs.agg(count(lit(1)).as("gtot"))
+    tot.crossJoin(broadcast(glob))
+      .join(cube, Seq(strata, "_b"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .crossJoin(broadcast(gtot))
+      .withColumn("_s_q6", expr("(cnt * 1000000L) div tot"))
+      .withColumn("_g_q6", expr("(gcnt * 1000000L) div gtot"))
+      .groupBy(col(strata))
+      .agg(max(col("tot")).as("n_docs"),
+        expr("sum(abs(_s_q6 - _g_q6)) div 2").as("drift_q6"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_profile_columns" -> ((s, d) =>
       profileColumns(Tables.documents(s, d),
         Seq("doc_id", "lang", "source", "n_chars"))),
     "v02_constraints" -> ((s, d) =>
-      checkConstraints(harnessRules(s, d))))
+      checkConstraints(harnessRules(s, d))),
+    "v03_drift" -> ((s, d) =>
+      lengthDrift(Tables.documents(s, d), "source", "n_chars",
+        width = 64L, nBuckets = 10)))
 
   def oracle: Map[String, String] = Map(
     "v01_profile_columns" -> {
@@ -138,5 +178,23 @@ object Profile {
         |  FROM lineitem
         |  UNION ALL
         |  SELECT 'events.ts non-null',
-        |    count(CASE WHEN ts IS NULL THEN 1 END) FROM events) rules""".stripMargin)
+        |    count(CASE WHEN ts IS NULL THEN 1 END) FROM events) rules""".stripMargin,
+    // v03 — the same integer-share TVD over the (source × bucket) cube;
+    // `//` ≡ Spark's `div` on the non-negative longs involved
+    "v03_drift" ->
+      """WITH cube_sb AS (
+        |  SELECT source, least(n_chars // 64, 9) AS b, count(*) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS tot FROM cube_sb GROUP BY 1),
+        |gl AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS gcnt FROM cube_sb GROUP BY 1),
+        |gt AS (SELECT count(*) AS gtot FROM documents),
+        |dense AS (
+        |  SELECT t.source, g.b, t.tot, coalesce(s.cnt, 0) AS cnt, g.gcnt
+        |  FROM tot t CROSS JOIN gl g
+        |  LEFT JOIN cube_sb s ON s.source = t.source AND s.b = g.b)
+        |SELECT source, max(tot) AS n_docs,
+        |  CAST(sum(abs((cnt * 1000000) // tot
+        |             - (gcnt * 1000000) // (SELECT gtot FROM gt))) // 2 AS BIGINT)
+        |    AS drift_q6
+        |FROM dense GROUP BY source""".stripMargin)
 }

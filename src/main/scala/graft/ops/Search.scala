@@ -151,18 +151,57 @@ object Search {
       .agg(count(lit(1)).as("n_occurrences"))
   }
 
+  /** Reciprocal-rank-fusion constant (the standard RRF-60). */
+  val RrfC = 60
+
+  /** Hybrid retrieval by RECIPROCAL RANK FUSION (r04): merge two ranked
+    * lists — here BM25's lexical top-k and TF-IDF-cosine's vector-space
+    * top-k, the classic sparse+dense hybrid — by summing `1/(C+rank)`
+    * per document (Cormack et al., SIGIR'09). Rank-based fusion needs
+    * no score calibration between retrievers, which is why every hybrid
+    * search stack ships it.
+    *
+    * Scale shape: inputs are k-BOUNDED by construction (each retriever
+    * already did its TakeOrderedAndProject), so the unpartitioned rank
+    * windows and the full-outer join operate on ≤k rows — driver-scale
+    * frames, the same bounded-input contract as the x-family sketch
+    * read-outs. The fused score is two correctly-rounded IEEE divides
+    * plus one add, micro-quantized for the oracle.
+    * Output: `(doc_id, rrf_q6)` — every doc either list surfaced. */
+  def rrfFuse(a: DataFrame, b: DataFrame, id: String,
+              c: Int = RrfC): DataFrame = {
+    def ranked(df: DataFrame, rk: String) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score_q6").desc, col(id))
+      df.withColumn(rk, row_number().over(w).cast("long"))
+        .select(col(id), col(rk))
+    }
+    ranked(a, "rk_a").join(ranked(b, "rk_b"), Seq(id), "full_outer")
+      .withColumn("rrf_q6", round(
+        (coalesce(lit(1.0) / (lit(c.toDouble) + col("rk_a").cast("double")),
+          lit(0.0)) +
+         coalesce(lit(1.0) / (lit(c.toDouble) + col("rk_b").cast("double")),
+           lit(0.0))) * lit(1e6)).cast("long"))
+      .select(col(id), col("rrf_q6"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r01_bm25" -> ((s, d) =>
       bm25TopK(Tables.documents(s, d), "doc_id", "text")),
     "r02_phrase" -> ((s, d) =>
       phraseMatch(Tables.documents(s, d), "doc_id", "text")),
     "r03_tfidf_cosine" -> ((s, d) =>
-      tfidfCosineTopK(Tables.documents(s, d), "doc_id", "text")))
+      tfidfCosineTopK(Tables.documents(s, d), "doc_id", "text")),
+    "r04_hybrid_rrf" -> ((s, d) =>
+      rrfFuse(bm25TopK(Tables.documents(s, d), "doc_id", "text"),
+        tfidfCosineTopK(Tables.documents(s, d), "doc_id", "text"),
+        "doc_id")))
 
   private def termList = DefaultQuery.map(t => s"'$t'").mkString(", ")
 
-  def oracle: Map[String, String] = Map(
-    "r01_bm25" ->
+  // r01/r03 texts as vals: r04's composed oracle references them, and a
+  // def-map self-reference would recurse
+  private lazy val bm25Sql =
       s"""WITH base AS (
          |  SELECT doc_id, text,
          |    len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS dl
@@ -189,24 +228,11 @@ object Search {
          |  FROM tf JOIN dfq USING (token) CROSS JOIN stats)
          |SELECT doc_id, CAST(round(sum(s) * 1000000.0) AS BIGINT) AS score_q6
          |FROM sc GROUP BY doc_id
-         |ORDER BY score_q6 DESC, doc_id LIMIT 10""".stripMargin,
-    "r02_phrase" ->
-      s"""WITH w AS (
-         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
-         |  FROM documents),
-         |tok AS (
-         |  SELECT doc_id,
-         |    unnest(list_transform(range(1, len(ws) + 1),
-         |      i -> struct_pack(pos := i, tok := ws[i]))) AS u
-         |  FROM w),
-         |p AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM tok)
-         |SELECT a.doc_id, count(*) AS n_occurrences
-         |FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-         |WHERE a.tok = '${DefaultPhrase._1}' AND b.tok = '${DefaultPhrase._2}'
-         |GROUP BY a.doc_id""".stripMargin,
-    // r03 — the same index build relationally; the idf product is
-    // written x·x (not pow) to match the Spark column expression
-    "r03_tfidf_cosine" ->
+         |ORDER BY score_q6 DESC, doc_id LIMIT 10""".stripMargin
+
+  // r03 — the same index build relationally; the idf product is
+  // written x·x (not pow) to match the Spark column expression
+  private lazy val tfidfCosineSql =
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
          |  FROM documents),
@@ -230,5 +256,37 @@ object Search {
          |SELECT doc_id, CAST(round(dot / (nrm * qn.qnrm) * 1000000.0) AS BIGINT) AS score_q6
          |FROM agg CROSS JOIN qn
          |WHERE dot > 0
-         |ORDER BY score_q6 DESC, doc_id LIMIT 10""".stripMargin)
+         |ORDER BY score_q6 DESC, doc_id LIMIT 10""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "r01_bm25" -> bm25Sql,
+    "r02_phrase" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         |  FROM documents),
+         |tok AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(ws) + 1),
+         |      i -> struct_pack(pos := i, tok := ws[i]))) AS u
+         |  FROM w),
+         |p AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM tok)
+         |SELECT a.doc_id, count(*) AS n_occurrences
+         |FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |WHERE a.tok = '${DefaultPhrase._1}' AND b.tok = '${DefaultPhrase._2}'
+         |GROUP BY a.doc_id""".stripMargin,
+    "r03_tfidf_cosine" -> tfidfCosineSql,
+    // r04 — the two retriever oracles verbatim as subqueries (nested
+    // WITH is legal inside a derived table), re-ranked and RRF-fused
+    // with the identical double expression
+    "r04_hybrid_rrf" ->
+      s"""WITH ra AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score_q6 DESC, doc_id) AS rk
+         |  FROM ($bm25Sql) r1),
+         |rb AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score_q6 DESC, doc_id) AS rk
+         |  FROM ($tfidfCosineSql) r3)
+         |SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+         |  CAST(round((coalesce(1.0 / (60.0 + ra.rk), 0.0)
+         |            + coalesce(1.0 / (60.0 + rb.rk), 0.0)) * 1000000.0) AS BIGINT) AS rrf_q6
+         |FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id""".stripMargin)
 }
