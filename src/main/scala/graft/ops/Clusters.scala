@@ -345,6 +345,36 @@ object Clusters {
   /** c09 iteration count: near-dup cliques mix in a handful of rounds. */
   val PageRankIters = 5
 
+  /** LEAKAGE-SAFE split assignment (c10) — the correctness fix to s03
+    * that near-dup-aware pipelines need: hash-splitting on `doc_id`
+    * sends two near-duplicates to train and test independently, so the
+    * test set silently contains paraphrases of training documents
+    * (train/test contamination via duplication). The fix: every member
+    * of a near-dup cluster inherits its cluster REPRESENTATIVE's id
+    * (the CC min-label keeper), and the split coin is flipped on the
+    * representative — a whole cluster lands in one split, atomically.
+    * Docs outside any cluster are their own representative, so on a
+    * dup-free corpus c10 degenerates to s03 exactly.
+    *
+    * Scale shape: the component table is dup-docs-sized (tiny relative
+    * to the corpus) so it broadcasts onto the corpus scan; the split
+    * itself stays [[Sampling.splitAssign]]'s zero-shuffle map-side
+    * expression, now over `rep_id`. Same stability contract as s03:
+    * membership is a pure function of (rep graph, id), so re-runs and
+    * corpus growth never migrate a cluster between splits unless the
+    * cluster itself changes. Output: `(doc_id, rep_id, split)`. */
+  def leakSafeSplit(docs: DataFrame, id: String,
+                    pairs: DataFrame, a: String, b: String,
+                    splits: Seq[(String, Double)]): DataFrame = {
+    val comp = connectedComponents(pairs, a, b)
+      .select(col("doc_id").as(id), col("cluster_id"))
+    val withRep = docs.select(col(id))
+      .join(broadcast(comp), Seq(id), "left")
+      .withColumn("rep_id", coalesce(col("cluster_id"), col(id).cast("long")))
+    Sampling.splitAssign(withRep, "rep_id", splits)
+      .select(col(id), col("rep_id"), col("split"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // clusters over the d02 near-dup pairs: every doc that has at least
     // one near-dup, labeled with its cluster's canonical keeper
@@ -406,7 +436,13 @@ object Clusters {
       pageRank(
         Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
           threshold = 0.6),
-        "doc_a", "doc_b", PageRankIters)))
+        "doc_a", "doc_b", PageRankIters)),
+    // contamination-free train/val/test: split on the cluster keeper
+    "c10_leak_safe_split" -> ((s, d) =>
+      leakSafeSplit(Tables.documents(s, d), "doc_id",
+        Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.6),
+        "doc_a", "doc_b", Sampling.DefaultSplits)))
 
   /** The recursive connected-components fixpoint as oracle SQL: the
     * `edges → comp → lab(id, cluster)` CTE chain over a pair source.
@@ -493,6 +529,16 @@ object Clusters {
          |FROM sizes GROUP BY sz""".stripMargin,
     "c09_pagerank" ->
       pageRankOracleSql(Dedup.oracle("d02_ngram_jaccard"), PageRankIters),
+    // c10 — the same CC fixpoint, rep = cluster label (else own id),
+    // then s03's split CASE verbatim over rep_id
+    "c10_leak_safe_split" ->
+      s"""WITH RECURSIVE ${componentsCte(Dedup.oracle("d02_ngram_jaccard"))},
+         |rep AS (
+         |  SELECT d.doc_id, CAST(coalesce(l.cluster, d.doc_id) AS BIGINT) AS rep_id
+         |  FROM documents d LEFT JOIN lab l ON l.id = d.doc_id)
+         |SELECT doc_id, rep_id,
+         |  ${Sampling.splitSql("rep_id", Sampling.DefaultSplits)} AS split
+         |FROM rep""".stripMargin,
     "c06_dedup_keep_best" ->
       s"""WITH RECURSIVE ${componentsCte(Dedup.oracle("d02_ngram_jaccard"))},
          |ranked AS (

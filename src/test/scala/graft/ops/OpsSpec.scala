@@ -180,6 +180,28 @@ class OpsSpec extends AnyFunSuite {
     assert(none.count() == 0)
   }
 
+  test("c10 leak-safe split: clusters are split-atomic, singletons degenerate to s03") {
+    val c10 = Clusters.queries("c10_leak_safe_split")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(c10.size == Tables.documents(spark, sf).count(), "one row per doc")
+    val comps = Clusters.queries("c01_dup_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every cluster member carries the keeper's rep and the SAME split
+    comps.groupBy(_._2).foreach { case (keeper, members) =>
+      val splits = members.keys.map(c10(_)).toSet
+      assert(splits.size == 1, s"cluster $keeper straddles splits: $splits")
+      assert(splits.head._1 == keeper, s"cluster $keeper rep mismatch")
+    }
+    // docs outside any cluster: rep = own id, split = s03's coin
+    val s03 = Sampling.queries("s03_split_assign")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    c10.filterNot { case (id, _) => comps.contains(id) }.foreach {
+      case (id, (rep, split)) =>
+        assert(rep == id && split == s03(id),
+          s"unpaired doc $id must match s03: got ($rep, $split)")
+    }
+  }
+
   test("c03/c04 minhash-sourced clustering: subset of exact-pair clustering, consistent corpus") {
     // band recall can only DROP edges vs the exact d02 pair set, so every
     // c03 cluster assignment must map each doc to a label ≥ its c01 label
