@@ -316,6 +316,120 @@ object Similarity {
     ivfKnn(vectors.join(cells, id), id, vec, "ivf_cell", isProbe, k, nprobe)
   }
 
+  /** PQ defaults (k08): 4 subspaces × 8 codes = 4096 cells over the
+    * harness's 64-dim embeddings (16-dim subvectors); real deployments
+    * run 8–16 subspaces × 256 codes on the same shape. */
+  val PqSubspaces = 4
+  val PqK = 8
+  val PqIters = 2
+
+  /** ADC shortlist size for the exact re-rank stage. */
+  val PqRefine = 50
+
+  /** Product-quantization ADC search (k08) — the MEMORY-compressed ANN
+    * scale path (Jégou et al., TPAMI 2011): train an independent
+    * [[kmeansAssign]] codebook per vector SUBSPACE, represent each
+    * corpus vector by its per-subspace code tuple (m·log₂(codebook)
+    * bits instead of dims×4 bytes — the 64-dim corpus here compresses
+    * 42×), and answer queries by Asymmetric Distance Computation: the
+    * probe stays exact, one dot against each subspace centroid builds a
+    * (probes × codebook) distance table per subspace, and a corpus
+    * vector's score is just the SUM of table lookups for its codes —
+    * no per-pair float math at all.
+    *
+    * Scale shape: training is k04's (one corpus scan per iter per
+    * subspace, O(k·dims) driver exchange); encoding rides the final
+    * assignment; the distance tables are (probes × codebook) rows —
+    * they BROADCAST, so scoring is a map-side lookup join over the
+    * code table plus the per-probe top-k window (WindowGroupLimit
+    * prunes map-side). The corpus embedding column is never read at
+    * query time — only the integer codes — which is the entire point
+    * at 100 TB of vectors.
+    *
+    * Determinism: same argument as k04 — quantized centroid sums,
+    * seed-hash init, fixed iterations; ADC adds only left-folded dots
+    * and an m-term left-to-right sum evaluated identically by both
+    * engines. Vectors are L2-normalized before encoding (PQ-for-cosine),
+    * so the ADC score estimates the same cosine k01 ranks by, and the
+    * final `refine`-deep shortlist is re-ranked by EXACT cosine.
+    * Output: `(probe_id, rnk, neighbor_id, score)` — score is the exact
+    * unit-vector cosine of the refined survivors. */
+  def pqAdcKnn(vectors: DataFrame, id: String, vec: String,
+               isProbe: Column => Column, k: Int,
+               m: Int = PqSubspaces, codebook: Int = PqK,
+               iters: Int = PqIters, dims: Int = 64,
+               refine: Int = PqRefine): DataFrame = {
+    require(m >= 1 && dims % m == 0, s"dims=$dims must split into m=$m subspaces")
+    graft.functions.VectorFunctions.register(vectors.sparkSession)
+    val sub = dims / m
+    // L2-normalize BEFORE encoding (PQ-for-cosine): on unit vectors the
+    // ADC inner product approximates exactly the cosine k01 ranks by —
+    // unnormalized, varying corpus norms would make dot-ranking answer a
+    // different question than the cosine baseline.
+    val vn = vectors.select(col(id).as("vec_id"),
+        expr(s"transform($vec, x -> cast(x as double))").as("dv"))
+      .withColumn("nrm", expr("sqrt(graft_dot(dv, dv))"))
+      .select(col("vec_id"), expr("transform(dv, x -> x / nrm)").as("nv"))
+    def subExpr(i: Int) = s"slice(nv, ${i * sub + 1}, $sub)"
+    // per-subspace codebooks: final code assignment + RAW mean centroid
+    // of the final members (the g/c CTE pair of the oracle)
+    val parts = (0 until m).map { i =>
+      val sf = vn.select(col("vec_id"), expr(subExpr(i)).as("sub"))
+      val codes = kmeansAssign(sf, "vec_id", "sub", codebook, iters)
+      val qv = sf.select(col("vec_id"),
+        expr(s"transform(sub, x -> cast(floor(cast(x as double) * ${Quant}D) as bigint))")
+          .as("qv"))
+      val cents = codes.join(qv, "vec_id")
+        .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "q")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+        .groupBy(col("cluster"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, sq))), s -> s.sq)")
+            .as("sq"),
+          max(col("n")).as("n"))
+        .select(col("cluster"),
+          expr(s"transform(sq, s -> (cast(s as double) / cast(n as double)) / ${Quant}D)")
+            .as("centroid"))
+      (codes, cents)
+    }
+    // ADC distance tables: exact (normalized) probe subvector × centroids
+    val probes = vn.filter(isProbe(col("vec_id")))
+    val dts = (0 until m).map { i =>
+      probes.select(col("vec_id").as("probe_id"), expr(subExpr(i)).as("pv"))
+        .crossJoin(broadcast(parts(i)._2))
+        .select(col("probe_id"), col("cluster").as(s"c$i"),
+          expr("graft_dot(pv, centroid)").as(s"dt$i"))
+    }
+    // corpus code tuples, scored by table lookups only
+    val corpusCodes = parts.zipWithIndex.map { case ((codes, _), i) =>
+      codes.select(col("vec_id"), col("cluster").as(s"c$i"))
+    }.reduce(_.join(_, "vec_id"))
+    val scored = (1 until m).foldLeft(
+        corpusCodes.join(broadcast(dts(0)), Seq("c0"))) { (acc, i) =>
+        acc.join(broadcast(dts(i)), Seq(s"c$i", "probe_id"))
+      }
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        (0 until m).map(i => col(s"dt$i")).reduce(_ + _).as("cos"))
+    // refine (the FAISS IVFPQ+R recipe): the ADC pass only SHORTLISTS —
+    // the top `refine` per probe, chosen without touching any corpus
+    // float — and the exact cosine pass runs on shortlist × probes
+    // only. Quantization error then costs recall solely when a true
+    // neighbor misses the whole shortlist.
+    val adcW = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val shortlist = scored
+      .withColumn("arnk", row_number().over(adcW))
+      .filter(col("arnk") <= refine)
+      .select(col("probe_id"), col("neighbor_id"))
+    val exact = shortlist
+      .join(vn.select(col("vec_id").as("probe_id"), col("nv").as("pnv")), "probe_id")
+      .join(vn.select(col("vec_id").as("neighbor_id"), col("nv").as("nnv")), "neighbor_id")
+      .select(col("probe_id"), col("neighbor_id"),
+        expr("graft_dot(pnv, nnv)").as("cos"))
+    topKPerProbe(exact, k).withColumnRenamed("cos", "score")
+  }
+
   /** DuckDB replay of [[kmeansAssign]]: the fixed iterations unrolled
     * into a generated CTE chain (`q` → seed `g0` → per-iteration
     * `n{i-1}` centroids / `a{i}` assignments / `g{i}` sums). `body`
@@ -323,49 +437,70 @@ object Similarity {
     * passes the IVF-search SQL instead, referencing `q` and the last
     * `a{iters}`. */
   def kmeansOracleSql(k: Int, iters: Int, dims: Int = 64,
-                      body: String = ""): String = {
+                      body: String = "", prefix: String = "",
+                      vecSql: String = "embedding",
+                      withFinalCentroids: Boolean = false): String =
+    "WITH " + kmeansCtes(k, iters, dims, prefix, vecSql, withFinalCentroids)
+      .mkString(",\n") + "\n" +
+      (if (body.nonEmpty) body
+       else s"SELECT vec_id, cluster FROM ${prefix}a$iters")
+
+  /** The CTE list of [[kmeansOracleSql]], exposed so a composite oracle
+    * (k08 runs one k-means PER SUBSPACE) can splice several prefixed
+    * instances into one WITH chain. `withFinalCentroids` appends
+    * `{prefix}c$iters(cluster, centroid)` — the raw (un-normalized)
+    * mean of the FINAL assignment, which ADC scoring consumes. */
+  def kmeansCtes(k: Int, iters: Int, dims: Int, prefix: String,
+                 vecSql: String,
+                 withFinalCentroids: Boolean): Seq[String] = {
+    val p = prefix
     def fold(a: String, b: String) =
       s"reduce(list_prepend(0.0, list_transform(range(1, ${dims + 1}), " +
         s"j -> $a[j] * $b[j])), (acc, x) -> acc + x)"
     def nrm(a: String) =
       s"sqrt(reduce(list_prepend(0.0, list_transform($a, x -> x * x)), (acc, x) -> acc + x))"
+    def gCte(name: String, src: String) =
+      s"""$name AS (
+         |  SELECT cluster, list(sq ORDER BY pos) AS sq, max(n) AS n FROM (
+         |    SELECT cluster, pos, sum(qe) AS sq, count(*) AS n FROM (
+         |      SELECT cluster, idx.j AS pos, qv[idx.j] AS qe
+         |      FROM $src, (SELECT unnest(range(1, ${dims + 1})) AS j) idx) e
+         |    GROUP BY 1, 2) p
+         |  GROUP BY cluster)""".stripMargin
     val ctes = scala.collection.mutable.ArrayBuffer[String]()
-    ctes += s"""q AS (
-       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
-       |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * $Quant) AS BIGINT)) AS qv
+    ctes += s"""${p}q AS (
+       |  SELECT vec_id, list_transform($vecSql, x -> x::DOUBLE) AS v,
+       |    list_transform($vecSql, x -> CAST(floor(x::DOUBLE * $Quant) AS BIGINT)) AS qv
        |  FROM embeddings)""".stripMargin
-    ctes += s"""g0 AS (
+    ctes += s"""${p}g0 AS (
        |  SELECT cluster, sq, n FROM (
        |    SELECT row_number() OVER (ORDER BY
        |        (((vec_id % $SeedP + $SeedP) % $SeedP) * $SeedA + $SeedB) % $SeedP,
        |        vec_id) AS cluster,
        |      qv AS sq, 1::BIGINT AS n
-       |    FROM q) s
+       |    FROM ${p}q) s
        |  WHERE cluster <= $k)""".stripMargin
     for (i <- 1 to iters) {
-      ctes += s"""n${i - 1} AS (
+      ctes += s"""${p}n${i - 1} AS (
          |  SELECT cluster, centroid, ${nrm("centroid")} AS cnrm FROM (
          |    SELECT cluster, list_transform(sq, s -> (s::DOUBLE / n::DOUBLE) / $Quant) AS centroid
-         |    FROM g${i - 1}) c)""".stripMargin
-      ctes += s"""a$i AS (
+         |    FROM ${p}g${i - 1}) c)""".stripMargin
+      ctes += s"""${p}a$i AS (
          |  SELECT vec_id, qv, cluster FROM (
-         |    SELECT q.vec_id, q.qv, c.cluster,
-         |      row_number() OVER (PARTITION BY q.vec_id
-         |        ORDER BY ${fold("q.v", "c.centroid")} / c.cnrm DESC, c.cluster) AS rnk
-         |    FROM q, n${i - 1} c) t
+         |    SELECT ${p}q.vec_id, ${p}q.qv, c.cluster,
+         |      row_number() OVER (PARTITION BY ${p}q.vec_id
+         |        ORDER BY ${fold(s"${p}q.v", "c.centroid")} / c.cnrm DESC, c.cluster) AS rnk
+         |    FROM ${p}q, ${p}n${i - 1} c) t
          |  WHERE rnk = 1)""".stripMargin
-      if (i < iters)
-        ctes += s"""g$i AS (
-           |  SELECT cluster, list(sq ORDER BY pos) AS sq, max(n) AS n FROM (
-           |    SELECT cluster, pos, sum(qe) AS sq, count(*) AS n FROM (
-           |      SELECT cluster, idx.j AS pos, qv[idx.j] AS qe
-           |      FROM a$i, (SELECT unnest(range(1, ${dims + 1})) AS j) idx) e
-           |    GROUP BY 1, 2) p
-           |  GROUP BY cluster)""".stripMargin
+      if (i < iters) ctes += gCte(s"${p}g$i", s"${p}a$i")
     }
-    val fin = if (body.nonEmpty) body
-      else s"SELECT vec_id, cluster FROM a$iters"
-    "WITH " + ctes.mkString(",\n") + "\n" + fin
+    if (withFinalCentroids) {
+      ctes += gCte(s"${p}g$iters", s"${p}a$iters")
+      ctes += s"""${p}c$iters AS (
+         |  SELECT cluster, list_transform(sq, s -> (s::DOUBLE / n::DOUBLE) / $Quant) AS centroid
+         |  FROM ${p}g$iters)""".stripMargin
+    }
+    ctes.toSeq
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -401,7 +536,11 @@ object Similarity {
           _ < NumProbes, TopK),
         knnLsh(Tables.embeddings(s, d), "vec_id", "embedding",
           _ < NumProbes, TopK),
-        TopK)))
+        TopK)),
+    // memory-compressed search: per-subspace codebooks + ADC lookups
+    "k08_pq_adc" -> ((s, d) =>
+      pqAdcKnn(Tables.embeddings(s, d), "vec_id", "embedding",
+        _ < NumProbes, TopK)))
 
   def oracle: Map[String, String] = {
     val wLists = (0 until NumPlanes).map { i =>
@@ -558,7 +697,71 @@ object Similarity {
            |             / ${TopK.toDouble} * 1000000.0) AS BIGINT) AS recall_q6
            |FROM exact e LEFT JOIN approx a
            |  ON e.probe_id = a.probe_id AND e.neighbor_id = a.neighbor_id
-           |GROUP BY e.probe_id""".stripMargin)
+           |GROUP BY e.probe_id""".stripMargin) +
+      // k08 — one prefixed k-means CTE chain per subspace, spliced into
+      // a single WITH; ADC = per-subspace distance tables joined onto
+      // the code tuples, score evaluated dt0 + dt1 like the Spark column
+      ("k08_pq_adc" -> {
+        val sub = 64 / PqSubspaces
+        // unit-normalized element j, mirroring Spark's dv[j] / |dv|
+        val nrmSql = "sqrt(reduce(list_prepend(0.0, list_transform(embedding, " +
+          "x -> x::DOUBLE * x::DOUBLE)), (acc, x) -> acc + x))"
+        def nSlice(i: Int) =
+          s"list_transform(range(${i * sub + 1}, ${(i + 1) * sub + 1}), " +
+            s"j -> embedding[j]::DOUBLE / $nrmSql)"
+        val subCtes = (0 until PqSubspaces).flatMap { i =>
+          kmeansCtes(PqK, PqIters, sub, s"s$i", nSlice(i),
+            withFinalCentroids = true)
+        }
+        def dot(a: String, b: String) =
+          s"reduce(list_prepend(0.0, list_transform(range(1, ${sub + 1}), " +
+            s"j -> $a[j] * $b[j])), (acc, x) -> acc + x)"
+        val probeCols = (0 until PqSubspaces).map(i =>
+          s"${nSlice(i)} AS pv$i").mkString(",\n    ")
+        val dtCtes = (0 until PqSubspaces).map(i =>
+          s"""dt$i AS (
+             |  SELECT p.vec_id AS probe_id, c.cluster AS c$i,
+             |    ${dot(s"p.pv$i", "c.centroid")} AS dt$i
+             |  FROM probes p, s${i}c$PqIters c)""".stripMargin)
+        val codeJoins = (1 until PqSubspaces).map(i =>
+          s"JOIN s${i}a$PqIters a$i ON a$i.vec_id = a0.vec_id").mkString("\n  ")
+        val dtJoins = (0 until PqSubspaces).map(i =>
+          if (i == 0) "JOIN dt0 d0 ON d0.c0 = a0.cluster"
+          else s"JOIN dt$i d$i ON d$i.c$i = a$i.cluster AND d$i.probe_id = d0.probe_id")
+          .mkString("\n  ")
+        val scoreSum = (0 until PqSubspaces).map(i => s"d$i.dt$i").mkString(" + ")
+        s"""WITH ${(subCtes ++ Seq(
+              s"probes AS (\n  SELECT vec_id,\n    $probeCols\n  FROM embeddings WHERE vec_id < $NumProbes)") ++
+              dtCtes).mkString(",\n")},
+           |scored AS (
+           |  SELECT d0.probe_id, a0.vec_id AS neighbor_id, $scoreSum AS adc
+           |  FROM s0a$PqIters a0
+           |  $codeJoins
+           |  $dtJoins
+           |  WHERE a0.vec_id <> d0.probe_id),
+           |shortlist AS (
+           |  SELECT probe_id, neighbor_id FROM (
+           |    SELECT probe_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY probe_id ORDER BY adc DESC, neighbor_id) AS arnk
+           |    FROM scored) t
+           |  WHERE arnk <= $PqRefine),
+           |fullnv AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding, x -> x::DOUBLE / $nrmSql) AS nv
+           |  FROM embeddings),
+           |exact AS (
+           |  SELECT s.probe_id, s.neighbor_id,
+           |    reduce(list_prepend(0.0, list_transform(range(1, 65),
+           |      j -> p.nv[j] * n.nv[j])), (acc, x) -> acc + x) AS score
+           |  FROM shortlist s
+           |  JOIN fullnv p ON p.vec_id = s.probe_id
+           |  JOIN fullnv n ON n.vec_id = s.neighbor_id),
+           |ranked AS (
+           |  SELECT probe_id, neighbor_id, score,
+           |    row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rnk
+           |  FROM exact)
+           |SELECT probe_id, rnk, neighbor_id, score FROM ranked WHERE rnk <= $TopK""".stripMargin
+      })
     }
   }
 }
