@@ -345,6 +345,33 @@ object Clusters {
   /** c09 iteration count: near-dup cliques mix in a handful of rounds. */
   val PageRankIters = 5
 
+  /** Per-node TRIANGLE participation (c11) — the local-clustering
+    * readout over the near-dup graph: a doc in many triangles sits in a
+    * dense clique (template/boilerplate family, the c09 hubs confirmed
+    * structurally), while a doc in a long chain of pairwise matches has
+    * none — the signal that separates "one template, many fills" from
+    * "chained paraphrase drift", which c01's components cannot see.
+    *
+    * The classic distributed shape: canonicalize each edge to u<v, then
+    * ONE self-join path e1(x,y)⋈e2(y,z)⋈e3(x,z) — with ordered edges,
+    * every triangle x<y<z materializes exactly once, so no /3 fudge and
+    * no double counting. Each join shuffles on its (long) key only;
+    * near-dup graphs are sparse so the wedge frame stays edge-bounded.
+    * Output: `(doc_id, n_triangles)` — docs in ≥1 triangle. */
+  def triangleCounts(pairs: DataFrame, a: String, b: String): DataFrame = {
+    val e = pairs.select(
+        least(col(a).cast("long"), col(b).cast("long")).as("u"),
+        greatest(col(a).cast("long"), col(b).cast("long")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .join(e.as("e3"),
+        col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** LEAKAGE-SAFE split assignment (c10) — the correctness fix to s03
     * that near-dup-aware pipelines need: hash-splitting on `doc_id`
     * sends two near-duplicates to train and test independently, so the
@@ -442,7 +469,13 @@ object Clusters {
       leakSafeSplit(Tables.documents(s, d), "doc_id",
         Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
           threshold = 0.6),
-        "doc_a", "doc_b", Sampling.DefaultSplits)))
+        "doc_a", "doc_b", Sampling.DefaultSplits)),
+    // clique density per doc over the same near-dup graph
+    "c11_triangles" -> ((s, d) =>
+      triangleCounts(
+        Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.6),
+        "doc_a", "doc_b")))
 
   /** The recursive connected-components fixpoint as oracle SQL: the
     * `edges → comp → lab(id, cluster)` CTE chain over a pair source.
@@ -529,6 +562,19 @@ object Clusters {
          |FROM sizes GROUP BY sz""".stripMargin,
     "c09_pagerank" ->
       pageRankOracleSql(Dedup.oracle("d02_ngram_jaccard"), PageRankIters),
+    // c11 — identical ordered-edge wedge join; every triangle x<y<z
+    // appears once, each member credited via unnest
+    "c11_triangles" ->
+      s"""WITH pairs AS (${Dedup.oracle("d02_ngram_jaccard")}),
+         |e AS (
+         |  SELECT DISTINCT least(doc_a, doc_b) AS u, greatest(doc_a, doc_b) AS v
+         |  FROM pairs WHERE doc_a <> doc_b),
+         |tri AS (
+         |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+         |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+         |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |m AS (SELECT unnest([x, y, z]) AS doc_id FROM tri)
+         |SELECT doc_id, count(*) AS n_triangles FROM m GROUP BY doc_id""".stripMargin,
     // c10 — the same CC fixpoint, rep = cluster label (else own id),
     // then s03's split CASE verbatim over rep_id
     "c10_leak_safe_split" ->

@@ -294,6 +294,26 @@ object Events {
           col("event_type"), col("last_pur_value"))
     }),
 
+    // CDC CHANGELOG COMPACTION: latest-wins MERGE semantics — the
+    // upsert/delete log every lakehouse ingestion job applies (Delta/
+    // Iceberg MERGE INTO, Kafka compacted-topic materialization).
+    // Each event upserts its user's state; 'error' tombstones it. The
+    // survivor per key is the max-(us, event_id) row, taken AFTER the
+    // tombstone decision so a trailing delete erases the key entirely.
+    // One exchange on the key; rn=1 means WindowGroupLimit prunes to a
+    // per-partition top-1 before the shuffle — the log itself never
+    // re-sorts globally. At 100 TB of changelog this is the canonical
+    // compaction shape: shuffle by key, keep one row per key.
+    "e17_cdc_merge" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us").desc, col("event_id").desc)
+      ev.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1 && col("event_type") =!= "error")
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("us").as("last_us"), col("value").as("last_value"))
+    }),
+
     // TRANSITION MATRIX: (previous event type → event type) bigram
     // counts per user journey — the first-order Markov readout behind
     // path analysis and next-event prediction features. One lag window
@@ -478,5 +498,20 @@ object Events {
         |  FROM ev)
         |SELECT prev_type, event_type, count(*) AS n
         |FROM lagged WHERE prev_type IS NOT NULL
-        |GROUP BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2""".stripMargin,
+    // e17 — latest row per key by (us, event_id), tombstones filtered
+    // AFTER the rank so a trailing delete erases the key
+    "e17_cdc_merge" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |    date_diff('microsecond', TIMESTAMP '1970-01-01', ts::TIMESTAMP) AS us
+        |  FROM events),
+        |ranked AS (
+        |  SELECT user_id, event_id, event_type, value, us,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY us DESC, event_id DESC) AS rn
+        |  FROM ev)
+        |SELECT user_id, event_id AS last_event_id, us AS last_us,
+        |  value AS last_value
+        |FROM ranked WHERE rn = 1 AND event_type <> 'error'""".stripMargin)
 }

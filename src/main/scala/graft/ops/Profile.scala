@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-validation operators (SURVEY.md §7.5 extensions): column
@@ -134,6 +135,43 @@ object Profile {
         expr("sum(abs(_s_q6 - _g_q6)) div 2").as("drift_q6"))
   }
 
+  /** Robust per-stratum OUTLIER report (v04): median + MAD (median
+    * absolute deviation) with the 3-MAD rule — the outlier monitor that
+    * survives the outliers themselves (mean/stddev get dragged by the
+    * very rows being hunted; the median does not).
+    *
+    * Exact integer arithmetic throughout: lower median = the
+    * `(cnt+1) div 2`-th order statistic (row_number ties on equal
+    * values pick different ROWS but the same VALUE, so the median is
+    * well-defined on both engines), deviations and the 3·MAD gate are
+    * long compares — no float anywhere.
+    *
+    * Scale note: the two per-stratum rank windows sort each stratum —
+    * exact and fine while strata are plentiful; for few huge strata the
+    * bounded-histogram quantile path (x05/x06) is the scale twin, the
+    * same exact-baseline / scale-path pairing as d05/d07.
+    * Output: `(stratum, med, mad, n_outliers, n_rows)`. */
+  def madOutliers(df: DataFrame, strata: String, value: String): DataFrame = {
+    val base = df.select(col(strata), col(value).cast("long").as("x"))
+    def med(in: DataFrame, c: String, out: String) = {
+      val w = Window.partitionBy(col(strata)).orderBy(col(c))
+      val cw = Window.partitionBy(col(strata))
+      in.withColumn("_rn", row_number().over(w))
+        .withColumn("_cnt", count(lit(1)).over(cw))
+        .filter(col("_rn") === expr("(_cnt + 1) div 2"))
+        .select(col(strata), col(c).as(out))
+    }
+    val m1 = med(base, "x", "med")
+    val dev = base.join(broadcast(m1), strata)
+      .withColumn("ad", abs(col("x") - col("med")))
+    val m2 = med(dev.select(col(strata), col("ad")), "ad", "mad")
+    dev.join(broadcast(m2), strata)
+      .groupBy(col(strata))
+      .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
+        sum(when(col("ad") > col("mad") * 3L, 1L).otherwise(0L)).as("n_outliers"),
+        count(lit(1)).as("n_rows"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_profile_columns" -> ((s, d) =>
       profileColumns(Tables.documents(s, d),
@@ -142,7 +180,9 @@ object Profile {
       checkConstraints(harnessRules(s, d))),
     "v03_drift" -> ((s, d) =>
       lengthDrift(Tables.documents(s, d), "source", "n_chars",
-        width = 64L, nBuckets = 10)))
+        width = 64L, nBuckets = 10)),
+    "v04_outliers" -> ((s, d) =>
+      madOutliers(Tables.documents(s, d), "source", "n_chars")))
 
   def oracle: Map[String, String] = Map(
     "v01_profile_columns" -> {
@@ -196,5 +236,26 @@ object Profile {
         |  CAST(sum(abs((cnt * 1000000) // tot
         |             - (gcnt * 1000000) // (SELECT gtot FROM gt))) // 2 AS BIGINT)
         |    AS drift_q6
-        |FROM dense GROUP BY source""".stripMargin)
+        |FROM dense GROUP BY source""".stripMargin,
+    // v04 — identical two-pass lower-median + 3·MAD gate, all longs
+    "v04_outliers" ->
+      """WITH b AS (SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents),
+        |m1 AS (
+        |  SELECT source, x AS med FROM (
+        |    SELECT source, x, row_number() OVER (PARTITION BY source ORDER BY x) AS rn,
+        |      count(*) OVER (PARTITION BY source) AS cnt FROM b) t
+        |  WHERE rn = (cnt + 1) // 2),
+        |dev AS (
+        |  SELECT b.source, b.x, m1.med, abs(b.x - m1.med) AS ad
+        |  FROM b JOIN m1 USING (source)),
+        |m2 AS (
+        |  SELECT source, ad AS mad FROM (
+        |    SELECT source, ad, row_number() OVER (PARTITION BY source ORDER BY ad) AS rn,
+        |      count(*) OVER (PARTITION BY source) AS cnt FROM dev) t
+        |  WHERE rn = (cnt + 1) // 2)
+        |SELECT dev.source, max(dev.med) AS med, max(m2.mad) AS mad,
+        |  CAST(sum(CASE WHEN dev.ad > 3 * m2.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  count(*) AS n_rows
+        |FROM dev JOIN m2 USING (source) GROUP BY dev.source""".stripMargin)
 }

@@ -180,6 +180,55 @@ class OpsSpec extends AnyFunSuite {
     assert(none.count() == 0)
   }
 
+  test("c11 triangles: K4 gives 3 per node, squares and chains give none") {
+    import spark.implicits._
+    // K4 on {1..4} (4 triangles, 3 per node), a 4-cycle on {10..13}
+    // (no triangles), a chain {20,21,22}; edge direction shuffled to
+    // exercise canonicalization, one duplicate + one self-loop ignored
+    val edges = Seq((1L, 2L), (3L, 1L), (1L, 4L), (2L, 3L), (4L, 2L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (13L, 12L), (10L, 13L),
+      (20L, 21L), (21L, 22L),
+      (2L, 1L), (5L, 5L)).toDF("doc_a", "doc_b")
+    val got = Clusters.triangleCounts(edges, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"K4 expected 3 per node, got $got")
+  }
+
+  test("e17 CDC compaction: latest upsert wins, trailing tombstone erases the key") {
+    import spark.implicits._
+    val sfDir = sf
+    val ev = Tables.events(spark, sfDir)
+    val got = Events.queries("e17_cdc_merge")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    // local recomputation: latest (us, event_id) row per user, dropped
+    // if it's an error tombstone
+    val local = ev.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+      .groupBy(_._1).view.mapValues(_.maxBy(t => (t._3, t._2))).toMap
+    val expected = local.filter(_._2._4 != "error")
+      .map { case (u, t) => u -> (t._2, t._5) }
+    assert(got == expected, "compaction must equal local latest-wins")
+    // at least one user IS erased by a trailing tombstone, else the
+    // delete path is vacuous on this data
+    assert(local.size > got.size, "no user ended on a tombstone")
+  }
+
+  test("v04 MAD outliers: hand-computed medians on a known frame") {
+    import spark.implicits._
+    // stratum a: x = 1,2,3,4,100 -> med 3 (lower), ad = 2,1,0,1,97,
+    // mad = 1 (lower median of 0,1,1,2,97), outliers: ad > 3 -> {100}
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("a", 100L),
+      ("b", 7L), ("b", 7L)).toDF("source", "n_chars")
+    val got = Profile.madOutliers(df, "source", "n_chars")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("a") == ((3L, 1L, 1L, 5L)), s"stratum a: ${got("a")}")
+    assert(got("b") == ((7L, 0L, 0L, 2L)), s"stratum b: ${got("b")}")
+  }
+
   test("c10 leak-safe split: clusters are split-atomic, singletons degenerate to s03") {
     val c10 = Clusters.queries("c10_leak_safe_split")(spark, sf)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
