@@ -540,7 +540,17 @@ object Similarity {
     // memory-compressed search: per-subspace codebooks + ADC lookups
     "k08_pq_adc" -> ((s, d) =>
       pqAdcKnn(Tables.embeddings(s, d), "vec_id", "embedding",
-        _ < NumProbes, TopK)))
+        _ < NumProbes, TopK)),
+    // recall@k of the PQ index vs the exact baseline (k07's metric
+    // pointed at the compressed index) — the number a deployment tunes
+    // refine/codebook against
+    "k09_pq_recall" -> ((s, d) =>
+      recallAtK(
+        knnBrute(Tables.embeddings(s, d), "vec_id", "embedding",
+          _ < NumProbes, TopK),
+        pqAdcKnn(Tables.embeddings(s, d), "vec_id", "embedding",
+          _ < NumProbes, TopK),
+        TopK)))
 
   def oracle: Map[String, String] = {
     val wLists = (0 until NumPlanes).map { i =>
@@ -688,20 +698,23 @@ object Similarity {
            |SELECT probe_id, rnk, neighbor_id, cell, cos FROM ranked WHERE rnk <= 3""".stripMargin)) match {
       // k07 composes the k01/k02 texts verbatim (the recall of the
       // approximate list against the exact one, per probe)
-      case m => m + ("k07_lsh_recall" ->
-        s"""WITH exact AS (${m("k01_knn_brute")}),
-           |approx AS (${m("k02_knn_lsh")})
-           |SELECT e.probe_id,
-           |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-           |  CAST(round(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
-           |             / ${TopK.toDouble} * 1000000.0) AS BIGINT) AS recall_q6
-           |FROM exact e LEFT JOIN approx a
-           |  ON e.probe_id = a.probe_id AND e.neighbor_id = a.neighbor_id
-           |GROUP BY e.probe_id""".stripMargin) +
-      // k08 — one prefixed k-means CTE chain per subspace, spliced into
-      // a single WITH; ADC = per-subspace distance tables joined onto
-      // the code tuples, score evaluated dt0 + dt1 like the Spark column
-      ("k08_pq_adc" -> {
+      case m =>
+        // recall readout shared by k07 (LSH) and k09 (PQ): overlap of
+        // the approximate list against the exact one, per probe
+        def recallSql(approxSql: String) =
+          s"""WITH exact AS (${m("k01_knn_brute")}),
+             |approx AS ($approxSql)
+             |SELECT e.probe_id,
+             |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+             |  CAST(round(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             |             / ${TopK.toDouble} * 1000000.0) AS BIGINT) AS recall_q6
+             |FROM exact e LEFT JOIN approx a
+             |  ON e.probe_id = a.probe_id AND e.neighbor_id = a.neighbor_id
+             |GROUP BY e.probe_id""".stripMargin
+        // k08 — one prefixed k-means CTE chain per subspace, spliced into
+        // a single WITH; ADC = per-subspace distance tables joined onto
+        // the code tuples, score evaluated dt0 + dt1 + … like Spark
+        val k08Sql = {
         val sub = 64 / PqSubspaces
         // unit-normalized element j, mirroring Spark's dv[j] / |dv|
         val nrmSql = "sqrt(reduce(list_prepend(0.0, list_transform(embedding, " +
@@ -761,7 +774,10 @@ object Similarity {
            |    row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rnk
            |  FROM exact)
            |SELECT probe_id, rnk, neighbor_id, score FROM ranked WHERE rnk <= $TopK""".stripMargin
-      })
+        }
+        m + ("k07_lsh_recall" -> recallSql(m("k02_knn_lsh"))) +
+          ("k08_pq_adc" -> k08Sql) +
+          ("k09_pq_recall" -> recallSql(k08Sql))
     }
   }
 }
