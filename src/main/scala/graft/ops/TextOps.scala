@@ -321,6 +321,53 @@ object TextOps {
           / denom)) * lit(1e6)).cast("long").as("logp_q6"))
   }
 
+  /** Bigram-LM quality score (t13) — one rung up t10's ladder, the
+    * KenLM-style fluency proxy: each document scores the mean
+    * log-probability of its token BIGRAMS under an add-one-smoothed
+    * conditional model `P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V+1)` learned
+    * from the corpus in the same job. Word-salad scores low even when
+    * every individual word is common — the failure mode a unigram
+    * filter cannot see.
+    *
+    * Both model tables TRUNCATE (top `bigramTop` bigrams, t10's top-V
+    * unigrams for the conditioning counts; everything else takes the
+    * smoothing floor), so the broadcasts stay bounded at any corpus
+    * size — the same scale contract as t10, and the same shuffle shape:
+    * per-doc partials collapse the bigram explode before its exchange,
+    * nothing token-sized ever shuffles. Micro-unit quantized; docs with
+    * <2 tokens are absent (no bigrams to score).
+    * Output: `(doc_id, n_bigrams, logp2_q6)`. */
+  def bigramLogProb(docs: DataFrame, id: String, text: String,
+                    vocabSize: Int = 32, bigramTop: Int = 64): DataFrame = {
+    val words = s"filter(split($text, ' '), x -> x <> '')"
+    // guard: slice() throws on negative length, so short docs (<2
+    // tokens) take the empty-array branch and explode to nothing
+    val bigrams = docs.select(col(id).as("doc_id"),
+        explode(expr(
+          s"IF(size($words) >= 2, " +
+            s"zip_with(slice($words, 1, size($words) - 1), " +
+            s"slice($words, 2, size($words) - 1), (a, b) -> concat(a, ' ', b)), " +
+            "array())"))
+          .as("bigram"))
+    val toks = docs.select(col(id).as("doc_id"),
+      explode(expr(words)).as("token"))
+    val uniTop = toks.groupBy(col("token")).agg(count(lit(1)).as("c1"))
+      .orderBy(col("c1").desc, col("token")).limit(vocabSize)
+      .withColumnRenamed("token", "w1")
+    val biTop = bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+      .orderBy(col("c2").desc, col("bigram")).limit(bigramTop)
+    bigrams
+      .join(broadcast(biTop), Seq("bigram"), "left")
+      .withColumn("w1", expr("split_part(bigram, ' ', 1)"))
+      .join(broadcast(uniTop), Seq("w1"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(log((coalesce(col("c2"), lit(0L)) + lit(1)).cast("double")
+            / (coalesce(col("c1"), lit(0L)) + lit(vocabSize) + lit(1)).cast("double")))
+          * lit(1e6)).cast("long").as("logp2_q6"))
+  }
+
   /** Per-document word-distribution entropy (t11) — Shannon entropy of
     * the doc's unigram histogram, `ln n − (Σ c·ln c)/n`: 0 for a
     * one-word-repeated doc, `ln n` for all-distinct; with t08's
@@ -392,7 +439,9 @@ object TextOps {
         .select("doc_id", "n_words", "entropy_q6")),
     "t12_dedup_adjacent" -> ((s, d) =>
       withDedupAdjacent(Tables.documents(s, d), "text")
-        .select("doc_id", "cleaned", "n_removed")))
+        .select("doc_id", "cleaned", "n_removed")),
+    "t13_bigram_logprob" -> ((s, d) =>
+      bigramLogProb(Tables.documents(s, d), "doc_id", "text")))
 
   def oracle: Map[String, String] = Map(
     "t01_token_freq" ->
@@ -521,5 +570,30 @@ object TextOps {
         |  array_to_string(list_filter(w, (x, i) -> i = 1 OR x <> w[i-1]), ' ') AS cleaned,
         |  CAST(len(w) - len(list_filter(w, (x, i) -> i = 1 OR x <> w[i-1])) AS BIGINT) AS n_removed
         |FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
-        |      FROM documents) t""".stripMargin)
+        |      FROM documents) t""".stripMargin,
+    // t13 — the truncated bigram model relationally: top-64 bigrams /
+    // top-32 conditioning unigrams, add-one smoothing over (c1 + V + 1)
+    "t13_bigram_logprob" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram
+        |  FROM w),
+        |toks AS (SELECT doc_id, unnest(w) AS token FROM w),
+        |uni AS (
+        |  SELECT token AS w1, c1 FROM (
+        |    SELECT token, count(*) AS c1 FROM toks GROUP BY token
+        |    ORDER BY c1 DESC, token LIMIT 32) u),
+        |bt AS (
+        |  SELECT bigram, count(*) AS c2 FROM bi GROUP BY bigram
+        |  ORDER BY c2 DESC, bigram LIMIT 64)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(round(avg(ln((COALESCE(bt.c2, 0) + 1)::DOUBLE
+        |    / (COALESCE(uni.c1, 0) + 32 + 1)::DOUBLE)) * 1000000.0) AS BIGINT)
+        |    AS logp2_q6
+        |FROM bi LEFT JOIN bt USING (bigram)
+        |LEFT JOIN uni ON uni.w1 = split_part(bigram, ' ', 1)
+        |GROUP BY doc_id""".stripMargin)
 }

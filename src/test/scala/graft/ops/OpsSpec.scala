@@ -1413,6 +1413,29 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3L)._3 == math.round(math.log(1.0 / 16.0) * 1e6))
   }
 
+  test("t13 bigram score separates coherent text from same-unigram word salad") {
+    import spark.implicits._
+    // corpus bigram counts: "a b"=3, "b a"=3, rest 1 each → top-2 model
+    // keeps exactly {a b, b a}; unigrams a=6, b=5 → top-2 vocab {a, b}
+    val docs = Seq((1L, "a b a b a b"), (2L, "b b a a"), (3L, "a z"),
+      (4L, "solo")).toDF("doc_id", "text")
+    val out = TextOps.bigramLogProb(docs, "doc_id", "text",
+        vocabSize = 2, bigramTop = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // 1-token doc has no bigrams → absent, not zero-scored
+    assert(!out.contains(4L))
+    assert(out(1L)._1 == 5L, "n_bigrams counts every adjacent pair")
+    // doc 2 reuses doc 1's unigrams but its bigrams are mostly unseen
+    assert(out(1L)._2 > out(2L)._2,
+      s"word salad must score below coherent text: $out")
+    // closed form, doc 3: single OOV bigram, conditioned on a (c1=6):
+    // ln((0+1)/(6+2+1))
+    assert(out(3L)._2 == math.round(math.log(1.0 / 9.0) * 1e6))
+    // closed form, doc 1: ab×3 at ln(4/9), ba×2 at ln(4/8)
+    assert(out(1L)._2 == math.round(
+      (3 * math.log(4.0 / 9.0) + 2 * math.log(4.0 / 8.0)) / 5.0 * 1e6))
+  }
+
   test("a01 global packing equals a sequential scan and is partition-invariant") {
     import spark.implicits._
     val cap = 10L
