@@ -430,6 +430,88 @@ object Similarity {
     topKPerProbe(exact, k).withColumnRenamed("cos", "score")
   }
 
+  /** Random-projection width (k10): 64-dim embeddings sketch to 16
+    * signed-sum coordinates — a 4× bandwidth cut with JL-style distance
+    * preservation adequate for shortlisting (the refine pass restores
+    * exactness). */
+  val RpDims = 16
+
+  /** Shortlist depth for k10's exact re-rank (same role as [[PqRefine]]). */
+  val RpRefine = 50
+
+  /** ±1 projection sign `s(i,j)` from a splitmix64 finalizer over the
+    * flat index — NOT the [[weight]] LCG: that one is affine in
+    * `i·dims+j`, so row `i+1` would be row `i`'s sequence shifted by
+    * `dims` and the 16 sketch rows would be strongly correlated
+    * (effective rank ≪ 16, measured top-1 recall 3/10). The avalanche
+    * mix makes rows independent. Both engines consume the signs as
+    * baked literals, so portability never constrains the formula. */
+  def rpSign(i: Int, j: Int, dims: Int = 64): Int = {
+    var z = (i.toLong * dims + j) + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    if ((z ^ (z >>> 31)) >= 0) 1 else -1
+  }
+
+  /** Random-projection k-NN (k10) — the DIMENSIONALITY-reduction ANN
+    * path (sign random projection / sparse JL, Achlioptas 2003):
+    * L2-normalize, sketch every vector once to [[RpDims]] coordinates
+    * `p_i = Σ_j s(i,j)·v_j` with a deterministic ±1 matrix, shortlist
+    * per probe by the cosine OF THE SKETCHES, and re-rank the top
+    * `refine` survivors by exact cosine on the full vectors — the
+    * third member of the compressed-index family: k02 prunes by
+    * bucket equality (recall cliff when a true neighbor lands one
+    * bucket over), k08 compresses to code tuples (needs training),
+    * k10 is training-free and keeps a graded distance so the
+    * shortlist ranking degrades smoothly.
+    *
+    * Scale shape: the sketch is one codegen'd map pass over the corpus
+    * (projection matrix is a literal — nothing broadcast, nothing
+    * trained); candidate scoring reads 16 doubles per pair instead of
+    * 64 (at 100 TB of vectors the scoring stage is memory-bandwidth
+    * bound, so the 4× sketch cut is a ~4× scan cut); probes broadcast;
+    * the full-width floats are touched only for the `refine`-deep
+    * shortlist. Composes with k02's bucketing when probe volume makes
+    * even sketched all-pairs too hot.
+    *
+    * Determinism: ±1·x products are exact in IEEE, both engines
+    * left-fold the same order, and ties break on neighbor_id — the
+    * same cross-engine contract as k08. Output: `(probe_id, rnk,
+    * neighbor_id, score)`, score = exact unit-vector cosine. */
+  def rpKnn(vectors: DataFrame, id: String, vec: String,
+            isProbe: Column => Column, k: Int,
+            pdims: Int = RpDims, dims: Int = 64,
+            refine: Int = RpRefine): DataFrame = {
+    graft.functions.VectorFunctions.register(vectors.sparkSession)
+    val vn = vectors.select(col(id).as("vec_id"),
+        expr(s"transform($vec, x -> cast(x as double))").as("dv"))
+      .withColumn("nrm", expr("sqrt(graft_dot(dv, dv))"))
+      .select(col("vec_id"), expr("transform(dv, x -> x / nrm)").as("nv"))
+    val projCols = (0 until pdims).map { i =>
+      val s = (0 until dims).map(j => s"${rpSign(i, j, dims)}D").mkString(", ")
+      expr(s"graft_dot(nv, array($s))")
+    }
+    val vp = vn.withColumn("pv", array(projCols: _*))
+      .withColumn("pnrm", expr("sqrt(graft_dot(pv, pv))"))
+      .select("vec_id", "pv", "pnrm")
+    val probes = vp.filter(isProbe(col("vec_id")))
+    val scored = vp.as("b").join(broadcast(probes.as("a")),
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("probe_id"), col("b.vec_id").as("neighbor_id"),
+        expr("graft_dot(a.pv, b.pv) / (a.pnrm * b.pnrm)").as("pcos"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("pcos").desc, col("neighbor_id"))
+    val shortlist = scored.withColumn("arnk", row_number().over(w))
+      .filter(col("arnk") <= refine)
+      .select(col("probe_id"), col("neighbor_id"))
+    val exact = shortlist
+      .join(vn.select(col("vec_id").as("probe_id"), col("nv").as("pnv")), "probe_id")
+      .join(vn.select(col("vec_id").as("neighbor_id"), col("nv").as("nnv")), "neighbor_id")
+      .select(col("probe_id"), col("neighbor_id"),
+        expr("graft_dot(pnv, nnv)").as("cos"))
+    topKPerProbe(exact, k).withColumnRenamed("cos", "score")
+  }
+
   /** DuckDB replay of [[kmeansAssign]]: the fixed iterations unrolled
     * into a generated CTE chain (`q` → seed `g0` → per-iteration
     * `n{i-1}` centroids / `a{i}` assignments / `g{i}` sums). `body`
@@ -550,7 +632,12 @@ object Similarity {
           _ < NumProbes, TopK),
         pqAdcKnn(Tables.embeddings(s, d), "vec_id", "embedding",
           _ < NumProbes, TopK),
-        TopK)))
+        TopK)),
+    // training-free compressed search: ±1 sketch shortlist + exact
+    // refine — the dimensionality-reduction member of the index family
+    "k10_rp_knn" -> ((s, d) =>
+      rpKnn(Tables.embeddings(s, d), "vec_id", "embedding",
+        _ < NumProbes, TopK)))
 
   def oracle: Map[String, String] = {
     val wLists = (0 until NumPlanes).map { i =>
@@ -775,9 +862,56 @@ object Similarity {
            |  FROM exact)
            |SELECT probe_id, rnk, neighbor_id, score FROM ranked WHERE rnk <= $TopK""".stripMargin
         }
+        // k10 — the ±1 sketch relationally: literal sign lists (the
+        // same LCG rows as Spark), sketch-cosine shortlist, exact
+        // re-rank on the unit vectors; every fold left-to-right in
+        // index order like graft_dot
+        val k10Sql = {
+          val nrmSql = "sqrt(reduce(list_prepend(0.0, list_transform(embedding, " +
+            "x -> x::DOUBLE * x::DOUBLE)), (acc, x) -> acc + x))"
+          val projCols = (0 until RpDims).map { i =>
+            val s = (0 until 64).map(j => rpSign(i, j)).mkString("[", ", ", "]")
+            s"reduce(list_prepend(0.0, list_transform(range(1, 65), " +
+              s"j -> nv[j] * ($s::DOUBLE[])[j])), (acc, x) -> acc + x)"
+          }.mkString("[", ",\n    ", "]")
+          s"""WITH fullnv AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding, x -> x::DOUBLE / $nrmSql) AS nv
+             |  FROM embeddings),
+             |p AS (
+             |  SELECT vec_id, $projCols AS pv FROM fullnv),
+             |pp AS (
+             |  SELECT vec_id, pv,
+             |    sqrt(reduce(list_prepend(0.0, list_transform(pv, x -> x * x)), (acc, x) -> acc + x)) AS pnrm
+             |  FROM p),
+             |sc AS (
+             |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+             |    reduce(list_prepend(0.0, list_transform(range(1, ${RpDims + 1}), i -> a.pv[i] * b.pv[i])), (acc, x) -> acc + x)
+             |      / (a.pnrm * b.pnrm) AS pcos
+             |  FROM pp a JOIN pp b ON a.vec_id < $NumProbes AND a.vec_id <> b.vec_id),
+             |shortlist AS (
+             |  SELECT probe_id, neighbor_id FROM (
+             |    SELECT probe_id, neighbor_id,
+             |      row_number() OVER (PARTITION BY probe_id ORDER BY pcos DESC, neighbor_id) AS arnk
+             |    FROM sc) t
+             |  WHERE arnk <= $RpRefine),
+             |exact AS (
+             |  SELECT s.probe_id, s.neighbor_id,
+             |    reduce(list_prepend(0.0, list_transform(range(1, 65),
+             |      j -> p.nv[j] * n.nv[j])), (acc, x) -> acc + x) AS score
+             |  FROM shortlist s
+             |  JOIN fullnv p ON p.vec_id = s.probe_id
+             |  JOIN fullnv n ON n.vec_id = s.neighbor_id),
+             |ranked AS (
+             |  SELECT probe_id, neighbor_id, score,
+             |    row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rnk
+             |  FROM exact)
+             |SELECT probe_id, rnk, neighbor_id, score FROM ranked WHERE rnk <= $TopK""".stripMargin
+        }
         m + ("k07_lsh_recall" -> recallSql(m("k02_knn_lsh"))) +
           ("k08_pq_adc" -> k08Sql) +
-          ("k09_pq_recall" -> recallSql(k08Sql))
+          ("k09_pq_recall" -> recallSql(k08Sql)) +
+          ("k10_rp_knn" -> k10Sql)
     }
   }
 }

@@ -792,6 +792,32 @@ class OpsSpec extends AnyFunSuite {
       s"top-1 agreement $agree/${Similarity.NumProbes} below half")
   }
 
+  test("k10 RP sketch+refine: structure, exact scores on survivors, useful recall") {
+    val rows = Similarity.queries("k10_rp_knn")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byProbe = rows.groupBy(_._1)
+    assert(byProbe.keySet == (0L until Similarity.NumProbes).toSet)
+    byProbe.values.foreach { rs =>
+      assert(rs.sortBy(_._2).map(_._2).toSeq == (1L to Similarity.TopK).toSeq)
+      assert(rs.forall(r => r._3 != r._1), "no self-neighbor")
+    }
+    // survivors carry EXACT cosines (same contract as k08)
+    val brute = Similarity.queries("k01_knn_brute")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    rows.foreach { case (p, _, n, s) =>
+      brute.get((p, n)).foreach(c =>
+        assert(math.abs(c - s) < 1e-9, s"($p,$n): k10 $s vs k01 $c"))
+    }
+    // a 16-dim ±1 sketch preserves cosine order well enough that most
+    // probes' true nearest neighbor survives the 50-deep shortlist
+    val top1 = rows.filter(_._2 == 1L).map(r => r._1 -> r._3).toMap
+    val bruteTop1 = Similarity.queries("k01_knn_brute")(spark, sf).collect()
+      .filter(_.getLong(1) == 1L).map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val agree = bruteTop1.count { case (p, n) => top1.get(p).contains(n) }
+    assert(agree >= Similarity.NumProbes / 2,
+      s"top-1 agreement $agree/${Similarity.NumProbes} below half")
+  }
+
   test("k01 brute-force top-k: ranks 1..5 per probe, ordered by cosine") {
     val rows = Similarity.queries("k01_knn_brute")(spark, sf).collect()
       .groupBy(_.getLong(0))
