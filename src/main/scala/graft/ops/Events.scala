@@ -22,6 +22,13 @@ object Events {
   private def decSum(c: org.apache.spark.sql.Column) =
     sum(c.cast(DecimalType(18, 2))).cast("double")
 
+  // shared by e01 (direct) and e18 (incremental refresh ≡ recompute)
+  private val E01Sql =
+    """SELECT epoch(time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP))::BIGINT AS hour_epoch,
+      |  event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   /** Batch sessionization: per-key session count with an inactivity-gap
     * rule — lag window + running flag sum. The stateful-streaming
     * counterpart with identical semantics is
@@ -40,6 +47,31 @@ object Events {
       .agg((sum(col("_new_sess")) + 1L).as("n_sessions"),
         count(lit(1)).as("n_events"))
   }
+
+  /** Mergeable hourly aggregate STATE (e18): per (hour, type) the
+    * count and the EXACT decimal value sum — kept as decimal, not yet
+    * surfaced as double, so states add associatively with zero drift
+    * (decimal addition is exact; summing pre-cast doubles would make
+    * the refreshed view diverge from a recompute by float
+    * reassociation). */
+  def hourlyAggState(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col("value").cast(DecimalType(18, 2))).as("_sv"))
+      .select(col("w.start").cast("long").as("hour_epoch"),
+        col("event_type"), col("_n"), col("_sv"))
+
+  /** Merge [[hourlyAggState]] frames into the readout view: union the
+    * partials and re-aggregate — the same shape as Spark's own
+    * partial-final aggregation, lifted to the job level. Groups
+    * touched by only one input pass through; overlapping groups add
+    * their exact partials. Readout matches e01's schema. */
+  def mergeHourlyStates(states: DataFrame*): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy(col("hour_epoch"), col("event_type"))
+      .agg(sum(col("_n")).as("n_events"),
+        sum(col("_sv")).cast("double").as("total_value"))
 
   /** Per-(day, user) decimal spend — the e11 aggregation stage, shared
     * with [[graft.streaming.TrendStream]] so batch and stream-fed
@@ -70,6 +102,23 @@ object Events {
         .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("total_value"))
         .select(col("w.start").cast("long").as("hour_epoch"),
           col("event_type"), col("n_events"), col("total_value"))
+    }),
+
+    // Incremental materialized-view refresh: e01's hourly view, but
+    // computed as merge(state(base), state(delta)) around a fixed
+    // ingest cutoff — the maintenance path that never rescans the base
+    // corpus when a day of events lands (at 100 TB the base state is a
+    // stored table and only the delta is aggregated; here both sides
+    // derive from one scan to stay a pure query). The oracle is e01's
+    // text VERBATIM: refresh ≡ full recompute is the correctness
+    // contract of incremental maintenance, and exact decimal partials
+    // make it hold bit-for-bit, not approximately.
+    "e18_incremental_refresh" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cutoff = lit("2024-01-24 00:00:00").cast("timestamp")
+      mergeHourlyStates(
+        hourlyAggState(ev.filter(col("ts") < cutoff)),
+        hourlyAggState(ev.filter(!(col("ts") < cutoff))))
     }),
 
     // TRENDING: top-3 users by spend per daily window — the tumbling
@@ -330,11 +379,11 @@ object Events {
     }))
 
   def oracle: Map[String, String] = Map(
-    "e01_tumbling_hourly" ->
-      """SELECT epoch(time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP))::BIGINT AS hour_epoch,
-        |  event_type, count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY 1, 2""".stripMargin,
+    "e01_tumbling_hourly" -> E01Sql,
+    // e18 — incremental refresh must equal the full recompute, so the
+    // oracle IS e01's text: any drift in the state/merge path (float
+    // partials, lost groups, double-counted overlap) breaks the hash
+    "e18_incremental_refresh" -> E01Sql,
     "e11_trending_topk" ->
       """WITH agg AS (
         |  SELECT epoch(time_bucket(INTERVAL 1 DAY, ts::TIMESTAMP))::BIGINT AS day_epoch,

@@ -216,6 +216,38 @@ class OpsSpec extends AnyFunSuite {
     assert(local.size > got.size, "no user ended on a tombstone")
   }
 
+  test("e18 state merge: base-only, overlap, and delta-only groups add exactly") {
+    import spark.implicits._
+    val ts = (h: Int, m: Int) =>
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val ev = Seq(
+      (ts(0, 10), "view", 1.25), (ts(0, 40), "view", 2.50),   // base only
+      (ts(1, 5), "click", 3.00),                              // overlap: base half
+      (ts(1, 55), "click", 4.75),                             // overlap: delta half
+      (ts(2, 30), "buy", 10.00)                               // delta only
+    ).toDF("ts", "event_type", "value")
+    val cut = ts(1, 30)
+    def refreshed(splits: org.apache.spark.sql.DataFrame*) =
+      Events.mergeHourlyStates(splits.map(Events.hourlyAggState): _*)
+        .collect().map(r =>
+          (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+    val two = refreshed(ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut))
+    val direct = refreshed(ev)
+    assert(two == direct, "refresh must equal full recompute")
+    // hand-checked groups: overlap hour sums across both inputs
+    val h = 3600L
+    val t0 = ts(0, 0).toInstant.getEpochSecond
+    assert(two((t0, "view")) == ((2L, 3.75)))
+    assert(two((t0 + h, "click")) == ((2L, 7.75)))
+    assert(two((t0 + 2 * h, "buy")) == ((1L, 10.0)))
+    // three-way split (associativity of the merge) agrees too
+    val three = refreshed(ev.filter(col("event_type") === "view"),
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "buy"))
+    assert(three == direct)
+  }
+
   test("v04 MAD outliers: hand-computed medians on a known frame") {
     import spark.implicits._
     // stratum a: x = 1,2,3,4,100 -> med 3 (lower), ad = 2,1,0,1,97,
