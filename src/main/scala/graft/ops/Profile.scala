@@ -172,6 +172,33 @@ object Profile {
         count(lit(1)).as("n_rows"))
   }
 
+  /** Candidate-KEY check (v05): does `keys` identify rows? One row:
+    * group count, number of groups with >1 row, verdict. The groupBy
+    * shuffles on the key columns with map-side partials, then collapses
+    * to a single row — nothing group-sized ever reaches the driver. */
+  def keyCheck(df: DataFrame, name: String, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_c"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("_c") > 1L, 1L).otherwise(0L)).as("n_violations"))
+      .select(lit(name).as("chk"), col("n_groups"), col("n_violations"),
+        (col("n_violations") === 0L).as("holds"))
+
+  /** Functional-dependency check (v05): does `det → dep` hold? A group
+    * violates when it maps to >1 distinct dependent value (null-only
+    * groups don't — count(DISTINCT) ignores nulls on both engines).
+    * A key check is the FD `keys → rowid`; an FD through a unique
+    * determinant holds trivially — both facts a schema-discovery pass
+    * exploits. Same collapsed-to-one-row scale shape as [[keyCheck]];
+    * the single distinct aggregate plans as a two-phase agg, not an
+    * Expand. */
+  def fdCheck(df: DataFrame, name: String, det: Seq[String],
+              dep: String): DataFrame =
+    df.groupBy(det.map(col): _*).agg(countDistinct(col(dep)).as("_nd"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("_nd") > 1L, 1L).otherwise(0L)).as("n_violations"))
+      .select(lit(name).as("chk"), col("n_groups"), col("n_violations"),
+        (col("n_violations") === 0L).as("holds"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_profile_columns" -> ((s, d) =>
       profileColumns(Tables.documents(s, d),
@@ -182,7 +209,28 @@ object Profile {
       lengthDrift(Tables.documents(s, d), "source", "n_chars",
         width = 64L, nBuckets = 10)),
     "v04_outliers" -> ((s, d) =>
-      madOutliers(Tables.documents(s, d), "source", "n_chars")))
+      madOutliers(Tables.documents(s, d), "source", "n_chars")),
+
+    // schema discovery over real and deliberately-false hypotheses: a
+    // held key (doc_id), the lineitem PK pair (which the SYNTHETIC
+    // data violates — the profiler catching a broken assumption is the
+    // point), a violated key (l_orderkey alone), an FD through a
+    // unique determinant (holds by construction), and two
+    // data-dependent FDs
+    "v05_fd_keys" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val li = Tables.lineitem(s, d)
+      keyCheck(docs, "key: documents.doc_id", Seq("doc_id"))
+        .unionByName(keyCheck(li, "key: lineitem(l_orderkey, l_linenumber)",
+          Seq("l_orderkey", "l_linenumber")))
+        .unionByName(keyCheck(li, "key: lineitem.l_orderkey",
+          Seq("l_orderkey")))
+        .unionByName(fdCheck(Tables.nation(s, d),
+          "fd: n_nationkey -> n_regionkey", Seq("n_nationkey"), "n_regionkey"))
+        .unionByName(fdCheck(Tables.orders(s, d),
+          "fd: o_custkey -> o_orderpriority", Seq("o_custkey"), "o_orderpriority"))
+        .unionByName(fdCheck(docs, "fd: source -> lang", Seq("source"), "lang"))
+    }))
 
   def oracle: Map[String, String] = Map(
     "v01_profile_columns" -> {
@@ -257,5 +305,29 @@ object Profile {
         |  CAST(sum(CASE WHEN dev.ad > 3 * m2.mad THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_outliers,
         |  count(*) AS n_rows
-        |FROM dev JOIN m2 USING (source) GROUP BY dev.source""".stripMargin)
+        |FROM dev JOIN m2 USING (source) GROUP BY dev.source""".stripMargin,
+
+    // v05 — each check collapses its grouped counts the same way; CHECK
+    // is reserved in SQL, hence `chk`
+    "v05_fd_keys" -> {
+      def key(name: String, table: String, keys: String) =
+        s"""SELECT '$name' AS chk, count(*) AS n_groups,
+           |  CAST(count(CASE WHEN c > 1 THEN 1 END) AS BIGINT) AS n_violations,
+           |  count(CASE WHEN c > 1 THEN 1 END) = 0 AS holds
+           |FROM (SELECT count(*) AS c FROM $table GROUP BY $keys) g""".stripMargin
+      def fd(name: String, table: String, det: String, dep: String) =
+        s"""SELECT '$name' AS chk, count(*) AS n_groups,
+           |  CAST(count(CASE WHEN nd > 1 THEN 1 END) AS BIGINT) AS n_violations,
+           |  count(CASE WHEN nd > 1 THEN 1 END) = 0 AS holds
+           |FROM (SELECT count(DISTINCT $dep) AS nd FROM $table GROUP BY $det) g""".stripMargin
+      Seq(
+        key("key: documents.doc_id", "documents", "doc_id"),
+        key("key: lineitem(l_orderkey, l_linenumber)", "lineitem",
+          "l_orderkey, l_linenumber"),
+        key("key: lineitem.l_orderkey", "lineitem", "l_orderkey"),
+        fd("fd: n_nationkey -> n_regionkey", "nation", "n_nationkey", "n_regionkey"),
+        fd("fd: o_custkey -> o_orderpriority", "orders", "o_custkey", "o_orderpriority"),
+        fd("fd: source -> lang", "documents", "source", "lang")
+      ).mkString("\nUNION ALL\n")
+    })
 }

@@ -248,6 +248,24 @@ class OpsSpec extends AnyFunSuite {
     assert(three == direct)
   }
 
+  test("v05 key/FD checks on a crafted frame") {
+    import spark.implicits._
+    val df = Seq((1L, "a", "x"), (2L, "a", "x"), (3L, "a", "y"),
+      (3L, "b", "z"), (4L, "b", "z")).toDF("id", "g", "v")
+    def one(out: org.apache.spark.sql.DataFrame) = {
+      val r = out.collect().head
+      (r.getLong(1), r.getLong(2), r.getBoolean(3))
+    }
+    // id has one duplicated value (3) among 4 groups
+    assert(one(Profile.keyCheck(df, "k", Seq("id"))) == ((4L, 1L, false)))
+    // (id, g) identifies rows
+    assert(one(Profile.keyCheck(df, "k2", Seq("id", "g"))) == ((5L, 0L, true)))
+    // g=a maps to {x, y} -> violated; g=b maps to {z} -> fine
+    assert(one(Profile.fdCheck(df, "f", Seq("g"), "v")) == ((2L, 1L, false)))
+    // v -> g holds (x->a, y->a, z->b)
+    assert(one(Profile.fdCheck(df, "f2", Seq("v"), "g")) == ((3L, 0L, true)))
+  }
+
   test("v04 MAD outliers: hand-computed medians on a known frame") {
     import spark.implicits._
     // stratum a: x = 1,2,3,4,100 -> med 3 (lower), ad = 2,1,0,1,97,
