@@ -62,7 +62,58 @@ object Skew {
     saltedFact.join(repDim, Seq(factKey, "_salt")).drop("_salt")
   }
 
+  /** AUTO-salted join (q39) — [[saltedJoin]] with the hot keys
+    * DETECTED, not declared, and the mitigation applied ONLY to them
+    * (differential salting): a per-key fact count keeps keys at or
+    * above `hotThreshold`; that hot list — at most `|fact| /
+    * hotThreshold` keys, so broadcast-bounded by construction —
+    * broadcasts into both sides. Hot fact rows salt over [0, salts),
+    * cold rows keep salt 0; the dim replicates per salt only for hot
+    * keys, so dim inflation is `hot_keys × salts` ROWS — independent
+    * of dim size, where [[saltedJoin]] pays `salts ×` the whole dim.
+    *
+    * The detection pass is one map-side-partial count collapsing to
+    * key cardinality (at extreme scale swap in a sample or the x02 CMS
+    * — the hot SET just gets conservative; correctness never depends
+    * on it, since salting any key is result-neutral). Row-for-row
+    * identical to the plain join, which the oracle verifies. */
+  def autoSaltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+                     dimKey: String, salts: Int, saltOn: Column,
+                     hotThreshold: Long): DataFrame = {
+    val hot = fact.groupBy(col(factKey))
+      .agg(count(lit(1)).as("_cnt"))
+      .filter(col("_cnt") >= hotThreshold)
+      .select(col(factKey), lit(true).as("_hot"))
+    val saltedFact = fact.join(broadcast(hot), Seq(factKey), "left")
+      .withColumn("_salt",
+        when(col("_hot"), pmod(xxhash64(saltOn), lit(salts.toLong)))
+          .otherwise(lit(0L)))
+      .drop("_hot")
+    val repDim = dim.withColumnRenamed(dimKey, factKey)
+      .join(broadcast(hot), Seq(factKey), "left")
+      .withColumn("_salt", explode(
+        when(col("_hot"), expr(s"sequence(0L, ${salts - 1}L)"))
+          .otherwise(expr("array(0L)"))))
+      .drop("_hot")
+    saltedFact.join(repDim, Seq(factKey, "_salt")).drop("_salt")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Differential salting with detected hot keys (threshold 8 rows —
+    // real hot keys exist at every harness SF, pinned by spec) —
+    // identical to the plain join+group the oracle runs.
+    "q39_auto_salted_join" -> ((s, d) => {
+      autoSaltedJoin(Tables.lineitem(s, d),
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+        "l_orderkey", "o_orderkey", salts = 4,
+        saltOn = struct(col("l_linenumber"), col("l_partkey")),
+        hotThreshold = 8L)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast(
+            org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_price"))
+    }),
     // Salted fact⋈dim join on the order key, aggregated per priority —
     // identical to the plain join+group the oracle runs. Salt derives
     // from the line number (varies within an order), never the key.
@@ -114,6 +165,11 @@ object Skew {
     }))
 
   def oracle: Map[String, String] = Map(
+    "q39_auto_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     "q26_salted_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

@@ -248,6 +248,28 @@ class OpsSpec extends AnyFunSuite {
     assert(three == direct)
   }
 
+  test("q39 auto-salted join: equals plain join; only hot keys salt") {
+    import spark.implicits._
+    // key 1 is hot (6 rows >= threshold 3), keys 2/3 cold; key 4 has
+    // no dim match and must vanish from the inner join
+    val fact = ((1 to 6).map(i => (1L, i.toLong)) ++
+      Seq((2L, 7L), (3L, 8L), (4L, 9L))).toDF("k", "row")
+    val dim = Seq((1L, "a"), (2L, "b"), (3L, "c"), (5L, "e")).toDF("dk", "name")
+    val got = Skew.autoSaltedJoin(fact, dim, "k", "dk", salts = 3,
+        saltOn = col("row"), hotThreshold = 3L)
+      .select("k", "row", "name").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val plain = fact.join(dim, col("k") === col("dk"))
+      .select("k", "row", "name").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == plain && plain.size == 8, s"auto-salted join drifted: $got")
+    // the harness instance detects real hot keys, else the query is a
+    // plain salted join in disguise
+    val li = Tables.lineitem(spark, sf)
+    val hot = li.groupBy(col("l_orderkey")).count().filter(col("count") >= 8L).count()
+    assert(hot > 0, "no hot l_orderkey at this SF; lower the threshold")
+  }
+
   test("v05 key/FD checks on a crafted frame") {
     import spark.implicits._
     val df = Seq((1L, "a", "x"), (2L, "a", "x"), (3L, "a", "y"),
