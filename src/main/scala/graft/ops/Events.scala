@@ -73,6 +73,41 @@ object Events {
       .agg(sum(col("_n")).as("n_events"),
         sum(col("_sv")).cast("double").as("total_value"))
 
+  /** Hourly event-volume counts per type — the e14 aggregation stage,
+    * shared with [[graft.streaming.AnomalyStream]] so batch and
+    * stream-fed monitoring cannot drift. Expects a TIMESTAMP `ts`. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("long").as("hour_epoch"),
+        col("event_type"), col("n"))
+
+  /** Trailing z-score read-out over a [[hourlyCounts]] table (both the
+    * batch e14 query and the stream snapshot consumer run exactly
+    * this): each hour scored against the mean/stddev of its type's
+    * trailing 24 OBSERVATIONS (a ROWS frame — gaps don't shrink the
+    * baseline); z in milli-units (windowed stddev accumulates central
+    * moments in engine-specific order; q3 absorbs the 1e-15 noise). */
+  def anomalyReadout(hourly: DataFrame): DataFrame = {
+    val trail = Window
+      .partitionBy(col("event_type")).orderBy(col("hour_epoch"))
+      .rowsBetween(-24, -1)
+    hourly
+      .withColumn("mu", avg(col("n")).over(trail))
+      .withColumn("sd", stddev_samp(col("n")).over(trail))
+      // the explicit frame count makes the <2-observations guard
+      // independent of spark.sql.legacy.statisticalAggregate (under
+      // which a 1-row stddev_samp is NaN, and NaN > 0 holds in
+      // Spark's ordering); same frame → same window exchange
+      .withColumn("_cnt", count(col("n")).over(trail))
+      .filter(col("_cnt") >= 2 && col("sd").isNotNull && col("sd") > 0)
+      .withColumn("z_q3",
+        round((col("n").cast("double") - col("mu")) / col("sd") * lit(1e3))
+          .cast("long"))
+      .select(col("hour_epoch"), col("event_type"), col("n"), col("z_q3"))
+  }
+
   /** Per-(day, user) decimal spend — the e11 aggregation stage, shared
     * with [[graft.streaming.TrendStream]] so batch and stream-fed
     * trending cannot drift. Expects a TIMESTAMP `ts` column. */
@@ -185,29 +220,8 @@ object Events {
     // accumulates central moments in engine-specific order — 1e-15
     // relative noise that q3 absorbs with margin. Hours with fewer
     // than 2 trailing observations (sd undefined or 0) are unscored.
-    "e14_hourly_anomaly" -> ((s, d) => {
-      val hourly = Tables.events(s, d)
-        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
-        .select(col("w.start").cast("long").as("hour_epoch"),
-          col("event_type"), col("n"))
-      val trail = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("event_type")).orderBy(col("hour_epoch"))
-        .rowsBetween(-24, -1)
-      hourly
-        .withColumn("mu", avg(col("n")).over(trail))
-        .withColumn("sd", stddev_samp(col("n")).over(trail))
-        // the explicit frame count makes the <2-observations guard
-        // independent of spark.sql.legacy.statisticalAggregate (under
-        // which a 1-row stddev_samp is NaN, and NaN > 0 holds in
-        // Spark's ordering); same frame → same window exchange
-        .withColumn("_cnt", count(col("n")).over(trail))
-        .filter(col("_cnt") >= 2 && col("sd").isNotNull && col("sd") > 0)
-        .withColumn("z_q3",
-          round((col("n").cast("double") - col("mu")) / col("sd") * lit(1e3))
-            .cast("long"))
-        .select(col("hour_epoch"), col("event_type"), col("n"), col("z_q3"))
-    }),
+    "e14_hourly_anomaly" -> ((s, d) =>
+      anomalyReadout(hourlyCounts(Tables.events(s, d)))),
 
     // Forward as-of: for each error, the FIRST purchase within the next
     // hour — the recovery/conversion direction e04's backward join
