@@ -108,6 +108,41 @@ object Events {
       .select(col("hour_epoch"), col("event_type"), col("n"), col("z_q3"))
   }
 
+  /** Grid RESAMPLE + linear gap interpolation (e19) over a
+    * [[hourlyCounts]] table — the TSDB operator a downsampled
+    * monitoring series needs: densify each type's counts onto the full
+    * [min, max] hour grid (sequence-explode of the per-type bounds —
+    * grid rows never touch the event table) and fill gaps linearly
+    * between the flanking observations. The flanks are the e15 LOCF
+    * machinery run in BOTH directions; all four window columns share
+    * one partition+order, so ONE exchange+sort evaluates them.
+    * Arithmetic is exact integer milli-units with a non-negative
+    * numerator, so truncating div agrees across engines. Grid
+    * endpoints are observed hours, so flanks exist everywhere.
+    * Output: `(event_type, hour_epoch, n nullable, interp_q3)`. */
+  def resampleInterpolate(hourly: DataFrame): DataFrame = {
+    val grid = hourly.groupBy(col("event_type"))
+      .agg(min("hour_epoch").as("lo"), max("hour_epoch").as("hi"))
+      .select(col("event_type"),
+        explode(expr("sequence(lo, hi, 3600)")).as("hour_epoch"))
+    val wPrev = Window.partitionBy(col("event_type")).orderBy(col("hour_epoch"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy(col("event_type")).orderBy(col("hour_epoch"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    grid.join(hourly, Seq("event_type", "hour_epoch"), "left")
+      .withColumn("pn", last(col("n"), ignoreNulls = true).over(wPrev))
+      .withColumn("ph", last(when(col("n").isNotNull, col("hour_epoch")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("nn", first(col("n"), ignoreNulls = true).over(wNext))
+      .withColumn("nh", first(when(col("n").isNotNull, col("hour_epoch")),
+        ignoreNulls = true).over(wNext))
+      .select(col("event_type"), col("hour_epoch"), col("n"),
+        when(col("n").isNotNull, col("n") * lit(1000L))
+          .otherwise(expr(
+            "((pn * (nh - hour_epoch) + nn * (hour_epoch - ph)) * 1000) div (nh - ph)"))
+          .as("interp_q3"))
+  }
+
   /** Per-(day, user) decimal spend — the e11 aggregation stage, shared
     * with [[graft.streaming.TrendStream]] so batch and stream-fed
     * trending cannot drift. Expects a TIMESTAMP `ts` column. */
@@ -222,6 +257,10 @@ object Events {
     // than 2 trailing observations (sd undefined or 0) are unscored.
     "e14_hourly_anomaly" -> ((s, d) =>
       anomalyReadout(hourlyCounts(Tables.events(s, d)))),
+
+    // grid densify + linear gap fill over the hourly cube
+    "e19_resample_interp" -> ((s, d) =>
+      resampleInterpolate(hourlyCounts(Tables.events(s, d)))),
 
     // Forward as-of: for each error, the FIRST purchase within the next
     // hour — the recovery/conversion direction e04's backward join
@@ -540,6 +579,34 @@ object Events {
         |  (p_us - v_us) // 1000000 AS delay_s
         |FROM v JOIN p ON v.user_id = p.user_id
         |  AND p_us > v_us AND p_us <= v_us + 1800000000""".stripMargin,
+    // e19 — same grid densify + two-direction LOCF flanks; `//` on a
+    // non-negative numerator ≡ Spark's truncating div
+    "e19_resample_interp" ->
+      """WITH hourly AS (
+        |  SELECT epoch(time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP))::BIGINT AS hour_epoch,
+        |    event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(hour_epoch) AS lo, max(hour_epoch) AS hi
+        |      FROM hourly GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(range(lo, hi + 1, 3600)) AS hour_epoch FROM b),
+        |j AS (SELECT g.event_type, g.hour_epoch, h.n
+        |      FROM grid g LEFT JOIN hourly h
+        |        ON h.event_type = g.event_type AND h.hour_epoch = g.hour_epoch),
+        |w AS (SELECT event_type, hour_epoch, n,
+        |    last_value(n IGNORE NULLS) OVER pw AS pn,
+        |    last_value(CASE WHEN n IS NOT NULL THEN hour_epoch END IGNORE NULLS) OVER pw AS ph,
+        |    first_value(n IGNORE NULLS) OVER nw AS nn,
+        |    first_value(CASE WHEN n IS NOT NULL THEN hour_epoch END IGNORE NULLS) OVER nw AS nh
+        |  FROM j
+        |  WINDOW pw AS (PARTITION BY event_type ORDER BY hour_epoch
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         nw AS (PARTITION BY event_type ORDER BY hour_epoch
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, hour_epoch, n,
+        |  CASE WHEN n IS NOT NULL THEN n * 1000
+        |       ELSE ((pn * (nh - hour_epoch) + nn * (hour_epoch - ph)) * 1000) // (nh - ph)
+        |  END AS interp_q3
+        |FROM w""".stripMargin,
     "e15_ffill" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, event_type, value,

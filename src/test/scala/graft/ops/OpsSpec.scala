@@ -270,6 +270,24 @@ class OpsSpec extends AnyFunSuite {
     assert(hot > 0, "no hot l_orderkey at this SF; lower the threshold")
   }
 
+  test("e19 resample: gap hours appear and interpolate linearly") {
+    import spark.implicits._
+    // type a: 2 events at hour 0, 8 at hour 3 -> gap hours 1, 2 must
+    // appear with n NULL and interp 4.000, 6.000 (exact milli-units)
+    val mk = (h: Int, i: Int) =>
+      (java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:${i % 60}%02d"), "a", 0.0)
+    val ev = ((0 until 2).map(mk(0, _)) ++ (0 until 8).map(mk(3, _)))
+      .toDF("ts", "event_type", "value")
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      .toInstant.getEpochSecond
+    val rows = Events.resampleInterpolate(Events.hourlyCounts(ev))
+      .collect().map(r => r.getLong(1) -> (r.get(2), r.getLong(3))).toMap
+    assert(rows.size == 4, s"grid must densify to 4 hours: $rows")
+    assert(rows(base) == ((2L, 2000L)) && rows(base + 3 * 3600) == ((8L, 8000L)))
+    assert(rows(base + 3600) == ((null, 4000L)) &&
+      rows(base + 2 * 3600) == ((null, 6000L)), s"linear fill drifted: $rows")
+  }
+
   test("v05 key/FD checks on a crafted frame") {
     import spark.implicits._
     val df = Seq((1L, "a", "x"), (2L, "a", "x"), (3L, "a", "y"),
