@@ -350,6 +350,90 @@ object Clusters {
   /** c09 iteration count: near-dup cliques mix in a handful of rounds. */
   val PageRankIters = 5
 
+  /** c12 iteration count: synchronous LPA on near-dup graphs settles
+    * (or enters its stable alternation) within a few rounds. */
+  val LpaIters = 3
+
+  /** Label-propagation COMMUNITIES (c12) — the lighter-weight
+    * community detector next to c01's connected components: every node
+    * starts as its own label; each synchronous round a node adopts the
+    * most frequent label among its NEIGHBORS (ties → smallest label).
+    * Where CC answers "transitively linked at all?", LPA's majority
+    * vote resists a single spurious bridge edge gluing two template
+    * families together — the failure mode of pure connectivity on
+    * near-dup graphs.
+    *
+    * Determinism: fixed `iters` synchronous rounds (the unrolled-CTE
+    * oracle replays them exactly), integer counts, total-order
+    * tie-break (count DESC, label ASC) — no convergence test, no
+    * randomized ordering (asynchronous LPA is run-order-dependent; the
+    * synchronous variant trades a possible 2-cycle oscillation for
+    * replayability, which fixed iters make irrelevant).
+    *
+    * Scale shape: the edge table materializes ONCE (c09's lesson —
+    * its lineage holds pair generation); each round is one join on
+    * src + one (dst, label) count + one per-dst top-1 window
+    * (WindowGroupLimit prunes map-side); labels never touch the
+    * driver; localCheckpoint truncates the iterative lineage.
+    * Output: `(doc_id, community)`. */
+  def labelPropagation(pairs: DataFrame, a: String, b: String,
+                       iters: Int): DataFrame = {
+    val edges = pairs
+      .select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
+      .union(pairs.select(col(b).cast("long").as("src"),
+        col(a).cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    val nodes = edges.select(col("src")).distinct()
+    var lab = nodes.select(col("src").as("id"), col("src").as("lbl"))
+      .localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("c").desc, col("lbl"))
+    for (_ <- 1 to iters) {
+      val pick = edges
+        .join(lab.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("id"), col("lbl").as("_new"))
+      lab = nodes.select(col("src").as("id"))
+        .join(pick, Seq("id"), "left")
+        .select(col("id"), coalesce(col("_new"), col("id")).as("lbl"))
+        .localCheckpoint()
+    }
+    lab.select(col("id").as("doc_id"), col("lbl").as("community"))
+  }
+
+  /** The c12 synchronous rounds as a generated unrolled-CTE chain
+    * (the k04/c09 oracle pattern). */
+  def lpaOracleSql(pairsSql: String, iters: Int): String = {
+    val head =
+      s"""WITH pairs AS ($pairsSql),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |nodes AS (SELECT DISTINCT src FROM edges),
+         |l0 AS (SELECT src AS id, src AS lbl FROM nodes)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s""",
+         |p$i AS (
+         |  SELECT id, lbl FROM (
+         |    SELECT e.dst AS id, p.lbl, count(*) AS c,
+         |      row_number() OVER (PARTITION BY e.dst
+         |        ORDER BY count(*) DESC, p.lbl) AS rn
+         |    FROM edges e JOIN l${i - 1} p ON e.src = p.id
+         |    GROUP BY e.dst, p.lbl) t
+         |  WHERE rn = 1),
+         |l$i AS (
+         |  SELECT n.src AS id, coalesce(p.lbl, n.src) AS lbl
+         |  FROM nodes n LEFT JOIN p$i p ON n.src = p.id)""".stripMargin
+    }.mkString
+    head + rounds +
+      s"\nSELECT id AS doc_id, lbl AS community FROM l$iters"
+  }
+
   /** Per-node TRIANGLE participation (c11) — the local-clustering
     * readout over the near-dup graph: a doc in many triangles sits in a
     * dense clique (template/boilerplate family, the c09 hubs confirmed
@@ -469,6 +553,12 @@ object Clusters {
         Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
           threshold = 0.6),
         "doc_a", "doc_b", PageRankIters)),
+    // majority-vote communities over the same near-dup graph
+    "c12_label_prop" -> ((s, d) =>
+      labelPropagation(
+        Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.6),
+        "doc_a", "doc_b", LpaIters)),
     // contamination-free train/val/test: split on the cluster keeper
     "c10_leak_safe_split" -> ((s, d) =>
       leakSafeSplit(Tables.documents(s, d), "doc_id",
@@ -567,6 +657,8 @@ object Clusters {
          |FROM sizes GROUP BY sz""".stripMargin,
     "c09_pagerank" ->
       pageRankOracleSql(Dedup.oracle("d02_ngram_jaccard"), PageRankIters),
+    "c12_label_prop" ->
+      lpaOracleSql(Dedup.oracle("d02_ngram_jaccard"), LpaIters),
     // c11 — identical ordered-edge wedge join; every triangle x<y<z
     // appears once, each member credited via unnest
     "c11_triangles" ->

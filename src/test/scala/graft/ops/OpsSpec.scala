@@ -195,6 +195,32 @@ class OpsSpec extends AnyFunSuite {
       s"K4 expected 3 per node, got $got")
   }
 
+  test("c12 LPA matches a local synchronous simulation on a bridged-triangles graph") {
+    import spark.implicits._
+    // two triangles {1,2,3} and {7,8,9} joined by the bridge 3-7, plus
+    // the isolated edge 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (7L, 8L), (8L, 9L),
+      (7L, 9L), (3L, 7L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val got = Clusters.labelPropagation(pairs, "doc_a", "doc_b", Clusters.LpaIters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // local synchronous replay with the same tie-break
+    val adj = Seq((1L, 2L), (2L, 3L), (1L, 3L), (7L, 8L), (8L, 9L),
+        (7L, 9L), (3L, 7L), (20L, 21L))
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    var lbl = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to Clusters.LpaIters) {
+      lbl = adj.map { case (n, nbrs) =>
+        val cnt = nbrs.map(lbl).groupBy(identity).view.mapValues(_.size)
+        n -> cnt.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    assert(got == lbl, s"got $got expected $lbl")
+    // triangles must resolve to separate communities despite the bridge
+    assert(Set(1L, 2L, 3L).map(got).size == 1 && Set(7L, 8L, 9L).map(got).size == 1)
+    assert(got(1L) != got(7L), "the single bridge edge must not merge the families")
+  }
+
   test("e17 CDC compaction: latest upsert wins, trailing tombstone erases the key") {
     import spark.implicits._
     val sfDir = sf
