@@ -670,9 +670,67 @@ object Dedup {
         col("n_dup_grams").cast("double") / col("n_grams").cast("double"))
   }
 
+  /** Words per pseudo-line for [[lineDedup]] — the synthetic corpus has
+    * no newlines, so "lines" are fixed-width word segments. */
+  val LineWords = 8
+
+  /** Corpus-level line dedup (d16) — the CCNet/RefinedWeb curation
+    * primitive the big web-corpus pipelines run before anything else:
+    * split each document into lines (here fixed [[LineWords]]-word
+    * segments; see above), keep exactly ONE copy of every distinct
+    * line corpus-wide — the lexicographically first (doc, position)
+    * occurrence, elected by a single `min(struct)` aggregate — and
+    * reassemble the survivors in document order. Boilerplate repeated
+    * across documents (headers, footers, navigation chrome) survives
+    * only in the first document that carries it.
+    *
+    * Scale shape: one shuffle keyed on the line hash (uniform key, no
+    * skew — same layout as d01's hash-groupBy), one hash join of the
+    * line table against the keeper table on that same hash (AQE
+    * handles the sizing), one shuffle back on the doc id to
+    * reassemble. All aggregations are map-side combinable; nothing
+    * data-sized touches the driver. Reference analogue: the A2
+    * keep-first dedup (`data_processing.py`) lifted from rows to
+    * corpus lines.
+    *
+    * Output: one row per non-empty doc — total and surviving segment
+    * counts plus the reassembled text. Per-doc order is recovered with
+    * `array_sort` over (seg_idx, seg) structs (collect_list order is
+    * nondeterministic; seg_idx is unique per doc, so the sort is
+    * total). */
+  def lineDedup(docs: DataFrame, id: String, text: String,
+                segWords: Int = LineWords): DataFrame = {
+    val segs = docs
+      .select(col(id), expr(s"filter(split($text, ' '), x -> x <> '')").as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col(id), posexplode(expr(
+        s"transform(sequence(0, (size(ws) - 1) div $segWords), " +
+        s"i -> array_join(slice(ws, i * $segWords + 1, $segWords), ' '))"))
+        .as(Seq("seg_idx", "seg")))
+      .select(col(id), col("seg_idx").cast("long").as("seg_idx"), col("seg"),
+        Hashing.polyHash("seg").as("h"))
+    val keeper = segs.groupBy(col("h"))
+      .agg(min(struct(col(id), col("seg_idx"))).as("_k"))
+    segs.join(keeper, Seq("h"))
+      .withColumn("_keep",
+        col(s"_k.$id") === col(id) && col("_k.seg_idx") === col("seg_idx"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("_keep"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        collect_list(when(col("_keep"), struct(col("seg_idx"), col("seg"))))
+          .as("_segs"))
+      .select(col(id), col("n_segs"), col("n_kept"),
+        expr("array_join(transform(array_sort(_segs), x -> x.seg), ' ')")
+          .as("text_kept"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> ((s, d) =>
       exactDedup(Tables.documents(s, d), "doc_id", "text")),
+    "d16_line_dedup" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      lineDedup(Tables.documents(s, d), "doc_id", "text")
+    }),
     "d14_normalized_dedup" -> ((s, d) =>
       exactDedupNormalized(Tables.documents(s, d), "doc_id", "text")),
     // Threshold 0.6 sits far from both the planted near-dups (≥0.9) and
@@ -791,6 +849,32 @@ object Dedup {
       "d01_exact_dedup" ->
         """SELECT md5(text) AS sig, min(doc_id) AS keep_id, count(*) AS n_dups
           |FROM documents GROUP BY md5(text)""".stripMargin,
+      // d16 — same segment rule as the Spark side: 1-based inclusive
+      // list_slice ≡ Spark's slice(arr, start, len), both clamped at the
+      // tail; keeper = min (doc, position) struct; survivors reassembled
+      // in position order (string_agg ORDER BY ≡ array_sort over the
+      // unique seg_idx)
+      "d16_line_dedup" ->
+        s"""WITH w AS (
+           |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+           |  FROM documents),
+           |wn AS (SELECT doc_id, ws FROM w WHERE len(ws) > 0),
+           |segs AS (
+           |  SELECT doc_id,
+           |    unnest(range(0, ((len(ws) - 1) // $LineWords) + 1)) AS seg_idx,
+           |    unnest(list_transform(range(0, ((len(ws) - 1) // $LineWords) + 1),
+           |      i -> array_to_string(list_slice(ws,
+           |             (i * $LineWords + 1)::INTEGER, (i * $LineWords + $LineWords)::INTEGER), ' '))) AS seg
+           |  FROM wn),
+           |h AS (SELECT doc_id, seg_idx, seg, ${Hashing.polyHashSql("seg")} AS h FROM segs),
+           |k AS (SELECT h, min({'d': doc_id, 'i': seg_idx}) AS k FROM h GROUP BY h),
+           |m AS (SELECT h.doc_id, h.seg_idx, h.seg,
+           |        (h.doc_id = (k.k).d AND h.seg_idx = (k.k).i) AS keep
+           |      FROM h JOIN k USING (h))
+           |SELECT doc_id, count(*)::BIGINT AS n_segs,
+           |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           |  coalesce(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE keep), '') AS text_kept
+           |FROM m GROUP BY doc_id""".stripMargin,
       // d14 — the same explicit ASCII whitespace class as the Spark
       // side ([ \t\n\r\f\x0B]+), so agreement is by construction
       // (Java \s vs RE2 \s differ on vertical tab 0x0B)

@@ -153,7 +153,38 @@ object Multimodal {
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= KnnK)
         .select(col("probe_id"), col("doc_id"), col("rk"), col("score"))
+    }),
+
+    // Scene-change detection (m06): the shot-boundary primitive of a
+    // video curation pipeline — compare each frame to its predecessor
+    // (here by Hamming distance between content hashes, standing in for
+    // a perceptual-hash distance; swap the hash, keep the plumbing) and
+    // cut wherever the distance jumps. scene_id is the running count of
+    // cuts, so frames group into shots for downstream per-scene
+    // sampling (pick 1 frame per scene ≫ cheaper than per-frame work).
+    // One window per doc over the unique frame_idx (total order), all
+    // map-side after the frames exchange — no extra shuffle beyond
+    // partitionBy(doc_id).
+    "m06_scene_change" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      mediaFrames(s, d)
+        .withColumn("prev_hash", lag(col("frame_hash"), 1).over(w))
+        .withColumn("hamming", when(col("prev_hash").isNotNull,
+          expr("bit_count(prev_hash ^ frame_hash)").cast("long")))
+        .withColumn("is_cut",
+          col("prev_hash").isNull || col("hamming") >= SceneCutBits)
+        .withColumn("scene_id",
+          sum(when(col("is_cut"), lit(1L)).otherwise(lit(0L)))
+            .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+            .cast("long"))
+        .select(col("doc_id"), col("frame_idx"), col("hamming"),
+          col("is_cut"), col("scene_id"))
     }))
+
+  /** m06 cut threshold: a cut where ≥ this many of the ~30 hash bits
+    * flip frame-to-frame (identical/near-identical frames flip few). */
+  val SceneCutBits = 8L
 
   /** m04 stub-embedding dimensionality and search parameters. */
   val EmbedDims = 8
@@ -222,5 +253,33 @@ object Multimodal {
          |                       ORDER BY score DESC, doc_id) AS rk
          |  FROM scored)
          |SELECT probe_id, doc_id, rk, score FROM ranked WHERE rk <= $KnnK""".stripMargin
-    })
+    },
+    // m06 — bit_count(xor) ≡ Spark bit_count(^) on BIGINT; window order
+    // key frame_idx is unique per doc (total order), ROWS frame written
+    // explicitly per the parity rules
+    "m06_scene_change" ->
+      s"""WITH fr AS (
+         |  SELECT doc_id, frame_idx, ${Hashing.polyHashSql("frame")} AS frame_hash
+         |  FROM (
+         |    SELECT doc_id,
+         |      unnest(range(0, ((length(text) - 1) // $FrameBytes) + 1)) AS frame_idx,
+         |      unnest(list_transform(range(0, ((length(text) - 1) // $FrameBytes) + 1),
+         |        i -> substring(text, (i * $FrameBytes + 1)::INTEGER, $FrameBytes))) AS frame
+         |    FROM documents WHERE length(text) > 0) frames),
+         |lagd AS (
+         |  SELECT doc_id, frame_idx, frame_hash,
+         |    lag(frame_hash) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev_hash
+         |  FROM fr),
+         |cuts AS (
+         |  SELECT doc_id, frame_idx,
+         |    CASE WHEN prev_hash IS NOT NULL
+         |         THEN bit_count(xor(prev_hash, frame_hash))::BIGINT END AS hamming,
+         |    (prev_hash IS NULL
+         |      OR bit_count(xor(prev_hash, frame_hash)) >= $SceneCutBits) AS is_cut
+         |  FROM lagd)
+         |SELECT doc_id, frame_idx, hamming, is_cut,
+         |  sum(CASE WHEN is_cut THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY doc_id ORDER BY frame_idx
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS scene_id
+         |FROM cuts""".stripMargin)
 }

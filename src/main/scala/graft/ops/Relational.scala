@@ -38,6 +38,24 @@ object Relational {
     sum(dec(c)).cast("double")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-group mode (q41) — the categorical analogue of A3's scalar
+    // max: most frequent order priority per order status, with a
+    // deterministic value tiebreak. Count-then-rank is the distributed
+    // mode shape: the count aggregation is map-side combinable and the
+    // rank window runs over GROUP-CARDINALITY rows (statuses ×
+    // priorities), not data — at 100 TB the window input is still tiny.
+    "q41_mode" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("n").desc, col("o_orderpriority"))
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("o_orderstatus"),
+          col("o_orderpriority").as("mode_priority"), col("n"))
+    }),
+
     // §2.4 A-family: grouped aggregation with partial/final hash agg
     // (TPC-H Q1 flavor; reference site `data_preprocessing.py:63` max-agg).
     "q01_agg_pricing" -> ((s, d) => {
@@ -606,6 +624,14 @@ object Relational {
     }))
 
   def oracle: Map[String, String] = Map(
+    "q41_mode" ->
+      """SELECT o_orderstatus, mode_priority, n FROM (
+        |  SELECT o_orderstatus, o_orderpriority AS mode_priority,
+        |    count(*) AS n,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |                       ORDER BY count(*) DESC, o_orderpriority) AS rk
+        |  FROM orders GROUP BY o_orderstatus, o_orderpriority) m
+        |WHERE rk = 1""".stripMargin,
     "q01_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

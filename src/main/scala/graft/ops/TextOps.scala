@@ -405,7 +405,33 @@ object TextOps {
             .cast("long")))
       .drop("_w", "_sclnc")
 
+  /** Lexical diversity (t14) — type-token ratio and hapax share, the
+    * vocabulary-richness signals quality filters use alongside t02's
+    * surface ratios (template/spam text reuses few types; natural text
+    * is hapax-heavy). Distributed as explode → per-(doc, word) count →
+    * per-doc rollup: both aggregations are map-side combinable and the
+    * per-doc word table never materializes wider than the corpus —
+    * unlike a per-row `array_distinct` fold, this shape is linear in
+    * tokens regardless of document length. TTR is quantized to
+    * micro-units (q6) per the cross-engine parity rules.
+    * Output: `(doc_id, n_words, n_types, n_hapax, ttr_q6)`, one row per
+    * doc with ≥1 word. */
+  def lexicalDiversity(docs: DataFrame, id: String, text: String): DataFrame =
+    docs
+      .select(col(id),
+        explode(expr(s"filter(split($text, ' '), x -> x <> '')")).as("_w"))
+      .groupBy(col(id), col("_w")).agg(count(lit(1)).as("_c"))
+      .groupBy(col(id))
+      .agg(sum(col("_c")).as("n_words"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("_c") === 1, lit(1L)).otherwise(lit(0L))).as("n_hapax"))
+      .withColumn("ttr_q6",
+        round(col("n_types").cast("double") / col("n_words").cast("double")
+          * lit(1e6)).cast("long"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_lexical_diversity" -> ((s, d) =>
+      lexicalDiversity(Tables.documents(s, d), "doc_id", "text")),
     "t01_token_freq" -> ((s, d) =>
       tokenFrequencies(Tables.documents(s, d), "text", 25)),
     "t02_quality" -> ((s, d) =>
@@ -595,5 +621,16 @@ object TextOps {
         |    AS logp2_q6
         |FROM bi LEFT JOIN bt USING (bigram)
         |LEFT JOIN uni ON uni.w1 = split_part(bigram, ' ', 1)
-        |GROUP BY doc_id""".stripMargin)
+        |GROUP BY doc_id""".stripMargin,
+    // t14 — integer counts plus one exact double division (IEEE divide
+    // is correctly rounded, so q6 of the quotient agrees by definition)
+    "t14_lexical_diversity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |  FROM documents),
+        |c AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w)
+        |SELECT doc_id, sum(c)::BIGINT AS n_words, count(*)::BIGINT AS n_types,
+        |  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+        |  CAST(round(count(*)::DOUBLE / sum(c)::DOUBLE * 1000000.0) AS BIGINT) AS ttr_q6
+        |FROM c GROUP BY doc_id""".stripMargin)
 }

@@ -1812,4 +1812,92 @@ class OpsSpec extends AnyFunSuite {
       s"flag set diverged: extra=${flagged -- expectDup} missing=${expectDup -- flagged}")
     assert(flagged.nonEmpty, "testdata should contain semantic near-dups")
   }
+
+  test("d16 line dedup keeps exactly one copy of every distinct segment") {
+    graft.functions.VectorFunctions.register(spark)
+    val out = Dedup.lineDedup(Tables.documents(spark, sf), "doc_id", "text")
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    out.values.foreach { case (nSegs, nKept, text) =>
+      assert(nKept <= nSegs)
+      // reassembled text word count ≡ kept segments' words (no seg > 8w)
+      val words = text.split(" ").count(_.nonEmpty)
+      assert(words <= nKept * Dedup.LineWords)
+    }
+    // corpus-wide: total kept == number of distinct segments
+    val segs = Tables.documents(spark, sf)
+      .select(explode(expr(
+        s"transform(sequence(0, (size(filter(split(text, ' '), x -> x <> '')) - 1) div ${Dedup.LineWords}), " +
+        s"i -> array_join(slice(filter(split(text, ' '), x -> x <> ''), i * ${Dedup.LineWords} + 1, ${Dedup.LineWords}), ' '))"))
+        .as("seg"))
+      .distinct().count()
+    assert(out.values.map(_._2).sum == segs,
+      "sum(n_kept) must equal the corpus-wide distinct segment count")
+  }
+
+  test("d16 drops a repeated line from every doc but the first") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val boiler = "b1 b2 b3 b4 b5 b6 b7 b8" // exactly one 8-word segment
+    val docs = Seq(
+      (1L, s"$boiler u1 u2 u3 u4 u5 u6 u7 u8"),
+      (2L, s"$boiler v1 v2 v3 v4 v5 v6 v7 v8"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    assert(out(1L) == s"$boiler u1 u2 u3 u4 u5 u6 u7 u8")
+    assert(out(2L) == "v1 v2 v3 v4 v5 v6 v7 v8", "doc 2 must lose the boilerplate")
+    assert(out(3L) == "w1 w2 w3 w4 w5 w6 w7 w8")
+  }
+
+  test("m06 scene ids are 1-based, nondecreasing, and count the cuts") {
+    val rows = Multimodal.queries("m06_scene_change")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getBoolean(3), r.getLong(4)))
+    rows.groupBy(_._1).foreach { case (_, fs) =>
+      val sorted = fs.sortBy(_._2)
+      assert(sorted.head._3.isEmpty, "first frame has no predecessor")
+      assert(sorted.head._4 && sorted.head._5 == 1L, "first frame opens scene 1")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._5 == a._5 + (if (b._4) 1 else 0), "scene id = running cut count")
+        case _ => ()
+      }
+    }
+    assert(rows.exists(r => !r._4),
+      "some near-identical adjacent frames should continue a scene")
+    assert(rows.exists(r => r._4 && r._3.nonEmpty),
+      "some frames should open a new scene mid-document")
+  }
+
+  test("t14 lexical diversity invariants hold and match a hand case") {
+    import spark.implicits._
+    val rows = TextOps.queries("t14_lexical_diversity")(spark, sf).collect()
+    rows.foreach { r =>
+      val (w, t, h) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(h <= t && t <= w && t >= 1)
+    }
+    val hand = TextOps.lexicalDiversity(
+      Seq((1L, "a b a c c c")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head
+    assert((hand.getLong(1), hand.getLong(2), hand.getLong(3)) == ((6L, 3L, 1L)))
+    assert(hand.getLong(4) == 500000L) // 3/6 in micro-units
+  }
+
+  test("q41 mode picks the max-count priority per status") {
+    val counts = Tables.orders(spark, sf)
+      .groupBy("o_orderstatus", "o_orderpriority").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val out2 = Relational.queries("q41_mode")(spark, sf)
+      .collect().map(r => (r.getString(0), (r.getString(1), r.getLong(2)))).toMap
+    counts.groupBy(_._1).foreach { case (status, cs) =>
+      val best = cs.map(_._3).max
+      val (mp, n) = out2(status)
+      assert(n == best, s"$status mode count must be the max")
+      val tied = cs.filter(_._3 == best).map(_._2).min
+      assert(mp == tied, s"$status tiebreak must pick the smallest priority")
+    }
+  }
 }
