@@ -199,7 +199,34 @@ object Profile {
       .select(lit(name).as("chk"), col("n_groups"), col("n_violations"),
         (col("n_violations") === 0L).as("holds"))
 
+  /** Per-source corpus datasheet (v06) — the "datasheets for datasets"
+    * summary a corpus release ships: volume (docs/tokens/chars),
+    * language spread, and exact-duplicate exposure, one row per source.
+    * Composes the d01 signature (md5) with a corpus-wide occurrence
+    * count via a window over the signature — one shuffle on the
+    * (uniform) hash key, no join — then rolls up per source. Every
+    * statistic is a map-side-combinable aggregate; `avg_chars` is one
+    * exact-long division (IEEE divide is correctly rounded, so it
+    * oracles exactly). */
+  def sourceDatasheet(docs: DataFrame): DataFrame = {
+    val sig = docs.select(col("source"), col("lang"), col("n_chars"),
+      md5(col("text")).as("sig"),
+      expr("size(filter(split(text, ' '), x -> x <> ''))").cast("long").as("nw"))
+    sig
+      .withColumn("sig_n", count(lit(1)).over(Window.partitionBy(col("sig"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(when(col("sig_n") >= 2, lit(1L)).otherwise(lit(0L))).as("n_dup_docs"),
+        sum(col("n_chars")).as("n_chars_total"))
+      .withColumn("avg_chars",
+        col("n_chars_total").cast("double") / col("n_docs").cast("double"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v06_source_datasheet" -> ((s, d) =>
+      sourceDatasheet(Tables.documents(s, d))),
     "v01_profile_columns" -> ((s, d) =>
       profileColumns(Tables.documents(s, d),
         Seq("doc_id", "lang", "source", "n_chars"))),
@@ -233,6 +260,18 @@ object Profile {
     }))
 
   def oracle: Map[String, String] = Map(
+    "v06_source_datasheet" ->
+      """WITH sig AS (
+        |  SELECT source, lang, n_chars, md5(text) AS sig,
+        |    len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS nw
+        |  FROM documents),
+        |c AS (SELECT sig, count(*) AS sig_n FROM sig GROUP BY sig)
+        |SELECT source, count(*)::BIGINT AS n_docs, sum(nw)::BIGINT AS n_tokens,
+        |  count(DISTINCT lang)::BIGINT AS n_langs,
+        |  sum(CASE WHEN sig_n >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
+        |  sum(n_chars)::BIGINT AS n_chars_total,
+        |  sum(n_chars)::DOUBLE / count(*)::DOUBLE AS avg_chars
+        |FROM sig JOIN c USING (sig) GROUP BY source""".stripMargin,
     "v01_profile_columns" -> {
       val branches = Seq("doc_id", "lang", "source", "n_chars").map { c =>
         s"""SELECT '$c' AS column, count(*) AS n_rows,
