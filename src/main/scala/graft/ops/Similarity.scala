@@ -366,14 +366,30 @@ object Similarity {
     // ADC inner product approximates exactly the cosine k01 ranks by —
     // unnormalized, varying corpus norms would make dot-ranking answer a
     // different question than the cosine baseline.
+    // Materialize the normalized corpus ONCE (the c09 recipe): every
+    // subspace's training loop, the probe extraction, and the exact
+    // refine all re-read this frame — without the checkpoint each of
+    // the ~3m downstream consumers re-ran scan+normalize from parquet.
+    // At production scale this is the standard "persist the prepared
+    // vectors before training" step (DISK_ONLY if they exceed memory).
     val vn = vectors.select(col(id).as("vec_id"),
         expr(s"transform($vec, x -> cast(x as double))").as("dv"))
       .withColumn("nrm", expr("sqrt(graft_dot(dv, dv))"))
       .select(col("vec_id"), expr("transform(dv, x -> x / nrm)").as("nv"))
+      .localCheckpoint()
     def subExpr(i: Int) = s"slice(nv, ${i * sub + 1}, $sub)"
     // per-subspace codebooks: final code assignment + RAW mean centroid
-    // of the final members (the g/c CTE pair of the oracle)
-    val parts = (0 until m).map { i =>
+    // of the final members (the g/c CTE pair of the oracle).
+    // The m trainings are INDEPENDENT driver-coordinated loops (seed
+    // collect + one centroid collect each) — run them on separate
+    // threads so their jobs overlap instead of serializing 2m driver
+    // round-trips (Spark's scheduler interleaves jobs across threads;
+    // this is how any multi-index build should submit).
+    val parts = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.sequence((0 until m).toList.map { i => Future {
       val sf = vn.select(col("vec_id"), expr(subExpr(i)).as("sub"))
       val codes = kmeansAssign(sf, "vec_id", "sub", codebook, iters)
       val qv = sf.select(col("vec_id"),
@@ -391,6 +407,7 @@ object Similarity {
           expr(s"transform(sq, s -> (cast(s as double) / cast(n as double)) / ${Quant}D)")
             .as("centroid"))
       (codes, cents)
+    } }), Duration.Inf).toIndexedSeq
     }
     // ADC distance tables: exact (normalized) probe subvector × centroids
     val probes = vn.filter(isProbe(col("vec_id")))
