@@ -261,14 +261,17 @@ object Sampling {
                         tokens: Column, tau: Double,
                         budget: Long): DataFrame = {
     require(tau > 0, "temperature must be positive")
-    // whole-frame windows ORDERED BY the stratum: the token total is an
-    // integer sum (order-free), but Σ _pw is a DOUBLE fold, and an
-    // unordered whole-partition window would add in partition-arrival
-    // order — nondeterministic across runs, breaking the sampling
-    // family's re-run stability. Pinning the order makes Spark
-    // reproducible; the oracle mirrors the same ordered frame (engine
-    // internals may still associate a full-frame sum differently — a
-    // residual last-ulp risk shared with s07's rate divide).
+    // Cross-engine determinism discipline: pow is the ONLY operation in
+    // this chain that IEEE 754 does not require to be correctly rounded
+    // (JVM Math.pow vs libm pow may differ in the last ulp), so its
+    // output is quantized to integer q12 units IMMEDIATELY. Everything
+    // downstream is then exact integer arithmetic (Σ _pw over longs —
+    // also order-free, so no ordered-frame pinning needed for the fold)
+    // or correctly-rounded double ops on bit-identical inputs (/, *,
+    // least), which both engines must round identically. The one
+    // irreducible residue is a pow result landing within an ulp of a
+    // half-quantum at the round() itself — probability ~ulp/quantum
+    // per stratum, vs compounding through the whole chain before.
     val byAll = Window.partitionBy().orderBy(col(strata))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val totals = df.withColumn("n_tokens", tokens)
@@ -276,16 +279,15 @@ object Sampling {
       // stratum-cardinality frame: the 1-task window is fine
       .withColumn("_share",
         col("_toks").cast("double") / sum(col("_toks")).over(byAll).cast("double"))
-      .withColumn("_pw", pow(col("_share"), lit(1.0 / tau)))
-      .withColumn("_w", col("_pw") / sum(col("_pw")).over(byAll))
+      .withColumn("_pw",
+        round(pow(col("_share"), lit(1.0 / tau)) * lit(1e12)).cast("long"))
+      .withColumn("_w",
+        col("_pw").cast("double") / sum(col("_pw")).over(byAll).cast("double"))
       .withColumn("_rate", least(lit(1.0),
         lit(budget.toDouble) * col("_w") / col("_toks").cast("double")))
-      // the pow-derived rate is quantized to integer MICRO-units before
-      // the keep decision, and the decision itself is exact long
-      // arithmetic (h·10^6 < µrate·P): JVM Math.pow and libm pow are
-      // not correctly rounded, so a raw floor(rate·P) threshold could
-      // flip on a last-ulp divergence between engines; after q6 both
-      // sides compare identical integers
+      // micro-unit rate + exact long compare (h·10^6 < µrate·P): both
+      // sides end on identical integers, so the keep decision cannot
+      // flip on float noise
       .withColumn("_mrate", round(col("_rate") * lit(1e6)).cast("long"))
       .select(col(strata), col("_mrate"))
     df.withColumn("n_tokens", tokens)
@@ -435,8 +437,9 @@ object Sampling {
          |WHERE ${hSql("doc_id")} < CAST(floor(r.rate * $P) AS BIGINT)""".stripMargin
     },
     // s09 — the staged-CTE mirror of the withColumn chain (share → pow
-    // → renormalize → rate); the Σpw frame is ordered by lang on both
-    // sides to pin the double-fold order
+    // → quantize pow to q12 longs → renormalize → rate); after the pw
+    // quantization the Σpw fold is exact integer arithmetic, so the
+    // frame needs no ordering pin
     "s09_temperature_sample" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang,
@@ -445,10 +448,11 @@ object Sampling {
          |tot AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS toks FROM t GROUP BY lang),
          |w1 AS (SELECT lang, toks,
          |         toks::DOUBLE / (sum(toks) OVER ())::DOUBLE AS share FROM tot),
-         |w2 AS (SELECT lang, toks, pow(share, ${1.0 / Temperature}) AS pw FROM w1),
+         |w2 AS (SELECT lang, toks,
+         |         CAST(round(pow(share, ${1.0 / Temperature}) * 1000000000000.0) AS BIGINT) AS pw
+         |       FROM w1),
          |w3 AS (SELECT lang, toks,
-         |         pw / (sum(pw) OVER (ORDER BY lang
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS w
+         |         pw::DOUBLE / (sum(pw) OVER ())::DOUBLE AS w
          |       FROM w2),
          |r AS (SELECT lang,
          |        CAST(round(least(1.0, ${TemperatureBudget.toDouble} * w / toks::DOUBLE)
