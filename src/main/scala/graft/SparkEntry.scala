@@ -27,7 +27,7 @@ object SparkEntry {
       ops.Skew.queries ++ ops.Sampling.queries ++ ops.Clusters.queries ++
       ops.Sketches.queries ++ ops.BloomJoin.queries ++
       ops.Pack.queries ++ ops.Search.queries ++ ops.Profile.queries ++
-      ops.Layout.queries ++ ops.Bucketing.queries ++
+      ops.Layout.queries ++ ops.Bucketing.queries ++ ops.Entity.queries ++
       Map(
         // Reference-parity pipeline as a query (ignores sfDir — its input
         // is the reference's own sample request). Non-SQL-expressible
@@ -71,7 +71,7 @@ object SparkEntry {
       ops.Skew.oracle ++ ops.Sampling.oracle ++ ops.Clusters.oracle ++
       ops.Sketches.oracle ++ ops.BloomJoin.oracle ++
       ops.Pack.oracle ++ ops.Search.oracle ++ ops.Profile.oracle ++
-      ops.Layout.oracle ++ ops.Bucketing.oracle ++
+      ops.Layout.oracle ++ ops.Bucketing.oracle ++ ops.Entity.oracle ++
       Map("p02_report_blocks" -> graft.etl.Report.blocksOracleSql,
         "p03_curation_pipeline" -> {
           val swList = ops.TextOps.Stopwords.map(w => s"'$w'").mkString(", ")

@@ -1,0 +1,174 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Entity resolution (record linkage) — fuzzy dedup of a dirty entity
+  * column: product names, vendor names, author strings. The curation
+  * analogue of document dedup one level up: before corpus statistics
+  * can be grouped "per entity", the entity VALUES themselves need
+  * deduping ("acme corp" / "acme corp." / "acmee corp" are one vendor).
+  *
+  * Scale shape (the Fellegi–Sunter blocking recipe):
+  *  1. Resolve the DICTIONARY, not the facts: `distinct(name)` first.
+  *     The dictionary is orders of magnitude smaller than the fact
+  *     table (64 names over 2k parts here; ~10⁶ vendors over 10¹⁰ rows
+  *     at corpus scale), so everything quadratic happens on the small
+  *     frame and the facts are touched exactly once, by a broadcast
+  *     map-side join at the end.
+  *  2. BLOCK, then verify: candidate pairs come from equality on a
+  *     cheap blocking key (here the head noun — the last whitespace
+  *     token), turning the |N|² all-pairs into Σ|block|². The
+  *     within-block self-join is a hash shuffle on the block key, i.e.
+  *     co-partitioned; no row ever compares against another block.
+  *     `maxBlock` drops degenerate blocks (a blocking key shared by
+  *     half the dictionary does not discriminate — the standard guard
+  *     in Dedoop/JedAI-style ER systems) deterministically, so the
+  *     oracle can mirror the filter verbatim.
+  *  3. Verify = `levenshtein(a, b) <= maxEdit`: exact integer edit
+  *     distance, bit-identical in Spark and DuckDB, evaluated map-side
+  *     on the co-partitioned pairs.
+  *  4. Cluster and canonicalize: matches are not transitive (a~b, b~c
+  *     does not imply lev(a,c) small), so equivalence needs connected
+  *     components — reuse [[Clusters.connectedComponents]] over
+  *     polyhash node ids (the portable string→long bridge the dedup
+  *     family already uses); canonical form = lexicographic min name
+  *     per component, a plain aggregation.
+  *
+  * Reference anchor: the reference normalizes free-text codes against
+  * dimension tables by exact key (`data_processing.py` enrichment
+  * joins); this family is the same normalization when the keys
+  * themselves are dirty — the step the reference's fixed dimensions
+  * assume has already happened.
+  */
+object Entity {
+  /** Edit-distance ceiling for a candidate match. */
+  val MaxEdit = 2
+  /** Blocks larger than this are non-discriminating; drop them. */
+  val MaxBlock = 1000
+
+  /** Distinct names + blocking key, oversized blocks removed. The block
+    * count rides a window over the same partitioning the self-join
+    * shuffles on, so the guard adds no extra exchange. */
+  private def blockedNames(df: DataFrame, name: String,
+                           maxBlock: Int): DataFrame = {
+    val blk = element_at(split(col("name"), " "), -1)
+    df.select(col(name).as("name")).distinct()
+      .withColumn("blk", blk)
+      .withColumn("_bn", count(lit(1)).over(Window.partitionBy(col("blk"))))
+      .filter(col("_bn") <= maxBlock)
+      .select(col("name"), col("blk"))
+  }
+
+  /** er01 — candidate pairs that survive verification:
+    * `(name_a, name_b, lev)`, `name_a < name_b`. */
+  def fuzzyPairs(df: DataFrame, name: String, maxEdit: Int = MaxEdit,
+                 maxBlock: Int = MaxBlock): DataFrame = {
+    val n = blockedNames(df, name, maxBlock)
+    val a = n.select(col("name").as("name_a"), col("blk"))
+    val b = n.select(col("name").as("name_b"), col("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("lev",
+        levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("lev") <= maxEdit)
+      .select(col("name_a"), col("name_b"), col("lev"))
+  }
+
+  /** er02 — the canonical map over the FULL dictionary: `(name,
+    * canon_name)`, identity for names with no fuzzy neighbor. CC runs
+    * on polyhash node ids (collision-free on any realistic dictionary,
+    * and an oracle-portable string→long bridge); the canonical form is
+    * the component's lexicographic min name, grouped on the label
+    * table — never larger than the dictionary. */
+  def canonicalMap(df: DataFrame, name: String, maxEdit: Int = MaxEdit,
+                   maxBlock: Int = MaxBlock): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    val names = df.select(col(name).as("name")).distinct()
+      .withColumn("h", expr("graft_polyhash(name)"))
+    val hPairs = fuzzyPairs(df, name, maxEdit, maxBlock)
+      .withColumn("ha", expr("graft_polyhash(name_a)"))
+      .withColumn("hb", expr("graft_polyhash(name_b)"))
+    val cc = Clusters.connectedComponents(hPairs, "ha", "hb")
+      .select(col("doc_id").as("h"), col("cluster_id"))
+    val labeled = names.join(cc, Seq("h"), "left")
+    val canon = labeled.filter(col("cluster_id").isNotNull)
+      .groupBy(col("cluster_id")).agg(min(col("name")).as("_canon"))
+    labeled.join(canon, Seq("cluster_id"), "left")
+      .select(col("name"),
+        coalesce(col("_canon"), col("name")).as("canon_name"))
+  }
+
+  /** er03 — the map applied back to the facts: per canonical entity,
+    * row count and surviving raw-variant count. The canonical map is
+    * dictionary-sized, so the fact-side join is a broadcast — the fact
+    * table never shuffles on the dirty name. */
+  def entityRollup(df: DataFrame, name: String, maxEdit: Int = MaxEdit,
+                   maxBlock: Int = MaxBlock): DataFrame =
+    df.select(col(name).as("name"))
+      .join(broadcast(canonicalMap(df, name, maxEdit, maxBlock)),
+        Seq("name"))
+      .groupBy(col("canon_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("name")).as("n_variants"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er01_fuzzy_pairs" -> ((s, d) =>
+      fuzzyPairs(Tables.part(s, d), "p_name")),
+    "er02_canonical_map" -> ((s, d) =>
+      canonicalMap(Tables.part(s, d), "p_name")),
+    "er03_entity_rollup" -> ((s, d) =>
+      entityRollup(Tables.part(s, d), "p_name")))
+
+  /** Shared pair-CTE body (er01's query verbatim), over `names`. */
+  private def pairsSqlBody: String =
+    s"""names AS (SELECT DISTINCT p_name AS name FROM part),
+       |blocked AS (
+       |  SELECT name, string_split(name, ' ')[-1] AS blk,
+       |    count(*) OVER (PARTITION BY string_split(name, ' ')[-1]) AS bn
+       |  FROM names),
+       |ok AS (SELECT name, blk FROM blocked WHERE bn <= $MaxBlock),
+       |fuzzy AS (
+       |  SELECT a.name AS name_a, b.name AS name_b,
+       |    CAST(levenshtein(a.name, b.name) AS BIGINT) AS lev
+       |  FROM ok a JOIN ok b ON a.blk = b.blk AND a.name < b.name
+       |  WHERE levenshtein(a.name, b.name) <= $MaxEdit)""".stripMargin
+
+  def oracle: Map[String, String] = {
+    val ph = Hashing.polyHashSql _
+    Map(
+      "er01_fuzzy_pairs" ->
+        s"""WITH $pairsSqlBody
+           |SELECT name_a, name_b, lev FROM fuzzy""".stripMargin,
+      // er02/er03 — hash the verified pairs to node ids, run the same
+      // recursive min-label CTE as c01, canonical = min name per label
+      "er02_canonical_map" ->
+        s"""WITH RECURSIVE $pairsSqlBody,
+           |${Clusters.componentsCte(
+                s"SELECT ${ph("name_a")} AS doc_a, ${ph("name_b")} AS doc_b FROM fuzzy")},
+           |hn AS (SELECT name, ${ph("name")} AS h FROM names),
+           |canon AS (
+           |  SELECT l.cluster, min(hn.name) AS canon_name
+           |  FROM lab l JOIN hn ON hn.h = l.id GROUP BY l.cluster)
+           |SELECT hn.name, coalesce(c.canon_name, hn.name) AS canon_name
+           |FROM hn LEFT JOIN lab l ON l.id = hn.h
+           |        LEFT JOIN canon c ON c.cluster = l.cluster""".stripMargin,
+      "er03_entity_rollup" ->
+        s"""WITH RECURSIVE $pairsSqlBody,
+           |${Clusters.componentsCte(
+                s"SELECT ${ph("name_a")} AS doc_a, ${ph("name_b")} AS doc_b FROM fuzzy")},
+           |hn AS (SELECT name, ${ph("name")} AS h FROM names),
+           |canon AS (
+           |  SELECT l.cluster, min(hn.name) AS canon_name
+           |  FROM lab l JOIN hn ON hn.h = l.id GROUP BY l.cluster),
+           |cmap AS (
+           |  SELECT hn.name, coalesce(c.canon_name, hn.name) AS canon_name
+           |  FROM hn LEFT JOIN lab l ON l.id = hn.h
+           |          LEFT JOIN canon c ON c.cluster = l.cluster)
+           |SELECT m.canon_name, count(*) AS n_rows,
+           |  CAST(count(DISTINCT p.p_name) AS BIGINT) AS n_variants
+           |FROM part p JOIN cmap m ON m.name = p.p_name
+           |GROUP BY m.canon_name""".stripMargin)
+  }
+}
