@@ -458,6 +458,35 @@ object Dedup {
       .select(col("corpus_id"), col("delta_id"), col("inter"), col("jaccard"))
   }
 
+  /** NEAR-DUP decontamination (d17) — [[contaminationHits]]'s fuzzy
+    * sibling: training docs that are near-duplicates (true Jaccard ≥
+    * `threshold`) of ANY benchmark document, not merely sharing one
+    * n-gram. d09 is the high-recall tripwire (one shared 3-gram
+    * flags); this is the high-precision sweep that catches paraphrased
+    * or lightly-edited benchmark leakage the way corpus dedup catches
+    * near-dup documents — the two run together in a real
+    * decontamination pass (exact-overlap scrub + near-dup drop).
+    *
+    * Pure composition: [[minhashVerifiedAgainst]] with the benchmark
+    * as the delta side, aggregated per training doc. Scale shape is
+    * inherited and ideal for this asymmetry: the benchmark is small BY
+    * DEFINITION, so its 4 band keys/doc form a tiny join side (AQE
+    * broadcasts it at runtime), the corpus side is one map-side
+    * signature pass, and no corpus-vs-corpus pair ever forms — cost
+    * scales with |benchmark| × collision rate, never |corpus|².
+    *
+    * Output: `(doc_id, n_bench_matches, max_jaccard)` — drop or audit
+    * these ids; anti-join against the corpus to decontaminate. */
+  def decontaminateNearDup(corpus: DataFrame, probe: DataFrame,
+                           id: String, text: String, threshold: Double,
+                           n: Int = 3): DataFrame =
+    minhashVerifiedAgainst(corpus, probe, id, text, threshold, n)
+      .groupBy(col("corpus_id"))
+      .agg(count(lit(1)).as("n_bench_matches"),
+        max(col("jaccard")).as("max_jaccard"))
+      .select(col("corpus_id").as("doc_id"),
+        col("n_bench_matches"), col("max_jaccard"))
+
   /** Cross-corpus n-gram contamination (d09) — benchmark
     * DECONTAMINATION, the step a training pipeline runs before any
     * model sees the corpus: find every training document sharing at
@@ -777,6 +806,15 @@ object Dedup {
         docs.filter(col("source") =!= "src0"), "doc_id", "text",
         docs.filter(col("source") === "src0"), "text")
     }),
+    // near-dup decontamination: same benchmark stand-in as d09 (src0),
+    // but flagging only true near-duplicates of a benchmark doc
+    "d17_decontaminate_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      decontaminateNearDup(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", threshold = 0.6)
+    }),
     "d11_dup_ngram_spans" -> ((s, d) =>
       dupNgramStats(Tables.documents(s, d), "doc_id", "text", n = 5)))
 
@@ -787,6 +825,37 @@ object Dedup {
       |sh AS (SELECT DISTINCT doc_id, shingle FROM (
       |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
       |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle FROM tk) raw)""".stripMargin
+
+  /** Per-side signature/band/shingle-key CTE chain for the cross-set
+    * band-join oracles (d10, d17): `tk/sh/cnt/sk/h/sig/bands` suffixed
+    * with `sfx`, over `documents WHERE (where)`. */
+  private def crossSideSql(sfx: String, where: String): String = {
+    val bandSel = (0 until Bands).map { b =>
+      val key = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig$sfx"
+    }.mkString("\n  UNION ALL ")
+    val mhSel = (0 until Bands * RowsPerBand).map { i =>
+      s"min((${MinHashA(i)} * h + ${MinHashB(i)}) % $P) AS mh$i"
+    }.mkString(",\n  ")
+    s"""tk$sfx AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+       |       FROM documents WHERE ($where)
+       |         AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 3),
+       |sh$sfx AS (SELECT DISTINCT doc_id, shingle FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+       |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle FROM tk$sfx) raw),
+       |cnt$sfx AS (SELECT doc_id, count(*) AS n_sh FROM sh$sfx GROUP BY doc_id),
+       |sk$sfx AS (SELECT DISTINCT doc_id,
+       |    (${Hashing.polyHashSql("shingle")}) * 1000000009
+       |      + (${Hashing.polyHashSql("reverse(shingle)")}) AS sk
+       |  FROM sh$sfx),
+       |h$sfx AS (SELECT doc_id, ${Hashing.polyHashSql("shingle")} AS h FROM sh$sfx),
+       |sig$sfx AS (SELECT doc_id,
+       |  $mhSel
+       |  FROM h$sfx GROUP BY doc_id),
+       |bands$sfx AS (
+       |  $bandSel)""".stripMargin
+  }
 
   def oracle: Map[String, String] = {
     val mh = (0 until Bands * RowsPerBand).map { i =>
@@ -1003,33 +1072,7 @@ object Dedup {
       // signature/band/shingle-key CTEs, cross-set candidates, exact
       // Jaccard verify
       "d10_incremental_dedup" -> {
-        def side(sfx: String, where: String) = {
-          val bandSel = (0 until Bands).map { b =>
-            val key = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}")
-              .mkString(" || '_' || ")
-            s"SELECT doc_id, $b AS band, $key AS key FROM sig$sfx"
-          }.mkString("\n  UNION ALL ")
-          val mhSel = (0 until Bands * RowsPerBand).map { i =>
-            s"min((${MinHashA(i)} * h + ${MinHashB(i)}) % $P) AS mh$i"
-          }.mkString(",\n  ")
-          s"""tk$sfx AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
-             |       FROM documents WHERE ($where)
-             |         AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 3),
-             |sh$sfx AS (SELECT DISTINCT doc_id, shingle FROM (
-             |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
-             |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle FROM tk$sfx) raw),
-             |cnt$sfx AS (SELECT doc_id, count(*) AS n_sh FROM sh$sfx GROUP BY doc_id),
-             |sk$sfx AS (SELECT DISTINCT doc_id,
-             |    (${Hashing.polyHashSql("shingle")}) * 1000000009
-             |      + (${Hashing.polyHashSql("reverse(shingle)")}) AS sk
-             |  FROM sh$sfx),
-             |h$sfx AS (SELECT doc_id, ${Hashing.polyHashSql("shingle")} AS h FROM sh$sfx),
-             |sig$sfx AS (SELECT doc_id,
-             |  $mhSel
-             |  FROM h$sfx GROUP BY doc_id),
-             |bands$sfx AS (
-             |  $bandSel)""".stripMargin
-        }
+        val side = crossSideSql _
         s"""WITH ${side("c", "doc_id % 2 = 0")},
            |${side("d", "doc_id % 2 = 1")},
            |cand AS (
@@ -1047,6 +1090,32 @@ object Dedup {
            |JOIN cntc ca ON pr.corpus_id = ca.doc_id
            |JOIN cntd cb ON pr.delta_id = cb.doc_id
            |WHERE inter::DOUBLE / (ca.n_sh + cb.n_sh - inter)::DOUBLE >= 0.6""".stripMargin
+      },
+      // d17 — the d10 cross-set band+verify text with the d09
+      // corpus/benchmark split, collapsed per training doc
+      "d17_decontaminate_neardup" -> {
+        val side = crossSideSql _
+        s"""WITH ${side("c", "source <> 'src0'")},
+           |${side("d", "source = 'src0'")},
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS corpus_id, b.doc_id AS delta_id
+           |  FROM bandsc a JOIN bandsd b ON a.band = b.band AND a.key = b.key),
+           |pr AS (
+           |  SELECT cand.corpus_id, cand.delta_id, count(*) AS inter
+           |  FROM cand
+           |  JOIN skc a ON a.doc_id = cand.corpus_id
+           |  JOIN skd b ON b.doc_id = cand.delta_id AND b.sk = a.sk
+           |  GROUP BY 1, 2),
+           |v AS (
+           |  SELECT corpus_id, delta_id,
+           |    inter::DOUBLE / (ca.n_sh + cb.n_sh - inter)::DOUBLE AS jaccard
+           |  FROM pr
+           |  JOIN cntc ca ON pr.corpus_id = ca.doc_id
+           |  JOIN cntd cb ON pr.delta_id = cb.doc_id
+           |  WHERE inter::DOUBLE / (ca.n_sh + cb.n_sh - inter)::DOUBLE >= 0.6)
+           |SELECT corpus_id AS doc_id, count(*) AS n_bench_matches,
+           |  max(jaccard) AS max_jaccard
+           |FROM v GROUP BY corpus_id""".stripMargin
       },
       // d09 — the same 60-bit shingle keys, one side filtered to the
       // probe sub-corpus, counted per training doc

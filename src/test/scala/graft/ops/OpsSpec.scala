@@ -645,6 +645,23 @@ class OpsSpec extends AnyFunSuite {
     assert(d10 == expected, s"d10 $d10 vs cross-parity d08 $expected")
   }
 
+  test("d17 near-dup decontamination ⊆ d09 n-gram hits, with max_jaccard ≥ threshold") {
+    val d = "/root/testdata/sf0.01"
+    // a near-duplicate of a benchmark doc (jaccard ≥ 0.6) necessarily
+    // shares ≥1 probe n-gram, so d17's flagged ids must be a subset of
+    // d09's — and every flagged doc carries a verified score
+    val d09 = Dedup.queries("d09_decontaminate")(spark, d)
+      .collect().map(_.getLong(0)).toSet
+    val d17 = Dedup.queries("d17_decontaminate_neardup")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(d17.nonEmpty, "harness corpus must contain cross-source near-dups")
+    assert(d17.map(_._1).toSet.subsetOf(d09),
+      "near-dup contamination must imply n-gram contamination")
+    d17.foreach { case (id, n, j) =>
+      assert(n >= 1 && j >= 0.6 && j <= 1.0, s"doc $id: n=$n j=$j")
+    }
+  }
+
   test("s04 weighted sampling: deterministic, extreme weights are certain") {
     val d = "/root/testdata/sf0.01"
     val docs = Tables.documents(spark, d)
