@@ -429,7 +429,50 @@ object TextOps {
         round(col("n_types").cast("double") / col("n_words").cast("double")
           * lit(1e6)).cast("long"))
 
+  /** Hashed-feature buckets and affine weight constants for [[hashedClassifier]]. */
+  val ClfBuckets = 1024L
+  val ClfA = 271828183L
+  val ClfC = 314159L
+
+  /** Hashed linear classifier inference (t15) — the fastText /
+    * hashing-trick logistic-model shape every production quality
+    * classifier deploys at corpus scale: tokens hash into a fixed
+    * bucket space, the score is the mean of the bucket weights, the
+    * verdict is a sign test. The WEIGHTS here are a deterministic
+    * affine stub (`w[j] = ((j·A + C) mod P)/P·2−1` — swap in a trained
+    * vector, keep the plumbing); what the operator demonstrates is the
+    * inference plan: ZERO shuffles, one codegen'd map pass per doc,
+    * model size fixed at `buckets` doubles no matter the corpus — the
+    * reason the hashing trick (Weinberger et al., ICML'09) is the
+    * standard for classifier sweeps over 10¹⁰ documents.
+    *
+    * Determinism discipline: features are the DISTINCT token hash keys
+    * (`graft_shingle_hashes(tk, 1, _)` — sorted ascending), so the
+    * double fold runs in sorted order on both engines and every term
+    * is a correctly-rounded affine of identical integers → the mean is
+    * bit-identical, no quantization needed before the final q6
+    * readout. Output: `(id, n_features, score_q6, keep)`. */
+  def hashedClassifier(df: DataFrame, id: String, text: String): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    val P = Hashing.P
+    df
+      .select(col(id), expr(s"filter(split($text, ' '), x -> x <> '')").as("tk"))
+      .filter(size(col("tk")) >= 1)
+      .select(col(id), expr("graft_shingle_hashes(tk, 1, 1)").as("hs"))
+      .select(col(id),
+        size(col("hs")).cast("long").as("n_features"),
+        expr(s"""aggregate(hs, cast(0.0 as double), (acc, k) ->
+                 acc + (cast(((k % $ClfBuckets) * ${ClfA}L + ${ClfC}L) % ${P}L as double)
+                        / $P.0D * 2.0D - 1.0D))""").as("_sum"))
+      .withColumn("score_q6",
+        round(col("_sum") / col("n_features").cast("double") * lit(1e6)).cast("long"))
+      .withColumn("keep", col("score_q6") > 0)
+      .drop("_sum")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t15_hashed_classifier" -> ((s, d) =>
+      hashedClassifier(Tables.documents(s, d), "doc_id", "text")),
     "t14_lexical_diversity" -> ((s, d) =>
       lexicalDiversity(Tables.documents(s, d), "doc_id", "text")),
     "t01_token_freq" -> ((s, d) =>
@@ -470,6 +513,30 @@ object TextOps {
       bigramLogProb(Tables.documents(s, d), "doc_id", "text")))
 
   def oracle: Map[String, String] = Map(
+    // t15 — same sorted-distinct hash keys, same sorted-order double
+    // fold; every term is correctly-rounded arithmetic on identical
+    // integers, so the mean matches bit-for-bit
+    "t15_hashed_classifier" -> {
+      val P = Hashing.P
+      s"""WITH tk AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+         |  FROM documents
+         |  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 1),
+         |u AS (SELECT DISTINCT doc_id,
+         |    (${Hashing.polyHashSql("t")}) * 1000000009
+         |      + (${Hashing.polyHashSql("reverse(t)")}) AS sk
+         |  FROM (SELECT doc_id, unnest(tk) AS t FROM tk) z),
+         |l AS (SELECT doc_id, list_sort(list(sk)) AS hs FROM u GROUP BY doc_id),
+         |s AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_features,
+         |  reduce(list_prepend(0.0, list_transform(hs, k ->
+         |    CAST(((k % $ClfBuckets) * $ClfA + $ClfC) % $P AS DOUBLE)
+         |      / $P.0 * 2.0 - 1.0)), (acc, x) -> acc + x) AS ssum
+         |  FROM l)
+         |SELECT doc_id, n_features,
+         |  CAST(round(ssum / n_features::DOUBLE * 1000000.0) AS BIGINT) AS score_q6,
+         |  CAST(round(ssum / n_features::DOUBLE * 1000000.0) AS BIGINT) > 0 AS keep
+         |FROM s""".stripMargin
+    },
     "t01_token_freq" ->
       """SELECT token, count(*) AS freq FROM (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents) toks

@@ -662,6 +662,26 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("t15 hashed classifier matches the closed-form fold on a crafted doc") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a"), (2L, "")).toDF("doc_id", "text")
+    val rows = TextOps.hashedClassifier(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    // empty doc filtered out; "a b a" → distinct token keys for a, b
+    assert(rows.keySet == Set(1L))
+    val P = Hashing.P
+    def key(t: String) = {
+      def ph(s: String) = s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % P)
+      ph(t) * 1000000009L + ph(t.reverse)
+    }
+    def w(k: Long) = (((k % TextOps.ClfBuckets) * TextOps.ClfA + TextOps.ClfC) % P)
+      .toDouble / P.toDouble * 2.0 - 1.0
+    val ks = Seq(key("a"), key("b")).sorted
+    val expect = math.round(ks.map(w).foldLeft(0.0)(_ + _) / 2.0 * 1e6)
+    assert(rows(1L) == ((2L, expect, expect > 0)))
+  }
+
   test("s04 weighted sampling: deterministic, extreme weights are certain") {
     val d = "/root/testdata/sf0.01"
     val docs = Tables.documents(spark, d)

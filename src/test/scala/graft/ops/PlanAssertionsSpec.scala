@@ -51,6 +51,10 @@ class PlanAssertionsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(shuffles(plan("s01_sample_rate")) == 0)
   }
 
+  test("t15 hashed classifier plans with zero exchanges (pure map-side)") {
+    assert(shuffles(plan("t15_hashed_classifier")) == 0)
+  }
+
   test("d03 minhash plans exactly two exchanges (bands + distinct), no token shuffle") {
     // map-side signatures: the only exchanges are the 4-key-per-doc band
     // bucket groupBy and the candidate-pair distinct
