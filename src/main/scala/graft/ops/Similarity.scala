@@ -602,7 +602,47 @@ object Similarity {
     ctes.toSeq
   }
 
+  /** Per-dimension corpus standardization (k11) — z-score feature
+    * scaling, the preprocessing pass in front of k-means / IVF / PQ
+    * whenever dimensions carry different scales (StandardScaler in
+    * MLlib/sklearn terms; PQ codebooks in particular degrade badly
+    * when a few dimensions dominate the subspace distances).
+    *
+    * Scale shape: pass 1 reduces the corpus to a DIMS-row stats table
+    * (count + exact integer sums per dimension — elements quantized to
+    * q6 longs first, so the fold is associative integer arithmetic,
+    * partition-order-proof on both engines; Σq² held as decimal(38,0)
+    * against overflow); pass 2 broadcasts the stats and normalizes
+    * map-side — the corpus itself never shuffles in either pass. This
+    * is the canonical two-pass fit/transform split: at 100 TB the
+    * stats frame is still `dims` rows.
+    *
+    * Constant dimensions (sd = 0) emit z = 0 instead of a division by
+    * zero — the CASE guard is mirrored in the oracle. Output:
+    * `(vec_id, dim, z_q6)` — exploded, relational, exact. */
+  def standardize(vectors: DataFrame, id: String, vec: String): DataFrame = {
+    val q = vectors.select(col(id).as("vec_id"),
+      posexplode(expr(
+        s"transform($vec, x -> cast(round(cast(x as double) * 1000000.0) as long))"))
+        .as(Seq("dim", "q")))
+    val mu = col("sq").cast("double") / col("n").cast("double")
+    val stats = q.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"),
+        sum((col("q") * col("q")).cast("decimal(38,0)")).as("sq2"))
+      .select(col("dim"), mu.as("mu_q"),
+        sqrt(col("sq2").cast("double") / col("n").cast("double") - mu * mu)
+          .as("sd_q"))
+    q.join(broadcast(stats), Seq("dim"))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        when(col("sd_q") > 0,
+          round((col("q").cast("double") - col("mu_q")) / col("sd_q") * lit(1e6))
+            .cast("long"))
+          .otherwise(lit(0L)).as("z_q6"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k11_standardize" -> ((s, d) =>
+      standardize(Tables.embeddings(s, d), "vec_id", "embedding")),
     "k01_knn_brute" -> ((s, d) =>
       knnBrute(Tables.embeddings(s, d), "vec_id", "embedding",
         _ < NumProbes, TopK)),
@@ -669,6 +709,29 @@ object Similarity {
       """reduce(list_prepend(0.0, list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])),
         |           (acc, x) -> acc + x) / (a.nrm * b.nrm)""".stripMargin
     Map(
+      // k11 — same q6 element quantization, exact integer sums per dim
+      // (HUGEINT ≡ decimal(38,0)), identical IEEE op order for mu/sd/z
+      "k11_standardize" ->
+        """WITH u AS (
+          |  SELECT vec_id, unnest(list_transform(embedding, (x, i) ->
+          |    {'dim': CAST(i - 1 AS BIGINT),
+          |     'q': CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)})) AS s
+          |  FROM embeddings),
+          |q AS (SELECT vec_id, s.dim AS dim, s.q AS q FROM u),
+          |stats AS (
+          |  SELECT dim, count(*) AS n, CAST(sum(q) AS BIGINT) AS sq,
+          |    sum(q * q) AS sq2
+          |  FROM q GROUP BY dim),
+          |st AS (
+          |  SELECT dim, sq::DOUBLE / n::DOUBLE AS mu_q,
+          |    sqrt(sq2::DOUBLE / n::DOUBLE
+          |         - (sq::DOUBLE / n::DOUBLE) * (sq::DOUBLE / n::DOUBLE)) AS sd_q
+          |  FROM stats)
+          |SELECT q.vec_id, q.dim,
+          |  CASE WHEN st.sd_q > 0
+          |    THEN CAST(round((q.q::DOUBLE - st.mu_q) / st.sd_q * 1000000.0) AS BIGINT)
+          |    ELSE 0 END AS z_q6
+          |FROM q JOIN st ON st.dim = q.dim""".stripMargin,
       "k01_knn_brute" ->
         s"""WITH v AS (
            |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),

@@ -662,6 +662,29 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("k11 standardization: per-dim mean ~0, sd ~1, constant dims map to 0") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 5.0f, 7.0f)),
+      (2L, Array(3.0f, 5.0f, 9.0f)),
+      (3L, Array(5.0f, 5.0f, 14.0f))).toDF("vec_id", "embedding")
+    val z = Similarity.standardize(df, "vec_id", "embedding")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // dim 1 is constant → all zeros, no division-by-zero blowup
+    assert(Seq(1L, 2L, 3L).forall(v => z((v, 1L)) == 0L))
+    // dim 0: mean 3, population sd = sqrt(8/3); z(1) = -2/sd ≈ -1.2247
+    assert(math.abs(z((1L, 0L)) + 1224745L) <= 1)
+    assert(z((2L, 0L)) == 0L)
+    assert(math.abs(z((3L, 0L)) - 1224745L) <= 1)
+    // every dim's z-scores sum to ~0 and their squares average to ~1e12
+    for (dim <- Seq(0L, 2L)) {
+      val zs = Seq(1L, 2L, 3L).map(v => z((v, dim)).toDouble)
+      assert(math.abs(zs.sum) < 10, s"dim $dim mean off: $zs")
+      assert(math.abs(zs.map(x => x * x).sum / 3 - 1e12) < 1e7,
+        s"dim $dim variance off: $zs")
+    }
+  }
+
   test("t15 hashed classifier matches the closed-form fold on a crafted doc") {
     import spark.implicits._
     val df = Seq((1L, "a b a"), (2L, "")).toDF("doc_id", "text")
