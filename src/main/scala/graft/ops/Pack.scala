@@ -153,7 +153,40 @@ object Pack {
         col("c.chunk_text").as("chunk_text"))
   }
 
+  /** Shard count for the a04 harness query (production: pick ≫ executor
+    * count so every shard is one comfortable task). */
+  val ShuffleShards = 8L
+  private val ShufA = Hashing.MinHashA(1)
+  private val ShufB = Hashing.MinHashB(1)
+  private val HashP = Hashing.P
+
+  /** a04 — deterministic GLOBAL SHUFFLE into balanced training shards:
+    * the export step between packing and the trainer, which must (a)
+    * decorrelate example order from ingest order (hash permutation, not
+    * rand() — task retries and re-runs reproduce the same epoch), and
+    * (b) emit shards a loader can stream independently (`pos` dense
+    * 0..n−1 within each shard).
+    *
+    * Scale shape: the coin is map-side; the only exchange hashes on
+    * `shard`, and each shard sorts independently — shard volume =
+    * corpus/nShards by the law of large numbers, so the sort is one
+    * bounded task per shard and the whole export is embarrassingly
+    * parallel across shards. No global sort, no single-frame window.
+    * Output: `(id, shard, pos)`. */
+  def shuffleShards(df: DataFrame, id: String, nShards: Long): DataFrame = {
+    val h = expr(s"(((($id % ${HashP}L + ${HashP}L) % ${HashP}L) * ${ShufA}L" +
+      s" + ${ShufB}L) % ${HashP}L)")
+    df.select(col(id), h.as("_h"))
+      .withColumn("shard", (col("_h") % nShards).cast("long"))
+      .withColumn("pos", (row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("_h"), col(id))) - 1)
+        .cast("long"))
+      .select(col(id), col("shard"), col("pos"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a04_shuffle_shards" -> ((s, d) =>
+      shuffleShards(Tables.documents(s, d), "doc_id", ShuffleShards)),
     "a01_pack_chunks" -> ((s, d) =>
       packChunks(Tables.documents(s, d), "doc_id", "n_chars")),
     "a02_pack_by_source" -> ((s, d) =>
@@ -162,6 +195,14 @@ object Pack {
       slidingChunks(Tables.documents(s, d), "doc_id", "text")))
 
   def oracle: Map[String, String] = Map(
+    // a04 — the identical affine permutation and windowed dense rank
+    "a04_shuffle_shards" ->
+      s"""SELECT doc_id, CAST(h % $ShuffleShards AS BIGINT) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY h % $ShuffleShards
+         |    ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+         |FROM (SELECT doc_id,
+         |  ((((doc_id % $HashP + $HashP) % $HashP) * $ShufA + $ShufB) % $HashP) AS h
+         |  FROM documents) t""".stripMargin,
     "a01_pack_chunks" ->
       s"""SELECT doc_id,
          |  CAST(excl // $DefaultCapacity AS BIGINT) AS chunk_id,

@@ -662,6 +662,25 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("a04 shard export: dense per-shard positions, full coverage, decorrelated order") {
+    val d = "/root/testdata/sf0.01"
+    val rows = Pack.queries("a04_shuffle_shards")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 500 && rows.map(_._1).distinct.length == 500)
+    // pos is dense 0..n-1 inside every shard (a loader can stream each
+    // shard independently), and every doc landed in a valid shard
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      assert(shard >= 0 && shard < Pack.ShuffleShards)
+      assert(rs.map(_._3).sorted.toSeq == (0L until rs.length).toSeq,
+        s"shard $shard positions not dense")
+    }
+    // hash permutation decorrelates from id order: within a shard, the
+    // doc ids at consecutive positions must not be globally ascending
+    val s0 = rows.filter(_._2 == rows.head._2).sortBy(_._3).map(_._1)
+    assert(s0.zip(s0.tail).exists { case (a, b) => a > b },
+      "shard order must not follow ingest order")
+  }
+
   test("k11 standardization: per-dim mean ~0, sd ~1, constant dims map to 0") {
     import spark.implicits._
     val df = Seq(
