@@ -350,6 +350,78 @@ object Clusters {
   /** c09 iteration count: near-dup cliques mix in a handful of rounds. */
   val PageRankIters = 5
 
+  /** c13 hop cap: the audit horizon for contamination spread. */
+  val BfsMaxDepth = 3
+
+  /** Multi-source BFS depth (c13) — the "contamination blast radius"
+    * audit: minimum hop count from ANY seed document (here the
+    * benchmark stand-in corpus) through near-dup edges, capped at
+    * `maxDepth` hops. Where d09/d17 flag direct contamination, this
+    * answers the follow-up an auditor asks next: what else is one or
+    * two near-dup steps away from a contaminated doc (the
+    * paraphrase-of-a-paraphrase chain d17's pairwise threshold cuts
+    * off)? Depth 0 = the seeds themselves.
+    *
+    * Determinism & scale: exactly `maxDepth` synchronous relaxation
+    * rounds (fixed, so the oracle unrolls them as CTEs — the c09/c12
+    * recipe); each round is one join on the materialized-once edge
+    * table + a min-aggregation; frontiers never touch the driver;
+    * localCheckpoint truncates the iterative lineage. Rounds = hop
+    * cap, not graph diameter — the cap is the contract, so the
+    * long-chain boundary CC needs star contraction for cannot arise.
+    * Output: `(doc_id, depth)` for every doc within `maxDepth` hops. */
+  def bfsDepth(pairs: DataFrame, a: String, b: String,
+               sources: DataFrame, srcCol: String,
+               maxDepth: Int): DataFrame = {
+    val edges = pairs
+      .select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
+      .union(pairs.select(col(b).cast("long").as("src"),
+        col(a).cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var dist = sources
+      .select(col(srcCol).cast("long").as("id"), lit(0L).as("depth"))
+      .distinct()
+      .localCheckpoint()
+    for (_ <- 1 to maxDepth) {
+      dist = edges
+        .join(dist.withColumnRenamed("id", "src")
+          .withColumnRenamed("depth", "sd"), Seq("src"))
+        .select(col("dst").as("id"), (col("sd") + 1L).as("depth"))
+        .union(dist)
+        .groupBy(col("id")).agg(min(col("depth")).as("depth"))
+        .localCheckpoint()
+    }
+    dist.select(col("id").as("doc_id"), col("depth"))
+  }
+
+  /** The c13 unrolled-CTE oracle: d0 … d`maxDepth`, each round the
+    * same relax-and-min the Spark loop computes. Composes over the
+    * same pair SQL and seed predicate as the catalog query. */
+  def bfsOracleSql(pairsSql: String, seedWhere: String,
+                   maxDepth: Int): String = {
+    val rounds = (1 to maxDepth).map { i =>
+      s"""d$i AS (
+         |  SELECT id, min(depth) AS depth FROM (
+         |    SELECT e.dst AS id, d${i - 1}.depth + 1 AS depth
+         |    FROM d${i - 1} JOIN edges e ON e.src = d${i - 1}.id
+         |    UNION ALL
+         |    SELECT id, depth FROM d${i - 1}) u
+         |  GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS ($pairsSql),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |d0 AS (
+       |  SELECT DISTINCT doc_id AS id, CAST(0 AS BIGINT) AS depth
+       |  FROM documents WHERE ($seedWhere)),
+       |$rounds
+       |SELECT id AS doc_id, CAST(depth AS BIGINT) AS depth
+       |FROM d$maxDepth""".stripMargin
+  }
+
   /** c12 iteration count: synchronous LPA on near-dup graphs settles
     * (or enters its stable alternation) within a few rounds. */
   val LpaIters = 3
@@ -492,6 +564,15 @@ object Clusters {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // contamination blast radius: hops from the benchmark stand-in
+    // (src0) through the d02 near-dup graph, capped at BfsMaxDepth
+    "c13_contamination_radius" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      bfsDepth(
+        Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.6),
+        "doc_a", "doc_b",
+        docs.filter(col("source") === "src0"), "doc_id", BfsMaxDepth)
+    }),
     // clusters over the d02 near-dup pairs: every doc that has at least
     // one near-dup, labeled with its cluster's canonical keeper
     "c01_dup_clusters" -> ((s, d) =>
@@ -625,6 +706,9 @@ object Clusters {
   }
 
   def oracle: Map[String, String] = Map(
+    "c13_contamination_radius" ->
+      bfsOracleSql(Dedup.oracle("d02_ngram_jaccard"),
+        "source = 'src0'", BfsMaxDepth),
     // the same fixpoint as a recursive CTE: comp enumerates
     // (node, label-of-any-node-that-reaches-it); min per node = the
     // component minimum — identical to min-label propagation's fixpoint

@@ -662,6 +662,19 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("c13 BFS: crafted chain gets exact hop depths, capped at maxDepth") {
+    import spark.implicits._
+    // chain 1-2-3-4-5-6 plus isolated seed 10; seeds = {1, 10}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val seeds = Seq(1L, 10L).toDF("doc_id")
+    val got = Clusters.bfsDepth(pairs, "doc_a", "doc_b", seeds, "doc_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // depth cap 3: node 5 (4 hops) and 6 never appear; isolated seed
+    // keeps depth 0
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 10L -> 0L))
+  }
+
   test("a04 shard export: dense per-shard positions, full coverage, decorrelated order") {
     val d = "/root/testdata/sf0.01"
     val rows = Pack.queries("a04_shuffle_shards")(spark, d)
