@@ -453,6 +453,33 @@ object Relational {
         .select(col("custkey"))
     }),
 
+    // BAG-semantics set ops (§2.7 completeness): EXCEPT ALL / INTERSECT
+    // ALL preserve multiplicity (n_left − n_right / min(n_left,
+    // n_right) copies per value) — the multiset algebra Spark plans as
+    // a single hash aggregation over counts, never a distinct. Both run
+    // on (custkey, priority) multisets where repeat orders make the
+    // multiplicities meaningful.
+    "q43_except_all" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(col("o_totalprice") > 200000)
+        .select(col("o_custkey").as("custkey"),
+          col("o_orderpriority").as("priority"))
+        .exceptAll(
+          o.filter(col("o_orderstatus") === "F")
+            .select(col("o_custkey").as("custkey"),
+              col("o_orderpriority").as("priority")))
+    }),
+    "q44_intersect_all" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(col("o_totalprice") > 200000)
+        .select(col("o_custkey").as("custkey"),
+          col("o_orderpriority").as("priority"))
+        .intersectAll(
+          o.filter(col("o_orderstatus") === "F")
+            .select(col("o_custkey").as("custkey"),
+              col("o_orderpriority").as("priority")))
+    }),
+
     // §2.8 X3–X6 string normalization family on `documents`: trim,
     // regex squeeze, translate, case, substring — all codegen built-ins
     // (reference `data_preprocessing.py:37-53`).
@@ -820,6 +847,18 @@ object Relational {
       """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
         |EXCEPT
         |SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+    "q43_except_all" ->
+      """SELECT o_custkey AS custkey, o_orderpriority AS priority
+        |FROM orders WHERE o_totalprice > 200000
+        |EXCEPT ALL
+        |SELECT o_custkey AS custkey, o_orderpriority AS priority
+        |FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+    "q44_intersect_all" ->
+      """SELECT o_custkey AS custkey, o_orderpriority AS priority
+        |FROM orders WHERE o_totalprice > 200000
+        |INTERSECT ALL
+        |SELECT o_custkey AS custkey, o_orderpriority AS priority
+        |FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
     "q14_string_norm" ->
       """SELECT doc_id,
         |  upper(substring(text, 1, 20)) AS head,
