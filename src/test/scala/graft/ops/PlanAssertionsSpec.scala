@@ -109,6 +109,28 @@ class PlanAssertionsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(shuffles(plan("s03_split_assign")) == 0)
   }
 
+  test("k11 standardization broadcasts the stats table; transform side never shuffles") {
+    val p = plan("k11_standardize")
+    val s = p.toString
+    assert(s.contains("BroadcastHashJoin"),
+      "dims-row stats must broadcast:\n" + s.take(2000))
+    // the only exchange is the per-dim stats groupBy (dims rows); the
+    // corpus explode → normalize path is map-side on both passes
+    assert(shuffles(p) == 1, "expected 1 exchange (stats agg):\n" + s.take(2000))
+  }
+
+  test("a04 shard export plans exactly one exchange (the shard hash), no global sort") {
+    val p = plan("a04_shuffle_shards")
+    assert(shuffles(p) == 1,
+      "expected only the shard-key exchange:\n" + p.toString.take(2000))
+  }
+
+  test("er03 applies the canonical map to facts via broadcast") {
+    val s = plan("er03_entity_rollup").toString
+    assert(s.contains("BroadcastHashJoin"),
+      "dictionary-sized map must broadcast onto facts:\n" + s.take(2000))
+  }
+
   test("d09 decontamination broadcasts the probe set; corpus tokens never shuffle") {
     val p = plan("d09_decontaminate")
     val s = p.toString
