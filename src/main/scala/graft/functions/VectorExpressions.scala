@@ -171,6 +171,92 @@ object PolyHash {
   }
 }
 
+/** `graft_jaro_winkler(a, b)` — textbook Jaro-Winkler similarity as a
+  * native codegen'd expression: Jaro match window `⌊max/2⌋−1`,
+  * greedy left-to-right matching, half-transposition count, Winkler
+  * prefix boost (scale 0.1, prefix cap 4) applied only above the 0.7
+  * boost threshold. Exactly the variant DuckDB's
+  * `jaro_winkler_similarity` implements (fuzz-verified at q6 over 30k
+  * random pairs), so the oracle can call DuckDB's built-in directly;
+  * emitted scores are q6-quantized by callers before comparison.
+  *
+  * Why native: the blocked ER verify (er04) evaluates this in the
+  * inner loop of a within-block self-join — a Scala UDF would box two
+  * strings per candidate and fall out of whole-stage codegen; this
+  * stays a primitive static call inside the generated join loop, same
+  * pattern as [[DotProduct]]. Char-based (UTF-16): identical to
+  * codepoint semantics on BMP text. */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_jaro_winkler requires two string columns, got ${l.sql}, ${r.sql}")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    Jaro.jw(l.toString, r.toString)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.Jaro.jw($a.toString(), $b.toString())")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object Jaro {
+  /** Callable from generated code. */
+  def jw(s1: String, s2: String): Double = {
+    val la = s1.length
+    val lb = s2.length
+    if (la == 0 || lb == 0) return 0.0
+    val w = math.max(math.max(la, lb) / 2 - 1, 0)
+    val m1 = new Array[Boolean](la)
+    val m2 = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val lo = math.max(0, i - w)
+      val hi = math.min(lb - 1, i + w)
+      var j = lo
+      var hit = false
+      while (j <= hi && !hit) {
+        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+          m1(i) = true; m2(j) = true; m += 1; hit = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < la) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    t /= 2
+    val j0 = (m.toDouble / la + m.toDouble / lb + (m - t).toDouble / m) / 3.0
+    if (j0 > 0.7) {
+      var l = 0
+      val n = math.min(math.min(la, lb), 4)
+      while (l < n && s1.charAt(l) == s2.charAt(l)) l += 1
+      j0 + l * 0.1 * (1 - j0)
+    } else j0
+  }
+}
+
 /** Session registration for the graft native functions. Idempotent —
   * call from any query that uses them. */
 object VectorFunctions {
@@ -199,6 +285,10 @@ object VectorFunctions {
     reg.createOrReplaceTempFunction(
       "graft_simhash",
       (exprs: Seq[Expression]) => SimHash(exprs.head),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_jaro_winkler",
+      (exprs: Seq[Expression]) => JaroWinkler(exprs(0), exprs(1)),
       "built-in")
   }
 }

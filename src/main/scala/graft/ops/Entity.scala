@@ -76,6 +76,36 @@ object Entity {
       .select(col("name_a"), col("name_b"), col("lev"))
   }
 
+  /** Winkler-score floor for er04, in q6 units (0.85). */
+  val MinJwQ6 = 850000L
+
+  /** er04 — the same blocked self-join verified by JARO-WINKLER
+    * instead of edit distance: the scorer record linkage actually
+    * prefers for human-entered names (typos cluster at word starts'
+    * complements — JW's prefix boost rewards shared stems where a
+    * fixed edit ceiling treats "acme corp"/"acme corpn" and
+    * "acme corp"/"zcme corp" identically). Scoring runs through the
+    * native codegen'd [[graft.functions.JaroWinkler]] expression
+    * inside the join loop — no UDF boxing — and the threshold compares
+    * q6-quantized integers, so the engines agree exactly (DuckDB's
+    * built-in `jaro_winkler_similarity` implements the identical
+    * variant, fuzz-pinned at q6). */
+  def jaroWinklerPairs(df: DataFrame, name: String,
+                       minJwQ6: Long = MinJwQ6,
+                       maxBlock: Int = MaxBlock): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    val n = blockedNames(df, name, maxBlock)
+    val a = n.select(col("name").as("name_a"), col("blk"))
+    val b = n.select(col("name").as("name_b"), col("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("jw_q6",
+        round(expr("graft_jaro_winkler(name_a, name_b)") * lit(1e6))
+          .cast("long"))
+      .filter(col("jw_q6") >= minJwQ6)
+      .select(col("name_a"), col("name_b"), col("jw_q6"))
+  }
+
   /** er02 — the canonical map over the FULL dictionary: `(name,
     * canon_name)`, identity for names with no fuzzy neighbor. CC runs
     * on polyhash node ids (collision-free on any realistic dictionary,
@@ -119,7 +149,9 @@ object Entity {
     "er02_canonical_map" -> ((s, d) =>
       canonicalMap(Tables.part(s, d), "p_name")),
     "er03_entity_rollup" -> ((s, d) =>
-      entityRollup(Tables.part(s, d), "p_name")))
+      entityRollup(Tables.part(s, d), "p_name")),
+    "er04_jw_pairs" -> ((s, d) =>
+      jaroWinklerPairs(Tables.part(s, d), "p_name")))
 
   /** Shared pair-CTE body (er01's query verbatim), over `names`. */
   private def pairsSqlBody: String =
@@ -141,6 +173,21 @@ object Entity {
       "er01_fuzzy_pairs" ->
         s"""WITH $pairsSqlBody
            |SELECT name_a, name_b, lev FROM fuzzy""".stripMargin,
+      // er04 — DuckDB's built-in implements the same JW variant as the
+      // native expression; both sides compare q6 integers
+      "er04_jw_pairs" ->
+        s"""WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+           |blocked AS (
+           |  SELECT name, string_split(name, ' ')[-1] AS blk,
+           |    count(*) OVER (PARTITION BY string_split(name, ' ')[-1]) AS bn
+           |  FROM names),
+           |ok AS (SELECT name, blk FROM blocked WHERE bn <= $MaxBlock),
+           |p AS (
+           |  SELECT a.name AS name_a, b.name AS name_b,
+           |    CAST(round(jaro_winkler_similarity(a.name, b.name) * 1000000.0)
+           |      AS BIGINT) AS jw_q6
+           |  FROM ok a JOIN ok b ON a.blk = b.blk AND a.name < b.name)
+           |SELECT name_a, name_b, jw_q6 FROM p WHERE jw_q6 >= $MinJwQ6""".stripMargin,
       // er02/er03 — hash the verified pairs to node ids, run the same
       // recursive min-label CTE as c01, canonical = min name per label
       "er02_canonical_map" ->

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotProduct, MinHashSig, PolyHash, ShingleHashes, SimHash}
+import graft.functions.{DotProduct, JaroWinkler, MinHashSig, PolyHash, ShingleHashes, SimHash}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
@@ -81,6 +81,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash].getName, "graft_simhash"),
       (exprs: Seq[Expression]) => SimHash(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
+      (exprs: Seq[Expression]) => JaroWinkler(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
   }
 }

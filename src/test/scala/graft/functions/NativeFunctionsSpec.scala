@@ -130,6 +130,33 @@ class NativeFunctionsSpec extends AnyFunSuite {
     assert(mh.filter(col("fast") =!= col("ref")).count() == 0)
   }
 
+  test("graft_jaro_winkler pins the textbook values (incl. boost threshold + empties)") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    // q6 values cross-checked against DuckDB's jaro_winkler_similarity
+    val cases = Seq(
+      ("martha", "marhta", 961111L),    // transposition + prefix boost
+      ("dixon", "dicksonx", 813333L),
+      ("DWAYNE", "DUANE", 840000L),
+      ("jellyfish", "smellyfish", 896296L), // no common prefix → no boost
+      ("ax", "abcdef", 555556L),        // jaro ≤ 0.7 → boost suppressed
+      ("", "abc", 0L),                  // empty side → 0 (DuckDB semantics)
+      ("ab", "ba", 0L),                 // window 0: no matches
+      ("same", "same", 1000000L))
+    val got = cases.toDF("a", "b", "want")
+      .withColumn("got",
+        round(expr("graft_jaro_winkler(a, b)") * lit(1e6)).cast("long"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getAs[Long]("got") == r.getAs[Long]("want"),
+        s"${r.getString(0)} / ${r.getString(1)}")
+    }
+    // null propagates
+    val n = Seq(("x", Option.empty[String])).toDF("a", "b")
+      .selectExpr("graft_jaro_winkler(a, b)").collect()
+    assert(n.head.isNullAt(0))
+  }
+
   test("graft_simhash equals the relational count/bit-explode form") {
     VectorFunctions.register(spark)
     val d = graft.ops.Tables.documents(spark, "/root/testdata/sf0.01")
