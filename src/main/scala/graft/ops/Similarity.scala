@@ -640,7 +640,37 @@ object Similarity {
           .otherwise(lit(0L)).as("z_q6"))
   }
 
+  /** Hard-negative mining (k12) — for each probe, the top-k most
+    * similar vectors with a DIFFERENT label: the contrastive-training
+    * data generator (anchor, hard negative) every embedding-model
+    * pipeline runs between curation and training (in-batch negatives
+    * are easy; the pairs that move the loss are the near-miss
+    * confusables this query surfaces). Same broadcast-probe one-pass
+    * corpus scan as k01 — the label inequality rides the join
+    * condition, so no corpus row survives to the rank window unless it
+    * is a genuine cross-label candidate; per-probe top-k is the
+    * map-side-pruned rank window (WindowGroupLimit).
+    *
+    * Output: `(probe_id, rnk, neighbor_id, cos)` — k rows per probe. */
+  def hardNegatives(vectors: DataFrame, id: String, vec: String,
+                    label: String, isProbe: Column => Column,
+                    k: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(vectors.sparkSession)
+    val v = vectors
+      .select(col(id).as("vec_id"), col(label).as("lbl"), col(vec).as("v"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+    val probes = v.filter(isProbe(col("vec_id")))
+    topKPerProbe(
+      v.as("b").join(broadcast(probes.as("a")),
+          col("a.lbl") =!= col("b.lbl"))
+        .select(col("a.vec_id").as("probe_id"),
+          col("b.vec_id").as("neighbor_id"), expr(cosExpr).as("cos")), k)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k12_hard_negatives" -> ((s, d) =>
+      hardNegatives(Tables.embeddings(s, d), "vec_id", "embedding", "label",
+        _ < NumProbes, TopK)),
     "k11_standardize" -> ((s, d) =>
       standardize(Tables.embeddings(s, d), "vec_id", "embedding")),
     "k01_knn_brute" -> ((s, d) =>
@@ -749,6 +779,24 @@ object Similarity {
            |  FROM scored)
            |SELECT probe_id, rnk, neighbor_id, cos FROM ranked WHERE rnk <= $TopK""".stripMargin,
       // k06 — k01 with the eligibility predicate on the corpus side
+      // k12 — k06's CTE shape with the label INEQUALITY as the join
+      // predicate (cross-label candidates only)
+      "k12_hard_negatives" ->
+        s"""WITH v AS (
+           |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+           |n AS (
+           |  SELECT vec_id, label, v,
+           |    sqrt(reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+           |  FROM v),
+           |scored AS (
+           |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+           |    $cosSql AS cos
+           |  FROM n a JOIN n b ON a.vec_id < $NumProbes AND a.label <> b.label),
+           |ranked AS (
+           |  SELECT probe_id, neighbor_id, cos,
+           |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+           |  FROM scored)
+           |SELECT probe_id, rnk, neighbor_id, cos FROM ranked WHERE rnk <= $TopK""".stripMargin,
       "k06_filtered_knn" ->
         s"""WITH v AS (
            |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),

@@ -662,6 +662,27 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("k12 hard negatives: every neighbor is cross-label and ranked below k01's same-label hits") {
+    val d = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, d)
+    val labels = emb.collect()
+      .map(r => (r.getLong(0), r.getAs[Number](2).longValue)).toMap
+    val rows = Similarity.queries("k12_hard_negatives")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == 50) // 10 probes × 5
+    rows.foreach { case (p, _, nb, _) =>
+      assert(labels(p) != labels(nb), s"probe $p neighbor $nb share a label")
+    }
+    // a probe's best hard negative can never beat its best unrestricted
+    // neighbor from k01 (the unrestricted max dominates)
+    val k01best = Similarity.queries("k01_knn_brute")(spark, d)
+      .filter(col("rnk") === 1).collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toMap
+    rows.filter(_._2 == 1).foreach { case (p, _, _, cos) =>
+      assert(cos <= k01best(p) + 1e-12, s"probe $p hard-neg beats k01 best")
+    }
+  }
+
   test("c13 BFS: crafted chain gets exact hop depths, capped at maxDepth") {
     import spark.implicits._
     // chain 1-2-3-4-5-6 plus isolated seed 10; seeds = {1, 10}
