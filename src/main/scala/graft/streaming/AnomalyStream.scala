@@ -20,12 +20,11 @@ import org.apache.spark.sql.functions._
   */
 object AnomalyStream {
   /** The shared stages live in [[graft.ops.Events]] (`hourlyCounts`,
-    * `anomalyReadout`) — the stream only normalizes the raw nanos `ts`
-    * to a TIMESTAMP first, so batch and stream run LITERALLY the same
-    * aggregation and read-out code. */
+    * `anomalyReadout`); `ts` arrives already µs-normalized from
+    * [[EventStream.readEvents]], so batch and stream run LITERALLY the
+    * same aggregation and read-out code. */
   def hourlyCounts(events: DataFrame): DataFrame =
-    graft.ops.Events.hourlyCounts(
-      events.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+    graft.ops.Events.hourlyCounts(events)
 
   /** See [[graft.ops.Events.anomalyReadout]]. */
   def anomalyReadout(hourly: DataFrame): DataFrame =

@@ -58,9 +58,7 @@ object CdcStream {
     * the materialized rows via an in-memory sink. */
   def runAvailableNow(spark: org.apache.spark.sql.SparkSession, sfDir: String,
                       sinkTable: String): DataFrame = {
-    val stream = EventStream.readEvents(spark, sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val q = compact(stream)
+    val q = compact(EventStream.readEvents(spark, sfDir))
       .writeStream
       .trigger(Trigger.AvailableNow())
       .outputMode("update")

@@ -19,12 +19,12 @@ import org.apache.spark.sql.functions._
   * `DedupStreamSpec` against a deliberately double-delivered directory.
   */
 object DedupStream {
-  /** Normalize event time and drop in-horizon duplicate event ids.
-    * Same logic batch & stream (batch ignores the watermark and
-    * `dropDuplicatesWithinWatermark` degenerates to `dropDuplicates`). */
+  /** Drop in-horizon duplicate event ids over a µs-TimestampType `ts`
+    * (see [[EventStream.readEvents]]). Same logic batch & stream (batch
+    * ignores the watermark and `dropDuplicatesWithinWatermark`
+    * degenerates to `dropDuplicates`). */
   def dedupped(events: DataFrame): DataFrame =
     events
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
@@ -33,11 +33,7 @@ object DedupStream {
     * soon as they are first seen. */
   def runAvailableNow(spark: org.apache.spark.sql.SparkSession, dir: String,
                       sinkTable: String): DataFrame = {
-    val q = dedupped(
-      spark.readStream
-        .schema(EventStream.rawSchema)
-        .option("pathGlobFilter", "*.parquet")
-        .parquet(dir))
+    val q = dedupped(EventStream.readEvents(spark, dir, glob = "*.parquet"))
       .writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .outputMode("append")

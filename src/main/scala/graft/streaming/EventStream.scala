@@ -19,8 +19,9 @@ import org.apache.spark.sql.types._
   * shuffle partitioning on the group key is exactly the batch plan's.
   */
 object EventStream {
-  /** Raw parquet schema (ts read as nanos-since-epoch long — see
-    * `spark.sql.legacy.parquet.nanosAsLong`). */
+  /** Raw streaming-read schema: `ts` declared LongType so the reader
+    * surfaces the column's physical int64 whatever the file's logical
+    * timestamp annotation is ([[rawTsDivisor]] recovers the unit). */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -29,25 +30,48 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Normalize + window-aggregate; identical logic for batch & stream. */
+  /** ns-per-µs divisor for the raw int64 `ts` of the events files under
+    * `dir`: the unit depends on how the writer annotated the column —
+    * TIMESTAMP(NANOS) surfaces to the BATCH reader as a nanos-long
+    * (`spark.sql.legacy.parquet.nanosAsLong`, divisor 1000), while a
+    * native TIMESTAMP(MICROS) column surfaces to the batch reader as a
+    * real TimestampType but reads through [[rawSchema]]'s LongType as
+    * raw µs (divisor 1). Probed from the footer (a schema-only batch
+    * read), never hardcoded: the testdata generator has shipped both
+    * encodings across rounds. */
+  def rawTsDivisor(spark: SparkSession, dir: String,
+                   glob: String = "events.parquet"): Long =
+    spark.read.option("pathGlobFilter", glob).parquet(dir)
+      .schema("ts").dataType match {
+      case LongType => 1000L
+      case _        => 1L
+    }
+
+  /** Window-aggregate over a µs-TimestampType `ts` (see [[readEvents]]);
+    * identical logic for batch & stream. */
   def hourlyCounts(events: DataFrame): DataFrame =
     events
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").cast("long").as("hour_epoch"),
         col("event_type"), col("n_events"))
 
-  /** Open the events parquet as a stream. The testdata ships a single
-    * file, but FileStreamSource wants a directory — stream the sf dir
-    * with a glob filter (which is also the production shape: new event
-    * files landing in a directory are picked up incrementally). */
-  def readEvents(spark: SparkSession, sfDir: String): DataFrame =
+  /** Open the events parquet as a stream with `ts` normalized to a
+    * µs TimestampType — the contract every transform in `streaming/`
+    * expects. The testdata ships a single file, but FileStreamSource
+    * wants a directory — stream the sf dir with a glob filter (which is
+    * also the production shape: new event files landing in a directory
+    * are picked up incrementally). */
+  def readEvents(spark: SparkSession, sfDir: String,
+                 glob: String = "events.parquet"): DataFrame = {
+    val div = rawTsDivisor(spark, sfDir, glob)
     spark.readStream
       .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
+      .option("pathGlobFilter", glob)
       .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr(s"ts div $div")))
+  }
 
   /** Native SESSION windows on the stream — the streaming twin of the
     * batch `e10_session_window` query and the declarative counterpart
@@ -60,7 +84,6 @@ object EventStream {
     * the e10 batch query. */
   def sessionAggs(events: DataFrame): DataFrame =
     events
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "2 hours")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
       .agg(count(lit(1)).as("n_events"))

@@ -27,21 +27,21 @@ import org.apache.spark.sql.functions._
   * stream≡batch pair in `streaming/`.
   */
 object JoinStream {
-  /** Raw parquet schema (ts as nanos-since-epoch long — see
-    * `spark.sql.legacy.parquet.nanosAsLong`). */
+  /** Raw streaming-read schema (see [[EventStream.rawSchema]]). */
   val rawSchema: org.apache.spark.sql.types.StructType = EventStream.rawSchema
 
   /** The attribution join; identical logic batch & stream. Inputs are
-    * raw event frames (ns-long `ts`); output matches e09's schema:
+    * event frames with a µs-TimestampType `ts` (see
+    * [[EventStream.readEvents]]); output matches e09's schema:
     * `(view_id, pur_id, user_id, delay_s)`. */
   def attributed(views: DataFrame, purchases: DataFrame): DataFrame = {
     val v = views
-      .withColumn("v_ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("v_ts", col("ts"))
       .withWatermark("v_ts", "1 hour")
       .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
         col("v_ts"))
     val p = purchases
-      .withColumn("p_ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("p_ts", col("ts"))
       .withWatermark("p_ts", "1 hour")
       .select(col("event_id").as("pur_id"), col("user_id").as("p_user"),
         col("p_ts"))
@@ -57,11 +57,9 @@ object JoinStream {
     * stream per side, filtered by event type. */
   def runAvailableNow(spark: SparkSession, dir: String,
                       sinkTable: String): DataFrame = {
-    def side(eventType: String): DataFrame = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .filter(col("event_type") === eventType)
+    def side(eventType: String): DataFrame =
+      EventStream.readEvents(spark, dir)
+        .filter(col("event_type") === eventType)
     val q = attributed(side("view"), side("purchase"))
       .writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -22,12 +22,11 @@ import org.apache.spark.sql.functions._
   */
 object TrendStream {
   /** The shared stages live in [[graft.ops.Events]] (`dailySpend`,
-    * `rankTopK`) — the stream only normalizes the raw nanos `ts` to a
-    * TIMESTAMP first, so batch and stream run LITERALLY the same
-    * aggregation and read-out code. */
+    * `rankTopK`); `ts` arrives already µs-normalized from
+    * [[EventStream.readEvents]], so batch and stream run LITERALLY the
+    * same aggregation and read-out code. */
   def dailySpend(events: DataFrame): DataFrame =
-    graft.ops.Events.dailySpend(
-      events.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+    graft.ops.Events.dailySpend(events)
 
   /** See [[graft.ops.Events.rankTopK]]. */
   def rankTopK(agg: DataFrame, k: Int): DataFrame =

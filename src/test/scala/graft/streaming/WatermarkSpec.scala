@@ -17,13 +17,16 @@ class WatermarkSpec extends AnyFunSuite {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
     val input = MemoryStream[(Long, Long, Long, String, Double, String)]
+    // hourlyCounts expects the µs-TimestampType `ts` readEvents yields
     val out = EventStream.hourlyCounts(input.toDF()
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.col("ts"))))
       .writeStream.outputMode("append")
       .format("memory").queryName("late_sink").start()
     try {
-      val h = 3600L * 1000 * 1000 * 1000 // one hour in nanos
-      val t0 = 1000000L * h              // an aligned hour
+      val h = 3600L * 1000 * 1000 // one hour in micros
+      val t0 = 1000000L * h       // an aligned hour
       // batch 1: one event in the t0 window, one 10h later — the
       // watermark advances to t0+8h, far past the t0 window's close
       input.addData((1L, t0, 1L, "click", 1.0, ""),
@@ -38,7 +41,7 @@ class WatermarkSpec extends AnyFunSuite {
       out.processAllAvailable()
       val counts = spark.table("late_sink").collect()
         .map(r => r.getLong(0) -> r.getLong(2)).toMap
-      val t0Epoch = t0 / (1000L * 1000 * 1000)
+      val t0Epoch = t0 / (1000L * 1000)
       assert(counts.get(t0Epoch).contains(1L),
         s"the closed t0 window must count only the on-time event: $counts")
     } finally out.stop()
