@@ -38,8 +38,10 @@ object Sampling {
   // pmod, not %: both engines' % follows the dividend's sign, so a
   // negative id would hash negative and always pass the rate gate —
   // the (x % P + P) % P form keeps the coin fair over the full id range
-  private def h(id: String): Column =
-    expr(s"(((($id % ${P}L + ${P}L) % ${P}L) * ${A}L + ${B}L) % ${P}L)")
+  private def hExpr(id: String): String =
+    s"(((($id % ${P}L + ${P}L) % ${P}L) * ${A}L + ${B}L) % ${P}L)"
+
+  private def h(id: String): Column = expr(hExpr(id))
 
   /** SQL fragment of [[h]] for the DuckDB oracles. */
   private def hSql(id: String): String =
@@ -268,10 +270,15 @@ object Sampling {
     // downstream is then exact integer arithmetic (Σ _pw over longs —
     // also order-free, so no ordered-frame pinning needed for the fold)
     // or correctly-rounded double ops on bit-identical inputs (/, *,
-    // least), which both engines must round identically. The one
-    // irreducible residue is a pow result landing within an ulp of a
-    // half-quantum at the round() itself — probability ~ulp/quantum
-    // per stratum, vs compounding through the whole chain before.
+    // least), which both engines must round identically. When the
+    // exponent is exactly 0.5 (τ = 2, the shipped spec) the chain uses
+    // sqrt instead — sqrt IS required to be correctly rounded, so both
+    // engines produce bit-identical doubles and even the residual
+    // pow-within-an-ulp-of-a-half-quantum risk vanishes; for other τ
+    // that residue remains (~ulp/quantum per stratum).
+    val exponent = 1.0 / tau
+    def flatten(share: Column): Column =
+      if (exponent == 0.5) sqrt(share) else pow(share, lit(exponent))
     val byAll = Window.partitionBy().orderBy(col(strata))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val totals = df.withColumn("n_tokens", tokens)
@@ -280,7 +287,7 @@ object Sampling {
       .withColumn("_share",
         col("_toks").cast("double") / sum(col("_toks")).over(byAll).cast("double"))
       .withColumn("_pw",
-        round(pow(col("_share"), lit(1.0 / tau)) * lit(1e12)).cast("long"))
+        round(flatten(col("_share")) * lit(1e12)).cast("long"))
       .withColumn("_w",
         col("_pw").cast("double") / sum(col("_pw")).over(byAll).cast("double"))
       .withColumn("_rate", least(lit(1.0),
@@ -329,32 +336,145 @@ object Sampling {
       .drop("_n")
   }
 
+  /** Resolution scale of the s10 priority key: adjacent hash values map
+    * to distinct keys whenever the (long) weight stays below this. */
+  private val ReservoirScale = 1000000L
+
   /** Deterministic weighted reservoir (s10) — a fixed-size sample where
-    * inclusion probability scales with a per-row weight (Efraimidis &
-    * Spirakis 2006): each row keys on `u^(1/w)` with `u` the
-    * deterministic uniform `(h(id)+1)/(P+1)` ∈ (0,1), and the k largest
-    * keys win. The hash coin replaces `rand()` for the same reason as
-    * s01: re-runs, repartitions, and recovered partitions keep the
-    * identical sample.
+    * inclusion probability scales with a per-row weight, via PRIORITY
+    * sampling (Duffield, Lund & Thorup, JACM 2007): each row draws the
+    * deterministic uniform `u = (h(id)+1)/(P+1)` ∈ (0,1] and the k
+    * largest priorities `w/u` win — equivalently the k SMALLEST values
+    * of `u/w`, which is how the key is computed here:
+    * `⌊(h(id)+1)·S / w⌋` in pure int64 arithmetic (S = 10⁶). The hash
+    * coin replaces `rand()` for the same reason as s01: re-runs,
+    * repartitions, and recovered partitions keep the identical sample.
     *
-    * Scale shape: key computation is map-side; `orderBy(...).limit(k)`
-    * plans as `TakeOrderedAndProject` (per-partition heaps, no global
-    * sort). Rows with non-positive weight are excluded (ES requires
-    * w > 0). The pow-derived key is quantized to integer PICO-units
-    * (q12) before ordering: pow is not correctly rounded, so raw
-    * double keys risk a cross-engine rank flip at the k-th boundary;
-    * q12 absorbs last-ulp noise (keys ∈ (0,1], quantum 10⁻¹² ≫ ulp)
-    * while ties stay deterministic under the id tiebreak. Output: the
-    * kept rows, key column dropped. */
+    * The integer key is the cross-engine-parity fix for the
+    * Efraimidis–Spirakis `u^(1/w)` key this operator previously used:
+    * pow is NOT required to be correctly rounded by IEEE 754, so JVM
+    * Math.pow and DuckDB's libm pow could diverge in the last ulp and
+    * flip the k-th boundary row even after quantization. `(h+1)·S div w`
+    * is exact integer math — both engines agree by construction, not by
+    * corpus luck. Priority sampling's inclusion probabilities are
+    * proportional to weight below the threshold, the same contract ES
+    * provides (and its subset-sum estimator is unbiased).
+    *
+    * Scale shape: key computation is map-side ((h+1)·S ≤ (P+1)·10⁶ <
+    * 2^60, no overflow for any weight); `orderBy(...).limit(k)` plans as
+    * `TakeOrderedAndProject` (per-partition heaps, no global sort).
+    * Weights are taken as long (floor); rows with non-positive weight
+    * are excluded (priority needs w > 0). Weights above S collapse
+    * adjacent hash values into tied keys — ties stay deterministic
+    * under the id tiebreak. Output: the kept rows, key column dropped. */
   def weightedReservoir(df: DataFrame, id: String, weight: Column,
                         k: Int): DataFrame =
-    df.filter(weight > 0)
-      .withColumn("_wk", round(pow(
-        (h(id) + lit(1)).cast("double") / lit((P + 1).toDouble),
-        lit(1.0) / weight.cast("double")) * lit(1e12)).cast("long"))
-      .orderBy(col("_wk").desc, col(id))
+    df.withColumn("_wl", weight.cast("long"))
+      .filter(col("_wl") > 0)
+      .withColumn("_wk", expr(
+        s"((${hExpr(id)} + 1) * ${ReservoirScale}L) div _wl"))
+      .orderBy(col("_wk"), col(id))
       .limit(k)
-      .drop("_wk")
+      .drop("_wk", "_wl")
+
+  /** DSIR hashed-feature space size (s11) and selection depth. */
+  val DsirBuckets = 64
+  val DsirTopN = 100
+
+  /** Data Selection via Importance Resampling (s11) — score every raw
+    * document by how much more likely its tokens are under a TARGET
+    * distribution than under the raw corpus itself, and keep the top-n
+    * (Xie et al. 2023, DSIR): both distributions are add-one-smoothed
+    * unigram models over a HASHED feature space (`polyhash(token) mod
+    * B`, the hashing trick — model size is B cells regardless of
+    * vocabulary), and a doc's importance weight is the log-likelihood
+    * ratio `Σ_tokens [ln p_target(b) − ln p_raw(b)]`. This is the
+    * quality-targeting selector: point `target` at a trusted corpus
+    * (wiki/books/benchmark-adjacent text) and the raw web corpus
+    * re-weights toward it without training a classifier (t15 is the
+    * trained-classifier counterpart).
+    *
+    * Scale shape: both models are one splittable bucket-count
+    * aggregation (token explode collapses to ≤ B rows map-side);
+    * the scored pass pre-aggregates each doc to its (doc, bucket)
+    * counts BEFORE any exchange (≤ B rows per doc, not tokens), joins
+    * the broadcast B-row log-ratio table, and sums exactly — the
+    * log-ratio is quantized to q6 integer units at the model so the
+    * per-doc fold is exact integer math (the one non-correctly-rounded
+    * op, ln, sits behind the quantum; same discipline as t10). Top-n
+    * plans as TakeOrderedAndProject; the n-row winner set broadcasts
+    * back for the lang column. Output: `(id, lang, score_q6)`. */
+  def dsirSelect(raw: DataFrame, target: DataFrame, id: String, text: String,
+                 buckets: Int = DsirBuckets, n: Int = DsirTopN): DataFrame = {
+    def bucketed(df: DataFrame) = df
+      .select(col(id).as("_did"),
+        explode(expr(s"filter(split($text, ' '), x -> x <> '')")).as("_tok"))
+      .withColumn("b", expr(s"graft_polyhash(_tok) % $buckets"))
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val tCnt = bucketed(target).groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val rCnt = bucketed(raw).groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    // ≤ B rows: full-outer merge, smoothed log-ratio, q6 quantization.
+    // Totals are window sums over this same tiny frame (≡ the side's
+    // token count: every token lands in exactly one bucket).
+    val model = tCnt.join(rCnt, Seq("b"), "full_outer")
+      .select(col("b"), coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+      .withColumn("llr_q6", round((
+        log((col("ct") + lit(1)).cast("double")
+          / (sum(col("ct")).over(all) + lit(buckets)).cast("double"))
+          - log((col("cr") + lit(1)).cast("double")
+          / (sum(col("cr")).over(all) + lit(buckets)).cast("double"))
+        ) * lit(1e6)).cast("long"))
+      .select(col("b"), col("llr_q6"))
+    val scored = bucketed(raw).groupBy(col("_did"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(model), Seq("b"))
+      .groupBy(col("_did"))
+      .agg(sum(col("c") * col("llr_q6")).as("score_q6"))
+      .orderBy(col("score_q6").desc, col("_did"))
+      .limit(n)
+    broadcast(scored)
+      .join(raw.select(col(id), col("lang")), scored("_did") === col(id))
+      .select(col(id), col("lang"), col("score_q6"))
+  }
+
+  /** The harness epoch spec for [[epochMix]] (s12): integer and
+    * fractional epoch counts, a down-sampled stratum, and a default. */
+  val EpochSpec: Map[String, Double] =
+    Map("en" -> 1.0, "zh" -> 2.5, "de" -> 0.5, "es" -> 1.25)
+  val EpochDefault = 1.0
+
+  /** Fractional-epoch corpus mixing (s12) — materialize a training mix
+    * where stratum `g` is repeated `e_g` times, `e_g` fractional
+    * (Muennighoff et al. 2023 repeat-epochs regime; the LLaMA-style
+    * "wiki ×2.5, web ×1" mix): every row emits `⌊e⌋` copies plus one
+    * more iff `h(id) < frac(e)·P` — the same exact-long-threshold
+    * deterministic coin as s01, so the realized epoch count converges
+    * to `e_g` per stratum and re-runs/repartitions/recoveries emit the
+    * identical multiset. `copy_idx` (0-based) disambiguates copies so
+    * downstream shuffles/packing treat them as distinct rows.
+    *
+    * Scale shape: pure map-side generate — the epoch CASE is a literal,
+    * the coin is arithmetic on the id, and the explode fan-out is
+    * bounded by `max(⌈e⌉)`; zero shuffles, zero state.
+    * Output: `(id, stratum, copy_idx)`. */
+  def epochMix(df: DataFrame, id: String, strata: String,
+               epochs: Map[String, Double], default: Double): DataFrame = {
+    def base(e: Double) = math.floor(e).toLong
+    def frThr(e: Double) = ((e - math.floor(e)) * P).toLong
+    val baseCol = epochs.foldLeft(lit(base(default))) { case (acc, (k, e)) =>
+      when(col(strata) === k, lit(base(e))).otherwise(acc)
+    }
+    val thrCol = epochs.foldLeft(lit(frThr(default))) { case (acc, (k, e)) =>
+      when(col(strata) === k, lit(frThr(e))).otherwise(acc)
+    }
+    df.withColumn("_nc",
+        baseCol + when(h(id) < thrCol, lit(1L)).otherwise(lit(0L)))
+      .filter(col("_nc") > 0)
+      .select(col(id), col(strata),
+        explode(expr("sequence(0L, _nc - 1)")).as("copy_idx"))
+  }
 
   /** Whitespace token count, matching t03's `n_ws_tokens` exactly. */
   private def nTokens(text: String): Column =
@@ -394,7 +514,18 @@ object Sampling {
     "s10_weighted_reservoir" -> ((s, d) =>
       weightedReservoir(Tables.documents(s, d), "doc_id", col("n_chars"),
         k = 20)
-        .select(col("doc_id"), col("lang"), col("n_chars"))))
+        .select(col("doc_id"), col("lang"), col("n_chars"))),
+    // DSIR: src0 stands in for the trusted target corpus (the d09/d17
+    // convention), the other 19 sources are the raw web corpus
+    "s11_dsir_select" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val docs = Tables.documents(s, d)
+      dsirSelect(docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"), "doc_id", "text")
+    }),
+    "s12_epoch_mix" -> ((s, d) =>
+      epochMix(Tables.documents(s, d), "doc_id", "lang",
+        EpochSpec, EpochDefault)))
 
   def oracle: Map[String, String] = Map(
     "s01_sample_rate" ->
@@ -436,8 +567,9 @@ object Sampling {
          |FROM t JOIN r USING (lang)
          |WHERE ${hSql("doc_id")} < CAST(floor(r.rate * $P) AS BIGINT)""".stripMargin
     },
-    // s09 — the staged-CTE mirror of the withColumn chain (share → pow
-    // → quantize pow to q12 longs → renormalize → rate); after the pw
+    // s09 — the staged-CTE mirror of the withColumn chain (share →
+    // sqrt (τ=2; correctly rounded on both engines, unlike pow) →
+    // quantize to q12 longs → renormalize → rate); after the pw
     // quantization the Σpw fold is exact integer arithmetic, so the
     // frame needs no ordering pin
     "s09_temperature_sample" ->
@@ -449,7 +581,8 @@ object Sampling {
          |w1 AS (SELECT lang, toks,
          |         toks::DOUBLE / (sum(toks) OVER ())::DOUBLE AS share FROM tot),
          |w2 AS (SELECT lang, toks,
-         |         CAST(round(pow(share, ${1.0 / Temperature}) * 1000000000000.0) AS BIGINT) AS pw
+         |         CAST(round(${if (1.0 / Temperature == 0.5) "sqrt(share)"
+          else s"pow(share, ${1.0 / Temperature})"} * 1000000000000.0) AS BIGINT) AS pw
          |       FROM w1),
          |w3 AS (SELECT lang, toks,
          |         pw::DOUBLE / (sum(pw) OVER ())::DOUBLE AS w
@@ -461,16 +594,64 @@ object Sampling {
          |SELECT t.lang, t.doc_id, t.n_tokens
          |FROM t JOIN r USING (lang)
          |WHERE ${hSql("doc_id")} * 1000000 < r.mrate * $P""".stripMargin,
-    // s10 — the ES key repeated literally, quantized to q12 integer
-    // units before ordering (pow is not correctly rounded; the quantum
-    // absorbs last-ulp cross-engine noise)
+    // s10 — the integer priority key repeated literally: ⌊(h+1)·S/w⌋ is
+    // exact int64 arithmetic on both engines (// is DuckDB's integer
+    // div), so the k-th boundary row cannot flip on libm-vs-JVM pow
+    // divergence — there is no pow left to diverge
     "s10_weighted_reservoir" ->
       s"""SELECT doc_id, lang, n_chars FROM (
          |  SELECT doc_id, lang, n_chars,
-         |    CAST(round(pow((${hSql("doc_id")} + 1)::DOUBLE / ${(P + 1).toDouble},
-         |        1.0 / n_chars::DOUBLE) * 1000000000000.0) AS BIGINT) AS wk
+         |    ((${hSql("doc_id")} + 1) * $ReservoirScale) // n_chars AS wk
          |  FROM documents WHERE n_chars > 0) keyed
-         |ORDER BY wk DESC, doc_id LIMIT 20""".stripMargin,
+         |ORDER BY wk, doc_id LIMIT 20""".stripMargin,
+    // s11 — staged-CTE mirror: hashed bucket models, smoothed ln ratio
+    // quantized to q6 at the model (the only non-correctly-rounded op
+    // behind the quantum), then an exact integer fold per doc; totals
+    // are the sides' token counts (every token lands in one bucket)
+    "s11_dsir_select" -> {
+      val ph = Hashing.polyHashSql("_tok")
+      s"""WITH rawd AS (SELECT doc_id, lang, text FROM documents WHERE source <> 'src0'),
+         |tgt AS (SELECT text FROM documents WHERE source = 'src0'),
+         |rt AS (SELECT $ph % $DsirBuckets AS b FROM (
+         |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS _tok FROM tgt) x),
+         |rr AS (SELECT doc_id, $ph % $DsirBuckets AS b FROM (
+         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS _tok FROM rawd) x),
+         |ct AS (SELECT b, count(*) AS ct FROM rt GROUP BY b),
+         |cr AS (SELECT b, count(*) AS cr FROM rr GROUP BY b),
+         |model AS (
+         |  SELECT coalesce(ct.b, cr.b) AS b,
+         |    CAST(round((ln((coalesce(ct.ct, 0) + 1)::DOUBLE
+         |        / ((SELECT count(*) FROM rt) + $DsirBuckets)::DOUBLE)
+         |      - ln((coalesce(cr.cr, 0) + 1)::DOUBLE
+         |        / ((SELECT count(*) FROM rr) + $DsirBuckets)::DOUBLE)) * 1000000.0)
+         |      AS BIGINT) AS llr_q6
+         |  FROM ct FULL OUTER JOIN cr ON ct.b = cr.b),
+         |db AS (SELECT doc_id, b, count(*) AS c FROM rr GROUP BY 1, 2),
+         |score AS (SELECT doc_id, CAST(sum(c * llr_q6) AS BIGINT) AS score_q6
+         |          FROM db JOIN model USING (b) GROUP BY doc_id
+         |          ORDER BY score_q6 DESC, doc_id LIMIT $DsirTopN)
+         |SELECT s.doc_id, d.lang, s.score_q6
+         |FROM score s JOIN rawd d USING (doc_id)""".stripMargin
+    },
+    // s12 — the epoch CASE and fractional thresholds are generated from
+    // the same Scala values as the Spark plan, so the copy counts are
+    // identical exact longs; range(n) ≡ explode(sequence(0, n-1))
+    "s12_epoch_mix" -> {
+      def base(e: Double) = math.floor(e).toLong
+      def frThr(e: Double) = ((e - math.floor(e)) * P).toLong
+      val baseCase = "CASE " + EpochSpec.map { case (k, e) =>
+        s"WHEN lang = '$k' THEN ${base(e)}"
+      }.mkString(" ") + s" ELSE ${base(EpochDefault)} END"
+      val thrCase = "CASE " + EpochSpec.map { case (k, e) =>
+        s"WHEN lang = '$k' THEN ${frThr(e)}"
+      }.mkString(" ") + s" ELSE ${frThr(EpochDefault)} END"
+      s"""SELECT doc_id, lang, unnest(range(n_copies)) AS copy_idx
+         |FROM (SELECT doc_id, lang,
+         |        ($baseCase) + (CASE WHEN ${hSql("doc_id")} < ($thrCase)
+         |                       THEN 1 ELSE 0 END) AS n_copies
+         |      FROM documents) t
+         |WHERE n_copies > 0""".stripMargin
+    },
     // ceil over the same IEEE double product on both engines
     "s08_stratified_exact" ->
       s"""SELECT lang, doc_id, rk FROM (

@@ -1482,17 +1482,19 @@ class OpsSpec extends AnyFunSuite {
       s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
   }
 
-  test("s10 weighted reservoir equals the direct ES computation") {
+  test("s10 weighted reservoir equals the direct priority-key computation") {
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "n_chars").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val P = Hashing.P
     val A = Hashing.MinHashA(0)
     val B = Hashing.MinHashB(0)
-    def u(id: Long) = ((((id % P + P) % P) * A + B) % P + 1).toDouble / (P + 1).toDouble
+    // the integer priority key ⌊(h+1)·S/w⌋ — k smallest win (≡ k largest
+    // priorities w/u, Duffield–Lund–Thorup), pure int64 on every engine
+    def hv(id: Long) = (((id % P + P) % P) * A + B) % P
     val expected = docs.filter(_._2 > 0)
-      .map { case (id, w) => (id, math.pow(u(id), 1.0 / w)) }
-      .sortBy { case (id, k) => (-k, id) }.take(20).map(_._1).toSet
+      .map { case (id, w) => (id, (hv(id) + 1) * 1000000L / w) }
+      .sortBy { case (id, k) => (k, id) }.take(20).map(_._1).toSet
     val got = Sampling.queries("s10_weighted_reservoir")(spark, sf)
       .collect().map(_.getLong(0)).toSet
     assert(got == expected, s"diff=${(expected diff got) ++ (got diff expected)}")
@@ -1997,6 +1999,94 @@ class OpsSpec extends AnyFunSuite {
       .collect().head
     assert((hand.getLong(1), hand.getLong(2), hand.getLong(3)) == ((6L, 3L, 1L)))
     assert(hand.getLong(4) == 500000L) // 3/6 in micro-units
+  }
+
+  test("s11 DSIR scores equal a from-scratch recomputation and rank target-like docs first") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val P = Hashing.P
+    val B = 8
+    def ph(tok: String): Long =
+      tok.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % P)
+    val target = Seq((100L, "alpha beta alpha gamma", "en"),
+      (101L, "beta beta alpha", "en")).toDF("doc_id", "text", "lang")
+    val raw = Seq(
+      (1L, "alpha beta alpha beta gamma", "en"), // target-like
+      (2L, "zeta yota kappa zeta zeta", "en"),   // off-target
+      (3L, "alpha zeta beta yota", "en"))        // mixed
+      .toDF("doc_id", "text", "lang")
+    val got = Sampling.dsirSelect(raw, target, "doc_id", "text",
+        buckets = B, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // from-scratch model: bucket counts on each side, smoothed ln ratio
+    // quantized to q6, per-doc exact integer fold
+    def buckets(docs: Seq[(Long, String)]): Seq[(Long, Long)] =
+      docs.flatMap { case (id, t) =>
+        t.split(" ").filter(_.nonEmpty).map(tok => (id, ph(tok) % B)) }
+    val tb = buckets(Seq(100L -> "alpha beta alpha gamma", 101L -> "beta beta alpha"))
+    val rb = buckets(Seq(1L -> "alpha beta alpha beta gamma",
+      2L -> "zeta yota kappa zeta zeta", 3L -> "alpha zeta beta yota"))
+    val ct = tb.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val cr = rb.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    def llr(b: Long): Long = math.round((
+      math.log((ct.getOrElse(b, 0L) + 1).toDouble / (tb.size + B)) -
+      math.log((cr.getOrElse(b, 0L) + 1).toDouble / (rb.size + B))) * 1e6)
+    val expected = rb.groupBy(_._1).view
+      .mapValues(_.groupBy(_._2).map { case (b, xs) => xs.size * llr(b) }.sum)
+      .toMap
+    assert(got == expected, s"got $got expected $expected")
+    assert(got(1L) > got(2L),
+      "the target-like doc must outscore the off-target doc")
+  }
+
+  test("s12 epoch mix emits floor/ceil copies per the deterministic coin, dense copy_idx") {
+    val docs = Tables.documents(spark, sf)
+    val got = Sampling.epochMix(docs, "doc_id", "lang",
+      Sampling.EpochSpec, Sampling.EpochDefault).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val perDoc = got.groupBy(x => (x._1, x._2)).view.mapValues(_.map(_._3).sorted).toMap
+    val langs = docs.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val P = Hashing.P
+    val A = Hashing.MinHashA(0)
+    val Bc = Hashing.MinHashB(0)
+    langs.foreach { case (id, lang) =>
+      val e = Sampling.EpochSpec.getOrElse(lang, Sampling.EpochDefault)
+      val base = math.floor(e).toLong
+      val thr = ((e - math.floor(e)) * P).toLong
+      val h = (((id % P + P) % P) * A + Bc) % P
+      val n = base + (if (h < thr) 1L else 0L)
+      val copies = perDoc.getOrElse((id, lang), Array.empty[Long]).toSeq
+      assert(copies == (0L until n).toSeq,
+        s"doc $id ($lang, e=$e): copies $copies != 0 until $n")
+    }
+    // repartition leaves the multiset identical
+    val rep = Sampling.epochMix(docs.repartition(7), "doc_id", "lang",
+      Sampling.EpochSpec, Sampling.EpochDefault).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    assert(rep.toSeq == got.sorted.toSeq)
+  }
+
+  test("c14 dedup weights: 1/|cluster| micro-units, singletons weight 1") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = Clusters.dedupWeights(docs, "doc_id", pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 333333L, 2L -> 333333L, 3L -> 333333L,
+      4L -> 1000000L, 5L -> 500000L, 6L -> 500000L), s"got $got")
+  }
+
+  test("v07 snapshot diff classifies crafted add/remove/change exactly") {
+    import spark.implicits._
+    val old = Seq((1L, "one"), (2L, "two"), (3L, "three"))
+      .toDF("doc_id", "text")
+    val neu = Seq((1L, "one"), (2L, "two EDITED"), (4L, "four"))
+      .toDF("doc_id", "text")
+    val got = Profile.snapshotDiff(old, neu, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "changed", 3L -> "removed", 4L -> "added"),
+      s"got $got")
   }
 
   test("q41 mode picks the max-count priority per status") {
