@@ -246,6 +246,33 @@ object Clusters {
           * lit(1e6)).cast("long"))
   }
 
+  /** Duplication-discount loss weights (c14) — SOFT deduplication: keep
+    * every document but weight each near-dup cluster member by
+    * `1/|cluster|`, so a cluster contributes one document's worth of
+    * training loss in total instead of |cluster|× (the loss-reweighting
+    * alternative to c02's hard drop — preferable when near-dups carry
+    * complementary fragments, and reversible: the weight column, not
+    * the corpus, changes between experiments). Non-duplicated docs get
+    * weight 1. Weights are exact micro-units, `10⁶ div |cluster|` —
+    * integer division, both engines bit-identical.
+    *
+    * Scale shape: identical to [[dupRateByStratum]] — the component
+    * table (dup-docs-sized) joins its own cluster-size aggregate and
+    * broadcasts onto the corpus; the corpus itself never shuffles.
+    * Output: `(id, weight_q6)` for every input doc. */
+  def dedupWeights(docs: DataFrame, id: String,
+                   pairs: DataFrame, a: String, b: String): DataFrame = {
+    val comp = connectedComponents(pairs, a, b)
+    val sized = comp.join(
+        comp.groupBy(col("cluster_id")).agg(count(lit(1)).as("_sz")),
+        Seq("cluster_id"))
+      .select(col("doc_id").as(id), col("_sz"))
+    docs.select(col(id))
+      .join(broadcast(sized), Seq(id), "left")
+      .select(col(id),
+        coalesce(expr("1000000 div _sz"), lit(1000000L)).as("weight_q6"))
+  }
+
   /** SEMANTIC deduplication (c05) — SemDeDup (Abbas et al., 2023,
     * arXiv:2303.09540) re-expressed relationally: near-duplicate
     * MEANING, not near-duplicate text, caught by comparing embeddings
@@ -610,6 +637,12 @@ object Clusters {
         Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
           threshold = 0.6),
         "doc_a", "doc_b")),
+    // soft dedup: per-doc 1/|cluster| loss weights over the same pairs
+    "c14_dedup_weights" -> ((s, d) =>
+      dedupWeights(Tables.documents(s, d), "doc_id",
+        Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.6),
+        "doc_a", "doc_b")),
     // c02 with the keeper chosen by quality (longest doc) instead of
     // min id — what a curation pipeline actually keeps
     "c06_dedup_keep_best" -> ((s, d) =>
@@ -739,6 +772,16 @@ object Clusters {
          |sizes AS (SELECT cluster, count(*) AS sz FROM lab GROUP BY cluster)
          |SELECT sz AS cluster_size, count(*) AS n_clusters
          |FROM sizes GROUP BY sz""".stripMargin,
+    // c14 — same CC fixpoint + cluster sizes; 10⁶ // size is exact
+    // integer division on both engines, absent rows weight 10⁶
+    "c14_dedup_weights" ->
+      s"""WITH RECURSIVE ${componentsCte(Dedup.oracle("d02_ngram_jaccard"))},
+         |sizes AS (SELECT cluster, count(*) AS sz FROM lab GROUP BY cluster)
+         |SELECT d.doc_id,
+         |  coalesce(1000000 // s.sz, 1000000) AS weight_q6
+         |FROM documents d
+         |LEFT JOIN lab l ON l.id = d.doc_id
+         |LEFT JOIN sizes s ON s.cluster = l.cluster""".stripMargin,
     "c09_pagerank" ->
       pageRankOracleSql(Dedup.oracle("d02_ngram_jaccard"), PageRankIters),
     "c12_label_prop" ->

@@ -224,9 +224,96 @@ object Profile {
         col("n_chars_total").cast("double") / col("n_docs").cast("double"))
   }
 
+  /** Corpus snapshot diff (v07) — what changed between two releases of
+    * the same dataset: every id is classified `added` (new only),
+    * `removed` (old only), or `changed` (both sides, different payload
+    * hash); unchanged rows are dropped, so the output is sized by the
+    * CHURN, not the corpus. The payload comparison is an md5 over the
+    * content column (the d01 signature), computed map-side on each
+    * side — the full-outer join then carries ids + 32-char digests
+    * only, never the documents themselves.
+    *
+    * Scale shape: one key-keyed shuffle per side into the full-outer
+    * join (the canonical diff plan); with both snapshots bucketed on
+    * the id (q42's layout contract) even that exchange disappears.
+    * This is the release-gate observability twin of v06: run it before
+    * publishing a corpus version and the diff IS the changelog.
+    * Output: `(id, status)`, status ∈ {added, removed, changed}. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, id: String,
+                   payload: String): DataFrame = {
+    val o = oldSnap.select(col(id).as("_oid"), md5(col(payload).cast("binary")).as("_oh"))
+    val n = newSnap.select(col(id).as("_nid"), md5(col(payload).cast("binary")).as("_nh"))
+    o.join(n, o("_oid") === n("_nid"), "full_outer")
+      .withColumn("status",
+        when(col("_oid").isNull, lit("added"))
+          .when(col("_nid").isNull, lit("removed"))
+          .when(col("_oh") =!= col("_nh"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(coalesce(col("_oid"), col("_nid")).as(id), col("status"))
+  }
+
+  /** Embedding-space drift monitor (v08) — per-stratum centroid cosine
+    * against the whole-corpus centroid: a stratum whose mean embedding
+    * points away from the corpus mean (cos ≪ 1) signals a source/batch
+    * whose content distribution shifted — the embedding-space
+    * counterpart of v03's length-histogram drift, and the check run on
+    * every new crawl snapshot before it joins the training mix.
+    *
+    * Exactness discipline (k11's): elements quantize to q6 longs at the
+    * scan, per-(stratum, dim) sums are exact integers, and both
+    * centroids quantize back to q6 longs BEFORE the cosine — the dot
+    * and norms are then exact int64 folds (≤ dims·10¹² ≪ 2⁶³), and the
+    * final cosine is correctly-rounded double ops (/, ·, √) on
+    * bit-identical inputs. No double is ever summed.
+    *
+    * Scale shape: ONE corpus-sized aggregation to (stratum × dims)
+    * rows; the global centroid is a window over that tiny frame; the
+    * readout aggregation is stratum-sized. The corpus never shuffles —
+    * partial aggregation collapses the posexplode map-side.
+    * Output: `(stratum, n_vecs, cos_q6)`. */
+  def embeddingDrift(vectors: DataFrame, vec: String,
+                     strata: String): DataFrame = {
+    val q = vectors.select(col(strata).cast("long").as("g"),
+      posexplode(expr(
+        s"transform($vec, x -> cast(round(cast(x as double) * 1000000.0) as long))"))
+        .as(Seq("dim", "q")))
+    val wd = Window.partitionBy(col("dim"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cent = q.groupBy(col("g"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"))
+      .withColumn("mg",
+        round(col("sq").cast("double") / col("n").cast("double")).cast("long"))
+      .withColumn("mall",
+        round(sum(col("sq")).over(wd).cast("double")
+          / sum(col("n")).over(wd).cast("double")).cast("long"))
+    cent.groupBy(col("g"))
+      .agg(max(col("n")).as("n_vecs"),
+        sum(col("mg") * col("mall")).as("_dot"),
+        sum(col("mg") * col("mg")).as("_na"),
+        sum(col("mall") * col("mall")).as("_nb"))
+      .select(col("g").as(strata), col("n_vecs"),
+        round(col("_dot").cast("double")
+          / (sqrt(col("_na").cast("double")) * sqrt(col("_nb").cast("double")))
+          * lit(1e6)).cast("long").as("cos_q6"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v06_source_datasheet" -> ((s, d) =>
       sourceDatasheet(Tables.documents(s, d))),
+    "v08_embedding_drift" -> ((s, d) =>
+      embeddingDrift(Tables.embeddings(s, d), "embedding", "label")),
+    // v07 harness: the "old" release is missing ids ≡ 3 (mod 10), the
+    // "new" one dropped ids ≡ 7 and re-edited ids ≡ 0 — every status
+    // path exercised from one table
+    "v07_snapshot_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      snapshotDiff(
+        docs.filter(col("doc_id") % 10 =!= 3),
+        docs.filter(col("doc_id") % 10 =!= 7)
+          .withColumn("text", when(col("doc_id") % 10 === 0,
+            concat(col("text"), lit(" [rev2]"))).otherwise(col("text"))),
+        "doc_id", "text")
+    }),
     "v01_profile_columns" -> ((s, d) =>
       profileColumns(Tables.documents(s, d),
         Seq("doc_id", "lang", "source", "n_chars"))),
@@ -260,6 +347,46 @@ object Profile {
     }))
 
   def oracle: Map[String, String] = Map(
+    // v08 — k11's q6 element quantization, exact integer centroid sums,
+    // centroids re-quantized to q6 longs before an exact integer
+    // dot/norm fold; only correctly-rounded double ops after
+    "v08_embedding_drift" ->
+      """WITH u AS (
+        |  SELECT CAST(label AS BIGINT) AS g, unnest(list_transform(embedding, (x, i) ->
+        |    {'dim': CAST(i - 1 AS BIGINT),
+        |     'q': CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)})) AS s
+        |  FROM embeddings),
+        |q AS (SELECT g, s.dim AS dim, s.q AS q FROM u),
+        |per AS (
+        |  SELECT g, dim, count(*) AS n, CAST(sum(q) AS BIGINT) AS sq
+        |  FROM q GROUP BY g, dim),
+        |cent AS (
+        |  SELECT g, dim, n,
+        |    CAST(round(sq::DOUBLE / n::DOUBLE) AS BIGINT) AS mg,
+        |    CAST(round((sum(sq) OVER (PARTITION BY dim))::DOUBLE
+        |      / (sum(n) OVER (PARTITION BY dim))::DOUBLE) AS BIGINT) AS mall
+        |  FROM per)
+        |SELECT g AS label, max(n) AS n_vecs,
+        |  CAST(round(CAST(sum(mg * mall) AS BIGINT)::DOUBLE
+        |    / (sqrt(CAST(sum(mg * mg) AS BIGINT)::DOUBLE)
+        |       * sqrt(CAST(sum(mall * mall) AS BIGINT)::DOUBLE))
+        |    * 1000000.0) AS BIGINT) AS cos_q6
+        |FROM cent GROUP BY g""".stripMargin,
+    // v07 — the same synthetic old/new releases, full-outer on the id
+    // with md5 payload compare; unchanged rows filtered on both engines
+    "v07_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 <> 3),
+        |n AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 10 = 0 THEN text || ' [rev2]' ELSE text END) AS h
+        |  FROM documents WHERE doc_id % 10 <> 7)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h <> n.h""".stripMargin,
     "v06_source_datasheet" ->
       """WITH sig AS (
         |  SELECT source, lang, n_chars, md5(text) AS sig,

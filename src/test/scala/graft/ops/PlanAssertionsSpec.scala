@@ -280,4 +280,25 @@ class PlanAssertionsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     // rank window's partitioning, not a separate aggregation + join
     assert(shuffles(plan("s08_stratified_exact")) == 1)
   }
+
+  test("s11 DSIR: the log-ratio model broadcasts and top-n is a heap, not a sort") {
+    val p = plan("s11_dsir_select")
+    val s = p.toString
+    // two broadcast joins: the B-row model onto the per-doc bucket
+    // counts, and the n-row winner set back onto the corpus for lang.
+    // (The model's own B-row full-outer merge is allowed to sort-merge —
+    // Spark cannot broadcast a full-outer — but nothing corpus-sized may.)
+    assert(s.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 2,
+      "model and winner set must broadcast:\n" + s.take(2000))
+    assert(s.contains("TakeOrderedAndProject"),
+      "top-n must plan as per-partition heaps:\n" + s.take(2000))
+  }
+
+  test("s12 epoch mix plans with zero exchanges (pure map-side generate)") {
+    assert(shuffles(plan("s12_epoch_mix")) == 0)
+  }
+
+  test("v07 snapshot diff: one exchange per snapshot side into the full-outer join") {
+    assert(shuffles(plan("v07_snapshot_diff")) == 2)
+  }
 }
