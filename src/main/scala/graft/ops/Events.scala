@@ -163,7 +163,43 @@ object Events {
       .filter(col("rk") <= k)
   }
 
+  /** e20 fixed-point scale: decayed terms carry 2^20 sub-cent units. */
+  val DecayScale = 1048576L
+
+  /** Exponentially time-decayed engagement per user (e20): each event
+    * contributes `value · 2^−age_days` (one-day half-life) relative to
+    * the newest observed event — the recency-weighted activity score
+    * behind churn features and trending-user rankings.
+    *
+    * The decay is ENTIRELY integer: cents · 2^20 fixed-point, divided
+    * by a power-of-two shift of the integer age. `exp()`/`pow()` are
+    * not required by IEEE 754 to be correctly rounded, so a λ-style
+    * `exp(-λ·age)` weight can disagree between engines in the last
+    * ulp; a shift cannot. Ages are clamped at 62 so the shift never
+    * wraps (terms are 0 long before that). All operands are
+    * non-negative, so truncating `div` (Spark) and floor `//`
+    * (DuckDB) agree.
+    *
+    * Scale shape: the reference epoch is a one-row `max` broadcast
+    * back over the corpus (no window), the decay is map-side, and the
+    * only exchange is the final user aggregation with map-side
+    * partials. Output: `(user_id, decayed_q2p20, n_events)`. */
+  def decayedValue(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"),
+      col("ts").cast("long").as("sec"),
+      round(col("value") * lit(100)).cast("long").as("vq2"))
+    val m = e.agg(max(col("sec")).as("tmax"))
+    e.crossJoin(broadcast(m))
+      .withColumn("term", expr(
+        s"(vq2 * ${DecayScale}L) div " +
+          "shiftleft(cast(1 as bigint), cast(least((tmax - sec) div 86400, 62L) as int))"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("term")).as("decayed_q2p20"),
+        count(lit(1)).as("n_events"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e20_decayed_value" -> ((s, d) => decayedValue(Tables.events(s, d))),
     // Tumbling 1-hour window per event type (§2.9 extension — the
     // reference has no streaming; SURVEY.md §7.5).
     "e01_tumbling_hourly" -> ((s, d) => {
@@ -432,6 +468,20 @@ object Events {
     }))
 
   def oracle: Map[String, String] = Map(
+    // e20 — identical fixed-point shift decay; epoch_us//10^6 mirrors
+    // Spark's timestamp→long floor on non-negative epochs
+    "e20_decayed_value" ->
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts::TIMESTAMP) // 1000000 AS sec,
+         |    CAST(round(value * 100) AS BIGINT) AS vq2
+         |  FROM events),
+         |m AS (SELECT max(sec) AS tmax FROM e)
+         |SELECT user_id,
+         |  CAST(sum((vq2 * $DecayScale)
+         |    // (1::BIGINT << CAST(least((tmax - sec) // 86400, 62) AS INTEGER))) AS BIGINT)
+         |    AS decayed_q2p20,
+         |  CAST(count(*) AS BIGINT) AS n_events
+         |FROM e, m GROUP BY user_id""".stripMargin,
     "e01_tumbling_hourly" -> E01Sql,
     // e18 — incremental refresh must equal the full recompute, so the
     // oracle IS e01's text: any drift in the state/merge path (float

@@ -184,7 +184,56 @@ object Pack {
       .select(col(id), col("shard"), col("pos"))
   }
 
+  /** Curriculum stage count (a05). */
+  val CurriculumStages = 4L
+  private val CurA = Hashing.MinHashA(2)
+  private val CurB = Hashing.MinHashB(2)
+
+  /** a05 — curriculum staging: assign every document to one of
+    * `stages` difficulty tiers by EXACT word-count quartile, shortest
+    * first (length-ordered curriculum — train on easy/short docs
+    * before long ones), plus a deterministic within-stage shuffle key.
+    * The trainer consumes shards ordered by `(stage, sort_key)`.
+    *
+    * Scale shape — the q25 two-pass idea applied to staging: a global
+    * `ntile(4)` window would be one all-corpus sort on a single
+    * reducer, so instead pass 1 aggregates the corpus to a WORD-COUNT
+    * HISTOGRAM (bounded: distinct document lengths, thousands of rows
+    * at any corpus size) and computes each length's quartile from the
+    * histogram's running sum — the only unpartitioned window runs on
+    * histogram-cardinality rows. Pass 2 maps stages back over the
+    * corpus through a broadcast join. No corpus-sized sort or window
+    * anywhere; ties (equal n_words) land in one stage by construction,
+    * which keeps the assignment value-determined and engine-portable.
+    *
+    * `stage = ceil(stages·cum/N) = (stages·cum + N − 1) div N` on
+    * longs — exact on both engines. The shuffle key reuses the a04
+    * affine-permutation idiom (member 2 of the hash family, so stage
+    * order and shard order stay uncorrelated). Output: `(id, n_words,
+    * stage, sort_key)`. */
+  def curriculumStages(docs: DataFrame, id: String, text: String,
+                       stages: Long = CurriculumStages): DataFrame = {
+    val words = docs.select(col(id),
+      expr(s"cast(size(filter(split($text, ' '), x -> x <> '')) as bigint)")
+        .as("n_words"))
+    val byW = Window.orderBy(col("n_words"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val staged = words.groupBy(col("n_words")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(byW))
+      .withColumn("tot", sum(col("cnt")).over(all))
+      .withColumn("stage", expr(s"(${stages}L * cum + tot - 1) div tot"))
+      .select(col("n_words"), col("stage"))
+    val h = expr(s"(((($id % ${HashP}L + ${HashP}L) % ${HashP}L) * ${CurA}L" +
+      s" + ${CurB}L) % ${HashP}L)")
+    words.join(broadcast(staged), Seq("n_words"))
+      .select(col(id), col("n_words"), col("stage"), h.as("sort_key"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a05_curriculum" -> ((s, d) =>
+      curriculumStages(Tables.documents(s, d), "doc_id", "text")),
     "a04_shuffle_shards" -> ((s, d) =>
       shuffleShards(Tables.documents(s, d), "doc_id", ShuffleShards)),
     "a01_pack_chunks" -> ((s, d) =>
@@ -195,6 +244,23 @@ object Pack {
       slidingChunks(Tables.documents(s, d), "doc_id", "text")))
 
   def oracle: Map[String, String] = Map(
+    // a05 — same histogram → running-sum quartile → integer-ceil stage,
+    // same affine shuffle key
+    "a05_curriculum" ->
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_words
+         |  FROM documents),
+         |h AS (SELECT n_words, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY n_words),
+         |st AS (
+         |  SELECT n_words,
+         |    ($CurriculumStages * sum(cnt) OVER (ORDER BY n_words
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      + sum(cnt) OVER () - 1) // sum(cnt) OVER () AS stage
+         |  FROM h)
+         |SELECT w.doc_id, w.n_words, CAST(st.stage AS BIGINT) AS stage,
+         |  CAST((((w.doc_id % $HashP + $HashP) % $HashP) * $CurA + $CurB) % $HashP AS BIGINT) AS sort_key
+         |FROM w JOIN st USING (n_words)""".stripMargin,
     // a04 — the identical affine permutation and windowed dense rank
     "a04_shuffle_shards" ->
       s"""SELECT doc_id, CAST(h % $ShuffleShards AS BIGINT) AS shard,

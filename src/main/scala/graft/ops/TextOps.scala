@@ -470,7 +470,47 @@ object TextOps {
       .drop("_sum")
   }
 
+  /** Shingle-novelty score (t16): what fraction of a document's
+    * distinct token 3-grams appears NOWHERE else in the corpus. The
+    * inverse signal of the dedup family — d02 scores how much a doc
+    * REPEATS the corpus, t16 scores how much it ADDS — and a standard
+    * mixing feature (upweight high-novelty documents, downweight
+    * boilerplate that shows up with df ≫ 1 everywhere).
+    *
+    * Scale shape: shingles ride as 8-byte hash keys from the codegen'd
+    * `graft_shingle_hashes` (never the 3-word strings), the corpus df
+    * is a count window PARTITIONed on that key (same exchange a
+    * groupBy would take, but keeps the per-doc rows so no join back),
+    * and the per-doc readout is one more hash aggregation — two
+    * shuffles total, both on compact keys. The hot-key concern that
+    * caps d02 (a stopword shingle's bucket exploding into pairs) does
+    * not apply: df counting is linear in the bucket, never quadratic,
+    * so no df cap is needed and the score is exact.
+    *
+    * Determinism: `novelty_q6 = (n_unique·10⁶) div n_shingles` is pure
+    * integer math on both engines. Output: `(doc_id, n_shingles,
+    * n_unique, novelty_q6)`. */
+  def shingleNovelty(docs: DataFrame, id: String, text: String,
+                     n: Int = 3): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    val sh = docs
+      .select(col(id).as("doc_id"),
+        expr(s"filter(split($text, ' '), x -> x <> '')").as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(col("doc_id"),
+        explode(expr(s"graft_shingle_hashes(tk, $n, 1)")).as("sk"))
+    sh
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("sk"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, lit(1L)).otherwise(lit(0L))).as("n_unique"))
+      .withColumn("novelty_q6", expr("(n_unique * 1000000L) div n_shingles"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t16_shingle_novelty" -> ((s, d) =>
+      shingleNovelty(Tables.documents(s, d), "doc_id", "text")),
     "t15_hashed_classifier" -> ((s, d) =>
       hashedClassifier(Tables.documents(s, d), "doc_id", "text")),
     "t14_lexical_diversity" -> ((s, d) =>
@@ -513,6 +553,28 @@ object TextOps {
       bigramLogProb(Tables.documents(s, d), "doc_id", "text")))
 
   def oracle: Map[String, String] = Map(
+    // t16 — the d02 shingle-key CTE (3-gram, combined forward·C+reverse
+    // hash), df by a count window on the key, integer-division readout
+    "t16_shingle_novelty" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+         |  FROM documents
+         |  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 3),
+         |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle FROM tk) raw),
+         |shk AS (SELECT DISTINCT doc_id,
+         |    (${Hashing.polyHashSql("shingle")}) * 1000000009
+         |      + (${Hashing.polyHashSql("reverse(shingle)")}) AS sk
+         |  FROM sh),
+         |c AS (SELECT doc_id, sk,
+         |    count(*) OVER (PARTITION BY sk) AS df FROM shk)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+         |  (CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+         |    // CAST(count(*) AS BIGINT) AS novelty_q6
+         |FROM c GROUP BY doc_id""".stripMargin,
     // t15 — same sorted-distinct hash keys, same sorted-order double
     // fold; every term is correctly-rounded arithmetic on identical
     // integers, so the mean matches bit-for-bit

@@ -604,6 +604,69 @@ class OpsSpec extends AnyFunSuite {
     assert(one.filter(col("split") =!= "all").count() == 0)
   }
 
+  test("t16 novelty: unique text scores 10^6, duplicated text scores 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // exact dup of 1
+      (3L, "zeta eta theta iota kappa")       // fully novel
+    ).toDF("doc_id", "text")
+    val out = TextOps.shingleNovelty(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // docs 1/2 share every shingle (df=2) → zero novelty
+    assert(out(1L)._3 == 0L && out(2L)._3 == 0L)
+    // doc 3's shingles appear nowhere else → full novelty
+    assert(out(3L) == ((3L, 3L, 1000000L)))
+  }
+
+  test("a05 curriculum: stages are monotone in n_words, total, and quartile-bounded") {
+    val docs = Tables.documents(spark, sf)
+    val out = Pack.curriculumStages(docs, "doc_id", "text").cache()
+    try {
+      assert(out.count() == docs.count(), "assignment must be total")
+      val k = Pack.CurriculumStages
+      assert(out.filter(col("stage") < 1 || col("stage") > k).count() == 0)
+      // value-determined: same n_words → same stage
+      assert(out.groupBy("n_words").agg(countDistinct("stage").as("s"))
+        .filter(col("s") > 1).count() == 0)
+      // monotone: max n_words of stage i ≤ min n_words of stage i+1
+      val bounds = out.groupBy("stage")
+        .agg(min("n_words").as("lo"), max("n_words").as("hi"))
+        .orderBy("stage").collect()
+      bounds.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(2) <= b.getLong(1))
+        case _ => ()
+      }
+      // each stage's cumulative count covers at least its quartile cut:
+      // stage ≤ q exactly when cum(n_words) ≤ ceil(N·q/k) at the value
+      // boundary, so cum count through stage q must reach ⌈N·q/k⌉
+      val n = out.count()
+      val cums = out.groupBy("stage").count().orderBy("stage")
+        .collect().map(_.getLong(1)).scanLeft(0L)(_ + _).tail
+      cums.zipWithIndex.foreach { case (c, i) =>
+        assert(c >= ((i + 1) * n + k - 1) / k - n / k,
+          s"stage ${i + 1} cumulative $c far below its quartile cut")
+      }
+    } finally out.unpersist()
+  }
+
+  test("e20 decayed value: hand-computed shifts on a crafted frame") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    def at(days: Int) = new java.sql.Timestamp(
+      base.getTime + days.toLong * 86400000L)
+    val ev = Seq(
+      (1L, at(0), 10.00), // age 2 days at tmax=day2 → 1000·2^20/4
+      (1L, at(2), 2.50),  // newest → 250·2^20
+      (2L, at(1), 0.01)   // age 1 day → 1·2^20/2
+    ).toDF("user_id", "ts", "value")
+    val got = Events.decayedValue(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == ((1000L * 1048576L / 4 + 250L * 1048576L, 2L)))
+    assert(got(2L) == ((1048576L / 2, 1L)))
+  }
+
   test("q26 salted join equals the plain join row-for-row and spreads hot keys") {
     val d = "/root/testdata/sf0.001"
     val li = Tables.lineitem(spark, d)
