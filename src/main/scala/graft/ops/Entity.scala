@@ -143,7 +143,47 @@ object Entity {
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("name")).as("n_variants"))
 
+  /** er05 — SURVIVORSHIP (the golden record): per canonical entity,
+    * elect ONE value per attribute from the member rows' conflicting
+    * values — most-frequent-wins, ties to the lexicographic minimum —
+    * the step after er02/er03 that master-data systems run to publish
+    * a single authoritative row per entity.
+    *
+    * Scale shape: facts join the dictionary-sized canonical map by
+    * broadcast (one map-side pass), then each attribute's election is
+    * a `(canon, value)` count + rank-1 window — per-attribute state is
+    * (entities × distinct values per attribute), nowhere near fact
+    * cardinality. Elections are independent, so Catalyst runs them as
+    * parallel branches off the shared join. Deterministic: counts are
+    * integers and every tie breaks on the value itself.
+    * Output: `(canon_name, n_members, <one survived col per field>)`. */
+  def survivorship(facts: DataFrame, name: String, fields: Seq[String],
+                   maxEdit: Int = MaxEdit,
+                   maxBlock: Int = MaxBlock): DataFrame = {
+    val mapped = facts
+      .select((col(name).as("name") +: fields.map(col)): _*)
+      .join(broadcast(canonicalMap(facts, name, maxEdit, maxBlock)),
+        Seq("name"))
+    val base = mapped.groupBy(col("canon_name"))
+      .agg(count(lit(1)).as("n_members"))
+    fields.foldLeft(base) { (acc, f) =>
+      val w = Window.partitionBy(col("canon_name"))
+        .orderBy(col("_c").desc, col(f))
+      acc.join(
+        mapped.groupBy(col("canon_name"), col(f))
+          .agg(count(lit(1)).as("_c"))
+          .withColumn("_rk", row_number().over(w))
+          .filter(col("_rk") === 1)
+          .select(col("canon_name"), col(f)),
+        Seq("canon_name"))
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er05_survivorship" -> ((s, d) =>
+      survivorship(Tables.part(s, d), "p_name",
+        Seq("p_brand", "p_type", "p_size"))
+        .withColumn("p_size", col("p_size").cast("long"))),
     "er01_fuzzy_pairs" -> ((s, d) =>
       fuzzyPairs(Tables.part(s, d), "p_name")),
     "er02_canonical_map" -> ((s, d) =>
@@ -216,6 +256,44 @@ object Entity {
            |SELECT m.canon_name, count(*) AS n_rows,
            |  CAST(count(DISTINCT p.p_name) AS BIGINT) AS n_variants
            |FROM part p JOIN cmap m ON m.name = p.p_name
-           |GROUP BY m.canon_name""".stripMargin)
+           |GROUP BY m.canon_name""".stripMargin,
+      // er05 — same cmap CTE; per-attribute elections are rank-1 windows
+      // over (canon, value) counts with the identical value tie-break
+      "er05_survivorship" ->
+        s"""WITH RECURSIVE $pairsSqlBody,
+           |${Clusters.componentsCte(
+                s"SELECT ${ph("name_a")} AS doc_a, ${ph("name_b")} AS doc_b FROM fuzzy")},
+           |hn AS (SELECT name, ${ph("name")} AS h FROM names),
+           |canon AS (
+           |  SELECT l.cluster, min(hn.name) AS canon_name
+           |  FROM lab l JOIN hn ON hn.h = l.id GROUP BY l.cluster),
+           |cmap AS (
+           |  SELECT hn.name, coalesce(c.canon_name, hn.name) AS canon_name
+           |  FROM hn LEFT JOIN lab l ON l.id = hn.h
+           |          LEFT JOIN canon c ON c.cluster = l.cluster),
+           |f AS (
+           |  SELECT m.canon_name, p.p_brand, p.p_type, p.p_size
+           |  FROM part p JOIN cmap m ON m.name = p.p_name),
+           |base AS (
+           |  SELECT canon_name, CAST(count(*) AS BIGINT) AS n_members
+           |  FROM f GROUP BY canon_name),
+           |mb AS (SELECT canon_name, p_brand FROM (
+           |  SELECT canon_name, p_brand,
+           |    row_number() OVER (PARTITION BY canon_name
+           |      ORDER BY count(*) DESC, p_brand) AS rk
+           |  FROM f GROUP BY canon_name, p_brand) z WHERE rk = 1),
+           |mt AS (SELECT canon_name, p_type FROM (
+           |  SELECT canon_name, p_type,
+           |    row_number() OVER (PARTITION BY canon_name
+           |      ORDER BY count(*) DESC, p_type) AS rk
+           |  FROM f GROUP BY canon_name, p_type) z WHERE rk = 1),
+           |ms AS (SELECT canon_name, CAST(p_size AS BIGINT) AS p_size FROM (
+           |  SELECT canon_name, p_size,
+           |    row_number() OVER (PARTITION BY canon_name
+           |      ORDER BY count(*) DESC, p_size) AS rk
+           |  FROM f GROUP BY canon_name, p_size) z WHERE rk = 1)
+           |SELECT base.canon_name, base.n_members, mb.p_brand, mt.p_type, ms.p_size
+           |FROM base JOIN mb USING (canon_name) JOIN mt USING (canon_name)
+           |          JOIN ms USING (canon_name)""".stripMargin)
   }
 }

@@ -71,6 +71,16 @@ object Multimodal {
     * frame-level dedup. */
   def mediaFrames(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
+    rawFrames(s, d)
+      .select(col("doc_id"), col("frame_idx"),
+        length(col("frame")).cast("long").as("frame_bytes"),
+        expr("graft_polyhash(frame)").as("frame_hash"))
+  }
+
+  /** The frame generator with the frame CONTENT still attached —
+    * [[mediaFrames]] reduces it to (size, hash); m07 folds the bytes
+    * instead. */
+  private def rawFrames(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       // guard: empty text would hit integer-division floor-vs-truncate
       // divergence between engines
@@ -81,8 +91,44 @@ object Multimodal {
           s"i -> substring(text, i * $FrameBytes + 1, $FrameBytes))"))
           .as(Seq("frame_idx", "frame")))
       .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
-        length(col("frame")).cast("long").as("frame_bytes"),
-        expr("graft_polyhash(frame)").as("frame_hash"))
+        col("frame"))
+
+  /** m07 loud-frame threshold: a frame is LOUD when its mean byte value
+    * is at least this (measured corpus mean ≈ 94.7, so ~30% of frames
+    * clear it — a real split, not all-or-nothing). */
+  val EnergyMeanByte = 96L
+
+  /** Energy-threshold segmentation (m07) — the voice-activity-detection
+    * plumbing shape: per-frame "energy" (byte-value sum over the stub
+    * media bytes — swap in a real PCM/RMS fold, keep the plan), a
+    * threshold gate relative to frame size, then adjacent loud frames
+    * coalesced into segments with the q28 gaps-islands window. This is
+    * how an audio pipeline finds speech spans to cut, embed, or
+    * transcribe — per doc, emit `(seg_start, seg_end, n_frames,
+    * seg_energy)` per loud run.
+    *
+    * Scale shape: energy is a map-side fold inside the frame generate;
+    * the only exchange is partitionBy(doc_id) for the island window +
+    * segment aggregation (two window/agg steps behind ONE exchange,
+    * same partitioning). Integer throughout — byte sums and counts,
+    * no floats to diverge. */
+  def energySegments(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    rawFrames(s, d)
+      .select(col("doc_id"), col("frame_idx"),
+        expr("aggregate(transform(split(frame, ''), ch -> ascii(ch)), 0L," +
+          " (acc, x) -> acc + x)").as("energy"),
+        length(col("frame")).cast("long").as("fb"))
+      .filter(col("energy") >= col("fb") * lit(EnergyMeanByte))
+      .withColumn("grp", col("frame_idx") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("frame_idx")).as("seg_start"),
+        max(col("frame_idx")).as("seg_end"),
+        count(lit(1)).as("n_frames"),
+        sum(col("energy")).as("seg_energy"))
+      .select(col("doc_id"), col("seg_start"), col("seg_end"),
+        col("n_frames"), col("seg_energy"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -93,6 +139,8 @@ object Multimodal {
     }),
 
     "m02_media_frames" -> ((s, d) => mediaFrames(s, d)),
+
+    "m07_energy_segments" -> ((s, d) => energySegments(s, d)),
 
     // Frame-level exact dedup ACROSS media items — the d01 pattern over
     // the m02 frame table (repeated intros/outros/watermark frames are
@@ -254,6 +302,30 @@ object Multimodal {
          |  FROM scored)
          |SELECT probe_id, doc_id, rk, score FROM ranked WHERE rk <= $KnnK""".stripMargin
     },
+    // m07 — same frame CTE, byte-sum fold, threshold, and islands key;
+    // frame_idx is unique per doc so the row_number order is total
+    "m07_energy_segments" ->
+      s"""WITH fr AS (
+         |  SELECT doc_id,
+         |    unnest(range(0, ((length(text) - 1) // $FrameBytes) + 1)) AS frame_idx,
+         |    unnest(list_transform(range(0, ((length(text) - 1) // $FrameBytes) + 1),
+         |      i -> substring(text, (i * $FrameBytes + 1)::INTEGER, $FrameBytes))) AS frame
+         |  FROM documents WHERE length(text) > 0),
+         |en AS (
+         |  SELECT doc_id, frame_idx,
+         |    reduce(list_prepend(0::BIGINT, list_transform(string_split(frame, ''),
+         |      ch -> ascii(ch)::BIGINT)), (acc, x) -> acc + x) AS energy,
+         |    length(frame)::BIGINT AS fb
+         |  FROM fr),
+         |loud AS (SELECT * FROM en WHERE energy >= fb * $EnergyMeanByte),
+         |g AS (
+         |  SELECT doc_id, frame_idx, energy,
+         |    frame_idx - row_number() OVER (PARTITION BY doc_id ORDER BY frame_idx) AS grp
+         |  FROM loud)
+         |SELECT doc_id, min(frame_idx) AS seg_start, max(frame_idx) AS seg_end,
+         |  CAST(count(*) AS BIGINT) AS n_frames,
+         |  CAST(sum(energy) AS BIGINT) AS seg_energy
+         |FROM g GROUP BY doc_id, grp""".stripMargin,
     // m06 — bit_count(xor) ≡ Spark bit_count(^) on BIGINT; window order
     // key frame_idx is unique per doc (total order), ROWS frame written
     // explicitly per the parity rules

@@ -297,7 +297,48 @@ object Profile {
           * lit(1e6)).cast("long").as("cos_q6"))
   }
 
+  /** Row-level rule QUARANTINE (v09) — the routing twin of v02: v02
+    * reports per-RULE violation counts, v09 emits the violating ROWS
+    * with every failed rule named, the frame a pipeline writes to its
+    * quarantine table while the clean remainder flows on (anti-join on
+    * the output). Two of the three rules are LEARNED bounds (the row's
+    * price against its priority group's mean), not static predicates —
+    * the data-validation pattern where thresholds come from the data
+    * itself, so nothing is hand-tuned per corpus.
+    *
+    * Determinism: the mean comparisons stay in integer cents cross-
+    * multiplied (`pc·n·2 > Σpc·3` ⟺ price > 1.5·mean) — no division,
+    * no doubles, so both engines decide identically. `concat_ws` skips
+    * the null (unfired) slots and the rule order is fixed, so the
+    * reason string is total-order stable.
+    *
+    * Scale shape: group stats are a priority-cardinality aggregate
+    * broadcast back; every rule is then map-side — one aggregation
+    * pass plus one broadcast join, no matter how many rules. Output:
+    * `(o_orderkey, reasons, n_rules)`, quarantined rows only. */
+  def quarantineOrders(orders: DataFrame): DataFrame = {
+    val pc = round(col("o_totalprice") * lit(100)).cast("long")
+    val stats = orders.groupBy(col("o_orderpriority"))
+      .agg(sum(pc).as("sumc"), count(lit(1)).as("n"))
+    orders.withColumn("pc", pc)
+      .join(broadcast(stats), Seq("o_orderpriority"))
+      .withColumn("r1", col("pc") * col("n") * lit(2L) > col("sumc") * lit(3L))
+      .withColumn("r2", col("o_orderstatus") === "O" &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .withColumn("r3", col("o_orderpriority") === "1-URGENT" &&
+        col("pc") * col("n") * lit(2L) < col("sumc"))
+      .filter(col("r1") || col("r2") || col("r3"))
+      .select(col("o_orderkey"),
+        concat_ws(",",
+          when(col("r1"), lit("price_above_1p5x_mean")),
+          when(col("r2"), lit("stale_open")),
+          when(col("r3"), lit("urgent_low_value"))).as("reasons"),
+        (col("r1").cast("long") + col("r2").cast("long")
+          + col("r3").cast("long")).as("n_rules"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v09_quarantine" -> ((s, d) => quarantineOrders(Tables.orders(s, d))),
     "v06_source_datasheet" -> ((s, d) =>
       sourceDatasheet(Tables.documents(s, d))),
     "v08_embedding_drift" -> ((s, d) =>
@@ -347,6 +388,28 @@ object Profile {
     }))
 
   def oracle: Map[String, String] = Map(
+    // v09 — identical integer cross-multiplied bounds and fixed rule
+    // order; concat_ws(null-skip) ≡ concat_ws over list_filter
+    "v09_quarantine" ->
+      """WITH s AS (
+        |  SELECT o_orderpriority,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sumc,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY o_orderpriority),
+        |f AS (
+        |  SELECT o.o_orderkey,
+        |    CAST(round(o.o_totalprice * 100) AS BIGINT) * s.n * 2 > s.sumc * 3 AS r1,
+        |    o.o_orderstatus = 'O' AND o.o_orderdate < TIMESTAMP '1996-01-01' AS r2,
+        |    o.o_orderpriority = '1-URGENT'
+        |      AND CAST(round(o.o_totalprice * 100) AS BIGINT) * s.n * 2 < s.sumc AS r3
+        |  FROM orders o JOIN s USING (o_orderpriority))
+        |SELECT o_orderkey,
+        |  array_to_string(list_filter(
+        |    [CASE WHEN r1 THEN 'price_above_1p5x_mean' END,
+        |     CASE WHEN r2 THEN 'stale_open' END,
+        |     CASE WHEN r3 THEN 'urgent_low_value' END], x -> x IS NOT NULL), ',') AS reasons,
+        |  CAST(r1 AS BIGINT) + CAST(r2 AS BIGINT) + CAST(r3 AS BIGINT) AS n_rules
+        |FROM f WHERE r1 OR r2 OR r3""".stripMargin,
     // v08 — k11's q6 element quantization, exact integer centroid sums,
     // centroids re-quantized to q6 longs before an exact integer
     // dot/norm fold; only correctly-rounded double ops after

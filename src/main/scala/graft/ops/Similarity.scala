@@ -77,6 +77,50 @@ object Similarity {
           expr(cosExpr).as("cos")), k)
   }
 
+  /** k-NN CLASSIFICATION (k13) — label held-out probe vectors by
+    * majority vote over their k nearest labeled neighbors: the
+    * classic nonparametric classifier, and the shape of
+    * label-propagation QA over an embedded corpus ("does the corpus'
+    * own geometry reproduce the labels we assigned?"). Probes are
+    * EXCLUDED from the voting corpus (train/test split, not just
+    * self-exclusion), votes are integer counts, and both the rank
+    * boundary and the vote winner break ties deterministically
+    * (neighbor id; then smaller label).
+    *
+    * Scale shape = [[knnBrute]]: probes broadcast, one corpus pass,
+    * rank window per probe; the vote is a probe-cardinality
+    * aggregation after the top-k prune, so it costs nothing at any
+    * corpus size. Output: `(probe_id, pred_label, n_votes,
+    * true_label, correct)`. */
+  def knnClassify(vectors: DataFrame, id: String, vec: String,
+                  label: String, isProbe: Column => Column,
+                  k: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(vectors.sparkSession)
+    val v = vectors.select(col(id).as("vec_id"), col(vec).as("v"),
+        col(label).as("lbl"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+    val probes = v.filter(isProbe(col("vec_id")))
+    val corpus = v.filter(!isProbe(col("vec_id")))
+    val wRank = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val wVote = Window.partitionBy(col("probe_id"))
+      .orderBy(col("n_votes").desc, col("n_label"))
+    corpus.as("b").crossJoin(broadcast(probes.as("a")))
+      .select(col("a.vec_id").as("probe_id"), col("a.lbl").as("true_label"),
+        col("b.vec_id").as("neighbor_id"), col("b.lbl").as("n_label"),
+        expr(cosExpr).as("cos"))
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= k)
+      .groupBy(col("probe_id"), col("true_label"), col("n_label"))
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("_rk", row_number().over(wVote))
+      .filter(col("_rk") === 1)
+      .select(col("probe_id"), col("n_label").cast("long").as("pred_label"),
+        col("n_votes"),
+        col("true_label").cast("long").as("true_label"),
+        (col("n_label") === col("true_label")).as("correct"))
+  }
+
   /** FILTERED k-NN (k06) — "hybrid search": top-k nearest among only
     * the vectors satisfying a METADATA predicate (the filtered-ANN
     * feature of every production vector store: "nearest products in
@@ -673,6 +717,9 @@ object Similarity {
         _ < NumProbes, TopK)),
     "k11_standardize" -> ((s, d) =>
       standardize(Tables.embeddings(s, d), "vec_id", "embedding")),
+    "k13_knn_classify" -> ((s, d) =>
+      knnClassify(Tables.embeddings(s, d), "vec_id", "embedding", "label",
+        _ < NumProbes, TopK)),
     "k01_knn_brute" -> ((s, d) =>
       knnBrute(Tables.embeddings(s, d), "vec_id", "embedding",
         _ < NumProbes, TopK)),
@@ -762,6 +809,36 @@ object Similarity {
           |    THEN CAST(round((q.q::DOUBLE - st.mu_q) / st.sd_q * 1000000.0) AS BIGINT)
           |    ELSE 0 END AS z_q6
           |FROM q JOIN st ON st.dim = q.dim""".stripMargin,
+      // k13 — k01's scored/ranked CTEs over the disjoint train side,
+      // then integer vote counts with the same two-level tie-break
+      "k13_knn_classify" ->
+        s"""WITH v AS (
+           |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+           |  FROM embeddings),
+           |n AS (
+           |  SELECT vec_id, label, v,
+           |    sqrt(reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+           |  FROM v),
+           |scored AS (
+           |  SELECT a.vec_id AS probe_id, a.label AS true_label,
+           |    b.vec_id AS neighbor_id, b.label AS n_label,
+           |    $cosSql AS cos
+           |  FROM n a JOIN n b ON a.vec_id < $NumProbes AND b.vec_id >= $NumProbes),
+           |ranked AS (
+           |  SELECT probe_id, true_label, n_label,
+           |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+           |  FROM scored),
+           |votes AS (
+           |  SELECT probe_id, true_label, n_label, CAST(count(*) AS BIGINT) AS n_votes
+           |  FROM ranked WHERE rnk <= $TopK GROUP BY 1, 2, 3),
+           |win AS (
+           |  SELECT probe_id, true_label, n_label, n_votes,
+           |    row_number() OVER (PARTITION BY probe_id ORDER BY n_votes DESC, n_label) AS rk
+           |  FROM votes)
+           |SELECT probe_id, CAST(n_label AS BIGINT) AS pred_label, n_votes,
+           |  CAST(true_label AS BIGINT) AS true_label,
+           |  n_label = true_label AS correct
+           |FROM win WHERE rk = 1""".stripMargin,
       "k01_knn_brute" ->
         s"""WITH v AS (
            |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),

@@ -68,6 +68,24 @@ class EntitySpec extends AnyFunSuite {
     assert(got == Set(("acme corp", 3L, 2L), ("solo ltd", 1L, 1L)))
   }
 
+  test("er05: survivorship elects the modal value per field, ties to the minimum") {
+    import spark.implicits._
+    // "acme corp"/"acmee corp" cluster: brand B1 wins 2-1 (majority),
+    // ptype t2 wins 2-1, sizes are a 3-way tie → the minimum survives
+    val facts = Seq(
+      ("acme corp", "B1", "t1", 40),
+      ("acme corp", "B1", "t2", 50),
+      ("acmee corp", "B2", "t2", 60),
+      ("solo ltd", "B9", "t9", 9)
+    ).toDF("vendor", "brand", "ptype", "size")
+    val got = Entity.survivorship(facts, "vendor", Seq("brand", "ptype", "size"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getInt(4))).toSet
+    assert(got == Set(
+      ("acme corp", 3L, "B1", "t2", 40),
+      ("solo ltd", 1L, "B9", "t9", 9)))
+  }
+
   test("oversized blocks are dropped deterministically") {
     import spark.implicits._
     // 4 names share block "x" — with maxBlock = 3 the whole block is

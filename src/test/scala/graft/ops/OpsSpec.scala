@@ -667,6 +667,58 @@ class OpsSpec extends AnyFunSuite {
     assert(got(2L) == ((1048576L / 2, 1L)))
   }
 
+  test("v09 quarantine: crafted rows trip exactly their rules") {
+    import spark.implicits._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // group mean for '1-URGENT' = 100.00 → 200.00 trips r1 (>1.5×),
+    // 10.00 trips r3 (<0.5×); the 'O'+1995 row trips r2 only
+    val orders = Seq(
+      (1L, "O", 200.00, ts("1997-06-01"), "1-URGENT"),
+      (2L, "F", 10.00, ts("1997-06-01"), "1-URGENT"),
+      (3L, "F", 90.00, ts("1997-06-01"), "1-URGENT"),
+      (4L, "O", 100.00, ts("1995-06-01"), "5-LOW"),
+      (5L, "F", 100.00, ts("1997-06-01"), "5-LOW")
+    ).toDF("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+      "o_orderpriority")
+    val got = Profile.quarantineOrders(orders)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> (("price_above_1p5x_mean", 1L)),
+      2L -> (("urgent_low_value", 1L)),
+      4L -> (("stale_open", 1L))))
+  }
+
+  test("m07 energy segments: spans are exact runs of loud frames") {
+    val segs = Multimodal.energySegments(spark, sf).cache()
+    try {
+      assert(segs.count() > 0)
+      // span arithmetic: every segment covers exactly its frame count
+      assert(segs.filter(col("n_frames") =!=
+        col("seg_end") - col("seg_start") + 1).count() == 0)
+      // maximality: consecutive segments of a doc never touch (a quiet
+      // frame separates them, else they'd be one island)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("seg_start"))
+      assert(segs.withColumn("prev_end", lag(col("seg_end"), 1).over(w))
+        .filter(col("prev_end").isNotNull &&
+          col("seg_start") <= col("prev_end") + 1).count() == 0)
+    } finally segs.unpersist()
+  }
+
+  test("k13 knn classification: votes are bounded and labels come from neighbors") {
+    val out = Similarity.knnClassify(Tables.embeddings(spark, sf),
+      "vec_id", "embedding", "label", _ < Similarity.NumProbes,
+      Similarity.TopK).cache()
+    try {
+      assert(out.count() == Similarity.NumProbes)
+      assert(out.filter(col("n_votes") < 1 ||
+        col("n_votes") > Similarity.TopK).count() == 0)
+      // correct ⟺ pred == true, row by row
+      assert(out.filter(col("correct") =!=
+        (col("pred_label") === col("true_label"))).count() == 0)
+    } finally out.unpersist()
+  }
+
   test("q26 salted join equals the plain join row-for-row and spreads hot keys") {
     val d = "/root/testdata/sf0.001"
     val li = Tables.lineitem(spark, d)
