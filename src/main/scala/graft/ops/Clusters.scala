@@ -590,7 +590,84 @@ object Clusters {
       .select(col(id), col("rep_id"), col("split"))
   }
 
+  /** c15 k-core parameters: the 2-core keeps only docs inside cyclic
+    * near-dup structure (cliques of exact/near variants) — peeled in a
+    * fixed round budget, which converges long before 6 on bounded-size
+    * dup clusters. */
+  val KCoreK = 2
+  val KCoreRounds = 6
+
+  /** k-CORE decomposition readout (c15): iteratively peel nodes of
+    * degree < k from the near-dup graph; what survives is the densely
+    * interconnected boilerplate — template families and mass-duplicated
+    * chrome that pairwise Jaccard flags edge-by-edge but only the core
+    * structure identifies as a COHESIVE block (a tree of borderline
+    * matches peels away entirely; a clique of template instances
+    * stays). Output: `(v, deg)` — surviving nodes with their degree in
+    * the final peeled edge set.
+    *
+    * Fixed `rounds` of synchronous peeling, NOT run-to-fixpoint: like
+    * c13's hop cap, the round budget bounds the job count at any graph
+    * size (the oracle unrolls the identical rounds, so parity holds
+    * whether or not the peel has converged). Each round is one
+    * degree aggregation + two semi-joins on the shrinking edge set;
+    * `localCheckpoint` truncates lineage so round r never re-runs
+    * candidate generation. */
+  def kCore(pairs: DataFrame, a: String, b: String, k: Int,
+            rounds: Int): DataFrame = {
+    var edges = pairs
+      .select(col(a).cast("long").as("a"), col(b).cast("long").as("b"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = edges.select(col("a").as("v"))
+        .union(edges.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("v"))
+      edges = edges
+        .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+    }
+    edges.select(col("a").as("v")).union(edges.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+  }
+
+  /** The c15 peel as a generated unrolled-CTE chain (the c09/c13
+    * pattern): e0 … e`rounds`, each round filtering the previous edge
+    * set to endpoints whose degree within it is ≥ k. */
+  def kCoreOracleSql(pairsSql: String, k: Int, rounds: Int): String = {
+    // MATERIALIZED, not plain CTEs: DuckDB inlines CTEs by default, and
+    // each peel round references its predecessor 3× — inlined, that's
+    // 3^rounds copies of the whole pair-generation subtree (it showed
+    // up as "too many open files" at 6 rounds)
+    val head =
+      s"""WITH pairs AS MATERIALIZED ($pairsSql),
+         |e0 AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs)""".stripMargin
+    val peels = (1 to rounds).map { r =>
+      s"""k$r AS MATERIALIZED (
+         |  SELECT v FROM (
+         |    SELECT v, count(*) AS deg FROM (
+         |      SELECT a AS v FROM e${r - 1} UNION ALL SELECT b AS v FROM e${r - 1}) u
+         |    GROUP BY v) d WHERE deg >= $k),
+         |e$r AS MATERIALIZED (
+         |  SELECT a, b FROM e${r - 1}
+         |  WHERE a IN (SELECT v FROM k$r) AND b IN (SELECT v FROM k$r))""".stripMargin
+    }
+    (head +: peels).mkString(",\n") +
+      s"""
+         |SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+         |  SELECT a AS v FROM e$rounds UNION ALL SELECT b AS v FROM e$rounds) u
+         |GROUP BY v""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the 2-core of the d02 near-dup graph: cohesive template blocks
+    "c15_kcore" -> ((s, d) =>
+      kCore(
+        Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.6),
+        "doc_a", "doc_b", KCoreK, KCoreRounds)),
     // contamination blast radius: hops from the benchmark stand-in
     // (src0) through the d02 near-dup graph, capped at BfsMaxDepth
     "c13_contamination_radius" -> ((s, d) => {
@@ -739,6 +816,8 @@ object Clusters {
   }
 
   def oracle: Map[String, String] = Map(
+    "c15_kcore" ->
+      kCoreOracleSql(Dedup.oracle("d02_ngram_jaccard"), KCoreK, KCoreRounds),
     "c13_contamination_radius" ->
       bfsOracleSql(Dedup.oracle("d02_ngram_jaccard"),
         "source = 'src0'", BfsMaxDepth),

@@ -699,6 +699,58 @@ object Dedup {
         col("n_dup_grams").cast("double") / col("n_grams").cast("double"))
   }
 
+  /** Duplicated-span SCRUB (d18) — d11 APPLIED: d11 reports how much of
+    * each document is corpus-duplicated n-gram mass; d18 performs the
+    * rewrite, dropping every token covered by at least one n-gram
+    * window that occurs ≥ 2 times corpus-wide (any doc, including
+    * self-repetition) and reassembling the survivors in document
+    * order. This is the exact-substring deduplication pass (the Lee et
+    * al. 2022 "Deduplicating Training Data…" recipe, suffix-array
+    * scale machinery swapped for window hashing at fixed n) — it cuts
+    * boilerplate out of otherwise-unique documents instead of
+    * dropping or keeping whole docs like d01/c02.
+    *
+    * Scale shape: window hashes are map-side (the window STRING never
+    * leaves the generate — only its 8-byte hash shuffles); the
+    * occurrence count is one window-keyed exchange (linear, no pair
+    * fan-out, so no df cap needed); duplicated window STARTS collapse
+    * back to one array per doc (positions-sized, not token-sized); the
+    * rewrite is a map-side HOF pass over the rejoined token array.
+    * Output: `(doc_id, n_tokens, n_kept, clean_hash)` — the hash
+    * stands in for rewritten text so the result stays fixed-width.
+    *
+    * Positions are 1-based on both engines (`element_at`/`tk[t]`);
+    * `exists` ≡ `len(list_filter(…)) > 0`. */
+  def scrubDupSpans(docs: DataFrame, id: String, text: String,
+                    n: Int = 5): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    val base = docs.select(col(id).as("doc_id"),
+      expr(s"filter(split($text, ' '), x -> x <> '')").as("tk"))
+    val winStr = (0 until n).map(j => s"tk[i + ${j - 1}]").mkString(", ")
+    val wins = base.filter(size(col("tk")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(tk) - ${n - 1}), " +
+        s"i -> named_struct('i', i, 'wh', graft_polyhash(concat_ws(' ', $winStr))))"))
+        .as("s"))
+      .select(col("doc_id"), col("s.i").as("i"), col("s.wh").as("wh"))
+    val dupStarts = wins
+      .withColumn("c", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("wh"))))
+      .filter(col("c") >= 2)
+      .groupBy(col("doc_id")).agg(collect_list(col("i")).as("dw"))
+    base.join(dupStarts, Seq("doc_id"), "left")
+      .withColumn("dw", coalesce(col("dw"), expr("cast(array() as array<int>)")))
+      .withColumn("kept", expr(
+        s"""case when size(tk) = 0 then cast(array() as array<int>)
+           |else filter(sequence(1, size(tk)),
+           |  t -> !exists(dw, i -> t >= i and t <= i + ${n - 1})) end""".stripMargin))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        expr("graft_polyhash(concat_ws(' ', transform(kept, t -> element_at(tk, t))))")
+          .as("clean_hash"))
+  }
+
   /** Words per pseudo-line for [[lineDedup]] — the synthetic corpus has
     * no newlines, so "lines" are fixed-width word segments. */
   val LineWords = 8
@@ -816,7 +868,9 @@ object Dedup {
         "doc_id", "text", threshold = 0.6)
     }),
     "d11_dup_ngram_spans" -> ((s, d) =>
-      dupNgramStats(Tables.documents(s, d), "doc_id", "text", n = 5)))
+      dupNgramStats(Tables.documents(s, d), "doc_id", "text", n = 5)),
+    "d18_span_scrub" -> ((s, d) =>
+      scrubDupSpans(Tables.documents(s, d), "doc_id", "text", n = 5)))
 
   /** DuckDB CTE mirroring [[shingles]] with n=3 — `sh(doc_id, shingle)`. */
   private val shinglesSql: String =
@@ -1141,6 +1195,34 @@ object Dedup {
       // d11 — positioned 5-grams (no DISTINCT: every occurrence counts),
       // doc frequency over the (doc, gram) pre-aggregation, per-doc
       // rollups; CASTs pin DuckDB's HUGEINT sum back to BIGINT
+      // d18 — same 1-based window starts, linear occurrence count on
+      // the window hash, list-filter rewrite; engines share every
+      // integer
+      "d18_span_scrub" ->
+        s"""WITH tkx AS (
+           |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+           |  FROM documents),
+           |w AS (
+           |  SELECT doc_id, i,
+           |    ${Hashing.polyHashSql(
+                  "concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4])")} AS wh
+           |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i
+           |        FROM tkx WHERE len(tk) >= 5) z),
+           |d AS (SELECT doc_id, i, count(*) OVER (PARTITION BY wh) AS c FROM w),
+           |dws AS (SELECT doc_id, list(i) AS dw FROM d WHERE c >= 2 GROUP BY doc_id),
+           |j AS (
+           |  SELECT t.doc_id, t.tk, coalesce(dws.dw, CAST([] AS BIGINT[])) AS dw
+           |  FROM tkx t LEFT JOIN dws USING (doc_id)),
+           |k AS (
+           |  SELECT doc_id, tk,
+           |    list_filter(range(1, len(tk) + 1),
+           |      t -> len(list_filter(dw, i -> t >= i AND t <= i + 4)) = 0) AS kept
+           |  FROM j)
+           |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+           |  CAST(len(kept) AS BIGINT) AS n_kept,
+           |  ${Hashing.polyHashSql(
+                "array_to_string(list_transform(kept, t -> tk[t]), ' ')")} AS clean_hash
+           |FROM k""".stripMargin,
       "d11_dup_ngram_spans" ->
         """WITH tk AS (
           |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk

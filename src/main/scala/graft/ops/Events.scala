@@ -298,6 +298,22 @@ object Events {
     "e19_resample_interp" -> ((s, d) =>
       resampleInterpolate(hourlyCounts(Tables.events(s, d)))),
 
+    // Nearest as-of: for each error, the purchase CLOSEST in time
+    // within ±1 hour — either side; completes the backward (e04) /
+    // forward (e12) as-of family.
+    "e21_asof_nearest" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"), col("us").as("err_us"))
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pur_id"), col("user_id"),
+          col("us").as("pur_us"), col("value").as("pur_value"))
+      Joins.asOfNearest(err, pur, Seq("user_id"),
+          leftId = "err_id", leftTs = "err_us", rightTs = "pur_us",
+          rightTie = "pur_id", toleranceMicros = 3600000000L)
+        .select(col("err_id"), col("user_id"), col("pur_id"), col("pur_value"))
+    }),
+
     // Forward as-of: for each error, the FIRST purchase within the next
     // hour — the recovery/conversion direction e04's backward join
     // can't express.
@@ -548,6 +564,22 @@ object Events {
       Sketches.hllByGroupSql("events",
         "epoch(date_trunc('hour', ts::TIMESTAMP))::BIGINT", "hour_epoch",
         "CAST(user_id AS VARCHAR)", Sketches.P2),
+    // e21 — e04's CTEs with the symmetric band and the
+    // (|Δ|, pur_us, pur_id) ranking; integer microsecond distances
+    "e21_asof_nearest" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |    date_diff('microsecond', TIMESTAMP '1970-01-01', ts::TIMESTAMP) AS us
+        |  FROM events),
+        |err AS (SELECT event_id AS err_id, user_id, us AS err_us FROM ev WHERE event_type = 'error'),
+        |pur AS (SELECT event_id AS pur_id, user_id, us AS pur_us, value AS pur_value FROM ev WHERE event_type = 'purchase'),
+        |joined AS (
+        |  SELECT err_id, err.user_id AS user_id, pur_id, pur_value,
+        |    row_number() OVER (PARTITION BY err_id
+        |      ORDER BY abs(pur_us - err_us) ASC, pur_us ASC, pur_id ASC) AS rn
+        |  FROM err JOIN pur ON err.user_id = pur.user_id
+        |    AND pur_us > err_us - 3600000000 AND pur_us < err_us + 3600000000)
+        |SELECT err_id, user_id, pur_id, pur_value FROM joined WHERE rn = 1""".stripMargin,
     "e12_asof_forward" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, event_type, value,

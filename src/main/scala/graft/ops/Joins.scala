@@ -60,4 +60,26 @@ object Joins {
       .filter(col("_asof_rn") === 1)
       .drop("_asof_rn")
   }
+
+  /** The NEAREST direction completing the as-of family: for each left
+    * row, the right row with the smallest |rightTs − leftTs| within
+    * the tolerance band, whichever side it falls on — sensor alignment
+    * ("the reading closest to the photo's timestamp") where backward
+    * and forward both bias the match. Equidistant candidates break to
+    * the EARLIER right row, then `rightTie` ascending; the distance is
+    * integer microseconds, so the ranking is exact on both engines.
+    * Same key-sharded, band-bounded, rank-deduped shape as [[asOf]]. */
+  def asOfNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftId: String, leftTs: String, rightTs: String,
+                  rightTie: String, toleranceMicros: Long): DataFrame = {
+    val w = Window.partitionBy(col(leftId))
+      .orderBy(abs(col(rightTs) - col(leftTs)).asc, col(rightTs).asc,
+        col(rightTie).asc)
+    left.join(right, keys)
+      .filter(col(rightTs) > col(leftTs) - toleranceMicros &&
+        col(rightTs) < col(leftTs) + toleranceMicros)
+      .withColumn("_asof_rn", row_number().over(w))
+      .filter(col("_asof_rn") === 1)
+      .drop("_asof_rn")
+  }
 }

@@ -720,6 +720,28 @@ object Similarity {
     "k13_knn_classify" -> ((s, d) =>
       knnClassify(Tables.embeddings(s, d), "vec_id", "embedding", "label",
         _ < NumProbes, TopK)),
+    // Cluster-quality readout: label PURITY of the k04 clustering
+    // (majority-label share per cluster) — the standard external
+    // validation metric when a labeled subset exists, and the check
+    // that gates whether trained IVF cells (k05) are worth probing.
+    // Per-cluster state after the k04 assignment is (k × labels)
+    // counts; both readout windows share one exchange on cluster.
+    "k14_cluster_purity" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val labeled = kmeansAssign(e, "vec_id", "embedding", KmeansK, KmeansIters)
+        .join(e.select(col("vec_id"), col("label").as("lbl")), Seq("vec_id"))
+      val wTop = Window.partitionBy(col("cluster"))
+        .orderBy(col("c").desc, col("lbl"))
+      labeled.groupBy(col("cluster"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("n_vecs", sum(col("c")).over(
+          Window.partitionBy(col("cluster"))))
+        .withColumn("_rk", row_number().over(wTop))
+        .filter(col("_rk") === 1)
+        .select(col("cluster"), col("n_vecs"),
+          col("lbl").cast("long").as("top_label"), col("c").as("n_top"),
+          expr("(c * 1000000L) div n_vecs").as("purity_q6"))
+    }),
     "k01_knn_brute" -> ((s, d) =>
       knnBrute(Tables.embeddings(s, d), "vec_id", "embedding",
         _ < NumProbes, TopK)),
@@ -950,6 +972,23 @@ object Similarity {
            |  FROM scored)
            |SELECT probe_id, rnk, neighbor_id, cell AS label, cos FROM ranked WHERE rnk <= 3""".stripMargin,
       "k04_kmeans" -> kmeansOracleSql(KmeansK, KmeansIters),
+      // k14 — k04's CTE chain, labels joined back, majority share per
+      // cluster with the same (count desc, label) tie-break
+      "k14_cluster_purity" -> kmeansOracleSql(KmeansK, KmeansIters, body =
+        s""",
+           |lb AS (
+           |  SELECT a.cluster, e.label AS lbl
+           |  FROM a$KmeansIters a JOIN embeddings e USING (vec_id)),
+           |ct AS (SELECT cluster, lbl, CAST(count(*) AS BIGINT) AS c
+           |       FROM lb GROUP BY 1, 2),
+           |rd AS (
+           |  SELECT cluster, lbl, c,
+           |    CAST(sum(c) OVER (PARTITION BY cluster) AS BIGINT) AS n_vecs,
+           |    row_number() OVER (PARTITION BY cluster ORDER BY c DESC, lbl) AS rk
+           |  FROM ct)
+           |SELECT cluster, n_vecs, CAST(lbl AS BIGINT) AS top_label, c AS n_top,
+           |  (c * 1000000) // n_vecs AS purity_q6
+           |FROM rd WHERE rk = 1""".stripMargin),
       // k05 = the k03 search over a{iters}' trained cells: the kmeans CTE
       // chain plus the IVF two-stage SQL (CTE q is shared; the IVF base
       // relation joins the final assignment on vec_id).

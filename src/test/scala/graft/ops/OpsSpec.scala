@@ -719,6 +719,63 @@ class OpsSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("e21 nearest as-of picks the closer side; equidistant ties go earlier") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 1000000L), (2L, 10L, 5000000L))
+      .toDF("lid", "user_id", "lts")
+    val right = Seq(
+      (101L, 10L, 400000L, "early"),  // 600ms before left 1
+      (102L, 10L, 1500000L, "late"),  // 500ms after left 1 → closer
+      (103L, 10L, 4000000L, "tieA"),  // 1s before left 2 (tie, earlier)
+      (104L, 10L, 6000000L, "tieB")   // 1s after left 2
+    ).toDF("rid", "user_id", "rts", "tag")
+    val got = Joins.asOfNearest(left, right, Seq("user_id"),
+        "lid", "lts", "rts", "rid", toleranceMicros = 3600000000L)
+      .select("lid", "tag").collect().map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(got == Map(1L -> "late", 2L -> "tieA"))
+  }
+
+  test("k14 purity: shares are bounded and cluster sizes total the corpus") {
+    val e = Tables.embeddings(spark, sf)
+    val out = Similarity.queries("k14_cluster_purity")(spark, sf).cache()
+    try {
+      assert(out.filter(col("purity_q6") <= 0 ||
+        col("purity_q6") > 1000000L).count() == 0)
+      assert(out.filter(col("n_top") > col("n_vecs")).count() == 0)
+      val total = out.agg(sum("n_vecs")).collect().head.getLong(0)
+      assert(total == e.count(), "every vector must land in one cluster")
+    } finally out.unpersist()
+  }
+
+  test("d18 span scrub removes exactly the corpus-duplicated windows") {
+    import spark.implicits._
+    val boiler = "a b c d e" // 5-gram duplicated across docs 1 and 2
+    val docs = Seq(
+      (1L, s"$boiler x1 y1 z1 w1"),
+      (2L, s"$boiler x2 y2 z2 w2"),
+      (3L, "p q r s t u v w")
+    ).toDF("doc_id", "text")
+    val got = Dedup.scrubDupSpans(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // docs 1/2: only the shared window "a b c d e" is duplicated →
+    // tokens 1-5 drop, the 4 unique tail tokens stay
+    assert(got(1L) == ((9L, 4L)) && got(2L) == ((9L, 4L)))
+    // doc 3 shares nothing → untouched
+    assert(got(3L) == ((8L, 8L)))
+  }
+
+  test("c15 k-core: triangles survive the 2-core, chains peel away") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L), // triangle — every node deg 2
+      (3L, 4L), (4L, 5L), (5L, 6L)  // pendant chain — peels entirely
+    ).toDF("doc_a", "doc_b")
+    val got = Clusters.kCore(pairs, "doc_a", "doc_b", k = 2, rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
   test("q26 salted join equals the plain join row-for-row and spreads hot keys") {
     val d = "/root/testdata/sf0.001"
     val li = Tables.lineitem(spark, d)
