@@ -198,7 +198,35 @@ object Events {
         count(lit(1)).as("n_events"))
   }
 
+  /** First-order MARKOV transition matrix over user event timelines
+    * (e22): corpus-wide counts of adjacent `(prev → next)` event-type
+    * steps plus the row-normalized transition probability — the
+    * behavioral model behind next-action prediction, funnel design,
+    * and bot detection (bots have degenerate transition rows).
+    *
+    * Scale shape: one exchange on user_id for the lag window (each
+    * user's timeline is modest), then the count aggregation collapses
+    * to (types × types) rows — the probability window runs on that
+    * tiny square, not on events. Timeline order is total
+    * ((ts micros, event_id)), p_q6 is integer `(n·10⁶) div rowtotal`.
+    * Output: `(prev, next, n, p_q6)`. */
+  def markovTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    events.select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("_rt", sum(col("n")).over(Window.partitionBy(col("prev"))))
+      .withColumn("p_q6", expr("(n * 1000000L) div _rt"))
+      .drop("_rt")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e22_markov_transitions" -> ((s, d) =>
+      markovTransitions(Tables.events(s, d))),
     "e20_decayed_value" -> ((s, d) => decayedValue(Tables.events(s, d))),
     // Tumbling 1-hour window per event type (§2.9 extension — the
     // reference has no streaming; SURVEY.md §7.5).
@@ -484,6 +512,22 @@ object Events {
     }))
 
   def oracle: Map[String, String] = Map(
+    // e22 — identical total-order lag and integer row normalization
+    "e22_markov_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    date_diff('microsecond', TIMESTAMP '1970-01-01', ts::TIMESTAMP) AS us
+        |  FROM events),
+        |p AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+        |  FROM e),
+        |c AS (
+        |  SELECT prev, event_type AS next, CAST(count(*) AS BIGINT) AS n
+        |  FROM p WHERE prev IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev, next, n,
+        |  (n * 1000000) // CAST(sum(n) OVER (PARTITION BY prev) AS BIGINT) AS p_q6
+        |FROM c""".stripMargin,
     // e20 — identical fixed-point shift decay; epoch_us//10^6 mirrors
     // Spark's timestamp→long floor on non-negative epochs
     "e20_decayed_value" ->

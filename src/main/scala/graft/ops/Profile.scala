@@ -337,7 +337,39 @@ object Profile {
           + col("r3").cast("long")).as("n_rules"))
   }
 
+  /** Cross-TABLE consistency checks (v10) — the referential dimension
+    * v02's single-table rules can't see: foreign keys that resolve
+    * (lineitem→orders, orders→customer) and a cross-table temporal
+    * invariant (no lineitem ships before its order is placed). One
+    * `(rule, violations, passed)` row per check, v02's readout shape.
+    *
+    * Scale shape: FK checks are LEFT ANTI joins that shuffle on the
+    * key and reduce to one count each — the join IS the check, no row
+    * survives except violations; the temporal rule is an equi-join
+    * with a map-side predicate count. All three checks run as
+    * independent branches and union at one row apiece. */
+  def referentialChecks(orders: DataFrame, customer: DataFrame,
+                        lineitem: DataFrame): DataFrame = {
+    def row(rule: String, violations: DataFrame): DataFrame =
+      violations.agg(count(lit(1)).as("violations"))
+        .select(lit(rule).as("rule"), col("violations"))
+    row("lineitem.l_orderkey resolves in orders",
+        lineitem.join(orders, lineitem("l_orderkey") === orders("o_orderkey"),
+          "left_anti"))
+      .unionByName(row("orders.o_custkey resolves in customer",
+        orders.join(customer, orders("o_custkey") === customer("c_custkey"),
+          "left_anti")))
+      .unionByName(row("lineitem ships on/after order date",
+        lineitem.join(orders,
+            lineitem("l_orderkey") === orders("o_orderkey"))
+          .filter(col("l_shipdate") < col("o_orderdate"))))
+      .withColumn("passed", col("violations") === 0L)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v10_referential" -> ((s, d) =>
+      referentialChecks(Tables.orders(s, d), Tables.customer(s, d),
+        Tables.lineitem(s, d))),
     "v09_quarantine" -> ((s, d) => quarantineOrders(Tables.orders(s, d))),
     "v06_source_datasheet" -> ((s, d) =>
       sourceDatasheet(Tables.documents(s, d))),
@@ -388,6 +420,23 @@ object Profile {
     }))
 
   def oracle: Map[String, String] = Map(
+    // v10 — anti joins as NOT IN / NOT EXISTS counts, same rule labels
+    "v10_referential" ->
+      """SELECT rule, violations, violations = 0 AS passed FROM (
+        |  SELECT 'lineitem.l_orderkey resolves in orders' AS rule,
+        |    CAST(count(*) AS BIGINT) AS violations
+        |  FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey resolves in customer',
+        |    CAST(count(*) AS BIGINT)
+        |  FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |  UNION ALL
+        |  SELECT 'lineitem ships on/after order date',
+        |    CAST(count(*) AS BIGINT)
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  WHERE l.l_shipdate < o.o_orderdate) t""".stripMargin,
     // v09 — identical integer cross-multiplied bounds and fixed rule
     // order; concat_ws(null-skip) ≡ concat_ws over list_filter
     "v09_quarantine" ->

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline (SURVEY.md
@@ -508,7 +508,44 @@ object TextOps {
       .withColumn("novelty_q6", expr("(n_unique * 1000000L) div n_shingles"))
   }
 
+  /** Reference-corpus n-gram coverage (t17): for every non-reference
+    * document, the share of its distinct 3-gram shingles that also
+    * appear in a TRUSTED reference slice of the corpus — the
+    * reference-overlap quality score (d09's decontamination tripwire
+    * inverted into a graded signal: high coverage ≈ benchmark-like or
+    * wiki-like text, the DSIR/s11 idea at n-gram rather than unigram
+    * granularity).
+    *
+    * Scale shape: both sides ride 8-byte shingle hashes; the reference
+    * key set collapses to DISTINCT before the join, and the hit join
+    * shuffles on the hash key (reference-sized build side — broadcasts
+    * when the reference is benchmark-sized; here it is a corpus slice,
+    * so the shuffle path is the honest default). Readout is the t16
+    * integer division. Output: `(doc_id, n_shingles, n_ref_hits,
+    * coverage_q6)`. */
+  def refCoverage(docs: DataFrame, id: String, text: String,
+                  isRef: Column, n: Int = 3): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    val sh = docs
+      .select(col(id).as("doc_id"), isRef.as("is_ref"),
+        expr(s"filter(split($text, ' '), x -> x <> '')").as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(col("doc_id"), col("is_ref"),
+        explode(expr(s"graft_shingle_hashes(tk, $n, 1)")).as("sk"))
+    val ref = sh.filter(col("is_ref")).select(col("sk")).distinct()
+      .withColumn("hit", lit(1L))
+    sh.filter(!col("is_ref"))
+      .join(ref, Seq("sk"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_ref_hits"))
+      .withColumn("coverage_q6", expr("(n_ref_hits * 1000000L) div n_shingles"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t17_ref_coverage" -> ((s, d) =>
+      refCoverage(Tables.documents(s, d), "doc_id", "text",
+        col("source") === "src0")),
     "t16_shingle_novelty" -> ((s, d) =>
       shingleNovelty(Tables.documents(s, d), "doc_id", "text")),
     "t15_hashed_classifier" -> ((s, d) =>
@@ -553,6 +590,30 @@ object TextOps {
       bigramLogProb(Tables.documents(s, d), "doc_id", "text")))
 
   def oracle: Map[String, String] = Map(
+    // t17 — t16's shingle-key CTE split by the reference predicate,
+    // distinct reference keys, left-join hit flags, integer readout
+    "t17_ref_coverage" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, source = 'src0' AS is_ref,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
+         |  FROM documents
+         |  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 3),
+         |sh AS (SELECT DISTINCT doc_id, is_ref, shingle FROM (
+         |  SELECT doc_id, is_ref, unnest(list_transform(range(1, len(tk) - 1),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle FROM tk) raw),
+         |shk AS (SELECT DISTINCT doc_id, is_ref,
+         |    (${Hashing.polyHashSql("shingle")}) * 1000000009
+         |      + (${Hashing.polyHashSql("reverse(shingle)")}) AS sk
+         |  FROM sh),
+         |ref AS (SELECT DISTINCT sk FROM shk WHERE is_ref)
+         |SELECT d.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN ref.sk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ref_hits,
+         |  (CAST(sum(CASE WHEN ref.sk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+         |    // CAST(count(*) AS BIGINT) AS coverage_q6
+         |FROM shk d LEFT JOIN ref ON d.sk = ref.sk
+         |WHERE NOT d.is_ref
+         |GROUP BY d.doc_id""".stripMargin,
     // t16 — the d02 shingle-key CTE (3-gram, combined forward·C+reverse
     // hash), df by a count window on the key, integer-division readout
     "t16_shingle_novelty" ->

@@ -776,6 +776,51 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("e22 markov transitions: rows normalize and counts match a crafted timeline") {
+    import spark.implicits._
+    def at(s: Int) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    // user 1: a→b→a ; user 2: a→b  ⇒ (a→b): 2, (b→a): 1
+    val ev = Seq(
+      (1L, 1L, at(1), "a"), (2L, 1L, at(2), "b"), (3L, 1L, at(3), "a"),
+      (4L, 2L, at(1), "a"), (5L, 2L, at(2), "b")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = Events.markovTransitions(ev)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      ("a", "b") -> ((2L, 1000000L)),   // a only ever goes to b
+      ("b", "a") -> ((1L, 1000000L))))
+  }
+
+  test("t17 ref coverage: reference docs are excluded and shares are bounded") {
+    val out = TextOps.refCoverage(Tables.documents(spark, sf),
+      "doc_id", "text", col("source") === "src0").cache()
+    try {
+      val refIds = Tables.documents(spark, sf)
+        .filter(col("source") === "src0").select("doc_id")
+      assert(out.join(refIds, Seq("doc_id"), "left_semi").count() == 0)
+      assert(out.filter(col("coverage_q6") < 0 ||
+        col("coverage_q6") > 1000000L).count() == 0)
+      assert(out.filter(col("n_ref_hits") > col("n_shingles")).count() == 0)
+    } finally out.unpersist()
+  }
+
+  test("v10 referential: clean synthetic FKs pass; crafted orphans are counted") {
+    import spark.implicits._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val orders = Seq((1L, 10L, ts("1996-01-05")), (2L, 99L, ts("1996-01-06")))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val customer = Seq(Tuple1(10L)).toDF("c_custkey")
+    val lineitem = Seq((1L, ts("1996-01-07")), (1L, ts("1996-01-01")),
+      (7L, ts("1996-01-08"))).toDF("l_orderkey", "l_shipdate")
+    val got = Profile.referentialChecks(orders, customer, lineitem)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      "lineitem.l_orderkey resolves in orders" -> 1L, // l_orderkey=7
+      "orders.o_custkey resolves in customer" -> 1L,  // custkey=99
+      "lineitem ships on/after order date" -> 1L))    // ships Jan 1 < Jan 5
+  }
+
   test("q26 salted join equals the plain join row-for-row and spreads hot keys") {
     val d = "/root/testdata/sf0.001"
     val li = Tables.lineitem(spark, d)
