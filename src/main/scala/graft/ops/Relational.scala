@@ -211,6 +211,24 @@ object Relational {
     // AFTER the (order-insensitive) aggregation — deterministic under
     // any shuffle, no window needed. Struct sort is lexicographic on
     // (orderkey), which is unique, so the order is total.
+    // RUNNING DISTINCT COUNT — the window aggregate neither engine
+    // supports natively (no count(DISTINCT) OVER): per customer, how
+    // many distinct order priorities have been seen up to each order.
+    // Spark expresses it as size(collect_set) over the running frame —
+    // per-row state is bounded by the domain (≤ 5 priorities), so the
+    // frame never accumulates unbounded payload; one custkey exchange.
+    // The oracle decorrelates the equivalent subquery.
+    "q45_running_distinct" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables.orders(s, d)
+        .withColumn("n_distinct_prio",
+          size(collect_set(col("o_orderpriority")).over(w)).cast("long"))
+        .select(col("o_orderkey"), col("o_custkey"), col("n_distinct_prio"))
+    }),
+
     "q34_listagg" -> ((s, d) =>
       Tables.orders(s, d)
         .groupBy(col("o_custkey"))
@@ -651,6 +669,15 @@ object Relational {
     }))
 
   def oracle: Map[String, String] = Map(
+    // q45 — correlated count(DISTINCT) over the same (date, key) prefix
+    "q45_running_distinct" ->
+      """SELECT o1.o_orderkey, o1.o_custkey,
+        |  (SELECT count(DISTINCT o2.o_orderpriority) FROM orders o2
+        |   WHERE o2.o_custkey = o1.o_custkey
+        |     AND (o2.o_orderdate < o1.o_orderdate
+        |          OR (o2.o_orderdate = o1.o_orderdate
+        |              AND o2.o_orderkey <= o1.o_orderkey))) AS n_distinct_prio
+        |FROM orders o1""".stripMargin,
     "q41_mode" ->
       """SELECT o_orderstatus, mode_priority, n FROM (
         |  SELECT o_orderstatus, o_orderpriority AS mode_priority,

@@ -245,6 +245,52 @@ object Sampling {
     Map("en" -> 0.4, "zh" -> 0.3, "de" -> 0.1, "es" -> 0.1, "fr" -> 0.1)
   val MixtureBudget = 6000L
 
+  /** The s13 harness budget. */
+  val WaterfillBudget = 6000L
+
+  /** Exact budget WATERFILLING across strata (s13) — the allocation
+    * rule s07/s09 approximate with weights, solved exactly: every
+    * stratum gets `min(capacity, λ)` tokens where the water level λ is
+    * chosen so allocations sum to the budget — small strata keep
+    * EVERYTHING, large strata are capped at one common level (the
+    * UniMax allocation, Chung et al. 2023). Classic closed form over
+    * the capacity-ascending order: stratum j is fully funded iff
+    * `c_j·(n−j+1) ≤ B − prefix_{j−1}`; the first unfunded row fixes
+    * `λ = (B − prefix) div remaining`. Every comparison is an integer
+    * cross-multiply — no division until the final q6 rate, so both
+    * engines pick the identical funding cut.
+    *
+    * Scale shape: identical to s07 — one totals aggregation, then ALL
+    * waterfill arithmetic on the stratum-cardinality frame (the
+    * unpartitioned windows run on #strata rows), rate table broadcast
+    * back, map-side keep gate `h·10⁶ < mrate·P`. Output: `(stratum,
+    * id, n_tokens)`. */
+  def waterfillSample(df: DataFrame, id: String, strata: String,
+                      tokens: Column, budget: Long): DataFrame = {
+    val byC = Window.orderBy(col("_toks"), col(strata))
+    val exclPre = byC.rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rates = df.withColumn("n_tokens", tokens)
+      .groupBy(col(strata)).agg(sum(col("n_tokens")).as("_toks"))
+      .withColumn("j", row_number().over(byC))
+      .withColumn("pre", coalesce(sum(col("_toks")).over(exclPre), lit(0L)))
+      .withColumn("rem", count(lit(1)).over(all) - col("j") + 1)
+      .withColumn("funded",
+        col("_toks") * col("rem") <= lit(budget) - col("pre"))
+      .withColumn("u", min(when(!col("funded"), col("j"))).over(all))
+      .withColumn("lam", max(when(col("j") === col("u"),
+        expr(s"(${budget}L - pre) div rem"))).over(all))
+      .withColumn("alloc", when(col("u").isNull || col("j") < col("u"),
+        col("_toks")).otherwise(col("lam")))
+      .withColumn("_mrate", expr("(alloc * 1000000L) div _toks"))
+      .select(col(strata), col("_mrate"))
+    df.withColumn("n_tokens", tokens)
+      .join(broadcast(rates), strata)
+      .filter(h(id) * lit(1000000L) < col("_mrate") * lit(P))
+      .select(col(strata), col(id), col("n_tokens"))
+  }
+
   /** Temperature-scaled mixture (s09) — [[mixtureSample]] with the
     * target weights DERIVED from the corpus itself instead of handed
     * in: stratum `g`'s weight is its token share raised to `1/τ` and
@@ -505,6 +551,9 @@ object Sampling {
     "s07_mixture_sample" -> ((s, d) =>
       mixtureSample(Tables.documents(s, d), "doc_id", "lang",
         nTokens("text"), MixtureWeights, MixtureBudget)),
+    "s13_waterfill" -> ((s, d) =>
+      waterfillSample(Tables.documents(s, d), "doc_id", "lang",
+        nTokens("text"), WaterfillBudget)),
     "s08_stratified_exact" -> ((s, d) =>
       stratifiedExact(Tables.documents(s, d), "doc_id", "lang", frac = 0.15)
         .select(col("lang"), col("doc_id"), col("rk"))),
@@ -528,6 +577,38 @@ object Sampling {
         EpochSpec, EpochDefault)))
 
   def oracle: Map[String, String] = Map(
+    // s13 — the identical capacity-ascending funding scan: integer
+    // cross-multiplied funded flags, first-unfunded water level, q6
+    // rate, cross-multiplied keep gate
+    "s13_waterfill" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |tot AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS toks FROM t GROUP BY lang),
+         |w1 AS (
+         |  SELECT lang, toks,
+         |    row_number() OVER (ORDER BY toks, lang) AS j,
+         |    coalesce(sum(toks) OVER (ORDER BY toks, lang
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre,
+         |    CAST(count(*) OVER () AS BIGINT) AS nn
+         |  FROM tot),
+         |w2 AS (SELECT lang, toks, j, pre, nn - j + 1 AS rem,
+         |         toks * (nn - j + 1) <= $WaterfillBudget - pre AS funded
+         |       FROM w1),
+         |w3 AS (SELECT lang, toks, j, pre, rem, funded,
+         |         min(CASE WHEN NOT funded THEN j END) OVER () AS u
+         |       FROM w2),
+         |w4 AS (SELECT lang, toks, j, u,
+         |         max(CASE WHEN j = u THEN ($WaterfillBudget - pre) // rem END) OVER () AS lam
+         |       FROM w3),
+         |m AS (
+         |  SELECT lang,
+         |    ((CASE WHEN u IS NULL OR j < u THEN toks ELSE lam END) * 1000000) // toks AS mrate
+         |  FROM w4)
+         |SELECT t.lang, t.doc_id, t.n_tokens
+         |FROM t JOIN m USING (lang)
+         |WHERE ${hSql("doc_id")} * 1000000 < m.mrate * $P""".stripMargin,
     "s01_sample_rate" ->
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE ${hSql("doc_id")} <

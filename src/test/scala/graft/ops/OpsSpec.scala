@@ -821,6 +821,45 @@ class OpsSpec extends AnyFunSuite {
       "lineitem ships on/after order date" -> 1L))    // ships Jan 1 < Jan 5
   }
 
+  test("s13 waterfill: small strata fully funded, the large stratum capped") {
+    import spark.implicits._
+    // capacities a=10, b=20, c=100 tokens; budget 60 → a,b fully
+    // funded (10·3 ≤ 60; 20·2 ≤ 50), c capped at λ = 30 (30% rate)
+    val docs = (
+      (1 to 2).map(i => (i.toLong, "a", "t1 t2 t3 t4 t5")) ++
+      (11 to 14).map(i => (i.toLong, "b", "t1 t2 t3 t4 t5")) ++
+      (101 to 120).map(i => (i.toLong, "c", "t1 t2 t3 t4 t5"))
+    ).toDF("doc_id", "lang", "text")
+    val out = Sampling.waterfillSample(docs, "doc_id", "lang",
+      expr("size(filter(split(text, ' '), x -> x <> ''))").cast("long"),
+      budget = 60L).cache()
+    try {
+      assert(out.filter(col("lang") === "a").count() == 2, "a keeps all")
+      assert(out.filter(col("lang") === "b").count() == 4, "b keeps all")
+      val c = out.filter(col("lang") === "c").count()
+      assert(c > 0 && c < 20, s"c must be thinned by the 30% water level, got $c")
+    } finally out.unpersist()
+  }
+
+  test("q45 running distinct counts priorities cumulatively per customer") {
+    import spark.implicits._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val orders = Seq(
+      (1L, 7L, ts("1996-01-01"), "P1"),
+      (2L, 7L, ts("1996-01-02"), "P1"),
+      (3L, 7L, ts("1996-01-03"), "P2"),
+      (4L, 8L, ts("1996-01-01"), "P9")
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val got = orders
+      .withColumn("n", size(collect_set(col("o_orderpriority")).over(w)).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
   test("q26 salted join equals the plain join row-for-row and spreads hot keys") {
     val d = "/root/testdata/sf0.001"
     val li = Tables.lineitem(spark, d)

@@ -301,4 +301,49 @@ class PlanAssertionsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
   test("v07 snapshot diff: one exchange per snapshot side into the full-outer join") {
     assert(shuffles(plan("v07_snapshot_diff")) == 2)
   }
+
+  test("t16 novelty: df window + doc aggregation, two exchanges, no join back") {
+    // shingle-hash df is a count window sharing the key exchange; the
+    // readout re-keys on doc_id — nothing else may shuffle
+    assert(shuffles(plan("t16_shingle_novelty")) == 2)
+  }
+
+  test("a05 curriculum: the corpus never sorts; stages broadcast back") {
+    val p = plan("a05_curriculum")
+    val s = p.toString
+    assert(s.contains("BroadcastHashJoin"),
+      "histogram stages must broadcast onto the corpus:\n" + s.take(2000))
+    // the only exchanges feed the bounded histogram (groupBy n_words +
+    // its single-partition windows) — the corpus side itself stays
+    // exchange-free, so no corpus-sized sort can exist
+    assert(!s.contains("SortMergeJoin"),
+      "stage map-back must not sort-merge:\n" + s.take(2000))
+  }
+
+  test("e20 decayed value: one-row max broadcasts; one user aggregation") {
+    val p = plan("e20_decayed_value")
+    val s = p.toString
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastExchange"),
+      "the reference epoch must broadcast:\n" + s.take(2000))
+  }
+
+  test("e22 markov: lag window + pair aggregation; probability window on the type square") {
+    // user_id exchange for the lag, (prev,next) exchange for the counts,
+    // prev exchange for the row-normalize window — all key-compact
+    assert(shuffles(plan("e22_markov_transitions")) <= 3)
+  }
+
+  test("k13 knn classify: probes broadcast against the corpus") {
+    val s = plan("k13_knn_classify").toString
+    assert(s.contains("BroadcastNestedLoopJoin"),
+      "probe side must broadcast (k01's shape):\n" + s.take(2000))
+  }
+
+  test("d18 span scrub: window strings never shuffle — hash keys only") {
+    val p = plan("d18_span_scrub")
+    // duplicated-start detection (wh window) + per-doc collect + the
+    // rejoin onto the token arrays; the window STRING column is gone
+    // before every exchange (only 8-byte hashes and int positions ride)
+    assert(shuffles(p) <= 4)
+  }
 }
