@@ -377,6 +377,97 @@ object Clusters {
   /** c09 iteration count: near-dup cliques mix in a handful of rounds. */
   val PageRankIters = 5
 
+  /** PERSONALIZED PageRank (c16) — c09 with the teleport mass pinned
+    * to a SEED set instead of spread uniformly: scores become
+    * "relevance to the seeds through the graph", the graded companion
+    * of c13's hop counts (BFS says how FAR from the benchmark a doc
+    * sits; PPR says how MUCH of the benchmark's influence reaches it,
+    * discounting by every path's length and branching). Docs in
+    * components containing no seed score exactly 0 — the integer
+    * arithmetic makes that a provable invariant, not a float epsilon.
+    *
+    * Same loop/scale shape as [[pageRank]]: edges materialized once,
+    * per-round shuffle on the key, rank vector never on the driver;
+    * the only extra state is a 0/1 seed flag carried on the node
+    * table. Integer micro-units throughout (`1e6/|S|` start mass,
+    * `0.15e6/|S|` teleport, damped contributions `(850·c) div 1000`).
+    * Output: `(doc_id, ppr_micro)`. */
+  def personalizedPageRank(pairs: DataFrame, a: String, b: String,
+                           seeds: DataFrame, seedCol: String,
+                           iters: Int): DataFrame = {
+    val edges = pairs
+      .select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
+      .union(pairs.select(col(b).cast("long").as("src"),
+        col(a).cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val edgesDeg = edges.join(deg, "src")
+      .select(col("src"), col("dst"), col("deg")).cache()
+    val seedIds = seeds.select(col(seedCol).cast("long").as("id")).distinct()
+    val nodes = deg.select(col("src").as("id"))
+      .join(seedIds.withColumn("_s", lit(1L)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("_s"), lit(0L)).as("s"))
+      .localCheckpoint()
+    val nSeeds = nodes.filter(col("s") === 1L).count()
+    if (nSeeds == 0) return pairs.sparkSession.emptyDataFrame
+      .select(lit(0L).as("doc_id"), lit(0L).as("ppr_micro")).limit(0)
+    val tele = 150000L / nSeeds
+    var pr = nodes
+      .select(col("id"), (col("s") * lit(1000000L / nSeeds)).as("pr"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = edgesDeg
+        .join(pr.withColumnRenamed("id", "src")
+          .withColumnRenamed("pr", "spr"), Seq("src"))
+        .select(col("dst").as("id"), expr("spr div deg").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("c"))
+      pr = nodes
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (col("s") * lit(tele) + expr("(850 * coalesce(c, 0L)) div 1000"))
+            .as("pr"))
+        .localCheckpoint()
+    }
+    edgesDeg.unpersist()
+    pr.select(col("id").as("doc_id"), col("pr").as("ppr_micro"))
+  }
+
+  /** The c16 power iteration as unrolled oracle CTEs — c09's generator
+    * plus a seed flag on the node table; MATERIALIZED against DuckDB's
+    * CTE inlining (each round references edges/deg/nodes). */
+  def pprOracleSql(pairsSql: String, seedWhere: String, iters: Int): String = {
+    val head =
+      s"""WITH pairs AS MATERIALIZED ($pairsSql),
+         |edges AS MATERIALIZED (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |seeds AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id AS id FROM documents WHERE $seedWhere),
+         |nodes AS MATERIALIZED (
+         |  SELECT d.src AS id, CASE WHEN s.id IS NOT NULL THEN 1 ELSE 0 END AS s
+         |  FROM deg d LEFT JOIN seeds s ON s.id = d.src),
+         |ns AS MATERIALIZED (SELECT CAST(sum(s) AS BIGINT) AS n FROM nodes),
+         |pr0 AS MATERIALIZED (
+         |  SELECT id, s * (1000000 // (SELECT n FROM ns)) AS pr FROM nodes)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s""",
+         |pr$i AS MATERIALIZED (
+         |  SELECT nd.id,
+         |    nd.s * (150000 // (SELECT n FROM ns))
+         |      + (850 * coalesce(sc.c, 0)) // 1000 AS pr
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS id, sum(p.pr // dg.deg) AS c
+         |    FROM edges e JOIN pr${i - 1} p ON e.src = p.id
+         |    JOIN deg dg ON dg.src = e.src
+         |    GROUP BY e.dst) sc ON nd.id = sc.id)""".stripMargin
+    }.mkString
+    head + rounds +
+      s"\nSELECT id AS doc_id, CAST(pr AS BIGINT) AS ppr_micro FROM pr$iters"
+  }
+
   /** c13 hop cap: the audit horizon for contamination spread. */
   val BfsMaxDepth = 3
 
@@ -744,6 +835,14 @@ object Clusters {
         Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
           threshold = 0.6),
         "doc_a", "doc_b", PageRankIters)),
+    // graded benchmark relevance: teleport pinned to the src0 seeds
+    "c16_ppr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      personalizedPageRank(
+        Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.6),
+        "doc_a", "doc_b",
+        docs.filter(col("source") === "src0"), "doc_id", PageRankIters)
+    }),
     // majority-vote communities over the same near-dup graph
     "c12_label_prop" -> ((s, d) =>
       labelPropagation(
@@ -818,6 +917,9 @@ object Clusters {
   def oracle: Map[String, String] = Map(
     "c15_kcore" ->
       kCoreOracleSql(Dedup.oracle("d02_ngram_jaccard"), KCoreK, KCoreRounds),
+    "c16_ppr" ->
+      pprOracleSql(Dedup.oracle("d02_ngram_jaccard"),
+        "source = 'src0'", PageRankIters),
     "c13_contamination_radius" ->
       bfsOracleSql(Dedup.oracle("d02_ngram_jaccard"),
         "source = 'src0'", BfsMaxDepth),

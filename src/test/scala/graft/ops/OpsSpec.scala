@@ -860,6 +860,23 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
   }
 
+  test("c16 PPR: seedless components score exactly 0; seeds dominate their star") {
+    import spark.implicits._
+    // component A: seed 1 at the center of a star; component B: a
+    // seedless pair — its mass must be identically zero (integer
+    // arithmetic, not epsilon-small)
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val seeds = Seq(Tuple1(1L)).toDF("doc_id")
+    val got = Clusters.personalizedPageRank(pairs, "doc_a", "doc_b",
+        seeds, "doc_id", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(10L) == 0L && got(11L) == 0L, s"seedless component leaked mass: $got")
+    assert(got(1L) > got(2L) && got(2L) == got(3L) && got(3L) == got(4L),
+      s"seed must outrank its symmetric satellites: $got")
+    assert(got(2L) > 0L, "satellites one hop from the seed must receive mass")
+  }
+
   test("q26 salted join equals the plain join row-for-row and spreads hot keys") {
     val d = "/root/testdata/sf0.001"
     val li = Tables.lineitem(spark, d)
