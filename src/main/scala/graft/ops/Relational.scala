@@ -211,6 +211,28 @@ object Relational {
     // AFTER the (order-insensitive) aggregation — deterministic under
     // any shuffle, no window needed. Struct sort is lexicographic on
     // (orderkey), which is unique, so the order is total.
+    // PERIOD-OVER-PERIOD DELTA — monthly revenue with the
+    // month-over-month change in basis points. The division is
+    // sign-SAFE: deltas go negative, and Spark's `div` truncates
+    // toward zero while DuckDB's `//` floors — they disagree exactly
+    // on negative operands — so the quotient is computed on the
+    // magnitude and the sign reapplied, making both engines divide
+    // only non-negative integers. Cardinality collapses to one row
+    // per month before the (tiny, unpartitioned) lag window.
+    "q46_mom_delta" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("month_start"))
+      Tables.orders(s, d)
+        .groupBy(date_trunc("MONTH", col("o_orderdate")).cast("long")
+          .as("month_start"))
+        .agg(sum(round(col("o_totalprice") * lit(100)).cast("long")).as("rev_c"))
+        .withColumn("prev_c", lag(col("rev_c"), 1).over(w))
+        .withColumn("delta_q4", when(col("prev_c").isNotNull && col("prev_c") > 0L,
+          expr("""case when rev_c >= prev_c
+                 |  then ((rev_c - prev_c) * 10000) div prev_c
+                 |  else -(((prev_c - rev_c) * 10000) div prev_c) end""".stripMargin)))
+        .select(col("month_start"), col("rev_c"), col("delta_q4"))
+    }),
+
     // RUNNING DISTINCT COUNT — the window aggregate neither engine
     // supports natively (no count(DISTINCT) OVER): per customer, how
     // many distinct order priorities have been seen up to each order.
@@ -669,6 +691,21 @@ object Relational {
     }))
 
   def oracle: Map[String, String] = Map(
+    // q46 — same magnitude-division CASE so // only sees non-negatives
+    "q46_mom_delta" ->
+      """WITH m AS (
+        |  SELECT epoch(date_trunc('month', o_orderdate::TIMESTAMP))::BIGINT AS month_start,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM orders GROUP BY 1),
+        |l AS (SELECT month_start, rev_c,
+        |        lag(rev_c) OVER (ORDER BY month_start) AS prev_c FROM m)
+        |SELECT month_start, rev_c,
+        |  CASE WHEN prev_c IS NOT NULL AND prev_c > 0 THEN
+        |    CASE WHEN rev_c >= prev_c
+        |      THEN ((rev_c - prev_c) * 10000) // prev_c
+        |      ELSE -(((prev_c - rev_c) * 10000) // prev_c) END
+        |  END AS delta_q4
+        |FROM l""".stripMargin,
     // q45 — correlated count(DISTINCT) over the same (date, key) prefix
     "q45_running_distinct" ->
       """SELECT o1.o_orderkey, o1.o_custkey,

@@ -877,6 +877,23 @@ class OpsSpec extends AnyFunSuite {
     assert(got(2L) > 0L, "satellites one hop from the seed must receive mass")
   }
 
+  test("q46 month-over-month delta: signed basis points on a crafted series") {
+    val out = graft.SparkEntry.queries("q46_mom_delta")(spark, sf)
+      .orderBy("month_start").collect()
+    assert(out.length > 1)
+    assert(out.head.isNullAt(2), "first month has no prior to compare")
+    // recompute each delta from the revenue column with BigInt math
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        val (prev, cur) = (a.getLong(1), b.getLong(1))
+        val expect =
+          if (cur >= prev) (BigInt(cur - prev) * 10000 / BigInt(prev)).toLong
+          else -((BigInt(prev - cur) * 10000) / BigInt(prev)).toLong
+        assert(b.getLong(2) == expect, s"month ${b.getLong(0)}")
+      case _ => ()
+    }
+  }
+
   test("q26 salted join equals the plain join row-for-row and spreads hot keys") {
     val d = "/root/testdata/sf0.001"
     val li = Tables.lineitem(spark, d)
