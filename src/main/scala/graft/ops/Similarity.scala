@@ -103,8 +103,6 @@ object Similarity {
     val corpus = v.filter(!isProbe(col("vec_id")))
     val wRank = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    val wVote = Window.partitionBy(col("probe_id"))
-      .orderBy(col("n_votes").desc, col("n_label"))
     corpus.as("b").crossJoin(broadcast(probes.as("a")))
       .select(col("a.vec_id").as("probe_id"), col("a.lbl").as("true_label"),
         col("b.vec_id").as("neighbor_id"), col("b.lbl").as("n_label"),
@@ -113,12 +111,18 @@ object Similarity {
       .filter(col("rnk") <= k)
       .groupBy(col("probe_id"), col("true_label"), col("n_label"))
       .agg(count(lit(1)).as("n_votes"))
-      .withColumn("_rk", row_number().over(wVote))
-      .filter(col("_rk") === 1)
-      .select(col("probe_id"), col("n_label").cast("long").as("pred_label"),
-        col("n_votes"),
-        col("true_label").cast("long").as("true_label"),
-        (col("n_label") === col("true_label")).as("correct"))
+      // majority vote as an aggregate argmax (votes DESC, label ASC —
+      // unique prefix), not a per-probe row_number sort: same rows, one
+      // fewer window exchange+sort in the plan
+      .groupBy(col("probe_id"))
+      .agg(min(struct((-col("n_votes")).as("nv"), col("n_label").as("n_label"),
+        col("n_votes").as("n_votes"),
+        col("true_label").as("true_label"))).as("b"))
+      .select(col("probe_id"),
+        col("b.n_label").cast("long").as("pred_label"),
+        col("b.n_votes").as("n_votes"),
+        col("b.true_label").cast("long").as("true_label"),
+        (col("b.n_label") === col("b.true_label")).as("correct"))
   }
 
   /** FILTERED k-NN (k06) — "hybrid search": top-k nearest among only
@@ -316,13 +320,19 @@ object Similarity {
             s"transform(sq, s -> (cast(s as double) / cast(n as double)) / ${Quant}D)"))
           .withColumn("cnrm", expr("sqrt(graft_dot(centroid, centroid))"))
           .select(col("cluster"), col("centroid"), col("cnrm"))
-        val w = Window.partitionBy(col("vec_id"))
-          .orderBy(col("score").desc, col("cluster"))
+        // argmax as an AGGREGATE, not a window: a per-vector row_number
+        // would sort k candidate rows per vector; min over the
+        // (-score, cluster, qv) struct is the same unique argmax
+        // (score DESC, cluster ASC — the (-score, cluster) prefix is
+        // unique, so later fields never decide) with map-side partials
+        // and no sort at corpus scale.
         v.crossJoin(broadcast(cdf))
           .withColumn("score", expr("graft_dot(v, centroid)") / col("cnrm"))
-          .withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") === 1)
-          .select(col("vec_id"), col("cluster"), col("qv"))
+          .groupBy(col("vec_id"))
+          .agg(min(struct((-col("score")).as("ns"), col("cluster").as("cluster"),
+            col("qv").as("qv"))).as("b"))
+          .select(col("vec_id"), col("b.cluster").as("cluster"),
+            col("b.qv").as("qv"))
       }
 
       var cents = seed
@@ -403,24 +413,50 @@ object Similarity {
                m: Int = PqSubspaces, codebook: Int = PqK,
                iters: Int = PqIters, dims: Int = 64,
                refine: Int = PqRefine): DataFrame = {
-    require(m >= 1 && dims % m == 0, s"dims=$dims must split into m=$m subspaces")
+    val vn = pqNormalized(vectors, id, vec)
+    val (codes, codebooks) = pqTrainOnNormalized(vn, m, codebook, iters, dims)
+    pqQueryOnNormalized(vn, codes, codebooks, isProbe, k, m, refine, dims)
+  }
+
+  /** The L2-normalization + checkpoint prologue shared by the PQ train
+    * and query paths (see [[pqAdcKnn]] for why both the normalization
+    * and the materialization matter). */
+  private def pqNormalized(vectors: DataFrame, id: String,
+                           vec: String): DataFrame = {
     graft.functions.VectorFunctions.register(vectors.sparkSession)
-    val sub = dims / m
-    // L2-normalize BEFORE encoding (PQ-for-cosine): on unit vectors the
-    // ADC inner product approximates exactly the cosine k01 ranks by —
-    // unnormalized, varying corpus norms would make dot-ranking answer a
-    // different question than the cosine baseline.
-    // Materialize the normalized corpus ONCE (the c09 recipe): every
-    // subspace's training loop, the probe extraction, and the exact
-    // refine all re-read this frame — without the checkpoint each of
-    // the ~3m downstream consumers re-ran scan+normalize from parquet.
-    // At production scale this is the standard "persist the prepared
-    // vectors before training" step (DISK_ONLY if they exceed memory).
-    val vn = vectors.select(col(id).as("vec_id"),
+    vectors.select(col(id).as("vec_id"),
         expr(s"transform($vec, x -> cast(x as double))").as("dv"))
       .withColumn("nrm", expr("sqrt(graft_dot(dv, dv))"))
       .select(col("vec_id"), expr("transform(dv, x -> x / nrm)").as("nv"))
       .localCheckpoint()
+  }
+
+  /** TRAIN the PQ index (k15 persistence seam): per-subspace k-means on
+    * the normalized corpus, returning the two frames a deployment
+    * stores — `codes` `(vec_id, c0..c{m-1})`, the whole corpus as m
+    * small integers per vector, and `codebooks` `(sub, cluster,
+    * centroid)`, m·codebook rows. Together they are the complete
+    * standing index: query time never touches the corpus floats. */
+  def pqTrainIndex(vectors: DataFrame, id: String, vec: String,
+                   m: Int = PqSubspaces, codebook: Int = PqK,
+                   iters: Int = PqIters,
+                   dims: Int = 64): (DataFrame, DataFrame) =
+    pqTrainOnNormalized(pqNormalized(vectors, id, vec), m, codebook, iters,
+      dims)
+
+  private def pqTrainOnNormalized(vn: DataFrame, m: Int, codebook: Int,
+                                  iters: Int,
+                                  dims: Int): (DataFrame, DataFrame) = {
+    require(m >= 1 && dims % m == 0, s"dims=$dims must split into m=$m subspaces")
+    val sub = dims / m
+    // L2-normalize BEFORE encoding (PQ-for-cosine): on unit vectors the
+    // ADC inner product approximates exactly the cosine k01 ranks by —
+    // unnormalized, varying corpus norms would make dot-ranking answer a
+    // different question than the cosine baseline. The normalized
+    // corpus arrives checkpointed (pqNormalized): every subspace's
+    // training loop re-reads it, and at production scale this is the
+    // standard "persist the prepared vectors before training" step
+    // (DISK_ONLY if they exceed memory).
     def subExpr(i: Int) = s"slice(nv, ${i * sub + 1}, $sub)"
     // per-subspace codebooks: final code assignment + RAW mean centroid
     // of the final members (the g/c CTE pair of the oracle).
@@ -453,18 +489,66 @@ object Similarity {
       (codes, cents)
     } }), Duration.Inf).toIndexedSeq
     }
+    // the two index frames a deployment persists: wide integer code
+    // tuples + tall per-subspace codebooks
+    val codes = parts.zipWithIndex.map { case ((c, _), i) =>
+      c.select(col("vec_id"), col("cluster").as(s"c$i"))
+    }.reduce(_.join(_, "vec_id"))
+    val codebooks = parts.zipWithIndex.map { case ((_, cents), i) =>
+      cents.select(lit(i).as("sub"), col("cluster"), col("centroid"))
+    }.reduce(_.unionByName(_))
+    (codes, codebooks)
+  }
+
+  /** Write a trained PQ index ([[pqTrainIndex]]) as two parquet tables
+    * under `dir` — the persistence half of a standing ANN index: train
+    * once, serve many probe batches without re-reading corpus floats.
+    * Codes and codebooks are integers and doubles, both of which
+    * parquet round-trips bit-exactly, so load-then-query ≡
+    * train-then-query (pinned by OpsSpec and the k15 oracle, which is
+    * k08's verbatim). */
+  def pqWriteIndex(codes: DataFrame, codebooks: DataFrame,
+                   dir: String): Unit = {
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+    codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
+  }
+
+  /** Load a persisted PQ index written by [[pqWriteIndex]]. */
+  def pqLoadIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/codes"),
+      spark.read.parquet(s"$dir/codebooks"))
+
+  /** SERVE probes against a trained (possibly loaded) PQ index: ADC
+    * shortlist from the code tuples + codebook distance tables, exact
+    * cosine re-rank of the `refine` survivors. The corpus embedding
+    * column is read only for the probe rows and the shortlist — the
+    * standing-index query path. */
+  def pqQueryIndex(vectors: DataFrame, id: String, vec: String,
+                   codes: DataFrame, codebooks: DataFrame,
+                   isProbe: Column => Column, k: Int,
+                   m: Int = PqSubspaces, refine: Int = PqRefine,
+                   dims: Int = 64): DataFrame =
+    pqQueryOnNormalized(pqNormalized(vectors, id, vec), codes, codebooks,
+      isProbe, k, m, refine, dims)
+
+  private def pqQueryOnNormalized(vn: DataFrame, codes: DataFrame,
+                                  codebooks: DataFrame,
+                                  isProbe: Column => Column, k: Int,
+                                  m: Int, refine: Int,
+                                  dims: Int): DataFrame = {
+    val sub = dims / m
+    def subExpr(i: Int) = s"slice(nv, ${i * sub + 1}, $sub)"
     // ADC distance tables: exact (normalized) probe subvector × centroids
     val probes = vn.filter(isProbe(col("vec_id")))
     val dts = (0 until m).map { i =>
       probes.select(col("vec_id").as("probe_id"), expr(subExpr(i)).as("pv"))
-        .crossJoin(broadcast(parts(i)._2))
+        .crossJoin(broadcast(codebooks.filter(col("sub") === i)
+          .select(col("cluster"), col("centroid"))))
         .select(col("probe_id"), col("cluster").as(s"c$i"),
           expr("graft_dot(pv, centroid)").as(s"dt$i"))
     }
     // corpus code tuples, scored by table lookups only
-    val corpusCodes = parts.zipWithIndex.map { case ((codes, _), i) =>
-      codes.select(col("vec_id"), col("cluster").as(s"c$i"))
-    }.reduce(_.join(_, "vec_id"))
+    val corpusCodes = codes
     val scored = (1 until m).foldLeft(
         corpusCodes.join(broadcast(dts(0)), Seq("c0"))) { (acc, i) =>
         acc.join(broadcast(dts(i)), Seq(s"c$i", "probe_id"))
@@ -779,6 +863,23 @@ object Similarity {
     "k08_pq_adc" -> ((s, d) =>
       pqAdcKnn(Tables.embeddings(s, d), "vec_id", "embedding",
         _ < NumProbes, TopK)),
+    // k15: the PERSISTED-index serve path — train the k08 index, WRITE
+    // codes+codebooks to parquet, LOAD them back, and serve the probes
+    // from the loaded index only. A deployment trains once and serves
+    // many probe batches; this entry exercises that full round trip.
+    // Output (and oracle) are k08's verbatim: parquet round-trips the
+    // integer codes and double centroids bit-exactly, so persistence
+    // changes where the index lives, not what it answers.
+    "k15_pq_persisted" -> ((s, d) => {
+      val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_pq_index_" + Integer.toHexString(d.hashCode)).getPath
+      val (codes, cbs) = pqTrainIndex(Tables.embeddings(s, d),
+        "vec_id", "embedding")
+      pqWriteIndex(codes, cbs, idxDir)
+      val (lCodes, lCbs) = pqLoadIndex(s, idxDir)
+      pqQueryIndex(Tables.embeddings(s, d), "vec_id", "embedding",
+        lCodes, lCbs, _ < NumProbes, TopK)
+    }),
     // recall@k of the PQ index vs the exact baseline (k07's metric
     // pointed at the compressed index) — the number a deployment tunes
     // refine/codebook against
@@ -1154,6 +1255,9 @@ object Similarity {
         }
         m + ("k07_lsh_recall" -> recallSql(m("k02_knn_lsh"))) +
           ("k08_pq_adc" -> k08Sql) +
+          // k15 trains the same index, persists it, and serves from the
+          // loaded copy — by construction the same rows as k08
+          ("k15_pq_persisted" -> k08Sql) +
           ("k09_pq_recall" -> recallSql(k08Sql)) +
           ("k10_rp_knn" -> k10Sql)
     }
