@@ -176,9 +176,11 @@ object Events {
     * not required by IEEE 754 to be correctly rounded, so a λ-style
     * `exp(-λ·age)` weight can disagree between engines in the last
     * ulp; a shift cannot. Ages are clamped at 62 so the shift never
-    * wraps (terms are 0 long before that). All operands are
-    * non-negative, so truncating `div` (Spark) and floor `//`
-    * (DuckDB) agree.
+    * wraps (terms are 0 long before that). The quotient is taken on
+    * `abs(vq2)` with the sign reapplied afterwards (the q46 recipe):
+    * truncating `div` (Spark) and flooring `//` (DuckDB) agree only
+    * for non-negative numerators, and nothing upstream forbids a
+    * negative event value (refunds, corrections).
     *
     * Scale shape: the reference epoch is a one-row `max` broadcast
     * back over the corpus (no window), the decay is map-side, and the
@@ -190,9 +192,11 @@ object Events {
       round(col("value") * lit(100)).cast("long").as("vq2"))
     val m = e.agg(max(col("sec")).as("tmax"))
     e.crossJoin(broadcast(m))
-      .withColumn("term", expr(
-        s"(vq2 * ${DecayScale}L) div " +
+      .withColumn("_q", expr(
+        s"(abs(vq2) * ${DecayScale}L) div " +
           "shiftleft(cast(1 as bigint), cast(least((tmax - sec) div 86400, 62L) as int))"))
+      .withColumn("term",
+        when(col("vq2") < 0, -col("_q")).otherwise(col("_q")))
       .groupBy(col("user_id"))
       .agg(sum(col("term")).as("decayed_q2p20"),
         count(lit(1)).as("n_events"))
@@ -535,13 +539,17 @@ object Events {
          |  SELECT user_id, epoch_us(ts::TIMESTAMP) // 1000000 AS sec,
          |    CAST(round(value * 100) AS BIGINT) AS vq2
          |  FROM events),
-         |m AS (SELECT max(sec) AS tmax FROM e)
+         |m AS (SELECT max(sec) AS tmax FROM e),
+         |q AS (
+         |  SELECT user_id, vq2,
+         |    (abs(vq2) * $DecayScale)
+         |      // (1::BIGINT << CAST(least((tmax - sec) // 86400, 62) AS INTEGER)) AS aq
+         |  FROM e, m)
          |SELECT user_id,
-         |  CAST(sum((vq2 * $DecayScale)
-         |    // (1::BIGINT << CAST(least((tmax - sec) // 86400, 62) AS INTEGER))) AS BIGINT)
+         |  CAST(sum(CASE WHEN vq2 < 0 THEN -aq ELSE aq END) AS BIGINT)
          |    AS decayed_q2p20,
          |  CAST(count(*) AS BIGINT) AS n_events
-         |FROM e, m GROUP BY user_id""".stripMargin,
+         |FROM q GROUP BY user_id""".stripMargin,
     "e01_tumbling_hourly" -> E01Sql,
     // e18 — incremental refresh must equal the full recompute, so the
     // oracle IS e01's text: any drift in the state/merge path (float
@@ -608,8 +616,10 @@ object Events {
       Sketches.hllByGroupSql("events",
         "epoch(date_trunc('hour', ts::TIMESTAMP))::BIGINT", "hour_epoch",
         "CAST(user_id AS VARCHAR)", Sketches.P2),
-    // e21 — e04's CTEs with the symmetric band and the
-    // (|Δ|, pur_us, pur_id) ranking; integer microsecond distances
+    // e21 — e04's CTEs with the symmetric INCLUSIVE band (a purchase
+    // exactly ±1 h away qualifies, mirroring asOfNearest's <= filter)
+    // and the (|Δ|, pur_us, pur_id) ranking; integer microsecond
+    // distances
     "e21_asof_nearest" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, event_type, value,
@@ -622,7 +632,7 @@ object Events {
         |    row_number() OVER (PARTITION BY err_id
         |      ORDER BY abs(pur_us - err_us) ASC, pur_us ASC, pur_id ASC) AS rn
         |  FROM err JOIN pur ON err.user_id = pur.user_id
-        |    AND pur_us > err_us - 3600000000 AND pur_us < err_us + 3600000000)
+        |    AND pur_us >= err_us - 3600000000 AND pur_us <= err_us + 3600000000)
         |SELECT err_id, user_id, pur_id, pur_value FROM joined WHERE rn = 1""".stripMargin,
     "e12_asof_forward" ->
       """WITH ev AS (

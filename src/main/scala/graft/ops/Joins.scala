@@ -68,6 +68,10 @@ object Joins {
     * and forward both bias the match. Equidistant candidates break to
     * the EARLIER right row, then `rightTie` ascending; the distance is
     * integer microseconds, so the ranking is exact on both engines.
+    * The band is INCLUSIVE: `|rightTs − leftTs| <= toleranceMicros`,
+    * so a candidate exactly at the tolerance qualifies (matching the
+    * "within the band" contract; the backward/forward joins keep their
+    * half-open bands, which is the asymmetric-direction convention).
     * Same key-sharded, band-bounded, rank-deduped shape as [[asOf]]. */
   def asOfNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
                   leftId: String, leftTs: String, rightTs: String,
@@ -76,8 +80,8 @@ object Joins {
       .orderBy(abs(col(rightTs) - col(leftTs)).asc, col(rightTs).asc,
         col(rightTie).asc)
     left.join(right, keys)
-      .filter(col(rightTs) > col(leftTs) - toleranceMicros &&
-        col(rightTs) < col(leftTs) + toleranceMicros)
+      .filter(col(rightTs) >= col(leftTs) - toleranceMicros &&
+        col(rightTs) <= col(leftTs) + toleranceMicros)
       .withColumn("_asof_rn", row_number().over(w))
       .filter(col("_asof_rn") === 1)
       .drop("_asof_rn")

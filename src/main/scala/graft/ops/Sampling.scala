@@ -273,6 +273,16 @@ object Sampling {
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val rates = df.withColumn("n_tokens", tokens)
       .groupBy(col(strata)).agg(sum(col("n_tokens")).as("_toks"))
+      // A zero-token stratum would make the q6 rate a division by zero
+      // (Spark `div` → NULL → silently gated out; DuckDB `//` need not
+      // agree). Such a stratum consumes no budget and none of its docs
+      // can pass a token gate anyway, so drop it from the rate table —
+      // its docs fall out of the inner join, and the remaining strata's
+      // waterfill is unchanged (zero-token strata sort first, are
+      // trivially funded, and contribute 0 to every prefix sum). The
+      // oracle mirrors the same WHERE, so both engines agree by
+      // construction.
+      .filter(col("_toks") > 0)
       .withColumn("j", row_number().over(byC))
       .withColumn("pre", coalesce(sum(col("_toks")).over(exclPre), lit(0L)))
       .withColumn("rem", count(lit(1)).over(all) - col("j") + 1)
@@ -585,7 +595,8 @@ object Sampling {
          |  SELECT doc_id, lang,
          |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
          |  FROM documents),
-         |tot AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS toks FROM t GROUP BY lang),
+         |tot AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS toks
+         |        FROM t GROUP BY lang HAVING sum(n_tokens) > 0),
          |w1 AS (
          |  SELECT lang, toks,
          |    row_number() OVER (ORDER BY toks, lang) AS j,
