@@ -1280,6 +1280,52 @@ class OpsSpec extends AnyFunSuite {
     assert(recall.values.exists(_._1 > 0), "some hits")
   }
 
+  test("shared near-dup tables equal a fresh per-query recomputation") {
+    val docs = Tables.documents(spark, sf)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "cluster_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(identity)
+    val fresh = norm(Clusters.connectedComponents(
+      Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.6),
+      "doc_a", "doc_b"))
+    val shared = norm(Clusters.sharedComponents(spark, sf))
+    assert(shared.sameElements(fresh),
+      "memoized component table must be row-identical to a fresh fixpoint")
+    // and the memo returns the same frame on re-access (no recompute)
+    assert(Clusters.sharedComponents(spark, sf) eq
+      Clusters.sharedComponents(spark, sf))
+  }
+
+  test("k15 persisted PQ index: load-then-query equals train-then-query") {
+    val e = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_spec")
+      .toString
+    val (codes, cbs) = Similarity.pqTrainIndex(e, "vec_id", "embedding")
+    Similarity.pqWriteIndex(codes, cbs, dir)
+    val (lCodes, lCbs) = Similarity.pqLoadIndex(spark, dir)
+    // the persisted index is byte-faithful: codes and codebooks read
+    // back exactly (ints and doubles both parquet-exact)
+    assert(lCodes.count() == codes.count())
+    assert(lCbs.count() == cbs.count())
+    def served(c: org.apache.spark.sql.DataFrame,
+               b: org.apache.spark.sql.DataFrame) =
+      Similarity.pqQueryIndex(e, "vec_id", "embedding", c, b,
+          _ < Similarity.NumProbes, Similarity.TopK)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+    val fresh = served(codes, cbs)
+    val loaded = served(lCodes, lCbs)
+    assert(loaded.sameElements(fresh),
+      "serving from the loaded index must be row-identical to the trained one")
+    // and both equal the one-shot k08 path on the same data
+    val oneShot = Similarity.queries("k08_pq_adc")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(loaded.sameElements(oneShot),
+      "persisted round trip must match the one-shot train+query path")
+  }
+
   test("k08 PQ+refine: structure, exact scores on survivors, useful recall") {
     val rows = Similarity.queries("k08_pq_adc")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
