@@ -555,6 +555,16 @@ object Sampling {
     "s05_token_budget" -> ((s, d) =>
       tokenBudget(Tables.documents(s, d), "doc_id", "lang",
         nTokens("text"), "n_chars", BudgetTokens)),
+    // s05's budget cap re-run in TOKENIZER tokens (t18's hashed-subword
+    // count) instead of whitespace words — the unit real pipelines
+    // budget in. The tokens argument is a pluggable Column on every
+    // budget/packing operator; this entry pins the subword path
+    // end-to-end while s05 keeps the word-count baseline.
+    "s14_budget_subword" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      tokenBudget(Tables.documents(s, d), "doc_id", "lang",
+        TextOps.subwordTokens("text"), "n_chars", BudgetTokens)
+    }),
     "s06_token_budget_2p" -> ((s, d) =>
       tokenBudgetTwoPass(Tables.documents(s, d), "doc_id", "lang",
         nTokens("text"), "n_chars", BudgetTokens)),
@@ -638,6 +648,9 @@ object Sampling {
       s"""SELECT doc_id, lang, n_chars FROM documents
          |WHERE ${weightSql("doc_id", "least(n_chars / 4000.0, 1.0)")}""".stripMargin,
     "s05_token_budget" -> tokenBudgetOracle,
+    // s14 — the same running-sum spec in t18 subword tokens
+    "s14_budget_subword" ->
+      tokenBudgetOracleWith(TextOps.subwordTokensSql("text")),
     // s06 computes the same kept set through the two-pass histogram
     // shape, so it shares s05's oracle text verbatim
     "s06_token_budget_2p" -> tokenBudgetOracle,
@@ -758,13 +771,18 @@ object Sampling {
     * SPEC of the kept set; s06's bracket decomposition must reproduce it
     * exactly. The unique (n_chars DESC, doc_id) order makes DuckDB's
     * default RANGE frame equal to ROWS, matching Spark. */
-  private def tokenBudgetOracle: String =
+  private def tokenBudgetOracle: String = tokenBudgetOracleWith(
+    "CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)")
+
+  /** The s05/s06 running-sum spec with a pluggable token expression —
+    * s14 re-instantiates it over t18's subword fold. */
+  private def tokenBudgetOracleWith(tokensSql: String): String =
     s"""SELECT lang, doc_id, n_tokens FROM (
        |  SELECT lang, doc_id, n_tokens,
        |    sum(n_tokens) OVER (PARTITION BY lang
        |                        ORDER BY n_chars DESC, doc_id) AS cum
        |  FROM (SELECT lang, doc_id, n_chars,
-       |          CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+       |          $tokensSql AS n_tokens
        |        FROM documents) t) c
        |WHERE cum <= $BudgetTokens""".stripMargin
 }

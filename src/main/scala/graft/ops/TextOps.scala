@@ -542,7 +542,66 @@ object TextOps {
       .withColumn("coverage_q6", expr("(n_ref_hits * 1000000L) div n_shingles"))
   }
 
+  /** Hashed-subword tokenizer parameters (t18): chunk width and the
+    * hash gate that marks a chunk "rare" (costing one extra token). */
+  val SubwordChunk = 4
+  val SubwordRareMod = 16
+  val SubwordRareMin = 12
+
+  /** TOKENIZER-FAITHFUL token count (t18) — a deterministic stand-in
+    * for a BPE tokenizer that every budget/packing operator can use in
+    * place of whitespace word counts: real pipelines budget in
+    * tokenizer tokens, and whitespace counts undercount long, rare, and
+    * non-Latin words exactly where BPE over-segments them.
+    *
+    * The model, chosen to be pure-expression and oracle-expressible on
+    * both engines (a learned merge table is neither): each whitespace
+    * word splits into ⌈len/4⌉ four-char chunks (BPE's "longer words
+    * yield more pieces"), and a chunk whose [[graft.ops.Hashing.P]]
+    * polyhash lands in the top quarter of mod-16 residues counts
+    * DOUBLE (the hashed stand-in for "not in the learned vocabulary" —
+    * deterministic per chunk string, like a frozen vocab, and hitting
+    * ~25% of chunks, like real BPE fallback on web text). Counts are
+    * strictly ≥ the word count and grow with word length — the two
+    * properties budget operators depend on.
+    *
+    * Scale shape: one codegen'd map pass, no shuffle, no state — the
+    * polyhash is the native expression, and the nested folds stay
+    * inside whole-stage codegen. */
+  def subwordTokens(text: String): Column = expr(
+    s"""aggregate(
+       |  filter(split($text, ' '), w -> w <> ''),
+       |  0L,
+       |  (acc, w) -> acc + aggregate(
+       |    sequence(0, cast(ceil(length(w) / ${SubwordChunk}.0) as int) - 1),
+       |    0L,
+       |    (a, i) -> a + 1L +
+       |      if(pmod(graft_polyhash(substring(w, i * $SubwordChunk + 1,
+       |           $SubwordChunk)), $SubwordRareMod) >= $SubwordRareMin,
+       |         1L, 0L)))""".stripMargin)
+
+  /** The t18 per-word chunk fold as DuckDB SQL over a text column —
+    * shared by the t18 oracle and the s14 budget oracle. */
+  def subwordTokensSql(text: String): String =
+    s"""CAST(reduce(list_prepend(0::BIGINT, list_transform(
+       |  list_filter(string_split($text, ' '), w -> w <> ''),
+       |  w -> reduce(list_prepend(0::BIGINT, list_transform(
+       |         range(0::BIGINT, CAST(ceil(length(w) / ${SubwordChunk}.0) AS BIGINT)),
+       |         i -> 1::BIGINT + CASE WHEN
+       |           (reduce(list_prepend(0::BIGINT, list_transform(
+       |              string_split(substring(w, CAST(i * $SubwordChunk + 1 AS INTEGER), $SubwordChunk), ''),
+       |              ch -> ascii(ch)::BIGINT)),
+       |            (h, c) -> (h * 31 + c) % ${Hashing.P})) % $SubwordRareMod >= $SubwordRareMin
+       |           THEN 1::BIGINT ELSE 0::BIGINT END)),
+       |       (a, x) -> a + x))),
+       |  (acc, y) -> acc + y) AS BIGINT)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t18_subword_tokens" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      Tables.documents(s, d).select(col("doc_id"),
+        subwordTokens("text").as("n_subword_tokens"))
+    }),
     "t17_ref_coverage" -> ((s, d) =>
       refCoverage(Tables.documents(s, d), "doc_id", "text",
         col("source") === "src0")),
@@ -590,6 +649,11 @@ object TextOps {
       bigramLogProb(Tables.documents(s, d), "doc_id", "text")))
 
   def oracle: Map[String, String] = Map(
+    // t18 — the identical nested chunk fold, polyhash in explicit
+    // reduce form (the graft_polyhash oracle recipe)
+    "t18_subword_tokens" ->
+      s"""SELECT doc_id, ${subwordTokensSql("text")} AS n_subword_tokens
+         |FROM documents""".stripMargin,
     // t17 — t16's shingle-key CTE split by the reference predicate,
     // distinct reference keys, left-join hit flags, integer readout
     "t17_ref_coverage" ->

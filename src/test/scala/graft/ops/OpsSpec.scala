@@ -1280,6 +1280,27 @@ class OpsSpec extends AnyFunSuite {
     assert(recall.values.exists(_._1 > 0), "some hits")
   }
 
+  test("t18 subword counts dominate word counts and grow with word length") {
+    graft.functions.VectorFunctions.register(spark)
+    val joined = TextOps.queries("t18_subword_tokens")(spark, sf)
+      .join(TextOps.withTokenCounts(Tables.documents(spark, sf), "text")
+        .select("doc_id", "n_ws_tokens"), "doc_id")
+    // every word costs at least one token, so subword >= whitespace count
+    assert(joined.filter(col("n_subword_tokens") < col("n_ws_tokens"))
+      .count() == 0)
+    // and the corpus-wide total is strictly larger (long words split)
+    val (sub, ws) = joined
+      .agg(sum("n_subword_tokens"), sum("n_ws_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    assert(sub > ws, s"subword total $sub should exceed word total $ws")
+    import spark.implicits._
+    // chunking is exact on crafted words: 9 chars = 3 chunks, each
+    // costing 1 or 2 depending on the rare gate — bounds [3, 6]
+    val one = Seq((1L, "abcdefghi")).toDF("doc_id", "text")
+      .select(TextOps.subwordTokens("text")).collect().head.getLong(0)
+    assert(one >= 3 && one <= 6)
+  }
+
   test("shared near-dup tables equal a fresh per-query recomputation") {
     val docs = Tables.documents(spark, sf)
     def norm(df: org.apache.spark.sql.DataFrame) =
