@@ -57,6 +57,13 @@ object Bench {
     // SPARK_GRAFT_REPS runs so one GC pause can't misrank a query
     val cpus = Conf.Env.cpus()
     val reps = Conf.Env.reps
+    // optional SPARK_GRAFT_QUERIES subset (scale probe / iteration);
+    // default = the full catalog, which is what the driver measures
+    val catalog: Map[String, (SparkSession, String) => DataFrame] =
+      Conf.Env.queryFilter match {
+        case Some(keep) => SparkEntry.queries.view.filterKeys(keep).toMap
+        case None       => SparkEntry.queries
+      }
     val spark = Conf.localSession(cpus)
     // Untimed warmup: JIT + codegen + parquet-footer caches, so fixed
     // startup cost isn't attributed to whichever query happens to run
@@ -68,7 +75,7 @@ object Bench {
       spark.range(1000000L).selectExpr("sum(id)").collect()
       val warm = new java.io.File("/root/testdata/sf0.001")
       val warmDir = if (warm.isDirectory) warm.getPath else sfDir
-      SparkEntry.queries.foreach { case (_, fn) =>
+      catalog.foreach { case (_, fn) =>
         try materialize(fn(spark, warmDir))
         catch { case _: Throwable => () }
       }
@@ -82,7 +89,7 @@ object Bench {
     // is what distinguishes it from an honest number.
     val samples: Seq[Map[String, (Double, Option[String])]] =
       (1 to math.max(1, reps)).map { _ =>
-        SparkEntry.queries.map { case (name, fn) =>
+        catalog.map { case (name, fn) =>
           val t0 = System.nanoTime()
           val err =
             try { materialize(fn(spark, sfDir)); None }
@@ -93,7 +100,7 @@ object Bench {
           name -> ((System.nanoTime() - t0) / 1e9, err)
         }
       }
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val names = catalog.keys.toSeq.sorted
     val results = names.map { name =>
       name -> median(samples.map(_.get(name).map(_._1).getOrElse(-1.0)))
     }

@@ -78,5 +78,10 @@ object Conf {
     def reps: Int = get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3)
     def dimsDir: Option[String] = get("GRAFT_DIMS_DIR")
     def servePort: Int = get("GRAFT_SERVE_PORT").map(_.toInt).getOrElse(8000)
+    /** Optional comma-separated query-name filter for Bench — unset runs
+      * the full catalog. Used by the scale probe (BENCH_SCALE.md) to
+      * time a subset at large sf without paying for all ~200 queries. */
+    def queryFilter: Option[Set[String]] =
+      get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
   }
 }

@@ -201,11 +201,30 @@ object Clusters {
     * the session; entries are two small frames (dup pairs + dup docs),
     * released with the session. */
   private val sharedMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+    new java.util.HashMap[(SparkSession, String, String), DataFrame]()
 
+  /** NOT ConcurrentHashMap.computeIfAbsent: the builds NEST (a
+    * component-table build calls the pair-table memo from inside its
+    * mapping function), and computeIfAbsent throws
+    * `IllegalStateException: Recursive update` whenever the outer and
+    * inner keys happen to share a hash bin — a data-dir-dependent
+    * landmine (it fired on `data/sf1`, not on the sf0.1 path). A
+    * JVM-monitor lock is reentrant, so the nested build is legal by
+    * construction; builders only DECLARE lazy plans (no Spark jobs run
+    * under the lock except localCheckpoint materialization, which is
+    * what the memo exists to share anyway). */
   private def memo(s: SparkSession, d: String, key: String)
                   (build: => DataFrame): DataFrame =
-    sharedMemo.computeIfAbsent((s, d, key), _ => build)
+    sharedMemo.synchronized {
+      val k = (s, d, key)
+      val existing = sharedMemo.get(k)
+      if (existing != null) existing
+      else {
+        val built = build
+        sharedMemo.put(k, built)
+        built
+      }
+    }
 
   /** The catalog's d02 pair table (`doc_a, doc_b, jaccard` at τ=0.6 over
     * `documents`), computed once per (session, dir). */
@@ -220,6 +239,15 @@ object Clusters {
   def sharedComponents(s: SparkSession, d: String): DataFrame =
     memo(s, d, "cc") {
       connectedComponents(sharedPairs(s, d), "doc_a", "doc_b")
+    }
+
+  /** The c12 LPA community table over [[sharedPairs]], computed once
+    * per (session, dir) — shared by c12 and c17 (a deployment scores
+    * the SAME partition it publishes, so the two must share one LPA
+    * run for the score to mean anything). */
+  def sharedCommunities(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "lpa") {
+      labelPropagation(sharedPairs(s, d), "doc_a", "doc_b", LpaIters)
     }
 
   /** The d08 band-then-verify pair table (the 100 TB-scale pair source),
@@ -705,6 +733,63 @@ object Clusters {
       s"\nSELECT id AS doc_id, lbl AS community FROM l$iters"
   }
 
+  /** Community MODULARITY (c17) — Newman's Q for a node→community
+    * assignment over the near-dup graph, the quality score that says
+    * whether c12's communities are real structure or noise: per
+    * community c, contrib(c) = L_c/m − (d_c/2m)², where L_c =
+    * intra-community edges, d_c = summed member degrees, m = total
+    * undirected edges; Q = Σ contrib. A partition with Q near 0 is no
+    * better than random wiring — the gate a pipeline checks before
+    * trusting per-community decisions (keeper election, split
+    * atomicity) downstream.
+    *
+    * Exact integer contract: contrib(c) = (4·m·L_c − d_c²) / (4m²) —
+    * numerator and denominator are exact integer counts, published in
+    * micro-units via magnitude division (sign split keeps Spark's
+    * truncating `div` and DuckDB's flooring `//` in agreement on the
+    * negative contributions, the q46 recipe). Long bounds: |num·1e6| ≤
+    * 4m²·1e6, safe through m ≈ 7.5e5 edges per evaluated graph — far
+    * above any near-dup pair table this engine materializes per
+    * corpus shard; re-quantize to q3 before that bound bites.
+    *
+    * Scale shape: one edge canonicalize + distinct, two broadcast-able
+    * joins against the (nodes-sized) label table, then community-keyed
+    * counts — everything collapses map-side; the 1-row m frame is the
+    * only crossJoin. Output: `(community, n_nodes, degree_sum,
+    * intra_edges, contrib_q6)`. */
+  def modularity(pairs: DataFrame, a: String, b: String,
+                 communities: DataFrame): DataFrame = {
+    val edges = pairs.select(
+        least(col(a).cast("long"), col(b).cast("long")).as("u"),
+        greatest(col(a).cast("long"), col(b).cast("long")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val lab = communities.select(col("doc_id").cast("long").as("id"),
+      col("community").cast("long").as("comm"))
+    val eLab = edges
+      .join(lab.select(col("id").as("u"), col("comm").as("cu")), Seq("u"))
+      .join(lab.select(col("id").as("v"), col("comm").as("cv")), Seq("v"))
+    val intra = eLab.filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("community")).agg(count(lit(1)).as("intra_edges"))
+    val degc = eLab.select(col("cu").as("community"))
+      .union(eLab.select(col("cv").as("community")))
+      .groupBy(col("community")).agg(count(lit(1)).as("degree_sum"))
+    val m = edges.agg(count(lit(1)).as("m_edges"))
+    lab.groupBy(col("comm").as("community")).agg(count(lit(1)).as("n_nodes"))
+      .join(degc, Seq("community"), "left")
+      .join(intra, Seq("community"), "left")
+      .na.fill(0L, Seq("degree_sum", "intra_edges"))
+      .crossJoin(broadcast(m))
+      .withColumn("num",
+        lit(4L) * col("m_edges") * col("intra_edges")
+          - col("degree_sum") * col("degree_sum"))
+      .withColumn("contrib_q6",
+        when(col("num") >= 0,
+          expr("(num * 1000000L) div (4 * m_edges * m_edges)"))
+          .otherwise(-expr("((-num) * 1000000L) div (4 * m_edges * m_edges)")))
+      .select(col("community"), col("n_nodes"), col("degree_sum"),
+        col("intra_edges"), col("contrib_q6"))
+  }
+
   /** Per-node TRIANGLE participation (c11) — the local-clustering
     * readout over the near-dup graph: a doc in many triangles sits in a
     * dense clique (template/boilerplate family, the c09 hubs confirmed
@@ -909,8 +994,10 @@ object Clusters {
         docs.filter(col("source") === "src0"), "doc_id", PageRankIters)
     }),
     // majority-vote communities over the same near-dup graph
-    "c12_label_prop" -> ((s, d) =>
-      labelPropagation(sharedPairs(s, d), "doc_a", "doc_b", LpaIters)),
+    "c12_label_prop" -> ((s, d) => sharedCommunities(s, d)),
+    "c17_modularity" -> ((s, d) =>
+      modularity(sharedPairs(s, d), "doc_a", "doc_b",
+        sharedCommunities(s, d))),
     // contamination-free train/val/test: split on the cluster keeper
     "c10_leak_safe_split" -> ((s, d) =>
       leakSafeSplitFromComponents(Tables.documents(s, d), "doc_id",
@@ -1024,6 +1111,39 @@ object Clusters {
       pageRankOracleSql(Dedup.oracle("d02_ngram_jaccard"), PageRankIters),
     "c12_label_prop" ->
       lpaOracleSql(Dedup.oracle("d02_ngram_jaccard"), LpaIters),
+    // c17 — the c12 LPA chain as a CTE, then pure integer edge/degree
+    // counts and the q46 magnitude-division CASE for signed contribs
+    "c17_modularity" ->
+      s"""WITH lpa AS (${lpaOracleSql(Dedup.oracle("d02_ngram_jaccard"), LpaIters)}),
+         |p2 AS (${Dedup.oracle("d02_ngram_jaccard")}),
+         |e AS (
+         |  SELECT DISTINCT least(doc_a, doc_b) AS u, greatest(doc_a, doc_b) AS v
+         |  FROM p2 WHERE doc_a <> doc_b),
+         |lab AS (SELECT doc_id AS id, community AS comm FROM lpa),
+         |el AS (
+         |  SELECT e.u, e.v, lu.comm AS cu, lv.comm AS cv
+         |  FROM e JOIN lab lu ON lu.id = e.u JOIN lab lv ON lv.id = e.v),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM e),
+         |nn AS (SELECT comm AS community, CAST(count(*) AS BIGINT) AS n_nodes
+         |  FROM lab GROUP BY 1),
+         |dg AS (SELECT community, CAST(count(*) AS BIGINT) AS degree_sum FROM (
+         |  SELECT cu AS community FROM el UNION ALL SELECT cv FROM el) z GROUP BY 1),
+         |ia AS (SELECT cu AS community, CAST(count(*) AS BIGINT) AS intra_edges
+         |  FROM el WHERE cu = cv GROUP BY 1),
+         |j AS (
+         |  SELECT nn.community, nn.n_nodes,
+         |    coalesce(dg.degree_sum, 0) AS degree_sum,
+         |    coalesce(ia.intra_edges, 0) AS intra_edges, m.m_edges
+         |  FROM nn LEFT JOIN dg ON dg.community = nn.community
+         |    LEFT JOIN ia ON ia.community = nn.community, m)
+         |SELECT community, n_nodes, degree_sum, intra_edges,
+         |  CASE WHEN 4 * m_edges * intra_edges - degree_sum * degree_sum >= 0
+         |    THEN ((4 * m_edges * intra_edges - degree_sum * degree_sum) * 1000000)
+         |      // (4 * m_edges * m_edges)
+         |    ELSE -(((degree_sum * degree_sum - 4 * m_edges * intra_edges) * 1000000)
+         |      // (4 * m_edges * m_edges))
+         |  END AS contrib_q6
+         |FROM j""".stripMargin,
     // c11 — identical ordered-edge wedge join; every triangle x<y<z
     // appears once, each member credited via unnest
     "c11_triangles" ->

@@ -239,6 +239,14 @@ object Relational {
     // Spark expresses it as size(collect_set) over the running frame —
     // per-row state is bounded by the domain (≤ 5 priorities), so the
     // frame never accumulates unbounded payload; one custkey exchange.
+    // PRECONDITION (the same contract simhashPairs enforces with
+    // require()): the tracked column's value DOMAIN must be small and
+    // bounded — collect_set state is O(domain) PER ROW, so a
+    // high-cardinality column here (an id, a timestamp) would OOM the
+    // window operator at scale. For unbounded domains use a
+    // first-seen flag + running sum: mark each (custkey, value)'s
+    // first row via row_number() = 1, then sum the flags over the
+    // running frame — O(1) state at the cost of one extra exchange.
     // The oracle decorrelates the equivalent subquery.
     "q45_running_distinct" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -688,9 +696,55 @@ object Relational {
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"))
+    }),
+
+    // §2.5 extension: 2-D SKYLINE (Pareto frontier) — parts no other
+    // part dominates (lower-or-equal price AND larger-or-equal size,
+    // strict in at least one): the "cheapest large parts" query of
+    // Börzsönyi et al., ICDE'01. The naive form is an O(n²) NOT
+    // EXISTS self-join (the oracle); the engine computes it with two
+    // splittable collapses and ONE window over the collapsed frame:
+    //   1. per-price collapse — at a given price only the max size can
+    //      survive (same-price-larger-size dominates): groupBy(price)
+    //      → ≤ #distinct prices candidate points, map-side partials;
+    //   2. frontier scan — order candidates by price asc; a candidate
+    //      is dominated iff the running max of size over STRICTLY
+    //      cheaper candidates reaches its size. One ordered window
+    //      over the candidate set, not the fact table;
+    //   3. semi-join the surviving (price, size) points back to the
+    //      fact to list the rows carrying them (ties on both dims are
+    //      all on the frontier, matching NOT EXISTS semantics).
+    // Scale: the only ordered scan runs on the price-collapsed
+    // candidates (bounded by #distinct prices — grid-coarsen the
+    // price key if even that is too wide); the fact table sees one
+    // groupBy and one broadcastable semi-join, never a self-join.
+    "q47_skyline" -> ((s, d) => {
+      val p = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_retailprice"),
+          col("p_size").cast("long").as("p_size"))
+      val cand = p.groupBy(col("p_retailprice").as("price"))
+        .agg(max(col("p_size")).as("size"))
+      val w = Window.orderBy(col("price"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val sky = cand
+        .withColumn("mx", max(col("size")).over(w))
+        .filter(col("mx").isNull || col("mx") < col("size"))
+      p.join(broadcast(sky),
+          p("p_retailprice") === sky("price") && p("p_size") === sky("size"),
+          "left_semi")
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
     }))
 
   def oracle: Map[String, String] = Map(
+    // q47 — the textbook NOT EXISTS dominance form; the engine's
+    // collapse-then-frontier plan is an algebraic rewrite of it
+    "q47_skyline" ->
+      """SELECT p.p_partkey, p.p_retailprice, CAST(p.p_size AS BIGINT) AS p_size
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))""".stripMargin,
     // q46 — same magnitude-division CASE so // only sees non-negatives
     "q46_mom_delta" ->
       """WITH m AS (

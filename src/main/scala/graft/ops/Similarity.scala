@@ -149,6 +149,42 @@ object Similarity {
           expr(cosExpr).as("cos")), k)
   }
 
+  /** MAXIMUM INNER-PRODUCT search (k16) — top-k by raw dot product,
+    * not cosine: the retrieval mode of recommendation / two-tower
+    * models, where the corpus norms CARRY signal (a popular item's
+    * longer embedding should outrank an equally-aligned niche one) and
+    * cosine's normalization would erase it.
+    *
+    * Plan shape = [[knnBrute]]: probes broadcast, one codegen'd corpus
+    * pass, per-probe top-k window (WindowGroupLimit prunes map-side).
+    * The score is the exact left-folded [[graft.functions.DotProduct]],
+    * so rank order is bit-identical to the oracle's.
+    *
+    * Sublinear serving note: MIPS is not LSH-able directly (inner
+    * product violates the triangle inequality), but the standard
+    * norm-augmentation reduction (Bachrach et al., RecSys'14) maps it
+    * to cosine search: append sqrt(M² − ‖x‖²) to each corpus vector
+    * (M = max corpus norm) and 0 to each probe — augmented corpus
+    * norms are all M, so augmented-cosine order = dot-product order
+    * and the [[knnLsh]]/[[ivfKnn]]/[[pqAdcKnn]] index family applies
+    * unchanged. This entry is the exact baseline that reduction is
+    * measured against (recall metrics k07/k09 compose the same way).
+    * Output: `(probe_id, rnk, neighbor_id, dot)`. */
+  def mipsBrute(vectors: DataFrame, id: String, vec: String,
+                isProbe: Column => Column, k: Int): DataFrame = {
+    val v = prep(vectors, id, vec)
+    val probes = v.filter(isProbe(col("vec_id")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("dot").desc, col("neighbor_id"))
+    v.as("b").join(broadcast(probes.as("a")),
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("probe_id"), col("b.vec_id").as("neighbor_id"),
+        expr("graft_dot(a.v, b.v)").as("dot"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("neighbor_id"), col("dot"))
+  }
+
   /** Approximate k-NN: only candidates sharing the probe's LSH bucket
     * (sign bits of [[NumPlanes]] integer hyperplanes) are scored. Same
     * output shape as [[knnBrute]]; recall < 1 by construction. */
@@ -829,6 +865,9 @@ object Similarity {
     "k01_knn_brute" -> ((s, d) =>
       knnBrute(Tables.embeddings(s, d), "vec_id", "embedding",
         _ < NumProbes, TopK)),
+    "k16_mips" -> ((s, d) =>
+      mipsBrute(Tables.embeddings(s, d), "vec_id", "embedding",
+        _ < NumProbes, TopK)),
     "k02_knn_lsh" -> ((s, d) =>
       knnLsh(Tables.embeddings(s, d), "vec_id", "embedding",
         _ < NumProbes, TopK)),
@@ -962,6 +1001,21 @@ object Similarity {
            |  CAST(true_label AS BIGINT) AS true_label,
            |  n_label = true_label AS correct
            |FROM win WHERE rk = 1""".stripMargin,
+      // k16 — k01's CTE shape scored by the raw left-folded dot
+      // product (no norm division); same 0.0-seeded reduce as cosSql
+      "k16_mips" ->
+        s"""WITH v AS (
+           |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+           |scored AS (
+           |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+           |    reduce(list_prepend(0.0, list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])),
+           |           (acc, x) -> acc + x) AS dot
+           |  FROM v a JOIN v b ON a.vec_id < $NumProbes AND a.vec_id <> b.vec_id),
+           |ranked AS (
+           |  SELECT probe_id, neighbor_id, dot,
+           |    row_number() OVER (PARTITION BY probe_id ORDER BY dot DESC, neighbor_id) AS rnk
+           |  FROM scored)
+           |SELECT probe_id, rnk, neighbor_id, dot FROM ranked WHERE rnk <= $TopK""".stripMargin,
       "k01_knn_brute" ->
         s"""WITH v AS (
            |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),

@@ -46,6 +46,35 @@ object TextOps {
       .withColumn("n_re_tokens",
         regexp_count(col(text), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long"))
 
+  /** READABILITY (t19) — Flesch reading-ease with fully deterministic
+    * count proxies: sentences = non-overlapping runs of `[.!?]`,
+    * syllables = non-overlapping vowel-letter runs `[aeiouy]+` (the
+    * classic orthographic syllable estimate — exact syllabification
+    * needs a pronunciation lexicon; the vowel-group proxy is the
+    * standard engine-side stand-in and is what makes the score
+    * oracle-checkable). FRE = 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words), published in milli-units (`fre_q3`);
+    * both engines evaluate the identical operation sequence on
+    * identical integer counts, so the doubles agree bit-for-bit.
+    *
+    * Scale: three codegen'd regex/split passes per document, zero
+    * shuffles — a pure map stage at any corpus size. Appends
+    * `n_words, n_sentences, n_syllables, fre_q3`. */
+  def withReadability(df: DataFrame, text: String): DataFrame =
+    df
+      .withColumn("n_words",
+        expr(s"size(filter(split($text, ' '), x -> x <> ''))").cast("long"))
+      .withColumn("n_sentences",
+        greatest(regexp_count(col(text), lit("[.!?]+")).cast("long"), lit(1L)))
+      .withColumn("n_syllables",
+        greatest(regexp_count(lower(col(text)), lit("[aeiouy]+")).cast("long"),
+          lit(1L)))
+      .withColumn("fre_q3",
+        round((lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sentences").cast("double"))
+          - lit(84.6) * (col("n_syllables").cast("double") / col("n_words").cast("double")))
+          * 1000).cast("long"))
+
   /** Order-sensitive whole-document rolling-hash fingerprint (the
     * portable [[Hashing.polyHash]]). Appends `fp`. */
   def withFingerprint(df: DataFrame, text: String): DataFrame = {
@@ -605,6 +634,10 @@ object TextOps {
     "t17_ref_coverage" -> ((s, d) =>
       refCoverage(Tables.documents(s, d), "doc_id", "text",
         col("source") === "src0")),
+    "t19_readability" -> ((s, d) =>
+      withReadability(Tables.documents(s, d), "text")
+        .filter(col("n_words") >= 1)
+        .select("doc_id", "n_words", "n_sentences", "n_syllables", "fre_q3")),
     "t16_shingle_novelty" -> ((s, d) =>
       shingleNovelty(Tables.documents(s, d), "doc_id", "text")),
     "t15_hashed_classifier" -> ((s, d) =>
@@ -724,6 +757,19 @@ object TextOps {
          |  CAST(round(ssum / n_features::DOUBLE * 1000000.0) AS BIGINT) > 0 AS keep
          |FROM s""".stripMargin
     },
+    // t19 — identical counts (regexp_extract_all run count ≡ Spark
+    // regexp_count) and the identical double operation sequence
+    "t19_readability" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_words,
+        |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS n_sentences,
+        |    greatest(CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT), 1) AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CAST(round((206.835 - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE)
+        |    - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE)) * 1000) AS BIGINT) AS fre_q3
+        |FROM f WHERE n_words >= 1""".stripMargin,
     "t01_token_freq" ->
       """SELECT token, count(*) AS freq FROM (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents) toks
