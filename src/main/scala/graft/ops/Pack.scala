@@ -231,7 +231,49 @@ object Pack {
       .select(col(id), col("n_words"), col("stage"), h.as("sort_key"))
   }
 
+  /** a06 defaults: batch size within a (bucket, shard) stream, and the
+    * shard fan-out that keeps window partitions splittable. */
+  val BucketBatch = 32L
+  val BucketShards = 8L
+
+  /** LENGTH-BUCKETED BATCHING (a06) — sequence bucketing: group
+    * same-magnitude documents into fixed-size batches so train-time
+    * padding waste is bounded by the bucket's width (the
+    * bucketed-batching trick every seq2seq/pretraining loader ships;
+    * contrast a01, which packs heterogeneous docs head-to-tail and
+    * relies on attention masks instead of padding).
+    *
+    * Bucket = number of binary digits of the weight (power-of-2 width
+    * classes) via `length(bin(w))` — an exact integer both engines
+    * compute identically, no float log2. Within a bucket, documents
+    * are dealt deterministically across [[BucketShards]] shards
+    * (`doc_id mod shards`) and batch ids are assigned per (bucket,
+    * shard) in id order — the window partitions by (bucket, shard), so
+    * no partition exceeds ~corpus/(buckets·shards) rows and widening
+    * the shard count splits the sort further (the a01 two-pass scan is
+    * the fallback if even that is too coarse; same trade as q24/q25).
+    * Output: `(doc_id, w, bucket, shard, batch_id)`. */
+  def lengthBucketBatches(docs: DataFrame, id: String, weight: String,
+                          batchSize: Long = BucketBatch,
+                          nShards: Long = BucketShards): DataFrame = {
+    require(batchSize > 0 && nShards > 0, "batchSize and nShards must be positive")
+    val w = Window.partitionBy(col("bucket"), col("shard"))
+      .orderBy(col("doc_id"))
+    docs
+      .select(col(id).cast("long").as("doc_id"),
+        coalesce(col(weight).cast("long"), lit(0L)).as("w"))
+      .withColumn("bucket",
+        length(bin(greatest(col("w"), lit(1L)))).cast("long"))
+      .withColumn("shard", pmod(col("doc_id"), lit(nShards)))
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("batch_id", expr(s"(_rn - 1L) div ${batchSize}L"))
+      .select(col("doc_id"), col("w"), col("bucket"), col("shard"),
+        col("batch_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a06_length_buckets" -> ((s, d) =>
+      lengthBucketBatches(Tables.documents(s, d), "doc_id", "n_chars")),
     "a05_curriculum" -> ((s, d) =>
       curriculumStages(Tables.documents(s, d), "doc_id", "text")),
     "a04_shuffle_shards" -> ((s, d) =>
@@ -244,6 +286,18 @@ object Pack {
       slidingChunks(Tables.documents(s, d), "doc_id", "text")))
 
   def oracle: Map[String, String] = Map(
+    // a06 — identical integer bucket (binary digit count), shard mod,
+    // and per-(bucket, shard) rank → floor-div batch
+    "a06_length_buckets" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, n_chars AS w,
+         |    CAST(length(bin(greatest(n_chars, 1))) AS BIGINT) AS bucket,
+         |    doc_id % $BucketShards AS shard
+         |  FROM documents)
+         |SELECT doc_id, w, bucket, shard,
+         |  CAST((row_number() OVER (PARTITION BY bucket, shard ORDER BY doc_id) - 1)
+         |    // $BucketBatch AS BIGINT) AS batch_id
+         |FROM b""".stripMargin,
     // a05 — same histogram → running-sum quartile → integer-ceil stage,
     // same affine shuffle key
     "a05_curriculum" ->

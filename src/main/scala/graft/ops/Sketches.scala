@@ -455,6 +455,48 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** x11 candidate threshold: a token is a heavy-hitter candidate when
+    * its CMS estimate reaches this count. */
+  val HeavyMin = 100L
+
+  /** VERIFIED HEAVY HITTERS (x11) — the sketch-then-verify pattern: use
+    * the CMS to nominate frequent-token candidates, then confirm each
+    * candidate against its exact count in a second pass. This is how a
+    * production pipeline finds corpus-dominating tokens/URLs/templates
+    * without ever building the full exact histogram twice: CMS never
+    * underestimates, so `est ≥ threshold` is a SUPERSET of the true
+    * heavy hitters (no false negatives by construction — the property
+    * this operator also audits, publishing `overcount = est − exact ≥
+    * 0` per candidate).
+    *
+    * Scale shape: the cell table is ≤ d·w rows regardless of corpus
+    * size; the candidate probe runs over the DISTINCT vocabulary
+    * (vocab·d rows, map-side collapsed before the join), and the exact
+    * verify touches only tokens that survived the threshold — the
+    * expensive exact pass is gated by the cheap sketch, which is the
+    * point. Output: `(token, est, exact_cnt, overcount)` for
+    * candidates with `est ≥ minCount`. */
+  def cmsHeavyHitters(docs: DataFrame, textCol: String,
+                      minCount: Long = HeavyMin): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    val toks = docs.select(
+      explode(expr(s"filter(split($textCol, ' '), x -> x <> '')")).as("token"))
+    val cells = cmsCells(docs, textCol)
+    val vocabCells = toks.distinct()
+      .select(col("token"), expr("graft_polyhash(token)").as("h"))
+      .select(col("token"), explode(expr(s"array($cmsCellStructs)")).as("c"))
+      .select(col("token"), col("c.row").as("row"), col("c.col").as("col"))
+    val est = vocabCells
+      .join(cells, Seq("row", "col"), "left")
+      .groupBy(col("token"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+      .filter(col("est") >= minCount)
+    val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
+    est.join(exact, Seq("token"))
+      .select(col("token"), col("est"), col("exact_cnt"),
+        (col("est") - col("exact_cnt")).as("overcount"))
+  }
+
   /** Probe read-out over a [[cmsCells]] table: min across the d rows,
     * zero for never-seen cells. */
   def cmsProbe(cells: DataFrame, probes: Seq[String]): DataFrame = {
@@ -550,6 +592,9 @@ object Sketches {
     // token stream — compare x02 est against t01's exact top counts
     "x02_cms_freq" -> ((s, d) =>
       cmsFrequencies(Tables.documents(s, d), "text", TextOps.Stopwords)),
+    // sketch-nominated heavy hitters confirmed by an exact second pass
+    "x11_cms_heavy_verified" -> ((s, d) =>
+      cmsHeavyHitters(Tables.documents(s, d), "text")),
     // one CMS per language — the group twin of x02
     "x09_cms_by_group" -> ((s, d) =>
       cmsFrequenciesBy(Tables.documents(s, d), "lang", "text",
@@ -619,6 +664,34 @@ object Sketches {
         "l_returnflag = 'R'", "l_returnflag = 'A'", P2),
     "x08_bottomk" ->
       bottomKSql("lineitem", "CAST(l_partkey AS VARCHAR)", BottomK),
+    // x11 — x02's cell CTEs with the probe set replaced by the
+    // distinct vocabulary, plus the exact verify join
+    "x11_cms_heavy_verified" -> {
+      val ph = Hashing.polyHashSql("token")
+      val cellUnion = (0 until CmsDepth).map { i =>
+        s"SELECT $i AS row, ${cmsColSql("h", i)} AS col, token FROM th"
+      }.mkString("\nUNION ALL ")
+      val probeUnion = (0 until CmsDepth).map { i =>
+        s"SELECT token, $i AS row, ${cmsColSql("h", i)} AS col FROM vh"
+      }.mkString("\nUNION ALL ")
+      s"""WITH tok AS (
+         |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+         |  FROM documents),
+         |th AS (SELECT token, ($ph) AS h FROM tok),
+         |tc AS ($cellUnion),
+         |cells AS (SELECT row, col, count(*) AS cnt FROM tc GROUP BY 1, 2),
+         |vocab AS (SELECT DISTINCT token FROM tok),
+         |vh AS (SELECT token, ($ph) AS h FROM vocab),
+         |pc AS ($probeUnion),
+         |est AS (
+         |  SELECT pc.token, min(coalesce(cells.cnt, 0)) AS est
+         |  FROM pc LEFT JOIN cells ON pc.row = cells.row AND pc.col = cells.col
+         |  GROUP BY pc.token
+         |  HAVING min(coalesce(cells.cnt, 0)) >= $HeavyMin),
+         |ex AS (SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt FROM tok GROUP BY token)
+         |SELECT est.token, est.est, ex.exact_cnt, est.est - ex.exact_cnt AS overcount
+         |FROM est JOIN ex USING (token)""".stripMargin
+    },
     "x02_cms_freq" -> {
       val ph = Hashing.polyHashSql("token")
       val cellUnion = (0 until CmsDepth).map { i =>

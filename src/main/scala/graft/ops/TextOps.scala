@@ -397,6 +397,63 @@ object TextOps {
           * lit(1e6)).cast("long").as("logp2_q6"))
   }
 
+  /** STUPID-BACKOFF LM score (t20) — Brants et al. 2007's web-scale
+    * smoothing: score a bigram by its conditional frequency when the
+    * bigram is attested, and back off to a discounted add-1 unigram
+    * probability when it is not — the LM that actually gets trained at
+    * corpus scale because it needs only COUNTS, no normalization pass.
+    * Completes the LM quality family: t10 (unigram), t13 (add-1
+    * bigram), t20 (backoff — sharper than t13 on attested bigrams,
+    * unlike t13 it does not flatten frequent continuations under the
+    * +V denominator).
+    *
+    * S(w2|w1) = c(w1 w2)/c(w1)                 if both counts attested
+    *            0.4 · (c(w2)+1)/(N + V)        otherwise (add-1, so
+    *                                           the log never sees 0)
+    *
+    * Determinism: the count tables are top-N with (count DESC, key)
+    * total order (t13's contract); N is the exact corpus token count;
+    * both engines evaluate the identical double op sequence. Scale
+    * shape = t13: count tables broadcast, the per-doc score is one
+    * map-side join chain + a doc-keyed aggregation; the 1-row N frame
+    * is the only crossJoin. Output: `(doc_id, n_bigrams, sbo_q6)`. */
+  def backoffLogProb(docs: DataFrame, id: String, text: String,
+                     vocabSize: Int = 32, bigramTop: Int = 64): DataFrame = {
+    val words = s"filter(split($text, ' '), x -> x <> '')"
+    val bigrams = docs.select(col(id).as("doc_id"),
+        explode(expr(
+          s"IF(size($words) >= 2, " +
+            s"zip_with(slice($words, 1, size($words) - 1), " +
+            s"slice($words, 2, size($words) - 1), (a, b) -> concat(a, ' ', b)), " +
+            "array())"))
+          .as("bigram"))
+    val toks = docs.select(col(id).as("doc_id"),
+      explode(expr(words)).as("token"))
+    val uniTop = toks.groupBy(col("token")).agg(count(lit(1)).as("c1"))
+      .orderBy(col("c1").desc, col("token")).limit(vocabSize)
+    val biTop = bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+      .orderBy(col("c2").desc, col("bigram")).limit(bigramTop)
+    val n = toks.agg(count(lit(1)).as("n_tokens"))
+    bigrams
+      .join(broadcast(biTop), Seq("bigram"), "left")
+      .withColumn("w1", expr("split_part(bigram, ' ', 1)"))
+      .withColumn("w2", expr("split_part(bigram, ' ', 2)"))
+      .join(broadcast(uniTop.select(col("token").as("w1"), col("c1"))),
+        Seq("w1"), "left")
+      .join(broadcast(uniTop.select(col("token").as("w2"),
+        col("c1").as("cw2"))), Seq("w2"), "left")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        when(col("c2").isNotNull && col("c1").isNotNull,
+          col("c2").cast("double") / col("c1").cast("double"))
+          .otherwise(lit(0.4)
+            * (coalesce(col("cw2"), lit(0L)) + lit(1)).cast("double")
+            / (col("n_tokens") + lit(vocabSize)).cast("double")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("score"))) * lit(1e6)).cast("long").as("sbo_q6"))
+  }
+
   /** Per-document word-distribution entropy (t11) — Shannon entropy of
     * the doc's unigram histogram, `ln n − (Σ c·ln c)/n`: 0 for a
     * one-word-repeated doc, `ln n` for all-distinct; with t08's
@@ -638,6 +695,8 @@ object TextOps {
       withReadability(Tables.documents(s, d), "text")
         .filter(col("n_words") >= 1)
         .select("doc_id", "n_words", "n_sentences", "n_syllables", "fre_q3")),
+    "t20_backoff_logprob" -> ((s, d) =>
+      backoffLogProb(Tables.documents(s, d), "doc_id", "text")),
     "t16_shingle_novelty" -> ((s, d) =>
       shingleNovelty(Tables.documents(s, d), "doc_id", "text")),
     "t15_hashed_classifier" -> ((s, d) =>
@@ -899,6 +958,38 @@ object TextOps {
         |      FROM documents) t""".stripMargin,
     // t13 — the truncated bigram model relationally: top-64 bigrams /
     // top-32 conditioning unigrams, add-one smoothing over (c1 + V + 1)
+    // t20 — t13's count CTEs plus the corpus token total; the CASE
+    // mirrors the engine's attested-vs-backoff branch exactly
+    "t20_backoff_logprob" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram
+        |  FROM w),
+        |toks AS (SELECT doc_id, unnest(w) AS token FROM w),
+        |uni AS (
+        |  SELECT token, c1 FROM (
+        |    SELECT token, count(*) AS c1 FROM toks GROUP BY token
+        |    ORDER BY c1 DESC, token LIMIT 32) u),
+        |bt AS (
+        |  SELECT bigram, count(*) AS c2 FROM bi GROUP BY bigram
+        |  ORDER BY c2 DESC, bigram LIMIT 64),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM toks),
+        |sc AS (
+        |  SELECT bi.doc_id,
+        |    CASE WHEN bt.c2 IS NOT NULL AND u1.c1 IS NOT NULL
+        |      THEN bt.c2::DOUBLE / u1.c1::DOUBLE
+        |      ELSE 0.4 * (COALESCE(u2.c1, 0) + 1)::DOUBLE
+        |        / (n.n_tokens + 32)::DOUBLE END AS score
+        |  FROM bi
+        |  LEFT JOIN bt USING (bigram)
+        |  LEFT JOIN uni u1 ON u1.token = split_part(bigram, ' ', 1)
+        |  LEFT JOIN uni u2 ON u2.token = split_part(bigram, ' ', 2), n)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(round(avg(ln(score)) * 1000000.0) AS BIGINT) AS sbo_q6
+        |FROM sc GROUP BY doc_id""".stripMargin,
     "t13_bigram_logprob" ->
       """WITH w AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w

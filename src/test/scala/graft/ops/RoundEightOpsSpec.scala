@@ -93,6 +93,68 @@ class RoundEightOpsSpec extends AnyFunSuite {
     assert(got(4L) == ((3L, 7L, 3L, 35L * 1000000L / 196L)))
   }
 
+  test("t20 stupid backoff on a hand-computed corpus (attested + backoff branches)") {
+    import spark.implicits._
+    // counts: a=3 b=3 c=1, N=7; vocab(2)={a,b}; bigrams "a b"×3,
+    // "b a"×1, "b c"×1; biTop(2)={"a b","b a"} → "b c" backs off
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = TextOps.backoffLogProb(docs, "doc_id", "text",
+        vocabSize = 2, bigramTop = 2)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    def q6(v: Double): Long =
+      new java.math.BigDecimal(v * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    // doc1: ln(3/3) + ln(1/3) + ln(3/3) over 3 bigrams
+    val d1 = (math.log(1.0) + math.log(1.0 / 3.0) + math.log(1.0)) / 3.0
+    // doc2: ln(3/3) + ln(0.4·(0+1)/(7+2)) over 2 bigrams
+    val d2 = (math.log(1.0) + math.log(0.4 * 1.0 / 9.0)) / 2.0
+    assert(got(1L) == ((3L, q6(d1))))
+    assert(got(2L) == ((2L, q6(d2))))
+  }
+
+  test("a06 length buckets: bucket = bit length, batches bounded and contiguous") {
+    val rows = Pack.queries("a06_length_buckets")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (docId, w, bucket, shard, _) =>
+      assert(bucket == java.lang.Long.toBinaryString(math.max(w, 1L)).length)
+      assert(shard == docId % Pack.BucketShards)
+    }
+    rows.groupBy { case (_, _, b, s, _) => (b, s) }.foreach { case (_, g) =>
+      val byBatch = g.groupBy(_._5)
+      byBatch.foreach { case (_, members) =>
+        assert(members.size <= Pack.BucketBatch)
+      }
+      val ids = byBatch.keys.toSeq.sorted
+      assert(ids == (0L until ids.size.toLong)) // contiguous from 0
+      // every batch except the last is exactly full
+      ids.dropRight(1).foreach { b =>
+        assert(byBatch(b).size == Pack.BucketBatch)
+      }
+    }
+  }
+
+  test("x11 verified heavy hitters: superset, never-underestimate, exact counts") {
+    import spark.implicits._
+    val got = Sketches.queries("x11_cms_heavy_verified")(spark, sf)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.nonEmpty)
+    val exact = Tables.documents(spark, sf)
+      .select(explode(expr("filter(split(text, ' '), x -> x <> '')")).as("t"))
+      .groupBy("t").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    got.foreach { case (tok, (est, ex, over)) =>
+      assert(ex == exact(tok))          // verify pass is truly exact
+      assert(est >= ex && over == est - ex) // CMS never underestimates
+    }
+    // no false negatives: every truly-heavy token was nominated
+    exact.filter(_._2 >= Sketches.HeavyMin).keys.foreach { t =>
+      assert(got.contains(t), s"missing true heavy hitter $t")
+    }
+  }
+
   test("c17 negative contributions use magnitude division (floor ≡ trunc)") {
     import spark.implicits._
     // a community with NO intra edges and high degree → negative contrib
