@@ -48,6 +48,43 @@ object Events {
         count(lit(1)).as("n_events"))
   }
 
+  /** PER-SESSION STATS + CONVERSION (e23) — e02 counts sessions per
+    * user; this materializes the SESSIONS themselves, the unit every
+    * product-analytics readout (funnel, duration, abandonment) is
+    * actually computed over: session number = running sum of e02's
+    * gap flags, then one aggregate per (user, session) with length,
+    * duration, type diversity, and whether the session CONVERTED
+    * (contains a purchase) — plus time-to-convert from session start,
+    * the metric a conversion-latency dashboard plots.
+    *
+    * Scale shape: the same single user-keyed window as e02 (lag +
+    * running sum share one exchange+sort), then a splittable
+    * (user, session) aggregation; integer microsecond arithmetic
+    * end-to-end. Output: `(user_id, sess_no, n_events, n_types,
+    * duration_us, converted, convert_us)` — `convert_us` NULL for
+    * non-converting sessions. */
+  def sessionStats(events: DataFrame, user: String, ts: String, id: String,
+                   gapMicros: Long,
+                   convertType: String = "purchase"): DataFrame = {
+    val byUser = Window.partitionBy(col(user)).orderBy(col(ts), col(id))
+    val run = Window.partitionBy(col(user)).orderBy(col(ts), col(id))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    events
+      .withColumn("_us", unix_micros(col(ts)))
+      .withColumn("_prev_us", lag(col("_us"), 1).over(byUser))
+      .withColumn("_new_sess",
+        when(col("_us") - col("_prev_us") > gapMicros, 1L).otherwise(0L))
+      .withColumn("sess_no", sum(col("_new_sess")).over(run))
+      .groupBy(col(user).as("user_id"), col("sess_no"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("event_type")).as("n_types"),
+        (max(col("_us")) - min(col("_us"))).as("duration_us"),
+        max(when(col("event_type") === convertType, 1L).otherwise(0L))
+          .as("converted"),
+        (min(when(col("event_type") === convertType, col("_us")))
+          - min(col("_us"))).as("convert_us"))
+  }
+
   /** Mergeable hourly aggregate STATE (e18): per (hour, type) the
     * count and the EXACT decimal value sum — kept as decimal, not yet
     * surfaced as double, so states add associatively with zero drift
@@ -284,6 +321,9 @@ object Events {
     // sessionCounts operator.
     "e02_sessionize" -> ((s, d) =>
       sessionCounts(Tables.events(s, d), "user_id", "ts", "event_id",
+        gapMicros = 1800000000L)),
+    "e23_session_stats" -> ((s, d) =>
+      sessionStats(Tables.events(s, d), "user_id", "ts", "event_id",
         gapMicros = 1800000000L)),
 
     // AS-OF join (point-in-time) via the generic Joins.asOf operator:
@@ -567,6 +607,29 @@ object Events {
         |                       ORDER BY total_value DESC, user_id) AS rk
         |  FROM agg) ranked
         |WHERE rk <= 3""".stripMargin,
+    // e23 — e02's gap flags promoted to a running session number, then
+    // one aggregate per (user, session); integer microseconds only
+    "e23_session_stats" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(ts::TIMESTAMP) AS us
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, event_type, us,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_no
+        |  FROM g)
+        |SELECT user_id, sess_no, count(*) AS n_events,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        |  max(us) - min(us) AS duration_us,
+        |  CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS converted,
+        |  min(CASE WHEN event_type = 'purchase' THEN us END) - min(us) AS convert_us
+        |FROM s GROUP BY user_id, sess_no""".stripMargin,
     "e02_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events),
         |g AS (

@@ -733,9 +733,69 @@ object Relational {
           p("p_retailprice") === sky("price") && p("p_size") === sky("size"),
           "left_semi")
         .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+    }),
+
+    // §2.5 CONTINUOUS (interpolated) group quantiles — the
+    // percentile_cont twin of q24's discrete value-at-rank: the
+    // SQL-standard definition pos = (n−1)·q (0-based), answer =
+    // v[⌊pos⌋] + (v[⌊pos⌋+1] − v[⌊pos⌋])·frac. Engine-native
+    // percentile/quantile_cont functions are NOT used on either side —
+    // their internal interpolation order is engine-private — both
+    // engines instead evaluate this identical explicit op sequence on
+    // the same ranked frame, so the doubles agree bit-for-bit. Same
+    // deliberate scale caveat as q24 (one window sort per group;
+    // q25's two-phase histogram prune is the scale path — locate the
+    // two bracket ranks, interpolate after).
+    "q48_quantile_cont" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("qty"), col("l_orderkey"), col("l_linenumber"))
+      val ranked = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("qty"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("l_returnflag"))))
+      def lo(q: Double) = floor((col("n") - 1) * lit(q)) + 1L
+      val agg = ranked.groupBy(col("l_returnflag"))
+        .agg(max(col("n")).as("n"),
+          max(when(col("rn") === lo(0.5), col("qty"))).as("lo50"),
+          max(when(col("rn") === lo(0.5) + 1L, col("qty"))).as("hi50"),
+          max(when(col("rn") === lo(0.9), col("qty"))).as("lo90"),
+          max(when(col("rn") === lo(0.9) + 1L, col("qty"))).as("hi90"))
+      def frac(q: Double) =
+        (col("n") - 1) * lit(q) - floor((col("n") - 1) * lit(q)).cast("double")
+      agg.select(col("l_returnflag"),
+        (col("lo50") + (coalesce(col("hi50"), col("lo50")) - col("lo50"))
+          * frac(0.5)).as("p50c"),
+        (col("lo90") + (coalesce(col("hi90"), col("lo90")) - col("lo90"))
+          * frac(0.9)).as("p90c"))
     }))
 
   def oracle: Map[String, String] = Map(
+    // q48 — identical explicit rank/floor/frac sequence; neither
+    // engine's native percentile function appears on either side
+    "q48_quantile_cont" ->
+      """WITH v AS (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber,
+        |    l_quantity::DOUBLE AS qty
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT l_returnflag, qty,
+        |    CAST(row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY qty, l_orderkey, l_linenumber) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        |  FROM v),
+        |a AS (
+        |  SELECT l_returnflag, max(n) AS n,
+        |    max(CASE WHEN rn = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1 THEN qty END) AS lo50,
+        |    max(CASE WHEN rn = CAST(floor((n - 1) * 0.5) AS BIGINT) + 2 THEN qty END) AS hi50,
+        |    max(CASE WHEN rn = CAST(floor((n - 1) * 0.9) AS BIGINT) + 1 THEN qty END) AS lo90,
+        |    max(CASE WHEN rn = CAST(floor((n - 1) * 0.9) AS BIGINT) + 2 THEN qty END) AS hi90
+        |  FROM r GROUP BY 1)
+        |SELECT l_returnflag,
+        |  lo50 + (coalesce(hi50, lo50) - lo50) * ((n - 1) * 0.5 - floor((n - 1) * 0.5)) AS p50c,
+        |  lo90 + (coalesce(hi90, lo90) - lo90) * ((n - 1) * 0.9 - floor((n - 1) * 0.9)) AS p90c
+        |FROM a""".stripMargin,
     // q47 — the textbook NOT EXISTS dominance form; the engine's
     // collapse-then-frontier plan is an algebraic rewrite of it
     "q47_skyline" ->

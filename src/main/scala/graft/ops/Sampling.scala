@@ -536,7 +536,50 @@ object Sampling {
   private def nTokens(text: String): Column =
     expr(s"size(filter(split($text, ' '), x -> x <> ''))").cast("long")
 
+  /** FAIR ROUND-ROBIN INTERLEAVE (s15) — serialize a multi-source
+    * corpus so sources alternate as evenly as possible: item with
+    * within-source rank r comes before every item with rank r+1, and
+    * sources tie-break in name order. This is the deterministic
+    * "deal one from each deck" schedule a mixture pipeline uses to
+    * serialize s07/s12-style mixtures without long single-source runs
+    * (which would correlate gradients batch-to-batch).
+    *
+    * The scale story is the point: the global position is computed in
+    * CLOSED FORM, not by a global sort. For within-source rank r of
+    * source s, with per-source totals c(s'):
+    *
+    *   pos(r, s) = Σ_{s'} [ min(r−1, c(s')) + 1{s' < s AND c(s') ≥ r} ]
+    *
+    * — every earlier full round contributes one item per source that
+    * still has items, plus the same-round sources ahead of s. The only
+    * window is the within-source rank (splittable across sources; the
+    * a01 two-pass scan replaces it if one source dominates); the
+    * totals table is #sources rows and broadcasts, so the position is
+    * a map-side aggregation over a #sources-wide fan-out — no
+    * unpartitioned ORDER BY anywhere, at any corpus size. The oracle
+    * IS that global sort (`row_number() OVER (ORDER BY r, source)`),
+    * which is exactly the equivalence worth proving.
+    * Output: `(doc_id, source, r, pos)`, pos 0-based and total. */
+  def interleaveBySource(docs: DataFrame, id: String,
+                         source: String): DataFrame = {
+    val w = Window.partitionBy(col("src")).orderBy(col("doc_id"))
+    val ranked = docs
+      .select(col(id).cast("long").as("doc_id"), col(source).as("src"))
+      .withColumn("r", row_number().over(w).cast("long"))
+    val counts = docs.groupBy(col(source).as("s2"))
+      .agg(count(lit(1)).as("c2"))
+    ranked.crossJoin(broadcast(counts))
+      .groupBy(col("doc_id"), col("src"), col("r"))
+      .agg(sum(
+        least(col("r") - 1L, col("c2")) +
+          when(col("s2") < col("src") && col("c2") >= col("r"), 1L)
+            .otherwise(0L)).as("pos"))
+      .select(col("doc_id"), col("src").as("source"), col("r"), col("pos"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s15_interleave" -> ((s, d) =>
+      interleaveBySource(Tables.documents(s, d), "doc_id", "source")),
     "s01_sample_rate" -> ((s, d) =>
       sampleByRate(Tables.documents(s, d), "doc_id", "lang",
         Map("en" -> 0.5, "zh" -> 0.25), default = 0.1)
@@ -597,6 +640,17 @@ object Sampling {
         EpochSpec, EpochDefault)))
 
   def oracle: Map[String, String] = Map(
+    // s15 — the oracle IS the global sort the engine avoids:
+    // row_number over (round, source); (r, source, doc_id) is unique
+    // per row so the order is total and the closed form must agree
+    "s15_interleave" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS r
+        |  FROM documents)
+        |SELECT doc_id, source, r,
+        |  CAST(row_number() OVER (ORDER BY r, source, doc_id) - 1 AS BIGINT) AS pos
+        |FROM ranked""".stripMargin,
     // s13 — the identical capacity-ascending funding scan: integer
     // cross-multiplied funded flags, first-unfunded water level, q6
     // rate, cross-multiplied keep gate

@@ -155,6 +155,59 @@ class RoundEightOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("s15 interleave: closed-form position equals the global sort") {
+    val rows = Sampling.queries("s15_interleave")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.nonEmpty)
+    // pos must be the exact permutation induced by (round, source, id)
+    val expected = rows.sortBy { case (id, src, r, _) => (r, src, id) }
+      .zipWithIndex.map { case ((id, _, _, _), i) => id -> i.toLong }.toMap
+    rows.foreach { case (id, _, _, pos) => assert(pos == expected(id)) }
+    assert(rows.map(_._4).sorted.toSeq == (0L until rows.length.toLong))
+  }
+
+  test("q48 continuous quantiles match a direct interpolation recompute") {
+    val got = Relational.queries("q48_quantile_cont")(spark, sf)
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getDouble(2)))).toMap
+    val byFlag = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity").cast("double"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def interp(vs: Array[Double], q: Double): Double = {
+      val pos = (vs.length - 1) * q
+      val lo = math.floor(pos).toInt
+      val frac = pos - math.floor(pos)
+      val hi = if (lo + 1 < vs.length) vs(lo + 1) else vs(lo)
+      vs(lo) + (hi - vs(lo)) * frac
+    }
+    byFlag.foreach { case (flag, vs) =>
+      val (p50, p90) = got(flag)
+      assert(p50 == interp(vs, 0.5), s"p50 mismatch for $flag")
+      assert(p90 == interp(vs, 0.9), s"p90 mismatch for $flag")
+    }
+  }
+
+  test("e23 session stats on a crafted two-session timeline") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(min: Long) = new Timestamp(min * 60000L)
+    // user 7: session 0 = view@0, click@10, purchase@20 (converts at
+    // +20min); 40-min gap; session 1 = view@60, error@65 (no convert)
+    val ev = Seq(
+      (1L, t(0), 7L, "view"), (2L, t(10), 7L, "click"),
+      (3L, t(20), 7L, "purchase"), (4L, t(60), 7L, "view"),
+      (5L, t(65), 7L, "error"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = Events.sessionStats(ev, "user_id", "ts", "event_id",
+        gapMicros = 1800000000L)
+      .collect().map(r => (r.getLong(1),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          if (r.isNullAt(6)) None else Some(r.getLong(6))))).toMap
+    assert(got(0L) == ((3L, 3L, 20L * 60000000L, 1L, Some(20L * 60000000L))))
+    assert(got(1L) == ((2L, 2L, 5L * 60000000L, 0L, None)))
+  }
+
   test("c17 negative contributions use magnitude division (floor ≡ trunc)") {
     import spark.implicits._
     // a community with NO intra edges and high degree → negative contrib
