@@ -179,7 +179,77 @@ object Entity {
     }
   }
 
+  /** er06 sample gate: names with `polyhash(name) % SampleMod == 0`
+    * form the ground-truth audit sample (~1/SampleMod of the
+    * dictionary). */
+  val SampleMod = 20L
+
+  /** BLOCKING-QUALITY AUDIT (er06) — the two numbers that justify a
+    * blocking scheme (Christen's record-linkage evaluation pair):
+    *
+    *  - REDUCTION RATIO: share of the n·(n−1)/2 all-pairs space the
+    *    blocks never generate — computed exactly (candidate count over
+    *    a closed-form total);
+    *  - PAIR COMPLETENESS: share of TRUE matches (JW ≥ er04's floor)
+    *    that the blocks retain — computed on a deterministic hash
+    *    SAMPLE of the dictionary, because the ground truth is the
+    *    all-pairs JW the blocking exists to avoid; a 1/20 sample
+    *    bounds that to (n/20)² comparisons, the standard audit trade
+    *    (same exact-twin pattern as d06 vs d03: pay the quadratic
+    *    price only on a slice, and only to measure recall).
+    *
+    * A blocking key that drops true matches shows up here as
+    * pc_q6 < 10⁶ — the one failure mode er01/er04 cannot see from
+    * inside their own candidate set. All counts integer; the two
+    * ratios use `div` on non-negative operands. Output: one row
+    * `(n_names, n_cand, rr_q6, n_sample, n_true, n_found, pc_q6)`
+    * (`pc_q6` NULL when the sample holds no true match). */
+  def blockingAudit(df: DataFrame, name: String,
+                    minJwQ6: Long = MinJwQ6,
+                    maxBlock: Int = MaxBlock,
+                    sampleMod: Long = SampleMod): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    val names = df.select(col(name).as("name")).distinct()
+    val blocked = blockedNames(df, name, maxBlock)
+    val nNames = names.agg(count(lit(1)).as("n_names"))
+    val nCand = blocked.as("a")
+      .join(blocked.as("b"), col("a.blk") === col("b.blk")
+        && col("a.name") < col("b.name"))
+      .agg(count(lit(1)).as("n_cand"))
+    val samp = names
+      .filter(expr(s"graft_polyhash(name) % $sampleMod") === 0L)
+    val sTrue = samp.select(col("name").as("na"))
+      .crossJoin(broadcast(samp.select(col("name").as("nb"))))
+      .filter(col("na") < col("nb"))
+      .filter(round(expr("graft_jaro_winkler(na, nb)") * lit(1e6))
+        .cast("long") >= minJwQ6)
+    val nSample = samp.agg(count(lit(1)).as("n_sample"))
+    val nTrue = sTrue.agg(count(lit(1)).as("n_true"))
+    val nFound = sTrue
+      .join(blocked.select(col("name").as("na"), col("blk").as("blka")), Seq("na"))
+      .join(blocked.select(col("name").as("nb"), col("blk").as("blkb")), Seq("nb"))
+      .filter(col("blka") === col("blkb"))
+      .agg(count(lit(1)).as("n_found"))
+    nNames.crossJoin(broadcast(nCand)).crossJoin(broadcast(nSample))
+      .crossJoin(broadcast(nTrue)).crossJoin(broadcast(nFound))
+      .withColumn("_all", expr("(n_names * (n_names - 1L)) div 2L"))
+      .withColumn("rr_q6", expr("((_all - n_cand) * 1000000L) div _all"))
+      .withColumn("pc_q6",
+        when(col("n_true") > 0L, expr("(n_found * 1000000L) div n_true")))
+      .select(col("n_names"), col("n_cand"), col("rr_q6"),
+        col("n_sample"), col("n_true"), col("n_found"), col("pc_q6"))
+  }
+
+  /** er06 harness sampleMod: the synthetic part dictionary is ~64
+    * distinct names, so the catalog entry audits UN-sampled (mod 1 =
+    * everything — all-pairs is 2k comparisons here); [[SampleMod]]=20
+    * is the default a real million-name dictionary would use. */
+  val AuditSampleMod = 1L
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er06_blocking_audit" -> ((s, d) =>
+      blockingAudit(Tables.part(s, d), "p_name",
+        sampleMod = AuditSampleMod)),
     "er05_survivorship" -> ((s, d) =>
       survivorship(Tables.part(s, d), "p_name",
         Seq("p_brand", "p_type", "p_size"))
@@ -213,6 +283,40 @@ object Entity {
       "er01_fuzzy_pairs" ->
         s"""WITH $pairsSqlBody
            |SELECT name_a, name_b, lev FROM fuzzy""".stripMargin,
+      // er06 — identical block/candidate CTEs, hash-gated sample,
+      // DuckDB's jaro_winkler at the same q6 floor, integer ratios
+      "er06_blocking_audit" ->
+        s"""WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+           |blocked AS (
+           |  SELECT name, string_split(name, ' ')[-1] AS blk,
+           |    count(*) OVER (PARTITION BY string_split(name, ' ')[-1]) AS bn
+           |  FROM names),
+           |ok AS (SELECT name, blk FROM blocked WHERE bn <= $MaxBlock),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_names FROM names),
+           |cand AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_cand
+           |  FROM ok a JOIN ok b ON a.blk = b.blk AND a.name < b.name),
+           |samp AS (SELECT name FROM names
+           |  WHERE (${Hashing.polyHashSql("name")}) % $AuditSampleMod = 0),
+           |strue AS (
+           |  SELECT a.name AS na, b.name AS nb
+           |  FROM samp a JOIN samp b ON a.name < b.name
+           |  WHERE CAST(round(jaro_winkler_similarity(a.name, b.name) * 1000000.0)
+           |    AS BIGINT) >= $MinJwQ6),
+           |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sample FROM samp),
+           |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM strue),
+           |fnd AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_found
+           |  FROM strue
+           |  JOIN ok oa ON oa.name = strue.na
+           |  JOIN ok ob ON ob.name = strue.nb AND oa.blk = ob.blk)
+           |SELECT nn.n_names, cand.n_cand,
+           |  (((nn.n_names * (nn.n_names - 1)) // 2 - cand.n_cand) * 1000000)
+           |    // ((nn.n_names * (nn.n_names - 1)) // 2) AS rr_q6,
+           |  ns.n_sample, nt.n_true, fnd.n_found,
+           |  CASE WHEN nt.n_true > 0
+           |    THEN (fnd.n_found * 1000000) // nt.n_true END AS pc_q6
+           |FROM nn, cand, ns, nt, fnd""".stripMargin,
       // er04 — DuckDB's built-in implements the same JW variant as the
       // native expression; both sides compare q6 integers
       "er04_jw_pairs" ->

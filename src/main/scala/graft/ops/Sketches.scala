@@ -580,7 +580,55 @@ object Sketches {
        |FROM s""".stripMargin
   }
 
+  /** SLIDING-WINDOW DISTINCT COUNT (x12) — "distinct users in the
+    * trailing 24 h, per hour": the register-MERGE property of HLL
+    * applied along the TIME axis. Exact sliding distinct needs the
+    * full key set per window (O(window · keys) state); mergeable
+    * registers make it O(hours · m): build one register set per hour,
+    * then each hour's answer is the max-merge of its trailing
+    * [[windowHours]] register sets — the same union-without-rescan
+    * that makes HLL shardable in space (x03) working in time.
+    *
+    * Every frame after the per-hour registers is REGISTER-sized
+    * (#hours × m rows), so the trailing merge is a broadcast range
+    * join over a bounded table, never a second pass over the events.
+    * Same scatter/rho/readout pipeline as [[hllDistinct]] (sums of
+    * powers of two — exact in double, order-free). Output:
+    * `(hour_epoch, est)`, one row per hour present in the data. */
+  def hllSlidingDistinct(events: DataFrame, ts: String, valueCol: String,
+                         windowHours: Int = 24, p: Int = P2): DataFrame = {
+    val m = 1 << p
+    graft.functions.VectorFunctions.register(events.sparkSession)
+    val regs = events
+      .select(expr(s"(unix_micros($ts) div 3600000000L) * 3600L")
+          .as("hour_epoch"),
+        expr(s"(graft_polyhash(cast($valueCol as string)) * ${ScatterA}L + ${ScatterB}L) % ${Hashing.P}L")
+          .as("h"))
+      .filter(col("h").isNotNull)
+      .select(col("hour_epoch"), (col("h") % m).as("bucket"),
+        expr(s"h div $m").as("w"))
+      .select(col("hour_epoch"), col("bucket"),
+        (lit(wBits(p)) - bitLenCase("w", wBits(p)) + 1).as("rho"))
+      .groupBy(col("hour_epoch"), col("bucket")).agg(max(col("rho")).as("r0"))
+    val hours = regs.select(col("hour_epoch")).distinct()
+    val merged = hours
+      .join(broadcast(regs.withColumnRenamed("hour_epoch", "reg_hour")),
+        col("reg_hour") <= col("hour_epoch") &&
+          col("reg_hour") > col("hour_epoch") - windowHours * 3600L)
+      .groupBy(col("hour_epoch"), col("bucket")).agg(max(col("r0")).as("r"))
+    merged
+      .select(col("hour_epoch"),
+        expr("cast(power(2.0D, -cast(r as double)) as double)").as("t"))
+      .groupBy(col("hour_epoch"))
+      .agg(count(lit(1)).as("hit"), sum(col("t")).as("s"))
+      .select(col("hour_epoch"),
+        (lit(alphaFor(m) * m * m)
+          / (col("s") + (lit(m) - col("hit")).cast("double"))).as("est"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x12_hll_sliding" -> ((s, d) =>
+      hllSlidingDistinct(Tables.events(s, d), "ts", "user_id")),
     // distinct suppliers-per-part key space on lineitem: ~20k-80k
     // distinct values at test SFs — squarely the raw-HLL regime n >> 64
     "x01_hll_distinct" -> ((s, d) =>
@@ -651,6 +699,32 @@ object Sketches {
     "x03_hll_by_group" ->
       hllByGroupSql("lineitem", "l_returnflag", "l_returnflag",
         "CAST(l_partkey AS VARCHAR)", P2),
+    // x12 — per-hour registers, trailing range-join max-merge, the
+    // standard readout; every CTE after b is register-sized
+    "x12_hll_sliding" -> {
+      val p = P2
+      val m = 1 << p
+      val ph = Hashing.polyHashSql("CAST(user_id AS VARCHAR)")
+      s"""WITH h AS (
+         |  SELECT (epoch_us(ts::TIMESTAMP) // 3600000000) * 3600 AS hour_epoch,
+         |    (($ph) * $ScatterA + $ScatterB) % ${Hashing.P} AS h
+         |  FROM events),
+         |b AS (SELECT hour_epoch, h % $m AS bucket, h // $m AS w
+         |      FROM h WHERE h IS NOT NULL),
+         |r0 AS (SELECT hour_epoch, bucket,
+         |    max(${wBits(p)} - (${bitLenSql("w", wBits(p))}) + 1) AS r0
+         |  FROM b GROUP BY hour_epoch, bucket),
+         |hrs AS (SELECT DISTINCT hour_epoch FROM r0),
+         |win AS (
+         |  SELECT hrs.hour_epoch, r0.bucket, max(r0.r0) AS r
+         |  FROM hrs JOIN r0 ON r0.hour_epoch <= hrs.hour_epoch
+         |    AND r0.hour_epoch > hrs.hour_epoch - ${24 * 3600}
+         |  GROUP BY hrs.hour_epoch, r0.bucket),
+         |s AS (SELECT hour_epoch, count(*) AS hit, sum(power(2.0, -r)) AS s
+         |      FROM win GROUP BY hour_epoch)
+         |SELECT hour_epoch, ${alphaFor(m) * m * m} / (s + ($m - hit)::DOUBLE) AS est
+         |FROM s""".stripMargin
+    },
     "x04_hll_p8" ->
       hllDistinctSql("lineitem", "CAST(l_partkey AS VARCHAR)", 8),
     "x05_hist_quantiles" ->

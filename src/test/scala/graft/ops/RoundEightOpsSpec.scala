@@ -208,6 +208,52 @@ class RoundEightOpsSpec extends AnyFunSuite {
     assert(got(1L) == ((2L, 2L, 5L * 60000000L, 0L, None)))
   }
 
+  test("er06 blocking audit: exact counts and the single-block degenerate case") {
+    val row = Entity.queries("er06_blocking_audit")(spark, sf).collect().head
+    val (nNames, nCand, rr, nTrue, nFound) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(4),
+        row.getLong(5))
+    val allPairs = nNames * (nNames - 1) / 2
+    assert(rr == (allPairs - nCand) * 1000000L / allPairs)
+    assert(nFound <= nTrue && nCand <= allPairs)
+    // distinct-name count cross-check
+    val want = Tables.part(spark, sf).select("p_name").distinct().count()
+    assert(nNames == want)
+    // degenerate single-block dictionary: blocking generates ALL pairs,
+    // so rr = 0 and every true match is found (pc = 1e6)
+    import spark.implicits._
+    val one = Seq("alpha x", "alphq x", "omega x")
+      .toDF("p_name")
+    val r2 = Entity.blockingAudit(one, "p_name", sampleMod = 1L)
+      .collect().head
+    assert(r2.getLong(1) == 3L)     // n_cand = 3·2/2
+    assert(r2.getLong(2) == 0L)     // rr_q6 = 0
+    assert(r2.getLong(4) == r2.getLong(5)) // n_found == n_true
+    if (r2.getLong(4) > 0L) assert(r2.getLong(6) == 1000000L)
+  }
+
+  test("x12 sliding HLL: trailing merge equals a direct sketch of the window slice") {
+    val est = Sketches.queries("x12_hll_sliding")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(est.nonEmpty)
+    val ev = Tables.events(spark, sf)
+    // spot-check 5 hours spread over the range: the merged trailing
+    // registers must answer exactly what a fresh sketch over the raw
+    // trailing slice answers — the mergeability contract
+    val hours = est.keys.toSeq.sorted
+    val picks = Seq(hours.head, hours(hours.size / 4), hours(hours.size / 2),
+      hours(3 * hours.size / 4), hours.last)
+    picks.foreach { h =>
+      val slice = ev.filter(
+        expr("(unix_micros(ts) div 3600000000L) * 3600L") <= h &&
+          expr("(unix_micros(ts) div 3600000000L) * 3600L") > h - 24L * 3600L)
+      val direct = Sketches.hllDistinct(
+        slice.select(col("user_id")), "user_id")
+        .select("est").collect().head.getDouble(0)
+      assert(est(h) == direct, s"hour $h: merged ${est(h)} != direct $direct")
+    }
+  }
+
   test("c17 negative contributions use magnitude division (floor ≡ trunc)") {
     import spark.implicits._
     // a community with NO intra edges and high degree → negative contrib
