@@ -919,6 +919,29 @@ object Similarity {
       pqQueryIndex(Tables.embeddings(s, d), "vec_id", "embedding",
         lCodes, lCbs, _ < NumProbes, TopK)
     }),
+    // k17: the nprobe RECALL SWEEP — recall@k of the trained IVF index
+    // at nprobe ∈ {1, 2, 4} in one frame: the tuning curve a
+    // deployment reads to pick its latency/recall operating point
+    // (each nprobe multiplies stage-2 work by ~nprobe/k_cells; the
+    // sweep says what that buys). One k-means training + one exact
+    // baseline are shared across the three branches; each branch is
+    // the k05 search at a different probe width.
+    "k17_nprobe_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val assign = kmeansAssign(e, "vec_id", "embedding", KmeansK, KmeansIters)
+      val exact = knnBrute(e, "vec_id", "embedding", _ < NumProbes, TopK)
+      // nprobe = KmeansK searches every cell — brute force by another
+      // name, so that branch's recall is exactly 1: the sweep carries
+      // its own calibration endpoint
+      Seq(1, 2, 4, KmeansK).map { np =>
+        recallAtK(exact,
+          ivfKnnTrained(e, "vec_id", "embedding", assign,
+            _ < NumProbes, TopK, nprobe = np), TopK)
+          .withColumn("nprobe", lit(np.toLong))
+      }.reduce(_ unionByName _)
+        .select(col("nprobe"), col("probe_id"), col("n_hits"),
+          col("recall_q6"))
+    }),
     // recall@k of the PQ index vs the exact baseline (k07's metric
     // pointed at the compressed index) — the number a deployment tunes
     // refine/codebook against
@@ -1307,12 +1330,61 @@ object Similarity {
              |  FROM exact)
              |SELECT probe_id, rnk, neighbor_id, score FROM ranked WHERE rnk <= $TopK""".stripMargin
         }
+        // k17 — the k05 trained-IVF chain with `crnk <= nprobe`, one
+        // branch per nprobe, each wrapped in the k07 recall readout;
+        // branches recompute the (cheap at oracle scale) k-means chain
+        // rather than share CTEs across a UNION — correctness text,
+        // not a performance artifact
+        val k17Sql = {
+          def ivfAtNprobe(np: Int) = kmeansOracleSql(KmeansK, KmeansIters,
+            body = s""",
+               |n AS (
+               |  SELECT q.vec_id, a.cluster AS cell, q.v, q.qv,
+               |    sqrt(reduce(list_prepend(0.0, list_transform(q.v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+               |  FROM q JOIN a$KmeansIters a USING (vec_id)),
+               |qq AS (
+               |  SELECT cell, idx.i AS pos, qv[idx.i] AS qe
+               |  FROM n, (SELECT unnest(range(1, 65)) AS i) idx),
+               |cq AS (SELECT cell, pos, sum(qe) AS sq, count(*) AS cnt FROM qq GROUP BY 1, 2),
+               |cent AS (
+               |  SELECT cell, list((sq::DOUBLE / cnt::DOUBLE) / $Quant ORDER BY pos) AS centroid
+               |  FROM cq GROUP BY cell),
+               |cn AS (
+               |  SELECT cell, centroid,
+               |    sqrt(reduce(list_prepend(0.0, list_transform(centroid, x -> x * x)), (acc, x) -> acc + x)) AS cnrm
+               |  FROM cent),
+               |pc AS (
+               |  SELECT probe_id, pv, pnrm, cell FROM (
+               |    SELECT p.vec_id AS probe_id, p.v AS pv, p.nrm AS pnrm, c.cell,
+               |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+               |        reduce(list_prepend(0.0, list_transform(range(1, 65), i -> p.v[i] * c.centroid[i])), (acc, x) -> acc + x)
+               |          / (p.nrm * c.cnrm) DESC, c.cell) AS crnk
+               |    FROM n p, cn c WHERE p.vec_id < $NumProbes) t
+               |  WHERE crnk <= $np),
+               |scored AS (
+               |  SELECT pc.probe_id, b.vec_id AS neighbor_id,
+               |    reduce(list_prepend(0.0, list_transform(range(1, 65), i -> pc.pv[i] * b.v[i])), (acc, x) -> acc + x)
+               |      / (pc.pnrm * b.nrm) AS cos
+               |  FROM pc JOIN n b ON b.cell = pc.cell AND b.vec_id <> pc.probe_id),
+               |ranked AS (
+               |  SELECT probe_id, neighbor_id, cos,
+               |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+               |  FROM scored)
+               |SELECT probe_id, rnk, neighbor_id, cos FROM ranked WHERE rnk <= $TopK""".stripMargin)
+          Seq(1, 2, 4, KmeansK).map { np =>
+            s"""SELECT CAST($np AS BIGINT) AS nprobe, r.probe_id, r.n_hits, r.recall_q6
+               |FROM (
+               |${recallSql(ivfAtNprobe(np))}
+               |) r""".stripMargin
+          }.mkString("\nUNION ALL\n")
+        }
         m + ("k07_lsh_recall" -> recallSql(m("k02_knn_lsh"))) +
           ("k08_pq_adc" -> k08Sql) +
           // k15 trains the same index, persists it, and serves from the
           // loaded copy — by construction the same rows as k08
           ("k15_pq_persisted" -> k08Sql) +
           ("k09_pq_recall" -> recallSql(k08Sql)) +
+          ("k17_nprobe_recall" -> k17Sql) +
           ("k10_rp_knn" -> k10Sql)
     }
   }

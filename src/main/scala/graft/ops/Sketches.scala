@@ -596,10 +596,21 @@ object Sketches {
     * powers of two — exact in double, order-free). Output:
     * `(hour_epoch, est)`, one row per hour present in the data. */
   def hllSlidingDistinct(events: DataFrame, ts: String, valueCol: String,
-                         windowHours: Int = 24, p: Int = P2): DataFrame = {
+                         windowHours: Int = 24, p: Int = P2): DataFrame =
+    hllSlidingReadout(hourlyHllRegisters(events, ts, valueCol, p),
+      windowHours, p)
+
+  /** The x12 per-hour register table: `(hour_epoch, bucket, r0)`, at
+    * most #hours·m rows. `max(rho)` per (hour, bucket) is
+    * associative/commutative/IDEMPOTENT, so this exact column pipeline
+    * also runs under the streaming state manager with O(hours·m)
+    * state — [[graft.streaming.SketchStream.hourlyHllRegistersStream]]
+    * is this method on a `readStream` frame. */
+  def hourlyHllRegisters(events: DataFrame, ts: String, valueCol: String,
+                         p: Int = P2): DataFrame = {
     val m = 1 << p
     graft.functions.VectorFunctions.register(events.sparkSession)
-    val regs = events
+    events
       .select(expr(s"(unix_micros($ts) div 3600000000L) * 3600L")
           .as("hour_epoch"),
         expr(s"(graft_polyhash(cast($valueCol as string)) * ${ScatterA}L + ${ScatterB}L) % ${Hashing.P}L")
@@ -610,6 +621,14 @@ object Sketches {
       .select(col("hour_epoch"), col("bucket"),
         (lit(wBits(p)) - bitLenCase("w", wBits(p)) + 1).as("rho"))
       .groupBy(col("hour_epoch"), col("bucket")).agg(max(col("rho")).as("r0"))
+  }
+
+  /** The x12 trailing merge + readout over a [[hourlyHllRegisters]]
+    * table — a register-sized batch step, shared verbatim by the
+    * batch query and the streaming twin's sink post-processing. */
+  def hllSlidingReadout(regs: DataFrame, windowHours: Int = 24,
+                        p: Int = P2): DataFrame = {
+    val m = 1 << p
     val hours = regs.select(col("hour_epoch")).distinct()
     val merged = hours
       .join(broadcast(regs.withColumnRenamed("hour_epoch", "reg_hour")),

@@ -50,6 +50,35 @@ object SketchStream {
     spark.table(sinkTable)
   }
 
+  /** Incremental PER-HOUR register table of a streaming events frame
+    * (the x12 state): `max(rho)` per (hour, bucket) is associative,
+    * commutative, and IDEMPOTENT, so state is O(hours·m) — bounded by
+    * the time range, not the event rate — and any micro-batch split
+    * reaches the same fixpoint. The trailing-window merge + readout
+    * ([[graft.ops.Sketches.hllSlidingReadout]]) runs downstream of the
+    * sink: the registers are the stream's state contract, the readout
+    * is a register-sized batch step over them — the standard
+    * sketch-owner/reader split, here along the time axis. */
+  def hourlyHllRegistersStream(events: DataFrame, ts: String,
+                               valueCol: String): DataFrame =
+    Sketches.hourlyHllRegisters(events, ts, valueCol)
+
+  /** Run the sliding-HLL register stream to completion over an events
+    * directory and return the x12 readout over the sink's registers. */
+  def runSlidingHllAvailableNow(spark: SparkSession, dir: String,
+                                sinkTable: String): DataFrame = {
+    val q = hourlyHllRegistersStream(
+        EventStream.readEvents(spark, dir), "ts", "user_id")
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("complete")
+      .format("memory")
+      .queryName(sinkTable)
+      .start()
+    q.awaitTermination()
+    Sketches.hllSlidingReadout(spark.table(sinkTable))
+  }
+
   /** Run to completion over a documents directory, returning the final
     * register table from the in-memory sink. */
   def runAvailableNow(spark: SparkSession, dir: String,

@@ -254,6 +254,22 @@ class RoundEightOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("k17 nprobe sweep: per-probe recall monotone, exact at nprobe = K") {
+    val rows = Similarity.queries("k17_nprobe_recall")(spark, sf)
+      .collect().map(r => ((r.getLong(1), r.getLong(0)), r.getLong(3))).toMap
+    assert(rows.nonEmpty)
+    val probes = rows.keys.map(_._1).toSet
+    probes.foreach { p =>
+      // widening the probe set can only displace an exact-hit by
+      // another exact-hit, so recall is non-decreasing in nprobe
+      assert(rows((p, 1L)) <= rows((p, 2L)))
+      assert(rows((p, 2L)) <= rows((p, 4L)))
+      assert(rows((p, 4L)) <= rows((p, Similarity.KmeansK.toLong)))
+      // nprobe = K searches every cell — brute force, recall exactly 1
+      assert(rows((p, Similarity.KmeansK.toLong)) == 1000000L)
+    }
+  }
+
   test("c17 negative contributions use magnitude division (floor ≡ trunc)") {
     import spark.implicits._
     // a community with NO intra edges and high degree → negative contrib

@@ -29,6 +29,17 @@ class SketchStreamSpec extends AnyFunSuite {
     assert(streamedEst == batchEst)
   }
 
+  test("availableNow sliding-HLL readout equals batch x12 bit-for-bit") {
+    val streamed = SketchStream
+      .runSlidingHllAvailableNow(spark, sf, "sliding_hll_sink")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val batch = Sketches.hllSlidingDistinct(
+        graft.ops.Tables.events(spark, sf), "ts", "user_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("availableNow streaming CMS cells equal the batch sketch bit-for-bit") {
     val streamed = SketchStream.runCmsAvailableNow(spark, sf, "cms_stream_sink")
     val streamedCells = streamed.collect()
