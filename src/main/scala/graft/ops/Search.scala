@@ -42,6 +42,68 @@ object Search {
   val DefaultQuery: Seq[String] = Seq("spark", "query", "fast")
   val DefaultPhrase: (String, String) = ("fast", "query")
 
+  /** Dirichlet smoothing mass for [[dirichletTopK]] (standard μ). An
+    * exact binary-representable double keeps cross-engine literals
+    * identical (2048 = 2¹¹; the conventional 2000 is also exact, but a
+    * power of two makes the exactness obvious in review). */
+  val Mu = 2048.0
+
+  /** Top-`k` documents by DIRICHLET QUERY-LIKELIHOOD (r05) — the
+    * language-modeling ranking function (Zhai & Lafferty 2001), the
+    * second classical lexical ranker next to BM25 (r01) and the one
+    * RRF fusion (r04) typically pairs it with:
+    *
+    *   score(q|d) = Σ_t ln( (tf_td + μ·cf_t/|C|) / (dl_d + μ) )
+    *
+    * — a document models a query term it lacks with the collection
+    * frequency, discounted by its own length. Candidates = docs with
+    * ≥1 query term (the standard posting-driven candidate set);
+    * within a candidate, absent terms take the tf = 0 branch, which
+    * is why the plan builds the candidate × query-term grid (|cand|
+    * × |q| rows) rather than scoring postings alone.
+    *
+    * Scale shape = r01: the explode prunes to query-term postings
+    * before any exchange, collection scalars are a 1-row broadcast,
+    * the grid is candidate-sized (never corpus-sized), and top-k is
+    * `TakeOrderedAndProject`. Score is IEEE-double with one `ln`,
+    * micro-quantized (r01's portability contract). Output:
+    * `(doc_id, score_q6)`. */
+  def dirichletTopK(docs: DataFrame, id: String, text: String,
+                    terms: Seq[String] = DefaultQuery, k: Int = 10): DataFrame = {
+    require(terms.nonEmpty, "at least one query term")
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val words = s"filter(split($text, ' '), x -> x <> '')"
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val stats = docs
+      .select(expr(s"size($words)").cast("long").as("dl"))
+      .agg(sum(col("dl")).as("sum_dl"))
+    val tok = docs.select(col(id).as("doc_id"),
+      expr(s"size($words)").cast("long").as("dl"),
+      explode(expr(s"filter($words, x -> x IN ($termList))")).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val cf = tok.groupBy(col("token")).agg(count(lit(1)).as("cf"))
+    val cand = tf.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+    cand
+      .crossJoin(broadcast(terms.toDF("token")))
+      .join(tf.select(col("doc_id"), col("token"), col("tf")),
+        Seq("doc_id", "token"), "left")
+      .na.fill(0L, Seq("tf"))
+      // inner: a query term absent from the whole corpus has no cf and
+      // p(t|C) = 0 would zero every likelihood — drop it on both sides
+      .join(broadcast(cf), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .withColumn("s", log(
+        (col("tf").cast("double")
+          + lit(Mu) * col("cf").cast("double") / col("sum_dl").cast("double"))
+          / (col("dl").cast("double") + lit(Mu))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("s")) * lit(1e6)).cast("long").as("score_q6"))
+      .orderBy(col("score_q6").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Top-`k` documents by BM25 score for a bag-of-words query.
     * Output: `(doc_id, score_q6)` — score in micro-units, ranked
     * `(score_q6 DESC, doc_id)` for a total order. */
@@ -188,6 +250,8 @@ object Search {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r01_bm25" -> ((s, d) =>
       bm25TopK(Tables.documents(s, d), "doc_id", "text")),
+    "r05_dirichlet_ql" -> ((s, d) =>
+      dirichletTopK(Tables.documents(s, d), "doc_id", "text")),
     "r02_phrase" -> ((s, d) =>
       phraseMatch(Tables.documents(s, d), "doc_id", "text")),
     "r03_tfidf_cosine" -> ((s, d) =>
@@ -260,6 +324,38 @@ object Search {
 
   def oracle: Map[String, String] = Map(
     "r01_bm25" -> bm25Sql,
+    // r05 — same pruned-posting CTEs, candidate x term grid via CROSS
+    // JOIN to the VALUES term list, identical double op sequence
+    "r05_dirichlet_ql" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS dl
+         |  FROM documents),
+         |stats AS (SELECT CAST(sum(dl) AS BIGINT) AS sum_dl FROM base),
+         |tok AS (
+         |  SELECT doc_id, dl,
+         |    unnest(list_filter(list_filter(string_split(text, ' '), x -> x <> ''),
+         |                       x -> x IN ($termList))) AS token
+         |  FROM base),
+         |tf AS (
+         |  SELECT doc_id, token, count(*)::BIGINT AS tf, max(dl) AS dl
+         |  FROM tok GROUP BY 1, 2),
+         |cf AS (SELECT token, count(*)::BIGINT AS cf FROM tok GROUP BY 1),
+         |cand AS (SELECT doc_id, max(dl) AS dl FROM tf GROUP BY 1),
+         |terms(token) AS (VALUES ${DefaultQuery.map(t => s"('$t')").mkString(", ")}),
+         |g AS (
+         |  SELECT cand.doc_id, cand.dl, terms.token,
+         |    coalesce(tf.tf, 0) AS tf
+         |  FROM cand CROSS JOIN terms
+         |  LEFT JOIN tf ON tf.doc_id = cand.doc_id AND tf.token = terms.token),
+         |sc AS (
+         |  SELECT g.doc_id,
+         |    ln((g.tf::DOUBLE + $Mu * cf.cf::DOUBLE / stats.sum_dl::DOUBLE)
+         |       / (g.dl::DOUBLE + $Mu)) AS s
+         |  FROM g JOIN cf USING (token) CROSS JOIN stats)
+         |SELECT doc_id, CAST(round(sum(s) * 1000000.0) AS BIGINT) AS score_q6
+         |FROM sc GROUP BY doc_id
+         |ORDER BY score_q6 DESC, doc_id LIMIT 10""".stripMargin,
     "r02_phrase" ->
       s"""WITH w AS (
          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws

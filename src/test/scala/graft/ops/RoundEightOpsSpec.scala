@@ -270,6 +270,32 @@ class RoundEightOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("r05 dirichlet QL matches a direct recompute, absent terms smoothed") {
+    val got = Search.queries("r05_dirichlet_ql")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0),
+        r.getString(1).split(" ").filter(_.nonEmpty)))
+    val sumDl = docs.map(_._2.length.toLong).sum
+    val terms = Search.DefaultQuery
+    val cf = terms.map(t =>
+      t -> docs.map(_._2.count(_ == t).toLong).sum).toMap
+    val scores = docs.flatMap { case (id, ws) =>
+      val dl = ws.length.toLong
+      val hasTerm = terms.exists(t => ws.contains(t))
+      if (!hasTerm) None
+      else Some(id -> math.round(terms.filter(cf(_) > 0).map { t =>
+        val tf = ws.count(_ == t).toDouble
+        math.log((tf + Search.Mu * cf(t).toDouble / sumDl.toDouble)
+          / (dl.toDouble + Search.Mu))
+      }.sum * 1e6))
+    }.toMap
+    val want = scores.toSeq.sortBy { case (id, s) => (-s, id) }.take(10)
+    assert(got.toSeq == want)
+  }
+
   test("c17 negative contributions use magnitude division (floor ≡ trunc)") {
     import spark.implicits._
     // a community with NO intra edges and high degree → negative contrib
