@@ -790,6 +790,41 @@ object Clusters {
         col("intra_edges"), col("contrib_q6"))
   }
 
+  /** THRESHOLD STABILITY (c18) — how a near-dup clustering decomposes
+    * when the similarity threshold tightens: per τ=base cluster, how
+    * many τ=strict sub-clusters it splits into and how dominant the
+    * largest is. The readout a dedup deployment checks before
+    * committing to a threshold — a cluster that shatters into many
+    * small sub-clusters at τ+0.15 was glued by borderline edges
+    * (paraphrase drift), while one that stays whole is a genuine
+    * template family; keeper election and split atomicity (c06/c10)
+    * are only trustworthy on the stable kind.
+    *
+    * The strict pair set is the SAME pair table filtered at the
+    * higher jaccard — candidate generation, df cap, and the exact
+    * jaccard are shared, so "stricter" means exactly the same
+    * machinery with a higher cut, on both engines. Docs in no strict
+    * pair are their own singleton sub-cluster. Scale shape: one extra
+    * CC fixpoint over the (smaller) strict pair set plus two
+    * cluster-keyed counts; the τ=base component table is the shared
+    * memo. Output: `(cluster_id, n_members, n_subclusters,
+    * max_sub_q6)`. */
+  def thresholdStability(pairs: DataFrame, a: String, b: String,
+                         jac: String, tauStrict: Double,
+                         comp: DataFrame): DataFrame = {
+    val sub = connectedComponents(pairs.filter(col(jac) >= tauStrict), a, b)
+      .select(col("doc_id"), col("cluster_id").as("_sub0"))
+    comp
+      .join(sub, Seq("doc_id"), "left")
+      .withColumn("sub", coalesce(col("_sub0"), col("doc_id")))
+      .groupBy(col("cluster_id"), col("sub"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("cluster_id"))
+      .agg(sum(col("c")).as("n_members"),
+        count(lit(1)).as("n_subclusters"),
+        expr("(max(c) * 1000000L) div sum(c)").as("max_sub_q6"))
+  }
+
   /** Per-node TRIANGLE participation (c11) — the local-clustering
     * readout over the near-dup graph: a doc in many triangles sits in a
     * dense clique (template/boilerplate family, the c09 hubs confirmed
@@ -998,6 +1033,9 @@ object Clusters {
     "c17_modularity" -> ((s, d) =>
       modularity(sharedPairs(s, d), "doc_a", "doc_b",
         sharedCommunities(s, d))),
+    "c18_threshold_stability" -> ((s, d) =>
+      thresholdStability(sharedPairs(s, d), "doc_a", "doc_b",
+        "jaccard", 0.75, sharedComponents(s, d))),
     // contamination-free train/val/test: split on the cluster keeper
     "c10_leak_safe_split" -> ((s, d) =>
       leakSafeSplitFromComponents(Tables.documents(s, d), "doc_id",
@@ -1111,6 +1149,30 @@ object Clusters {
       pageRankOracleSql(Dedup.oracle("d02_ngram_jaccard"), PageRankIters),
     "c12_label_prop" ->
       lpaOracleSql(Dedup.oracle("d02_ngram_jaccard"), LpaIters),
+    // c18 — the 0.6 CC chain (shared `pairs` CTE carries jaccard), a
+    // second prefixed recursive CC over the >= 0.75 filter of the SAME
+    // pair table, singleton fallback to own id, integer ratios
+    "c18_threshold_stability" ->
+      s"""WITH RECURSIVE ${componentsCte(Dedup.oracle("d02_ngram_jaccard"))},
+         |p75 AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.75),
+         |e75 AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM p75
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM p75),
+         |c75(id, label) AS (
+         |  SELECT src, src FROM e75
+         |  UNION
+         |  SELECT e.dst, c.label FROM c75 c JOIN e75 e ON e.src = c.id),
+         |l75 AS (SELECT id, min(label) AS sub FROM c75 GROUP BY id),
+         |m AS (
+         |  SELECT lab.id, lab.cluster, coalesce(l75.sub, lab.id) AS sub
+         |  FROM lab LEFT JOIN l75 ON l75.id = lab.id),
+         |sz AS (SELECT cluster, sub, CAST(count(*) AS BIGINT) AS c
+         |       FROM m GROUP BY 1, 2)
+         |SELECT cluster AS cluster_id, CAST(sum(c) AS BIGINT) AS n_members,
+         |  CAST(count(*) AS BIGINT) AS n_subclusters,
+         |  (max(c) * 1000000) // CAST(sum(c) AS BIGINT) AS max_sub_q6
+         |FROM sz GROUP BY cluster""".stripMargin,
     // c17 — the c12 LPA chain as a CTE, then pure integer edge/degree
     // counts and the q46 magnitude-division CASE for signed contribs
     "c17_modularity" ->

@@ -296,6 +296,21 @@ class RoundEightOpsSpec extends AnyFunSuite {
     assert(got.toSeq == want)
   }
 
+  test("c18 threshold stability: borderline edge splits, strong edges hold") {
+    import spark.implicits._
+    // 1-2 strong (0.9), 2-3 borderline (0.65): one cluster at 0.6 that
+    // splits into {1,2} + {3} at 0.75; 8-9 strong pair stays whole
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.65), (8L, 9L, 0.92))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val comp = Clusters.connectedComponents(pairs, "doc_a", "doc_b")
+    val got = Clusters.thresholdStability(pairs, "doc_a", "doc_b",
+        "jaccard", 0.75, comp)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((3L, 2L, 2L * 1000000L / 3L)))
+    assert(got(8L) == ((2L, 1L, 1000000L)))
+  }
+
   test("c17 negative contributions use magnitude division (floor ≡ trunc)") {
     import spark.implicits._
     // a community with NO intra edges and high degree → negative contrib
