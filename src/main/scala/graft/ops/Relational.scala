@@ -164,14 +164,19 @@ object Relational {
     }),
 
     // Rollup — subtotal + grand-total rows (Catalyst Expand + single agg).
+    // same two-level rewrite as q16: pre-aggregate on the full key
+    // (≤ |regions|·|nations| rows), rollup the collapsed frame — the
+    // Expand never multiplies fact rows
     "q10_rollup" -> ((s, d) => {
       val c = Tables.customer(s, d)
       val n = Tables.nation(s, d)
       val r = Tables.region(s, d)
-      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      val pre = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-        .rollup(col("r_name"), col("n_name"))
-        .agg(count(lit(1)).as("n_cust"), sumDec(col("c_acctbal")).as("bal"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("_n"), sum(dec(col("c_acctbal"))).as("_b"))
+      pre.rollup(col("r_name"), col("n_name"))
+        .agg(sum(col("_n")).as("n_cust"), sum(col("_b")).cast("double").as("bal"))
     }),
 
     // §2.6 GROUPING SETS — the general form rollup (q10) and cube (q16)
@@ -179,14 +184,20 @@ object Relational {
     // neither a rollup chain nor a power set. Same single-pass Expand
     // shape: each input row replicates once per grouping set before one
     // hash aggregation — no per-set rescan of the fact.
-    "q27_grouping_sets" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .groupingSets(
+    // two-level rewrite (q16's): every requested set is coarser than
+    // the full (returnflag, linestatus) key, so the pre-aggregate is a
+    // lossless partial for all three sets
+    "q27_grouping_sets" -> ((s, d) => {
+      val pre = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(dec(col("l_quantity"))).as("_q"), count(lit(1)).as("_n"))
+      pre.groupingSets(
           Seq(Seq(col("l_returnflag"), col("l_linestatus")),
             Seq(col("l_linestatus")), Seq()),
           col("l_returnflag"), col("l_linestatus"))
-        .agg(sumDec(col("l_quantity")).as("sum_qty"),
-          count(lit(1)).as("n_rows"))),
+        .agg(sum(col("_q")).cast("double").as("sum_qty"),
+          sum(col("_n")).as("n_rows"))
+    }),
 
     // Relational DIVISION ("for all"): customers ALL of whose orders
     // are urgent-or-high priority — the universal-quantifier query
@@ -542,12 +553,24 @@ object Relational {
     }),
 
     // CUBE — all grouping-set combinations in one Expand + agg pass.
+    // CUBE via the two-level rewrite: aggregate on the FULL grouping
+    // key first (≤ |segments|·|statuses| rows), then cube the collapsed
+    // frame. Spark's Expand multiplies its input by the number of
+    // grouping sets (4 here) BEFORE the aggregate — cubing the raw join
+    // output would quadruple fact-table shuffle volume, while cubing
+    // the pre-aggregate costs ~nothing at any fact size. Exactness is
+    // preserved because both partial aggregates are associative:
+    // count → sum of counts, and the DECIMAL partial sums re-add
+    // exactly (the same property sumDec relies on), with the
+    // decimal→double cast applied once at the end.
     "q16_cube" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val c = Tables.customer(s, d)
-      o.join(c, o("o_custkey") === c("c_custkey"))
-        .cube(col("c_mktsegment"), col("o_orderstatus"))
-        .agg(count(lit(1)).as("n"), sumDec(col("o_totalprice")).as("total"))
+      val pre = o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("_n"), sum(dec(col("o_totalprice"))).as("_t"))
+      pre.cube(col("c_mktsegment"), col("o_orderstatus"))
+        .agg(sum(col("_n")).as("n"), sum(col("_t")).cast("double").as("total"))
     }),
 
     // Window FRAME (running aggregate): cumulative event value per user,
