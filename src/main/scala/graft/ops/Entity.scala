@@ -136,9 +136,14 @@ object Entity {
     * table never shuffles on the dirty name. */
   def entityRollup(df: DataFrame, name: String, maxEdit: Int = MaxEdit,
                    maxBlock: Int = MaxBlock): DataFrame =
+    entityRollupFromMap(df, name, canonicalMap(df, name, maxEdit, maxBlock))
+
+  /** [[entityRollup]] over a PRECOMPUTED canonical map — the shape a
+    * deployment with a materialized [[sharedCanonicalMap]] runs. */
+  def entityRollupFromMap(df: DataFrame, name: String,
+                          cmap: DataFrame): DataFrame =
     df.select(col(name).as("name"))
-      .join(broadcast(canonicalMap(df, name, maxEdit, maxBlock)),
-        Seq("name"))
+      .join(broadcast(cmap), Seq("name"))
       .groupBy(col("canon_name"))
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("name")).as("n_variants"))
@@ -159,11 +164,16 @@ object Entity {
     * Output: `(canon_name, n_members, <one survived col per field>)`. */
   def survivorship(facts: DataFrame, name: String, fields: Seq[String],
                    maxEdit: Int = MaxEdit,
-                   maxBlock: Int = MaxBlock): DataFrame = {
+                   maxBlock: Int = MaxBlock): DataFrame =
+    survivorshipFromMap(facts, name, fields,
+      canonicalMap(facts, name, maxEdit, maxBlock))
+
+  /** [[survivorship]] over a PRECOMPUTED canonical map. */
+  def survivorshipFromMap(facts: DataFrame, name: String,
+                          fields: Seq[String], cmap: DataFrame): DataFrame = {
     val mapped = facts
       .select((col(name).as("name") +: fields.map(col)): _*)
-      .join(broadcast(canonicalMap(facts, name, maxEdit, maxBlock)),
-        Seq("name"))
+      .join(broadcast(cmap), Seq("name"))
     val base = mapped.groupBy(col("canon_name"))
       .agg(count(lit(1)).as("n_members"))
     fields.foldLeft(base) { (acc, f) =>
@@ -246,20 +256,41 @@ object Entity {
     * is the default a real million-name dictionary would use. */
   val AuditSampleMod = 1L
 
+  /** The catalog's canonical map (part dictionary), computed once per
+    * (session, dir) and shared by er02/er03/er05 — the same
+    * materialize-once move as [[Clusters.sharedPairs]]: a deployment
+    * resolves entities once and every downstream consumer (rollup,
+    * survivorship, audits) reads the standing map. localCheckpoint is
+    * dictionary-sized. Reentrant synchronized map, NOT computeIfAbsent
+    * (see Clusters.memo for the recursive-update landmine). */
+  private val cmapMemo =
+    new java.util.HashMap[(SparkSession, String), DataFrame]()
+  def sharedCanonicalMap(s: SparkSession, d: String): DataFrame =
+    cmapMemo.synchronized {
+      val k = (s, d)
+      val existing = cmapMemo.get(k)
+      if (existing != null) existing
+      else {
+        val built = canonicalMap(Tables.part(s, d), "p_name").localCheckpoint()
+        cmapMemo.put(k, built)
+        built
+      }
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "er06_blocking_audit" -> ((s, d) =>
       blockingAudit(Tables.part(s, d), "p_name",
         sampleMod = AuditSampleMod)),
     "er05_survivorship" -> ((s, d) =>
-      survivorship(Tables.part(s, d), "p_name",
-        Seq("p_brand", "p_type", "p_size"))
+      survivorshipFromMap(Tables.part(s, d), "p_name",
+        Seq("p_brand", "p_type", "p_size"), sharedCanonicalMap(s, d))
         .withColumn("p_size", col("p_size").cast("long"))),
     "er01_fuzzy_pairs" -> ((s, d) =>
       fuzzyPairs(Tables.part(s, d), "p_name")),
-    "er02_canonical_map" -> ((s, d) =>
-      canonicalMap(Tables.part(s, d), "p_name")),
+    "er02_canonical_map" -> ((s, d) => sharedCanonicalMap(s, d)),
     "er03_entity_rollup" -> ((s, d) =>
-      entityRollup(Tables.part(s, d), "p_name")),
+      entityRollupFromMap(Tables.part(s, d), "p_name",
+        sharedCanonicalMap(s, d))),
     "er04_jw_pairs" -> ((s, d) =>
       jaroWinklerPairs(Tables.part(s, d), "p_name")))
 
