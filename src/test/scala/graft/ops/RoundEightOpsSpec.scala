@@ -311,6 +311,17 @@ class RoundEightOpsSpec extends AnyFunSuite {
     assert(got(8L) == ((2L, 1L, 1000000L)))
   }
 
+  test("er shared canonical map: memoized consumers equal direct recompute") {
+    val parts = Tables.part(spark, sf)
+    val shared = Entity.sharedCanonicalMap(spark, sf)
+    assert(Entity.entityRollupFromMap(parts, "p_name", shared)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      == Entity.entityRollup(parts, "p_name")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq)
+    // and the memo returns the same instance on a second call
+    assert(Entity.sharedCanonicalMap(spark, sf) eq shared)
+  }
+
   test("c17 negative contributions use magnitude division (floor ≡ trunc)") {
     import spark.implicits._
     // a community with NO intra edges and high degree → negative contrib
