@@ -346,4 +346,47 @@ class PlanAssertionsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     // before every exchange (only 8-byte hashes and int positions ride)
     assert(shuffles(p) <= 4)
   }
+
+  test("q47 skyline: fact side semi-joins the broadcast frontier, never self-joins") {
+    val s = plan("q47_skyline").toString
+    assert(s.contains("BroadcastHashJoin") && s.contains("LeftSemi"),
+      "frontier must broadcast back as a semi-join:\n" + s.take(2000))
+    assert(!s.contains("SortMergeJoin") && !s.contains("CartesianProduct"),
+      "the O(n²) dominance join must not appear:\n" + s.take(2000))
+  }
+
+  test("s15 interleave: per-source rank window + counts — no global ordering exchange") {
+    val p = plan("s15_interleave")
+    // one source-keyed exchange for the rank window, one for the
+    // #sources-row totals; the global position is closed-form (the
+    // oracle's row_number OVER (ORDER BY …) never appears here)
+    assert(shuffles(p) <= 2, p.toString.take(2000))
+  }
+
+  test("q16 cube: Expand runs over the pre-aggregate, not the fact join") {
+    val p = plan("q16_cube")
+    val expands = collectWithSubqueries(p) {
+      case e: org.apache.spark.sql.execution.ExpandExec => e
+    }
+    assert(expands.nonEmpty, "cube must plan an Expand")
+    // the Expand's subtree must already contain the pre-aggregation —
+    // i.e. an aggregate BELOW the Expand — so the ×4 multiplication
+    // applies to ≤ |seg|·|status| rows, not the join output
+    expands.foreach { e =>
+      val aggsBelow = e.collectLeaves().size
+      val hasAggBelow = e.find {
+        case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec => true
+        case _ => false
+      }.isDefined
+      assert(hasAggBelow && aggsBelow >= 1,
+        "Expand must sit above the pre-aggregate:\n" + p.toString.take(3000))
+    }
+  }
+
+  test("x12 sliding HLL: the trailing merge joins broadcast register tables") {
+    val s = plan("x12_hll_sliding").toString
+    assert(s.contains("BroadcastExchange"),
+      "hour×register range join must broadcast the register table:\n" +
+        s.take(2000))
+  }
 }
