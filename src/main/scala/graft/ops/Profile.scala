@@ -366,7 +366,41 @@ object Profile {
       .withColumn("passed", col("violations") === 0L)
   }
 
+  /** v11 staleness threshold: a type whose newest event lags the
+    * table's frontier by more than this is flagged (6 hours — generous
+    * against the synthetic stream's per-type arrival cadence, so the
+    * flag means a genuinely silent source, not jitter). */
+  val FreshnessSlaUs: Long = 6L * 3600L * 1000000L
+
+  /** FRESHNESS / STALENESS check (v11) — per event type, how far its
+    * newest event lags the table's global frontier: the "did a source
+    * silently stop publishing?" monitor every ingestion pipeline runs
+    * against its landing tables. An outage that drops one upstream
+    * feed leaves total row counts looking healthy (v01/v06 miss it);
+    * the per-type frontier lag is the signal that isolates it.
+    *
+    * Scale shape: one pass collapses the table to (type → max ts) —
+    * map-side combinable, #types rows — and the global frontier is the
+    * max over THAT frame, so the fact table is scanned exactly once
+    * and everything downstream is type-cardinality sized. Integer
+    * microseconds end-to-end. Output: `(event_type, newest_us,
+    * lag_us, stale)`. */
+  def freshnessByType(events: DataFrame, typeCol: String, ts: String,
+                      slaUs: Long = FreshnessSlaUs): DataFrame = {
+    val perType = events
+      .groupBy(col(typeCol).as("event_type"))
+      .agg(max(unix_micros(col(ts))).as("newest_us"))
+    val frontier = perType.agg(max(col("newest_us")).as("_frontier"))
+    perType.crossJoin(broadcast(frontier))
+      .withColumn("lag_us", col("_frontier") - col("newest_us"))
+      .withColumn("stale", col("lag_us") > slaUs)
+      .select(col("event_type"), col("newest_us"), col("lag_us"),
+        col("stale"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v11_freshness" -> ((s, d) =>
+      freshnessByType(Tables.events(s, d), "event_type", "ts")),
     "v10_referential" -> ((s, d) =>
       referentialChecks(Tables.orders(s, d), Tables.customer(s, d),
         Tables.lineitem(s, d))),
@@ -420,6 +454,15 @@ object Profile {
     }))
 
   def oracle: Map[String, String] = Map(
+    // v11 — identical integer-microsecond frontier math
+    "v11_freshness" ->
+      s"""WITH t AS (
+         |  SELECT event_type, max(epoch_us(ts::TIMESTAMP)) AS newest_us
+         |  FROM events GROUP BY event_type),
+         |f AS (SELECT max(newest_us) AS frontier FROM t)
+         |SELECT event_type, newest_us, f.frontier - newest_us AS lag_us,
+         |  f.frontier - newest_us > $FreshnessSlaUs AS stale
+         |FROM t, f""".stripMargin,
     // v10 — anti joins as NOT IN / NOT EXISTS counts, same rule labels
     "v10_referential" ->
       """SELECT rule, violations, violations = 0 AS passed FROM (

@@ -322,6 +322,21 @@ class RoundEightOpsSpec extends AnyFunSuite {
     assert(Entity.sharedCanonicalMap(spark, sf) eq shared)
   }
 
+  test("v11 freshness flags the silently-stopped source, not the healthy ones") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(hr: Long) = new Timestamp(hr * 3600000L)
+    // feed A publishes through hour 100 (the frontier); feed B stopped
+    // at hour 90 — 10h lag breaches the 6h SLA
+    val ev = Seq((1L, t(98), "A"), (2L, t(100), "A"), (3L, t(90), "B"))
+      .toDF("event_id", "ts", "event_type")
+    val got = Profile.freshnessByType(ev, "event_type", "ts")
+      .collect().map(r => (r.getString(0),
+        (r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got("A") == ((0L, false)))
+    assert(got("B") == ((10L * 3600L * 1000000L, true)))
+  }
+
   test("c17 negative contributions use magnitude division (floor ≡ trunc)") {
     import spark.implicits._
     // a community with NO intra edges and high degree → negative contrib
