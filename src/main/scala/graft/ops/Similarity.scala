@@ -831,6 +831,85 @@ object Similarity {
           col("b.vec_id").as("neighbor_id"), expr(cosExpr).as("cos")), k)
   }
 
+  // ───── Shared training memo (the Clusters.memo pattern) ─────
+
+  /** Memoized TRAINED artifacts shared across the k-family catalog
+    * entries, keyed by (session, data dir). Training an index is the
+    * expensive, reusable half of every ANN query — a deployment trains
+    * once and serves many probe batches, and a catalog run should look
+    * the same: k04/k05/k14/k17 consume ONE k-means assignment,
+    * k08/k09/k15 ONE PQ index, k01/k07/k09/k17 ONE exact baseline.
+    * Entries are localCheckpoint-materialized linear-or-smaller frames
+    * (assignment: 2 longs/vector; PQ codes: m ints/vector; codebooks:
+    * m·codebook rows; exact baseline: probes×k rows), released with
+    * the session.
+    *
+    * Same lock discipline as [[Clusters]]' memo (see its scaladoc's
+    * `computeIfAbsent` warning): builds NEST (the PQ-index build calls
+    * the normalized-corpus memo from inside its body), so the single
+    * reentrant JVM monitor is correct by construction. It serializes
+    * only first-build materialization per (session, dir) — exactly the
+    * work the memo exists to share. Single-process harness use is
+    * assumed; entries for stopped sessions are not evicted. */
+  private val trainedMemo =
+    new java.util.HashMap[(SparkSession, String, String), AnyRef]()
+
+  private def memo[T <: AnyRef](s: SparkSession, d: String, key: String)
+                               (build: => T): T =
+    trainedMemo.synchronized {
+      val k = (s, d, key)
+      val existing = trainedMemo.get(k)
+      if (existing != null) existing.asInstanceOf[T]
+      else { val built = build; trainedMemo.put(k, built); built }
+    }
+
+  /** The L2-normalized harness embeddings (the PQ prologue, already
+    * checkpoint-materialized by [[pqNormalized]]), once per
+    * (session, dir). */
+  def sharedNormalized(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "nv") {
+      pqNormalized(Tables.embeddings(s, d), "vec_id", "embedding")
+    }
+
+  /** The k04 k-means assignment (KmeansK × KmeansIters over the
+    * harness embeddings), trained once per (session, dir) — consumed
+    * by k04, k05's coarse quantizer, k14's purity readout and k17's
+    * nprobe sweep. */
+  def sharedKmeansAssign(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "kmeans") {
+      kmeansAssign(Tables.embeddings(s, d), "vec_id", "embedding",
+        KmeansK, KmeansIters).localCheckpoint()
+    }
+
+  /** The k08 PQ index (codes + codebooks) at catalog defaults, trained
+    * once per (session, dir) — consumed by k08's serve path, k09's
+    * recall readout and k15's persistence round trip. */
+  def sharedPqIndex(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    memo(s, d, "pq") {
+      val (codes, cbs) = pqTrainOnNormalized(sharedNormalized(s, d),
+        PqSubspaces, PqK, PqIters, 64)
+      (codes.localCheckpoint(), cbs.localCheckpoint())
+    }
+
+  /** The exact brute-force baseline at catalog defaults — the frame
+    * k01 answers with and k07/k09/k17 measure recall against — once
+    * per (session, dir). */
+  def sharedKnnBrute(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "brute") {
+      knnBrute(Tables.embeddings(s, d), "vec_id", "embedding",
+        _ < NumProbes, TopK).localCheckpoint()
+    }
+
+  /** Serve the catalog probes from the shared PQ index — k08's answer,
+    * consumed verbatim as k09's approximate side. A lazy plan over the
+    * memoized index frames: serving is broadcast lookups + the refine
+    * re-rank, cheap enough to re-declare per consumer. */
+  private def sharedPqServe(s: SparkSession, d: String): DataFrame = {
+    val (codes, cbs) = sharedPqIndex(s, d)
+    pqQueryOnNormalized(sharedNormalized(s, d), codes, cbs,
+      _ < NumProbes, TopK, PqSubspaces, PqRefine, 64)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k12_hard_negatives" -> ((s, d) =>
       hardNegatives(Tables.embeddings(s, d), "vec_id", "embedding", "label",
@@ -848,7 +927,7 @@ object Similarity {
     // counts; both readout windows share one exchange on cluster.
     "k14_cluster_purity" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val labeled = kmeansAssign(e, "vec_id", "embedding", KmeansK, KmeansIters)
+      val labeled = sharedKmeansAssign(s, d)
         .join(e.select(col("vec_id"), col("label").as("lbl")), Seq("vec_id"))
       val wTop = Window.partitionBy(col("cluster"))
         .orderBy(col("c").desc, col("lbl"))
@@ -862,9 +941,7 @@ object Similarity {
           col("lbl").cast("long").as("top_label"), col("c").as("n_top"),
           expr("(c * 1000000L) div n_vecs").as("purity_q6"))
     }),
-    "k01_knn_brute" -> ((s, d) =>
-      knnBrute(Tables.embeddings(s, d), "vec_id", "embedding",
-        _ < NumProbes, TopK)),
+    "k01_knn_brute" -> ((s, d) => sharedKnnBrute(s, d)),
     "k16_mips" -> ((s, d) =>
       mipsBrute(Tables.embeddings(s, d), "vec_id", "embedding",
         _ < NumProbes, TopK)),
@@ -880,28 +957,21 @@ object Similarity {
       ivfKnn(Tables.embeddings(s, d), "vec_id", "embedding", "label",
         _ < NumProbes, 3)
         .withColumnRenamed("cell", "label")),
-    "k04_kmeans" -> ((s, d) =>
-      kmeansAssign(Tables.embeddings(s, d), "vec_id", "embedding",
-        KmeansK, KmeansIters)),
-    "k05_ivf_trained" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      ivfKnnTrained(e, "vec_id", "embedding",
-        kmeansAssign(e, "vec_id", "embedding", KmeansK, KmeansIters),
-        _ < NumProbes, 3)
-    }),
+    "k04_kmeans" -> ((s, d) => sharedKmeansAssign(s, d)),
+    "k05_ivf_trained" -> ((s, d) =>
+      ivfKnnTrained(Tables.embeddings(s, d), "vec_id", "embedding",
+        sharedKmeansAssign(s, d), _ < NumProbes, 3)),
     // recall@k of the LSH index vs the exact baseline — the
     // index-quality metric, computed by the engine itself
     "k07_lsh_recall" -> ((s, d) =>
       recallAtK(
-        knnBrute(Tables.embeddings(s, d), "vec_id", "embedding",
-          _ < NumProbes, TopK),
+        sharedKnnBrute(s, d),
         knnLsh(Tables.embeddings(s, d), "vec_id", "embedding",
           _ < NumProbes, TopK),
         TopK)),
-    // memory-compressed search: per-subspace codebooks + ADC lookups
-    "k08_pq_adc" -> ((s, d) =>
-      pqAdcKnn(Tables.embeddings(s, d), "vec_id", "embedding",
-        _ < NumProbes, TopK)),
+    // memory-compressed search: per-subspace codebooks + ADC lookups,
+    // served from the shared trained index
+    "k08_pq_adc" -> ((s, d) => sharedPqServe(s, d)),
     // k15: the PERSISTED-index serve path — train the k08 index, WRITE
     // codes+codebooks to parquet, LOAD them back, and serve the probes
     // from the loaded index only. A deployment trains once and serves
@@ -912,12 +982,11 @@ object Similarity {
     "k15_pq_persisted" -> ((s, d) => {
       val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
         "graft_pq_index_" + Integer.toHexString(d.hashCode)).getPath
-      val (codes, cbs) = pqTrainIndex(Tables.embeddings(s, d),
-        "vec_id", "embedding")
+      val (codes, cbs) = sharedPqIndex(s, d)
       pqWriteIndex(codes, cbs, idxDir)
       val (lCodes, lCbs) = pqLoadIndex(s, idxDir)
-      pqQueryIndex(Tables.embeddings(s, d), "vec_id", "embedding",
-        lCodes, lCbs, _ < NumProbes, TopK)
+      pqQueryOnNormalized(sharedNormalized(s, d), lCodes, lCbs,
+        _ < NumProbes, TopK, PqSubspaces, PqRefine, 64)
     }),
     // k17: the nprobe RECALL SWEEP — recall@k of the trained IVF index
     // at nprobe ∈ {1, 2, 4} in one frame: the tuning curve a
@@ -928,8 +997,8 @@ object Similarity {
     // the k05 search at a different probe width.
     "k17_nprobe_recall" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val assign = kmeansAssign(e, "vec_id", "embedding", KmeansK, KmeansIters)
-      val exact = knnBrute(e, "vec_id", "embedding", _ < NumProbes, TopK)
+      val assign = sharedKmeansAssign(s, d)
+      val exact = sharedKnnBrute(s, d)
       // nprobe = KmeansK searches every cell — brute force by another
       // name, so that branch's recall is exactly 1: the sweep carries
       // its own calibration endpoint
@@ -946,12 +1015,7 @@ object Similarity {
     // pointed at the compressed index) — the number a deployment tunes
     // refine/codebook against
     "k09_pq_recall" -> ((s, d) =>
-      recallAtK(
-        knnBrute(Tables.embeddings(s, d), "vec_id", "embedding",
-          _ < NumProbes, TopK),
-        pqAdcKnn(Tables.embeddings(s, d), "vec_id", "embedding",
-          _ < NumProbes, TopK),
-        TopK)),
+      recallAtK(sharedKnnBrute(s, d), sharedPqServe(s, d), TopK)),
     // training-free compressed search: ±1 sketch shortlist + exact
     // refine — the dimensionality-reduction member of the index family
     "k10_rp_knn" -> ((s, d) =>
