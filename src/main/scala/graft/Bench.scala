@@ -61,8 +61,17 @@ object Bench {
     // default = the full catalog, which is what the driver measures
     val catalog: Map[String, (SparkSession, String) => DataFrame] =
       Conf.Env.queryFilter match {
-        case Some(keep) => SparkEntry.queries.view.filterKeys(keep).toMap
-        case None       => SparkEntry.queries
+        case Some(keep) =>
+          // fail FAST on unknown names: a silent filterKeys drop would
+          // let a typo'd subset report success over a partial (or
+          // empty) run — a benchmark that measures nothing but looks
+          // healthy
+          val unknown = keep.diff(SparkEntry.queries.keySet)
+          require(unknown.isEmpty,
+            s"SPARK_GRAFT_QUERIES names not in the catalog: " +
+              unknown.toSeq.sorted.mkString(", "))
+          SparkEntry.queries.view.filterKeys(keep).toMap
+        case None => SparkEntry.queries
       }
     val spark = Conf.localSession(cpus)
     // Untimed warmup: JIT + codegen + parquet-footer caches, so fixed

@@ -199,7 +199,19 @@ object Clusters {
     * the CC result is already checkpointed by [[connectedComponents]]'s
     * final round. Keyed by (session, data dir) — reference equality on
     * the session; entries are two small frames (dup pairs + dup docs),
-    * released with the session. */
+    * released with the session.
+    *
+    * Lock scope, stated deliberately: the single monitor is held WHILE
+    * a build materializes (localCheckpoint jobs included), so two
+    * threads first-building different (session, dir) keys serialize.
+    * That is the accepted trade for nest-safety (builds call other
+    * memo entries from inside their bodies — per-key locks would
+    * deadlock or reintroduce the `computeIfAbsent` failure), and the
+    * harness is single-process/single-catalog-run, where contention is
+    * the work the memo exists to share anyway. Entries for stopped
+    * sessions are not evicted — acceptable for bounded-lifetime
+    * processes (Verify/Bench/tests); a long-lived multi-session server
+    * would want eviction keyed off `SparkSession.stop`. */
   private val sharedMemo =
     new java.util.HashMap[(SparkSession, String, String), DataFrame]()
 

@@ -611,7 +611,13 @@ object Sketches {
     val m = 1 << p
     graft.functions.VectorFunctions.register(events.sparkSession)
     events
-      .select(expr(s"(unix_micros($ts) div 3600000000L) * 3600L")
+      // FLOOR-consistent hour bucketing: Spark's `div` truncates toward
+      // zero while the DuckDB oracle's `//` floors, so for pre-1970
+      // (negative-epoch) timestamps plain `div` would land one bucket
+      // high. Subtracting pmod first makes the dividend an exact
+      // multiple, so `div` ≡ floor division for either sign — the same
+      // sign-safety recipe as q46/c17's magnitude division.
+      .select(expr(s"((unix_micros($ts) - pmod(unix_micros($ts), 3600000000L)) div 3600000000L) * 3600L")
           .as("hour_epoch"),
         expr(s"(graft_polyhash(cast($valueCol as string)) * ${ScatterA}L + ${ScatterB}L) % ${Hashing.P}L")
           .as("h"))

@@ -220,7 +220,13 @@ class PlanAssertionsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
   }
 
   test("k04 final assignment broadcasts the centroid table") {
-    val s = plan("k04_kmeans").toString
+    // pin the TRAINING plan, not the catalog entry: k04's catalog
+    // entry serves the shared memoized assignment (a checkpoint scan),
+    // so the broadcast lives in the underlying kmeansAssign build
+    val s = graft.ops.Similarity.kmeansAssign(
+        graft.ops.Tables.embeddings(spark, sf), "vec_id", "embedding",
+        graft.ops.Similarity.KmeansK, graft.ops.Similarity.KmeansIters)
+      .queryExecution.executedPlan.toString
     assert(s.contains("Broadcast"), "centroids must broadcast:\n" + s.take(2000))
     assert(!s.contains("SortMergeJoin"),
       "the k-row centroid side must never sort-merge:\n" + s.take(2000))
@@ -373,12 +379,14 @@ class PlanAssertionsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     // i.e. an aggregate BELOW the Expand — so the ×4 multiplication
     // applies to ≤ |seg|·|status| rows, not the join output
     expands.foreach { e =>
-      val aggsBelow = e.collectLeaves().size
-      val hasAggBelow = e.find {
-        case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec => true
-        case _ => false
-      }.isDefined
-      assert(hasAggBelow && aggsBelow >= 1,
+      // count aggregates STRICTLY inside the Expand's subtree (collect
+      // on the ExpandExec node never matches itself), so the assertion
+      // actually pins "pre-aggregate below Expand" rather than the
+      // vacuous leaf count it once checked
+      val aggsBelow = e.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      }.size
+      assert(aggsBelow >= 1,
         "Expand must sit above the pre-aggregate:\n" + p.toString.take(3000))
     }
   }
