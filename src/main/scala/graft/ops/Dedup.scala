@@ -422,20 +422,39 @@ object Dedup {
     * ≥ `threshold`. */
   def minhashVerifiedAgainst(corpus: DataFrame, delta: DataFrame,
                              id: String, text: String, threshold: Double,
-                             n: Int = 3): DataFrame = {
-    graft.functions.VectorFunctions.register(corpus.sparkSession)
-    def bands(docs: DataFrame, out: String): DataFrame = {
-      val sig = docs
-        .select(col(id).as(out),
-          expr(s"filter(split($text, ' '), x -> x <> '')").as("tk"))
-        .filter(size(col("tk")) >= n)
-        .select(col(out), expr(s"graft_minhash(tk, $n)").as("mh"))
-      val bandKeys = (0 until Bands).map { b =>
-        val cols = (0 until RowsPerBand).map(r => s"mh[${b * RowsPerBand + r}]")
-        expr(s"concat_ws('_', ${cols.mkString(", ")})")
-      }
-      sig.select(col(out), posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+                             n: Int = 3): DataFrame =
+    minhashServeDelta(corpus, minhashBandRows(corpus, id, text, n)
+        .withColumnRenamed("doc_id", "corpus_id"),
+      delta, id, text, threshold, n)
+
+  /** Per-doc band-key rows `(doc_id, band, key)` over MinHash
+    * signatures — the LSH index column layout, shared by the in-flow
+    * cross-set join ([[minhashVerifiedAgainst]]) and the persisted
+    * signature store ([[minhashWriteIndex]]/[[minhashLoadIndex]]). */
+  def minhashBandRows(docs: DataFrame, id: String, text: String,
+                      n: Int = 3): DataFrame = {
+    val sig = minhashSignatures(docs, id, text, n)
+    val bandKeys = (0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => s"mh[${b * RowsPerBand + r}]")
+      expr(s"concat_ws('_', ${cols.mkString(", ")})")
     }
+    sig.select(col("doc_id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+  }
+
+  /** Serve a DELTA batch against a standing corpus's band table —
+    * the candidate + verify half of [[minhashVerifiedAgainst]], split
+    * out so `corpusBands` can come from either an in-flow computation
+    * or a persisted index loaded from parquet (d19). Delta bands are
+    * computed map-side; candidates are the cross-set band equi-join
+    * (never a within-set expansion); the exact-Jaccard verify
+    * re-projects shingle arrays only for docs that banded together —
+    * the corpus TEXT is touched for verification only, its signatures
+    * never recomputed. `corpusBands` schema: `(corpus_id, band, key)`. */
+  def minhashServeDelta(corpus: DataFrame, corpusBands: DataFrame,
+                        delta: DataFrame, id: String, text: String,
+                        threshold: Double, n: Int = 3): DataFrame = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
     def arr(docs: DataFrame, out: String, hs: String, nsh: String): DataFrame =
       docs
         .select(col(id).as(out),
@@ -443,8 +462,10 @@ object Dedup {
         .filter(size(col("tk")) >= n)
         .select(col(out), expr(s"graft_shingle_hashes(tk, $n, 1)").as(hs))
         .select(col(out), col(hs), size(col(hs)).cast("long").as(nsh))
-    val cand = bands(corpus, "corpus_id")
-      .join(bands(delta, "delta_id"), Seq("band", "key"))
+    val cand = corpusBands
+      .join(minhashBandRows(delta, id, text, n)
+          .withColumnRenamed("doc_id", "delta_id"),
+        Seq("band", "key"))
       .select(col("corpus_id"), col("delta_id"))
       .distinct()
     cand
@@ -457,6 +478,30 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("corpus_id"), col("delta_id"), col("inter"), col("jaccard"))
   }
+
+  /** PERSIST the standing corpus's MinHash index (d19) as two parquet
+    * tables under `dir` — `signatures` `(doc_id, mh)` and `bands`
+    * `(doc_id, band, key)`: the d-family twin of the persisted PQ
+    * index (Similarity.pqWriteIndex). A production incremental-dedup
+    * pipeline computes the corpus side ONCE per ingest and appends; a
+    * daily delta then joins the loaded band table without re-reading
+    * (or re-hashing) a byte of standing-corpus text on the candidate
+    * path. Longs and strings round-trip parquet bit-exactly, so
+    * serve-from-loaded ≡ serve-from-computed (pinned by spec and by
+    * d19's oracle, which is d10's verbatim). */
+  def minhashWriteIndex(corpus: DataFrame, id: String, text: String,
+                        dir: String, n: Int = 3): Unit = {
+    minhashSignatures(corpus, id, text, n)
+      .write.mode("overwrite").parquet(s"$dir/signatures")
+    minhashBandRows(corpus, id, text, n)
+      .write.mode("overwrite").parquet(s"$dir/bands")
+  }
+
+  /** Load a persisted MinHash index written by [[minhashWriteIndex]]:
+    * `(signatures, bands)`. */
+  def minhashLoadIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/signatures"),
+      spark.read.parquet(s"$dir/bands"))
 
   /** NEAR-DUP decontamination (d17) — [[contaminationHits]]'s fuzzy
     * sibling: training docs that are near-duplicates (true Jaccard ≥
@@ -849,6 +894,24 @@ object Dedup {
         docs.filter(col("doc_id") % 2 =!= 0),
         "doc_id", "text", threshold = 0.6)
     }),
+    // d19: the PERSISTED-index serve path of d10 — write the standing
+    // corpus's signature + band tables to parquet, load them back, and
+    // serve the delta from the loaded bands only (the nightly
+    // incremental-dedup deployment). Output and oracle are d10's
+    // verbatim: parquet round-trips the long signatures and string
+    // band keys bit-exactly.
+    "d19_minhash_persisted" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_mh_index_" + Integer.toHexString(d.hashCode)).getPath
+      minhashWriteIndex(corpus, "doc_id", "text", idxDir)
+      val (_, bands) = minhashLoadIndex(s, idxDir)
+      minhashServeDelta(corpus,
+        bands.withColumnRenamed("doc_id", "corpus_id"),
+        docs.filter(col("doc_id") % 2 =!= 0),
+        "doc_id", "text", threshold = 0.6)
+    }),
     // decontamination: src0 docs stand in for the held-out benchmark,
     // the remaining 19 sources are the training corpus
     "d09_decontaminate" -> ((s, d) => {
@@ -967,7 +1030,7 @@ object Dedup {
            |JOIN cnt ca ON pr.doc_a = ca.doc_id
            |JOIN cnt cb ON pr.doc_b = cb.doc_id
            |WHERE inter::DOUBLE / (ca.n_sh + cb.n_sh - inter)::DOUBLE >= 0.6""".stripMargin
-    Map(
+    val m = Map(
       "d01_exact_dedup" ->
         """SELECT md5(text) AS sig, min(doc_id) AS keep_id, count(*) AS n_dups
           |FROM documents GROUP BY md5(text)""".stripMargin,
@@ -1239,5 +1302,9 @@ object Dedup {
           |SELECT t.doc_id, t.n_grams, coalesce(d.n_dup, 0) AS n_dup_grams,
           |  coalesce(d.n_dup, 0)::DOUBLE / t.n_grams::DOUBLE AS dup_frac
           |FROM tot t LEFT JOIN dup d USING (doc_id)""".stripMargin)
+    // d19 answers exactly what d10 answers — the index changes where
+    // the corpus bands live, not what the serve returns — so the two
+    // share one oracle text (the s05/s06 shared-oracle move)
+    m + ("d19_minhash_persisted" -> m("d10_incremental_dedup"))
   }
 }

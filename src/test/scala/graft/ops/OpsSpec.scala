@@ -1347,6 +1347,37 @@ class OpsSpec extends AnyFunSuite {
       "persisted round trip must match the one-shot train+query path")
   }
 
+  test("d19 persisted MinHash index: serve-from-loaded equals in-flow dedup") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
+    val delta = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_spec").toString
+    Dedup.minhashWriteIndex(corpus, "doc_id", "text", dir)
+    val (sigs, bands) = Dedup.minhashLoadIndex(spark, dir)
+    // the persisted tables are byte-faithful (longs and strings both
+    // parquet-exact): same row counts as a fresh computation
+    assert(sigs.count() ==
+      Dedup.minhashBandRows(corpus, "doc_id", "text").select("doc_id")
+        .distinct().count())
+    assert(bands.count() == Dedup.minhashBandRows(corpus, "doc_id", "text").count())
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+    val fresh = norm(Dedup.minhashVerifiedAgainst(corpus, delta,
+      "doc_id", "text", threshold = 0.6))
+    val loaded = norm(Dedup.minhashServeDelta(corpus,
+      bands.withColumnRenamed("doc_id", "corpus_id"), delta,
+      "doc_id", "text", threshold = 0.6))
+    assert(loaded.sameElements(fresh),
+      "serving the delta from the loaded band table must be row-identical " +
+        "to the in-flow cross-set dedup")
+    // and the catalog entry (write+load+serve in one plan) agrees too
+    val catalog = norm(Dedup.queries("d19_minhash_persisted")(spark, sf))
+    assert(catalog.sameElements(fresh),
+      "d19 catalog round trip must match the in-flow d10 path")
+  }
+
   test("k08 PQ+refine: structure, exact scores on survivors, useful recall") {
     val rows = Similarity.queries("k08_pq_adc")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
