@@ -217,15 +217,30 @@ object Entity {
   def blockingAudit(df: DataFrame, name: String,
                     minJwQ6: Long = MinJwQ6,
                     maxBlock: Int = MaxBlock,
-                    sampleMod: Long = SampleMod): DataFrame = {
+                    sampleMod: Long = SampleMod): DataFrame =
+    blockingAuditOf(df, name, blockedNames(df, name, maxBlock),
+      minJwQ6, sampleMod)
+
+  /** [[blockingAudit]] over an EXPLICIT `(name, blk)` table, so the
+    * same two-number readout scores any blocking scheme — er06 feeds
+    * it the last-token key, er07 the first∪last union. Candidate
+    * pairs are counted DISTINCT (a union scheme can generate the same
+    * pair under two keys; the pair space being measured has no
+    * multiplicity), and "found" is a semi-join against that distinct
+    * pair set — for a single-key scheme both reduce to the plain
+    * join count, so er06's oracle is unchanged. */
+  def blockingAuditOf(df: DataFrame, name: String, blocked: DataFrame,
+                      minJwQ6: Long = MinJwQ6,
+                      sampleMod: Long = SampleMod): DataFrame = {
     graft.functions.VectorFunctions.register(df.sparkSession)
     val names = df.select(col(name).as("name")).distinct()
-    val blocked = blockedNames(df, name, maxBlock)
     val nNames = names.agg(count(lit(1)).as("n_names"))
-    val nCand = blocked.as("a")
+    val cPairs = blocked.as("a")
       .join(blocked.as("b"), col("a.blk") === col("b.blk")
         && col("a.name") < col("b.name"))
-      .agg(count(lit(1)).as("n_cand"))
+      .select(col("a.name").as("na"), col("b.name").as("nb"))
+      .distinct()
+    val nCand = cPairs.agg(count(lit(1)).as("n_cand"))
     val samp = names
       .filter(expr(s"graft_polyhash(name) % $sampleMod") === 0L)
     val sTrue = samp.select(col("name").as("na"))
@@ -236,9 +251,7 @@ object Entity {
     val nSample = samp.agg(count(lit(1)).as("n_sample"))
     val nTrue = sTrue.agg(count(lit(1)).as("n_true"))
     val nFound = sTrue
-      .join(blocked.select(col("name").as("na"), col("blk").as("blka")), Seq("na"))
-      .join(blocked.select(col("name").as("nb"), col("blk").as("blkb")), Seq("nb"))
-      .filter(col("blka") === col("blkb"))
+      .join(cPairs, Seq("na", "nb"), "left_semi")
       .agg(count(lit(1)).as("n_found"))
     nNames.crossJoin(broadcast(nCand)).crossJoin(broadcast(nSample))
       .crossJoin(broadcast(nTrue)).crossJoin(broadcast(nFound))
@@ -249,6 +262,30 @@ object Entity {
       .select(col("n_names"), col("n_cand"), col("rr_q6"),
         col("n_sample"), col("n_true"), col("n_found"), col("pc_q6"))
   }
+
+  /** UNION blocking (er07) — every name enters TWO blocks, keyed by
+    * its first and its last whitespace token (namespace-prefixed so
+    * the two key families never cross-match): the standard multi-pass
+    * blocking move (Christen) for the er06-measured failure mode,
+    * where a typo in the head noun ("acme corp" / "acme corq") exiles
+    * a true match from its last-token block while the first token
+    * still agrees. Recall compounds across passes — a pair is a
+    * candidate if EITHER key agrees — at the cost of ≤ 2× candidate
+    * volume, still Σ|block|², never n².
+    *
+    * Scale shape: identical to [[blockedNames]] — the per-key
+    * oversized-block guard rides the same window/partitioning the
+    * self-join shuffles on, just over twice the (tiny) key rows. */
+  def unionBlockedNames(df: DataFrame, name: String,
+                        maxBlock: Int = MaxBlock): DataFrame =
+    df.select(col(name).as("name")).distinct()
+      .select(col("name"), explode(array(
+        concat(lit("f_"), element_at(split(col("name"), " "), 1)),
+        concat(lit("l_"), element_at(split(col("name"), " "), -1))))
+        .as("blk"))
+      .withColumn("_bn", count(lit(1)).over(Window.partitionBy(col("blk"))))
+      .filter(col("_bn") <= maxBlock)
+      .select(col("name"), col("blk"))
 
   /** er06 harness sampleMod: the synthetic part dictionary is ~64
     * distinct names, so the catalog entry audits UN-sampled (mod 1 =
@@ -280,6 +317,14 @@ object Entity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "er06_blocking_audit" -> ((s, d) =>
       blockingAudit(Tables.part(s, d), "p_name",
+        sampleMod = AuditSampleMod)),
+    // er07: the SAME audit over first∪last union blocking — read next
+    // to er06, the pair-completeness lift is the business case for the
+    // second blocking pass (er06 honestly reports the last-token key
+    // alone keeps only ~14% of true matches on this dictionary)
+    "er07_union_audit" -> ((s, d) =>
+      blockingAuditOf(Tables.part(s, d), "p_name",
+        unionBlockedNames(Tables.part(s, d), "p_name"),
         sampleMod = AuditSampleMod)),
     "er05_survivorship" -> ((s, d) =>
       survivorshipFromMap(Tables.part(s, d), "p_name",
@@ -341,6 +386,45 @@ object Entity {
            |  FROM strue
            |  JOIN ok oa ON oa.name = strue.na
            |  JOIN ok ob ON ob.name = strue.nb AND oa.blk = ob.blk)
+           |SELECT nn.n_names, cand.n_cand,
+           |  (((nn.n_names * (nn.n_names - 1)) // 2 - cand.n_cand) * 1000000)
+           |    // ((nn.n_names * (nn.n_names - 1)) // 2) AS rr_q6,
+           |  ns.n_sample, nt.n_true, fnd.n_found,
+           |  CASE WHEN nt.n_true > 0
+           |    THEN (fnd.n_found * 1000000) // nt.n_true END AS pc_q6
+           |FROM nn, cand, ns, nt, fnd""".stripMargin,
+      // er07 — the er06 audit text over the union-keyed block table:
+      // two namespace-prefixed key passes UNION ALL'd, candidates
+      // counted DISTINCT, found = exists-in-candidates
+      "er07_union_audit" ->
+        s"""WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+           |keyed AS (
+           |  SELECT name, 'f_' || string_split(name, ' ')[1] AS blk FROM names
+           |  UNION ALL
+           |  SELECT name, 'l_' || string_split(name, ' ')[-1] AS blk FROM names),
+           |blocked AS (
+           |  SELECT name, blk, count(*) OVER (PARTITION BY blk) AS bn
+           |  FROM keyed),
+           |ok AS (SELECT name, blk FROM blocked WHERE bn <= $MaxBlock),
+           |cpairs AS (
+           |  SELECT DISTINCT a.name AS na, b.name AS nb
+           |  FROM ok a JOIN ok b ON a.blk = b.blk AND a.name < b.name),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_names FROM names),
+           |cand AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cpairs),
+           |samp AS (SELECT name FROM names
+           |  WHERE (${Hashing.polyHashSql("name")}) % $AuditSampleMod = 0),
+           |strue AS (
+           |  SELECT a.name AS na, b.name AS nb
+           |  FROM samp a JOIN samp b ON a.name < b.name
+           |  WHERE CAST(round(jaro_winkler_similarity(a.name, b.name) * 1000000.0)
+           |    AS BIGINT) >= $MinJwQ6),
+           |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sample FROM samp),
+           |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM strue),
+           |fnd AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_found
+           |  FROM strue
+           |  WHERE EXISTS (SELECT 1 FROM cpairs
+           |    WHERE cpairs.na = strue.na AND cpairs.nb = strue.nb))
            |SELECT nn.n_names, cand.n_cand,
            |  (((nn.n_names * (nn.n_names - 1)) // 2 - cand.n_cand) * 1000000)
            |    // ((nn.n_names * (nn.n_names - 1)) // 2) AS rr_q6,

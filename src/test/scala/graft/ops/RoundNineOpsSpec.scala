@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.etl.TestSpark
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Targeted checks for the round-9 operators — each verified against a
+  * brute-force recomputation or a hand-computed fixture, independent
+  * of the DuckDB oracle that checks the same answers cross-engine. */
+class RoundNineOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.session
+  val sf = "/root/testdata/sf0.001"
+
+  test("er07 union blocking: candidates superset last-token's, pairs counted once") {
+    val part = Tables.part(spark, sf)
+    def pairs(blocked: org.apache.spark.sql.DataFrame) = blocked.as("a")
+      .join(blocked.as("b"), col("a.blk") === col("b.blk")
+        && col("a.name") < col("b.name"))
+      .select(col("a.name"), col("b.name")).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val lastOnly = pairs(
+      part.select(col("p_name").as("name")).distinct()
+        .withColumn("blk", element_at(split(col("name"), " "), -1)))
+    val union = pairs(Entity.unionBlockedNames(part, "p_name"))
+    assert(lastOnly.subsetOf(union),
+      "first∪last candidates must contain every last-token candidate")
+    assert(union.size > lastOnly.size,
+      "the first-token pass must contribute new candidates on this dictionary")
+    // pairs agreeing on BOTH keys count once: the audit's n_cand equals
+    // the distinct pair-set size, not the keyed join's row count
+    val row = Entity.blockingAuditOf(part, "p_name",
+      Entity.unionBlockedNames(part, "p_name"),
+      sampleMod = Entity.AuditSampleMod).collect().head
+    assert(row.getLong(1) == union.size)
+  }
+
+  test("er07 audit: union blocking lifts pair completeness over er06's key") {
+    val at = "/root/testdata/sf0.01"
+    val er06 = Entity.queries("er06_blocking_audit")(spark, at).collect().head
+    val er07 = Entity.queries("er07_union_audit")(spark, at).collect().head
+    // same ground truth (n_true from the same sample + JW floor)
+    assert(er06.getLong(4) == er07.getLong(4))
+    // the acceptance metric: materially higher pair completeness
+    assert(er07.getLong(6) > er06.getLong(6),
+      s"union pc_q6 ${er07.getLong(6)} must beat last-token pc_q6 ${er06.getLong(6)}")
+    // at a bounded candidate cost: n_cand at most doubles (two passes)
+    assert(er07.getLong(1) <= 2L * er06.getLong(1))
+  }
+}
