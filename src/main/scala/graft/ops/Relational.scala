@@ -792,9 +792,81 @@ object Relational {
           * frac(0.5)).as("p50c"),
         (col("lo90") + (coalesce(col("hi90"), col("lo90")) - col("lo90"))
           * frac(0.9)).as("p90c"))
+    }),
+
+    // §2.5 CONTINUOUS group quantiles, SCALE PATH (the q25 move
+    // applied to q48, sharing q48's oracle verbatim): percentile_cont
+    // needs the values at the TWO bracketing ranks
+    // r_lo = ⌊(n−1)q⌋+1 and r_hi = r_lo+1 (1-based in value order),
+    // then interpolates with frac = (n−1)q − ⌊(n−1)q⌋. Each rank is a
+    // two-phase histogram-prune selection — value@r = min{v :
+    // count(qty ≤ v) ≥ r}, located through a bounded per-(group,
+    // unit-bucket) histogram, verified by a within-bracket cumulative
+    // over DISTINCT values — so no per-group window ever touches
+    // O(rows): both passes are splittable aggregations, the only
+    // windows run over histograms. Interpolation is the identical
+    // double expression q48 evaluates (same lo + (hi−lo)·frac fold on
+    // the same doubles), so the answers agree bit-for-bit. For q < 1,
+    // r_hi ≤ n always holds when the group has ≥ 2 rows; the coalesce
+    // mirrors q48's single-row-group guard. At 100 TB this is the
+    // plan to run; q48 stays as the exact windowed baseline it is
+    // validated against (its sf1 probe ratio motivated this twin).
+    "q49_quantile_cont_2p" -> ((s, d) => {
+      val vals = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("g"),
+          col("l_quantity").cast("double").as("qty"))
+      val hist = vals.groupBy(col("g"), floor(col("qty")).as("bkt"))
+        .agg(count(lit(1)).as("cnt"))
+      val cum = hist
+        .withColumn("cum",
+          sum(col("cnt")).over(Window.partitionBy(col("g")).orderBy(col("bkt"))))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("g"))))
+      // four rank targets: the lo/hi bracketing ranks per quantile
+      val brackets = Seq(0.5 -> "p50", 0.9 -> "p90").flatMap {
+        case (q, label) => Seq((q, s"${label}_lo", 1L), (q, s"${label}_hi", 2L))
+      }.map { case (q, lbl, off) =>
+        cum.withColumn("r", floor((col("n") - 1) * lit(q)) + lit(off))
+          .filter(col("cum") >= col("r") && col("cum") - col("cnt") < col("r"))
+          .select(col("g").as("bg"), lit(lbl).as("q"), col("bkt"),
+            (col("cum") - col("cnt")).as("below"), col("r"), col("n"))
+      }.reduce(_ union _)
+      // bracket set ≤ #groups × 4 rows → broadcast; only bracket-bucket
+      // fact rows survive the join
+      val inBracket = vals.join(broadcast(brackets),
+        vals("g") === col("bg") && floor(vals("qty")) === col("bkt"))
+      val byVal = inBracket
+        .groupBy(col("g"), col("q"), col("qty"), col("below"), col("r"),
+          col("n"))
+        .agg(count(lit(1)).as("c"))
+      val at = byVal
+        .withColumn("cum2", col("below") + sum(col("c")).over(
+          Window.partitionBy(col("g"), col("q")).orderBy(col("qty"))))
+        .filter(col("cum2") >= col("r"))
+        .groupBy(col("g"), col("q"))
+        .agg(min(col("qty")).as("v"), max(col("n")).as("n"))
+      def frac(q: Double) =
+        (col("n") - 1) * lit(q) - floor((col("n") - 1) * lit(q)).cast("double")
+      at.groupBy(col("g"))
+        .agg(max(col("n")).as("n"),
+          max(when(col("q") === "p50_lo", col("v"))).as("lo50"),
+          max(when(col("q") === "p50_hi", col("v"))).as("hi50"),
+          max(when(col("q") === "p90_lo", col("v"))).as("lo90"),
+          max(when(col("q") === "p90_hi", col("v"))).as("hi90"))
+        .select(col("g").as("l_returnflag"),
+          (col("lo50") + (coalesce(col("hi50"), col("lo50")) - col("lo50"))
+            * frac(0.5)).as("p50c"),
+          (col("lo90") + (coalesce(col("hi90"), col("lo90")) - col("lo90"))
+            * frac(0.9)).as("p90c"))
     }))
 
-  def oracle: Map[String, String] = Map(
+  def oracle: Map[String, String] = {
+    val m = oracleBase
+    // q49 computes q48's answer through the two-phase plan, so the two
+    // share one oracle text (the q25/s06 shared-oracle move)
+    m + ("q49_quantile_cont_2p" -> m("q48_quantile_cont"))
+  }
+
+  private def oracleBase: Map[String, String] = Map(
     // q48 — identical explicit rank/floor/frac sequence; neither
     // engine's native percentile function appears on either side
     "q48_quantile_cont" ->

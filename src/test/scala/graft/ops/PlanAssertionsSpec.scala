@@ -391,6 +391,29 @@ class PlanAssertionsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("q49 two-phase percentile_cont: windows over histograms only, brackets broadcast") {
+    // same contract as q25, applied to the continuous-quantile twin:
+    // no WindowExec may sort raw fact rows — an aggregation (the
+    // bucket or within-bracket value histogram) must sit below every
+    // window — and the 4-row bracket set must reach the fact by
+    // broadcast, not shuffle
+    val p = plan("q49_quantile_cont_2p")
+    val windows = collectWithSubqueries(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "expected histogram windows in the two-phase plan")
+    windows.foreach { w =>
+      val aggBelow = collect(w.child) {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }
+      assert(aggBelow.nonEmpty,
+        "window must run over an aggregated histogram, not raw rows:\n" +
+          w.toString.take(1500))
+    }
+    assert(p.toString.contains("BroadcastExchange"),
+      "bracket set must broadcast onto the fact:\n" + p.toString.take(2000))
+  }
+
   test("x12 sliding HLL: the trailing merge joins broadcast register tables") {
     val s = plan("x12_hll_sliding").toString
     assert(s.contains("BroadcastExchange"),

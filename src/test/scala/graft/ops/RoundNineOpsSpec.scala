@@ -35,6 +35,19 @@ class RoundNineOpsSpec extends AnyFunSuite {
     assert(row.getLong(1) == union.size)
   }
 
+  test("q49 two-phase percentile_cont is bit-identical to q48's windowed baseline") {
+    def rows(name: String, dir: String) =
+      Relational.queries(name)(spark, dir).collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+        .sortBy(_._1)
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val base = rows("q48_quantile_cont", dir)
+      val twoPhase = rows("q49_quantile_cont_2p", dir)
+      assert(twoPhase.sameElements(base),
+        s"two-phase continuous quantiles must equal the windowed exact path at $dir")
+    }
+  }
+
   test("er07 audit: union blocking lifts pair completeness over er06's key") {
     val at = "/root/testdata/sf0.01"
     val er06 = Entity.queries("er06_blocking_audit")(spark, at).collect().head
