@@ -84,6 +84,91 @@ class RestartRecoverySpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(firstRun != full, "split produced no partial first run")
   }
 
+  test("sliding HLL registers: sketch state survives restart bit-identically") {
+    val watch = Files.createTempDirectory("graft_restart_hll")
+    val ckpt = Files.createTempDirectory("graft_ckpt_hll").toString
+    val (t1, t2) = tranches()
+
+    def runOnce(sink: String): Map[(Long, Long), Long] = {
+      val q = SketchStream.hourlyHllRegistersStream(
+          EventStream.readEvents(spark, watch.toString, "*.parquet"),
+          "ts", "user_id")
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+      spark.table(sink).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          r.getAs[Number](2).longValue).toMap
+    }
+
+    stageTranche(t1, watch, "t1")
+    val firstRun = runOnce("hll_restart_r1")
+    stageTranche(t2, watch, "t2")
+    val resumed = runOnce("hll_restart_r2")
+
+    // register-level bit-identity: max(rho) per (hour, bucket) must
+    // come back from the recovered state store exactly — and the
+    // estimate read out of those registers then agrees for free
+    val batchRegs = graft.ops.Sketches
+      .hourlyHllRegisters(Tables.events(spark, sf), "ts", "user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getAs[Number](2).longValue).toMap
+    assert(resumed == batchRegs,
+      "post-restart registers must equal the uninterrupted batch sketch")
+    assert(firstRun != batchRegs, "split produced no partial first run")
+    val streamEst = graft.ops.Sketches.hllSlidingReadout(
+        spark.table("hll_restart_r2"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val batchEst = graft.ops.Sketches.queries("x12_hll_sliding")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(streamEst == batchEst,
+      "x12 readout over recovered registers must equal the batch readout")
+  }
+
+  test("trending spend: aggregate state survives restart, rank readout agrees") {
+    val watch = Files.createTempDirectory("graft_restart_trend")
+    val ckpt = Files.createTempDirectory("graft_ckpt_trend").toString
+    val (t1, t2) = tranches()
+
+    def runOnce(sink: String): DataFrame = {
+      val q = TrendStream.dailySpend(
+          EventStream.readEvents(spark, watch.toString, "*.parquet"))
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+      spark.table(sink)
+    }
+
+    def norm(df: DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+
+    stageTranche(t1, watch, "t1")
+    val firstRun = norm(runOnce("trend_restart_r1"))
+    stageTranche(t2, watch, "t2")
+    val resumedDf = runOnce("trend_restart_r2")
+    val resumed = norm(resumedDf)
+
+    val batchAgg = TrendStream.dailySpend(Tables.events(spark, sf))
+    assert(resumed == norm(batchAgg),
+      "post-restart spend aggregate must equal the uninterrupted batch aggregate")
+    assert(firstRun != resumed, "split produced no partial first run")
+    // the dashboard readout over the recovered snapshot ranks the same
+    // rows the batch trending query ranks
+    assert(norm(TrendStream.rankTopK(resumedDf, 3)) ==
+      norm(TrendStream.rankTopK(batchAgg, 3)),
+      "top-k rank over recovered state must equal the batch readout")
+  }
+
   test("cdc compaction: flatMapGroupsWithState user state survives restart") {
     val watch = Files.createTempDirectory("graft_restart_cdc")
     val ckpt = Files.createTempDirectory("graft_ckpt_cdc").toString
