@@ -131,6 +131,46 @@ object Multimodal {
         col("n_frames"), col("seg_energy"))
   }
 
+  /** MULTIMODAL CURATION PIPELINE (p04) — the m-family composed the
+    * way a video curation job actually runs, as ONE lazy plan (the
+    * p03 move on the media seam): decode/frame-sample the blobs
+    * (m01/m02's shared frame table), detect scene cuts (m06), keep
+    * ONE representative frame per scene (the cut frame), and drop
+    * representatives whose content is a corpus-wide duplicate kept
+    * elsewhere (m05's min-(doc,frame) keeper — repeated intros/
+    * watermark cards survive exactly once across the whole corpus).
+    * Output: `(doc_id, frame_idx, frame_hash, scene_id)` — the frame
+    * set a downstream embed/caption stage would pay for.
+    *
+    * Staying declarative end-to-end matters: no stage materializes, so
+    * Catalyst prunes the frame CONTENT column away right after hashing
+    * (both consumers need only the hash), and the scene window + the
+    * keeper aggregation share the one frame generate. Exchanges: one
+    * partitionBy(doc_id) for the scene window, one hash-key exchange
+    * for the keeper table, one semi-join on (hash, doc, frame). */
+  def curationPipeline(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val frames = mediaFrames(s, d)
+    val scenes = frames
+      .withColumn("prev_hash", lag(col("frame_hash"), 1).over(w))
+      .withColumn("is_cut", col("prev_hash").isNull ||
+        expr("bit_count(prev_hash ^ frame_hash)").cast("long") >= SceneCutBits)
+      .withColumn("scene_id",
+        sum(when(col("is_cut"), lit(1L)).otherwise(lit(0L)))
+          .over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+          .cast("long"))
+    val keepers = frames.groupBy(col("frame_hash"))
+      .agg(min(struct(col("doc_id"), col("frame_idx"))).as("_k"))
+      .select(col("frame_hash"), col("_k.doc_id").as("doc_id"),
+        col("_k.frame_idx").as("frame_idx"))
+    scenes.filter(col("is_cut"))
+      .join(keepers, Seq("frame_hash", "doc_id", "frame_idx"), "left_semi")
+      .select(col("doc_id"), col("frame_idx"), col("frame_hash"),
+        col("scene_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_meta" -> ((s, d) => {
       val blobs = Tables.documents(s, d)
@@ -238,6 +278,44 @@ object Multimodal {
   val EmbedDims = 8
   val KnnProbes = 3L
   val KnnK = 3
+
+  /** DuckDB replay of [[curationPipeline]] (registered as p04 by
+    * SparkEntry): the m02 frame CTE feeding both the m06 scene chain
+    * and the m05 keeper aggregate, semi-joined exactly as the plan
+    * composes them. */
+  def curationOracleSql: String =
+    s"""WITH fr AS (
+       |  SELECT doc_id, frame_idx, ${Hashing.polyHashSql("frame")} AS frame_hash
+       |  FROM (
+       |    SELECT doc_id,
+       |      unnest(range(0, ((length(text) - 1) // $FrameBytes) + 1)) AS frame_idx,
+       |      unnest(list_transform(range(0, ((length(text) - 1) // $FrameBytes) + 1),
+       |        i -> substring(text, (i * $FrameBytes + 1)::INTEGER, $FrameBytes))) AS frame
+       |    FROM documents WHERE length(text) > 0) frames),
+       |lagd AS (
+       |  SELECT doc_id, frame_idx, frame_hash,
+       |    lag(frame_hash) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev_hash
+       |  FROM fr),
+       |cuts AS (
+       |  SELECT doc_id, frame_idx, frame_hash,
+       |    (prev_hash IS NULL
+       |      OR bit_count(xor(prev_hash, frame_hash)) >= $SceneCutBits) AS is_cut
+       |  FROM lagd),
+       |sc AS (
+       |  SELECT doc_id, frame_idx, frame_hash, is_cut,
+       |    sum(CASE WHEN is_cut THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY frame_idx
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS scene_id
+       |  FROM cuts),
+       |keep AS (
+       |  SELECT frame_hash,
+       |    CAST((min({'d': doc_id, 'f': frame_idx})).d AS BIGINT) AS kd,
+       |    CAST((min({'d': doc_id, 'f': frame_idx})).f AS BIGINT) AS kf
+       |  FROM fr GROUP BY frame_hash)
+       |SELECT sc.doc_id, sc.frame_idx, sc.frame_hash, sc.scene_id
+       |FROM sc JOIN keep ON keep.frame_hash = sc.frame_hash
+       |  AND keep.kd = sc.doc_id AND keep.kf = sc.frame_idx
+       |WHERE sc.is_cut""".stripMargin
 
   def oracle: Map[String, String] = Map(
     // The stub is integer arithmetic over UTF-8 bytes (ASCII corpus ⇒

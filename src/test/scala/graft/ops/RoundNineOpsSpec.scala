@@ -48,6 +48,31 @@ class RoundNineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("p04 media curation equals composing the m05/m06 catalog stages") {
+    // one-plan composition vs gluing the already-verified catalog
+    // outputs by hand: m06's cut frames, kept only when (doc, frame)
+    // is m05's corpus-wide keeper for that hash
+    val cuts = Multimodal.queries("m06_scene_change")(spark, sf)
+      .filter(col("is_cut"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    val keepers = Multimodal.queries("m05_frame_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+      .map { t: (Long, Long, Long) => (t._2, t._3, t._1) } // (doc, frame, hash)
+    val frames = Multimodal.queries("m02_media_frames")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val want = cuts.flatMap { case (doc, idx, scene) =>
+      val h = frames((doc, idx))
+      if (keepers.contains((doc, idx, h))) Some((doc, idx, h, scene)) else None
+    }.toSet
+    val got = graft.SparkEntry.queries("p04_media_curation")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == want,
+      "the one-plan pipeline must equal the hand-glued catalog stages")
+    assert(got.nonEmpty && got.size < frames.size,
+      "curation must keep a strict, non-empty subset of frames")
+  }
+
   test("er07 audit: union blocking lifts pair completeness over er06's key") {
     val at = "/root/testdata/sf0.01"
     val er06 = Entity.queries("er06_blocking_audit")(spark, at).collect().head
