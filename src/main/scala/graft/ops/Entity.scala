@@ -113,11 +113,19 @@ object Entity {
     * the component's lexicographic min name, grouped on the label
     * table — never larger than the dictionary. */
   def canonicalMap(df: DataFrame, name: String, maxEdit: Int = MaxEdit,
-                   maxBlock: Int = MaxBlock): DataFrame = {
+                   maxBlock: Int = MaxBlock): DataFrame =
+    canonicalMapFromPairs(df, name, fuzzyPairs(df, name, maxEdit, maxBlock))
+
+  /** The CC + lexicographic-min-canon half of [[canonicalMap]] over an
+    * EXPLICIT verified pair table `(name_a, name_b, …)` — so the same
+    * map construction runs over any blocking scheme's pairs (er02's
+    * last-token pairs, er08's union-blocked pairs). */
+  def canonicalMapFromPairs(df: DataFrame, name: String,
+                            pairs: DataFrame): DataFrame = {
     graft.functions.VectorFunctions.register(df.sparkSession)
     val names = df.select(col(name).as("name")).distinct()
       .withColumn("h", expr("graft_polyhash(name)"))
-    val hPairs = fuzzyPairs(df, name, maxEdit, maxBlock)
+    val hPairs = pairs
       .withColumn("ha", expr("graft_polyhash(name_a)"))
       .withColumn("hb", expr("graft_polyhash(name_b)"))
     val cc = Clusters.connectedComponents(hPairs, "ha", "hb")
@@ -128,6 +136,33 @@ object Entity {
     labeled.join(canon, Seq("cluster_id"), "left")
       .select(col("name"),
         coalesce(col("_canon"), col("name")).as("canon_name"))
+  }
+
+  /** er08 — [[jaroWinklerPairs]] under UNION blocking: candidates from
+    * the first∪last key table, made DISTINCT before the JW verify (a
+    * pair agreeing on both keys must neither verify twice nor
+    * duplicate in the output). The verify is JW — the SAME scorer the
+    * er06/er07 audit defines ground truth with — because that is what
+    * the union scheme buys: on the harness dictionary every lev≤2
+    * match already shares its last token (the audit's missing 86% are
+    * all JW-true, same-first-token pairs like "old bolt"/"old rod"),
+    * so a lev-verified union map would merge nothing new, while the
+    * JW-verified one recovers exactly the matches er06 reported
+    * dropped. */
+  def jaroWinklerPairsUnion(df: DataFrame, name: String,
+                            minJwQ6: Long = MinJwQ6,
+                            maxBlock: Int = MaxBlock): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    val n = unionBlockedNames(df, name, maxBlock)
+    n.select(col("name").as("name_a"), col("blk"))
+      .join(n.select(col("name").as("name_b"), col("blk")), Seq("blk"))
+      .filter(col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b")).distinct()
+      .withColumn("jw_q6",
+        round(expr("graft_jaro_winkler(name_a, name_b)") * lit(1e6))
+          .cast("long"))
+      .filter(col("jw_q6") >= minJwQ6)
+      .select(col("name_a"), col("name_b"), col("jw_q6"))
   }
 
   /** er03 — the map applied back to the facts: per canonical entity,
@@ -337,7 +372,39 @@ object Entity {
       entityRollupFromMap(Tables.part(s, d), "p_name",
         sharedCanonicalMap(s, d))),
     "er04_jw_pairs" -> ((s, d) =>
-      jaroWinklerPairs(Tables.part(s, d), "p_name")))
+      jaroWinklerPairs(Tables.part(s, d), "p_name")),
+    // er08: the canonical map BUILT FROM union-blocked JW pairs —
+    // er07's audit showed the union scheme keeps the true matches the
+    // last-token key drops; this entry is that scheme applied, the map
+    // a deployment would actually publish after reading the audit
+    "er08_union_map" -> ((s, d) =>
+      canonicalMapFromPairs(Tables.part(s, d), "p_name",
+        jaroWinklerPairsUnion(Tables.part(s, d), "p_name"))))
+
+  /** Union-blocked pair-CTE body (er08's pair source): first∪last
+    * namespace-prefixed keys, DISTINCT candidates, the er04 JW verify
+    * at the same q6 floor — ends in the same `fuzzy` CTE name as
+    * [[pairsSqlBody]] so the er02 CC/canon SQL composes over either. */
+  private def unionPairsSqlBody: String =
+    s"""names AS (SELECT DISTINCT p_name AS name FROM part),
+       |keyed AS (
+       |  SELECT name, 'f_' || string_split(name, ' ')[1] AS blk FROM names
+       |  UNION ALL
+       |  SELECT name, 'l_' || string_split(name, ' ')[-1] AS blk FROM names),
+       |blocked AS (
+       |  SELECT name, blk, count(*) OVER (PARTITION BY blk) AS bn
+       |  FROM keyed),
+       |ok AS (SELECT name, blk FROM blocked WHERE bn <= $MaxBlock),
+       |ucand AS (
+       |  SELECT DISTINCT a.name AS name_a, b.name AS name_b
+       |  FROM ok a JOIN ok b ON a.blk = b.blk AND a.name < b.name),
+       |fuzzy AS (
+       |  SELECT name_a, name_b,
+       |    CAST(round(jaro_winkler_similarity(name_a, name_b) * 1000000.0)
+       |      AS BIGINT) AS jw_q6
+       |  FROM ucand
+       |  WHERE CAST(round(jaro_winkler_similarity(name_a, name_b) * 1000000.0)
+       |    AS BIGINT) >= $MinJwQ6)""".stripMargin
 
   /** Shared pair-CTE body (er01's query verbatim), over `names`. */
   private def pairsSqlBody: String =
@@ -447,6 +514,18 @@ object Entity {
            |      AS BIGINT) AS jw_q6
            |  FROM ok a JOIN ok b ON a.blk = b.blk AND a.name < b.name)
            |SELECT name_a, name_b, jw_q6 FROM p WHERE jw_q6 >= $MinJwQ6""".stripMargin,
+      // er08 — er02's CC/canon text over the union-blocked pair body
+      "er08_union_map" ->
+        s"""WITH RECURSIVE $unionPairsSqlBody,
+           |${Clusters.componentsCte(
+                s"SELECT ${ph("name_a")} AS doc_a, ${ph("name_b")} AS doc_b FROM fuzzy")},
+           |hn AS (SELECT name, ${ph("name")} AS h FROM names),
+           |canon AS (
+           |  SELECT l.cluster, min(hn.name) AS canon_name
+           |  FROM lab l JOIN hn ON hn.h = l.id GROUP BY l.cluster)
+           |SELECT hn.name, coalesce(c.canon_name, hn.name) AS canon_name
+           |FROM hn LEFT JOIN lab l ON l.id = hn.h
+           |        LEFT JOIN canon c ON c.cluster = l.cluster""".stripMargin,
       // er02/er03 — hash the verified pairs to node ids, run the same
       // recursive min-label CTE as c01, canonical = min name per label
       "er02_canonical_map" ->

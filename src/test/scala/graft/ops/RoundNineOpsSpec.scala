@@ -35,6 +35,28 @@ class RoundNineOpsSpec extends AnyFunSuite {
     assert(row.getLong(1) == union.size)
   }
 
+  test("er08 union-blocked canonical map merges a superset of er02's variants") {
+    val at = "/root/testdata/sf0.01"
+    def merged(name: String) =
+      Entity.queries(name)(spark, at).collect()
+        .map(r => (r.getString(0), r.getString(1)))
+        .filter { case (n, c) => n != c }.toMap
+    val er02 = merged("er02_canonical_map")
+    val er08 = merged("er08_union_map")
+    // the union scheme's JW verify admits every er02 pair on this
+    // dictionary (all lev<=2 matches score JW >= the er04 floor), and
+    // only ADDS pairs beyond them: every er02-merged name stays merged
+    // (possibly to a lexicographically smaller canon)
+    assert(er02.keySet.subsetOf(er08.keySet),
+      "every variant er02 merges must also be merged by er08")
+    assert(er08.size > er02.size,
+      s"union pairs must merge new variants (er02=${er02.size}, er08=${er08.size})")
+    // identity preserved for isolated names
+    val all = Entity.queries("er08_union_map")(spark, at).collect()
+    assert(all.exists(r => r.getString(0) == r.getString(1)),
+      "names with no fuzzy neighbor must map to themselves")
+  }
+
   test("q49 two-phase percentile_cont is bit-identical to q48's windowed baseline") {
     def rows(name: String, dir: String) =
       Relational.queries(name)(spark, dir).collect()
