@@ -144,10 +144,14 @@ object Multimodal {
     *
     * Staying declarative end-to-end matters: no stage materializes, so
     * Catalyst prunes the frame CONTENT column away right after hashing
-    * (both consumers need only the hash), and the scene window + the
-    * keeper aggregation share the one frame generate. Exchanges: one
-    * partitionBy(doc_id) for the scene window, one hash-key exchange
-    * for the keeper table, one semi-join on (hash, doc, frame). */
+    * (both consumers need only the hash). The frame generate runs
+    * TWICE — once under the scene window, once under the keeper
+    * aggregate — the same recompute-over-carry trade as the dedup
+    * verify paths: re-exploding frames map-side costs a scan, while
+    * materializing the frame table to share it would cost a write +
+    * read of the full frame set. Exchanges: one partitionBy(doc_id)
+    * for the scene window, one hash-key exchange for the keeper
+    * table, one semi-join on (hash, doc, frame). */
   def curationPipeline(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
