@@ -536,6 +536,53 @@ object Similarity {
     (codes, codebooks)
   }
 
+  /** ENCODE vectors against a FROZEN codebook (k18) — the incremental
+    * half of a standing PQ index, and the ANN twin of d19's
+    * delta-vs-persisted-bands serve: a nightly batch of new vectors is
+    * quantized with the codebooks already trained (and persisted, see
+    * [[pqWriteIndex]]), its m-integer code tuples appended to the code
+    * table — NO retraining, no touch of the standing corpus at all.
+    * Retrain only when drift accumulates (k09's recall readout is the
+    * trigger a deployment watches).
+    *
+    * Assignment rule: cosine argmax against the STORED centroids with
+    * training's `min(struct(-score, cluster))` tie-break. The stored
+    * centroids are the final-member means — one Lloyd step past the
+    * centroids that produced the trained assignment — so a boundary
+    * vector may re-encode to a (closer) different code than its
+    * trained one. That is the FAISS train/encode convention and the
+    * serve-consistent choice: the ADC distance tables score codes
+    * against exactly these stored centroids, so nearest-stored-
+    * centroid codes minimize the quantization error the serve path
+    * actually incurs. A vector's code depends only on (vector,
+    * codebook), never on what else rides in the batch (pinned by the
+    * batch-independence spec).
+    *
+    * Scale shape: codebooks are m·codebook rows → broadcast; encoding
+    * is one map-side pass over the delta (cross join against ≤ 32
+    * rows + an aggregate argmin), m subspaces as parallel branches of
+    * one scan. Output: `(vec_id, c0..c{m-1})`. */
+  def pqEncodeWith(vectors: DataFrame, id: String, vec: String,
+                   codebooks: DataFrame, m: Int = PqSubspaces,
+                   dims: Int = 64): DataFrame = {
+    val vn = pqNormalized(vectors, id, vec)
+    val sub = dims / m
+    val parts = (0 until m).map { i =>
+      val sf = vn.select(col("vec_id"),
+        expr(s"slice(nv, ${i * sub + 1}, $sub)").as("sv"))
+      val cb = broadcast(codebooks.filter(col("sub") === i)
+        .select(col("cluster"), col("centroid"),
+          expr("sqrt(graft_dot(centroid, centroid))").as("cnrm")))
+      sf.crossJoin(cb)
+        .withColumn("score", expr("graft_dot(sv, centroid)") / col("cnrm"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct((-col("score")).as("ns"),
+          col("cluster").as("cluster"))).as("b"))
+        .select(col("vec_id"), col("b.cluster").as(s"c$i"))
+    }
+    parts.reduce(_.join(_, "vec_id"))
+  }
+
   /** Write a trained PQ index ([[pqTrainIndex]]) as two parquet tables
     * under `dir` — the persistence half of a standing ANN index: train
     * once, serve many probe batches without re-reading corpus floats.
@@ -715,7 +762,8 @@ object Similarity {
     * mean of the FINAL assignment, which ADC scoring consumes. */
   def kmeansCtes(k: Int, iters: Int, dims: Int, prefix: String,
                  vecSql: String,
-                 withFinalCentroids: Boolean): Seq[String] = {
+                 withFinalCentroids: Boolean,
+                 srcWhere: String = "TRUE"): Seq[String] = {
     val p = prefix
     def fold(a: String, b: String) =
       s"reduce(list_prepend(0.0, list_transform(range(1, ${dims + 1}), " +
@@ -734,7 +782,7 @@ object Similarity {
     ctes += s"""${p}q AS (
        |  SELECT vec_id, list_transform($vecSql, x -> x::DOUBLE) AS v,
        |    list_transform($vecSql, x -> CAST(floor(x::DOUBLE * $Quant) AS BIGINT)) AS qv
-       |  FROM embeddings)""".stripMargin
+       |  FROM embeddings WHERE ($srcWhere))""".stripMargin
     ctes += s"""${p}g0 AS (
        |  SELECT cluster, sq, n FROM (
        |    SELECT row_number() OVER (ORDER BY
@@ -1020,7 +1068,18 @@ object Similarity {
     // refine — the dimensionality-reduction member of the index family
     "k10_rp_knn" -> ((s, d) =>
       rpKnn(Tables.embeddings(s, d), "vec_id", "embedding",
-        _ < NumProbes, TopK)))
+        _ < NumProbes, TopK)),
+    // k18: INCREMENTAL index growth — codebooks trained on the even
+    // half (the standing corpus), the odd half (a delta batch) encoded
+    // against them FROZEN: the nightly append a PQ deployment runs
+    // between retrains (d19's move on the ANN seam)
+    "k18_pq_encode_delta" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val (_, cbs) = pqTrainIndex(e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding")
+      pqEncodeWith(e.filter(col("vec_id") % 2 =!= 0), "vec_id",
+        "embedding", cbs)
+    }))
 
   def oracle: Map[String, String] = {
     val wLists = (0 until NumPlanes).map { i =>
@@ -1442,6 +1501,47 @@ object Similarity {
                |) r""".stripMargin
           }.mkString("\nUNION ALL\n")
         }
+        // k18 — per-subspace training restricted to the even half
+        // (srcWhere), then each odd vector assigned by the SAME
+        // cosine-argmax rank the training rounds use, against the
+        // frozen final centroids
+        val k18Sql = {
+          val sub = 64 / PqSubspaces
+          val nrmSql = "sqrt(reduce(list_prepend(0.0, list_transform(embedding, " +
+            "x -> x::DOUBLE * x::DOUBLE)), (acc, x) -> acc + x))"
+          def nSlice(i: Int) =
+            s"list_transform(range(${i * sub + 1}, ${(i + 1) * sub + 1}), " +
+              s"j -> embedding[j]::DOUBLE / $nrmSql)"
+          val subCtes = (0 until PqSubspaces).flatMap { i =>
+            kmeansCtes(PqK, PqIters, sub, s"s$i", nSlice(i),
+              withFinalCentroids = true, srcWhere = "vec_id % 2 = 0")
+          }
+          def fold(a: String, b: String) =
+            s"reduce(list_prepend(0.0, list_transform(range(1, ${sub + 1}), " +
+              s"j -> $a[j] * $b[j])), (acc, x) -> acc + x)"
+          def cnrm(c: String) =
+            s"sqrt(reduce(list_prepend(0.0, list_transform($c, x -> x * x)), (acc, x) -> acc + x))"
+          val deltaCols = (0 until PqSubspaces).map(i =>
+            s"${nSlice(i)} AS dv$i").mkString(",\n    ")
+          val encCtes = (0 until PqSubspaces).map { i =>
+            s"""enc$i AS (
+               |  SELECT vec_id, cluster AS c$i FROM (
+               |    SELECT d.vec_id, c.cluster,
+               |      row_number() OVER (PARTITION BY d.vec_id
+               |        ORDER BY ${fold(s"d.dv$i", "c.centroid")} / ${cnrm("c.centroid")} DESC, c.cluster) AS rnk
+               |    FROM delta d, s${i}c$PqIters c) t
+               |  WHERE rnk = 1)""".stripMargin
+          }
+          val encJoins = (1 until PqSubspaces).map(i =>
+            s"JOIN enc$i USING (vec_id)").mkString("\n")
+          val codeCols = (0 until PqSubspaces).map(i => s"c$i").mkString(", ")
+          s"""WITH ${(subCtes ++ Seq(
+                s"delta AS (\n  SELECT vec_id,\n    $deltaCols\n  FROM embeddings WHERE vec_id % 2 = 1)") ++
+                encCtes).mkString(",\n")}
+             |SELECT vec_id, $codeCols
+             |FROM enc0
+             |$encJoins""".stripMargin
+        }
         m + ("k07_lsh_recall" -> recallSql(m("k02_knn_lsh"))) +
           ("k08_pq_adc" -> k08Sql) +
           // k15 trains the same index, persists it, and serves from the
@@ -1449,7 +1549,8 @@ object Similarity {
           ("k15_pq_persisted" -> k08Sql) +
           ("k09_pq_recall" -> recallSql(k08Sql)) +
           ("k17_nprobe_recall" -> k17Sql) +
-          ("k10_rp_knn" -> k10Sql)
+          ("k10_rp_knn" -> k10Sql) +
+          ("k18_pq_encode_delta" -> k18Sql)
     }
   }
 }

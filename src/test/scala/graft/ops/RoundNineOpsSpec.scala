@@ -70,6 +70,53 @@ class RoundNineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("k18 frozen-codebook encode: batch-independent, nearest-stored-centroid") {
+    val e = Tables.embeddings(spark, sf)
+    val (_, cbs) = Similarity.pqTrainIndex(e, "vec_id", "embedding")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        (1 until r.size).map(r.getLong).toSeq)).sortBy(_._1).toSeq
+    // batch independence — the incremental-append contract: a vector's
+    // code depends only on (vector, codebook), so encoding two
+    // sub-batches separately equals encoding them together
+    val odds = e.filter(col("vec_id") % 2 =!= 0)
+    val together = norm(Similarity.pqEncodeWith(odds, "vec_id", "embedding", cbs))
+    val split =
+      (norm(Similarity.pqEncodeWith(
+          odds.filter(col("vec_id") % 4 === 1), "vec_id", "embedding", cbs)) ++
+        norm(Similarity.pqEncodeWith(
+          odds.filter(col("vec_id") % 4 === 3), "vec_id", "embedding", cbs)))
+        .sortBy(_._1)
+    assert(together == split, "encoding must not depend on batch composition")
+    // independent argmax recompute on the driver for a sample: each
+    // emitted code is the stored centroid maximizing dot/|c| (the same
+    // left-fold double arithmetic graft_dot runs), ties to min cluster
+    val cb = cbs.collect().map(r => (r.getAs[Number](0).longValue,
+      r.getAs[Number](1).longValue, r.getSeq[Double](2))).groupBy(_._1)
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    val nvs = Similarity.sharedNormalized(spark, sf)
+      .filter(col("vec_id") % 2 =!= 0).limit(20)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val got = together.toMap
+    val sub = 64 / Similarity.PqSubspaces
+    nvs.foreach { case (id, nv) =>
+      (0 until Similarity.PqSubspaces).foreach { i =>
+        val sv = nv.slice(i * sub, (i + 1) * sub)
+        val best = cb(i.toLong).map { case (_, cl, cent) =>
+          (-(dot(sv, cent) / math.sqrt(dot(cent, cent))), cl)
+        }.min._2
+        assert(got(id)(i) == best,
+          s"vec $id subspace $i: code ${got(id)(i)} != argmax $best")
+      }
+    }
+    // and the k18 delta entry covers every delta vector exactly once
+    val delta = Similarity.queries("k18_pq_encode_delta")(spark, sf)
+      .collect().map(_.getLong(0))
+    assert(delta.length == delta.distinct.length)
+    assert(delta.forall(_ % 2 == 1) && delta.nonEmpty)
+  }
+
   test("p04 media curation equals composing the m05/m06 catalog stages") {
     // one-plan composition vs gluing the already-verified catalog
     // outputs by hand: m06's cut frames, kept only when (doc, frame)
