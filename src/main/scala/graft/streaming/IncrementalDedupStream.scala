@@ -53,4 +53,37 @@ object IncrementalDedupStream {
       .start()
     q.awaitTermination()
   }
+
+  /** [[runAvailableNow]] served from a PERSISTED MinHash index (d19):
+    * the corpus's band table is loaded from `indexDir` ONCE and every
+    * micro-batch joins its map-side delta bands against that standing
+    * table — the corpus text is touched only to verify candidates,
+    * its signatures never recomputed per batch. This is the shape the
+    * nightly pipeline actually deploys: `Dedup.minhashWriteIndex` at
+    * ingest, this stream between ingests.
+    * Output ≡ [[runAvailableNow]] ≡ the one-shot batch d10 (pinned by
+    * IncrementalDedupStreamSpec): the index changes where the bands
+    * live, not what the serve returns. */
+  def runAvailableNowIndexed(spark: SparkSession, dir: String,
+                             corpus: DataFrame, indexDir: String,
+                             outPath: String, threshold: Double = 0.6,
+                             deltaFilter: org.apache.spark.sql.Column): Unit = {
+    val (_, bands) = graft.ops.Dedup.minhashLoadIndex(spark, indexDir)
+    val corpusBands = bands.withColumnRenamed("doc_id", "corpus_id")
+    val q = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .filter(deltaFilter)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Dedup
+          .minhashServeDelta(corpus, corpusBands, batch, "doc_id", "text",
+            threshold)
+          .write.mode("append").parquet(outPath)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

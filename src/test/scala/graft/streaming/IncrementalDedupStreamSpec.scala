@@ -28,4 +28,21 @@ class IncrementalDedupStreamSpec extends AnyFunSuite {
     assert(batch.nonEmpty, "fixture must contain cross-set near-dups")
     assert(streamed == batch)
   }
+
+  test("indexed foreachBatch dedup (persisted bands) matches batch d10") {
+    val corpus = Tables.documents(spark, sf).filter(col("doc_id") % 2 === 0)
+    val idxDir = Files.createTempDirectory("graft_incdedup_idx").toString
+    Dedup.minhashWriteIndex(corpus, "doc_id", "text", idxDir)
+    val out = Files.createTempDirectory("graft_incdedup2").toString + "/pairs"
+    IncrementalDedupStream.runAvailableNowIndexed(spark, sf, corpus, idxDir,
+      out, deltaFilter = col("doc_id") % 2 =!= 0)
+    val streamed = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sorted.toSeq
+    val batch = Dedup.queries("d10_incremental_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sorted.toSeq
+    assert(streamed == batch,
+      "serving micro-batches from the loaded band table must equal batch d10")
+  }
 }
