@@ -90,6 +90,33 @@ object Clusters {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** INCREMENTAL component maintenance (c19) — merge a DELTA batch's
+    * near-dup pairs into STANDING cluster labels without re-running the
+    * fixpoint over the standing edge set: collapse each standing
+    * cluster to a STAR around its representative (`doc → cluster_id`
+    * edges — diameter ≤ 2 regardless of the original cluster's shape)
+    * and run [[connectedComponents]] over stars ∪ delta pairs.
+    * Connectivity is preserved exactly — a path through a standing
+    * cluster becomes a 2-hop path through its rep — so the merged
+    * labels equal a full recompute over (standing pairs ∪ delta pairs)
+    * verbatim (c19 shares c01's oracle), while the fixpoint's round
+    * count is bounded by the NEW merge chains: the standing corpus's
+    * internal diameter never costs a round again. Edge volume is
+    * |clustered standing docs| + |delta pairs| — NOT the standing pair
+    * list, which a growing corpus never wants to re-read.
+    *
+    * This is the nightly cluster-maintenance job: the d19 persisted-
+    * band serve emits exactly the delta-vs-corpus (and a delta-self
+    * pass the delta-vs-delta) pair list this consumes; labels roll
+    * forward without the history ever being re-paired. */
+  def mergeComponents(standing: DataFrame, newPairs: DataFrame): DataFrame = {
+    val stars = standing.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
+    connectedComponents(
+      stars.unionByName(newPairs.select(col("doc_a"), col("doc_b"))),
+      "doc_a", "doc_b")
+  }
+
   /** [[connectedComponents]] with the adversarial-graph escape hatch:
     * `contract = true` switches to star contraction. */
   def connectedComponents(pairs: DataFrame, a: String, b: String,
@@ -992,6 +1019,18 @@ object Clusters {
     // clusters over the d02 near-dup pairs: every doc that has at least
     // one near-dup, labeled with its cluster's canonical keeper
     "c01_dup_clusters" -> ((s, d) => sharedComponents(s, d)),
+    // c19: label maintenance — standing clusters built from the
+    // even-doc pairs, the pairs touching odd docs arriving as the
+    // delta; the star-contracted merge must reproduce the full
+    // recompute (c01's oracle verbatim)
+    "c19_incremental_cc" -> ((s, d) => {
+      val pairs = sharedPairs(s, d)
+      val standing = connectedComponents(
+        pairs.filter(col("doc_a") % 2 === 0 && col("doc_b") % 2 === 0),
+        "doc_a", "doc_b")
+      mergeComponents(standing,
+        pairs.filter(col("doc_a") % 2 =!= 0 || col("doc_b") % 2 =!= 0))
+    }),
     // the deduplicated corpus: near-dup clusters keep their min-id doc
     "c02_dedup_corpus" -> ((s, d) =>
       dedupCorpusFromComponents(Tables.documents(s, d), "doc_id",
@@ -1108,7 +1147,14 @@ object Clusters {
       s"\nSELECT id AS doc_id, CAST(pr AS BIGINT) AS pr_micro FROM pr$iters"
   }
 
-  def oracle: Map[String, String] = Map(
+  def oracle: Map[String, String] = {
+    val m = oracleBase
+    // c19's merged labels equal the full recompute by construction
+    // (star contraction preserves connectivity) — shared oracle
+    m + ("c19_incremental_cc" -> m("c01_dup_clusters"))
+  }
+
+  private def oracleBase: Map[String, String] = Map(
     "c15_kcore" ->
       kCoreOracleSql(Dedup.oracle("d02_ngram_jaccard"), KCoreK, KCoreRounds),
     "c16_ppr" ->

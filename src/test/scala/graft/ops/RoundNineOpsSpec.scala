@@ -12,6 +12,27 @@ class RoundNineOpsSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.session
   val sf = "/root/testdata/sf0.001"
 
+  test("c19 incremental merge: delta bridges standing clusters, equals full recompute") {
+    import spark.implicits._
+    // standing: {1,2} and {3,4}; delta pair 2-3 bridges them, 5-6 is a
+    // brand-new cluster — merged labels must equal CC over all pairs
+    val standingPairs = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val deltaPairs = Seq((2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val standing = Clusters.connectedComponents(standingPairs, "doc_a", "doc_b")
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val merged = labels(Clusters.mergeComponents(standing, deltaPairs))
+    assert(merged == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L))
+    val full = labels(Clusters.connectedComponents(
+      standingPairs.unionByName(deltaPairs), "doc_a", "doc_b"))
+    assert(merged == full, "star-contracted merge must equal full recompute")
+    // and on the real pair table: the catalog split reproduces c01
+    val got = labels(Clusters.queries("c19_incremental_cc")(spark, sf))
+    val want = labels(Clusters.sharedComponents(spark, sf))
+    assert(got == want)
+  }
+
   test("er07 union blocking: candidates superset last-token's, pairs counted once") {
     val part = Tables.part(spark, sf)
     def pairs(blocked: org.apache.spark.sql.DataFrame) = blocked.as("a")
