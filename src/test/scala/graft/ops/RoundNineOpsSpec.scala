@@ -33,6 +33,17 @@ class RoundNineOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("p05 incremental maintenance equals the one-shot minhash clustering") {
+    def labels2(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val incremental = labels2(
+      graft.SparkEntry.queries("p05_incremental_maintenance")(spark, sf))
+    val oneShot = labels2(Clusters.queries("c03_clusters_minhash")(spark, sf))
+    assert(incremental == oneShot,
+      "persist → serve-delta → star-merge must reproduce the full clustering")
+    assert(incremental.nonEmpty)
+  }
+
   test("er07 union blocking: candidates superset last-token's, pairs counted once") {
     val part = Tables.part(spark, sf)
     def pairs(blocked: org.apache.spark.sql.DataFrame) = blocked.as("a")
