@@ -391,6 +391,36 @@ class PlanAssertionsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("d19 serve plan never recomputes corpus signatures (bands scan from parquet)") {
+    // the persisted-index contract, pinned on the plan: the serve's
+    // only graft_minhash evaluation is the DELTA side's map-side band
+    // pass — the corpus bands arrive from the parquet index scan. The
+    // corpus text appears only under graft_shingle_hashes (the verify
+    // stage), never under a second signature computation.
+    val s = plan("d19_minhash_persisted").toString
+    val minhashCount = "graft_minhash".r.findAllIn(s).size
+    assert(minhashCount >= 1 && minhashCount <= 2,
+      s"expected only the delta band pass to compute signatures, found $minhashCount sites:\n" +
+        s.take(2000))
+    // the loaded band table reaches the join from a parquet scan
+    assert(s.contains("signatures") || s.contains("bands") ||
+      s.contains("FileScan parquet"),
+      "corpus bands must come from the index files:\n" + s.take(2000))
+  }
+
+  test("k18 encode plan: codebooks broadcast, no shuffle of the delta vectors") {
+    // encoding is a map-side pass: the 8-row-per-subspace codebooks
+    // broadcast into the cross join; the only exchanges are the
+    // per-subspace aggregate argmins and the final vec_id joins over
+    // code tuples (2 longs/vector), never the float vectors
+    val s = plan("k18_pq_encode_delta").toString
+    assert(s.contains("BroadcastExchange"),
+      "codebooks must broadcast:\n" + s.take(2000))
+    assert(!s.contains("CartesianProduct"),
+      "the codebook cross join must be a broadcast nested loop:\n" +
+        s.take(2000))
+  }
+
   test("q49 two-phase percentile_cont: windows over histograms only, brackets broadcast") {
     // same contract as q25, applied to the continuous-quantile twin:
     // no WindowExec may sort raw fact rows — an aggregation (the
