@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
@@ -265,7 +265,74 @@ object Events {
       .drop("_rt")
   }
 
+  /** A/B EXPERIMENT READOUT (e24) — the two-proportion conversion test
+    * every product experiment ships: users deterministically split
+    * into control/treatment by a hash coin on the user id (the s03
+    * assignment move — stable across reruns, uncorrelated with any
+    * id-parity structure), conversion = the user emitted at least one
+    * `convertType` event, and the readout is one row of per-variant
+    * counts, q6 conversion rates, the additive lift, and the pooled
+    * two-proportion z-score.
+    *
+    * Cross-engine exactness: counts are integers; rates and lift are
+    * integer q6 (`div`); the z-score needs real division and a sqrt,
+    * so both engines evaluate the IDENTICAL op sequence on the same
+    * four integers (the t19/q48 doctrine — correctly-rounded IEEE ops
+    * on identical inputs agree bit-for-bit) and round once to q6.
+    *
+    * Scale shape: one exchange on user_id for the per-user conversion
+    * fold (map-side partial max), the variant coin map-side after it,
+    * then a 2-row aggregate — at any corpus size the statistics stage
+    * costs nothing after the per-user collapse. Output: one row
+    * `(n0, c0, cr0_q6, n1, c1, cr1_q6, lift_q6, z_q6)`. */
+  def abTestReadout(events: DataFrame, userCol: String, typeCol: String,
+                    convertIf: Column): DataFrame = {
+    graft.functions.VectorFunctions.register(events.sparkSession)
+    val perUser = events
+      .withColumn("_cv", when(convertIf, lit(1L)).otherwise(lit(0L)))
+      .select(col(userCol).as("user_id"), col("_cv"))
+      .groupBy(col("user_id"))
+      .agg(max(col("_cv")).as("conv"))
+      .withColumn("variant",
+        expr("pmod(graft_polyhash(cast(user_id as string)), 2)"))
+    // degenerate-experiment guards, mirrored in the oracle: an empty
+    // variant nulls its rate (and everything downstream); an all-or-
+    // nothing pooled rate nulls the z (its standard error is 0 — no
+    // test exists), instead of tripping ANSI divide-by-zero
+    perUser.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+      .agg(
+        max(when(col("variant") === 0, col("n"))).as("n0"),
+        max(when(col("variant") === 0, col("c"))).as("c0"),
+        max(when(col("variant") === 1, col("n"))).as("n1"),
+        max(when(col("variant") === 1, col("c"))).as("c1"))
+      .select(col("n0"), col("c0"),
+        expr("CASE WHEN n0 > 0 THEN (c0 * 1000000L) div n0 END").as("cr0_q6"),
+        col("n1"), col("c1"),
+        expr("CASE WHEN n1 > 0 THEN (c1 * 1000000L) div n1 END").as("cr1_q6"),
+        expr("CASE WHEN n0 > 0 AND n1 > 0 THEN " +
+          "(c1 * 1000000L) div n1 - (c0 * 1000000L) div n0 END")
+          .as("lift_q6"),
+        expr(
+          "CASE WHEN n0 > 0 AND n1 > 0 AND (c0 + c1) > 0 " +
+            "AND (c0 + c1) < (n0 + n1) THEN " +
+            "cast(round(((cast(c1 as double) / cast(n1 as double)) - " +
+            "(cast(c0 as double) / cast(n0 as double))) / " +
+            "sqrt((cast(c0 + c1 as double) / cast(n0 + n1 as double)) * " +
+            "(1.0D - cast(c0 + c1 as double) / cast(n0 + n1 as double)) * " +
+            "(1.0D / cast(n0 as double) + 1.0D / cast(n1 as double))) * " +
+            "1000000.0D) as long) END").as("z_q6"))
+  }
+
+  /** e24's conversion cutoff: a purchase of value ≥ this converts the
+    * user (a bare "any purchase" would convert ~100% of harness users
+    * — a degenerate experiment with no variance to test). */
+  val ConvertValue = 150.0
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e24_ab_test" -> ((s, d) =>
+      abTestReadout(Tables.events(s, d), "user_id", "event_type",
+        col("event_type") === "purchase" && col("value") >= ConvertValue)),
     "e22_markov_transitions" -> ((s, d) =>
       markovTransitions(Tables.events(s, d))),
     "e20_decayed_value" -> ((s, d) => decayedValue(Tables.events(s, d))),
@@ -556,6 +623,40 @@ object Events {
     }))
 
   def oracle: Map[String, String] = Map(
+    // e24 — same hash coin, per-user conversion fold, q6 integer rates,
+    // and the identical double op sequence for the z-score
+    "e24_ab_test" -> {
+      val h = Hashing.polyHashSql("user_id::VARCHAR")
+      s"""WITH pu AS (
+         |  SELECT user_id,
+         |    CAST(max(CASE WHEN event_type = 'purchase' AND value >= $ConvertValue
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS conv
+         |  FROM events GROUP BY user_id),
+         |v AS (SELECT ($h) % 2 AS variant, conv FROM pu),
+         |agg AS (
+         |  SELECT variant, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(conv) AS BIGINT) AS c
+         |  FROM v GROUP BY variant),
+         |w AS (
+         |  SELECT max(CASE WHEN variant = 0 THEN n END) AS n0,
+         |         max(CASE WHEN variant = 0 THEN c END) AS c0,
+         |         max(CASE WHEN variant = 1 THEN n END) AS n1,
+         |         max(CASE WHEN variant = 1 THEN c END) AS c1
+         |  FROM agg)
+         |SELECT n0, c0,
+         |  CASE WHEN n0 > 0 THEN (c0 * 1000000) // n0 END AS cr0_q6,
+         |  n1, c1,
+         |  CASE WHEN n1 > 0 THEN (c1 * 1000000) // n1 END AS cr1_q6,
+         |  CASE WHEN n0 > 0 AND n1 > 0
+         |    THEN (c1 * 1000000) // n1 - (c0 * 1000000) // n0 END AS lift_q6,
+         |  CASE WHEN n0 > 0 AND n1 > 0 AND (c0 + c1) > 0 AND (c0 + c1) < (n0 + n1) THEN
+         |  CAST(round(((c1::DOUBLE / n1::DOUBLE) - (c0::DOUBLE / n0::DOUBLE)) /
+         |    sqrt(((c0 + c1)::DOUBLE / (n0 + n1)::DOUBLE) *
+         |      (1.0 - (c0 + c1)::DOUBLE / (n0 + n1)::DOUBLE) *
+         |      (1.0 / n0::DOUBLE + 1.0 / n1::DOUBLE)) * 1000000.0) AS BIGINT)
+         |  END AS z_q6
+         |FROM w""".stripMargin
+    },
     // e22 — identical total-order lag and integer row normalization
     "e22_markov_transitions" ->
       """WITH e AS (

@@ -50,6 +50,19 @@ object SketchStream {
     spark.table(sinkTable)
   }
 
+  /** Incremental HISTOGRAM register table of a streaming numeric
+    * column — at most range/width rows of state, complete-mode output;
+    * per-bucket `count` is a plain sum, so micro-batching cannot
+    * change the fixpoint and restart-recovered registers are
+    * bit-identical (RestartRecoverySpec). Read quantiles out of the
+    * sink snapshot with [[graft.ops.Sketches.histQuantiles]] — the
+    * same owner/reader split as the HLL and CMS streams, completing
+    * the sketch-stream family (cardinality, frequency, sliding
+    * cardinality, quantiles). */
+  def histRegistersStream(df: DataFrame, valueCol: String,
+                          width: Double): DataFrame =
+    Sketches.histRegisters(df, valueCol, width)
+
   /** Incremental PER-HOUR register table of a streaming events frame
     * (the x12 state): `max(rho)` per (hour, bucket) is associative,
     * commutative, and IDEMPOTENT, so state is O(hours·m) — bounded by

@@ -33,6 +33,41 @@ class RoundNineOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("e24 A/B readout: counts recompute, z-score formula, degenerate guards") {
+    val row = Events.queries("e24_ab_test")(spark, "/root/testdata/sf0.01")
+      .collect().head
+    val (n0, c0, n1, c1) = (row.getLong(0), row.getLong(1), row.getLong(3),
+      row.getLong(4))
+    // independent recompute of the experiment counts
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+    graft.functions.VectorFunctions.register(spark)
+    val pu = ev.groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" &&
+        col("value") >= Events.ConvertValue, 1L).otherwise(0L)).as("conv"))
+      .withColumn("v", expr("pmod(graft_polyhash(cast(user_id as string)), 2)"))
+      .collect().map(r => (r.getLong(2), r.getLong(1)))
+    assert(n0 == pu.count(_._1 == 0) && n1 == pu.count(_._1 == 1))
+    assert(c0 == pu.filter(_._1 == 0).map(_._2).sum &&
+      c1 == pu.filter(_._1 == 1).map(_._2).sum)
+    // z recomputed with the same op sequence on the driver
+    val (p0, p1) = (c0.toDouble / n0.toDouble, c1.toDouble / n1.toDouble)
+    val pp = (c0 + c1).toDouble / (n0 + n1).toDouble
+    val z = (p1 - p0) / math.sqrt(pp * (1.0 - pp) *
+      (1.0 / n0.toDouble + 1.0 / n1.toDouble))
+    assert(row.getLong(7) == math.round(z * 1e6))
+    // degenerate guard: everyone converts → se = 0 → z is NULL, rates
+    // still read out
+    import spark.implicits._
+    val allConv = Seq((1L, "purchase", 500.0), (2L, "purchase", 500.0),
+      (3L, "purchase", 500.0), (4L, "purchase", 500.0))
+      .toDF("user_id", "event_type", "value")
+    val deg = Events.abTestReadout(allConv, "user_id", "event_type",
+      col("event_type") === "purchase" && col("value") >= 150.0)
+      .collect().head
+    assert(deg.isNullAt(7), "all-converted experiment must null the z-score")
+    assert(deg.getLong(2) == 1000000L && deg.getLong(5) == 1000000L)
+  }
+
   test("p05 incremental maintenance equals the one-shot minhash clustering") {
     def labels2(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -130,6 +130,50 @@ class RestartRecoverySpec extends org.scalatest.funsuite.AnyFunSuite {
       "x12 readout over recovered registers must equal the batch readout")
   }
 
+  test("histogram registers: quantile-sketch state survives restart bit-identically") {
+    val watch = Files.createTempDirectory("graft_restart_hist")
+    val ckpt = Files.createTempDirectory("graft_ckpt_hist").toString
+    val (t1, t2) = tranches()
+    val width = 10.0
+
+    def runOnce(sink: String): Map[Long, Long] = {
+      val q = SketchStream.histRegistersStream(
+          EventStream.readEvents(spark, watch.toString, "*.parquet"),
+          "value", width)
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+      spark.table(sink).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+
+    stageTranche(t1, watch, "t1")
+    val firstRun = runOnce("hist_restart_r1")
+    stageTranche(t2, watch, "t2")
+    val resumed = runOnce("hist_restart_r2")
+
+    val batchRegs = graft.ops.Sketches
+      .histRegisters(Tables.events(spark, sf), "value", width)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resumed == batchRegs,
+      "post-restart histogram registers must equal the batch sketch")
+    assert(firstRun != batchRegs, "split produced no partial first run")
+    // the quantile readout over the recovered snapshot agrees too
+    def q(df: DataFrame) = graft.ops.Sketches
+      .histQuantiles(df, width, Seq(0.5 -> "p50", 0.9 -> "p90"))
+      .collect().head
+    val sq = q(spark.table("hist_restart_r2"))
+    val bq = q(graft.ops.Sketches.histRegisters(
+      Tables.events(spark, sf), "value", width))
+    assert(sq.getDouble(0) == bq.getDouble(0) &&
+      sq.getDouble(1) == bq.getDouble(1))
+  }
+
   test("trending spend: aggregate state survives restart, rank readout agrees") {
     val watch = Files.createTempDirectory("graft_restart_trend")
     val ckpt = Files.createTempDirectory("graft_ckpt_trend").toString
