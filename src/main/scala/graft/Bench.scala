@@ -129,7 +129,13 @@ object Bench {
     val errJson = errors
       .collect { case (k, Some(e)) => "\"" + k + "\":" + jsonStr(e) }
       .mkString("{", ",", "}")
-    val fullPath = "bench_full.json"
+    // a FILTERED run must not clobber the tracked full-catalog
+    // snapshot — a "bench_full.json" holding 3 probe queries is
+    // exactly the healthy-looking-partial-run failure the name-check
+    // above guards against, one level up
+    val fullPath =
+      if (Conf.Env.queryFilter.isEmpty) "bench_full.json"
+      else "bench_subset.json"
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$errJson,"n_err":$nErr,"sf":"$sfDir","reps":${math.max(1, reps)},"cpus":$cpus}"""
     try {
       val w = new java.io.PrintWriter(fullPath, "UTF-8")

@@ -112,9 +112,17 @@ object Clusters {
   def mergeComponents(standing: DataFrame, newPairs: DataFrame): DataFrame = {
     val stars = standing.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
-    connectedComponents(
+    val merged = connectedComponents(
       stars.unionByName(newPairs.select(col("doc_a"), col("doc_b"))),
       "doc_a", "doc_b")
+    // carry forward standing SINGLETON labels (doc_id == cluster_id
+    // with no other member): they generate no star edge, so unless a
+    // delta pair touches them they would silently vanish from the
+    // rolled-forward label table — "labels roll forward" must mean ALL
+    // labels. Docs the merge did relabel win via the anti-join.
+    merged.unionByName(
+      standing.join(merged, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("cluster_id")))
   }
 
   /** [[connectedComponents]] with the adversarial-graph escape hatch:

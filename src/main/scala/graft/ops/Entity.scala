@@ -381,11 +381,11 @@ object Entity {
       canonicalMapFromPairs(Tables.part(s, d), "p_name",
         jaroWinklerPairsUnion(Tables.part(s, d), "p_name"))))
 
-  /** Union-blocked pair-CTE body (er08's pair source): first∪last
-    * namespace-prefixed keys, DISTINCT candidates, the er04 JW verify
-    * at the same q6 floor — ends in the same `fuzzy` CTE name as
-    * [[pairsSqlBody]] so the er02 CC/canon SQL composes over either. */
-  private def unionPairsSqlBody: String =
+  /** The union-blocking CTE PREFIX (names → first∪last keyed → ok →
+    * distinct candidate pairs), shared by er07's audit and er08's pair
+    * body so the two oracles can never test different blocking
+    * schemes. Ends in `ucand(name_a, name_b)`. */
+  private def unionBlockPrefixSql: String =
     s"""names AS (SELECT DISTINCT p_name AS name FROM part),
        |keyed AS (
        |  SELECT name, 'f_' || string_split(name, ' ')[1] AS blk FROM names
@@ -397,7 +397,14 @@ object Entity {
        |ok AS (SELECT name, blk FROM blocked WHERE bn <= $MaxBlock),
        |ucand AS (
        |  SELECT DISTINCT a.name AS name_a, b.name AS name_b
-       |  FROM ok a JOIN ok b ON a.blk = b.blk AND a.name < b.name),
+       |  FROM ok a JOIN ok b ON a.blk = b.blk AND a.name < b.name)""".stripMargin
+
+  /** Union-blocked pair-CTE body (er08's pair source):
+    * [[unionBlockPrefixSql]] + the er04 JW verify at the same q6
+    * floor — ends in the same `fuzzy` CTE name as [[pairsSqlBody]] so
+    * the er02 CC/canon SQL composes over either. */
+  private def unionPairsSqlBody: String =
+    s"""$unionBlockPrefixSql,
        |fuzzy AS (
        |  SELECT name_a, name_b,
        |    CAST(round(jaro_winkler_similarity(name_a, name_b) * 1000000.0)
@@ -464,18 +471,8 @@ object Entity {
       // two namespace-prefixed key passes UNION ALL'd, candidates
       // counted DISTINCT, found = exists-in-candidates
       "er07_union_audit" ->
-        s"""WITH names AS (SELECT DISTINCT p_name AS name FROM part),
-           |keyed AS (
-           |  SELECT name, 'f_' || string_split(name, ' ')[1] AS blk FROM names
-           |  UNION ALL
-           |  SELECT name, 'l_' || string_split(name, ' ')[-1] AS blk FROM names),
-           |blocked AS (
-           |  SELECT name, blk, count(*) OVER (PARTITION BY blk) AS bn
-           |  FROM keyed),
-           |ok AS (SELECT name, blk FROM blocked WHERE bn <= $MaxBlock),
-           |cpairs AS (
-           |  SELECT DISTINCT a.name AS na, b.name AS nb
-           |  FROM ok a JOIN ok b ON a.blk = b.blk AND a.name < b.name),
+        s"""WITH $unionBlockPrefixSql,
+           |cpairs AS (SELECT name_a AS na, name_b AS nb FROM ucand),
            |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_names FROM names),
            |cand AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cpairs),
            |samp AS (SELECT name FROM names

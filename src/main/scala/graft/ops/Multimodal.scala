@@ -153,27 +153,48 @@ object Multimodal {
     * for the scene window, one hash-key exchange for the keeper
     * table, one semi-join on (hash, doc, frame). */
   def curationPipeline(s: SparkSession, d: String): DataFrame = {
+    val frames = mediaFrames(s, d)
+    scenesOf(frames).filter(col("is_cut"))
+      .join(keepersOf(frames)
+          .select(col("frame_hash"), col("keep_doc").as("doc_id"),
+            col("keep_frame").as("frame_idx")),
+        Seq("frame_hash", "doc_id", "frame_idx"), "left_semi")
+      .select(col("doc_id"), col("frame_idx"), col("frame_hash"),
+        col("scene_id"))
+  }
+
+  /** m06's scene chain over a `(doc_id, frame_idx, frame_hash, …)`
+    * frame table — lag/Hamming/cut flag/running scene id — shared by
+    * the m06 catalog entry and [[curationPipeline]] so the cut
+    * predicate can never drift between the component and the composed
+    * pipeline. */
+  def scenesOf(frames: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
-    val frames = mediaFrames(s, d)
-    val scenes = frames
+    frames
       .withColumn("prev_hash", lag(col("frame_hash"), 1).over(w))
-      .withColumn("is_cut", col("prev_hash").isNull ||
-        expr("bit_count(prev_hash ^ frame_hash)").cast("long") >= SceneCutBits)
+      .withColumn("hamming", when(col("prev_hash").isNotNull,
+        expr("bit_count(prev_hash ^ frame_hash)").cast("long")))
+      .withColumn("is_cut",
+        col("prev_hash").isNull || col("hamming") >= SceneCutBits)
       .withColumn("scene_id",
         sum(when(col("is_cut"), lit(1L)).otherwise(lit(0L)))
           .over(w.rowsBetween(
             org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
           .cast("long"))
-    val keepers = frames.groupBy(col("frame_hash"))
-      .agg(min(struct(col("doc_id"), col("frame_idx"))).as("_k"))
-      .select(col("frame_hash"), col("_k.doc_id").as("doc_id"),
-        col("_k.frame_idx").as("frame_idx"))
-    scenes.filter(col("is_cut"))
-      .join(keepers, Seq("frame_hash", "doc_id", "frame_idx"), "left_semi")
-      .select(col("doc_id"), col("frame_idx"), col("frame_hash"),
-        col("scene_id"))
   }
+
+  /** m05's corpus-wide keeper election over a frame table — one row
+    * per distinct frame content with its copy count and lexicographic
+    * min-(doc, frame) keeper — shared by the m05 catalog entry and
+    * [[curationPipeline]]. */
+  def keepersOf(frames: DataFrame): DataFrame =
+    frames.groupBy(col("frame_hash"))
+      .agg(count(lit(1)).as("n_copies"),
+        min(struct(col("doc_id"), col("frame_idx"))).as("_k"))
+      .select(col("frame_hash"), col("n_copies"),
+        col("_k.doc_id").as("keep_doc"),
+        col("_k.frame_idx").as("keep_frame"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_meta" -> ((s, d) => {
@@ -194,14 +215,7 @@ object Multimodal {
     // (Spark min(struct(...)), DuckDB min({'d':…,'f':…})) with no
     // overflow precondition, unlike an arithmetic doc*base+frame pack
     // whose base bounds the frame index.
-    "m05_frame_dedup" -> ((s, d) =>
-      mediaFrames(s, d)
-        .groupBy(col("frame_hash"))
-        .agg(count(lit(1)).as("n_copies"),
-          min(struct(col("doc_id"), col("frame_idx"))).as("_k"))
-        .select(col("frame_hash"), col("n_copies"),
-          col("_k.doc_id").as("keep_doc"),
-          col("_k.frame_idx").as("keep_frame"))),
+    "m05_frame_dedup" -> ((s, d) => keepersOf(mediaFrames(s, d))),
 
     // Resize/downsample stub: keep every 4th byte — the plumbing shape
     // of a thumbnail/re-encode stage (input blob → smaller blob +
@@ -257,22 +271,10 @@ object Multimodal {
     // One window per doc over the unique frame_idx (total order), all
     // map-side after the frames exchange — no extra shuffle beyond
     // partitionBy(doc_id).
-    "m06_scene_change" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
-      mediaFrames(s, d)
-        .withColumn("prev_hash", lag(col("frame_hash"), 1).over(w))
-        .withColumn("hamming", when(col("prev_hash").isNotNull,
-          expr("bit_count(prev_hash ^ frame_hash)").cast("long")))
-        .withColumn("is_cut",
-          col("prev_hash").isNull || col("hamming") >= SceneCutBits)
-        .withColumn("scene_id",
-          sum(when(col("is_cut"), lit(1L)).otherwise(lit(0L)))
-            .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
-            .cast("long"))
+    "m06_scene_change" -> ((s, d) =>
+      scenesOf(mediaFrames(s, d))
         .select(col("doc_id"), col("frame_idx"), col("hamming"),
-          col("is_cut"), col("scene_id"))
-    }))
+          col("is_cut"), col("scene_id"))))
 
   /** m06 cut threshold: a cut where ≥ this many of the ~30 hash bits
     * flip frame-to-frame (identical/near-identical frames flip few). */

@@ -27,6 +27,14 @@ class RoundNineOpsSpec extends AnyFunSuite {
     val full = labels(Clusters.connectedComponents(
       standingPairs.unionByName(deltaPairs), "doc_a", "doc_b"))
     assert(merged == full, "star-contracted merge must equal full recompute")
+    // a standing SINGLETON label (doc 9 alone in its cluster) rolls
+    // forward untouched when no delta pair reaches it
+    val withSingleton = standing.unionByName(
+      Seq((9L, 9L)).toDF("doc_id", "cluster_id"))
+    val rolled = labels(Clusters.mergeComponents(withSingleton, deltaPairs))
+    assert(rolled.get(9L).contains(9L),
+      "untouched singleton labels must survive the merge")
+    assert(rolled - 9L == merged)
     // and on the real pair table: the catalog split reproduces c01
     val got = labels(Clusters.queries("c19_incremental_cc")(spark, sf))
     val want = labels(Clusters.sharedComponents(spark, sf))
