@@ -53,6 +53,24 @@ object CorpusSources {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(documentsSchema).orc(path)
 
+  /** BINARY media ingest — Spark's built-in `binaryFile` source: one
+    * row per file, `(path, modificationTime, length, content)`, the
+    * real ingestion seam of the multimodal family (the harness's
+    * `documents.text`-synthesized blobs stand in only because the
+    * testdata ships no media files). Files are read WHOLE — the source
+    * never splits a blob — so shard media into object-store-sized
+    * files upstream; `pathGlobFilter` prunes by extension at listing
+    * time (never a post-scan filter) and nested prefixes are walked
+    * with `recursiveFileLookup`. Feed `content` straight into
+    * [[graft.ops.Multimodal.decode]]'s codec seam
+    * (CorpusSourcesSpec pins that round trip). */
+  def readBinaryDir(spark: SparkSession, path: String,
+                    glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", "true")
+      .load(path)
+
   /** Sharded corpus writer: bounds records per output file so the next
     * consumer gets splittable, evenly-sized shards regardless of this
     * job's partitioning (one 50 GB gzip shard is the classic way to
