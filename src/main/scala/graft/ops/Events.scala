@@ -329,10 +329,111 @@ object Events {
     * — a degenerate experiment with no variance to test). */
   val ConvertValue = 150.0
 
+  /** CUPED EXPERIMENT READOUT (e25) — variance-reduced lift for a
+    * CONTINUOUS metric (Deng et al., WSDM'13, the adjustment every
+    * large experimentation platform applies): per user, post-period
+    * spend Y and PRE-period spend X (the pre-experiment covariate),
+    * θ = cov(X,Y)/var(X) over all users, adjusted metric
+    * Y′ = Y − θ·(X − X̄). The readout reports the raw and adjusted
+    * lifts plus the variance ratio var(Y′)/var(Y) = 1 − ρ²(X,Y) —
+    * how much narrower the confidence interval gets for free.
+    *
+    * Period split: the time range's midpoint, integer-compared
+    * (`us·2 < min+max` — no division). Cross-engine exactness: spend
+    * quantizes to q6 longs at the source; all sums are exact integers
+    * (second moments as decimal(38,0) ≡ DuckDB HUGEINT — a q6
+    * cross-product overflows int64); θ/lifts/ratio are then the
+    * IDENTICAL double op sequence on both engines over those exact
+    * sums, rounded once to q6 (the e24/t19 doctrine). Degenerate
+    * covariates (var(X)=0 or var(Y)=0) null θ/ratio via mirrored CASE
+    * guards.
+    *
+    * Scale shape: one user-keyed exchange for the per-user fold (the
+    * range constants broadcast), then ONE row of global + per-variant
+    * exact sums — the statistics cost nothing after the per-user
+    * collapse, at any corpus size. Output: one row `(n0, n1,
+    * theta_q6, lift_q6, cuped_lift_q6, vr_q6)` (lifts in q6 metric
+    * units). */
+  def cupedReadout(events: DataFrame, userCol: String, tsCol: String,
+                   metricIf: Column, valueCol: String): DataFrame = {
+    graft.functions.VectorFunctions.register(events.sparkSession)
+    val ev = events.select(col(userCol).as("user_id"),
+        unix_micros(col(tsCol)).as("us"),
+        when(metricIf, coalesce(col(valueCol), lit(0.0)))
+          .otherwise(lit(0.0)).as("v"))
+      .select(col("user_id"), col("us"),
+        expr("cast(round(v * 1000000.0D) as long)").as("q"))
+    val rng = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+    val perUser = ev.crossJoin(broadcast(rng))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("us") * 2 < col("mn") + col("mx"), col("q"))
+          .otherwise(lit(0L))).as("x"),
+        sum(when(col("us") * 2 < col("mn") + col("mx"), lit(0L))
+          .otherwise(col("q"))).as("y"))
+      .withColumn("variant",
+        expr("pmod(graft_polyhash(cast(user_id as string)), 2)"))
+    perUser.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("x").cast("decimal(38,0)"))
+          .as("sxx"),
+        sum(col("x").cast("decimal(38,0)") * col("y").cast("decimal(38,0)"))
+          .as("sxy"),
+        sum(col("y").cast("decimal(38,0)") * col("y").cast("decimal(38,0)"))
+          .as("syy"),
+        sum(when(col("variant") === 0, lit(1L)).otherwise(lit(0L))).as("n0"),
+        sum(when(col("variant") === 0, col("x")).otherwise(lit(0L))).as("sx0"),
+        sum(when(col("variant") === 0, col("y")).otherwise(lit(0L))).as("sy0"),
+        sum(when(col("variant") === 1, lit(1L)).otherwise(lit(0L))).as("n1"),
+        sum(when(col("variant") === 1, col("x")).otherwise(lit(0L))).as("sx1"),
+        sum(when(col("variant") === 1, col("y")).otherwise(lit(0L))).as("sy1"))
+      .select(col("n0"), col("n1"),
+        expr("CASE WHEN cast(n as double) * cast(sxx as double) - " +
+          "cast(sx as double) * cast(sx as double) > 0.0D THEN " +
+          "cast(round((cast(n as double) * cast(sxy as double) - " +
+          "cast(sx as double) * cast(sy as double)) / " +
+          "(cast(n as double) * cast(sxx as double) - " +
+          "cast(sx as double) * cast(sx as double)) * 1000000.0D) as long) " +
+          "END").as("theta_q6"),
+        expr("CASE WHEN n0 > 0 AND n1 > 0 THEN " +
+          "cast(round(cast(sy1 as double) / cast(n1 as double) - " +
+          "cast(sy0 as double) / cast(n0 as double)) as long) END")
+          .as("lift_q6"),
+        expr("CASE WHEN n0 > 0 AND n1 > 0 AND " +
+          "cast(n as double) * cast(sxx as double) - " +
+          "cast(sx as double) * cast(sx as double) > 0.0D THEN " +
+          "cast(round((cast(sy1 as double) / cast(n1 as double) - " +
+          "cast(sy0 as double) / cast(n0 as double)) - " +
+          "(cast(n as double) * cast(sxy as double) - " +
+          "cast(sx as double) * cast(sy as double)) / " +
+          "(cast(n as double) * cast(sxx as double) - " +
+          "cast(sx as double) * cast(sx as double)) * " +
+          "(cast(sx1 as double) / cast(n1 as double) - " +
+          "cast(sx0 as double) / cast(n0 as double))) as long) END")
+          .as("cuped_lift_q6"),
+        expr("CASE WHEN cast(n as double) * cast(sxx as double) - " +
+          "cast(sx as double) * cast(sx as double) > 0.0D AND " +
+          "cast(n as double) * cast(syy as double) - " +
+          "cast(sy as double) * cast(sy as double) > 0.0D THEN " +
+          "cast(round((1.0D - ((cast(n as double) * cast(sxy as double) - " +
+          "cast(sx as double) * cast(sy as double)) * " +
+          "(cast(n as double) * cast(sxy as double) - " +
+          "cast(sx as double) * cast(sy as double))) / " +
+          "((cast(n as double) * cast(sxx as double) - " +
+          "cast(sx as double) * cast(sx as double)) * " +
+          "(cast(n as double) * cast(syy as double) - " +
+          "cast(sy as double) * cast(sy as double)))) * 1000000.0D) as long) " +
+          "END").as("vr_q6"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e24_ab_test" -> ((s, d) =>
       abTestReadout(Tables.events(s, d), "user_id", "event_type",
         col("event_type") === "purchase" && col("value") >= ConvertValue)),
+    "e25_cuped" -> ((s, d) =>
+      cupedReadout(Tables.events(s, d), "user_id", "ts",
+        col("event_type") === "purchase", "value")),
     "e22_markov_transitions" -> ((s, d) =>
       markovTransitions(Tables.events(s, d))),
     "e20_decayed_value" -> ((s, d) => decayedValue(Tables.events(s, d))),
@@ -656,6 +757,64 @@ object Events {
          |      (1.0 / n0::DOUBLE + 1.0 / n1::DOUBLE)) * 1000000.0) AS BIGINT)
          |  END AS z_q6
          |FROM w""".stripMargin
+    },
+    // e25 — same q6 source quantization, midpoint split by integer
+    // compare, HUGEINT second moments (≡ Spark decimal(38,0)), and the
+    // identical double sequence for θ / lifts / variance ratio
+    "e25_cuped" -> {
+      val h = Hashing.polyHashSql("user_id::VARCHAR")
+      s"""WITH rng AS (
+         |  SELECT min(date_diff('microsecond', TIMESTAMP '1970-01-01', ts::TIMESTAMP)) AS mn,
+         |         max(date_diff('microsecond', TIMESTAMP '1970-01-01', ts::TIMESTAMP)) AS mx
+         |  FROM events),
+         |ev AS (
+         |  SELECT user_id,
+         |    date_diff('microsecond', TIMESTAMP '1970-01-01', ts::TIMESTAMP) AS us,
+         |    CAST(round((CASE WHEN event_type = 'purchase'
+         |      THEN coalesce(value, 0.0) ELSE 0.0 END) * 1000000.0) AS BIGINT) AS q
+         |  FROM events),
+         |pu AS (
+         |  SELECT user_id,
+         |    CAST(sum(CASE WHEN us * 2 < rng.mn + rng.mx THEN q ELSE 0 END) AS BIGINT) AS x,
+         |    CAST(sum(CASE WHEN us * 2 < rng.mn + rng.mx THEN 0 ELSE q END) AS BIGINT) AS y
+         |  FROM ev, rng GROUP BY user_id),
+         |v AS (SELECT ($h) % 2 AS variant, x, y FROM pu),
+         |g AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    sum(x::HUGEINT * x::HUGEINT) AS sxx,
+         |    sum(x::HUGEINT * y::HUGEINT) AS sxy,
+         |    sum(y::HUGEINT * y::HUGEINT) AS syy,
+         |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         |    CAST(sum(CASE WHEN variant = 0 THEN x ELSE 0 END) AS BIGINT) AS sx0,
+         |    CAST(sum(CASE WHEN variant = 0 THEN y ELSE 0 END) AS BIGINT) AS sy0,
+         |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(sum(CASE WHEN variant = 1 THEN x ELSE 0 END) AS BIGINT) AS sx1,
+         |    CAST(sum(CASE WHEN variant = 1 THEN y ELSE 0 END) AS BIGINT) AS sy1
+         |  FROM v)
+         |SELECT n0, n1,
+         |  CASE WHEN n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0.0 THEN
+         |    CAST(round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+         |      (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) * 1000000.0) AS BIGINT)
+         |  END AS theta_q6,
+         |  CASE WHEN n0 > 0 AND n1 > 0 THEN
+         |    CAST(round(sy1::DOUBLE / n1::DOUBLE - sy0::DOUBLE / n0::DOUBLE) AS BIGINT)
+         |  END AS lift_q6,
+         |  CASE WHEN n0 > 0 AND n1 > 0
+         |      AND n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0.0 THEN
+         |    CAST(round((sy1::DOUBLE / n1::DOUBLE - sy0::DOUBLE / n0::DOUBLE) -
+         |      (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+         |      (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) *
+         |      (sx1::DOUBLE / n1::DOUBLE - sx0::DOUBLE / n0::DOUBLE)) AS BIGINT)
+         |  END AS cuped_lift_q6,
+         |  CASE WHEN n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0.0
+         |      AND n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE > 0.0 THEN
+         |    CAST(round((1.0 - ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) *
+         |      (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)) /
+         |      ((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) *
+         |       (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))) * 1000000.0) AS BIGINT)
+         |  END AS vr_q6
+         |FROM g""".stripMargin
     },
     // e22 — identical total-order lag and integer row normalization
     "e22_markov_transitions" ->

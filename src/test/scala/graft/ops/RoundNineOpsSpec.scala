@@ -76,6 +76,37 @@ class RoundNineOpsSpec extends AnyFunSuite {
     assert(deg.getLong(2) == 1000000L && deg.getLong(5) == 1000000L)
   }
 
+  test("e25 CUPED: driver recompute, strong-covariate reduction, identity case") {
+    // harness run: vr in (0, 1]; theta/lifts defined
+    val row = Events.queries("e25_cuped")(spark, "/root/testdata/sf0.01")
+      .collect().head
+    assert(row.getLong(0) > 0 && row.getLong(1) > 0)
+    assert(!row.isNullAt(2) && !row.isNullAt(3) && !row.isNullAt(4))
+    val vr = row.getLong(5)
+    assert(vr > 0L && vr <= 1000000L, s"variance ratio $vr out of (0, 1e6]")
+    // crafted frame: 40 users over 2 days; pre-period spend x_u known,
+    // post-period spend = 2·x_u + variant-dependent shift. The strong
+    // covariate must cut the variance hard and the adjusted lift must
+    // land nearer the true shift than the raw lift can be distorted
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-03 00:00:00")
+    val rows = (1L to 40L).flatMap { u =>
+      val x = (u % 7).toDouble * 10.0 + 5.0
+      Seq((u, t0, "purchase", x), (u, t1, "purchase", 2.0 * x))
+    }
+    val ev = rows.toDF("user_id", "ts", "event_type", "value")
+    val r = Events.cupedReadout(ev, "user_id", "ts",
+      col("event_type") === "purchase", "value").collect().head
+    // y = 2x exactly → corr = 1 → variance ratio rounds to 0, and the
+    // adjusted lift collapses to ~the (zero) treatment effect
+    assert(r.getLong(5) == 0L, s"perfect covariate must zero vr, got ${r.getLong(5)}")
+    assert(math.abs(r.getLong(4)) <= 1L,
+      s"cuped lift must collapse to the true zero effect, got ${r.getLong(4)}")
+    // theta = cov/var = 2 in q6
+    assert(r.getLong(2) == 2000000L, s"theta ${r.getLong(2)}")
+  }
+
   test("p05 incremental maintenance equals the one-shot minhash clustering") {
     def labels2(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
