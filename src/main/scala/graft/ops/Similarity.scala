@@ -639,11 +639,18 @@ object Similarity {
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
         (0 until m).map(i => col(s"dt$i")).reduce(_ + _).as("cos"))
-    // refine (the FAISS IVFPQ+R recipe): the ADC pass only SHORTLISTS —
-    // the top `refine` per probe, chosen without touching any corpus
-    // float — and the exact cosine pass runs on shortlist × probes
-    // only. Quantization error then costs recall solely when a true
-    // neighbor misses the whole shortlist.
+    adcRefine(scored, vn, k, refine)
+  }
+
+  /** The shared ADC→exact tail (k08/k15/k19): shortlist the top
+    * `refine` per probe by ADC score — chosen without touching any
+    * corpus float — then re-rank the shortlist by EXACT unit-vector
+    * cosine (the FAISS IVFPQ+R recipe). Quantization error costs
+    * recall only when a true neighbor misses the whole shortlist.
+    * `scored` carries `(probe_id, neighbor_id, cos)` with `cos` = the
+    * ADC estimate. */
+  private def adcRefine(scored: DataFrame, vn: DataFrame, k: Int,
+                        refine: Int): DataFrame = {
     val adcW = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     val shortlist = scored
@@ -958,7 +965,87 @@ object Similarity {
       _ < NumProbes, TopK, PqSubspaces, PqRefine, 64)
   }
 
+  /** k19's probe width: 2 of the 8 coarse cells are searched. */
+  val IvfPqNprobe = 2
+
+  /** IVF+PQ COMBINED search (k19) — THE production ANN index (FAISS
+    * IVFPQ): the trained coarse quantizer restricts each probe to its
+    * `nprobe` nearest cells, only those cells' members are ADC-scored
+    * from their integer code tuples, and the shortlist re-ranks by
+    * exact cosine. Composes the two SHARED trained artifacts — the
+    * k04 assignment as the coarse quantizer, the k08 codes/codebooks
+    * for ADC — so the entry trains nothing of its own.
+    *
+    * Scale shape, multiplied out: the cell restriction cuts the ADC
+    * candidate set to ~nprobe/k_cells of the corpus BEFORE any
+    * scoring; scoring touches only code tuples (integers) with the
+    * probe-side distance tables broadcast; the corpus float column is
+    * read for the `refine`-deep shortlist only. At 100 TB of vectors
+    * this is the memory-and-compute shape deployments actually run —
+    * k05 (IVF, exact in-cell) and k08 (PQ, whole-corpus ADC) are its
+    * two halves, k09/k17-style recall readouts tune its
+    * nprobe/refine.
+    *
+    * Cell-ranking determinism: cell centroids are the exact
+    * quantized-integer means of each cell's NORMALIZED members (the
+    * k05 centroid recipe on the PQ-normalized corpus), ranked by the
+    * same left-folded cosine with (ccos DESC, cell) total order. */
+  def ivfPqServe(s: SparkSession, d: String,
+                 nprobe: Int): DataFrame = {
+    val vn = sharedNormalized(s, d)
+    val (codes, cbs) = sharedPqIndex(s, d)
+    val assign = sharedKmeansAssign(s, d)
+    val m = PqSubspaces
+    val sub = 64 / m
+    def subExpr(i: Int) = s"slice(nv, ${i * sub + 1}, $sub)"
+    val qn = vn.select(col("vec_id"),
+      expr(s"transform(nv, x -> cast(floor(x * ${Quant}D) as bigint))")
+        .as("qv"))
+    val cents = qn.join(assign, "vec_id")
+      .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "q")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      .groupBy(col("cluster"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, sq))), s -> s.sq)")
+          .as("sq"),
+        max(col("n")).as("n"))
+      .select(col("cluster"),
+        expr(s"transform(sq, s -> (cast(s as double) / cast(n as double)) / ${Quant}D)")
+          .as("centroid"))
+      .withColumn("cnrm", expr("sqrt(graft_dot(centroid, centroid))"))
+    val probes = vn.filter(col("vec_id") < NumProbes)
+    val wCell = Window.partitionBy(col("probe_id"))
+      .orderBy(col("ccos").desc, col("cluster"))
+    val probeCells = probes.select(col("vec_id").as("probe_id"), col("nv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", expr("graft_dot(nv, centroid)") / col("cnrm"))
+      .withColumn("crnk", row_number().over(wCell))
+      .filter(col("crnk") <= nprobe)
+      .select(col("probe_id"), col("cluster").as("cell"))
+    val dts = (0 until m).map { i =>
+      probes.select(col("vec_id").as("probe_id"), expr(subExpr(i)).as("pv"))
+        .crossJoin(broadcast(cbs.filter(col("sub") === i)
+          .select(col("cluster"), col("centroid"))))
+        .select(col("probe_id"), col("cluster").as(s"c$i"),
+          expr("graft_dot(pv, centroid)").as(s"dt$i"))
+    }
+    val restricted = codes
+      .join(assign.select(col("vec_id"), col("cluster").as("cell")),
+        "vec_id")
+      .join(broadcast(probeCells), Seq("cell"))
+    val scored = (0 until m).foldLeft(restricted) { (acc, i) =>
+        acc.join(broadcast(dts(i)), Seq(s"c$i", "probe_id"))
+      }
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        (0 until m).map(i => col(s"dt$i")).reduce(_ + _).as("cos"))
+    adcRefine(scored, vn, TopK, PqRefine)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the production composite: coarse cells gate, PQ codes score,
+    // exact refine ranks — all from the shared trained artifacts
+    "k19_ivfpq" -> ((s, d) => ivfPqServe(s, d, IvfPqNprobe)),
     "k12_hard_negatives" -> ((s, d) =>
       hardNegatives(Tables.embeddings(s, d), "vec_id", "embedding", "label",
         _ < NumProbes, TopK)),
@@ -1407,6 +1494,106 @@ object Similarity {
            |  FROM exact)
            |SELECT probe_id, rnk, neighbor_id, score FROM ranked WHERE rnk <= $TopK""".stripMargin
         }
+        // k19 — the k08 ADC text gated by the coarse quantizer: the
+        // raw-vector kmeans chain (cq prefix) supplies the cell
+        // assignment, cell centroids are exact quantized means of the
+        // NORMALIZED members, probes keep their nprobe top cells, and
+        // the scored CTE adds the cell join before the dt lookups
+        val k19Sql = {
+          val sub = 64 / PqSubspaces
+          val nrmSql = "sqrt(reduce(list_prepend(0.0, list_transform(embedding, " +
+            "x -> x::DOUBLE * x::DOUBLE)), (acc, x) -> acc + x))"
+          def nSlice(i: Int) =
+            s"list_transform(range(${i * sub + 1}, ${(i + 1) * sub + 1}), " +
+              s"j -> embedding[j]::DOUBLE / $nrmSql)"
+          val subCtes = (0 until PqSubspaces).flatMap { i =>
+            kmeansCtes(PqK, PqIters, sub, s"s$i", nSlice(i),
+              withFinalCentroids = true)
+          }
+          val coarseCtes = kmeansCtes(KmeansK, KmeansIters, 64, "cq",
+            "embedding", withFinalCentroids = false)
+          def dot(a: String, b: String) =
+            s"reduce(list_prepend(0.0, list_transform(range(1, ${sub + 1}), " +
+              s"j -> $a[j] * $b[j])), (acc, x) -> acc + x)"
+          def dot64(a: String, b: String) =
+            s"reduce(list_prepend(0.0, list_transform(range(1, 65), " +
+              s"j -> $a[j] * $b[j])), (acc, x) -> acc + x)"
+          val probeCols = ((0 until PqSubspaces).map(i =>
+            s"${nSlice(i)} AS pv$i") :+
+            s"list_transform(embedding, x -> x::DOUBLE / $nrmSql) AS pnv")
+            .mkString(",\n    ")
+          val dtCtes = (0 until PqSubspaces).map(i =>
+            s"""dt$i AS (
+               |  SELECT p.vec_id AS probe_id, c.cluster AS c$i,
+               |    ${dot(s"p.pv$i", "c.centroid")} AS dt$i
+               |  FROM probes p, s${i}c$PqIters c)""".stripMargin)
+          val cellCtes = Seq(
+            s"""fullnv AS (
+               |  SELECT vec_id,
+               |    list_transform(embedding, x -> x::DOUBLE / $nrmSql) AS nv
+               |  FROM embeddings)""".stripMargin,
+            s"""qn AS (
+               |  SELECT vec_id,
+               |    list_transform(nv, x -> CAST(floor(x * $Quant) AS BIGINT)) AS qv
+               |  FROM fullnv)""".stripMargin,
+            s"""ce AS (
+               |  SELECT a.cluster, idx.j AS pos, qn.qv[idx.j] AS qe
+               |  FROM qn JOIN cqa$KmeansIters a USING (vec_id),
+               |    (SELECT unnest(range(1, 65)) AS j) idx)""".stripMargin,
+            s"""cs AS (
+               |  SELECT cluster, pos, sum(qe) AS sq, count(*) AS n
+               |  FROM ce GROUP BY 1, 2)""".stripMargin,
+            s"""ncent AS (
+               |  SELECT cluster,
+               |    list((sq::DOUBLE / n::DOUBLE) / $Quant ORDER BY pos) AS centroid
+               |  FROM cs GROUP BY cluster)""".stripMargin,
+            s"""cn AS (
+               |  SELECT cluster, centroid,
+               |    sqrt(reduce(list_prepend(0.0, list_transform(centroid, x -> x * x)), (acc, x) -> acc + x)) AS cnrm
+               |  FROM ncent)""".stripMargin,
+            s"""pc AS (
+               |  SELECT probe_id, cluster AS cell FROM (
+               |    SELECT p.vec_id AS probe_id, c.cluster,
+               |      row_number() OVER (PARTITION BY p.vec_id
+               |        ORDER BY ${dot64("p.pnv", "c.centroid")} / c.cnrm DESC, c.cluster) AS crnk
+               |    FROM probes p, cn c) t
+               |  WHERE crnk <= $IvfPqNprobe)""".stripMargin)
+          val codeJoins = (1 until PqSubspaces).map(i =>
+            s"JOIN s${i}a$PqIters a$i ON a$i.vec_id = a0.vec_id").mkString("\n  ")
+          val dtJoins = (0 until PqSubspaces).map(i =>
+            s"JOIN dt$i d$i ON d$i.c$i = a$i.cluster AND d$i.probe_id = pc.probe_id")
+            .mkString("\n  ")
+          val scoreSum = (0 until PqSubspaces).map(i => s"d$i.dt$i").mkString(" + ")
+          s"""WITH ${(subCtes ++ coarseCtes ++ Seq(
+                s"probes AS (\n  SELECT vec_id,\n    $probeCols\n  FROM embeddings WHERE vec_id < $NumProbes)") ++
+                cellCtes ++ dtCtes).mkString(",\n")},
+             |scored AS (
+             |  SELECT pc.probe_id, a0.vec_id AS neighbor_id, $scoreSum AS adc
+             |  FROM s0a$PqIters a0
+             |  $codeJoins
+             |  JOIN cqa$KmeansIters ac ON ac.vec_id = a0.vec_id
+             |  JOIN pc ON pc.cell = ac.cluster
+             |  $dtJoins
+             |  WHERE a0.vec_id <> pc.probe_id),
+             |shortlist AS (
+             |  SELECT probe_id, neighbor_id FROM (
+             |    SELECT probe_id, neighbor_id,
+             |      row_number() OVER (PARTITION BY probe_id ORDER BY adc DESC, neighbor_id) AS arnk
+             |    FROM scored) t
+             |  WHERE arnk <= $PqRefine),
+             |exact AS (
+             |  SELECT s.probe_id, s.neighbor_id,
+             |    reduce(list_prepend(0.0, list_transform(range(1, 65),
+             |      j -> p.nv[j] * n.nv[j])), (acc, x) -> acc + x) AS score
+             |  FROM shortlist s
+             |  JOIN fullnv p ON p.vec_id = s.probe_id
+             |  JOIN fullnv n ON n.vec_id = s.neighbor_id),
+             |ranked AS (
+             |  SELECT probe_id, neighbor_id, score,
+             |    row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rnk
+             |  FROM exact)
+             |SELECT probe_id, rnk, neighbor_id, score FROM ranked WHERE rnk <= $TopK""".stripMargin
+        }
         // k10 — the ±1 sketch relationally: literal sign lists (the
         // same LCG rows as Spark), sketch-cosine shortlist, exact
         // re-rank on the unit vectors; every fold left-to-right in
@@ -1550,7 +1737,8 @@ object Similarity {
           ("k09_pq_recall" -> recallSql(k08Sql)) +
           ("k17_nprobe_recall" -> k17Sql) +
           ("k10_rp_knn" -> k10Sql) +
-          ("k18_pq_encode_delta" -> k18Sql)
+          ("k18_pq_encode_delta" -> k18Sql) +
+          ("k19_ivfpq" -> k19Sql)
     }
   }
 }

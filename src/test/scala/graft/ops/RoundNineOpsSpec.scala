@@ -176,6 +176,37 @@ class RoundNineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("k19 IVFPQ: full-width gate equals pure PQ, restricted gate stays exact") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    // nprobe = every cell ⇒ the coarse gate admits the whole corpus
+    // and IVFPQ must collapse to exactly the k08 ADC search
+    val allCells = rows(Similarity.ivfPqServe(spark, sf, Similarity.KmeansK))
+    val purePq = rows(Similarity.queries("k08_pq_adc")(spark, sf))
+    assert(allCells == purePq,
+      "IVFPQ at nprobe = k_cells must equal the ungated PQ search")
+    // the catalog's restricted gate: right shape, exact scores on
+    // survivors (each returned cosine equals the brute-force cosine
+    // for the same pair)
+    val k19 = Similarity.queries("k19_ivfpq")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byProbe = k19.groupBy(_._1)
+    assert(byProbe.keySet == (0L until Similarity.NumProbes).toSet)
+    byProbe.values.foreach { rs =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to Similarity.TopK).toSeq)
+      assert(rs.forall(r => r._3 != r._1))
+    }
+    val exactCos = graft.ops.Similarity
+      .knnBrute(Tables.embeddings(spark, sf), "vec_id", "embedding",
+        _ < Similarity.NumProbes, Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    k19.foreach { case (p, _, n, cos) =>
+      assert(math.abs(exactCos((p, n)) - cos) < 1e-12,
+        s"pair ($p,$n): refined score must be the exact cosine")
+    }
+  }
+
   test("k18 frozen-codebook encode: batch-independent, nearest-stored-centroid") {
     val e = Tables.embeddings(spark, sf)
     val (_, cbs) = Similarity.pqTrainIndex(e, "vec_id", "embedding")
