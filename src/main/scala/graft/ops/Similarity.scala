@@ -1046,6 +1046,13 @@ object Similarity {
     // the production composite: coarse cells gate, PQ codes score,
     // exact refine ranks — all from the shared trained artifacts
     "k19_ivfpq" -> ((s, d) => ivfPqServe(s, d, IvfPqNprobe)),
+    // recall@k of the combined index vs the exact baseline — the
+    // number that tunes k19's nprobe/refine pair (its loss composes
+    // the coarse gate's misses with PQ shortlist misses; k17 and k09
+    // read out the two components separately)
+    "k20_ivfpq_recall" -> ((s, d) =>
+      recallAtK(sharedKnnBrute(s, d), ivfPqServe(s, d, IvfPqNprobe),
+        TopK)),
     "k12_hard_negatives" -> ((s, d) =>
       hardNegatives(Tables.embeddings(s, d), "vec_id", "embedding", "label",
         _ < NumProbes, TopK)),
@@ -1738,7 +1745,8 @@ object Similarity {
           ("k17_nprobe_recall" -> k17Sql) +
           ("k10_rp_knn" -> k10Sql) +
           ("k18_pq_encode_delta" -> k18Sql) +
-          ("k19_ivfpq" -> k19Sql)
+          ("k19_ivfpq" -> k19Sql) +
+          ("k20_ivfpq_recall" -> recallSql(k19Sql))
     }
   }
 }
