@@ -346,7 +346,12 @@ object Events {
     * IDENTICAL double op sequence on both engines over those exact
     * sums, rounded once to q6 (the e24/t19 doctrine). Degenerate
     * covariates (var(X)=0 or var(Y)=0) null θ/ratio via mirrored CASE
-    * guards.
+    * guards. Precondition, stated deliberately: per-user q6 period
+    * spend must stay ≪ ~1e18 so Σx² fits 38 digits — true for any
+    * currency-like metric (a user would need ~1e12 in spend to
+    * breach it); at the margin Spark's decimal(38,0) would NULL where
+    * DuckDB's HUGEINT still answers, so the parity contract covers
+    * realistic magnitudes only.
     *
     * Scale shape: one user-keyed exchange for the per-user fold (the
     * range constants broadcast), then ONE row of global + per-variant

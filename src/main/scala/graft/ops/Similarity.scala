@@ -614,32 +614,47 @@ object Similarity {
     pqQueryOnNormalized(pqNormalized(vectors, id, vec), codes, codebooks,
       isProbe, k, m, refine, dims)
 
-  private def pqQueryOnNormalized(vn: DataFrame, codes: DataFrame,
-                                  codebooks: DataFrame,
-                                  isProbe: Column => Column, k: Int,
-                                  m: Int, refine: Int,
-                                  dims: Int): DataFrame = {
-    val sub = dims / m
-    def subExpr(i: Int) = s"slice(nv, ${i * sub + 1}, $sub)"
-    // ADC distance tables: exact (normalized) probe subvector × centroids
-    val probes = vn.filter(isProbe(col("vec_id")))
-    val dts = (0 until m).map { i =>
-      probes.select(col("vec_id").as("probe_id"), expr(subExpr(i)).as("pv"))
+  /** ADC distance tables for a normalized probe frame: one
+    * `(probe_id, c_i, dt_i)` table per subspace — exact probe
+    * subvector × stored centroids, all broadcast-sized. Shared by the
+    * ungated PQ serve and the cell-gated IVFPQ serve so the scoring
+    * arithmetic can never diverge between them. */
+  private def adcTables(probes: DataFrame, codebooks: DataFrame,
+                        m: Int, sub: Int): Seq[DataFrame] =
+    (0 until m).map { i =>
+      probes.select(col("vec_id").as("probe_id"),
+          expr(s"slice(nv, ${i * sub + 1}, $sub)").as("pv"))
         .crossJoin(broadcast(codebooks.filter(col("sub") === i)
           .select(col("cluster"), col("centroid"))))
         .select(col("probe_id"), col("cluster").as(s"c$i"),
           expr("graft_dot(pv, centroid)").as(s"dt$i"))
     }
-    // corpus code tuples, scored by table lookups only
-    val corpusCodes = codes
-    val scored = (1 until m).foldLeft(
-        corpusCodes.join(broadcast(dts(0)), Seq("c0"))) { (acc, i) =>
+
+  /** The ADC lookup-sum over a candidate code frame: join the
+    * remaining distance tables (`from` onward — a base that already
+    * carries `probe_id` starts at 0, one acquiring it from dt0 starts
+    * at 1), drop self-pairs, sum the m lookups. */
+  private def adcScore(base: DataFrame, dts: Seq[DataFrame], m: Int,
+                       from: Int): DataFrame =
+    (from until m).foldLeft(base) { (acc, i) =>
         acc.join(broadcast(dts(i)), Seq(s"c$i", "probe_id"))
       }
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
         (0 until m).map(i => col(s"dt$i")).reduce(_ + _).as("cos"))
-    adcRefine(scored, vn, k, refine)
+
+  private def pqQueryOnNormalized(vn: DataFrame, codes: DataFrame,
+                                  codebooks: DataFrame,
+                                  isProbe: Column => Column, k: Int,
+                                  m: Int, refine: Int,
+                                  dims: Int): DataFrame = {
+    val probes = vn.filter(isProbe(col("vec_id")))
+    val dts = adcTables(probes, codebooks, m, dims / m)
+    // corpus code tuples acquire probe_id from the first table, then
+    // score by lookups only
+    adcRefine(
+      adcScore(codes.join(broadcast(dts(0)), Seq("c0")), dts, m, from = 1),
+      vn, k, refine)
   }
 
   /** The shared ADC→exact tail (k08/k15/k19): shortlist the top
@@ -990,18 +1005,14 @@ object Similarity {
     * quantized-integer means of each cell's NORMALIZED members (the
     * k05 centroid recipe on the PQ-normalized corpus), ranked by the
     * same left-folded cosine with (ccos DESC, cell) total order. */
-  def ivfPqServe(s: SparkSession, d: String,
-                 nprobe: Int): DataFrame = {
-    val vn = sharedNormalized(s, d)
-    val (codes, cbs) = sharedPqIndex(s, d)
-    val assign = sharedKmeansAssign(s, d)
-    val m = PqSubspaces
-    val sub = 64 / m
-    def subExpr(i: Int) = s"slice(nv, ${i * sub + 1}, $sub)"
-    val qn = vn.select(col("vec_id"),
-      expr(s"transform(nv, x -> cast(floor(x * ${Quant}D) as bigint))")
-        .as("qv"))
-    val cents = qn.join(assign, "vec_id")
+  /** Exact quantized-mean centroids of clustered members `(cluster,
+    * qv)` → `(cluster, centroid, cnrm)`: the deterministic per-cell
+    * centroid recipe (integer sums reconstructed in pos order, one
+    * division per element) used by the IVFPQ coarse gate — the same
+    * math [[ivfKnn]]'s inline cents block and the kmeans training
+    * rounds evaluate. */
+  private def quantMeanCentroids(members: DataFrame): DataFrame =
+    members
       .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "q")))
       .groupBy(col("cluster"), col("pos"))
       .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
@@ -1013,33 +1024,69 @@ object Similarity {
         expr(s"transform(sq, s -> (cast(s as double) / cast(n as double)) / ${Quant}D)")
           .as("centroid"))
       .withColumn("cnrm", expr("sqrt(graft_dot(centroid, centroid))"))
-    val probes = vn.filter(col("vec_id") < NumProbes)
+
+  /** The IVFPQ coarse-gate centroids over the harness corpus —
+    * normalized members' exact quantized means per trained cell —
+    * memoized like every other trained artifact (k19 and k20 in one
+    * session share one build). */
+  def sharedCellCentroids(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "ivfpq_cents") {
+      quantMeanCentroids(
+        sharedNormalized(s, d)
+          .select(col("vec_id"),
+            expr(s"transform(nv, x -> cast(floor(x * ${Quant}D) as bigint))")
+              .as("qv"))
+          .join(sharedKmeansAssign(s, d), "vec_id")
+          .select(col("cluster"), col("qv")))
+        .localCheckpoint()
+    }
+
+  /** The generic IVFPQ search over CALLER artifacts (the library-API
+    * form the catalog instantiates): normalized vectors, a trained
+    * cell `assign`ment, its `cellCentroids`, and a PQ index — gate
+    * each probe to its `nprobe` top cells, ADC-score only gated
+    * members' codes, refine exactly. */
+  def ivfPqQuery(vectors: DataFrame, id: String, vec: String,
+                 codes: DataFrame, codebooks: DataFrame,
+                 assign: DataFrame, cellCentroids: DataFrame,
+                 isProbe: Column => Column, k: Int, nprobe: Int,
+                 m: Int = PqSubspaces, refine: Int = PqRefine,
+                 dims: Int = 64): DataFrame = {
+    val vn = pqNormalized(vectors, id, vec)
+    ivfPqOnNormalized(vn, codes, codebooks, assign, cellCentroids,
+      isProbe, k, nprobe, m, refine, dims)
+  }
+
+  private def ivfPqOnNormalized(vn: DataFrame, codes: DataFrame,
+                                codebooks: DataFrame, assign: DataFrame,
+                                cellCentroids: DataFrame,
+                                isProbe: Column => Column, k: Int,
+                                nprobe: Int, m: Int, refine: Int,
+                                dims: Int): DataFrame = {
+    val probes = vn.filter(isProbe(col("vec_id")))
     val wCell = Window.partitionBy(col("probe_id"))
       .orderBy(col("ccos").desc, col("cluster"))
     val probeCells = probes.select(col("vec_id").as("probe_id"), col("nv"))
-      .crossJoin(broadcast(cents))
+      .crossJoin(broadcast(cellCentroids))
       .withColumn("ccos", expr("graft_dot(nv, centroid)") / col("cnrm"))
       .withColumn("crnk", row_number().over(wCell))
       .filter(col("crnk") <= nprobe)
       .select(col("probe_id"), col("cluster").as("cell"))
-    val dts = (0 until m).map { i =>
-      probes.select(col("vec_id").as("probe_id"), expr(subExpr(i)).as("pv"))
-        .crossJoin(broadcast(cbs.filter(col("sub") === i)
-          .select(col("cluster"), col("centroid"))))
-        .select(col("probe_id"), col("cluster").as(s"c$i"),
-          expr("graft_dot(pv, centroid)").as(s"dt$i"))
-    }
+    val dts = adcTables(probes, codebooks, m, dims / m)
     val restricted = codes
       .join(assign.select(col("vec_id"), col("cluster").as("cell")),
         "vec_id")
       .join(broadcast(probeCells), Seq("cell"))
-    val scored = (0 until m).foldLeft(restricted) { (acc, i) =>
-        acc.join(broadcast(dts(i)), Seq(s"c$i", "probe_id"))
-      }
-      .filter(col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-        (0 until m).map(i => col(s"dt$i")).reduce(_ + _).as("cos"))
-    adcRefine(scored, vn, TopK, PqRefine)
+    adcRefine(adcScore(restricted, dts, m, from = 0), vn, k, refine)
+  }
+
+  /** The k19/k20 harness instantiation: every artifact comes from the
+    * shared memo — the entry trains nothing of its own. */
+  def ivfPqServe(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+    val (codes, cbs) = sharedPqIndex(s, d)
+    ivfPqOnNormalized(sharedNormalized(s, d), codes, cbs,
+      sharedKmeansAssign(s, d), sharedCellCentroids(s, d),
+      _ < NumProbes, TopK, nprobe, PqSubspaces, PqRefine, 64)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

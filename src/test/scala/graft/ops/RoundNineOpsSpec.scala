@@ -82,6 +82,7 @@ class RoundNineOpsSpec extends AnyFunSuite {
       .collect().head
     assert(row.getLong(0) > 0 && row.getLong(1) > 0)
     assert(!row.isNullAt(2) && !row.isNullAt(3) && !row.isNullAt(4))
+    assert(!row.isNullAt(5), "harness covariate must be non-degenerate")
     val vr = row.getLong(5)
     assert(vr > 0L && vr <= 1000000L, s"variance ratio $vr out of (0, 1e6]")
     // crafted frame: 40 users over 2 days; pre-period spend x_u known,
