@@ -129,8 +129,10 @@ object Sampling {
   def sampleByWeight(df: DataFrame, id: String, weightExpr: String): DataFrame =
     df.filter(h(id) < floor(expr(weightExpr).cast("double") * P).cast("long"))
 
-  /** SQL mirror of [[sampleByWeight]]'s predicate. */
-  private def weightSql(id: String, weightExpr: String): String =
+  /** SQL mirror of [[sampleByWeight]]'s predicate — public so
+    * composite oracles (s16's soft-dedup gate) can reuse the exact
+    * coin text. */
+  def weightSql(id: String, weightExpr: String): String =
     s"${hSql(id)} < CAST(floor(($weightExpr)::DOUBLE * $P) AS BIGINT)"
 
   /** Token-budget corpus cap (s05) — the curation step that holds a
@@ -578,6 +580,23 @@ object Sampling {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // s16: SOFT dedup — instead of dropping near-dup cluster members
+    // (c02's hard keep-one), keep each doc with probability
+    // 1/cluster_size (c14's weight): the corpus-level duplication mass
+    // is removed in EXPECTATION while every cluster member stays
+    // eligible — the down-weighting recipe training mixtures apply
+    // when duplicates carry signal (popular pages) but must not
+    // dominate. A pure composition of two catalog ops: c14's shared
+    // weight table gated by s04's deterministic per-row coin — one
+    // broadcast-sized join over the weights, the coin map-side.
+    "s16_soft_dedup_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val w = Clusters.dedupWeightsFromComponents(docs, "doc_id",
+        Clusters.sharedComponents(s, d))
+      sampleByWeight(docs.join(w, Seq("doc_id")), "doc_id",
+          "cast(weight_q6 as double) / 1000000.0D")
+        .select(col("doc_id"), col("lang"), col("weight_q6"))
+    }),
     "s15_interleave" -> ((s, d) =>
       interleaveBySource(Tables.documents(s, d), "doc_id", "source")),
     "s01_sample_rate" -> ((s, d) =>
@@ -640,6 +659,18 @@ object Sampling {
         EpochSpec, EpochDefault)))
 
   def oracle: Map[String, String] = Map(
+    // s16 — c14's recursive-CC weight text gated by the exact s04 coin
+    "s16_soft_dedup_sample" ->
+      s"""WITH RECURSIVE ${Clusters.componentsCte(Dedup.oracle("d02_ngram_jaccard"))},
+         |sizes AS (SELECT cluster, count(*) AS sz FROM lab GROUP BY cluster),
+         |w AS (
+         |  SELECT d.doc_id, d.lang,
+         |    coalesce(1000000 // s.sz, 1000000) AS weight_q6
+         |  FROM documents d
+         |  LEFT JOIN lab l ON l.id = d.doc_id
+         |  LEFT JOIN sizes s ON s.cluster = l.cluster)
+         |SELECT doc_id, lang, weight_q6 FROM w
+         |WHERE ${weightSql("doc_id", "weight_q6::DOUBLE / 1000000.0")}""".stripMargin,
     // s15 — the oracle IS the global sort the engine avoids:
     // row_number over (round, source); (r, source, doc_id) is unique
     // per row so the order is total and the closed form must agree

@@ -41,6 +41,27 @@ class RoundNineOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("s16 soft dedup: full-weight docs always kept, gate deterministic") {
+    val docs = Tables.documents(spark, sf)
+    val weights = Clusters.dedupWeightsFromComponents(docs, "doc_id",
+        Clusters.sharedComponents(spark, sf))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kept = Sampling.queries("s16_soft_dedup_sample")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    // weight 1e6 (singletons / cluster reps of size 1) pass the coin
+    // unconditionally — soft dedup never drops unduplicated content
+    val full = weights.filter(_._2 == 1000000L).keySet
+    assert(full.subsetOf(kept), "full-weight docs must always be kept")
+    // only down-weighted (clustered) docs can be dropped
+    val dropped = weights.keySet -- kept
+    assert(dropped.forall(d => weights(d) < 1000000L))
+    assert(dropped.nonEmpty, "fixture must down-sample some cluster member")
+    // the deterministic coin: a second invocation keeps the same rows
+    val again = Sampling.queries("s16_soft_dedup_sample")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == kept)
+  }
+
   test("e24 A/B readout: counts recompute, z-score formula, degenerate guards") {
     val row = Events.queries("e24_ab_test")(spark, "/root/testdata/sf0.01")
       .collect().head
