@@ -1089,10 +1089,101 @@ object Similarity {
       _ < NumProbes, TopK, nprobe, PqSubspaces, PqRefine, 64)
   }
 
+  // ───── Scalar quantization (SQ8) — k21 ─────
+
+  /** SQ8 range stats (the "train" half of scalar quantization): per
+    * dimension, the corpus minimum and range of the Quant-scaled
+    * normalized elements, assembled into ONE broadcastable row
+    * `(qmins, widths)` of dims-length long arrays.
+    *
+    * Scale shape: one posexplode → 64-key aggregation (map-side
+    * partials collapse the per-element fan-out before the exchange),
+    * then a 64-row assembly — the stats row is O(dims) no matter the
+    * corpus size, the SQ analog of k11's two-pass fit. */
+  def sqTrainStats(vn: DataFrame): DataFrame =
+    sqQuantized(vn)
+      .select(posexplode(col("qv")).as(Seq("dim", "q")))
+      .groupBy(col("dim"))
+      .agg(min(col("q")).as("qmin"), (max(col("q")) - min(col("q"))).as("width"))
+      .agg(expr("array_sort(collect_list(struct(dim, qmin, width)))").as("s"))
+      .select(expr("transform(s, x -> x.qmin)").as("qmins"),
+        expr("transform(s, x -> x.width)").as("widths"))
+
+  /** Quant-scaled integer elements of the normalized corpus — the
+    * common integer domain the SQ stats, codes and probe side all live
+    * in (floor(nv·2²⁰), the PQ centroid-sum recipe). */
+  private def sqQuantized(vn: DataFrame): DataFrame =
+    vn.select(col("vec_id"),
+      expr(s"transform(nv, x -> cast(floor(x * ${Quant}D) as bigint))").as("qv"))
+
+  /** ENCODE vectors against FROZEN SQ stats (the k18 move on the SQ
+    * seam): each element to an 8-bit code `(q−qmin)·255 div width`
+    * (0 for constant dimensions) — pure map-side arithmetic after the
+    * one-row stats broadcast, so a delta batch appends to a standing
+    * code table without touching the corpus. All operands are
+    * non-negative, so Spark's truncating `div` and DuckDB's flooring
+    * `//` agree by construction. Output: `(vec_id, codes)`. */
+  def sqEncodeWith(vn: DataFrame, stats: DataFrame): DataFrame =
+    sqQuantized(vn).crossJoin(broadcast(stats))
+      .select(col("vec_id"),
+        expr("zip_with(zip_with(qv, qmins, (x, mn) -> x - mn), widths, " +
+          "(dx, w) -> CASE WHEN w = 0 THEN cast(0 as bigint) " +
+          "ELSE (dx * 255) div w END)").as("codes"),
+        col("qmins"), col("widths"))
+
+  /** SQ8-compressed k-NN (k21) — the THIRD production index family
+    * next to PQ (k08) and IVF (k05): FAISS's `ScalarQuantizer` path.
+    * Each normalized corpus vector is stored as dims 8-bit codes
+    * (16× smaller than float32; vs PQ's m integers the codes keep
+    * per-dimension structure and need no codebook training — range
+    * stats only, one cheap corpus pass). Serving is asymmetric: the
+    * probe stays at full Quant precision while each corpus element is
+    * reconstructed from its code (`qmin + code·width div 255`), and
+    * the score is the exact integer dot `Σ rec_j·probe_j` — entirely
+    * deterministic int64 arithmetic (|rec|,|probe| ≤ 2²⁰ ⇒ the
+    * 64-term sum ≤ 2⁴⁶), so both engines agree bit-for-bit with no
+    * float fold anywhere in the serve path.
+    *
+    * Scale shape: stats are one O(dims) aggregation; encode and
+    * reconstruction are map-side under a one-row broadcast; probes
+    * broadcast against the code table exactly like [[knnBrute]] — the
+    * corpus never shuffles. At 100 TB the wins compound: the standing
+    * side a serve scan reads is the 64-byte code table, not the
+    * 256-byte float corpus. Output: `(probe_id, rnk, neighbor_id,
+    * score_q)` with the integer reconstruction score. */
+  def sqAdcKnn(vectors: DataFrame, id: String, vec: String,
+               isProbe: Column => Column, k: Int): DataFrame = {
+    val vn = pqNormalized(vectors, id, vec)
+    sqAdcOnNormalized(vn, isProbe, k)
+  }
+
+  private def sqAdcOnNormalized(vn: DataFrame, isProbe: Column => Column,
+                                k: Int): DataFrame = {
+    val recon = sqEncodeWith(vn, sqTrainStats(vn))
+      .select(col("vec_id"),
+        expr("zip_with(zip_with(codes, widths, (c, w) -> (c * w) div 255), " +
+          "qmins, (t, mn) -> mn + t)").as("rv"))
+    val probes = sqQuantized(vn).filter(isProbe(col("vec_id")))
+      .select(col("vec_id").as("probe_id"), col("qv").as("pq"))
+    val scored = recon.as("b").join(broadcast(probes.as("a")),
+        col("a.probe_id") =!= col("b.vec_id"))
+      .select(col("a.probe_id"), col("b.vec_id").as("neighbor_id"),
+        expr("aggregate(zip_with(rv, pq, (r, p) -> r * p), " +
+          "cast(0 as bigint), (acc, x) -> acc + x)").as("score_q"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score_q").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("neighbor_id"), col("score_q"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the production composite: coarse cells gate, PQ codes score,
     // exact refine ranks — all from the shared trained artifacts
     "k19_ivfpq" -> ((s, d) => ivfPqServe(s, d, IvfPqNprobe)),
+    // SQ8: training-free 8-bit compression, integer-exact ADC serve
+    "k21_sq8" -> ((s, d) =>
+      sqAdcOnNormalized(sharedNormalized(s, d), _ < NumProbes, TopK)),
     // recall@k of the combined index vs the exact baseline — the
     // number that tunes k19's nprobe/refine pair (its loss composes
     // the coarse gate's misses with PQ shortlist misses; k17 and k09
@@ -1303,6 +1394,47 @@ object Similarity {
            |    row_number() OVER (PARTITION BY probe_id ORDER BY dot DESC, neighbor_id) AS rnk
            |  FROM scored)
            |SELECT probe_id, rnk, neighbor_id, dot FROM ranked WHERE rnk <= $TopK""".stripMargin,
+      // k21 — the SQ8 pipeline replayed relationally: normalized
+      // elements floor-quantized at 2^20 (the PQ recipe), per-dim
+      // min/range stats, 8-bit encode, reconstruction, integer dot.
+      // Every division has a non-negative numerator and denominator,
+      // so DuckDB's flooring `//` ≡ Spark's truncating `div`.
+      "k21_sq8" ->
+        s"""WITH v AS (
+           |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+           |n AS (
+           |  SELECT vec_id, v,
+           |    sqrt(reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+           |  FROM v),
+           |nv AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS nv FROM n),
+           |qd AS (
+           |  SELECT vec_id, s.dim AS dim, s.q AS q FROM (
+           |    SELECT vec_id, unnest(list_transform(nv, (x, i) ->
+           |      {'dim': CAST(i AS BIGINT),
+           |       'q': CAST(floor(x * $Quant.0) AS BIGINT)})) AS s
+           |    FROM nv) u),
+           |stats AS (
+           |  SELECT dim, min(q) AS qmin, max(q) - min(q) AS width
+           |  FROM qd GROUP BY dim),
+           |enc AS (
+           |  SELECT vec_id, dim,
+           |    CASE WHEN width = 0 THEN 0
+           |         ELSE ((q - qmin) * 255) // width END AS code
+           |  FROM qd JOIN stats USING (dim)),
+           |rec AS (
+           |  SELECT vec_id, dim, qmin + (code * width) // 255 AS r
+           |  FROM enc JOIN stats USING (dim)),
+           |scored AS (
+           |  SELECT p.vec_id AS probe_id, r.vec_id AS neighbor_id,
+           |    CAST(sum(r.r * p.q) AS BIGINT) AS score_q
+           |  FROM rec r JOIN qd p ON p.dim = r.dim
+           |  WHERE p.vec_id < $NumProbes AND r.vec_id <> p.vec_id
+           |  GROUP BY 1, 2),
+           |ranked AS (
+           |  SELECT probe_id, neighbor_id, score_q,
+           |    row_number() OVER (PARTITION BY probe_id ORDER BY score_q DESC, neighbor_id) AS rnk
+           |  FROM scored)
+           |SELECT probe_id, rnk, neighbor_id, score_q FROM ranked WHERE rnk <= $TopK""".stripMargin,
       "k01_knn_brute" ->
         s"""WITH v AS (
            |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),

@@ -229,6 +229,36 @@ class RoundNineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("k21 SQ8: 8-bit codes, batch-independent encode, high recall vs exact") {
+    import spark.implicits._
+    val vn = Similarity.sharedNormalized(spark, sf)
+    val stats = Similarity.sqTrainStats(vn)
+    val enc = Similarity.sqEncodeWith(vn, stats)
+    // every code is an 8-bit value
+    val codeBounds = enc.selectExpr(
+      "aggregate(codes, cast(1 as int), (acc, c) -> " +
+        "CASE WHEN c >= 0 AND c <= 255 THEN acc ELSE 0 END) AS ok")
+      .agg(min($"ok")).head().getInt(0)
+    assert(codeBounds == 1, "all SQ codes must lie in [0, 255]")
+    // frozen-stats encode is batch-independent: a subset encoded
+    // against the full-corpus stats gets exactly its full-encode codes
+    val sub = Similarity.sqEncodeWith(vn.filter($"vec_id" % 3 === 0), stats)
+      .select($"vec_id", $"codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val full = enc.select($"vec_id", $"codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    sub.foreach { case (id, cs) => assert(full(id) == cs,
+      s"vec $id: frozen-stats encode must not depend on the batch") }
+    // compressed top-k tracks the exact baseline closely: 2^20-grained
+    // probe, 8-bit corpus ⇒ recall@5 well above any useful ANN bar
+    val approx = Similarity.queries("k21_sq8")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = Similarity.sharedKnnBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.8, f"SQ8 recall@5 = $recall%.2f, expected >= 0.8")
+  }
+
   test("k18 frozen-codebook encode: batch-independent, nearest-stored-centroid") {
     val e = Tables.embeddings(spark, sf)
     val (_, cbs) = Similarity.pqTrainIndex(e, "vec_id", "embedding")
