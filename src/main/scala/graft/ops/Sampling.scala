@@ -77,6 +77,31 @@ object Sampling {
       .filter(col("rk") <= k)
   }
 
+  /** Embedding-cluster cap for s17 — with KmeansK=8 cells over the
+    * harness embeddings, 20/cell keeps a balanced ~160-vector core. */
+  val DiversityCap = 20
+
+  /** Cluster-balanced (diversity-first) subset selection (s17) — keep
+    * at most `cap` members per EMBEDDING-SPACE cluster, so the sample
+    * flattens the corpus' semantic-density skew instead of mirroring
+    * it: web-scale corpora are dominated by a few huge near-duplicate
+    * topic modes, and uniform sampling reproduces exactly that
+    * imbalance (the observation behind SemDeDup's cluster pruning and
+    * DataComp's balanced subsets). The blocking artifact is k04's
+    * k-means assignment — for the catalog the SHARED memoized one, so
+    * s17 trains nothing — and within each cell the keep rule is the
+    * s02 deterministic smallest-hash rank: re-runs, repartitions and
+    * corpus growth inside a cell never churn the kept prefix.
+    *
+    * Scale shape: the window rides the (id, cluster) assignment pairs
+    * — 2 longs/vector, never the embedding payload — behind one
+    * exchange on the cluster key; at production K (∝√n cells) the
+    * per-cell partitions stay small and the output is K·cap rows.
+    * Output: the capped assignment rows + `rk` (1-based). */
+  def clusterBalancedSample(assign: DataFrame, id: String,
+                            cluster: String, cap: Int): DataFrame =
+    sampleFixedPerStratum(assign, id, cluster, cap)
+
   /** Deterministic train/val/test split assignment (s03) — every
     * training pipeline's first partitioning decision. Each row lands in
     * the split whose cumulative hash range covers `h(id)`: the
@@ -606,6 +631,12 @@ object Sampling {
     "s02_sample_fixed" -> ((s, d) =>
       sampleFixedPerStratum(Tables.documents(s, d), "doc_id", "lang", k = 20)
         .select(col("lang"), col("doc_id"), col("rk"))),
+    // s17: the s02 keep rule over the SHARED k04 embedding clusters —
+    // a balanced semantic core, not a density mirror
+    "s17_diversity_sample" -> ((s, d) =>
+      clusterBalancedSample(Similarity.sharedKmeansAssign(s, d), "vec_id",
+        "cluster", DiversityCap)
+        .select(col("cluster"), col("vec_id"), col("rk"))),
     "s03_split_assign" -> ((s, d) =>
       splitAssign(Tables.documents(s, d), "doc_id", DefaultSplits)
         .select(col("doc_id"), col("split"))),
@@ -659,6 +690,16 @@ object Sampling {
         EpochSpec, EpochDefault)))
 
   def oracle: Map[String, String] = Map(
+    // s17 — the k04 k-means CTE chain (the k-family's unrolled replay)
+    // capped by the s02 smallest-hash rank within each final cluster
+    "s17_diversity_sample" -> Similarity.kmeansOracleSql(
+      Similarity.KmeansK, Similarity.KmeansIters,
+      body = s"""SELECT cluster, vec_id, rk FROM (
+                |  SELECT vec_id, cluster,
+                |    CAST(row_number() OVER (PARTITION BY cluster
+                |      ORDER BY ${hSql("vec_id")}, vec_id) AS BIGINT) AS rk
+                |  FROM a${Similarity.KmeansIters}) t
+                |WHERE rk <= $DiversityCap""".stripMargin),
     // s16 — c14's recursive-CC weight text gated by the exact s04 coin
     "s16_soft_dedup_sample" ->
       s"""WITH RECURSIVE ${Clusters.componentsCte(Dedup.oracle("d02_ngram_jaccard"))},

@@ -229,6 +229,31 @@ class RoundNineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("s17 diversity sample: per-cluster caps, deterministic, assignment subset") {
+    import spark.implicits._
+    val assign = Similarity.sharedKmeansAssign(spark, sf)
+    val kept = Sampling.clusterBalancedSample(assign, "vec_id", "cluster",
+      Sampling.DiversityCap)
+    // each cluster contributes min(cap, |cluster|) rows
+    val want = assign.groupBy($"cluster").count().collect()
+      .map(r => r.getLong(0) -> math.min(Sampling.DiversityCap.toLong,
+        r.getLong(1))).toMap
+    val got = kept.groupBy($"cluster").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, "per-cluster kept counts must be min(cap, size)")
+    // kept rows are assignment rows (no synthesized members), and the
+    // kept SET is repartition-invariant (the deterministic hash rank)
+    val keptSet = kept.select($"vec_id", $"cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val assignSet = assign.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keptSet.subsetOf(assignSet))
+    val re = Sampling.clusterBalancedSample(assign.repartition(7), "vec_id",
+      "cluster", Sampling.DiversityCap)
+      .select($"vec_id", $"cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(re == keptSet, "kept set must not depend on partitioning")
+  }
+
   test("k21 SQ8: 8-bit codes, batch-independent encode, high recall vs exact") {
     import spark.implicits._
     val vn = Similarity.sharedNormalized(spark, sf)
