@@ -651,7 +651,82 @@ object Sketches {
           / (col("s") + (lit(m) - col("hit")).cast("double"))).as("est"))
   }
 
+  // ───── AMS F2 / join-size sketch (x13) ─────
+
+  /** Sketch width for x13: 16 independent ±1 rows (the [[Hashing]]
+    * affine family), averaged — relative std ≈ √(2/16) ≈ 35%. */
+  val AmsR = 16
+
+  /** The i-th AMS ±1 coin on integer key column `key` — an affine hash
+    * (pmod'd fair over the full id range, the s01 coin recipe) reduced
+    * to its parity. Pure integer CASE arithmetic, parsed identically
+    * by Spark and DuckDB, so the sketch is cross-engine exact. */
+  private def amsSignExpr(key: String, i: Int): String = {
+    val a = Hashing.MinHashA(i); val b = Hashing.MinHashB(i); val p = Hashing.P
+    s"CASE WHEN (((($key % $p + $p) % $p) * $a + $b) % $p) % 2 = 0 " +
+      "THEN 1 ELSE -1 END"
+  }
+
+  /** The AMS sketch vector of a relation on `key`: one row of r
+    * atoms `z_i = Σ_rows s_i(key)` (Alon–Matias–Szegedy 1996). The
+    * sketch is LINEAR — Z(A ⊎ B) = Z(A) + Z(B) component-wise — so
+    * shards, deltas and retractions all merge by addition, the same
+    * mergeability contract as the HLL/CMS/histogram registers.
+    *
+    * Scale shape: r map-side ±1 sums → ONE sketch row through the
+    * aggregation, whatever the input size; the key column is the only
+    * column read. */
+  def amsZ(df: DataFrame, key: String, r: Int = AmsR): DataFrame = {
+    val sums = (0 until r).map(i => sum(expr(amsSignExpr(key, i))).as(s"z$i"))
+    df.agg(sums.head, sums.tail: _*)
+  }
+
+  /** Self-join-size estimate (x13): F₂ = Σ_k c_k² of `key`, the size
+    * of the relation's self-equi-join — THE quantity a planner needs
+    * to price a shuffle join or predict skew before running it (every
+    * `E[z_i²] = F₂`; the readout averages the r squares). The catalog
+    * entry audits itself x10-style: the estimate next to the exact
+    * Σc² and their signed relative error in micro-units (sign-safe
+    * magnitude division, the q46 recipe).
+    *
+    * Scale shape: the sketch side is one O(r) aggregation with no
+    * per-key state at all — at 100 TB the exact side's key-cardinality
+    * shuffle is precisely the cost a deployment runs x13 to AVOID, and
+    * the estimate alone is `amsZ` + arithmetic. Output: one row
+    * `(est_f2, exact_f2, rel_err_q6)`. */
+  def amsF2(df: DataFrame, key: String, r: Int = AmsR): DataFrame = {
+    val est = amsZ(df, key, r).select(
+      expr(s"(${(0 until r).map(i => s"z$i * z$i").mkString(" + ")}) div $r")
+        .as("est_f2"))
+    val exact = df.groupBy(col(key)).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).as("exact_f2"))
+    est.crossJoin(exact)
+      .select(col("est_f2"), col("exact_f2"),
+        expr("CASE WHEN est_f2 - exact_f2 >= 0 " +
+          "THEN ((est_f2 - exact_f2) * 1000000) div exact_f2 " +
+          "ELSE -(((exact_f2 - est_f2) * 1000000) div exact_f2) END")
+          .as("rel_err_q6"))
+  }
+
+  /** Cross-join-size estimate from two [[amsZ]] sketch rows:
+    * `E[Σ z_i·w_i / r] = Σ_k c_k(A)·c_k(B) = |A ⋈_key B|` — the AMS
+    * inner product, pricing an equi-join between two relations from
+    * two O(r) rows without touching either table again. The inner
+    * product can come out negative on unlucky coins; the sign-safe
+    * magnitude division keeps both engines' floor/truncate agreeing.
+    * Output: one row `(est_join)`. */
+  def amsJoinSize(za: DataFrame, zb: DataFrame, r: Int = AmsR): DataFrame = {
+    val bRenamed = zb.select((0 until r).map(i => col(s"z$i").as(s"w$i")): _*)
+    val dot = (0 until r).map(i => s"z$i * w$i").mkString(" + ")
+    za.crossJoin(bRenamed)
+      .select(expr(s"CASE WHEN ($dot) >= 0 THEN ($dot) div $r " +
+        s"ELSE -((-($dot)) div $r) END").as("est_join"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // AMS self-join size of the event stream on its user key — the
+    // sessionization/shuffle-cost probe, audited against the exact Σc²
+    "x13_ams_f2" -> ((s, d) => amsF2(Tables.events(s, d), "user_id")),
     "x12_hll_sliding" -> ((s, d) =>
       hllSlidingDistinct(Tables.events(s, d), "ts", "user_id")),
     // distinct suppliers-per-part key space on lineitem: ~20k-80k
@@ -713,6 +788,24 @@ object Sketches {
     }))
 
   def oracle: Map[String, String] = Map(
+    // x13 — the identical ±1 coins, squares, average and sign-safe
+    // relative error; every division has non-negative operands or the
+    // sign reapplied, so `//` ≡ `div`
+    "x13_ams_f2" -> {
+      val zs = (0 until AmsR)
+        .map(i => s"CAST(sum(${amsSignExpr("user_id", i)}) AS BIGINT) AS z$i")
+        .mkString(",\n    ")
+      val sq = (0 until AmsR).map(i => s"z$i * z$i").mkString(" + ")
+      s"""WITH z AS (SELECT $zs FROM events),
+         |e AS (SELECT CAST(sum(c * c) AS BIGINT) AS exact_f2 FROM (
+         |  SELECT count(*) AS c FROM events GROUP BY user_id) t),
+         |s AS (SELECT CAST(($sq) AS BIGINT) // $AmsR AS est_f2 FROM z)
+         |SELECT est_f2, exact_f2,
+         |  CASE WHEN est_f2 - exact_f2 >= 0
+         |    THEN ((est_f2 - exact_f2) * 1000000) // exact_f2
+         |    ELSE -(((exact_f2 - est_f2) * 1000000) // exact_f2) END AS rel_err_q6
+         |FROM s, e""".stripMargin
+    },
     "x01_hll_distinct" ->
       hllDistinctSql("lineitem", "CAST(l_partkey AS VARCHAR)", P2),
     "x10_hll_error" ->

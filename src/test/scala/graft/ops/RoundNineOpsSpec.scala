@@ -229,6 +229,42 @@ class RoundNineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("x13 AMS: linear sketch, self-consistency, estimates track exact sizes") {
+    import spark.implicits._
+    val events = Tables.events(spark, sf)
+    def zVec(df: org.apache.spark.sql.DataFrame) = {
+      val r = Sketches.amsZ(df, "user_id").head()
+      (0 until Sketches.AmsR).map(i => r.getLong(i))
+    }
+    // linearity: the sketch of a disjoint union is the component sum —
+    // the mergeability that lets shards/deltas combine by addition
+    val all = zVec(events)
+    val even = zVec(events.filter($"event_id" % 2 === 0))
+    val odd = zVec(events.filter($"event_id" % 2 === 1))
+    assert(all == even.zip(odd).map { case (a, b) => a + b },
+      "Z(A ⊎ B) must equal Z(A) + Z(B) component-wise")
+    // self-consistency: the join-size inner product of a sketch with
+    // itself IS the F2 readout of the same sketch
+    val za = Sketches.amsZ(events, "user_id")
+    val self = Sketches.amsJoinSize(za, za).head().getLong(0)
+    val f2Row = Sketches.amsF2(events, "user_id").head()
+    assert(self == f2Row.getLong(0), "Z·Z div r must equal est_f2")
+    // accuracy: r=16 gives ~35% relative std — assert a 3x envelope on
+    // both the self-join and the cross-join estimates
+    val exactF2 = f2Row.getLong(1)
+    assert(f2Row.getLong(0) > exactF2 / 3 && f2Row.getLong(0) < exactF2 * 3)
+    val zb = Sketches.amsZ(events.filter($"event_id" % 2 === 1), "user_id")
+    val cross = Sketches.amsJoinSize(Sketches.amsZ(
+      events.filter($"event_id" % 2 === 0), "user_id"), zb).head().getLong(0)
+    val exactJoin = events.filter($"event_id" % 2 === 0)
+      .groupBy($"user_id").agg(count(lit(1)).as("ca"))
+      .join(events.filter($"event_id" % 2 === 1)
+        .groupBy($"user_id").agg(count(lit(1)).as("cb")), "user_id")
+      .agg(sum($"ca" * $"cb")).head().getLong(0)
+    assert(cross > exactJoin / 3 && cross < exactJoin * 3,
+      s"join-size estimate $cross must track exact $exactJoin")
+  }
+
   test("s17 diversity sample: per-cluster caps, deterministic, assignment subset") {
     import spark.implicits._
     val assign = Similarity.sharedKmeansAssign(spark, sf)
