@@ -92,6 +92,34 @@ object SketchStream {
     Sketches.hllSlidingReadout(spark.table(sinkTable))
   }
 
+  /** Incremental AMS sketch row of a streaming integer key (the x13
+    * state): each `z_i` is a plain ±1 sum — associative and
+    * commutative, so the state store holds ONE row of r atoms forever
+    * and any micro-batch split reaches the same fixpoint. The sink
+    * snapshot prices self-join/skew ([[graft.ops.Sketches.amsF2]]'s
+    * readout arithmetic) or equi-join size against any other sketch
+    * ([[graft.ops.Sketches.amsJoinSize]]) — the owner/reader split
+    * again, and because the sketch is LINEAR, a standing batch Z row
+    * adds component-wise to this streaming one: the incremental
+    * corpus-plus-delta story needs no recompute at all. */
+  def amsZStream(df: DataFrame, key: String): DataFrame =
+    Sketches.amsZ(df, key)
+
+  /** Run the AMS stream to completion over an events directory,
+    * returning the final sketch row from the in-memory sink. */
+  def runAmsAvailableNow(spark: SparkSession, dir: String,
+                         sinkTable: String): DataFrame = {
+    val q = amsZStream(EventStream.readEvents(spark, dir), "user_id")
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("complete")
+      .format("memory")
+      .queryName(sinkTable)
+      .start()
+    q.awaitTermination()
+    spark.table(sinkTable)
+  }
+
   /** Run to completion over a documents directory, returning the final
     * register table from the in-memory sink. */
   def runAvailableNow(spark: SparkSession, dir: String,

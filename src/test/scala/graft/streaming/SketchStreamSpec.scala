@@ -29,6 +29,25 @@ class SketchStreamSpec extends AnyFunSuite {
     assert(streamedEst == batchEst)
   }
 
+  test("availableNow streaming AMS sketch row equals the batch Z bit-for-bit") {
+    val streamed = SketchStream.runAmsAvailableNow(spark, sf, "ams_stream_sink")
+      .collect().head
+    val batch = Sketches.amsZ(
+      graft.ops.Tables.events(spark, sf), "user_id").collect().head
+    val r = Sketches.AmsR
+    assert((0 until r).map(streamed.getLong) == (0 until r).map(batch.getLong),
+      "streamed AMS atoms must equal the batch sketch")
+    // linearity across the stream/batch seam: a standing batch Z plus
+    // the streamed delta Z is the Z of the union — priced without
+    // touching either input again
+    import spark.implicits._
+    val zs = Sketches.amsZ(graft.ops.Tables.events(spark, sf)
+      .unionByName(graft.ops.Tables.events(spark, sf)), "user_id")
+      .collect().head
+    assert((0 until r).map(i => 2 * batch.getLong(i)) ==
+      (0 until r).map(zs.getLong))
+  }
+
   test("availableNow sliding-HLL readout equals batch x12 bit-for-bit") {
     val streamed = SketchStream
       .runSlidingHllAvailableNow(spark, sf, "sliding_hll_sink")
