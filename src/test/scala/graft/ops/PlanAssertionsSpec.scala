@@ -450,4 +450,38 @@ class PlanAssertionsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       "hour×register range join must broadcast the register table:\n" +
         s.take(2000))
   }
+
+  test("k21 SQ8: stats row and probes broadcast; corpus codes never shuffle") {
+    val p = plan("k21_sq8")
+    val s = p.toString
+    // both the one-row stats frame and the probe batch arrive as
+    // broadcasts over the corpus scan — decode/score is map-side
+    assert(s.split("BroadcastNestedLoopJoin").length - 1 == 2,
+      "stats + probes must both broadcast:\n" + s.take(2000))
+    // exchanges: per-dim stats agg, one-row stats assembly, and the
+    // probe_id rank window (k·probes rows after the map-side prune) —
+    // the corpus vectors themselves never shuffle
+    assert(shuffles(p) == 3, "expected 3 exchanges:\n" + s.take(2000))
+    assert(s.contains("WindowGroupLimit"),
+      "rank filter must prune map-side:\n" + s.take(2000))
+  }
+
+  test("s17 diversity sample: one cluster exchange, map-side rank prune") {
+    val p = plan("s17_diversity_sample")
+    assert(shuffles(p) == 1,
+      "expected only the cluster-key window exchange:\n" + p.toString.take(2000))
+    assert(p.toString.contains("WindowGroupLimit"),
+      "cap must prune map-side:\n" + p.toString.take(2000))
+  }
+
+  test("x13 AMS: the sketch branch reduces to one row before its exchange") {
+    val p = plan("x13_ams_f2")
+    val s = p.toString
+    // 1×1 readout join is a broadcast nested-loop, never a shuffle join
+    assert(s.contains("BroadcastNestedLoopJoin"), s.take(2000))
+    // three exchanges total: the one-row sketch agg, the exact side's
+    // key agg (the audit the estimate exists to avoid), and its
+    // one-row collapse — nothing else moves
+    assert(shuffles(p) == 3, "expected 3 exchanges:\n" + s.take(2000))
+  }
 }
