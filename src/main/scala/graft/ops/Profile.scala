@@ -398,7 +398,55 @@ object Profile {
         col("stale"))
   }
 
+  /** Expected Benford first-digit shares log₁₀(1 + 1/d), pre-rounded
+    * to micro-units in the JVM and embedded as LITERALS in both the
+    * Spark plan and the oracle — the cross-engine-exact way to carry
+    * a transcendental constant (neither engine evaluates a log). */
+  val BenfordQ6: Map[Int, Long] = (1 to 9).map(d =>
+    d -> math.round(math.log10(1.0 + 1.0 / d) * 1000000.0)).toMap
+
+  /** Benford first-digit conformance audit (v12) — the observed
+    * leading-digit distribution of a positive numeric column against
+    * Benford's law, the classic forensic-accounting screen: organic
+    * multiplicative quantities (prices, populations, transaction
+    * amounts) follow log₁₀(1+1/d), while fabricated or synthetically
+    * generated numbers usually don't. For a training-data pipeline
+    * this is a cheap tripwire on numeric table dumps: machine-written
+    * tables with uniform or template-generated figures jump straight
+    * out of the per-digit deviations. (The harness lineitem prices
+    * are uniform-ish by construction — the audit REPORTING that
+    * deviation is the demonstration.)
+    *
+    * Scale shape: leading-digit extraction is map-side string-head
+    * arithmetic on the integer part; the table collapses to ≤ 9 rows
+    * in one count aggregation, and shares are integer micro-unit
+    * divisions over those 9 rows (window over the collapsed frame).
+    * Output: `(digit, n_obs, obs_q6, exp_q6, dev_q6)` with signed
+    * deviation, digits ascending by the caller's sort. */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val expCase = (1 to 9).map { d =>
+      s"WHEN digit = $d THEN ${BenfordQ6(d)}L"
+    }.mkString("CASE ", " ", " ELSE 0L END")
+    val digits = df
+      .filter(col(valueCol) >= 1)
+      .select(expr(s"cast(substring(cast(cast(floor($valueCol) as bigint) " +
+        "as string), 1, 1) as bigint)").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    digits
+      .withColumn("_total", sum(col("n_obs")).over(w))
+      .select(col("digit"), col("n_obs"),
+        expr("(n_obs * 1000000) div _total").as("obs_q6"),
+        expr(expCase).as("exp_q6"))
+      .withColumn("dev_q6", col("obs_q6") - col("exp_q6"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Benford screen on the price column — the fabricated-numbers
+    // tripwire, here documenting the synthetic harness' own deviation
+    "v12_benford" -> ((s, d) =>
+      benfordAudit(Tables.lineitem(s, d), "l_extendedprice")),
     "v11_freshness" -> ((s, d) =>
       freshnessByType(Tables.events(s, d), "event_type", "ts")),
     "v10_referential" -> ((s, d) =>
@@ -454,6 +502,25 @@ object Profile {
     }))
 
   def oracle: Map[String, String] = Map(
+    // v12 — same string-head digit, counts, q6 share division (both
+    // operands non-negative, `//` ≡ `div`) and the same embedded
+    // micro-unit Benford constants
+    "v12_benford" -> {
+      val expCase = (1 to 9).map { d =>
+        s"WHEN digit = $d THEN ${BenfordQ6(d)}"
+      }.mkString("CASE ", " ", " ELSE 0 END")
+      s"""WITH d AS (
+         |  SELECT CAST(substring(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+         |    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+         |  FROM lineitem WHERE l_extendedprice >= 1),
+         |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY digit),
+         |t AS (SELECT digit, n_obs, CAST(sum(n_obs) OVER () AS BIGINT) AS total FROM c)
+         |SELECT digit, n_obs,
+         |  (n_obs * 1000000) // total AS obs_q6,
+         |  CAST($expCase AS BIGINT) AS exp_q6,
+         |  (n_obs * 1000000) // total - CAST($expCase AS BIGINT) AS dev_q6
+         |FROM t""".stripMargin
+    },
     // v11 — identical integer-microsecond frontier math
     "v11_freshness" ->
       s"""WITH t AS (

@@ -1296,6 +1296,14 @@ object Similarity {
     // refine/codebook against
     "k09_pq_recall" -> ((s, d) =>
       recallAtK(sharedKnnBrute(s, d), sharedPqServe(s, d), TopK)),
+    // recall@k of the SQ8 index (k07's metric pointed at k21) — closes
+    // the readout symmetry: every compressed index in the family (LSH
+    // k07, PQ k09, IVF k17, IVFPQ k20, SQ8 k22) carries its own
+    // engine-computed quality number against the shared exact baseline
+    "k22_sq8_recall" -> ((s, d) =>
+      recallAtK(sharedKnnBrute(s, d),
+        sqAdcOnNormalized(sharedNormalized(s, d), _ < NumProbes, TopK),
+        TopK)),
     // training-free compressed search: ±1 sketch shortlist + exact
     // refine — the dimensionality-reduction member of the index family
     "k10_rp_knn" -> ((s, d) =>
@@ -1925,7 +1933,8 @@ object Similarity {
           ("k10_rp_knn" -> k10Sql) +
           ("k18_pq_encode_delta" -> k18Sql) +
           ("k19_ivfpq" -> k19Sql) +
-          ("k20_ivfpq_recall" -> recallSql(k19Sql))
+          ("k20_ivfpq_recall" -> recallSql(k19Sql)) +
+          ("k22_sq8_recall" -> recallSql(m("k21_sq8")))
     }
   }
 }

@@ -229,6 +229,44 @@ class RoundNineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("v12 Benford: digit extraction, share accounting, embedded constants") {
+    import spark.implicits._
+    // crafted frame: leading digits are position-independent of
+    // magnitude — 1, 19.5, 123, 2.7, 255, 9000 → digits 1,1,1,2,2,9;
+    // sub-1 values are excluded
+    val crafted = Seq(1.0, 19.5, 123.0, 2.7, 255.0, 9000.0, 0.4)
+      .toDF("v")
+    val got = Profile.benfordAudit(crafted, "v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 2L, 9L -> 1L))
+    // the embedded q6 constants are the Benford masses and total 1
+    assert(Profile.BenfordQ6(1) == 301030L)
+    assert(math.abs(Profile.BenfordQ6.values.sum - 1000000L) <= 9)
+    // on the harness column: digits in 1..9, observed shares account
+    // for the whole filtered table (Σ truncated shares within 9 ulps)
+    val rows = Profile.queries("v12_benford")(spark, sf).collect()
+    assert(rows.forall(r => r.getLong(0) >= 1 && r.getLong(0) <= 9))
+    val obsSum = rows.map(_.getLong(2)).sum
+    assert(obsSum > 1000000L - 9 && obsSum <= 1000000L)
+    rows.foreach(r => assert(r.getLong(4) == r.getLong(2) - r.getLong(3)))
+  }
+
+  test("k22 SQ8 recall equals the direct overlap of k21 against the baseline") {
+    val approx = Similarity.queries("k21_sq8")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = Similarity.sharedKnnBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val wantHits = exact.groupBy(_._1).map { case (p, rs) =>
+      p -> rs.count(approx.contains).toLong
+    }
+    val got = Similarity.queries("k22_sq8_recall")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(t => t._1 -> t._2).toMap == wantHits)
+    got.foreach { case (_, hits, q6) =>
+      assert(q6 == math.round(hits.toDouble / Similarity.TopK * 1000000.0))
+    }
+  }
+
   test("x13 AMS: linear sketch, self-consistency, estimates track exact sizes") {
     import spark.implicits._
     val events = Tables.events(spark, sf)
