@@ -196,7 +196,61 @@ object Multimodal {
         col("_k.doc_id").as("keep_doc"),
         col("_k.frame_idx").as("keep_frame"))
 
+  /** m08 df cap: a frame hash appearing in more media items than this
+    * is boilerplate (intro/watermark) and priced out of similarity —
+    * the d02 MaxShingleDf move on the media seam. */
+  val MaxFrameDf = 50
+
+  /** m08 report floor: pairs sharing less than this boilerplate-
+    * discounted Jaccard (micro-units) are noise, not near-dups. */
+  val VideoJacFloorQ6 = 200000L
+
+  /** Media-item near-dup detection (m08) — Jaccard over each item's
+    * FRAME-HASH SET: two videos that share most of their (sampled,
+    * fingerprinted) frames are the same content re-encoded, trimmed,
+    * or watermarked — the dedup question image/video corpora actually
+    * ask, which d-family text shingles can't see and m05's exact
+    * frame keeper only answers frame-by-frame. Boilerplate frames
+    * (corpus df > `maxDf`) are excluded from BOTH the intersection
+    * and the set sizes, so a shared intro sequence can't make two
+    * unrelated videos "similar" — the same discounting d16 applies to
+    * boilerplate lines and m05 exists to catch.
+    *
+    * Scale shape = d02's bucket architecture with the frame hash as
+    * the bucket key: per-item distinct hash sets, a df-capped
+    * hash-keyed pair join (fan-out bounded by maxDf² per hash — never
+    * all-pairs), one pair aggregation, two id-keyed size joins.
+    * Frame CONTENT never shuffles — 8-byte hashes only. Integer
+    * Jaccard in micro-units (non-negative `div`). Output:
+    * `(doc_a, doc_b, inter, union_sz, jac_q6)` at or above the
+    * floor. */
+  def videoNearDupPairs(frames: DataFrame, floorQ6: Long = VideoJacFloorQ6,
+                        maxDf: Int = MaxFrameDf): DataFrame = {
+    val fh = frames.select(col("doc_id"), col("frame_hash")).distinct()
+    val rare = fh.join(
+      fh.groupBy(col("frame_hash")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select(col("frame_hash")),
+      Seq("frame_hash"), "left_semi")
+    val sizes = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    rare.as("a").join(rare.as("b"),
+        col("a.frame_hash") === col("b.frame_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("_na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("_nb")), "doc_b")
+      .withColumn("union_sz", col("_na") + col("_nb") - col("inter"))
+      .withColumn("jac_q6", expr("(inter * 1000000) div union_sz"))
+      .filter(col("jac_q6") >= floorQ6)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("union_sz"),
+        col("jac_q6"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // frame-set Jaccard between media items — re-encode/trim/watermark
+    // near-dups the text shingle family can't see
+    "m08_video_neardup" -> ((s, d) =>
+      videoNearDupPairs(mediaFrames(s, d))),
     "m01_media_meta" -> ((s, d) => {
       val blobs = Tables.documents(s, d)
         .select(col("doc_id"), col("text").cast("binary").as("media"))
@@ -324,6 +378,36 @@ object Multimodal {
        |WHERE sc.is_cut""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // m08 — the m05 frame CTE → distinct sets → df cap → hash-keyed
+    // pair counts → integer micro-unit Jaccard (all operands
+    // non-negative, `//` ≡ `div`)
+    "m08_video_neardup" ->
+      s"""WITH fr AS (
+         |  SELECT doc_id, ${Hashing.polyHashSql("frame")} AS frame_hash
+         |  FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(range(0, ((length(text) - 1) // $FrameBytes) + 1),
+         |        i -> substring(text, (i * $FrameBytes + 1)::INTEGER, $FrameBytes))) AS frame
+         |    FROM documents WHERE length(text) > 0) frames),
+         |fh AS (SELECT DISTINCT doc_id, frame_hash FROM fr),
+         |rare AS (
+         |  SELECT fh.doc_id, fh.frame_hash FROM fh
+         |  JOIN (SELECT frame_hash FROM fh GROUP BY frame_hash
+         |        HAVING count(*) <= $MaxFrameDf) ok USING (frame_hash)),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+         |          FROM rare GROUP BY doc_id),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(count(*) AS BIGINT) AS inter
+         |  FROM rare a JOIN rare b
+         |    ON a.frame_hash = b.frame_hash AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, inter, sa.n + sb.n - inter AS union_sz,
+         |  (inter * 1000000) // (sa.n + sb.n - inter) AS jac_q6
+         |FROM p
+         |JOIN sizes sa ON sa.doc_id = p.doc_a
+         |JOIN sizes sb ON sb.doc_id = p.doc_b
+         |WHERE (inter * 1000000) // (sa.n + sb.n - inter) >= $VideoJacFloorQ6""".stripMargin,
     // The stub is integer arithmetic over UTF-8 bytes (ASCII corpus ⇒
     // bytes == code points), so DuckDB reproduces it exactly.
     "m01_media_meta" ->

@@ -229,6 +229,36 @@ class RoundNineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("m08 video near-dup: frame-set Jaccard, boilerplate frames priced out") {
+    import spark.implicits._
+    // A={1,2,3,4}, B={1,2,3,9}: |∩|=3, |∪|=5 → 600000; C={7,8} pairs
+    // with nobody
+    val crafted = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 1L), (2L, 2L), (2L, 3L), (2L, 9L),
+      (3L, 7L), (3L, 8L)).toDF("doc_id", "frame_hash")
+    val got = Multimodal.videoNearDupPairs(crafted, floorQ6 = 500000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((1L, 2L, 3L, 5L, 600000L)))
+    // a boilerplate frame (df > maxDf) creates no pairs at all: 60
+    // otherwise-disjoint docs sharing hash 99 stay dissimilar
+    val boiler = (100L until 160L).flatMap(d => Seq((d, 99L), (d, d)))
+      .toDF("doc_id", "frame_hash")
+    assert(Multimodal.videoNearDupPairs(boiler, floorQ6 = 1L).count() == 0)
+    // ...but the SAME shape under the cap does pair (sanity that the
+    // zero above is the cap, not a bug)
+    val under = (100L until 110L).flatMap(d => Seq((d, 99L), (d, d)))
+      .toDF("doc_id", "frame_hash")
+    assert(Multimodal.videoNearDupPairs(under, floorQ6 = 1L).count() > 0)
+    // harness run: ordered pairs, every row at or above the floor
+    val rows = Multimodal.queries("m08_video_neardup")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(4) >= Multimodal.VideoJacFloorQ6)
+    }
+  }
+
   test("v12 Benford: digit extraction, share accounting, embedded constants") {
     import spark.implicits._
     // crafted frame: leading digits are position-independent of
