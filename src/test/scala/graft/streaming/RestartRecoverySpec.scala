@@ -130,6 +130,41 @@ class RestartRecoverySpec extends org.scalatest.funsuite.AnyFunSuite {
       "x12 readout over recovered registers must equal the batch readout")
   }
 
+  test("AMS atoms: join-size sketch state survives restart bit-identically") {
+    val watch = Files.createTempDirectory("graft_restart_ams")
+    val ckpt = Files.createTempDirectory("graft_ckpt_ams").toString
+    val (t1, t2) = tranches()
+    val r = graft.ops.Sketches.AmsR
+
+    def runOnce(sink: String): Seq[Long] = {
+      val q = SketchStream.amsZStream(
+          EventStream.readEvents(spark, watch.toString, "*.parquet"),
+          "user_id")
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+      val row = spark.table(sink).collect().head
+      (0 until r).map(row.getLong)
+    }
+
+    stageTranche(t1, watch, "t1")
+    val firstRun = runOnce("ams_restart_r1")
+    stageTranche(t2, watch, "t2")
+    val resumed = runOnce("ams_restart_r2")
+
+    val batch = graft.ops.Sketches.amsZ(Tables.events(spark, sf), "user_id")
+      .collect().head
+    val batchZ = (0 until r).map(batch.getLong)
+    assert(resumed == batchZ,
+      "post-restart AMS atoms must equal the uninterrupted batch sketch")
+    assert(firstRun != batchZ, "split produced no partial first run")
+  }
+
   test("histogram registers: quantile-sketch state survives restart bit-identically") {
     val watch = Files.createTempDirectory("graft_restart_hist")
     val ckpt = Files.createTempDirectory("graft_ckpt_hist").toString
