@@ -124,6 +124,15 @@ object Search {
     val tf = tok.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    bm25ScoreTail(tf, dfreq, stats, k)
+  }
+
+  /** The shared BM25 scoring tail — identical IEEE op order whether the
+    * postings were just exploded ([[bm25TopK]]) or read back from a
+    * persisted index ([[bm25QueryIndex]]), so both paths land on the
+    * same `score_q6` bit-for-bit. */
+  private def bm25ScoreTail(tf: DataFrame, dfreq: DataFrame,
+                            stats: DataFrame, k: Int): DataFrame =
     tf.join(broadcast(dfreq), "token")
       .crossJoin(broadcast(stats))
       .withColumn("avgdl",
@@ -139,6 +148,63 @@ object Search {
       .agg(round(sum(col("s")) * lit(1e6)).cast("long").as("score_q6"))
       .orderBy(col("score_q6").desc, col("doc_id"))
       .limit(k)
+
+  /** BUILD the full BM25 inverted index (the r06 persistence seam) —
+    * the three tables a deployment stores: `postings`
+    * `(token, doc_id, tf, dl)` over the WHOLE vocabulary, `lexicon`
+    * `(token, df)`, and the one-row corpus `stats`
+    * `(n_docs, sum_dl)`. This is the index-time half of [[bm25TopK]]:
+    * the same tf/df/stats values, computed once over every token
+    * instead of per query over the query's terms. */
+  def bm25BuildIndex(docs: DataFrame, id: String,
+                     text: String): (DataFrame, DataFrame, DataFrame) = {
+    val words = s"filter(split($text, ' '), x -> x <> '')"
+    val stats = docs
+      .select(expr(s"size($words)").cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val postings = docs.select(col(id).as("doc_id"),
+        expr(s"size($words)").cast("long").as("dl"),
+        explode(expr(words)).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val lexicon = postings.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    (postings, lexicon, stats)
+  }
+
+  /** Persist the three index tables under `dir` (postings/lexicon/
+    * stats parquet subdirectories) — the nightly index build's write
+    * half, k15/d19's move on the search seam. */
+  def bm25WriteIndex(postings: DataFrame, lexicon: DataFrame,
+                     stats: DataFrame, dir: String): Unit = {
+    postings.write.mode("overwrite").parquet(s"$dir/postings")
+    lexicon.write.mode("overwrite").parquet(s"$dir/lexicon")
+    stats.write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Load a persisted index. The serve path filters these parquet
+    * scans by token, so the predicate REACHES THE READER
+    * (PushedFilters) — a query touches the query's posting lists on
+    * disk, never the corpus and never the rest of the index. */
+  def bm25LoadIndex(spark: SparkSession,
+                    dir: String): (DataFrame, DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/lexicon"),
+      spark.read.parquet(s"$dir/stats"))
+
+  /** SERVE a query from a (typically loaded) index: prune postings and
+    * lexicon to the query's terms — on a parquet-backed index this is
+    * a pushed scan filter — then run the exact [[bm25TopK]] scoring
+    * tail. For any term subset the pruned tf/df/stats equal the
+    * query-time ones, so r06 hash-matches r01's oracle verbatim. */
+  def bm25QueryIndex(postings: DataFrame, lexicon: DataFrame,
+                     stats: DataFrame, terms: Seq[String] = DefaultQuery,
+                     k: Int = 10): DataFrame = {
+    require(terms.nonEmpty, "at least one query term")
+    bm25ScoreTail(
+      postings.filter(col("token").isin(terms: _*))
+        .select(col("doc_id"), col("token"), col("tf"), col("dl")),
+      lexicon.filter(col("token").isin(terms: _*)),
+      stats, k)
   }
 
   /** Top-`k` documents by TF-IDF COSINE similarity to a bag-of-words
@@ -250,6 +316,17 @@ object Search {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r01_bm25" -> ((s, d) =>
       bm25TopK(Tables.documents(s, d), "doc_id", "text")),
+    // the full index persisted and served back — write + load + query
+    // in one entry; shares r01's oracle verbatim (same terms, same
+    // scoring tail, postings pruned at the parquet scan)
+    "r06_bm25_persisted" -> ((s, d) => {
+      val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_r06_index_" + Integer.toHexString(d.hashCode)).getPath
+      val (p, l, st) = bm25BuildIndex(Tables.documents(s, d), "doc_id", "text")
+      bm25WriteIndex(p, l, st, idxDir)
+      val (lp, ll, ls) = bm25LoadIndex(s, idxDir)
+      bm25QueryIndex(lp, ll, ls)
+    }),
     "r05_dirichlet_ql" -> ((s, d) =>
       dirichletTopK(Tables.documents(s, d), "doc_id", "text")),
     "r02_phrase" -> ((s, d) =>
@@ -324,6 +401,9 @@ object Search {
 
   def oracle: Map[String, String] = Map(
     "r01_bm25" -> bm25Sql,
+    // r06 serves the persisted index back through r01's exact scoring
+    // tail — the s05/s06 shared-oracle move on the search seam
+    "r06_bm25_persisted" -> bm25Sql,
     // r05 — same pruned-posting CTEs, candidate x term grid via CROSS
     // JOIN to the VALUES term list, identical double op sequence
     "r05_dirichlet_ql" ->

@@ -229,6 +229,31 @@ class RoundNineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("r06 persisted BM25: load equals build, serve equals r01, pushed scan") {
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_r06_spec").toString
+    val (p, l, st) = Search.bm25BuildIndex(docs, "doc_id", "text")
+    Search.bm25WriteIndex(p, l, st, dir)
+    val (lp, ll, ls) = Search.bm25LoadIndex(spark, dir)
+    // round trip is bit-identical on all three tables
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(lp) == rows(p) && rows(ll) == rows(l) && rows(ls) == rows(st))
+    // serving from the loaded index equals the query-time r01 path
+    val served = Search.bm25QueryIndex(lp, ll, ls).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val direct = Search.bm25TopK(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(served == direct, "persisted serve must equal the r01 ranking")
+    // the term prune reaches the parquet postings scan as a pushed
+    // filter — a query reads its posting lists, not the index
+    val formatted = Search.bm25QueryIndex(lp, ll, ls)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("PushedFilters: [In(token"),
+      formatted.take(3000))
+  }
+
   test("m08 video near-dup: frame-set Jaccard, boilerplate frames priced out") {
     import spark.implicits._
     // A={1,2,3,4}, B={1,2,3,9}: |∩|=3, |∪|=5 → 600000; C={7,8} pairs
