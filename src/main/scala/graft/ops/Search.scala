@@ -191,6 +191,26 @@ object Search {
       spark.read.parquet(s"$dir/lexicon"),
       spark.read.parquet(s"$dir/stats"))
 
+  /** MERGE two disjoint-corpus indexes (the r07 incremental
+    * maintenance step — Lucene's segment-merge semantics on the three
+    * tables): postings concatenate (a doc lives in exactly one side),
+    * lexicon document-frequencies ADD by token, corpus stats ADD
+    * component-wise. Every merged value is exact integer arithmetic,
+    * so merge(build(evens), build(odds)) equals build(all) BIT-FOR-BIT
+    * — a nightly delta batch folds into the standing index without
+    * touching the standing corpus, and serving from the merged index
+    * still hash-matches r01's oracle. */
+  def bm25MergeIndex(a: (DataFrame, DataFrame, DataFrame),
+                     b: (DataFrame, DataFrame, DataFrame))
+      : (DataFrame, DataFrame, DataFrame) = {
+    val postings = a._1.unionByName(b._1)
+    val lexicon = a._2.unionByName(b._2)
+      .groupBy(col("token")).agg(sum(col("df")).as("df"))
+    val stats = a._3.unionByName(b._3)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    (postings, lexicon, stats)
+  }
+
   /** SERVE a query from a (typically loaded) index: prune postings and
     * lexicon to the query's terms — on a parquet-backed index this is
     * a pushed scan filter — then run the exact [[bm25TopK]] scoring
@@ -327,6 +347,16 @@ object Search {
       val (lp, ll, ls) = bm25LoadIndex(s, idxDir)
       bm25QueryIndex(lp, ll, ls)
     }),
+    // nightly maintenance: the standing (even) index merged with the
+    // delta (odd) batch's, served without any rebuild — exact integer
+    // merge ⇒ equals build(all) ⇒ shares r01's oracle too
+    "r07_bm25_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merged = bm25MergeIndex(
+        bm25BuildIndex(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text"),
+        bm25BuildIndex(docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text"))
+      bm25QueryIndex(merged._1, merged._2, merged._3)
+    }),
     "r05_dirichlet_ql" -> ((s, d) =>
       dirichletTopK(Tables.documents(s, d), "doc_id", "text")),
     "r02_phrase" -> ((s, d) =>
@@ -404,6 +434,8 @@ object Search {
     // r06 serves the persisted index back through r01's exact scoring
     // tail — the s05/s06 shared-oracle move on the search seam
     "r06_bm25_persisted" -> bm25Sql,
+    // r07's exact-integer segment merge equals build(all)
+    "r07_bm25_incremental" -> bm25Sql,
     // r05 — same pruned-posting CTEs, candidate x term grid via CROSS
     // JOIN to the VALUES term list, identical double op sequence
     "r05_dirichlet_ql" ->

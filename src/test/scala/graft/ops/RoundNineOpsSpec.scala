@@ -254,6 +254,26 @@ class RoundNineOpsSpec extends AnyFunSuite {
       formatted.take(3000))
   }
 
+  test("r07 incremental merge: merged index equals full build bit-for-bit") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val merged = Search.bm25MergeIndex(
+      Search.bm25BuildIndex(docs.filter($"doc_id" % 2 === 0), "doc_id", "text"),
+      Search.bm25BuildIndex(docs.filter($"doc_id" % 2 =!= 0), "doc_id", "text"))
+    val full = Search.bm25BuildIndex(docs, "doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(merged._1) == rows(full._1), "postings must concatenate")
+    assert(rows(merged._2) == rows(full._2), "lexicon dfs must add exactly")
+    assert(rows(merged._3) == rows(full._3), "corpus stats must add exactly")
+    // and the merged serve is the r01 ranking
+    val served = Search.bm25QueryIndex(merged._1, merged._2, merged._3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val direct = Search.bm25TopK(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(served == direct)
+  }
+
   test("m08 video near-dup: frame-set Jaccard, boilerplate frames priced out") {
     import spark.implicits._
     // A={1,2,3,4}, B={1,2,3,9}: |∩|=3, |∪|=5 → 600000; C={7,8} pairs
