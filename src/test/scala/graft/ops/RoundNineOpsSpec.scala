@@ -254,6 +254,15 @@ class RoundNineOpsSpec extends AnyFunSuite {
       formatted.take(3000))
   }
 
+  test("p06 search maintenance equals the one-shot r01 ranking") {
+    val got = graft.SparkEntry.queries("p06_search_maintenance")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = Search.bm25TopK(Tables.documents(spark, sf), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want,
+      "persist → load → delta merge → serve must equal the one-shot ranking")
+  }
+
   test("r07 incremental merge: merged index equals full build bit-for-bit") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
