@@ -249,6 +249,14 @@ object Multimodal {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // frame-set Jaccard between media items — re-encode/trim/watermark
     // near-dups the text shingle family can't see
+    // m09: the c01 closure over m08's pairs — duplicate-media CLUSTERS
+    // (a trimmed copy of a re-encode of the original all land in one
+    // cluster even when only adjacent pairs cross the Jaccard floor)
+    "m09_media_clusters" -> ((s, d) =>
+      Clusters.connectedComponents(
+        videoNearDupPairs(mediaFrames(s, d))
+          .select(col("doc_a"), col("doc_b")),
+        "doc_a", "doc_b")),
     "m08_video_neardup" -> ((s, d) =>
       videoNearDupPairs(mediaFrames(s, d))),
     "m01_media_meta" -> ((s, d) => {
@@ -377,11 +385,9 @@ object Multimodal {
        |  AND keep.kd = sc.doc_id AND keep.kf = sc.frame_idx
        |WHERE sc.is_cut""".stripMargin
 
-  def oracle: Map[String, String] = Map(
-    // m08 — the m05 frame CTE → distinct sets → df cap → hash-keyed
-    // pair counts → integer micro-unit Jaccard (all operands
-    // non-negative, `//` ≡ `div`)
-    "m08_video_neardup" ->
+  // m08 text as a val: m09's recursive-CC oracle nests it as the pair
+  // source (the c01-over-d02 composition on the media seam)
+  private lazy val videoNearDupSql: String =
       s"""WITH fr AS (
          |  SELECT doc_id, ${Hashing.polyHashSql("frame")} AS frame_hash
          |  FROM (
@@ -407,7 +413,18 @@ object Multimodal {
          |FROM p
          |JOIN sizes sa ON sa.doc_id = p.doc_a
          |JOIN sizes sb ON sb.doc_id = p.doc_b
-         |WHERE (inter * 1000000) // (sa.n + sb.n - inter) >= $VideoJacFloorQ6""".stripMargin,
+         |WHERE (inter * 1000000) // (sa.n + sb.n - inter) >= $VideoJacFloorQ6""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    // m08 — the m05 frame CTE → distinct sets → df cap → hash-keyed
+    // pair counts → integer micro-unit Jaccard (all operands
+    // non-negative, `//` ≡ `div`)
+    "m08_video_neardup" -> videoNearDupSql,
+    // m09 — recursive CC over the m08 pair text (c01's composition
+    // applied to media near-dups)
+    "m09_media_clusters" ->
+      s"""WITH RECURSIVE ${Clusters.componentsCte(videoNearDupSql, withLab = false)}
+         |SELECT id AS doc_id, min(label) AS cluster_id FROM comp GROUP BY id""".stripMargin,
     // The stub is integer arithmetic over UTF-8 bytes (ASCII corpus ⇒
     // bytes == code points), so DuckDB reproduces it exactly.
     "m01_media_meta" ->

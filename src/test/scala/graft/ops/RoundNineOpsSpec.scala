@@ -313,6 +313,21 @@ class RoundNineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("m09 media clusters: every m08 pair lands in one cluster, labels minimal") {
+    val pairs = Multimodal.queries("m08_video_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val labels = Multimodal.queries("m09_media_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // membership: exactly the docs touched by a pair; pairs co-cluster
+    assert(labels.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+    pairs.foreach { case (a, b) => assert(labels(a) == labels(b),
+      s"pair ($a,$b) must share a cluster") }
+    // each label is its cluster's minimum member id (the c01 contract)
+    labels.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(lbl == members.keys.min)
+    }
+  }
+
   test("v12 Benford: digit extraction, share accounting, embedded constants") {
     import spark.implicits._
     // crafted frame: leading digits are position-independent of
