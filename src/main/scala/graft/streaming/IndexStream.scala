@@ -1,0 +1,73 @@
+package graft.streaming
+
+import graft.ops.Search
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Streaming search-index maintenance (engine extension, SURVEY.md
+  * §2.9/§7.5): the r06/r07 seam at the stream edge — documents arrive,
+  * each micro-batch's postings/lexicon/stats are built with
+  * [[graft.ops.Search.bm25BuildIndex]] and appended as a SEGMENT
+  * (three parquet subtables per batch), and queries serve from the
+  * segment store after an exact-integer merge — precisely the
+  * Lucene/Elasticsearch shape: writers append immutable segments,
+  * readers merge at query time, a background compaction (here: one
+  * [[graft.ops.Search.bm25MergeIndex]] pass rewritten through
+  * [[graft.ops.Search.bm25WriteIndex]]) folds segments together when
+  * they accumulate.
+  *
+  * NO state store at all: a batch's segment is a pure function of the
+  * batch (tf/dl are per-doc, df and stats are per-segment sums), and
+  * r07's merge theorem — postings concatenate, dfs ADD, stats ADD,
+  * all exact integers — makes the merged read independent of how the
+  * corpus was split into batches. Stream ≡ batch is therefore an
+  * identity over ANY micro-batch partitioning (IndexStreamSpec pins
+  * it against the one-shot r01 ranking).
+  */
+object IndexStream {
+  /** The harness documents schema, declared explicitly — streaming
+    * reads never infer. */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Drain the directory as a delta stream, appending one index
+    * segment (postings/lexicon/stats parquet) per micro-batch under
+    * `segDir`. */
+  def runAvailableNow(spark: SparkSession, dir: String,
+                      segDir: String): Unit = {
+    val q = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (p, l, st) = Search.bm25BuildIndex(batch, "doc_id", "text")
+        p.write.mode("append").parquet(s"$segDir/postings")
+        l.write.mode("append").parquet(s"$segDir/lexicon")
+        st.write.mode("append").parquet(s"$segDir/stats")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Read the segment store back as ONE logical index: the r07 merge
+    * over however many segments the stream appended — postings are
+    * already concatenated by the append writes; lexicon dfs and the
+    * corpus stats re-sum exactly. Serve with
+    * [[graft.ops.Search.bm25QueryIndex]]. */
+  def mergedIndex(spark: SparkSession,
+                  segDir: String): (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.{col, sum}
+    val postings = spark.read.parquet(s"$segDir/postings")
+    val lexicon = spark.read.parquet(s"$segDir/lexicon")
+      .groupBy(col("token")).agg(sum(col("df")).as("df"))
+    val stats = spark.read.parquet(s"$segDir/stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    (postings, lexicon, stats)
+  }
+}
