@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.util.chaining._
 
 /** Entity resolution (record linkage) — fuzzy dedup of a dirty entity
   * column: product names, vendor names, author strings. The curation
@@ -349,7 +350,35 @@ object Entity {
       }
     }
 
+  /** Persist a canonical map to parquet (the k15/d19/r06 persistence
+    * move on the ER seam): the map is the TRAINED artifact of entity
+    * resolution — dictionary-sized, expensive to rebuild (blocking +
+    * pairwise verification), and consumed by every downstream rollup/
+    * survivorship/dedup pass. A deployment publishes it nightly and
+    * every consumer broadcast-joins the published copy instead of
+    * re-resolving. */
+  def canonicalWriteMap(cmap: DataFrame, dir: String): Unit =
+    cmap.write.mode("overwrite").parquet(dir)
+
+  /** Load a published canonical map back. Serving is
+    * [[entityRollupFromMap]] / [[survivorshipFromMap]] over the loaded
+    * frame — the apply half never touches the pair machinery. */
+  def canonicalLoadMap(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // er09: the er08 map round-tripped through parquet and served back
+    // — write + load in one entry, hash-matching er08's oracle
+    // verbatim (the map IS the published artifact; bit-equality of the
+    // loaded copy is the whole contract)
+    "er09_map_persisted" -> ((s, d) => {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_er09_map_" + Integer.toHexString(d.hashCode)).getPath
+      canonicalWriteMap(
+        canonicalMapFromPairs(Tables.part(s, d), "p_name",
+          jaroWinklerPairsUnion(Tables.part(s, d), "p_name")), dir)
+      canonicalLoadMap(s, dir)
+    }),
     "er06_blocking_audit" -> ((s, d) =>
       blockingAudit(Tables.part(s, d), "p_name",
         sampleMod = AuditSampleMod)),
@@ -590,5 +619,6 @@ object Entity {
            |SELECT base.canon_name, base.n_members, mb.p_brand, mt.p_type, ms.p_size
            |FROM base JOIN mb USING (canon_name) JOIN mt USING (canon_name)
            |          JOIN ms USING (canon_name)""".stripMargin)
+      .pipe(m => m + ("er09_map_persisted" -> m("er08_union_map")))
   }
 }

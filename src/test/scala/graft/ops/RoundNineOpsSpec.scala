@@ -254,6 +254,22 @@ class RoundNineOpsSpec extends AnyFunSuite {
       formatted.take(3000))
   }
 
+  test("er09 persisted map: parquet round trip bit-identical, applies like the built map") {
+    val facts = Tables.part(spark, sf)
+    val built = Entity.canonicalMapFromPairs(facts, "p_name",
+      Entity.jaroWinklerPairsUnion(facts, "p_name"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_er09_spec").toString
+    Entity.canonicalWriteMap(built, dir)
+    val loaded = Entity.canonicalLoadMap(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(loaded) == rows(built), "loaded map must equal the built map")
+    // the serve half works off the loaded copy: rollup(loaded) ≡
+    // rollup(built) — consumers never touch the pair machinery
+    assert(rows(Entity.entityRollupFromMap(facts, "p_name", loaded)) ==
+      rows(Entity.entityRollupFromMap(facts, "p_name", built)))
+  }
+
   test("p06 search maintenance equals the one-shot r01 ranking") {
     val got = graft.SparkEntry.queries("p06_search_maintenance")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
