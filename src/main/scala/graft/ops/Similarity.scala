@@ -744,6 +744,16 @@ object Similarity {
     val vp = vn.withColumn("pv", array(projCols: _*))
       .withColumn("pnrm", expr("sqrt(graft_dot(pv, pv))"))
       .select("vec_id", "pv", "pnrm")
+    sketchShortlistRefine(vn, vp, isProbe, k, refine)
+  }
+
+  /** The shared sketch→shortlist→exact-refine tail (k10/k23): score
+    * all pairs by the cosine of the SKETCH column `pv`, keep the
+    * `refine`-deep shortlist per probe, re-rank by exact full-width
+    * cosine. Identical IEEE op order however the sketch was made. */
+  private def sketchShortlistRefine(vn: DataFrame, vp: DataFrame,
+                                    isProbe: Column => Column, k: Int,
+                                    refine: Int): DataFrame = {
     val probes = vp.filter(isProbe(col("vec_id")))
     val scored = vp.as("b").join(broadcast(probes.as("a")),
         col("a.vec_id") =!= col("b.vec_id"))
@@ -760,6 +770,41 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"),
         expr("graft_dot(pnv, nnv)").as("cos"))
     topKPerProbe(exact, k).withColumnRenamed("cos", "score")
+  }
+
+  /** Matryoshka prefix width for k23 — the leading 16 of 64 dims. */
+  val MrlDims = 16
+
+  /** Truncated-prefix (Matryoshka) k-NN (k23) — shortlist by the
+    * cosine of the LEADING `mdims` coordinates, refine exact: the
+    * serving pattern Matryoshka Representation Learning embeddings
+    * (Kusupati et al. 2022) are trained for, where information
+    * concentrates in the prefix so truncation IS the compression — no
+    * training (vs PQ), no projection pass (vs k10's JL sketch), no
+    * bucketing cliff (vs LSH); the index is literally the first
+    * quarter of each stored vector. On generic (non-MRL) embeddings
+    * the prefix is an arbitrary 16-dim marginal — the same smooth
+    * degradation as k10 with ZERO sketch cost; on MRL checkpoints the
+    * shortlist recall approaches full-width. The harness embeddings
+    * are generic, which the k23-vs-k10 recall readout makes visible
+    * rather than hides.
+    *
+    * Scale shape: identical to k10 minus the projection pass — the
+    * scoring stage reads mdims/dims of each vector (memory-bandwidth
+    * cut), full-width floats touched only for the `refine`-deep
+    * shortlist; probes broadcast, corpus never shuffles. Output:
+    * `(probe_id, rnk, neighbor_id, score)`, score = exact cosine. */
+  def mrlKnn(vectors: DataFrame, id: String, vec: String,
+             isProbe: Column => Column, k: Int,
+             mdims: Int = MrlDims, refine: Int = RpRefine): DataFrame = {
+    graft.functions.VectorFunctions.register(vectors.sparkSession)
+    val vn = vectors.select(col(id).as("vec_id"),
+        expr(s"transform($vec, x -> cast(x as double))").as("dv"))
+      .withColumn("nrm", expr("sqrt(graft_dot(dv, dv))"))
+      .select(col("vec_id"), expr("transform(dv, x -> x / nrm)").as("nv"))
+    val vp = vn.select(col("vec_id"), expr(s"slice(nv, 1, $mdims)").as("pv"))
+      .withColumn("pnrm", expr("sqrt(graft_dot(pv, pv))"))
+    sketchShortlistRefine(vn, vp, isProbe, k, refine)
   }
 
   /** DuckDB replay of [[kmeansAssign]]: the fixed iterations unrolled
@@ -1309,6 +1354,11 @@ object Similarity {
     "k10_rp_knn" -> ((s, d) =>
       rpKnn(Tables.embeddings(s, d), "vec_id", "embedding",
         _ < NumProbes, TopK)),
+    // Matryoshka truncation: the prefix IS the index — zero sketch
+    // cost, smooth degradation, exact refine
+    "k23_mrl_knn" -> ((s, d) =>
+      mrlKnn(Tables.embeddings(s, d), "vec_id", "embedding",
+        _ < NumProbes, TopK)),
     // k18: INCREMENTAL index growth — codebooks trained on the even
     // half (the standing corpus), the odd half (a delta batch) encoded
     // against them FROZEN: the nightly append a PQ deployment runs
@@ -1834,6 +1884,43 @@ object Similarity {
              |  FROM exact)
              |SELECT probe_id, rnk, neighbor_id, score FROM ranked WHERE rnk <= $TopK""".stripMargin
         }
+        // k23 — k10's CTE chain with the PREFIX SLICE as the sketch
+        // (pv = nv[1:MrlDims]) and no projection arithmetic at all
+        val k23Sql = {
+          val nrmSql = "sqrt(reduce(list_prepend(0.0, list_transform(embedding, " +
+            "x -> x::DOUBLE * x::DOUBLE)), (acc, x) -> acc + x))"
+          s"""WITH fullnv AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding, x -> x::DOUBLE / $nrmSql) AS nv
+             |  FROM embeddings),
+             |pp AS (
+             |  SELECT vec_id, nv[1:$MrlDims] AS pv,
+             |    sqrt(reduce(list_prepend(0.0, list_transform(nv[1:$MrlDims], x -> x * x)), (acc, x) -> acc + x)) AS pnrm
+             |  FROM fullnv),
+             |sc AS (
+             |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+             |    reduce(list_prepend(0.0, list_transform(range(1, ${MrlDims + 1}), i -> a.pv[i] * b.pv[i])), (acc, x) -> acc + x)
+             |      / (a.pnrm * b.pnrm) AS pcos
+             |  FROM pp a JOIN pp b ON a.vec_id < $NumProbes AND a.vec_id <> b.vec_id),
+             |shortlist AS (
+             |  SELECT probe_id, neighbor_id FROM (
+             |    SELECT probe_id, neighbor_id,
+             |      row_number() OVER (PARTITION BY probe_id ORDER BY pcos DESC, neighbor_id) AS arnk
+             |    FROM sc) t
+             |  WHERE arnk <= $RpRefine),
+             |exact AS (
+             |  SELECT s.probe_id, s.neighbor_id,
+             |    reduce(list_prepend(0.0, list_transform(range(1, 65),
+             |      j -> p.nv[j] * n.nv[j])), (acc, x) -> acc + x) AS score
+             |  FROM shortlist s
+             |  JOIN fullnv p ON p.vec_id = s.probe_id
+             |  JOIN fullnv n ON n.vec_id = s.neighbor_id),
+             |ranked AS (
+             |  SELECT probe_id, neighbor_id, score,
+             |    row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rnk
+             |  FROM exact)
+             |SELECT probe_id, rnk, neighbor_id, score FROM ranked WHERE rnk <= $TopK""".stripMargin
+        }
         // k17 — the k05 trained-IVF chain with `crnk <= nprobe`, one
         // branch per nprobe, each wrapped in the k07 recall readout;
         // branches recompute the (cheap at oracle scale) k-means chain
@@ -1934,7 +2021,8 @@ object Similarity {
           ("k18_pq_encode_delta" -> k18Sql) +
           ("k19_ivfpq" -> k19Sql) +
           ("k20_ivfpq_recall" -> recallSql(k19Sql)) +
-          ("k22_sq8_recall" -> recallSql(m("k21_sq8")))
+          ("k22_sq8_recall" -> recallSql(m("k21_sq8"))) +
+          ("k23_mrl_knn" -> k23Sql)
     }
   }
 }

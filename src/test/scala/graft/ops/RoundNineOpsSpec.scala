@@ -366,6 +366,31 @@ class RoundNineOpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(4) == r.getLong(2) - r.getLong(3)))
   }
 
+  test("k23 MRL: prefix shortlist refines to exact scores with useful recall") {
+    val k23 = Similarity.queries("k23_mrl_knn")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // shape: every probe answered with a full 1..k ranking
+    val byProbe = k23.groupBy(_._1)
+    assert(byProbe.keySet == (0L until Similarity.NumProbes).toSet)
+    byProbe.values.foreach(rs =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to Similarity.TopK).toSeq))
+    // every returned score is the EXACT cosine for the pair (the
+    // refine contract — truncation affects WHICH pairs, never scores)
+    val exactCos = Similarity.knnBrute(Tables.embeddings(spark, sf),
+        "vec_id", "embedding", _ < Similarity.NumProbes, Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    k23.foreach { case (p, _, n, s) =>
+      assert(math.abs(exactCos((p, n)) - s) < 1e-12)
+    }
+    // generic (non-MRL) embeddings: the 16-dim prefix still recovers a
+    // useful share of true neighbors through the refine-50 shortlist
+    val approx = k23.map(t => (t._1, t._3)).toSet
+    val exact = Similarity.sharedKnnBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, f"prefix recall@5 = $recall%.2f, expected >= 0.5")
+  }
+
   test("k22 SQ8 recall equals the direct overlap of k21 against the baseline") {
     val approx = Similarity.queries("k21_sq8")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
