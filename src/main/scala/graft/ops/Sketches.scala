@@ -708,6 +708,32 @@ object Sketches {
           .as("rel_err_q6"))
   }
 
+  /** Per-group AMS F₂ (x14) — one sketch row PER GROUP, completing the
+    * x-family's group symmetry (HLL x01/x03, CMS x02/x09, histogram
+    * x05/x06, AMS x13/x14): which stratum's key distribution carries
+    * the self-join/skew mass — e.g. which event type will blow up the
+    * sessionize shuffle. Same audit readout as x13 per group; the
+    * exchange carries r atoms per group, never per key.
+    * Output: one row `(grp, est_f2, exact_f2, rel_err_q6)` per group. */
+  def amsF2By(df: DataFrame, groupCol: String, key: String,
+              r: Int = AmsR): DataFrame = {
+    val sums = (0 until r).map(i => sum(expr(amsSignExpr(key, i))).as(s"z$i"))
+    val est = df.groupBy(col(groupCol).as("grp"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("grp"),
+        expr(s"(${(0 until r).map(i => s"z$i * z$i").mkString(" + ")}) div $r")
+          .as("est_f2"))
+    val exact = df.groupBy(col(groupCol).as("grp"), col(key))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("grp")).agg(sum(col("c") * col("c")).as("exact_f2"))
+    est.join(exact, "grp")
+      .select(col("grp"), col("est_f2"), col("exact_f2"),
+        expr("CASE WHEN est_f2 - exact_f2 >= 0 " +
+          "THEN ((est_f2 - exact_f2) * 1000000) div exact_f2 " +
+          "ELSE -(((exact_f2 - est_f2) * 1000000) div exact_f2) END")
+          .as("rel_err_q6"))
+  }
+
   /** Cross-join-size estimate from two [[amsZ]] sketch rows:
     * `E[Σ z_i·w_i / r] = Σ_k c_k(A)·c_k(B) = |A ⋈_key B|` — the AMS
     * inner product, pricing an equi-join between two relations from
@@ -727,6 +753,11 @@ object Sketches {
     // AMS self-join size of the event stream on its user key — the
     // sessionization/shuffle-cost probe, audited against the exact Σc²
     "x13_ams_f2" -> ((s, d) => amsF2(Tables.events(s, d), "user_id")),
+    // per-event-type self-join mass — which stratum will skew the
+    // user-keyed shuffle
+    "x14_ams_by_group" -> ((s, d) =>
+      amsF2By(Tables.events(s, d), "event_type", "user_id")
+        .withColumnRenamed("grp", "event_type")),
     "x12_hll_sliding" -> ((s, d) =>
       hllSlidingDistinct(Tables.events(s, d), "ts", "user_id")),
     // distinct suppliers-per-part key space on lineitem: ~20k-80k
@@ -805,6 +836,24 @@ object Sketches {
          |    THEN ((est_f2 - exact_f2) * 1000000) // exact_f2
          |    ELSE -(((exact_f2 - est_f2) * 1000000) // exact_f2) END AS rel_err_q6
          |FROM s, e""".stripMargin
+    },
+    // x14 — the x13 text with GROUP BY event_type on both branches
+    "x14_ams_by_group" -> {
+      val zs = (0 until AmsR)
+        .map(i => s"CAST(sum(${amsSignExpr("user_id", i)}) AS BIGINT) AS z$i")
+        .mkString(",\n    ")
+      val sq = (0 until AmsR).map(i => s"z$i * z$i").mkString(" + ")
+      s"""WITH z AS (
+         |  SELECT event_type, $zs FROM events GROUP BY event_type),
+         |e AS (SELECT event_type, CAST(sum(c * c) AS BIGINT) AS exact_f2 FROM (
+         |  SELECT event_type, user_id, count(*) AS c FROM events
+         |  GROUP BY event_type, user_id) t GROUP BY event_type),
+         |s AS (SELECT event_type, CAST(($sq) AS BIGINT) // $AmsR AS est_f2 FROM z)
+         |SELECT s.event_type, est_f2, exact_f2,
+         |  CASE WHEN est_f2 - exact_f2 >= 0
+         |    THEN ((est_f2 - exact_f2) * 1000000) // exact_f2
+         |    ELSE -(((exact_f2 - est_f2) * 1000000) // exact_f2) END AS rel_err_q6
+         |FROM s JOIN e ON e.event_type = s.event_type""".stripMargin
     },
     "x01_hll_distinct" ->
       hllDistinctSql("lineitem", "CAST(l_partkey AS VARCHAR)", P2),

@@ -407,6 +407,26 @@ class RoundNineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("x14 per-group AMS: group atoms sum to the whole, exacts recompute") {
+    import spark.implicits._
+    val events = Tables.events(spark, sf)
+    val rows = Sketches.amsF2By(events, "event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows.map(_._1).toSet ==
+      events.select($"event_type").distinct().collect().map(_.getString(0)).toSet)
+    // exact side recomputes per group
+    rows.foreach { case (g, _, exact) =>
+      val want = events.filter($"event_type" === g)
+        .groupBy($"user_id").agg(count(lit(1)).as("c"))
+        .agg(sum($"c" * $"c")).head().getLong(0)
+      assert(exact == want, s"group $g exact F2")
+    }
+    // every group's estimate lands in the x13 3x envelope
+    rows.foreach { case (g, est, exact) =>
+      assert(est > exact / 3 && est < exact * 3, s"group $g estimate $est vs $exact")
+    }
+  }
+
   test("x13 AMS: linear sketch, self-consistency, estimates track exact sizes") {
     import spark.implicits._
     val events = Tables.events(spark, sf)
