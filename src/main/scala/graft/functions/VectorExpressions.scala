@@ -258,10 +258,17 @@ object Jaro {
 }
 
 /** Session registration for the graft native functions. Idempotent —
-  * call from any query that uses them. */
+  * call from any query that uses them. Re-registration is a no-op
+  * (guarded on the registry itself, so it survives session cloning):
+  * without the guard every catalog query re-replaces all six
+  * functions and Spark logs a "replacing temp function" warning per
+  * call — thousands of them over a bench run. */
 object VectorFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    if (reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot")))
+      return
     reg.createOrReplaceTempFunction(
       "graft_dot",
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1)),

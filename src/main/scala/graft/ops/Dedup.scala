@@ -903,8 +903,7 @@ object Dedup {
     "d19_minhash_persisted" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val corpus = docs.filter(col("doc_id") % 2 === 0)
-      val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_mh_index_" + Integer.toHexString(d.hashCode)).getPath
+      val idxDir = IndexPaths.dir("mh_index", d)
       minhashWriteIndex(corpus, "doc_id", "text", idxDir)
       val (_, bands) = minhashLoadIndex(s, idxDir)
       minhashServeDelta(corpus,

@@ -372,8 +372,7 @@ object Entity {
     // verbatim (the map IS the published artifact; bit-equality of the
     // loaded copy is the whole contract)
     "er09_map_persisted" -> ((s, d) => {
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_er09_map_" + Integer.toHexString(d.hashCode)).getPath
+      val dir = IndexPaths.dir("er09_map", d)
       canonicalWriteMap(
         canonicalMapFromPairs(Tables.part(s, d), "p_name",
           jaroWinklerPairsUnion(Tables.part(s, d), "p_name")), dir)

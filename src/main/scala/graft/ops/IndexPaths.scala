@@ -1,0 +1,33 @@
+package graft.ops
+
+/** Per-process roots for the persisted-index seams (k15 PQ, k24 SQ8,
+  * p07 IVF coarse, d19 MinHash bands, r06 BM25, er09 canonical map,
+  * m10 frame store, and the p05–p09 maintenance pipelines).
+  *
+  * Each (tag, dataDir) pair maps to a directory under a base created
+  * fresh for THIS JVM (`Files.createTempDirectory`), so:
+  *  - two concurrent processes serving the same data dir can never
+  *    race overwrite-vs-read on a shared fixed path, and
+  *  - distinct data dirs can never collide (the data dir is embedded
+  *    sanitized in the name, not reduced to a hashCode).
+  *
+  * Within one JVM the mapping is STABLE — the write-then-load catalog
+  * entries and the shared-artifact memos rely on that — and the base
+  * lives under java.io.tmpdir, so the OS reclaims it like any other
+  * scratch space. A real deployment passes explicit warehouse paths
+  * to the write/load seams instead; this object only names the
+  * harness's scratch locations. */
+object IndexPaths {
+  private lazy val base: java.io.File = {
+    val p = java.nio.file.Files.createTempDirectory("graft_idx_")
+    p.toFile.deleteOnExit()
+    p.toFile
+  }
+
+  /** Scratch index directory for `tag` over `dataDir`, stable within
+    * this JVM, collision-free across JVMs. */
+  def dir(tag: String, dataDir: String): String = {
+    val safe = dataDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    new java.io.File(base, s"${tag}_$safe").getPath
+  }
+}

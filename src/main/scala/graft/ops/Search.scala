@@ -340,8 +340,7 @@ object Search {
     // in one entry; shares r01's oracle verbatim (same terms, same
     // scoring tail, postings pruned at the parquet scan)
     "r06_bm25_persisted" -> ((s, d) => {
-      val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_r06_index_" + Integer.toHexString(d.hashCode)).getPath
+      val idxDir = IndexPaths.dir("r06_index", d)
       val (p, l, st) = bm25BuildIndex(Tables.documents(s, d), "doc_id", "text")
       bm25WriteIndex(p, l, st, idxDir)
       val (lp, ll, ls) = bm25LoadIndex(s, idxDir)

@@ -750,7 +750,16 @@ object Similarity {
   /** The shared sketch→shortlist→exact-refine tail (k10/k23): score
     * all pairs by the cosine of the SKETCH column `pv`, keep the
     * `refine`-deep shortlist per probe, re-rank by exact full-width
-    * cosine. Identical IEEE op order however the sketch was made. */
+    * cosine. Identical IEEE op order however the sketch was made.
+    *
+    * Degenerate-sketch guard: a vector whose sketch is all zeros (a
+    * normalized embedding with an all-zero leading prefix in k23, or
+    * all 16 ±1 projections cancelling in k10) has pnrm = 0, and the
+    * raw division would yield NaN/Inf — Spark sorts NaN HIGHEST, so
+    * one degenerate corpus vector would flood every probe's shortlist
+    * and silently cost recall. The CASE pins such pairs to −2, below
+    * any real cosine, so degenerate sketches rank last identically in
+    * both engines (no NULL-ordering dependence). */
   private def sketchShortlistRefine(vn: DataFrame, vp: DataFrame,
                                     isProbe: Column => Column, k: Int,
                                     refine: Int): DataFrame = {
@@ -758,7 +767,8 @@ object Similarity {
     val scored = vp.as("b").join(broadcast(probes.as("a")),
         col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("probe_id"), col("b.vec_id").as("neighbor_id"),
-        expr("graft_dot(a.pv, b.pv) / (a.pnrm * b.pnrm)").as("pcos"))
+        expr("CASE WHEN a.pnrm * b.pnrm = 0.0D THEN -2.0D " +
+          "ELSE graft_dot(a.pv, b.pv) / (a.pnrm * b.pnrm) END").as("pcos"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("pcos").desc, col("neighbor_id"))
     val shortlist = scored.withColumn("arnk", row_number().over(w))
@@ -969,9 +979,32 @@ object Similarity {
   private val trainedMemo =
     new java.util.HashMap[(SparkSession, String, String), AnyRef]()
 
+  /** Contexts that already carry the eviction listener below — one
+    * listener per SparkContext, evicting every memo entry whose
+    * session rode on it when the context ends, so a long-lived
+    * multi-session server doesn't accumulate checkpointed RDDs for
+    * stopped applications. */
+  private val evictionHooked =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[org.apache.spark.SparkContext, java.lang.Boolean]())
+
+  private def ensureEviction(s: SparkSession): Unit = {
+    val sc = s.sparkContext
+    if (evictionHooked.add(sc))
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          trainedMemo.synchronized {
+            val it = trainedMemo.keySet().iterator()
+            while (it.hasNext) if (it.next()._1.sparkContext eq sc) it.remove()
+          }
+      })
+  }
+
   private def memo[T <: AnyRef](s: SparkSession, d: String, key: String)
                                (build: => T): T =
     trainedMemo.synchronized {
+      ensureEviction(s)
       val k = (s, d, key)
       val existing = trainedMemo.get(k)
       if (existing != null) existing.asInstanceOf[T]
@@ -1305,8 +1338,7 @@ object Similarity {
     // integer codes and double centroids bit-exactly, so persistence
     // changes where the index lives, not what it answers.
     "k15_pq_persisted" -> ((s, d) => {
-      val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_pq_index_" + Integer.toHexString(d.hashCode)).getPath
+      val idxDir = IndexPaths.dir("pq_index", d)
       val (codes, cbs) = sharedPqIndex(s, d)
       pqWriteIndex(codes, cbs, idxDir)
       val (lCodes, lCbs) = pqLoadIndex(s, idxDir)
@@ -1862,8 +1894,9 @@ object Similarity {
              |  FROM p),
              |sc AS (
              |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
-             |    reduce(list_prepend(0.0, list_transform(range(1, ${RpDims + 1}), i -> a.pv[i] * b.pv[i])), (acc, x) -> acc + x)
-             |      / (a.pnrm * b.pnrm) AS pcos
+             |    CASE WHEN a.pnrm * b.pnrm = 0 THEN -2.0
+             |      ELSE reduce(list_prepend(0.0, list_transform(range(1, ${RpDims + 1}), i -> a.pv[i] * b.pv[i])), (acc, x) -> acc + x)
+             |        / (a.pnrm * b.pnrm) END AS pcos
              |  FROM pp a JOIN pp b ON a.vec_id < $NumProbes AND a.vec_id <> b.vec_id),
              |shortlist AS (
              |  SELECT probe_id, neighbor_id FROM (
@@ -1899,8 +1932,9 @@ object Similarity {
              |  FROM fullnv),
              |sc AS (
              |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
-             |    reduce(list_prepend(0.0, list_transform(range(1, ${MrlDims + 1}), i -> a.pv[i] * b.pv[i])), (acc, x) -> acc + x)
-             |      / (a.pnrm * b.pnrm) AS pcos
+             |    CASE WHEN a.pnrm * b.pnrm = 0 THEN -2.0
+             |      ELSE reduce(list_prepend(0.0, list_transform(range(1, ${MrlDims + 1}), i -> a.pv[i] * b.pv[i])), (acc, x) -> acc + x)
+             |        / (a.pnrm * b.pnrm) END AS pcos
              |  FROM pp a JOIN pp b ON a.vec_id < $NumProbes AND a.vec_id <> b.vec_id),
              |shortlist AS (
              |  SELECT probe_id, neighbor_id FROM (

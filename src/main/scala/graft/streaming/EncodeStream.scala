@@ -30,16 +30,25 @@ object EncodeStream {
 
   /** Drain the current directory contents as a delta stream, encoding
     * each micro-batch against `codebooks` and appending the code
-    * tuples to `outPath` as parquet. */
+    * tuples to `outPath` as parquet.
+    *
+    * Exactly-once across restarts requires `checkpointDir` (see
+    * [[IndexStream.runAvailableNow]]): without one, each invocation
+    * reprocesses the whole directory and must append to a fresh
+    * `outPath` or code rows duplicate. */
   def runAvailableNow(spark: SparkSession, dir: String,
                       codebooks: DataFrame, outPath: String,
-                      deltaFilter: org.apache.spark.sql.Column): Unit = {
-    val q = spark.readStream
+                      deltaFilter: org.apache.spark.sql.Column,
+                      checkpointDir: Option[String] = None): Unit = {
+    val reader = spark.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "embeddings.parquet")
       .parquet(dir)
       .filter(deltaFilter)
-      .writeStream
+    val writer0 = reader.writeStream
+    val writer = checkpointDir.fold(writer0)(cp =>
+      writer0.option("checkpointLocation", cp))
+    val q = writer
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.ops.Similarity
           .pqEncodeWith(batch, "vec_id", "embedding", codebooks)

@@ -34,16 +34,22 @@ object IncrementalDedupStream {
 
   /** Drain the current directory contents as a delta stream (odd doc
     * ids in the harness wiring), appending near-dup pairs vs `corpus`
-    * to `outPath` as parquet. */
+    * to `outPath` as parquet. Exactly-once across restarts requires
+    * `checkpointDir` (see [[IndexStream.runAvailableNow]]); without
+    * one, re-runs reprocess everything and need a fresh `outPath`. */
   def runAvailableNow(spark: SparkSession, dir: String, corpus: DataFrame,
                       outPath: String, threshold: Double = 0.6,
-                      deltaFilter: org.apache.spark.sql.Column): Unit = {
-    val q = spark.readStream
+                      deltaFilter: org.apache.spark.sql.Column,
+                      checkpointDir: Option[String] = None): Unit = {
+    val reader = spark.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
       .filter(deltaFilter)
-      .writeStream
+    val writer0 = reader.writeStream
+    val writer = checkpointDir.fold(writer0)(cp =>
+      writer0.option("checkpointLocation", cp))
+    val q = writer
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.ops.Dedup
           .minhashVerifiedAgainst(corpus, batch, "doc_id", "text", threshold)
@@ -67,15 +73,19 @@ object IncrementalDedupStream {
   def runAvailableNowIndexed(spark: SparkSession, dir: String,
                              corpus: DataFrame, indexDir: String,
                              outPath: String, threshold: Double = 0.6,
-                             deltaFilter: org.apache.spark.sql.Column): Unit = {
+                             deltaFilter: org.apache.spark.sql.Column,
+                             checkpointDir: Option[String] = None): Unit = {
     val (_, bands) = graft.ops.Dedup.minhashLoadIndex(spark, indexDir)
     val corpusBands = bands.withColumnRenamed("doc_id", "corpus_id")
-    val q = spark.readStream
+    val reader = spark.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
       .filter(deltaFilter)
-      .writeStream
+    val writer0 = reader.writeStream
+    val writer = checkpointDir.fold(writer0)(cp =>
+      writer0.option("checkpointLocation", cp))
+    val q = writer
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.ops.Dedup
           .minhashServeDelta(corpus, corpusBands, batch, "doc_id", "text",

@@ -36,14 +36,26 @@ object IndexStream {
 
   /** Drain the directory as a delta stream, appending one index
     * segment (postings/lexicon/stats parquet) per micro-batch under
-    * `segDir`. */
+    * `segDir`.
+    *
+    * Exactly-once across restarts REQUIRES `checkpointDir`: with a
+    * checkpoint, a re-run over the same source directory replays
+    * nothing already committed, so segments never double. Without one
+    * (None — the single-shot spec/harness mode) every invocation
+    * reprocesses the whole directory and MUST therefore write to a
+    * fresh `segDir`, or the appended postings/df/stats would silently
+    * double in [[mergedIndex]]. */
   def runAvailableNow(spark: SparkSession, dir: String,
-                      segDir: String): Unit = {
-    val q = spark.readStream
+                      segDir: String,
+                      checkpointDir: Option[String] = None): Unit = {
+    val reader = spark.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
-      .writeStream
+    val writer0 = reader.writeStream
+    val writer = checkpointDir.fold(writer0)(cp =>
+      writer0.option("checkpointLocation", cp))
+    val q = writer
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val (p, l, st) = Search.bm25BuildIndex(batch, "doc_id", "text")
         p.write.mode("append").parquet(s"$segDir/postings")
