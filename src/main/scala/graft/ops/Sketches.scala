@@ -749,6 +749,37 @@ object Sketches {
         s"ELSE -((-($dot)) div $r) END").as("est_join"))
   }
 
+  /** Cross-table join-size AUDIT (x15) — [[amsJoinSize]] pricing
+    * |A ⋈ B| from two O(r) sketch rows, read next to the exact join
+    * cardinality Σ_k c_A(k)·c_B(k) and their signed relative error in
+    * micro-units: the x10/x13 audit shape pointed at the ESTIMATOR A
+    * PLANNER ACTUALLY CALLS — "how big is this equi-join going to be"
+    * — before committing a shuffle strategy to it.
+    *
+    * Scale shape: each sketch side is one map-side O(r) aggregation
+    * over its table's key column only; the inner product is two
+    * one-row frames crossed. The exact side's per-key aggregation +
+    * key join is precisely the work x15 exists to avoid — it is here
+    * (as in x10/x13) because an audit that never meets ground truth
+    * is a number, not a measurement. At 100 TB a deployment runs the
+    * sketch half nightly per table and keeps the exact half for
+    * sampled audits. Output: one row `(est_join, exact_join,
+    * rel_err_q6)`, all divisions sign-safe so `div` ≡ `//`. */
+  def amsJoinAudit(dfA: DataFrame, keyA: String, dfB: DataFrame,
+                   keyB: String, r: Int = AmsR): DataFrame = {
+    val est = amsJoinSize(amsZ(dfA.select(col(keyA).as("k")), "k", r),
+      amsZ(dfB.select(col(keyB).as("k")), "k", r), r)
+    val exact = dfA.groupBy(col(keyA).as("k")).agg(count(lit(1)).as("ca"))
+      .join(dfB.groupBy(col(keyB).as("k")).agg(count(lit(1)).as("cb")), "k")
+      .agg(sum(col("ca") * col("cb")).as("exact_join"))
+    est.crossJoin(exact)
+      .select(col("est_join"), col("exact_join"),
+        expr("CASE WHEN est_join - exact_join >= 0 " +
+          "THEN ((est_join - exact_join) * 1000000) div exact_join " +
+          "ELSE -(((exact_join - est_join) * 1000000) div exact_join) END")
+          .as("rel_err_q6"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // AMS self-join size of the event stream on its user key — the
     // sessionization/shuffle-cost probe, audited against the exact Σc²
@@ -758,6 +789,11 @@ object Sketches {
     "x14_ams_by_group" -> ((s, d) =>
       amsF2By(Tables.events(s, d), "event_type", "user_id")
         .withColumnRenamed("grp", "event_type")),
+    // AMS join-size pricing: |orders ⋈ customer| on custkey from two
+    // O(r) sketch rows, audited against the exact join cardinality
+    "x15_ams_join_size" -> ((s, d) =>
+      amsJoinAudit(Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey")),
     "x12_hll_sliding" -> ((s, d) =>
       hllSlidingDistinct(Tables.events(s, d), "ts", "user_id")),
     // distinct suppliers-per-part key space on lineitem: ~20k-80k
@@ -835,6 +871,33 @@ object Sketches {
          |  CASE WHEN est_f2 - exact_f2 >= 0
          |    THEN ((est_f2 - exact_f2) * 1000000) // exact_f2
          |    ELSE -(((exact_f2 - est_f2) * 1000000) // exact_f2) END AS rel_err_q6
+         |FROM s, e""".stripMargin
+    },
+    // x15 — the same coins on each table's key, the inner product
+    // replacing the squares, and the exact join count from the two
+    // per-key count frames; all divisions sign-safe
+    "x15_ams_join_size" -> {
+      val zas = (0 until AmsR)
+        .map(i => s"CAST(sum(${amsSignExpr("o_custkey", i)}) AS BIGINT) AS z$i")
+        .mkString(",\n    ")
+      val zbs = (0 until AmsR)
+        .map(i => s"CAST(sum(${amsSignExpr("c_custkey", i)}) AS BIGINT) AS w$i")
+        .mkString(",\n    ")
+      val dot = (0 until AmsR).map(i => s"z$i * w$i").mkString(" + ")
+      s"""WITH za AS (SELECT $zas FROM orders),
+         |zb AS (SELECT $zbs FROM customer),
+         |e AS (SELECT CAST(sum(ca * cb) AS BIGINT) AS exact_join FROM (
+         |    SELECT o_custkey AS k, count(*) AS ca FROM orders GROUP BY 1) a
+         |  JOIN (
+         |    SELECT c_custkey AS k, count(*) AS cb FROM customer GROUP BY 1) b
+         |  USING (k)),
+         |s AS (SELECT CASE WHEN ($dot) >= 0 THEN CAST(($dot) AS BIGINT) // $AmsR
+         |  ELSE -((-CAST(($dot) AS BIGINT)) // $AmsR) END AS est_join
+         |  FROM za, zb)
+         |SELECT est_join, exact_join,
+         |  CASE WHEN est_join - exact_join >= 0
+         |    THEN ((est_join - exact_join) * 1000000) // exact_join
+         |    ELSE -(((exact_join - est_join) * 1000000) // exact_join) END AS rel_err_q6
          |FROM s, e""".stripMargin
     },
     // x14 — the x13 text with GROUP BY event_type on both branches

@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.etl.TestSpark
+
+/** Round-10 additions: the x15 join-size audit, the persisted-index
+  * seams that close the ANN (p07), SQ8 (k24), media (m10/p08) and ER
+  * (p09) nightly loops, and their load≡train / incremental≡one-shot
+  * contracts. */
+class RoundTenOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+  private val sf = "/root/testdata/sf0.001"
+
+  test("x15 AMS join size: audit readout is exact-side-correct and in envelope") {
+    import spark.implicits._
+    val audit = Sketches.amsJoinAudit(Tables.orders(spark, sf), "o_custkey",
+      Tables.customer(spark, sf), "c_custkey").head()
+    val (est, exact, relErr) =
+      (audit.getLong(0), audit.getLong(1), audit.getLong(2))
+    // exact side recomputes: custkey is unique in customer, so the
+    // join cardinality is the number of orders with a matching key
+    val want = Tables.orders(spark, sf).as("o")
+      .join(Tables.customer(spark, sf).as("c"),
+        $"o.o_custkey" === $"c.c_custkey")
+      .count()
+    assert(exact == want, "exact join cardinality")
+    // the readout's own error field recomputes from its two numbers
+    val diff = est - exact
+    val wantErr =
+      if (diff >= 0) diff * 1000000L / exact
+      else -((-diff) * 1000000L / exact)
+    assert(relErr == wantErr, "sign-safe relative error")
+    // x13's 3x envelope: r=16 atoms give ~35% relative std on the
+    // inner product at this key distribution
+    assert(est > exact / 3 && est < exact * 3,
+      s"join-size estimate $est must track exact $exact")
+    // consistency with the published estimator: the audit's est IS
+    // amsJoinSize of the two table sketches
+    val zo = Sketches.amsZ(
+      Tables.orders(spark, sf).select($"o_custkey".as("k")), "k")
+    val zc = Sketches.amsZ(
+      Tables.customer(spark, sf).select($"c_custkey".as("k")), "k")
+    assert(Sketches.amsJoinSize(zo, zc).head().getLong(0) == est)
+  }
+}
