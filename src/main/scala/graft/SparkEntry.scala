@@ -134,6 +134,24 @@ object SparkEntry {
             docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text")
           val merged = ops.Search.bm25MergeIndex(loaded, delta)
           ops.Search.bm25QueryIndex(merged._1, merged._2, merged._3)
+        }),
+        // The p05/p06 move on the VECTOR seam — the ANN nightly loop
+        // closed: publish the COMPLETE production IVFPQ index (PQ
+        // codes + codebooks AND the coarse cell assignment +
+        // centroids k19 gates on) to parquet, then serve the probes
+        // with every artifact LOADED back — what a crashed-and-
+        // restarted ANN server runs, with no retraining of either
+        // layer. Longs and doubles round-trip parquet bit-exactly, so
+        // the loaded serve equals the in-session k19 serve and p07
+        // shares k19's oracle verbatim. The delta half of the loop
+        // (frozen-codebook PQ encode k18 + frozen-centroid cell
+        // assignment ivfCoarseEncodeWith) appends nightly batches to
+        // the published tables without touching the standing corpus —
+        // pinned by RoundTenOpsSpec's batch-independence contract.
+        "p07_ann_maintenance" -> ((s: SparkSession, d: String) => {
+          val idxDir = ops.IndexPaths.dir("p07_index", d)
+          ops.Similarity.ivfPqWriteAll(s, d, idxDir)
+          ops.Similarity.ivfPqServeLoaded(s, d, idxDir)
         }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -186,5 +204,7 @@ object SparkEntry {
         "p05_incremental_maintenance" ->
           ops.Clusters.oracle("c03_clusters_minhash"),
         // p06's persisted+merged serve equals the one-shot r01 ranking
-        "p06_search_maintenance" -> ops.Search.oracle("r01_bm25"))
+        "p06_search_maintenance" -> ops.Search.oracle("r01_bm25"),
+        // p07's all-loaded IVFPQ serve equals the in-session k19
+        "p07_ann_maintenance" -> ops.Similarity.oracle("k19_ivfpq"))
 }

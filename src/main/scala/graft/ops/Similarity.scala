@@ -1119,6 +1119,77 @@ object Similarity {
         .localCheckpoint()
     }
 
+  /** Write the trained COARSE QUANTIZER (the k04 cell assignment +
+    * its exact quantized-mean centroids) as two parquet tables under
+    * `dir` — the missing half of the IVFPQ deployment story: k15
+    * persists the PQ codes/codebooks, this persists the layer k19
+    * gates on, so a fresh session serves the production index with NO
+    * retraining of either layer. Longs and doubles both round-trip
+    * parquet bit-exactly, so serve-from-loaded ≡ serve-from-trained
+    * (pinned by the p07 oracle — k19's verbatim — and the load≡train
+    * spec). */
+  def ivfWriteCoarse(assign: DataFrame, cellCentroids: DataFrame,
+                     dir: String): Unit = {
+    assign.select(col("vec_id"), col("cluster"))
+      .write.mode("overwrite").parquet(s"$dir/assign")
+    cellCentroids.write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Load a persisted coarse quantizer written by [[ivfWriteCoarse]]:
+    * `(assign, cellCentroids)`. */
+  def ivfLoadCoarse(spark: SparkSession,
+                    dir: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/assign"),
+      spark.read.parquet(s"$dir/centroids"))
+
+  /** Assign NEW vectors to cells of a FROZEN coarse quantizer (the
+    * k18 move on the coarse layer): cosine argmax against the stored
+    * cell centroids with training's `min(struct(-score, cluster))`
+    * tie-break — the nightly delta batch enters the standing IVFPQ
+    * index by appending these rows to the loaded assignment (and its
+    * [[pqEncodeWith]] codes to the loaded code table), no retraining,
+    * no touch of the standing corpus. Same serve-consistency argument
+    * as [[pqEncodeWith]]: the gate ranks cells against exactly these
+    * stored centroids, so nearest-stored-centroid membership minimizes
+    * the gate misses the serve path actually incurs. Map-side: the
+    * centroids broadcast (k rows), the batch never shuffles. A
+    * vector's cell depends only on (vector, centroids) — pinned by
+    * the batch-independence spec. Output: `(vec_id, cluster)`. */
+  def ivfCoarseEncodeWith(vectors: DataFrame, id: String, vec: String,
+                          cellCentroids: DataFrame): DataFrame = {
+    val vn = pqNormalized(vectors, id, vec)
+    vn.crossJoin(broadcast(cellCentroids))
+      .withColumn("score", expr("graft_dot(nv, centroid)") / col("cnrm"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct((-col("score")).as("ns"),
+        col("cluster").as("cluster"))).as("b"))
+      .select(col("vec_id"), col("b.cluster").as("cluster"))
+  }
+
+  /** Publish the COMPLETE production ANN index under `dir` — PQ
+    * codes/codebooks (`dir/pq`) + coarse assignment/centroids
+    * (`dir/coarse`), all from the shared trained artifacts: the write
+    * half of the p07 nightly loop. */
+  def ivfPqWriteAll(s: SparkSession, d: String, dir: String): Unit = {
+    val (codes, cbs) = sharedPqIndex(s, d)
+    pqWriteIndex(codes, cbs, s"$dir/pq")
+    ivfWriteCoarse(sharedKmeansAssign(s, d), sharedCellCentroids(s, d),
+      s"$dir/coarse")
+  }
+
+  /** Serve the catalog probes from a PUBLISHED index directory — every
+    * artifact loaded from parquet, nothing trained in-session (the
+    * corpus floats are read only for probes and the refine shortlist,
+    * via the shared normalized frame): the serve half of the p07
+    * nightly loop, and what a crashed-and-restarted server runs. */
+  def ivfPqServeLoaded(s: SparkSession, d: String, dir: String,
+                       nprobe: Int = IvfPqNprobe): DataFrame = {
+    val (codes, cbs) = pqLoadIndex(s, s"$dir/pq")
+    val (assign, cents) = ivfLoadCoarse(s, s"$dir/coarse")
+    ivfPqOnNormalized(sharedNormalized(s, d), codes, cbs, assign, cents,
+      _ < NumProbes, TopK, nprobe, PqSubspaces, PqRefine, 64)
+  }
+
   /** The generic IVFPQ search over CALLER artifacts (the library-API
     * form the catalog instantiates): normalized vectors, a trained
     * cell `assign`ment, its `cellCentroids`, and a PQ index — gate

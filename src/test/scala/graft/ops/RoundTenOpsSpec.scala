@@ -43,4 +43,40 @@ class RoundTenOpsSpec extends AnyFunSuite {
       Tables.customer(spark, sf).select($"c_custkey".as("k")), "k")
     assert(Sketches.amsJoinSize(zo, zc).head().getLong(0) == est)
   }
+
+  test("p07 IVFPQ persistence: serve-from-loaded equals in-session serve") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("p07_spec_").toString
+    Similarity.ivfPqWriteAll(spark, sf, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(rows(Similarity.ivfPqServeLoaded(spark, sf, dir)) ==
+      rows(Similarity.ivfPqServe(spark, sf, Similarity.IvfPqNprobe)),
+      "the published index must answer exactly what the trained one does")
+    // the coarse artifacts themselves round-trip bit-exactly
+    val (lAssign, lCents) = Similarity.ivfLoadCoarse(spark, s"$dir/coarse")
+    assert(lAssign.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Similarity.sharedKmeansAssign(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(lCents.count() == Similarity.sharedCellCentroids(spark, sf).count())
+  }
+
+  test("p07 frozen-coarse encode: batch-independent, lands in trained cells") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val cents = Similarity.sharedCellCentroids(spark, sf)
+    def enc(df: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfCoarseEncodeWith(df, "vec_id", "embedding", cents)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // a vector's cell depends only on (vector, centroids): encoding
+    // the corpus in one batch equals encoding two halves separately
+    val whole = enc(emb)
+    val halves = enc(emb.filter($"vec_id" % 2 === 0)) ++
+      enc(emb.filter($"vec_id" % 2 =!= 0))
+    assert(whole == halves, "frozen-quantizer encode must be batch-independent")
+    // every delta vector lands in an existing trained cell (serve-able)
+    val cells = cents.select($"cluster").collect().map(_.getLong(0)).toSet
+    assert(whole.values.toSet.subsetOf(cells))
+  }
 }
