@@ -1306,12 +1306,65 @@ object Similarity {
     sqAdcOnNormalized(vn, isProbe, k)
   }
 
-  private def sqAdcOnNormalized(vn: DataFrame, isProbe: Column => Column,
-                                k: Int): DataFrame = {
-    val recon = sqEncodeWith(vn, sqTrainStats(vn))
+  /** TRAIN the SQ8 index (the k24 persistence seam): the two frames a
+    * deployment stores — the one-row per-dimension range `stats` and
+    * the `codes` table `(vec_id, codes)`, dims 8-bit values per
+    * vector. Together they are the complete standing index, the SQ
+    * analog of [[pqTrainIndex]]'s codes+codebooks pair. */
+  def sqTrainIndex(vn: DataFrame): (DataFrame, DataFrame) = {
+    val stats = sqTrainStats(vn)
+    (stats, sqEncodeWith(vn, stats).select(col("vec_id"), col("codes")))
+  }
+
+  /** Persist a trained SQ8 index under `dir` (stats/codes parquet) —
+    * the k15/d19 move on the third index family. Everything is int64,
+    * which parquet round-trips bit-exactly, so load-then-serve ≡
+    * train-then-serve (k24 shares k21's oracle verbatim; pinned by
+    * the load≡train spec). */
+  def sqWriteIndex(stats: DataFrame, codes: DataFrame, dir: String): Unit = {
+    stats.write.mode("overwrite").parquet(s"$dir/stats")
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  /** Load a persisted SQ8 index written by [[sqWriteIndex]]:
+    * `(stats, codes)`. */
+  def sqLoadIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/stats"),
+      spark.read.parquet(s"$dir/codes"))
+
+  /** Reconstruct integer corpus elements from a (possibly loaded)
+    * code table + stats row: `qmin + code·width div 255`, map-side
+    * under the one-row stats broadcast — the decode half every SQ
+    * serve runs. Output: `(vec_id, rv)`. */
+  private def sqReconstruct(codes: DataFrame, stats: DataFrame): DataFrame =
+    codes.crossJoin(broadcast(stats))
       .select(col("vec_id"),
         expr("zip_with(zip_with(codes, widths, (c, w) -> (c * w) div 255), " +
           "qmins, (t, mn) -> mn + t)").as("rv"))
+
+  /** SERVE probes from a published SQ8 index directory — stats and
+    * codes loaded from parquet, nothing trained in-session (the k24
+    * entry; corpus floats are touched only via the shared normalized
+    * frame's probe rows): the p07 move on the SQ family. */
+  def sqServeLoaded(s: SparkSession, d: String, dir: String,
+                    k: Int = TopK): DataFrame = {
+    val (stats, codes) = sqLoadIndex(s, dir)
+    sqServeRecon(sqReconstruct(codes, stats), sharedNormalized(s, d),
+      _ < NumProbes, k)
+  }
+
+  private def sqAdcOnNormalized(vn: DataFrame, isProbe: Column => Column,
+                                k: Int): DataFrame = {
+    val (stats, codes) = sqTrainIndex(vn)
+    sqServeRecon(sqReconstruct(codes, stats), vn, isProbe, k)
+  }
+
+  /** The shared SQ8 scoring tail over reconstructed integer vectors:
+    * exact int64 dot against the Quant-precision probes, per-probe
+    * top-k — identical whether `recon` came from in-session training
+    * (k21) or a loaded index (k24). */
+  private def sqServeRecon(recon: DataFrame, vn: DataFrame,
+                           isProbe: Column => Column, k: Int): DataFrame = {
     val probes = sqQuantized(vn).filter(isProbe(col("vec_id")))
       .select(col("vec_id").as("probe_id"), col("qv").as("pq"))
     val scored = recon.as("b").join(broadcast(probes.as("a")),
@@ -1333,6 +1386,15 @@ object Similarity {
     // SQ8: training-free 8-bit compression, integer-exact ADC serve
     "k21_sq8" -> ((s, d) =>
       sqAdcOnNormalized(sharedNormalized(s, d), _ < NumProbes, TopK)),
+    // k24: the SQ8 index persisted (stats + codes parquet) and served
+    // back entirely from the loaded artifacts - the k15/p07 round
+    // trip on the third index family; shares k21's oracle verbatim
+    "k24_sq8_persisted" -> ((s, d) => {
+      val dir = IndexPaths.dir("sq_index", d)
+      val (stats, codes) = sqTrainIndex(sharedNormalized(s, d))
+      sqWriteIndex(stats, codes, dir)
+      sqServeLoaded(s, d, dir)
+    }),
     // recall@k of the combined index vs the exact baseline — the
     // number that tunes k19's nprobe/refine pair (its loss composes
     // the coarse gate's misses with PQ shortlist misses; k17 and k09
@@ -2127,7 +2189,11 @@ object Similarity {
           ("k19_ivfpq" -> k19Sql) +
           ("k20_ivfpq_recall" -> recallSql(k19Sql)) +
           ("k22_sq8_recall" -> recallSql(m("k21_sq8"))) +
-          ("k23_mrl_knn" -> k23Sql)
+          ("k23_mrl_knn" -> k23Sql) +
+          // k24 trains the same SQ8 index, persists stats+codes, and
+          // serves from the loaded copy - all int64, so by
+          // construction the same rows as k21
+          ("k24_sq8_persisted" -> m("k21_sq8"))
     }
   }
 }

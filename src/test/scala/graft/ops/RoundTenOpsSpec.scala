@@ -79,4 +79,32 @@ class RoundTenOpsSpec extends AnyFunSuite {
     val cells = cents.select($"cluster").collect().map(_.getLong(0)).toSet
     assert(whole.values.toSet.subsetOf(cells))
   }
+
+  test("k24 SQ8 persistence: serve-from-loaded equals in-session k21") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("k24_spec_").toString
+    val vn = Similarity.sharedNormalized(spark, sf)
+    val (stats, codes) = Similarity.sqTrainIndex(vn)
+    Similarity.sqWriteIndex(stats, codes, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val k21 = graft.SparkEntry.queries("k21_sq8")(spark, sf)
+    assert(rows(Similarity.sqServeLoaded(spark, sf, dir)) == rows(k21),
+      "the loaded SQ8 index must answer exactly what in-session training does")
+    // frozen-stats delta encode is batch-independent (the k18 contract
+    // on the SQ seam): codes depend only on (vector, stats)
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    def enc(df: org.apache.spark.sql.DataFrame) =
+      Similarity.sqEncodeWith(
+          graft.ops.Similarity.sharedNormalized(spark, sf)
+            .join(df.select($"vec_id"), "vec_id"), stats)
+        .select($"vec_id", $"codes").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    val whole = enc(emb)
+    val halves = enc(emb.filter($"vec_id" % 2 === 0)) ++
+      enc(emb.filter($"vec_id" % 2 =!= 0))
+    assert(whole == halves, "frozen-stats SQ encode must be batch-independent")
+  }
 }
