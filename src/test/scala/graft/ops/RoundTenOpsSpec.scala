@@ -107,4 +107,22 @@ class RoundTenOpsSpec extends AnyFunSuite {
       enc(emb.filter($"vec_id" % 2 =!= 0))
     assert(whole == halves, "frozen-stats SQ encode must be batch-independent")
   }
+
+  test("m10/p08 media store: loaded-serve and incremental merge equal one-shot") {
+    // m10: pairs served from the loaded signature store == direct m08
+    def pairRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(pairRows(Multimodal.persistedNearDup(spark, sf)) ==
+      pairRows(Multimodal.videoNearDupPairs(Multimodal.mediaFrames(spark, sf))),
+      "the loaded frame store must yield exactly the one-shot m08 pairs")
+    // p08: standing-loaded + delta-fresh + star merge == one-shot m09
+    def labels(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val oneShot = Clusters.connectedComponents(
+      Multimodal.videoNearDupPairs(Multimodal.mediaFrames(spark, sf))
+        .select(col("doc_a"), col("doc_b")), "doc_a", "doc_b")
+    assert(labels(Multimodal.mediaMaintenance(spark, sf)) == labels(oneShot),
+      "rolled-forward media labels must equal the one-shot clustering")
+  }
 }
