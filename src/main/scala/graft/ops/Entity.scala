@@ -399,6 +399,20 @@ object Entity {
     "er03_entity_rollup" -> ((s, d) =>
       entityRollupFromMap(Tables.part(s, d), "p_name",
         sharedCanonicalMap(s, d))),
+    // p09: the ER nightly PUBLISH loop end-to-end — er09 proved the
+    // map round-trips parquet; this entry proves the published copy
+    // SERVES: write the standing canonical map, load it back, and run
+    // the er03 rollup from the LOADED map only (the consumer a
+    // master-data deployment actually ships — broadcast-joins the
+    // published artifact, never touches the pair machinery). Strings
+    // round-trip parquet byte-exactly, so p09 shares er03's oracle
+    // verbatim.
+    "p09_entity_maintenance" -> ((s, d) => {
+      val dir = IndexPaths.dir("p09_map", d)
+      canonicalWriteMap(sharedCanonicalMap(s, d), dir)
+      entityRollupFromMap(Tables.part(s, d), "p_name",
+        canonicalLoadMap(s, dir))
+    }),
     "er04_jw_pairs" -> ((s, d) =>
       jaroWinklerPairs(Tables.part(s, d), "p_name")),
     // er08: the canonical map BUILT FROM union-blocked JW pairs —
@@ -618,6 +632,9 @@ object Entity {
            |SELECT base.canon_name, base.n_members, mb.p_brand, mt.p_type, ms.p_size
            |FROM base JOIN mb USING (canon_name) JOIN mt USING (canon_name)
            |          JOIN ms USING (canon_name)""".stripMargin)
-      .pipe(m => m + ("er09_map_persisted" -> m("er08_union_map")))
+      .pipe(m => m + ("er09_map_persisted" -> m("er08_union_map"))
+        // p09 serves the rollup from the LOADED published map — by
+        // construction the same rows as the in-session er03
+        + ("p09_entity_maintenance" -> m("er03_entity_rollup")))
   }
 }

@@ -125,4 +125,13 @@ class RoundTenOpsSpec extends AnyFunSuite {
     assert(labels(Multimodal.mediaMaintenance(spark, sf)) == labels(oneShot),
       "rolled-forward media labels must equal the one-shot clustering")
   }
+
+  test("p09 ER publish: rollup served from the loaded map equals in-session er03") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(graft.SparkEntry.queries("p09_entity_maintenance")(spark, sf)) ==
+      rows(Entity.entityRollupFromMap(Tables.part(spark, sf), "p_name",
+        Entity.sharedCanonicalMap(spark, sf))),
+      "the published canonical map must serve exactly the in-session rollup")
+  }
 }
