@@ -109,6 +109,25 @@ object Bench {
           name -> ((System.nanoTime() - t0) / 1e9, err)
         }
       }
+    // Build/serve sub-metrics for the persistence entries: the
+    // one-shot catalog timing above includes index-write I/O, so a
+    // serve-path regression could hide under build cost. Timed once
+    // each (the catalog runs above already warmed both paths); build
+    // runs first so serve reads the freshly published artifacts.
+    val phased: Seq[(String, (Double, Double))] =
+      SparkEntry.phases.toSeq.sortBy(_._1)
+        .filter { case (name, _) => catalog.contains(name) }
+        .flatMap { case (name, (build, serve)) =>
+          try {
+            val b0 = System.nanoTime()
+            build(spark, sfDir)
+            val b = (System.nanoTime() - b0) / 1e9
+            val s0 = System.nanoTime()
+            materialize(serve(spark, sfDir))
+            val sv = (System.nanoTime() - s0) / 1e9
+            Some(name -> ((b, sv)))
+          } catch { case _: Throwable => None }
+        }
     val names = catalog.keys.toSeq.sorted
     val results = names.map { name =>
       name -> median(samples.map(_.get(name).map(_._1).getOrElse(-1.0)))
@@ -136,7 +155,10 @@ object Bench {
     val fullPath =
       if (Conf.Env.queryFilter.isEmpty) "bench_full.json"
       else "bench_subset.json"
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$errJson,"n_err":$nErr,"sf":"$sfDir","reps":${math.max(1, reps)},"cpus":$cpus}"""
+    val phasesJson = phased
+      .map { case (k, (b, sv)) => "\"" + k + "\":{\"build\":" + b + ",\"serve\":" + sv + "}" }
+      .mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$errJson,"n_err":$nErr,"phases":$phasesJson,"sf":"$sfDir","reps":${math.max(1, reps)},"cpus":$cpus}"""
     try {
       val w = new java.io.PrintWriter(fullPath, "UTF-8")
       try w.println(full) finally w.close()

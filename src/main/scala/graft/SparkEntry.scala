@@ -154,6 +154,142 @@ object SparkEntry {
           ops.Similarity.ivfPqServeLoaded(s, d, idxDir)
         }))
 
+  /** Build/serve decomposition of the persistence catalog entries —
+    * the bench's sub-metric seam: the one-shot entries time parquet
+    * index WRITES inside the query, so a serve-path regression could
+    * hide under build I/O. For each key (also a `queries` key), `_1`
+    * publishes the artifacts and `_2` serves from the published
+    * copies; `_1` must run before `_2` in the same JVM (IndexPaths is
+    * per-process), and build-then-serve composes to exactly the
+    * one-shot entry's result. Bench times the two halves separately
+    * into bench_full.json's "phases" object. */
+  def phases: Map[String, ((SparkSession, String) => Unit,
+                           (SparkSession, String) => DataFrame)] = {
+    import org.apache.spark.sql.functions.col
+    Map(
+      "r06_bm25_persisted" -> ((
+        (s: SparkSession, d: String) => {
+          val (p, l, st) = ops.Search.bm25BuildIndex(
+            ops.Tables.documents(s, d), "doc_id", "text")
+          ops.Search.bm25WriteIndex(p, l, st,
+            ops.IndexPaths.dir("r06_index", d))
+        },
+        (s: SparkSession, d: String) => {
+          val (lp, ll, ls) = ops.Search.bm25LoadIndex(s,
+            ops.IndexPaths.dir("r06_index", d))
+          ops.Search.bm25QueryIndex(lp, ll, ls)
+        })),
+      "k15_pq_persisted" -> ((
+        (s: SparkSession, d: String) => {
+          val (codes, cbs) = ops.Similarity.sharedPqIndex(s, d)
+          ops.Similarity.pqWriteIndex(codes, cbs,
+            ops.IndexPaths.dir("pq_index", d))
+        },
+        (s: SparkSession, d: String) =>
+          ops.Similarity.pqServeLoaded(s, d,
+            ops.IndexPaths.dir("pq_index", d)))),
+      "k24_sq8_persisted" -> ((
+        (s: SparkSession, d: String) => {
+          val (stats, codes) = ops.Similarity.sqTrainIndex(
+            ops.Similarity.sharedNormalized(s, d))
+          ops.Similarity.sqWriteIndex(stats, codes,
+            ops.IndexPaths.dir("sq_index", d))
+        },
+        (s: SparkSession, d: String) =>
+          ops.Similarity.sqServeLoaded(s, d,
+            ops.IndexPaths.dir("sq_index", d)))),
+      "p07_ann_maintenance" -> ((
+        (s: SparkSession, d: String) =>
+          ops.Similarity.ivfPqWriteAll(s, d,
+            ops.IndexPaths.dir("p07_index", d)),
+        (s: SparkSession, d: String) =>
+          ops.Similarity.ivfPqServeLoaded(s, d,
+            ops.IndexPaths.dir("p07_index", d)))),
+      "d19_minhash_persisted" -> ((
+        (s: SparkSession, d: String) =>
+          ops.Dedup.minhashWriteIndex(
+            ops.Tables.documents(s, d).filter(col("doc_id") % 2 === 0),
+            "doc_id", "text", ops.IndexPaths.dir("mh_index", d)),
+        (s: SparkSession, d: String) => {
+          val docs = ops.Tables.documents(s, d)
+          val (_, bands) = ops.Dedup.minhashLoadIndex(s,
+            ops.IndexPaths.dir("mh_index", d))
+          ops.Dedup.minhashServeDelta(
+            docs.filter(col("doc_id") % 2 === 0),
+            bands.withColumnRenamed("doc_id", "corpus_id"),
+            docs.filter(col("doc_id") % 2 =!= 0),
+            "doc_id", "text", threshold = 0.6)
+        })),
+      "m10_frame_store" -> ((
+        (s: SparkSession, d: String) =>
+          ops.Multimodal.frameWriteStore(ops.Multimodal.mediaFrames(s, d),
+            ops.IndexPaths.dir("m10_frames", d)),
+        (s: SparkSession, d: String) =>
+          ops.Multimodal.videoNearDupPairs(
+            ops.Multimodal.frameLoadStore(s,
+              ops.IndexPaths.dir("m10_frames", d))))),
+      "p08_media_maintenance" -> ((
+        (s: SparkSession, d: String) => ops.Multimodal.mediaStorePublish(s, d),
+        (s: SparkSession, d: String) => ops.Multimodal.mediaServeMerged(s, d))),
+      "er09_map_persisted" -> ((
+        (s: SparkSession, d: String) =>
+          ops.Entity.canonicalWriteMap(
+            ops.Entity.canonicalMapFromPairs(ops.Tables.part(s, d), "p_name",
+              ops.Entity.jaroWinklerPairsUnion(ops.Tables.part(s, d), "p_name")),
+            ops.IndexPaths.dir("er09_map", d)),
+        (s: SparkSession, d: String) =>
+          ops.Entity.canonicalLoadMap(s, ops.IndexPaths.dir("er09_map", d)))),
+      "p09_entity_maintenance" -> ((
+        (s: SparkSession, d: String) =>
+          ops.Entity.canonicalWriteMap(ops.Entity.sharedCanonicalMap(s, d),
+            ops.IndexPaths.dir("p09_map", d)),
+        (s: SparkSession, d: String) =>
+          ops.Entity.entityRollupFromMap(ops.Tables.part(s, d), "p_name",
+            ops.Entity.canonicalLoadMap(s, ops.IndexPaths.dir("p09_map", d))))),
+      "p05_incremental_maintenance" -> ((
+        (s: SparkSession, d: String) =>
+          ops.Dedup.minhashWriteIndex(
+            ops.Tables.documents(s, d).filter(col("doc_id") % 2 === 0),
+            "doc_id", "text", ops.IndexPaths.dir("p05_index", d)),
+        (s: SparkSession, d: String) => {
+          val docs = ops.Tables.documents(s, d)
+          val evens = docs.filter(col("doc_id") % 2 === 0)
+          val odds = docs.filter(col("doc_id") % 2 =!= 0)
+          val (_, bands) = ops.Dedup.minhashLoadIndex(s,
+            ops.IndexPaths.dir("p05_index", d))
+          val standing = ops.Clusters.connectedComponents(
+            ops.Dedup.minhashVerifiedPairs(evens, "doc_id", "text", 0.6),
+            "doc_a", "doc_b")
+          val cross = ops.Dedup.minhashServeDelta(evens,
+              bands.withColumnRenamed("doc_id", "corpus_id"), odds,
+              "doc_id", "text", 0.6)
+            .select(col("corpus_id").as("doc_a"),
+              col("delta_id").as("doc_b"))
+          val deltaSelf = ops.Dedup
+            .minhashVerifiedPairs(odds, "doc_id", "text", 0.6)
+            .select(col("doc_a"), col("doc_b"))
+          ops.Clusters.mergeComponents(standing,
+            cross.unionByName(deltaSelf))
+        })),
+      "p06_search_maintenance" -> ((
+        (s: SparkSession, d: String) => {
+          val standing = ops.Search.bm25BuildIndex(
+            ops.Tables.documents(s, d).filter(col("doc_id") % 2 === 0),
+            "doc_id", "text")
+          ops.Search.bm25WriteIndex(standing._1, standing._2, standing._3,
+            ops.IndexPaths.dir("p06_index", d))
+        },
+        (s: SparkSession, d: String) => {
+          val loaded = ops.Search.bm25LoadIndex(s,
+            ops.IndexPaths.dir("p06_index", d))
+          val delta = ops.Search.bm25BuildIndex(
+            ops.Tables.documents(s, d).filter(col("doc_id") % 2 =!= 0),
+            "doc_id", "text")
+          val merged = ops.Search.bm25MergeIndex(loaded, delta)
+          ops.Search.bm25QueryIndex(merged._1, merged._2, merged._3)
+        })))
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

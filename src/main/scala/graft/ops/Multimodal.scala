@@ -312,8 +312,21 @@ object Multimodal {
     * equal the one-shot m09 clustering exactly — p08 shares m09's
     * oracle verbatim. */
   def mediaMaintenance(s: SparkSession, d: String): DataFrame = {
+    mediaStorePublish(s, d)
+    mediaServeMerged(s, d)
+  }
+
+  /** p08's build half: fingerprint the standing (even) corpus and
+    * publish its signatures — the nightly ingest-side write. */
+  def mediaStorePublish(s: SparkSession, d: String): Unit =
+    frameWriteStore(mediaFrames(s, d).filter(col("doc_id") % 2 === 0),
+      IndexPaths.dir("p08_frames", d))
+
+  /** p08's serve half: standing signatures from the store, delta
+    * fingerprinted fresh, labels rolled forward (see
+    * [[mediaMaintenance]]). */
+  def mediaServeMerged(s: SparkSession, d: String): DataFrame = {
     val dir = IndexPaths.dir("p08_frames", d)
-    frameWriteStore(mediaFrames(s, d).filter(col("doc_id") % 2 === 0), dir)
     val standingFrames = frameLoadStore(s, dir)
     val deltaFrames = mediaFrames(s, d).filter(col("doc_id") % 2 =!= 0)
     val (rare, sizes) = rareFrameSets(standingFrames.unionByName(deltaFrames))

@@ -601,6 +601,16 @@ object Similarity {
     (spark.read.parquet(s"$dir/codes"),
       spark.read.parquet(s"$dir/codebooks"))
 
+  /** Serve the catalog probes from a PUBLISHED PQ index directory
+    * (codes + codebooks loaded from parquet, corpus floats touched
+    * only via the shared normalized frame) — k15's serve half, split
+    * out so the bench can time it apart from the index-build I/O. */
+  def pqServeLoaded(s: SparkSession, d: String, dir: String): DataFrame = {
+    val (codes, cbs) = pqLoadIndex(s, dir)
+    pqQueryOnNormalized(sharedNormalized(s, d), codes, cbs,
+      _ < NumProbes, TopK, PqSubspaces, PqRefine, 64)
+  }
+
   /** SERVE probes against a trained (possibly loaded) PQ index: ADC
     * shortlist from the code tuples + codebook distance tables, exact
     * cosine re-rank of the `refine` survivors. The corpus embedding
@@ -1474,9 +1484,7 @@ object Similarity {
       val idxDir = IndexPaths.dir("pq_index", d)
       val (codes, cbs) = sharedPqIndex(s, d)
       pqWriteIndex(codes, cbs, idxDir)
-      val (lCodes, lCbs) = pqLoadIndex(s, idxDir)
-      pqQueryOnNormalized(sharedNormalized(s, d), lCodes, lCbs,
-        _ < NumProbes, TopK, PqSubspaces, PqRefine, 64)
+      pqServeLoaded(s, d, idxDir)
     }),
     // k17: the nprobe RECALL SWEEP — recall@k of the trained IVF index
     // at nprobe ∈ {1, 2, 4} in one frame: the tuning curve a
