@@ -126,6 +126,47 @@ class RoundTenOpsSpec extends AnyFunSuite {
       "rolled-forward media labels must equal the one-shot clustering")
   }
 
+  test("m10 serve plan: the frame store scan prunes to (doc_id, frame_hash)") {
+    // the near-dup serve must never read frame_bytes/frame_idx off the
+    // store - at 100 TB the signature scan is the dominant serve cost
+    val dir = graft.ops.IndexPaths.dir("m10_plan_spec", sf)
+    Multimodal.frameWriteStore(Multimodal.mediaFrames(spark, sf), dir)
+    val formatted = Multimodal.videoNearDupPairs(
+        Multimodal.frameLoadStore(spark, dir))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(formatted).map(_.group(1)).toSeq
+    assert(schemas.nonEmpty, formatted.take(2000))
+    schemas.foreach { s =>
+      assert(!s.contains("frame_bytes") && !s.contains("frame_idx"),
+        s"store scan must prune to the signature columns, got: $s")
+    }
+  }
+
+  test("p07/k24 serve plans: probe gates and stats broadcast, no cartesian blowup") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("p07_plan_spec_").toString
+    Similarity.ivfPqWriteAll(spark, sf, dir)
+    val p07 = Similarity.ivfPqServeLoaded(spark, sf, dir)
+      .queryExecution.executedPlan.toString
+    assert(p07.contains("BroadcastHashJoin"),
+      "cell gate / distance tables must broadcast:\n" + p07.take(2000))
+    assert(!p07.contains("CartesianProduct"),
+      "no unbroadcast cross join in the serve path:\n" + p07.take(2000))
+    val sqDir = java.nio.file.Files
+      .createTempDirectory("k24_plan_spec_").toString
+    val (stats, codes) = Similarity.sqTrainIndex(
+      Similarity.sharedNormalized(spark, sf))
+    Similarity.sqWriteIndex(stats, codes, sqDir)
+    val k24 = Similarity.sqServeLoaded(spark, sf, sqDir)
+      .queryExecution.executedPlan.toString
+    assert(k24.contains("Broadcast"),
+      "the one-row stats and the probes must broadcast:\n" + k24.take(2000))
+    assert(!k24.contains("CartesianProduct"),
+      "no unbroadcast cross join in the serve path:\n" + k24.take(2000))
+  }
+
   test("p09 ER publish: rollup served from the loaded map equals in-session er03") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
