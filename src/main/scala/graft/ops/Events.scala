@@ -432,12 +432,102 @@ object Events {
           "END").as("vr_q6"))
   }
 
+  /** DIFFERENCE-IN-DIFFERENCES READOUT (e26) — the quasi-experimental
+    * estimate for when assignment isn't randomized at metric time: the
+    * treatment effect is the CHANGE in the treated group's metric
+    * minus the CHANGE in the control group's, so any time-invariant
+    * group difference and any group-invariant time trend cancel (the
+    * parallel-trends workhorse; Card & Krueger 1994 popularized it).
+    * With per-user panel data the estimator reduces to a two-sample
+    * test on per-user CHANGE SCORES d = post − pre: DiD = d̄₁ − d̄₀,
+    * z = DiD / √(s²₀/n₀ + s²₁/n₁) (Welch form on the changes).
+    *
+    * Periods split at the time range's midpoint (e25's integer
+    * `us·2 < mn+mx` — no division), groups by the e24 hash coin.
+    * Cross-engine exactness: per-user period spends quantize to q6
+    * longs; all moments are exact integers (squares in decimal(38,0)
+    * ≡ HUGEINT, the e25 doctrine and its magnitude precondition);
+    * means/variances/z are then the identical double op sequence on
+    * both engines, rounded once to q6. Degenerate guards mirrored in
+    * the oracle: an empty variant nulls its means and everything
+    * downstream; n ≤ 1 or zero change-variance nulls the z.
+    *
+    * Scale shape: e25's exactly — one user-keyed exchange for the
+    * per-user fold (range constants broadcast), then a 1-row
+    * aggregate; the statistics cost nothing after the per-user
+    * collapse, at any corpus size. Output: one row `(n0, n1, pre0_q6,
+    * post0_q6, pre1_q6, post1_q6, did_q6, z_q6)`. */
+  def didReadout(events: DataFrame, userCol: String, tsCol: String,
+                 metricIf: Column, valueCol: String): DataFrame = {
+    graft.functions.VectorFunctions.register(events.sparkSession)
+    val ev = events.select(col(userCol).as("user_id"),
+        unix_micros(col(tsCol)).as("us"),
+        when(metricIf, coalesce(col(valueCol), lit(0.0)))
+          .otherwise(lit(0.0)).as("v"))
+      .select(col("user_id"), col("us"),
+        expr("cast(round(v * 1000000.0D) as long)").as("q"))
+    val rng = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+    val perUser = ev.crossJoin(broadcast(rng))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("us") * 2 < col("mn") + col("mx"), col("q"))
+          .otherwise(lit(0L))).as("x"),
+        sum(when(col("us") * 2 < col("mn") + col("mx"), lit(0L))
+          .otherwise(col("q"))).as("y"))
+      .withColumn("d", col("y") - col("x"))
+      .withColumn("variant",
+        expr("pmod(graft_polyhash(cast(user_id as string)), 2)"))
+    // the pooled Welch se² on the change scores, shared by the guard
+    // and the z numerator (identical text in the oracle)
+    val se2 = "((cast(n0 as double) * cast(sdd0 as double) - " +
+      "cast(sy0 - sx0 as double) * cast(sy0 - sx0 as double)) / " +
+      "(cast(n0 as double) * (cast(n0 as double) - 1.0D)) / " +
+      "cast(n0 as double) + " +
+      "(cast(n1 as double) * cast(sdd1 as double) - " +
+      "cast(sy1 - sx1 as double) * cast(sy1 - sx1 as double)) / " +
+      "(cast(n1 as double) * (cast(n1 as double) - 1.0D)) / " +
+      "cast(n1 as double))"
+    val did = "(cast(sy1 - sx1 as double) / cast(n1 as double) - " +
+      "cast(sy0 - sx0 as double) / cast(n0 as double))"
+    perUser.agg(
+        sum(when(col("variant") === 0, lit(1L)).otherwise(lit(0L))).as("n0"),
+        sum(when(col("variant") === 0, col("x")).otherwise(lit(0L))).as("sx0"),
+        sum(when(col("variant") === 0, col("y")).otherwise(lit(0L))).as("sy0"),
+        sum(when(col("variant") === 0,
+          col("d").cast("decimal(38,0)") * col("d").cast("decimal(38,0)"))
+          .otherwise(lit(0L).cast("decimal(38,0)"))).as("sdd0"),
+        sum(when(col("variant") === 1, lit(1L)).otherwise(lit(0L))).as("n1"),
+        sum(when(col("variant") === 1, col("x")).otherwise(lit(0L))).as("sx1"),
+        sum(when(col("variant") === 1, col("y")).otherwise(lit(0L))).as("sy1"),
+        sum(when(col("variant") === 1,
+          col("d").cast("decimal(38,0)") * col("d").cast("decimal(38,0)"))
+          .otherwise(lit(0L).cast("decimal(38,0)"))).as("sdd1"))
+      .select(col("n0"), col("n1"),
+        expr("CASE WHEN n0 > 0 THEN cast(round(cast(sx0 as double) / " +
+          "cast(n0 as double)) as long) END").as("pre0_q6"),
+        expr("CASE WHEN n0 > 0 THEN cast(round(cast(sy0 as double) / " +
+          "cast(n0 as double)) as long) END").as("post0_q6"),
+        expr("CASE WHEN n1 > 0 THEN cast(round(cast(sx1 as double) / " +
+          "cast(n1 as double)) as long) END").as("pre1_q6"),
+        expr("CASE WHEN n1 > 0 THEN cast(round(cast(sy1 as double) / " +
+          "cast(n1 as double)) as long) END").as("post1_q6"),
+        expr("CASE WHEN n0 > 0 AND n1 > 0 THEN " +
+          s"cast(round($did) as long) END").as("did_q6"),
+        expr("CASE WHEN n0 > 1 AND n1 > 1 AND " +
+          s"$se2 > 0.0D THEN " +
+          s"cast(round($did / sqrt($se2) * 1000000.0D) as long) END")
+          .as("z_q6"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e24_ab_test" -> ((s, d) =>
       abTestReadout(Tables.events(s, d), "user_id", "event_type",
         col("event_type") === "purchase" && col("value") >= ConvertValue)),
     "e25_cuped" -> ((s, d) =>
       cupedReadout(Tables.events(s, d), "user_id", "ts",
+        col("event_type") === "purchase", "value")),
+    "e26_did" -> ((s, d) =>
+      didReadout(Tables.events(s, d), "user_id", "ts",
         col("event_type") === "purchase", "value")),
     "e22_markov_transitions" -> ((s, d) =>
       markovTransitions(Tables.events(s, d))),
@@ -819,6 +909,61 @@ object Events {
          |      ((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) *
          |       (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))) * 1000000.0) AS BIGINT)
          |  END AS vr_q6
+         |FROM g""".stripMargin
+    },
+    // e26 — e25's per-user fold verbatim, then the change-score DiD:
+    // integer d-sums first, the identical double mean/variance/z op
+    // sequence, q6 once; HUGEINT squares ≡ Spark decimal(38,0)
+    "e26_did" -> {
+      val h = Hashing.polyHashSql("user_id::VARCHAR")
+      val did = "((sy1 - sx1)::DOUBLE / n1::DOUBLE - " +
+        "(sy0 - sx0)::DOUBLE / n0::DOUBLE)"
+      val se2 = "((n0::DOUBLE * sdd0::DOUBLE - " +
+        "(sy0 - sx0)::DOUBLE * (sy0 - sx0)::DOUBLE) / " +
+        "(n0::DOUBLE * (n0::DOUBLE - 1.0)) / n0::DOUBLE + " +
+        "(n1::DOUBLE * sdd1::DOUBLE - " +
+        "(sy1 - sx1)::DOUBLE * (sy1 - sx1)::DOUBLE) / " +
+        "(n1::DOUBLE * (n1::DOUBLE - 1.0)) / n1::DOUBLE)"
+      s"""WITH rng AS (
+         |  SELECT min(date_diff('microsecond', TIMESTAMP '1970-01-01', ts::TIMESTAMP)) AS mn,
+         |         max(date_diff('microsecond', TIMESTAMP '1970-01-01', ts::TIMESTAMP)) AS mx
+         |  FROM events),
+         |ev AS (
+         |  SELECT user_id,
+         |    date_diff('microsecond', TIMESTAMP '1970-01-01', ts::TIMESTAMP) AS us,
+         |    CAST(round((CASE WHEN event_type = 'purchase'
+         |      THEN coalesce(value, 0.0) ELSE 0.0 END) * 1000000.0) AS BIGINT) AS q
+         |  FROM events),
+         |pu AS (
+         |  SELECT user_id,
+         |    CAST(sum(CASE WHEN us * 2 < rng.mn + rng.mx THEN q ELSE 0 END) AS BIGINT) AS x,
+         |    CAST(sum(CASE WHEN us * 2 < rng.mn + rng.mx THEN 0 ELSE q END) AS BIGINT) AS y
+         |  FROM ev, rng GROUP BY user_id),
+         |v AS (SELECT ($h) % 2 AS variant, x, y, y - x AS d FROM pu),
+         |g AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         |    CAST(sum(CASE WHEN variant = 0 THEN x ELSE 0 END) AS BIGINT) AS sx0,
+         |    CAST(sum(CASE WHEN variant = 0 THEN y ELSE 0 END) AS BIGINT) AS sy0,
+         |    sum(CASE WHEN variant = 0 THEN d::HUGEINT * d::HUGEINT ELSE 0 END) AS sdd0,
+         |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(sum(CASE WHEN variant = 1 THEN x ELSE 0 END) AS BIGINT) AS sx1,
+         |    CAST(sum(CASE WHEN variant = 1 THEN y ELSE 0 END) AS BIGINT) AS sy1,
+         |    sum(CASE WHEN variant = 1 THEN d::HUGEINT * d::HUGEINT ELSE 0 END) AS sdd1
+         |  FROM v)
+         |SELECT n0, n1,
+         |  CASE WHEN n0 > 0 THEN
+         |    CAST(round(sx0::DOUBLE / n0::DOUBLE) AS BIGINT) END AS pre0_q6,
+         |  CASE WHEN n0 > 0 THEN
+         |    CAST(round(sy0::DOUBLE / n0::DOUBLE) AS BIGINT) END AS post0_q6,
+         |  CASE WHEN n1 > 0 THEN
+         |    CAST(round(sx1::DOUBLE / n1::DOUBLE) AS BIGINT) END AS pre1_q6,
+         |  CASE WHEN n1 > 0 THEN
+         |    CAST(round(sy1::DOUBLE / n1::DOUBLE) AS BIGINT) END AS post1_q6,
+         |  CASE WHEN n0 > 0 AND n1 > 0 THEN
+         |    CAST(round($did) AS BIGINT) END AS did_q6,
+         |  CASE WHEN n0 > 1 AND n1 > 1 AND $se2 > 0.0 THEN
+         |    CAST(round($did / sqrt($se2) * 1000000.0) AS BIGINT) END AS z_q6
          |FROM g""".stripMargin
     },
     // e22 — identical total-order lag and integer row normalization

@@ -1248,6 +1248,33 @@ object Similarity {
       _ < NumProbes, TopK, nprobe, PqSubspaces, PqRefine, 64)
   }
 
+  /** TOMBSTONE-AWARE IVFPQ SERVE (k25) — deletions WITHOUT an index
+    * rebuild: the production index keeps every trained artifact
+    * (cells, codes, codebooks) untouched, and a tombstone TABLE is
+    * anti-joined onto the code list at serve time, so deleted vectors
+    * can never reach the ADC scoring or the exact refine. This is how
+    * a deployed ANN index honors takedowns/right-to-erasure between
+    * nightly rebuilds — the delete path is a parquet append to the
+    * tombstone table, O(deletes), not O(index).
+    *
+    * Scale shape: the anti-join keys on `vec_id`, the SAME key as the
+    * codes⋈assignment join it sits beside, so it rides that exchange
+    * (or broadcasts, when the tombstone set is small — AQE decides);
+    * the standing corpus is never re-encoded and the gate/ADC/refine
+    * plan is k19's verbatim. Probes are NOT tombstone-filtered: a
+    * deleted vector may still query, it just can't be returned.
+    * Output: k19's `(probe_id, rnk, neighbor_id, score)`. */
+  def ivfPqServeTombstoned(s: SparkSession, d: String,
+                           tombstones: DataFrame,
+                           nprobe: Int = IvfPqNprobe): DataFrame = {
+    val (codes, cbs) = sharedPqIndex(s, d)
+    ivfPqOnNormalized(sharedNormalized(s, d),
+      codes.join(tombstones.select(col("vec_id")), Seq("vec_id"),
+        "left_anti"),
+      cbs, sharedKmeansAssign(s, d), sharedCellCentroids(s, d),
+      _ < NumProbes, TopK, nprobe, PqSubspaces, PqRefine, 64)
+  }
+
   // ───── Scalar quantization (SQ8) — k21 ─────
 
   /** SQ8 range stats (the "train" half of scalar quantization): per
@@ -1393,6 +1420,12 @@ object Similarity {
     // the production composite: coarse cells gate, PQ codes score,
     // exact refine ranks — all from the shared trained artifacts
     "k19_ivfpq" -> ((s, d) => ivfPqServe(s, d, IvfPqNprobe)),
+    // k19 under a standing delete set (every vec_id ≡ 3 mod 7): the
+    // tombstones anti-join the code list at serve, nothing retrains
+    "k25_tombstone_serve" -> ((s, d) =>
+      ivfPqServeTombstoned(s, d,
+        Tables.embeddings(s, d).select(col("vec_id"))
+          .filter(col("vec_id") % 7 === 3))),
     // SQ8: training-free 8-bit compression, integer-exact ADC serve
     "k21_sq8" -> ((s, d) =>
       sqAdcOnNormalized(sharedNormalized(s, d), _ < NumProbes, TopK)),
@@ -2196,6 +2229,16 @@ object Similarity {
           ("k18_pq_encode_delta" -> k18Sql) +
           ("k19_ivfpq" -> k19Sql) +
           ("k20_ivfpq_recall" -> recallSql(k19Sql)) +
+          // k25 — k19's text with the tombstone predicate on the
+          // candidate side of scored (probes stay unfiltered, exactly
+          // like the Spark anti-join on the code list)
+          ("k25_tombstone_serve" -> {
+            val guard = "WHERE a0.vec_id <> pc.probe_id)"
+            require(k19Sql.contains(guard),
+              "k19Sql scored-CTE text changed; update the k25 injection")
+            k19Sql.replace(guard,
+              "WHERE a0.vec_id <> pc.probe_id AND a0.vec_id % 7 <> 3)")
+          }) +
           ("k22_sq8_recall" -> recallSql(m("k21_sq8"))) +
           ("k23_mrl_knn" -> k23Sql) +
           // k24 trains the same SQ8 index, persists stats+codes, and

@@ -412,6 +412,88 @@ object Sketches {
        |FROM a""".stripMargin
   }
 
+  /** KMV / THETA-SKETCH SET INTERSECTION (x16) — the sample-bearing
+    * overlap estimator beside the register-bearing one (x07), asking
+    * the same two-crawl question (do these corpora overlap enough to
+    * dedup jointly?) from two k-row hash samples instead of HLL
+    * registers. Unlike x07's inclusion-exclusion — whose error is the
+    * SUM of three full-cardinality errors and can dwarf a small
+    * intersection — the theta read-out observes the intersection
+    * DIRECTLY: θ = min(θ_A, θ_B) (each side's k-th smallest hash, or
+    * the full hash range P when the sketch is under capacity), and
+    * every common hash below θ is a uniform sample of A∩B at rate θ/P,
+    * so |A∩B| ≈ n_common·P/θ (the theta-sketch set operation of the
+    * Bar-Yossef et al. 2002 KMV line). With both sketches under
+    * capacity θ = P and the estimate is EXACT.
+    *
+    * Audited x10-style: the estimate next to the exact |A∩B| and their
+    * signed relative error in micro-units. Scale shape: each sketch is
+    * a map-side hash + per-partition top-k (TakeOrderedAndProject — k
+    * rows of state per partition, k rows shuffled); everything after
+    * runs on ≤ 2k rows. The exact side's distinct-join is the audit's
+    * ground truth, priced at test SF only. Output: one row
+    * `(theta, n_common, est_inter, exact_inter, rel_err_q6)`. */
+  def bottomKIntersect(a: DataFrame, aCol: String, b: DataFrame,
+                       bCol: String, k: Int = BottomK): DataFrame = {
+    val sa = bottomKSketch(a, aCol, k).select(col("h"))
+    val sb = bottomKSketch(b, bCol, k).select(col("h"))
+    def theta(s: DataFrame, name: String) = s
+      .agg(count(lit(1)).as("n"), max(col("h")).as("hk"))
+      .select(when(col("n") < k, lit(Hashing.P)).otherwise(col("hk"))
+        .as(name))
+    val th = theta(sa, "theta_a").crossJoin(theta(sb, "theta_b"))
+      .select(least(col("theta_a"), col("theta_b")).as("theta"))
+    // count(*) over the (possibly empty) filtered join is always one
+    // row, so a disjoint pair reads est 0 instead of vanishing
+    val nc = sa.join(sb, "h").crossJoin(broadcast(th))
+      .filter(col("h") < col("theta"))
+      .agg(count(lit(1)).as("n_common"))
+    val exact = a.select(col(aCol).cast("string").as("v")).distinct()
+      .join(b.select(col(bCol).cast("string").as("v")).distinct(), "v")
+      .agg(count(lit(1)).as("exact_inter"))
+    th.crossJoin(nc).crossJoin(exact)
+      .select(col("theta"), col("n_common"),
+        (col("n_common").cast("double") * lit(Hashing.P.toDouble)
+          / col("theta").cast("double")).as("est_inter"),
+        col("exact_inter"),
+        round((col("n_common").cast("double") * lit(Hashing.P.toDouble)
+            / col("theta").cast("double")
+            - col("exact_inter").cast("double"))
+          / col("exact_inter").cast("double") * lit(1e6)).cast("long")
+          .as("rel_err_q6"))
+  }
+
+  /** DuckDB oracle for [[bottomKIntersect]]: the [[bottomKSql]] sketch
+    * CTEs inlined per side, the identical θ/least/strict-below-θ
+    * arithmetic, and the exact distinct-join ground truth. */
+  def bottomKIntersectSql(table: String, valueSql: String, whereA: String,
+                          whereB: String, k: Int): String = {
+    val ph = Hashing.polyHashSql(valueSql)
+    def side(c: String, where: String) =
+      s"""h$c AS (
+         |  SELECT DISTINCT (($ph) * $ScatterA + $ScatterB) % ${Hashing.P} AS h
+         |  FROM $table WHERE ($where)),
+         |s$c AS (SELECT h FROM h$c WHERE h IS NOT NULL ORDER BY h LIMIT $k),
+         |t$c AS (SELECT CASE WHEN count(*) < $k THEN ${Hashing.P}
+         |  ELSE max(h) END AS theta_$c FROM s$c)""".stripMargin
+    s"""WITH ${side("a", whereA)},
+       |${side("b", whereB)},
+       |th AS (SELECT least(theta_a, theta_b) AS theta FROM ta CROSS JOIN tb),
+       |nc AS (SELECT count(*) AS n_common
+       |  FROM sa JOIN sb USING (h) CROSS JOIN th WHERE h < theta),
+       |e AS (SELECT count(*) AS exact_inter
+       |  FROM (SELECT DISTINCT $valueSql AS v FROM $table WHERE ($whereA)) xa
+       |  JOIN (SELECT DISTINCT $valueSql AS v FROM $table WHERE ($whereB)) xb
+       |  USING (v))
+       |SELECT theta, n_common,
+       |  n_common::DOUBLE * ${Hashing.P.toDouble} / theta::DOUBLE AS est_inter,
+       |  exact_inter,
+       |  CAST(round((n_common::DOUBLE * ${Hashing.P.toDouble} / theta::DOUBLE
+       |      - exact_inter::DOUBLE) / exact_inter::DOUBLE * 1000000.0) AS BIGINT)
+       |    AS rel_err_q6
+       |FROM th CROSS JOIN nc CROSS JOIN e""".stripMargin
+  }
+
   /** Count-Min sketch width (columns per hash row) and depth (hash
     * rows). w=1024, d=3: overestimate ≤ 2e/w · N ≈ 0.5% of the stream
     * per probe with probability 1−e^−d ≈ 95% (Cormode & Muthukrishnan
@@ -852,6 +934,17 @@ object Sketches {
         "l_partkey",
         li.filter(col("l_returnflag") === "A").select(col("l_partkey")),
         "l_partkey")
+    }),
+    // the same overlap question answered by the theta/KMV sample
+    // sketch — direct intersection observation, audited against the
+    // exact distinct-join
+    "x16_theta_intersect" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      bottomKIntersect(
+        li.filter(col("l_returnflag") === "R").select(col("l_partkey")),
+        "l_partkey",
+        li.filter(col("l_returnflag") === "A").select(col("l_partkey")),
+        "l_partkey")
     }))
 
   def oracle: Map[String, String] = Map(
@@ -966,6 +1059,9 @@ object Sketches {
     "x07_hll_overlap" ->
       hllOverlapSql("lineitem", "CAST(l_partkey AS VARCHAR)",
         "l_returnflag = 'R'", "l_returnflag = 'A'", P2),
+    "x16_theta_intersect" ->
+      bottomKIntersectSql("lineitem", "CAST(l_partkey AS VARCHAR)",
+        "l_returnflag = 'R'", "l_returnflag = 'A'", BottomK),
     "x08_bottomk" ->
       bottomKSql("lineitem", "CAST(l_partkey AS VARCHAR)", BottomK),
     // x11 — x02's cell CTEs with the probe set replaced by the

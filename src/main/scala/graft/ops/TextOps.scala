@@ -682,7 +682,88 @@ object TextOps {
        |       (a, x) -> a + x))),
        |  (acc, y) -> acc + y) AS BIGINT)""".stripMargin
 
+  /** Number of merge rounds the t21 catalog entry learns. */
+  val BpeMerges = 8
+
+  /** DISTRIBUTED BPE MERGE TRAINING (t21) — learn the first K
+    * byte-pair-encoding merges of the corpus (Sennrich, Haddow &
+    * Birch, ACL 2016): the operator every from-scratch LLM tokenizer
+    * build runs over its training corpus before anything else. Words
+    * are the lowercased alphabetic tokens (the standard pre-tokenized
+    * regime; keeps every symbol literal-safe by construction), each
+    * split to characters plus the `</w>` end-of-word marker; each
+    * round counts adjacent symbol pairs weighted by word frequency,
+    * merges the most frequent pair corpus-wide (ties broken (count
+    * DESC, left ASC, right ASC) for a value-determined vocabulary),
+    * and rewrites the vocabulary greedily left-to-right. A merged
+    * symbol can never equal the round's left symbol (the pair's right
+    * is non-empty), so the greedy fold needs no lookback flag.
+    *
+    * Scale shape — why this is a VOCAB algorithm, not a corpus one:
+    * the single corpus-sized stage is the word-frequency groupBy (one
+    * shuffle, map-side combined); every round after runs on the
+    * DISTINCT-WORD table — pair explode + count (bounded by total
+    * vocab characters, map-side combined), a 1-row argmax collect
+    * (the k-means-convergence precedent: K bounded driver rows,
+    * never data), and a map-side HOF rewrite. At 100 TB the vocab
+    * table is millions of rows against trillions of corpus tokens —
+    * the rounds cost nothing next to the one corpus scan. The K-deep
+    * lazy lineage over the vocab frame recomputes earlier rewrites
+    * per round; that is K·O(vocab) map work traded for zero pinned
+    * memory, the right side of the trade at every scale.
+    *
+    * Non-SQL-expressible (iterative argmax-dependent rewrites), so
+    * the catalog entry is rows-only at the driver; correctness is
+    * pinned by the in-memory reference-BPE equivalence and
+    * prefix-stability specs. Output: K rows `(rank, left, right,
+    * merged, pair_count)`, rank 1 = first merge learned. */
+  def bpeTrain(docs: DataFrame, textCol: String,
+               merges: Int = BpeMerges): DataFrame = {
+    val spark = docs.sparkSession
+    var vocab = docs
+      .select(explode(expr(
+        s"filter(split($textCol, ' '), x -> x rlike '^[A-Za-z]+$$')"))
+        .as("w"))
+      .select(lower(col("w")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(expr("concat(split(w, ''), array('</w>'))").as("sym"),
+        col("cnt"))
+    val learned = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
+    var exhausted = false
+    for (rank <- 1 to merges if !exhausted) {
+      val best = vocab
+        .select(explode(expr(
+          "CASE WHEN size(sym) < 2 THEN " +
+            "cast(array() as array<struct<l:string,r:string>>) " +
+            "ELSE transform(sequence(0, size(sym) - 2), i -> " +
+            "named_struct('l', element_at(sym, i + 1), " +
+            "'r', element_at(sym, i + 2))) END")).as("p"), col("cnt"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, c) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        learned += ((rank.toLong, l, r, l + r, c))
+        vocab = vocab.withColumn("sym", expr(
+          "aggregate(sym, cast(array() as array<string>), (acc, t) -> " +
+            s"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '$l' " +
+            s"AND t = '$r' " +
+            s"THEN concat(slice(acc, 1, size(acc) - 1), array('${l + r}')) " +
+            "ELSE concat(acc, array(t)) END)"))
+      }
+    }
+    import spark.implicits._
+    learned.toSeq
+      .toDF("rank", "left", "right", "merged", "pair_count")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t21_bpe_train" -> ((s, d) =>
+      bpeTrain(Tables.documents(s, d), "text")),
     "t18_subword_tokens" -> ((s, d) => {
       graft.functions.VectorFunctions.register(s)
       Tables.documents(s, d).select(col("doc_id"),

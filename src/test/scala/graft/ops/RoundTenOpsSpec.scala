@@ -167,6 +167,139 @@ class RoundTenOpsSpec extends AnyFunSuite {
       "no unbroadcast cross join in the serve path:\n" + k24.take(2000))
   }
 
+  test("e26 DiD: group-invariant time trends and group offsets cancel") {
+    import spark.implicits._
+    // synthetic panel: 40 users x (2 pre + 2 post) purchase events with
+    // user-dependent values, so both groups and both periods are lively
+    def panel(postShift: Double, groupOffset: Boolean) = {
+      val rows = for {
+        u <- 1 to 40; (tsDay, post) <- Seq((1, false), (2, false),
+          (10, true), (11, true))
+      } yield {
+        // user x period interaction so change scores VARY by user
+        // (constant d across a group would zero the variance and null z)
+        val base = (u % 7).toDouble * tsDay * 0.25
+        val off = if (groupOffset && u % 3 == 0) 100.0 else 0.0
+        val v = base + off + (if (post) postShift else 0.0)
+        (u.toLong, java.sql.Timestamp.valueOf(f"2024-01-$tsDay%02d 12:00:00"),
+          "purchase", v)
+      }
+      rows.toDF("user_id", "ts", "event_type", "value")
+    }
+    def did(postShift: Double, groupOffset: Boolean) = {
+      val r = Events.didReadout(panel(postShift, groupOffset), "user_id",
+        "ts", col("event_type") === "purchase", "value").head()
+      (r.getLong(r.fieldIndex("did_q6")), r.getLong(r.fieldIndex("z_q6")))
+    }
+    val base = did(0.0, groupOffset = false)
+    // adding a constant to EVERY post-period value shifts both groups'
+    // change scores equally: DiD and z must not move (parallel trends)
+    assert(did(5.0, groupOffset = false) == base,
+      "a group-invariant time trend must cancel out of DiD")
+    // a time-invariant per-user offset (some users +100 in BOTH
+    // periods) cancels inside each user's change score: DiD unchanged
+    assert(did(0.0, groupOffset = true) == base,
+      "a time-invariant group difference must cancel out of DiD")
+    // internal consistency on real data: did_q6 recomputes (within q6
+    // rounding slack) from the four published period means
+    val r = Events.didReadout(Tables.events(spark, sf), "user_id", "ts",
+      col("event_type") === "purchase", "value").head()
+    def g(n: String) = r.getLong(r.fieldIndex(n))
+    val fromMeans = (g("post1_q6") - g("pre1_q6")) - (g("post0_q6") - g("pre0_q6"))
+    assert(math.abs(g("did_q6") - fromMeans) <= 2,
+      s"did_q6=${g("did_q6")} must agree with the period means ($fromMeans)")
+  }
+
+  test("k25 tombstone serve: deletes vanish from results, never from probes") {
+    import spark.implicits._
+    val dead = Tables.embeddings(spark, sf).select($"vec_id")
+      .filter($"vec_id" % 7 === 3)
+    val deadSet = dead.collect().map(_.getLong(0)).toSet
+    val served = Similarity.ivfPqServeTombstoned(spark, sf, dead).collect()
+    assert(served.nonEmpty)
+    // no tombstoned vector may ever be RETURNED
+    assert(!served.exists(r => deadSet(r.getLong(r.fieldIndex("neighbor_id")))),
+      "a tombstoned vec_id must never appear as a neighbor")
+    // but tombstoned vectors still QUERY (probes are not filtered)
+    assert(served.exists(r => deadSet(r.getLong(r.fieldIndex("probe_id")))),
+      "tombstoned probes must still be answered")
+    // an empty tombstone table is a no-op: exactly k19's results
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(rows(Similarity.ivfPqServeTombstoned(spark, sf,
+        dead.filter($"vec_id" < 0))) ==
+      rows(Similarity.ivfPqServe(spark, sf, Similarity.IvfPqNprobe)),
+      "empty tombstones must serve exactly the untombstoned index")
+  }
+
+  test("x16 theta intersect: exact under capacity, audited in envelope above") {
+    import spark.implicits._
+    // both sides under sketch capacity: theta = P and the estimate is
+    // EXACT by construction
+    val small = Sketches.bottomKIntersect(
+      (1L to 60L).toDF("v"), "v", (31L to 90L).toDF("v"), "v").head()
+    assert(small.getLong(small.fieldIndex("theta")) == Hashing.P)
+    assert(small.getLong(small.fieldIndex("exact_inter")) == 30L)
+    assert(math.round(small.getDouble(small.fieldIndex("est_inter"))) == 30L)
+    assert(small.getLong(small.fieldIndex("rel_err_q6")) == 0L)
+    // over-capacity real data: the direct-observation estimator stays
+    // inside the x13-style 3x envelope of the exact intersection
+    val li = Tables.lineitem(spark, sf)
+    val big = Sketches.bottomKIntersect(
+      li.filter($"l_returnflag" === "R").select($"l_partkey"), "l_partkey",
+      li.filter($"l_returnflag" === "A").select($"l_partkey"), "l_partkey")
+      .head()
+    val (est, exact) = (big.getDouble(big.fieldIndex("est_inter")),
+      big.getLong(big.fieldIndex("exact_inter")))
+    assert(exact > 0 && est > exact / 3.0 && est < exact * 3.0,
+      s"theta estimate $est must track exact $exact")
+  }
+
+  test("t21 BPE train: equals an in-memory reference BPE; ranks are a prefix chain") {
+    import spark.implicits._
+    val docs = Seq(
+      "the cat sat on the mat", "the cats eat fish 42 times",
+      "a mat is where the cat sat", "fish swim and cats nap",
+      "THE CAT and the MAT again").toDF("text")
+    // reference BPE (Sennrich 2016): word-frequency table, per-round
+    // global pair argmax with (count desc, left asc, right asc) ties,
+    // greedy left-to-right rewrite
+    var vocab: Map[Vector[String], Long] = docs.collect()
+      .flatMap(_.getString(0).split(" "))
+      .filter(_.matches("^[A-Za-z]+$")).map(_.toLowerCase)
+      .groupBy(identity).map { case (w, ws) =>
+        (w.toVector.map(_.toString) :+ "</w>", ws.length.toLong) }
+    val want = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    for (_ <- 1 to TextOps.BpeMerges) {
+      val counts = vocab.toSeq.flatMap { case (sym, c) =>
+        sym.sliding(2).filter(_.length == 2).map(p => ((p(0), p(1)), c)) }
+        .groupBy(_._1).map { case (p, xs) => (p, xs.map(_._2).sum) }
+      val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+      want += ((l, r, c))
+      vocab = vocab.map { case (sym, cnt) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        for (t <- sym) {
+          if (out.nonEmpty && out.last == l && t == r)
+            out(out.length - 1) = l + r
+          else out += t
+        }
+        (out.toVector, cnt)
+      }.groupBy(_._1).map { case (s, xs) => (s, xs.map(_._2).sum) }
+    }
+    val got = TextOps.bpeTrain(docs, "text").orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(got == want.toSeq,
+      s"distributed BPE must equal the reference merges\ngot:  $got\nwant: ${want.toSeq}")
+    // prefix stability: the first K-1 merges of a K-merge run are the
+    // (K-1)-merge run (training deeper never rewrites earlier merges)
+    val shallow = TextOps.bpeTrain(docs, "text", TextOps.BpeMerges - 1)
+      .orderBy("rank").collect().map(_.toSeq).toSeq
+    assert(got.take(TextOps.BpeMerges - 1) ==
+      shallow.map(r => (r(1), r(2), r(4))),
+      "a deeper run must extend, not rewrite, a shallower one")
+  }
+
   test("p09 ER publish: rollup served from the loaded map equals in-session er03") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
