@@ -114,10 +114,13 @@ object Bench {
     // serve-path regression could hide under build cost. Timed once
     // each (the catalog runs above already warmed both paths); build
     // runs first so serve reads the freshly published artifacts.
-    val phased: Seq[(String, (Double, Double))] =
+    val phased: Seq[(String, Either[String, (Double, Double)])] =
       SparkEntry.phases.toSeq.sortBy(_._1)
         .filter { case (name, _) => catalog.contains(name) }
-        .flatMap { case (name, (build, serve)) =>
+        .map { case (name, (build, serve)) =>
+          // a broken persistence path must read as a FAILURE in the
+          // phases object, not as a silently absent sub-metric —
+          // mirror the main catalog loop's per-query error reporting
           try {
             val b0 = System.nanoTime()
             build(spark, sfDir)
@@ -125,8 +128,12 @@ object Bench {
             val s0 = System.nanoTime()
             materialize(serve(spark, sfDir))
             val sv = (System.nanoTime() - s0) / 1e9
-            Some(name -> ((b, sv)))
-          } catch { case _: Throwable => None }
+            name -> Right((b, sv))
+          } catch { case e: Throwable =>
+            name -> Left(e.getClass.getSimpleName + ": " +
+              Option(e.getMessage).getOrElse("")
+                .linesIterator.take(1).mkString.take(200))
+          }
         }
     val names = catalog.keys.toSeq.sorted
     val results = names.map { name =>
@@ -156,7 +163,12 @@ object Bench {
       if (Conf.Env.queryFilter.isEmpty) "bench_full.json"
       else "bench_subset.json"
     val phasesJson = phased
-      .map { case (k, (b, sv)) => "\"" + k + "\":{\"build\":" + b + ",\"serve\":" + sv + "}" }
+      .map {
+        case (k, Right((b, sv))) =>
+          "\"" + k + "\":{\"build\":" + b + ",\"serve\":" + sv + "}"
+        case (k, Left(err)) =>
+          "\"" + k + "\":{\"error\":" + jsonStr(err) + "}"
+      }
       .mkString("{", ",", "}")
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$errJson,"n_err":$nErr,"phases":$phasesJson,"sf":"$sfDir","reps":${math.max(1, reps)},"cpus":$cpus}"""
     try {

@@ -20,8 +20,18 @@ package graft.ops
 object IndexPaths {
   private lazy val base: java.io.File = {
     val p = java.nio.file.Files.createTempDirectory("graft_idx_")
-    p.toFile.deleteOnExit()
+    // deleteOnExit only removes EMPTY directories, and this base fills
+    // with parquet index trees — a recursive shutdown hook is what
+    // actually returns the scratch space when the JVM exits cleanly
+    // (an OS tmp reaper remains the backstop for hard kills)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(p.toFile)))
     p.toFile
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRec)
+    f.delete(): Unit
   }
 
   /** Scratch index directory for `tag` over `dataDir`, stable within

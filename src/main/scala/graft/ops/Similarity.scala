@@ -1392,8 +1392,16 @@ object Similarity {
 
   private def sqAdcOnNormalized(vn: DataFrame, isProbe: Column => Column,
                                 k: Int): DataFrame = {
-    val (stats, codes) = sqTrainIndex(vn)
-    sqServeRecon(sqReconstruct(codes, stats), vn, isProbe, k)
+    // In-session serve attaches the one-row stats frame ONCE:
+    // sqEncodeWith already carries qmins/widths alongside the codes,
+    // so the reconstruction reuses that broadcast instead of paying a
+    // second stats cross-join ([[sqReconstruct]] exists only for the
+    // loaded k24 path, where the code table arrives bare from parquet).
+    val recon = sqEncodeWith(vn, sqTrainStats(vn))
+      .select(col("vec_id"),
+        expr("zip_with(zip_with(codes, widths, (c, w) -> (c * w) div 255), " +
+          "qmins, (t, mn) -> mn + t)").as("rv"))
+    sqServeRecon(recon, vn, isProbe, k)
   }
 
   /** The shared SQ8 scoring tail over reconstructed integer vectors:

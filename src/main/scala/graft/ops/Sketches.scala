@@ -456,10 +456,14 @@ object Sketches {
         (col("n_common").cast("double") * lit(Hashing.P.toDouble)
           / col("theta").cast("double")).as("est_inter"),
         col("exact_inter"),
-        round((col("n_common").cast("double") * lit(Hashing.P.toDouble)
-            / col("theta").cast("double")
-            - col("exact_inter").cast("double"))
-          / col("exact_inter").cast("double") * lit(1e6)).cast("long")
+        // disjoint inputs make exact_inter 0 — the relative error is
+        // undefined there, so it reads NULL instead of a NaN/Inf cast
+        // (the e26 degenerate-guard style)
+        when(col("exact_inter") > 0,
+          round((col("n_common").cast("double") * lit(Hashing.P.toDouble)
+              / col("theta").cast("double")
+              - col("exact_inter").cast("double"))
+            / col("exact_inter").cast("double") * lit(1e6)).cast("long"))
           .as("rel_err_q6"))
   }
 
@@ -488,9 +492,10 @@ object Sketches {
        |SELECT theta, n_common,
        |  n_common::DOUBLE * ${Hashing.P.toDouble} / theta::DOUBLE AS est_inter,
        |  exact_inter,
-       |  CAST(round((n_common::DOUBLE * ${Hashing.P.toDouble} / theta::DOUBLE
+       |  CASE WHEN exact_inter > 0 THEN
+       |    CAST(round((n_common::DOUBLE * ${Hashing.P.toDouble} / theta::DOUBLE
        |      - exact_inter::DOUBLE) / exact_inter::DOUBLE * 1000000.0) AS BIGINT)
-       |    AS rel_err_q6
+       |  END AS rel_err_q6
        |FROM th CROSS JOIN nc CROSS JOIN e""".stripMargin
   }
 
