@@ -712,9 +712,10 @@ object TextOps {
     * per round; that is K·O(vocab) map work traded for zero pinned
     * memory, the right side of the trade at every scale.
     *
-    * Non-SQL-expressible (iterative argmax-dependent rewrites), so
-    * the catalog entry is rows-only at the driver; correctness is
-    * pinned by the in-memory reference-BPE equivalence and
+    * Oracle: the fixed K rounds unroll as generated DuckDB CTEs (the
+    * c09/c15/k04 precedent for bounded iterative algorithms) — see
+    * [[bpeTrainOracleSql]] — so the entry carries a full hash oracle
+    * on top of the in-memory reference-BPE equivalence and
     * prefix-stability specs. Output: K rows `(rank, left, right,
     * merged, pair_count)`, rank 1 = first merge learned. */
   def bpeTrain(docs: DataFrame, textCol: String,
@@ -759,6 +760,53 @@ object TextOps {
     import spark.implicits._
     learned.toSeq
       .toDF("rank", "left", "right", "merged", "pair_count")
+  }
+
+  /** t21's oracle: the K merge rounds unrolled as generated DuckDB CTEs.
+    * Each round is a pair-count CTE, a 1-row argmax CTE (count DESC,
+    * l ASC, r ASC — binary collation on both engines), and a greedy
+    * rewrite. The rewrite exploits that leftmost non-overlapping string
+    * `replace` IS the greedy left-to-right fold once symbols are
+    * boundary-delimited: the vocab row is encoded `|s1||s2||…||sk|`
+    * (every symbol wrapped in `|`, a char no symbol can contain —
+    * symbols are [a-z] and `</w>` concatenations), the pattern
+    * `|l||r|` can only match whole adjacent symbols, and the
+    * replacement `|lr|` cannot seed a new match because lr ≠ l and
+    * lr ≠ r (both sides non-empty). Scanning resumes after each
+    * replacement, exactly like the fold consuming its merged pair. */
+  def bpeTrainOracleSql(merges: Int = BpeMerges): String = {
+    val ctes = Seq(
+      """vocab0 AS (
+        |  SELECT list_append(string_split(w, ''), '</w>') AS sym, cnt FROM (
+        |    SELECT lower(w) AS w, count(*)::BIGINT AS cnt FROM (
+        |      SELECT unnest(list_filter(string_split(text, ' '),
+        |                    x -> regexp_matches(x, '^[A-Za-z]+$'))) AS w
+        |      FROM documents) GROUP BY 1))""".stripMargin) ++
+      (1 to merges).flatMap { k =>
+        val rewrite =
+          if (k == merges) Seq.empty
+          else Seq(
+            s"""vocab$k AS (
+               |  SELECT string_split(substr(s, 2, length(s) - 2), '||') AS sym, cnt FROM (
+               |    SELECT replace('|' || array_to_string(v.sym, '||') || '|',
+               |                   '|' || b.l || '||' || b.r || '|',
+               |                   '|' || b.m || '|') AS s, v.cnt
+               |    FROM vocab${k - 1} v CROSS JOIN best$k b))""".stripMargin)
+        Seq(
+          s"""cnt$k AS (
+             |  SELECT p['l'] AS l, p['r'] AS r, sum(cnt)::BIGINT AS c FROM (
+             |    SELECT unnest(list_transform(range(1, len(sym)),
+             |                  i -> {'l': sym[i], 'r': sym[i+1]})) AS p, cnt
+             |    FROM vocab${k - 1}) GROUP BY 1, 2)""".stripMargin,
+          s"""best$k AS (
+             |  SELECT l, r, l || r AS m, c FROM cnt$k
+             |  ORDER BY c DESC, l ASC, r ASC LIMIT 1)""".stripMargin) ++ rewrite
+      }
+    val union = (1 to merges).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS "rank", l AS "left", r AS "right",
+         |       m AS merged, c AS pair_count FROM best$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    "WITH " + ctes.mkString(",\n") + "\n" + union
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -822,6 +870,10 @@ object TextOps {
       bigramLogProb(Tables.documents(s, d), "doc_id", "text")))
 
   def oracle: Map[String, String] = Map(
+    // t21 — the 8 fixed merge rounds unrolled as generated CTEs; see
+    // bpeTrainOracleSql for the boundary-delimited replace ≡ greedy
+    // fold argument
+    "t21_bpe_train" -> bpeTrainOracleSql(BpeMerges),
     // t18 — the identical nested chunk fold, polyhash in explicit
     // reduce form (the graft_polyhash oracle recipe)
     "t18_subword_tokens" ->
