@@ -29,9 +29,17 @@ object IndexPaths {
   }
 
   private def deleteRec(f: java.io.File): Unit = {
-    val kids = f.listFiles()
-    if (kids != null) kids.foreach(deleteRec)
-    f.delete(): Unit
+    // never follow a directory symlink — delete the link itself, not
+    // its target's contents — and tolerate per-file failures (another
+    // shutdown hook may still be touching the tree on abnormal exit;
+    // the OS tmp reaper backstops anything left behind)
+    try {
+      if (!java.nio.file.Files.isSymbolicLink(f.toPath)) {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(deleteRec)
+      }
+      f.delete(): Unit
+    } catch { case _: Throwable => () }
   }
 
   /** Scratch index directory for `tag` over `dataDir`, stable within

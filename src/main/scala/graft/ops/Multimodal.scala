@@ -305,12 +305,18 @@ object Multimodal {
     * work), then the full pair set is generated as its three parity
     * classes against those same global sets: standing-standing pairs
     * rebuild the standing cluster labels, and the cross + delta-delta
-    * pairs merge in by star contraction (c19), so labels roll forward
-    * without the standing corpus ever being re-decoded or re-paired
-    * against itself. Pair classes partition m08's pair set and each
-    * pair's Jaccard uses the same global sets ⇒ the merged labels
-    * equal the one-shot m09 clustering exactly — p08 shares m09's
-    * oracle verbatim. */
+    * pairs merge in by star contraction (c19). What the store saves
+    * is the DECODE — the standing corpus's only blob fingerprinting
+    * happened at its own ingest — but the standing-standing PAIRING
+    * is recomputed every serve, and deliberately so: the df cap and
+    * set sizes are global corpus properties that shift with each
+    * delta, so yesterday's standing pair list is not exact under
+    * today's rare-frame sets (the recompute is what lets p08 share
+    * m09's oracle verbatim; its cost is recorded honestly as the
+    * serve phase in the bench phases data). Pair classes partition
+    * m08's pair set and each pair's Jaccard uses the same global
+    * sets ⇒ the merged labels equal the one-shot m09 clustering
+    * exactly. */
   def mediaMaintenance(s: SparkSession, d: String): DataFrame = {
     mediaStorePublish(s, d)
     mediaServeMerged(s, d)

@@ -1369,15 +1369,21 @@ object Similarity {
     (spark.read.parquet(s"$dir/stats"),
       spark.read.parquet(s"$dir/codes"))
 
+  /** THE SQ8 decode formula — `qmin + code·width div 255` over a frame
+    * carrying `codes`/`widths`/`qmins` — defined once so the in-session
+    * (k21) and loaded (k24) serve paths can never silently diverge:
+    * both reconstructions splice in this same expression text. */
+  private val SqDecodeExpr: String =
+    "zip_with(zip_with(codes, widths, (c, w) -> (c * w) div 255), " +
+      "qmins, (t, mn) -> mn + t)"
+
   /** Reconstruct integer corpus elements from a (possibly loaded)
-    * code table + stats row: `qmin + code·width div 255`, map-side
-    * under the one-row stats broadcast — the decode half every SQ
-    * serve runs. Output: `(vec_id, rv)`. */
+    * code table + stats row: [[SqDecodeExpr]], map-side under the
+    * one-row stats broadcast — the decode half every SQ serve runs.
+    * Output: `(vec_id, rv)`. */
   private def sqReconstruct(codes: DataFrame, stats: DataFrame): DataFrame =
     codes.crossJoin(broadcast(stats))
-      .select(col("vec_id"),
-        expr("zip_with(zip_with(codes, widths, (c, w) -> (c * w) div 255), " +
-          "qmins, (t, mn) -> mn + t)").as("rv"))
+      .select(col("vec_id"), expr(SqDecodeExpr).as("rv"))
 
   /** SERVE probes from a published SQ8 index directory — stats and
     * codes loaded from parquet, nothing trained in-session (the k24
@@ -1398,9 +1404,7 @@ object Similarity {
     // second stats cross-join ([[sqReconstruct]] exists only for the
     // loaded k24 path, where the code table arrives bare from parquet).
     val recon = sqEncodeWith(vn, sqTrainStats(vn))
-      .select(col("vec_id"),
-        expr("zip_with(zip_with(codes, widths, (c, w) -> (c * w) div 255), " +
-          "qmins, (t, mn) -> mn + t)").as("rv"))
+      .select(col("vec_id"), expr(SqDecodeExpr).as("rv"))
     sqServeRecon(recon, vn, isProbe, k)
   }
 

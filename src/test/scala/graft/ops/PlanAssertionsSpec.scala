@@ -484,4 +484,37 @@ class PlanAssertionsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     // one-row collapse — nothing else moves
     assert(shuffles(p) == 3, "expected 3 exchanges:\n" + s.take(2000))
   }
+
+  test("global-window inventory: empty-partition windows are exactly the documented collapsed-frame sites") {
+    // An unpartitioned window moves its whole input to ONE task — the
+    // classic 100TB scale-killer. The catalog's global windows are all
+    // deliberate: they run on frames already collapsed to months /
+    // distinct prices / histogram registers / #strata rows, where one
+    // task is the right plan. This contract pins that allowlist at
+    // plan level, so a NEW empty-partition window anywhere in the
+    // catalog fails CI by name (Bench silences the per-run WindowExec
+    // warning these five spray; this spec is the real signal).
+    val allowed = Set(
+      "a05_curriculum",        // word-count histogram (distinct lengths)
+      "q46_mom_delta",         // per-month lag (rows = months)
+      "q47_skyline",           // distinct-price dominance scan
+      "x05_hist_quantiles",    // histogram registers (rows = buckets)
+      "s09_temperature_sample",// per-stratum share flattening (#strata)
+      "s13_waterfill",         // per-stratum waterfill levels (#strata)
+      "s11_dsir_select",       // bucket-model totals (rows = B buckets)
+      "r04_hybrid_rrf",        // rank fuse of two top-k lists (2k rows)
+      "v12_benford")           // leading-digit masses (rows = 9 digits)
+    val found = graft.SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val lp = graft.SparkEntry.queries(name)(spark, sf)
+        .queryExecution.optimizedPlan
+      val hasGlobal = lp.collectWithSubqueries {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }.nonEmpty
+      if (hasGlobal) Some(name) else None
+    }.toSet
+    assert(found == allowed,
+      s"unexpected global windows: ${(found -- allowed).toSeq.sorted}; " +
+        s"stale allowlist entries: ${(allowed -- found).toSeq.sorted}")
+  }
 }
