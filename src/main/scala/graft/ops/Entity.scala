@@ -413,6 +413,23 @@ object Entity {
       entityRollupFromMap(Tables.part(s, d), "p_name",
         canonicalLoadMap(s, dir))
     }),
+    // p10: SURVIVORSHIP FROM THE PUBLISHED MAP — the golden-record
+    // election (er05) served from the loaded parquet artifact, the
+    // second consumer of the p09 deployment: a master-data system
+    // publishes the canonical map precisely so downstream jobs can
+    // elect authoritative rows without re-running the pair machinery.
+    // Same broadcast-join + per-attribute rank-1 elections as er05,
+    // with the map arriving from storage instead of the session memo;
+    // strings and int64s round-trip parquet byte-exactly, so p10
+    // shares er05's oracle verbatim (pinned by the loaded≡in-session
+    // spec).
+    "p10_survivorship_serve" -> ((s, d) => {
+      val dir = IndexPaths.dir("p10_map", d)
+      canonicalWriteMap(sharedCanonicalMap(s, d), dir)
+      survivorshipFromMap(Tables.part(s, d), "p_name",
+        Seq("p_brand", "p_type", "p_size"), canonicalLoadMap(s, dir))
+        .withColumn("p_size", col("p_size").cast("long"))
+    }),
     "er04_jw_pairs" -> ((s, d) =>
       jaroWinklerPairs(Tables.part(s, d), "p_name")),
     // er08: the canonical map BUILT FROM union-blocked JW pairs —
@@ -633,6 +650,10 @@ object Entity {
            |FROM base JOIN mb USING (canon_name) JOIN mt USING (canon_name)
            |          JOIN ms USING (canon_name)""".stripMargin)
       .pipe(m => m + ("er09_map_persisted" -> m("er08_union_map"))
+        // p10 serves er05's election from the LOADED published map —
+        // same exactness argument as p09 (parquet round-trips the map
+        // bit-exactly), so the oracle is er05's verbatim
+        + ("p10_survivorship_serve" -> m("er05_survivorship"))
         // p09 serves the rollup from the LOADED published map — by
         // construction the same rows as the in-session er03
         + ("p09_entity_maintenance" -> m("er03_entity_rollup")))
