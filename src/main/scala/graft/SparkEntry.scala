@@ -231,6 +231,17 @@ object SparkEntry {
       "p08_media_maintenance" -> ((
         (s: SparkSession, d: String) => ops.Multimodal.mediaStorePublish(s, d),
         (s: SparkSession, d: String) => ops.Multimodal.mediaServeMerged(s, d))),
+      "m11_stream_neardup" -> ((
+        (s: SparkSession, d: String) =>
+          ops.Multimodal.frameWriteStore(
+            ops.Multimodal.framesOf(ops.Tables.documents(s, d)
+              .filter(col("doc_id") % 2 === 0)),
+            ops.IndexPaths.dir("m11_frames", d)),
+        (s: SparkSession, d: String) =>
+          ops.Multimodal.crossNearDupVsStore(
+            ops.Multimodal.frameLoadStore(s, ops.IndexPaths.dir("m11_frames", d)),
+            ops.Multimodal.framesOf(ops.Tables.documents(s, d)
+              .filter(col("doc_id") % 2 =!= 0))))),
       "er09_map_persisted" -> ((
         (s: SparkSession, d: String) =>
           ops.Entity.canonicalWriteMap(
@@ -246,6 +257,15 @@ object SparkEntry {
         (s: SparkSession, d: String) =>
           ops.Entity.entityRollupFromMap(ops.Tables.part(s, d), "p_name",
             ops.Entity.canonicalLoadMap(s, ops.IndexPaths.dir("p09_map", d))))),
+      "p10_survivorship_serve" -> ((
+        (s: SparkSession, d: String) =>
+          ops.Entity.canonicalWriteMap(ops.Entity.sharedCanonicalMap(s, d),
+            ops.IndexPaths.dir("p10_map", d)),
+        (s: SparkSession, d: String) =>
+          ops.Entity.survivorshipFromMap(ops.Tables.part(s, d), "p_name",
+            Seq("p_brand", "p_type", "p_size"),
+            ops.Entity.canonicalLoadMap(s, ops.IndexPaths.dir("p10_map", d)))
+            .withColumn("p_size", col("p_size").cast("long")))),
       "p05_incremental_maintenance" -> ((
         (s: SparkSession, d: String) =>
           ops.Dedup.minhashWriteIndex(

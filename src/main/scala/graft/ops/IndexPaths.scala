@@ -33,13 +33,20 @@ object IndexPaths {
     // its target's contents — and tolerate per-file failures (another
     // shutdown hook may still be touching the tree on abnormal exit;
     // the OS tmp reaper backstops anything left behind)
+    // NonFatal only: tolerating IO races must not swallow
+    // VirtualMachineError, and an interrupt (fatal to the sweep, not
+    // NonFatal-matched) re-sets the thread's flag so the JVM's
+    // shutdown sequencing still observes it
     try {
       if (!java.nio.file.Files.isSymbolicLink(f.toPath)) {
         val kids = f.listFiles()
         if (kids != null) kids.foreach(deleteRec)
       }
       f.delete(): Unit
-    } catch { case _: Throwable => () }
+    } catch {
+      case _: InterruptedException => Thread.currentThread().interrupt()
+      case scala.util.control.NonFatal(_) => ()
+    }
   }
 
   /** Scratch index directory for `tag` over `dataDir`, stable within

@@ -69,19 +69,31 @@ object Multimodal {
     * codecs in the container), so the DuckDB oracles replicate the
     * chunking on the string form. Feeds m02 directly and m05's
     * frame-level dedup. */
-  def mediaFrames(s: SparkSession, d: String): DataFrame = {
-    graft.functions.VectorFunctions.register(s)
-    rawFrames(s, d)
+  def mediaFrames(s: SparkSession, d: String): DataFrame =
+    framesOf(Tables.documents(s, d))
+
+  /** [[mediaFrames]] over a caller-supplied documents frame — the
+    * per-micro-batch entry point: fingerprinting is a pure per-row
+    * function of the blob (frame split + polyhash, no corpus state),
+    * so [[graft.streaming.MediaStream]] applies THIS to each arriving
+    * batch and the union over batches equals the one-shot run
+    * identically (pinned by MediaStreamSpec). */
+  def framesOf(docs: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    rawFramesOf(docs)
       .select(col("doc_id"), col("frame_idx"),
         length(col("frame")).cast("long").as("frame_bytes"),
         expr("graft_polyhash(frame)").as("frame_hash"))
   }
 
   /** The frame generator with the frame CONTENT still attached —
-    * [[mediaFrames]] reduces it to (size, hash); m07 folds the bytes
+    * [[framesOf]] reduces it to (size, hash); m07 folds the bytes
     * instead. */
   private def rawFrames(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    rawFramesOf(Tables.documents(s, d))
+
+  private def rawFramesOf(docs: DataFrame): DataFrame =
+    docs
       // guard: empty text would hit integer-division floor-vs-truncate
       // divergence between engines
       .filter(length(col("text")) > 0)
@@ -303,46 +315,168 @@ object Multimodal {
     * fresh. The df cap and set sizes are computed once over
     * standing ∪ delta (global corpus properties, hash-table-sized
     * work), then the full pair set is generated as its three parity
-    * classes against those same global sets: standing-standing pairs
-    * rebuild the standing cluster labels, and the cross + delta-delta
-    * pairs merge in by star contraction (c19). What the store saves
-    * is the DECODE — the standing corpus's only blob fingerprinting
-    * happened at its own ingest — but the standing-standing PAIRING
-    * is recomputed every serve, and deliberately so: the df cap and
-    * set sizes are global corpus properties that shift with each
-    * delta, so yesterday's standing pair list is not exact under
-    * today's rare-frame sets (the recompute is what lets p08 share
-    * m09's oracle verbatim; its cost is recorded honestly as the
-    * serve phase in the bench phases data). Pair classes partition
-    * m08's pair set and each pair's Jaccard uses the same global
-    * sets ⇒ the merged labels equal the one-shot m09 clustering
-    * exactly. */
+    * classes against those same global sets: the standing cluster
+    * labels come from the PUBLISHED copy when the df-drift guard
+    * proves them still exact, from a recompute otherwise (see
+    * [[mediaServeFrom]]), and the cross + delta-delta pairs merge in
+    * by star contraction (c19). The store saves the DECODE — the
+    * standing corpus's only blob fingerprinting happened at its own
+    * ingest — and, when no standing hash crossed the df cap, the
+    * standing-standing pairing too. Pair classes partition m08's
+    * pair set and each pair's Jaccard uses the same global sets ⇒
+    * the merged labels equal the one-shot m09 clustering exactly,
+    * whichever branch the guard takes. */
   def mediaMaintenance(s: SparkSession, d: String): DataFrame = {
     mediaStorePublish(s, d)
     mediaServeMerged(s, d)
   }
 
-  /** p08's build half: fingerprint the standing (even) corpus and
-    * publish its signatures — the nightly ingest-side write. */
-  def mediaStorePublish(s: SparkSession, d: String): Unit =
+  /** p08's build half: fingerprint the standing (even) corpus, publish
+    * its signatures, AND publish its cluster labels — the nightly
+    * ingest-side write. The labels are computed under standing-only
+    * rare sets; [[mediaServeFrom]]'s df-drift guard decides at serve
+    * time whether they are still exact under the delta-shifted global
+    * sets (they are iff no standing hash crossed the df cap). */
+  def mediaStorePublish(s: SparkSession, d: String): Unit = {
+    val framesDir = IndexPaths.dir("p08_frames", d)
     frameWriteStore(mediaFrames(s, d).filter(col("doc_id") % 2 === 0),
-      IndexPaths.dir("p08_frames", d))
+      framesDir)
+    Clusters.connectedComponents(
+      videoNearDupPairs(frameLoadStore(s, framesDir))
+        .select(col("doc_a"), col("doc_b")),
+      "doc_a", "doc_b")
+      .write.mode("overwrite").parquet(IndexPaths.dir("p08_labels", d))
+  }
 
   /** p08's serve half: standing signatures from the store, delta
     * fingerprinted fresh, labels rolled forward (see
-    * [[mediaMaintenance]]). */
-  def mediaServeMerged(s: SparkSession, d: String): DataFrame = {
-    val dir = IndexPaths.dir("p08_frames", d)
-    val standingFrames = frameLoadStore(s, dir)
-    val deltaFrames = mediaFrames(s, d).filter(col("doc_id") % 2 =!= 0)
-    val (rare, sizes) = rareFrameSets(standingFrames.unionByName(deltaFrames))
+    * [[mediaMaintenance]] and [[mediaServeFrom]]). */
+  def mediaServeMerged(s: SparkSession, d: String): DataFrame =
+    mediaServeFrom(
+      frameLoadStore(s, IndexPaths.dir("p08_frames", d)),
+      mediaFrames(s, d).filter(col("doc_id") % 2 =!= 0),
+      () => s.read.parquet(IndexPaths.dir("p08_labels", d)))
+
+  /** The p08 serve body over caller-supplied tables (standing docs
+    * carry EVEN ids, delta docs ODD — the harness's membership
+    * encoding, which the pair-class predicates key on).
+    *
+    * The df cap and set sizes are global corpus properties, so in
+    * general yesterday's standing labels are not exact under today's
+    * rare sets — THE reason earlier rounds recomputed the
+    * standing-standing pairing every serve. But the drift is
+    * one-directional and cheap to detect: df only grows as deltas
+    * arrive, so the published labels are invalidated EXACTLY when
+    * some hash present in the standing corpus crossed the cap
+    * (standing-df ≤ maxDf < global-df). The guard is one aggregate
+    * over hash dfs (no pair fan-out); when it comes back empty, the
+    * standing side's rare rows — and therefore its pair scores and
+    * labels — are bit-identical under either df basis, and the serve
+    * reuses the PUBLISHED labels, skipping both the standing-standing
+    * pair join (the largest pair class) and its CC fixpoint. When a
+    * crossover exists, the serve falls back to the full recompute.
+    * Both branches produce exactly the one-shot m09 labels (the
+    * pair-class partition argument in [[mediaMaintenance]]), so p08's
+    * oracle is unchanged; the guard-pass branch is additionally
+    * pinned by the synthetic both-branches spec in RoundOpsSpec.
+    *
+    * The one driver-side decision is `crossover.isEmpty` — a limit-1
+    * probe of a hash-df aggregate, the bounded-decision precedent of
+    * the k-means convergence counters. */
+  def mediaServeFrom(standingFrames: DataFrame, deltaFrames: DataFrame,
+                     loadLabels: () => DataFrame,
+                     floorQ6: Long = VideoJacFloorQ6,
+                     maxDf: Int = MaxFrameDf): DataFrame = {
+    val (rare, sizes) =
+      rareFrameSets(standingFrames.unionByName(deltaFrames), maxDf)
     def pairsWhere(f: (Column, Column) => Column) =
-      videoPairsOn(rare, sizes, f(col("a.doc_id"), col("b.doc_id")))
+      videoPairsOn(rare, sizes, f(col("a.doc_id"), col("b.doc_id")), floorQ6)
         .select(col("doc_a"), col("doc_b"))
-    val standing = Clusters.connectedComponents(
-      pairsWhere((a, b) => a % 2 === 0 && b % 2 === 0), "doc_a", "doc_b")
+    val standingDfs = standingFrames
+      .select(col("doc_id"), col("frame_hash")).distinct()
+      .groupBy(col("frame_hash")).agg(count(lit(1)).as("sdf"))
+    val globalDfs = standingFrames.unionByName(deltaFrames)
+      .select(col("doc_id"), col("frame_hash")).distinct()
+      .groupBy(col("frame_hash")).agg(count(lit(1)).as("gdf"))
+    val crossover = globalDfs.filter(col("gdf") > maxDf)
+      .join(standingDfs.filter(col("sdf") <= maxDf),
+        Seq("frame_hash"), "left_semi")
+    val standing =
+      if (crossover.isEmpty) loadLabels()
+      else Clusters.connectedComponents(
+        pairsWhere((a, b) => a % 2 === 0 && b % 2 === 0), "doc_a", "doc_b")
     Clusters.mergeComponents(standing,
       pairsWhere((a, b) => a % 2 =!= 0 || b % 2 =!= 0))
+  }
+
+  /** Cross-set near-dup readout of arriving media vs the STANDING
+    * frame store, with the df cap FROZEN at the standing corpus — the
+    * media seam's stream-edge operator, the exact analogue of
+    * [[Dedup.minhashServeDelta]] on the dedup seam: between nightly
+    * p08 recomputes, each arriving item is scored against the
+    * published signatures only, and because every global input
+    * (boilerplate hash list, standing set sizes) is a pure function
+    * of the FROZEN store, the result for a delta item never depends
+    * on which micro-batch delivered it — union over any batch split
+    * equals the one-shot run identically (this is what lets
+    * [[graft.streaming.MediaStream]] exist with zero state store;
+    * pinned by MediaStreamSpec's batch-split identity).
+    *
+    * Semantics, deliberately asymmetric vs [[videoNearDupPairs]]: the
+    * boilerplate list is standing-only (an arriving intro frame not
+    * yet frequent in the store still counts — the stream can't see
+    * future deltas, and a frozen gate is the only batch-independent
+    * one), and delta-delta pairs are out of scope until the nightly
+    * p08 merge — the same contract minhashServeDelta pins on the text
+    * seam. Within one corpus snapshot both sides' sets discount the
+    * SAME boilerplate list, so scores are comparable across the
+    * stream's lifetime.
+    *
+    * Scale shape: the boilerplate and standing-size tables are
+    * hash-table-sized (bounded by distinct rare hashes / standing
+    * items) and broadcast under AQE; the only join that touches the
+    * store is hash-keyed with fan-out ≤ `maxDf` per hash; frame
+    * CONTENT never shuffles — the delta batch is reduced to 8-byte
+    * hashes map-side. Output: `(doc_a standing, doc_b delta, inter,
+    * union_sz, jac_q6)` at or above the floor. */
+  def crossNearDupVsStore(store: DataFrame, delta: DataFrame,
+                          floorQ6: Long = VideoJacFloorQ6,
+                          maxDf: Int = MaxFrameDf): DataFrame = {
+    val (standingRare, standingSizes) = rareFrameSets(store, maxDf)
+    val boiler = store.select(col("doc_id"), col("frame_hash")).distinct()
+      .groupBy(col("frame_hash")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("frame_hash"))
+    val deltaRare = delta.select(col("doc_id"), col("frame_hash")).distinct()
+      .join(boiler, Seq("frame_hash"), "left_anti")
+    val deltaSizes = deltaRare.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"))
+    standingRare.as("a").join(deltaRare.as("b"),
+        col("a.frame_hash") === col("b.frame_hash"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(standingSizes.select(col("doc_id").as("doc_a"),
+        col("n").as("_na")), "doc_a")
+      .join(deltaSizes.select(col("doc_id").as("doc_b"),
+        col("n").as("_nb")), "doc_b")
+      .withColumn("union_sz", col("_na") + col("_nb") - col("inter"))
+      .withColumn("jac_q6", expr("(inter * 1000000) div union_sz"))
+      .filter(col("jac_q6") >= floorQ6)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("union_sz"),
+        col("jac_q6"))
+  }
+
+  /** m11 — the stream-edge readout as a catalog entry, in the harness
+    * wiring (standing = even ids' PERSISTED store, delta = odd ids,
+    * fingerprinted fresh): publish the standing signatures, load them
+    * back, and score the whole delta against the loaded copy — the
+    * one-shot equivalent of what [[graft.streaming.MediaStream]] does
+    * micro-batch by micro-batch. */
+  def streamEdgeNearDup(s: SparkSession, d: String): DataFrame = {
+    val dir = IndexPaths.dir("m11_frames", d)
+    frameWriteStore(framesOf(Tables.documents(s, d)
+      .filter(col("doc_id") % 2 === 0)), dir)
+    crossNearDupVsStore(frameLoadStore(s, dir),
+      framesOf(Tables.documents(s, d).filter(col("doc_id") % 2 =!= 0)))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -366,6 +500,11 @@ object Multimodal {
     // from the store, delta fingerprinted fresh, labels rolled
     // forward by star merge; equals one-shot m09 exactly
     "p08_media_maintenance" -> ((s, d) => mediaMaintenance(s, d)),
+    // m11: the stream-edge cross readout — arriving (odd) items scored
+    // against the loaded standing store with the df cap FROZEN at the
+    // standing corpus; the one-shot twin of MediaStream's micro-batch
+    // loop (batch-independent by construction)
+    "m11_stream_neardup" -> ((s, d) => streamEdgeNearDup(s, d)),
     "m01_media_meta" -> ((s, d) => {
       val blobs = Tables.documents(s, d)
         .select(col("doc_id"), col("text").cast("binary").as("media"))
@@ -535,6 +674,42 @@ object Multimodal {
     // m10 serves from the loaded store — by construction the same
     // pairs as m08 (all-int64 signatures, bit-exact through parquet)
     "m10_frame_store" -> videoNearDupSql,
+    // m11 — the stream-edge cross readout: the m08 CTE skeleton with
+    // the corpus split by parity, the boilerplate list computed from
+    // the STANDING (even) side only (the frozen gate is the only
+    // batch-independent one), and pairs restricted to standing×delta
+    "m11_stream_neardup" ->
+      s"""WITH fr AS (
+         |  SELECT doc_id, ${Hashing.polyHashSql("frame")} AS frame_hash
+         |  FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(range(0, ((length(text) - 1) // $FrameBytes) + 1),
+         |        i -> substring(text, (i * $FrameBytes + 1)::INTEGER, $FrameBytes))) AS frame
+         |    FROM documents WHERE length(text) > 0) frames),
+         |fh AS (SELECT DISTINCT doc_id, frame_hash FROM fr),
+         |sfh AS (SELECT doc_id, frame_hash FROM fh WHERE doc_id % 2 = 0),
+         |dfh AS (SELECT doc_id, frame_hash FROM fh WHERE doc_id % 2 <> 0),
+         |boiler AS (SELECT frame_hash FROM sfh GROUP BY frame_hash
+         |           HAVING count(*) > $MaxFrameDf),
+         |srare AS (SELECT doc_id, frame_hash FROM sfh
+         |          WHERE frame_hash NOT IN (SELECT frame_hash FROM boiler)),
+         |drare AS (SELECT doc_id, frame_hash FROM dfh
+         |          WHERE frame_hash NOT IN (SELECT frame_hash FROM boiler)),
+         |ssizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+         |           FROM srare GROUP BY doc_id),
+         |dsizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+         |           FROM drare GROUP BY doc_id),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(count(*) AS BIGINT) AS inter
+         |  FROM srare a JOIN drare b ON a.frame_hash = b.frame_hash
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, inter, sa.n + sb.n - inter AS union_sz,
+         |  (inter * 1000000) // (sa.n + sb.n - inter) AS jac_q6
+         |FROM p
+         |JOIN ssizes sa ON sa.doc_id = p.doc_a
+         |JOIN dsizes sb ON sb.doc_id = p.doc_b
+         |WHERE (inter * 1000000) // (sa.n + sb.n - inter) >= $VideoJacFloorQ6""".stripMargin,
     // p08 reconstructs m09's labels incrementally (see
     // mediaMaintenance's pair-class partition argument)
     "p08_media_maintenance" ->

@@ -721,9 +721,15 @@ object TextOps {
   def bpeTrain(docs: DataFrame, textCol: String,
                merges: Int = BpeMerges): DataFrame = {
     val spark = docs.sparkSession
+    // \A..\z, not ^..$: Java regex $ also matches before a trailing
+    // newline, while the oracle's RE2 $ is strict end-of-string — a
+    // space-split token ending in '\n' would pass ^..$ here but fail
+    // the oracle's filter, diverging the learned merges. \A/\z are
+    // strict in both engines, so the two filters are identical on any
+    // corpus, not just newline-free ones.
     var vocab = docs
       .select(explode(expr(
-        s"filter(split($textCol, ' '), x -> x rlike '^[A-Za-z]+$$')"))
+        s"filter(split($textCol, ' '), x -> x rlike '\\\\A[A-Za-z]+\\\\z')"))
         .as("w"))
       .select(lower(col("w")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Streaming media-delta ingest (engine extension, SURVEY.md §2.9/§7.5):
+  * the m10 frame-signature store's stream edge — the last index family
+  * without one. Two availableNow runners, both the EncodeStream shape
+  * (a frozen artifact applied per micro-batch, NO state store):
+  *
+  *  - [[runAvailableNowIngest]] is fingerprint-at-ingest: each arriving
+  *    batch of media blobs is frame-sampled + polyhashed
+  *    ([[graft.ops.Multimodal.framesOf]], a pure per-row function) and
+  *    its signature rows appended to the store. This is the write half
+  *    of the m10 doctrine — decode/fingerprint ONCE at ingest; every
+  *    nightly pass (p08) reads signatures, never blobs. Union over any
+  *    batch split ≡ the one-shot fingerprint run, identically.
+  *
+  *  - [[runAvailableNowIndexed]] is the read-side readout between
+  *    nightly passes: the standing store is loaded ONCE outside the
+  *    loop and each micro-batch is scored against it by
+  *    [[graft.ops.Multimodal.crossNearDupVsStore]] — the df cap and
+  *    standing set sizes are frozen functions of the store, so a delta
+  *    item's pairs never depend on which micro-batch delivered it and
+  *    the union over batches ≡ the one-shot m11 readout. Delta–delta
+  *    pairs are deliberately out of scope until the nightly p08 merge,
+  *    the same contract [[IncrementalDedupStream]] pins on the text
+  *    seam.
+  *
+  * Why `foreachBatch`: the readout needs distinct + grouped joins over
+  * the batch, which as a raw streaming plan would demand unbounded
+  * state (blobs carry no event time to watermark on). `foreachBatch`
+  * gives each batch exact batch semantics with the frozen store bound
+  * once — stream ≡ batch is pinned by MediaStreamSpec.
+  */
+object MediaStream {
+  /** The harness documents schema — streaming reads never infer. */
+  val rawSchema: org.apache.spark.sql.types.StructType =
+    CurateStream.rawSchema
+
+  private def drain(spark: SparkSession, dir: String,
+                    deltaFilter: org.apache.spark.sql.Column,
+                    checkpointDir: Option[String])
+                   (body: DataFrame => Unit): Unit = {
+    val reader = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .filter(deltaFilter)
+    val writer0 = reader.writeStream
+    val writer = checkpointDir.fold(writer0)(cp =>
+      writer0.option("checkpointLocation", cp))
+    val q = writer
+      .foreachBatch { (batch: DataFrame, _: Long) => body(batch) }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Drain the current directory contents as a delta stream,
+    * fingerprinting each micro-batch and appending its signature rows
+    * to `storePath` as parquet — the stream-edge writer of the m10
+    * store. Exactly-once across restarts requires `checkpointDir`
+    * (see [[IndexStream.runAvailableNow]]); without one, re-runs
+    * reprocess everything and need a fresh `storePath`. */
+  def runAvailableNowIngest(spark: SparkSession, dir: String,
+                            storePath: String,
+                            deltaFilter: org.apache.spark.sql.Column,
+                            checkpointDir: Option[String] = None): Unit =
+    drain(spark, dir, deltaFilter, checkpointDir) { batch =>
+      graft.ops.Multimodal.framesOf(batch)
+        .write.mode("append").parquet(storePath)
+    }
+
+  /** Drain the current directory contents as a delta stream, scoring
+    * each micro-batch's items against the standing store at `indexDir`
+    * (loaded once, df cap frozen there) and appending the cross
+    * near-dup pairs to `outPath`. Output ≡ the one-shot
+    * [[graft.ops.Multimodal.crossNearDupVsStore]] over the whole
+    * delta (pinned by MediaStreamSpec). */
+  def runAvailableNowIndexed(spark: SparkSession, dir: String,
+                             indexDir: String, outPath: String,
+                             deltaFilter: org.apache.spark.sql.Column,
+                             checkpointDir: Option[String] = None): Unit = {
+    val store = graft.ops.Multimodal.frameLoadStore(spark, indexDir)
+    drain(spark, dir, deltaFilter, checkpointDir) { batch =>
+      graft.ops.Multimodal
+        .crossNearDupVsStore(store, graft.ops.Multimodal.framesOf(batch))
+        .write.mode("append").parquet(outPath)
+    }
+  }
+}

@@ -28,8 +28,11 @@ class GoldenPipelineSpec extends AnyFunSuite {
   private def resourceLines(path: String): Seq[String] =
     resource(path).split('\n').toSeq.filter(_.nonEmpty)
 
-  private def jsonl(path: String): DataFrame =
-    spark.read.json(spark.createDataset(resourceLines(path)))
+  private def jsonlIn(s: SparkSession, path: String): DataFrame =
+    s.read.json(s.createDataset(resourceLines(path))(
+      org.apache.spark.sql.Encoders.STRING))
+
+  private def jsonl(path: String): DataFrame = jsonlIn(spark, path)
 
   private lazy val richDims = Dims(
     jsonl("/rich_dims_item_meta.jsonl"),
@@ -103,6 +106,32 @@ class GoldenPipelineSpec extends AnyFunSuite {
       Ingest.parseBodies(spark.createDataset(Seq(body))), Some(richDims))
       .collect().toSeq
     assert(richLazy === rich)
+  }
+
+  test("rich golden parity holds at perturbed shuffle-partition counts") {
+    // the §7.2 order-sensitivity translation (first-seen memos, stable
+    // sorts, run-length suppression) must be partition-invariant, not
+    // just correct at the suite's fixed partitions=4 — re-run the
+    // byte-exact rich assertion under cloned sessions with the
+    // shuffle-partition count perturbed both below and above it
+    val body = resource("/rich_request.json")
+    val golden = jsonl("/rich_golden.jsonl")
+      .select("record_id", "report", "request")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    Seq("1", "13").foreach { n =>
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", n)
+      val dims2 = Dims(
+        jsonlIn(s2, "/rich_dims_item_meta.jsonl"),
+        jsonlIn(s2, "/rich_dims_item_group_map.jsonl"),
+        jsonlIn(s2, "/rich_dims_diag_tbl.jsonl"),
+        jsonlIn(s2, "/rich_dims_summary_tbl.jsonl"))
+      val out = Pipeline.run(s2, body, dims = Some(dims2))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      assert(out.toSeq === golden,
+        s"shuffle.partitions=$n changed the golden byte-exact output")
+    }
   }
 
   test("pipeline output is invariant under input partitioning") {
