@@ -165,7 +165,7 @@ object SparkEntry {
     * into bench_full.json's "phases" object. */
   def phases: Map[String, ((SparkSession, String) => Unit,
                            (SparkSession, String) => DataFrame)] = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit}
     Map(
       "r06_bm25_persisted" -> ((
         (s: SparkSession, d: String) => {
@@ -290,6 +290,22 @@ object SparkEntry {
             .select(col("doc_a"), col("doc_b"))
           ops.Clusters.mergeComponents(standing,
             cross.unionByName(deltaSelf))
+        })),
+      "t22_lm_quality_persisted" -> ((
+        (s: SparkSession, d: String) => {
+          val (uni, bi) = ops.TextOps.lmTrain(
+            ops.Tables.documents(s, d).filter(col("doc_id") % 2 === 0),
+            "doc_id", "text")
+          ops.TextOps.lmWriteModel(uni, bi, ops.IndexPaths.dir("t22_lm", d))
+        },
+        (s: SparkSession, d: String) => {
+          val (lu, lb) = ops.TextOps.lmLoadModel(s,
+            ops.IndexPaths.dir("t22_lm", d))
+          ops.TextOps.lmScoreWith(
+            ops.Tables.documents(s, d).filter(col("doc_id") % 2 =!= 0),
+            "doc_id", "text", lu, lb)
+            .withColumn("keep",
+              col("logp2_q6") >= lit(ops.TextOps.LmKeepThresholdQ6))
         })),
       "p06_search_maintenance" -> ((
         (s: SparkSession, d: String) => {

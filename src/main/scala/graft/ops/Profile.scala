@@ -442,11 +442,69 @@ object Profile {
       .withColumn("dev_q6", col("obs_q6") - col("exp_q6"))
   }
 
+  /** Fixed-width PSI bin count and bin width for v13, inlined verbatim
+    * in the oracle. Width 25 over the harness `value` column puts the
+    * bulk of the distribution in bins 0–9 with the tail clamped into
+    * the last bin. */
+  val PsiBins: Int = 10
+  val PsiWidth: Double = 25.0
+
+  /** POPULATION STABILITY INDEX drift readout (v13) — the standard
+    * model-monitoring statistic (Siddiqi 2006, credit-scorecard
+    * practice): bin a numeric feature identically in a REFERENCE and a
+    * CURRENT population, then PSI = Σ_b (p_b − q_b)·ln(p_b/q_b). The
+    * industry rules of thumb (<0.1 stable, 0.1–0.25 shifting, >0.25
+    * drifted) read directly off the summed micro-units. Complements
+    * v03 (per-group histogram of one population) and v08 (centroid
+    * drift in embedding space) with the two-sample readout a feature
+    * monitor actually alerts on.
+    *
+    * Design for exactness and scale in one move: bins are FIXED-WIDTH
+    * with the tail clamped into the edge bins (not reference
+    * quantiles, which would cost a sort and make bin edges
+    * data-dependent), so the whole readout is one map-side-combined
+    * ≤`nBins`-key count aggregation over a single scan — scan-bound at
+    * any scale, no window, no sort. Bin probabilities take Laplace
+    * smoothing `(n_b+1)/(N+nBins)` so empty bins contribute finite
+    * terms (the standard zero-count fix), keeping every term exact
+    * integer arithmetic until one final double expression per bin.
+    * Emits one row PER BIN (empty bins included via a generated spine,
+    * so the readout's shape is constant): `(bin, n_ref, n_cur,
+    * psi_q6)`; the consumer sums `psi_q6` for the headline number. */
+  def driftPsi(df: DataFrame, value: String, isRef: Column,
+               width: Double = PsiWidth, nBins: Int = PsiBins): DataFrame = {
+    val spark = df.sparkSession
+    val counts = df
+      .withColumn("bin", least(greatest(floor(col(value) / lit(width)),
+        lit(0.0)), lit((nBins - 1).toDouble)).cast("long"))
+      .withColumn("_ref", isRef)
+      .groupBy(col("bin"))
+      .agg(sum(when(col("_ref"), lit(1L)).otherwise(lit(0L))).as("n_ref"),
+        sum(when(col("_ref"), lit(0L)).otherwise(lit(1L))).as("n_cur"))
+    val spine = spark.range(nBins.toLong).select(col("id").as("bin"))
+    val tot = counts.agg(sum(col("n_ref")).as("tot_ref"),
+      sum(col("n_cur")).as("tot_cur"))
+    spine.join(counts, Seq("bin"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .crossJoin(broadcast(tot))
+      .withColumn("p", (col("n_ref") + lit(1)).cast("double")
+        / (col("tot_ref") + lit(nBins)).cast("double"))
+      .withColumn("q", (col("n_cur") + lit(1)).cast("double")
+        / (col("tot_cur") + lit(nBins)).cast("double"))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round((col("p") - col("q")) * log(col("p") / col("q")) * lit(1e6))
+          .cast("long").as("psi_q6"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Benford screen on the price column — the fabricated-numbers
     // tripwire, here documenting the synthetic harness' own deviation
     "v12_benford" -> ((s, d) =>
       benfordAudit(Tables.lineitem(s, d), "l_extendedprice")),
+    // v13 harness: even-user events are the accepted reference
+    // distribution, odd-user events the arriving current one
+    "v13_drift_psi" -> ((s, d) =>
+      driftPsi(Tables.events(s, d), "value", col("user_id") % 2 === 0)),
     "v11_freshness" -> ((s, d) =>
       freshnessByType(Tables.events(s, d), "event_type", "ts")),
     "v10_referential" -> ((s, d) =>
@@ -502,6 +560,33 @@ object Profile {
     }))
 
   def oracle: Map[String, String] = Map(
+    // v13 — identical clamped fixed-width binning, integer counts, and
+    // ONE final double expression per bin evaluated in the same op
+    // order (p and q inlined verbatim on both sides of − and ln)
+    "v13_drift_psi" ->
+      s"""WITH b AS (
+         |  SELECT CAST(least(greatest(floor(value / $PsiWidth), 0), ${PsiBins - 1}) AS BIGINT) AS bin,
+         |    user_id % 2 = 0 AS is_ref
+         |  FROM events),
+         |c AS (
+         |  SELECT bin,
+         |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         |    CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+         |  FROM b GROUP BY bin),
+         |s AS (SELECT unnest(range(0, $PsiBins)) AS bin),
+         |t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tot_ref,
+         |             CAST(sum(n_cur) AS BIGINT) AS tot_cur FROM c),
+         |j AS (
+         |  SELECT s.bin, COALESCE(c.n_ref, 0) AS n_ref,
+         |    COALESCE(c.n_cur, 0) AS n_cur
+         |  FROM s LEFT JOIN c USING (bin))
+         |SELECT bin, n_ref, n_cur,
+         |  CAST(round(((n_ref + 1)::DOUBLE / (t.tot_ref + $PsiBins)::DOUBLE
+         |      - (n_cur + 1)::DOUBLE / (t.tot_cur + $PsiBins)::DOUBLE)
+         |    * ln(((n_ref + 1)::DOUBLE / (t.tot_ref + $PsiBins)::DOUBLE)
+         |       / ((n_cur + 1)::DOUBLE / (t.tot_cur + $PsiBins)::DOUBLE))
+         |    * 1000000.0) AS BIGINT) AS psi_q6
+         |FROM j, t""".stripMargin,
     // v12 — same string-head digit, counts, q6 share division (both
     // operands non-negative, `//` ≡ `div`) and the same embedded
     // micro-unit Benford constants

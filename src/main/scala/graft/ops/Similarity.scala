@@ -1275,6 +1275,38 @@ object Similarity {
       _ < NumProbes, TopK, nprobe, PqSubspaces, PqRefine, 64)
   }
 
+  /** METADATA-FILTERED IVFPQ SERVE (k26) — constrained vector search,
+    * the feature every production vector store ships beside plain kNN
+    * (FAISS `IDSelector`, the filtered-search mode of the hosted
+    * vector DBs): "nearest neighbors among vectors whose metadata
+    * passes a predicate". This is the PRE-filter strategy: the
+    * eligibility set semi-joins the code list BEFORE ADC scoring, so
+    * the shortlist, the refine, and the final top-k all rank eligible
+    * vectors only — each probe gets its full k eligible answers. A
+    * POST-filter (rank first, drop ineligible after) would silently
+    * return fewer than k whenever good neighbors fail the predicate —
+    * the classic filtered-ANN recall trap; under a selective predicate
+    * a production engine may widen nprobe to compensate, which the
+    * `nprobe` parameter already exposes.
+    *
+    * Scale shape = k25's: the semi-join keys on `vec_id`, the same key
+    * as the codes⋈assignment join beside it, so it rides that exchange
+    * or broadcasts under AQE; trained artifacts are untouched and the
+    * corpus is never re-encoded — the predicate is serve-time state,
+    * not index state. Probes are not filtered: any vector may query,
+    * only the RETURNABLE set is constrained.
+    * Output: k19's `(probe_id, rnk, neighbor_id, score)`. */
+  def ivfPqServeFiltered(s: SparkSession, d: String,
+                         eligible: DataFrame,
+                         nprobe: Int = IvfPqNprobe): DataFrame = {
+    val (codes, cbs) = sharedPqIndex(s, d)
+    ivfPqOnNormalized(sharedNormalized(s, d),
+      codes.join(eligible.select(col("vec_id")), Seq("vec_id"),
+        "left_semi"),
+      cbs, sharedKmeansAssign(s, d), sharedCellCentroids(s, d),
+      _ < NumProbes, TopK, nprobe, PqSubspaces, PqRefine, 64)
+  }
+
   // ───── Scalar quantization (SQ8) — k21 ─────
 
   /** SQ8 range stats (the "train" half of scalar quantization): per
@@ -1438,6 +1470,27 @@ object Similarity {
       ivfPqServeTombstoned(s, d,
         Tables.embeddings(s, d).select(col("vec_id"))
           .filter(col("vec_id") % 7 === 3))),
+    // k19 under a metadata predicate (even labels only): the
+    // eligibility set semi-joins the code list before ADC, so every
+    // probe ranks its full top-k among the eligible vectors
+    "k26_filtered_ann" -> ((s, d) =>
+      ivfPqServeFiltered(s, d,
+        Tables.embeddings(s, d).filter(col("label") % 2 === 0)
+          .select(col("vec_id")))),
+    // recall@k of the filtered index serve against the filtered EXACT
+    // baseline (k06's machinery under k26's predicate) — the number
+    // that says whether nprobe must widen under a selective filter:
+    // the coarse gate was trained on the WHOLE corpus, so a filter
+    // that empties a probe's best cells shows up here, not in k20
+    "k27_filtered_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      recallAtK(
+        knnFiltered(emb, "vec_id", "embedding", _ < NumProbes,
+          col("label") % 2 === 0, TopK),
+        ivfPqServeFiltered(s, d,
+          emb.filter(col("label") % 2 === 0).select(col("vec_id"))),
+        TopK)
+    }),
     // SQ8: training-free 8-bit compression, integer-exact ADC serve
     "k21_sq8" -> ((s, d) =>
       sqAdcOnNormalized(sharedNormalized(s, d), _ < NumProbes, TopK)),
@@ -2250,6 +2303,40 @@ object Similarity {
               "k19Sql scored-CTE text changed; update the k25 injection")
             k19Sql.replace(guard,
               "WHERE a0.vec_id <> pc.probe_id AND a0.vec_id % 7 <> 3)")
+          }) +
+          // k26 — the same injection point with the metadata
+          // eligibility subquery (semi-join ≡ IN on a key column)
+          ("k26_filtered_ann" -> {
+            val guard = "WHERE a0.vec_id <> pc.probe_id)"
+            require(k19Sql.contains(guard),
+              "k19Sql scored-CTE text changed; update the k26 injection")
+            k19Sql.replace(guard,
+              "WHERE a0.vec_id <> pc.probe_id AND a0.vec_id IN " +
+                "(SELECT vec_id FROM embeddings WHERE label % 2 = 0))")
+          }) +
+          // k27 — the k07/k09 recall shape with BOTH sides swapped to
+          // their filtered variants: exact = k06's text under k26's
+          // predicate, approx = k26's text
+          ("k27_filtered_recall" -> {
+            val k26Sql = {
+              val guard = "WHERE a0.vec_id <> pc.probe_id)"
+              k19Sql.replace(guard,
+                "WHERE a0.vec_id <> pc.probe_id AND a0.vec_id IN " +
+                  "(SELECT vec_id FROM embeddings WHERE label % 2 = 0))")
+            }
+            val fb = m("k06_filtered_knn")
+            require(fb.contains("label < 5"),
+              "k06 oracle predicate changed; update the k27 exact side")
+            val exactSql = fb.replace("label < 5", "label % 2 = 0")
+            s"""WITH exact AS ($exactSql),
+               |approx AS ($k26Sql)
+               |SELECT e.probe_id,
+               |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+               |  CAST(round(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+               |             / ${TopK.toDouble} * 1000000.0) AS BIGINT) AS recall_q6
+               |FROM exact e LEFT JOIN approx a
+               |  ON e.probe_id = a.probe_id AND e.neighbor_id = a.neighbor_id
+               |GROUP BY e.probe_id""".stripMargin
           }) +
           ("k22_sq8_recall" -> recallSql(m("k21_sq8"))) +
           ("k23_mrl_knn" -> k23Sql) +

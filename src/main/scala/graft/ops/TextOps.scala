@@ -368,24 +368,58 @@ object TextOps {
     * Output: `(doc_id, n_bigrams, logp2_q6)`. */
   def bigramLogProb(docs: DataFrame, id: String, text: String,
                     vocabSize: Int = 32, bigramTop: Int = 64): DataFrame = {
+    val (uniTop, biTop) = lmTrain(docs, id, text, vocabSize, bigramTop)
+    lmScoreWith(docs, id, text, uniTop, biTop, vocabSize)
+  }
+
+  /** Bigram explode shared by the LM train/score paths.
+    * Guard: slice() throws on negative length, so short docs (<2
+    * tokens) take the empty-array branch and explode to nothing. */
+  private def lmBigrams(docs: DataFrame, id: String, text: String): DataFrame = {
     val words = s"filter(split($text, ' '), x -> x <> '')"
-    // guard: slice() throws on negative length, so short docs (<2
-    // tokens) take the empty-array branch and explode to nothing
-    val bigrams = docs.select(col(id).as("doc_id"),
-        explode(expr(
-          s"IF(size($words) >= 2, " +
-            s"zip_with(slice($words, 1, size($words) - 1), " +
-            s"slice($words, 2, size($words) - 1), (a, b) -> concat(a, ' ', b)), " +
-            "array())"))
-          .as("bigram"))
+    docs.select(col(id).as("doc_id"),
+      explode(expr(
+        s"IF(size($words) >= 2, " +
+          s"zip_with(slice($words, 1, size($words) - 1), " +
+          s"slice($words, 2, size($words) - 1), (a, b) -> concat(a, ' ', b)), " +
+          "array())"))
+        .as("bigram"))
+  }
+
+  /** TRAIN the truncated add-one bigram model (the t13/t22 model
+    * tables): top-`vocabSize` conditioning unigrams `(w1, c1)` and
+    * top-`bigramTop` bigrams `(bigram, c2)`, both under the
+    * (count DESC, key) total order that makes the truncation
+    * deterministic. The outputs are dictionary-sized (≤ V and ≤ B rows)
+    * at ANY corpus size — the broadcastable artifact every scorer joins
+    * against; training cost is two map-side-combined count aggregations
+    * over one corpus pass. */
+  def lmTrain(docs: DataFrame, id: String, text: String,
+              vocabSize: Int = 32, bigramTop: Int = 64): (DataFrame, DataFrame) = {
+    val words = s"filter(split($text, ' '), x -> x <> '')"
     val toks = docs.select(col(id).as("doc_id"),
       explode(expr(words)).as("token"))
     val uniTop = toks.groupBy(col("token")).agg(count(lit(1)).as("c1"))
       .orderBy(col("c1").desc, col("token")).limit(vocabSize)
       .withColumnRenamed("token", "w1")
-    val biTop = bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+    val biTop = lmBigrams(docs, id, text)
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
       .orderBy(col("c2").desc, col("bigram")).limit(bigramTop)
-    bigrams
+    (uniTop, biTop)
+  }
+
+  /** SCORE documents under a GIVEN bigram model — t13's arithmetic
+    * with the model tables supplied by the caller instead of trained
+    * in the same job: each doc's mean log `(c2+1)/(c1+V+1)` over its
+    * bigrams, micro-unit quantized; docs with <2 tokens are absent.
+    * The model frames broadcast, so the plan is one map-side join
+    * chain plus the doc-keyed aggregation — the scored corpus never
+    * shuffles token-sized rows. Output: `(doc_id, n_bigrams,
+    * logp2_q6)`. */
+  def lmScoreWith(docs: DataFrame, id: String, text: String,
+                  uniTop: DataFrame, biTop: DataFrame,
+                  vocabSize: Int = 32): DataFrame =
+    lmBigrams(docs, id, text)
       .join(broadcast(biTop), Seq("bigram"), "left")
       .withColumn("w1", expr("split_part(bigram, ' ', 1)"))
       .join(broadcast(uniTop), Seq("w1"), "left")
@@ -395,6 +429,44 @@ object TextOps {
         round(avg(log((coalesce(col("c2"), lit(0L)) + lit(1)).cast("double")
             / (coalesce(col("c1"), lit(0L)) + lit(vocabSize) + lit(1)).cast("double")))
           * lit(1e6)).cast("long").as("logp2_q6"))
+
+  /** Micro-unit keep threshold for the t22 quality gate: mean bigram
+    * log-prob ≥ −4.0 (i.e. perplexity ≤ e⁴ ≈ 55 under the truncated
+    * model). A config constant, inlined verbatim in the oracle. */
+  val LmKeepThresholdQ6: Long = -4000000L
+
+  /** PUBLISH the trained model tables (the t22 persistence seam).
+    * Coalesced to one file each — a published LM is a dictionary-sized
+    * artifact (V + B rows), not a distributed table. */
+  def lmWriteModel(uniTop: DataFrame, biTop: DataFrame, dir: String): Unit = {
+    uniTop.coalesce(1).write.mode("overwrite").parquet(s"$dir/uni")
+    biTop.coalesce(1).write.mode("overwrite").parquet(s"$dir/bi")
+  }
+
+  /** Load the published model tables back. Longs and strings
+    * round-trip parquet byte-exactly, so scoring with the loaded model
+    * equals scoring with the in-session one bit-for-bit. */
+  def lmLoadModel(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/uni"), spark.read.parquet(s"$dir/bi"))
+
+  /** The t22 catalog entry end-to-end: train the bigram LM on the
+    * STANDING (even-id) half, publish it, then score + gate the
+    * ARRIVING (odd-id) half with the model LOADED back — the CCNet
+    * move (Wenzek et al. 2020): a quality LM is trained once on a
+    * trusted corpus and frozen, then every new crawl shard is scored
+    * against it; the shard never influences its own acceptance bar.
+    * Frozen-model scoring also makes the gate batch-independent (a
+    * doc's score is a pure function of the published tables), which is
+    * what lets the same serve run per micro-batch on the stream edge. */
+  def lmQualityPersisted(spark: SparkSession, dataDir: String): DataFrame = {
+    val docs = Tables.documents(spark, dataDir)
+    val dir = IndexPaths.dir("t22_lm", dataDir)
+    val (uni, bi) = lmTrain(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text")
+    lmWriteModel(uni, bi, dir)
+    val (lu, lb) = lmLoadModel(spark, dir)
+    lmScoreWith(docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", lu, lb)
+      .withColumn("keep", col("logp2_q6") >= lit(LmKeepThresholdQ6))
   }
 
   /** STUPID-BACKOFF LM score (t20) — Brants et al. 2007's web-scale
@@ -873,7 +945,8 @@ object TextOps {
       withDedupAdjacent(Tables.documents(s, d), "text")
         .select("doc_id", "cleaned", "n_removed")),
     "t13_bigram_logprob" -> ((s, d) =>
-      bigramLogProb(Tables.documents(s, d), "doc_id", "text")))
+      bigramLogProb(Tables.documents(s, d), "doc_id", "text")),
+    "t22_lm_quality_persisted" -> ((s, d) => lmQualityPersisted(s, d)))
 
   def oracle: Map[String, String] = Map(
     // t21 — the 8 fixed merge rounds unrolled as generated CTEs; see
@@ -1152,6 +1225,40 @@ object TextOps {
         |FROM bi LEFT JOIN bt USING (bigram)
         |LEFT JOIN uni ON uni.w1 = split_part(bigram, ' ', 1)
         |GROUP BY doc_id""".stripMargin,
+    // t22 — t13's model CTEs restricted to the standing (even-id)
+    // half, t13's scoring arithmetic over the arriving (odd-id) half,
+    // and the keep gate compared on the already-quantized integer (so
+    // the boolean can never disagree when the score hashes equal)
+    "t22_lm_quality_persisted" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |tbi AS (
+        |  SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram
+        |  FROM w WHERE doc_id % 2 = 0),
+        |toks AS (SELECT unnest(w) AS token FROM w WHERE doc_id % 2 = 0),
+        |uni AS (
+        |  SELECT token AS w1, c1 FROM (
+        |    SELECT token, count(*) AS c1 FROM toks GROUP BY token
+        |    ORDER BY c1 DESC, token LIMIT 32) u),
+        |bt AS (
+        |  SELECT bigram, count(*) AS c2 FROM tbi GROUP BY bigram
+        |  ORDER BY c2 DESC, bigram LIMIT 64),
+        |sb AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram
+        |  FROM w WHERE doc_id % 2 <> 0),
+        |sc AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    CAST(round(avg(ln((COALESCE(bt.c2, 0) + 1)::DOUBLE
+        |      / (COALESCE(uni.c1, 0) + 32 + 1)::DOUBLE)) * 1000000.0) AS BIGINT)
+        |      AS logp2_q6
+        |  FROM sb LEFT JOIN bt USING (bigram)
+        |  LEFT JOIN uni ON uni.w1 = split_part(bigram, ' ', 1)
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, logp2_q6,
+        |  logp2_q6 >= -4000000 AS keep
+        |FROM sc""".stripMargin,
     // t14 — integer counts plus one exact double division (IEEE divide
     // is correctly rounded, so q6 of the quotient agrees by definition)
     "t14_lexical_diversity" ->

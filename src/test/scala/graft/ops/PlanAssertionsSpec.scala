@@ -55,6 +55,26 @@ class PlanAssertionsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(shuffles(plan("t15_hashed_classifier")) == 0)
   }
 
+  test("t22 serve joins the loaded model by broadcast, never sort-merge") {
+    // the scoring path is one map-side join chain (bigrams ⋈ bi ⋈ uni)
+    // plus the doc-keyed aggregation — a model join that degraded to a
+    // sort-merge would shuffle the token-sized bigram explode
+    val s = plan("t22_lm_quality_persisted").toString
+    assert(s.contains("BroadcastHashJoin"), s.take(2000))
+    assert(!s.contains("SortMergeJoin"),
+      "model tables must broadcast, not sort-merge:\n" + s.take(2000))
+  }
+
+  test("v13 PSI plans scan-bound: tiny aggs only, no sort-merge join") {
+    val p = plan("v13_drift_psi")
+    val s = p.toString
+    assert(!s.contains("SortMergeJoin"),
+      "spine/total joins must broadcast:\n" + s.take(2000))
+    // bin groupBy + the two 1-row/10-row readout exchanges at most —
+    // nothing event-sized shuffles after the map-side partials
+    assert(shuffles(p) <= 3, s.take(2000))
+  }
+
   test("d03 minhash plans exactly two exchanges (bands + distinct), no token shuffle") {
     // map-side signatures: the only exchanges are the 4-key-per-doc band
     // bucket groupBy and the candidate-pair distinct

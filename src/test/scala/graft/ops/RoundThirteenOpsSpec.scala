@@ -90,4 +90,110 @@ class RoundThirteenOpsSpec extends AnyFunSuite {
         r.getLong(3), r.getLong(4))).toSet
     assert(again == rows)
   }
+
+  private def t22Rows(df: DataFrame): Map[Long, (Long, Long, Boolean)] =
+    df.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+
+  test("t22: scoring with the LOADED model equals the in-session " +
+    "model, and the keep gate is the quantized threshold") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val standing = docs.filter(col("doc_id") % 2 === 0)
+    val arriving = docs.filter(col("doc_id") % 2 =!= 0)
+    val (uni, bi) = TextOps.lmTrain(standing, "doc_id", "text")
+    val inSession = TextOps.lmScoreWith(arriving, "doc_id", "text", uni, bi)
+      .withColumn("keep", col("logp2_q6") >= TextOps.LmKeepThresholdQ6)
+    val served = t22Rows(TextOps.lmQualityPersisted(spark, sf))
+    assert(served.nonEmpty, "fixture must score some arriving docs")
+    assert(t22Rows(inSession) == served)
+    served.foreach { case (_, (n, q, keep)) =>
+      assert(n >= 1)
+      assert(keep == (q >= TextOps.LmKeepThresholdQ6))
+    }
+  }
+
+  test("t22: frozen-model scoring is batch-independent — per-batch " +
+    "serves union to the one-shot serve") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val (uni, bi) = TextOps.lmTrain(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    val arriving = docs.filter(col("doc_id") % 2 =!= 0)
+    val oneShot = t22Rows(TextOps.lmScoreWith(arriving, "doc_id", "text",
+        uni, bi)
+      .withColumn("keep", col("logp2_q6") >= TextOps.LmKeepThresholdQ6))
+    val batched = Seq(
+      arriving.filter(col("doc_id") % 4 === 1),
+      arriving.filter(col("doc_id") % 4 === 3)).map(b =>
+      t22Rows(TextOps.lmScoreWith(b, "doc_id", "text", uni, bi)
+        .withColumn("keep", col("logp2_q6") >= TextOps.LmKeepThresholdQ6)))
+    assert(batched.forall(_.nonEmpty), "both batches must score docs")
+    assert(batched.reduce(_ ++ _) == oneShot)
+  }
+
+  private def knnRows(df: DataFrame): Set[(Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("k26: filtered serve returns only eligible neighbors, answers " +
+    "every probe, and an all-pass filter equals k19") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf)
+    val eligible = emb.filter(col("label") % 2 === 0).select(col("vec_id"))
+    val eligibleIds = eligible.collect().map(_.getLong(0)).toSet
+    val filtered = knnRows(Similarity.ivfPqServeFiltered(spark, sf, eligible))
+    assert(filtered.nonEmpty)
+    filtered.foreach { case (_, _, n) =>
+      assert(eligibleIds.contains(n), s"neighbor $n must pass the predicate")
+    }
+    assert(filtered.map(_._1) ==
+      knnRows(Similarity.ivfPqServe(spark, sf, Similarity.IvfPqNprobe))
+        .map(_._1),
+      "probes must not be filtered — every k19 probe answers here too")
+    val allPass = knnRows(Similarity.ivfPqServeFiltered(spark, sf,
+      emb.select(col("vec_id"))))
+    assert(allPass ==
+      knnRows(Similarity.ivfPqServe(spark, sf, Similarity.IvfPqNprobe)),
+      "an all-pass predicate must reduce to the unfiltered k19 serve")
+  }
+
+  test("k27: filtered recall answers every probe with recall in [0, 1]") {
+    val out = graft.SparkEntry.queries("k27_filtered_recall")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSet == (0L until Similarity.NumProbes.toLong).toSet,
+      "one recall row per probe")
+    out.foreach { case (_, hits, q6) =>
+      assert(hits >= 0 && hits <= Similarity.TopK)
+      assert(q6 == math.round(hits.toDouble / Similarity.TopK * 1e6))
+    }
+  }
+
+  test("v13: PSI readout has the constant bin spine, conserves counts, " +
+    "and is zero for identical populations") {
+    import org.apache.spark.sql.functions.col
+    val events = Tables.events(spark, sf)
+    val out = Profile.driftPsi(events, "value", col("user_id") % 2 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(out.map(_._1).toSeq == (0L until Profile.PsiBins.toLong),
+      "every bin must be present, empty or not")
+    assert(out.map(r => r._2 + r._3).sum == events.count(),
+      "binning must conserve the event count")
+    // recompute each term from the integer counts — the engine's
+    // double expression must match the definition
+    val totRef = out.map(_._2).sum.toDouble + Profile.PsiBins
+    val totCur = out.map(_._3).sum.toDouble + Profile.PsiBins
+    out.foreach { case (_, nr, nc, q6) =>
+      val p = (nr + 1).toDouble / totRef
+      val q = (nc + 1).toDouble / totCur
+      assert(math.abs(q6 - (p - q) * math.log(p / q) * 1e6) <= 1.0)
+    }
+    // identical populations: p == q in every bin, PSI exactly 0
+    val same = Profile.driftPsi(
+      events.select(col("value"), (col("user_id") * 2).as("user_id"))
+        .unionByName(events.select(col("value"),
+          (col("user_id") * 2 + 1).as("user_id"))),
+      "value", col("user_id") % 2 === 0)
+    assert(same.collect().forall(_.getLong(3) == 0L))
+  }
 }

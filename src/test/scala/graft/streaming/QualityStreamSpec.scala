@@ -1,0 +1,42 @@
+package graft.streaming
+
+import graft.etl.TestSpark
+import graft.ops.{Tables, TextOps}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Stream-edge quality gating ≡ the one-shot batch gate (t22) on the
+  * same delta, served from a PERSISTED model — the full
+  * train → publish → load → stream-score loop on the text-quality
+  * seam. */
+class QualityStreamSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.session
+  val sf = "/root/testdata/sf0.001"
+
+  test("availableNow foreachBatch gate matches the batch t22 serve " +
+    "from a loaded model") {
+    val docs = Tables.documents(spark, sf)
+    val (uni, bi) = TextOps.lmTrain(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    val modelDir = Files.createTempDirectory("graft_lm_model").toString
+    TextOps.lmWriteModel(uni, bi, modelDir)
+    val (lu, lb) = TextOps.lmLoadModel(spark, modelDir)
+
+    val out = Files.createTempDirectory("graft_lm_out").toString + "/verdicts"
+    QualityStream.runAvailableNow(spark, sf, lu, lb, out,
+      deltaFilter = col("doc_id") % 2 =!= 0)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).sortBy(_._1).toSeq
+    val streamed = norm(spark.read.parquet(out))
+    val batch = norm(TextOps.lmScoreWith(
+        docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", uni, bi)
+      .withColumn("keep", col("logp2_q6") >= TextOps.LmKeepThresholdQ6))
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      "stream-edge gating from the loaded model must equal the batch serve")
+  }
+}
