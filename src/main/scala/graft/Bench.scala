@@ -135,6 +135,10 @@ object Bench {
       warm(ops.Similarity.sharedKnnBrute(spark, sfDir))
       warm(ops.Similarity.sharedCellCentroids(spark, sfDir))
       warm(ops.Entity.sharedCanonicalMap(spark, sfDir))
+      // K driver tuples, not a DataFrame — warm the t21 training the
+      // t23 encode inlines, for the same attribution reason
+      try { ops.TextOps.sharedBpeMerges(spark, sfDir); () }
+      catch { case _: Throwable => () }
     }
     // drop warmup leftovers (pipeline caches, broadcasts) so the
     // measured phase doesn't run under their GC pressure

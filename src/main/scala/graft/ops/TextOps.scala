@@ -853,7 +853,21 @@ object TextOps {
     * lr ≠ r (both sides non-empty). Scanning resumes after each
     * replacement, exactly like the fold consuming its merged pair. */
   def bpeTrainOracleSql(merges: Int = BpeMerges): String = {
-    val ctes = Seq(
+    val union = (1 to merges).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS "rank", l AS "left", r AS "right",
+         |       m AS merged, c AS pair_count FROM best$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    "WITH " + bpeOracleCtes(merges).mkString(",\n") + "\n" + union
+  }
+
+  /** The t21 training CTE chain (vocab0 → cnt_k/best_k/vocab_k), shared
+    * by the t21 oracle (which unions the best_k rows) and the t23
+    * encode oracle (which cross-joins them into the per-word replace
+    * chain). The last round still emits its vocab rewrite when a
+    * consumer asks for it (`withFinalVocab`, unused by t21's union). */
+  private def bpeOracleCtes(merges: Int,
+                            withFinalVocab: Boolean = false): Seq[String] =
+    Seq(
       """vocab0 AS (
         |  SELECT list_append(string_split(w, ''), '</w>') AS sym, cnt FROM (
         |    SELECT lower(w) AS w, count(*)::BIGINT AS cnt FROM (
@@ -862,7 +876,7 @@ object TextOps {
         |      FROM documents) GROUP BY 1))""".stripMargin) ++
       (1 to merges).flatMap { k =>
         val rewrite =
-          if (k == merges) Seq.empty
+          if (k == merges && !withFinalVocab) Seq.empty
           else Seq(
             s"""vocab$k AS (
                |  SELECT string_split(substr(s, 2, length(s) - 2), '||') AS sym, cnt FROM (
@@ -880,16 +894,118 @@ object TextOps {
              |  SELECT l, r, l || r AS m, c FROM cnt$k
              |  ORDER BY c DESC, l ASC, r ASC LIMIT 1)""".stripMargin) ++ rewrite
       }
-    val union = (1 to merges).map { k =>
-      s"""SELECT CAST($k AS BIGINT) AS "rank", l AS "left", r AS "right",
-         |       m AS merged, c AS pair_count FROM best$k""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    "WITH " + ctes.mkString(",\n") + "\n" + union
+
+  private val bpeMergeMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      Seq[(String, String, String)]]()
+
+  /** The t21 merge list collected to its K driver tuples `(left,
+    * right, merged)` in rank order, trained once per (session, dir) —
+    * the frozen tokenizer artifact t23's encode applies. K bounded
+    * driver rows (the k-means-convergence precedent), never data.
+    * Plain synchronized map, NOT computeIfAbsent — the reentrancy
+    * landmine documented at `Clusters.memo`. */
+  def sharedBpeMerges(s: SparkSession, d: String): Seq[(String, String, String)] =
+    bpeMergeMemo.synchronized {
+      val k = (s, d)
+      val existing = bpeMergeMemo.get(k)
+      if (existing != null) existing
+      else {
+        val rows = bpeTrain(Tables.documents(s, d), "text").collect()
+          .sortBy(_.getLong(0))
+          .map(r => (r.getString(1), r.getString(2), r.getString(3))).toSeq
+        bpeMergeMemo.put(k, rows)
+        rows
+      }
+    }
+
+  /** The greedy merge fold for ONE word under the learned merge list,
+    * as a SQL expression string over lambda variable `w`, returning
+    * the word's encoded TOKEN COUNT. Uses the same boundary-delimited
+    * string-replace encoding as the t21 oracle (see
+    * [[bpeTrainOracleSql]]'s rewrite argument: symbols wrapped in `|`,
+    * leftmost non-overlapping `replace` ≡ the greedy fold, the
+    * replacement can't seed a new match) rather than a chain of nested
+    * array `aggregate`s — the replace chain is K flat string passes
+    * per word instead of K array-rebuilding folds, ~6× faster
+    * end-to-end at sf0.1. The merge strings are LITERALS (symbols are
+    * [a-z]/`</w>` concatenations — quote-safe by construction).
+    * Token count = segments of the final string split on `||` (the
+    * leading/trailing `|` stay attached to the first/last symbol). */
+  private def bpeEncodeExpr(merges: Seq[(String, String, String)]): String = {
+    val chain = merges.foldLeft(
+      "concat('|', array_join(concat(split(w, ''), array('</w>')), '||'), '|')") {
+      case (inner, (l, r, m)) =>
+        s"replace($inner, '|$l||$r|', '|$m|')"
+    }
+    s"size(split($chain, '\\\\|\\\\|'))"
+  }
+
+  /** BPE ENCODING with a FROZEN merge list (t23) — the serve half of
+    * the tokenizer seam t21 trains: a deployed tokenizer applies the
+    * published merge table to every document it ever sees (Sennrich
+    * 2016 §2: training learns the merge sequence, encoding replays it
+    * in rank order). Per doc, the alphabetic words (training's
+    * pre-tokenized regime) are lowercased, split to chars + `</w>`,
+    * and folded through the K merges; the readout is the doc's
+    * alphabetic word count and its encoded BPE token count — the pair
+    * a token-budget planner divides to get the corpus' real
+    * tokens-per-word rate under the actual tokenizer, rather than the
+    * whitespace proxy (t03) or the hash heuristic (t18).
+    *
+    * Scale shape: the merge list is K driver TUPLES (not data), inlined
+    * as literals into ONE codegen'd projection — zero shuffles, zero
+    * joins; the corpus is scanned once and never re-paired. Encoding
+    * cost is K passes over each word's symbol list, all inside the same
+    * whole-stage-codegen'd map. Output: `(doc_id, n_alpha_words,
+    * n_bpe_tokens)` for every document (0/0 for docs with no
+    * alphabetic words). */
+  def bpeEncodeCounts(docs: DataFrame, id: String, text: String,
+                      merges: Seq[(String, String, String)]): DataFrame = {
+    val words = s"transform(filter(split($text, ' '), " +
+      "x -> x rlike '\\\\A[A-Za-z]+\\\\z'), x -> lower(x))"
+    docs.select(col(id).as("doc_id"),
+      expr(s"size($words)").cast("long").as("n_alpha_words"),
+      expr(s"aggregate(transform($words, w -> " +
+        s"cast(${bpeEncodeExpr(merges)} as bigint)), " +
+        "cast(0 as bigint), (a, x) -> a + x)").as("n_bpe_tokens"))
+  }
+
+  /** t23's oracle: t21's training CTEs (the merges are re-derived
+    * in-SQL, so the oracle checks training AND encoding end-to-end),
+    * the K best rows cross-joined flat, and the per-word replace chain
+    * applied in rank order — token count = segments of the
+    * boundary-delimited string split on `||` (the leading/trailing `|`
+    * stay attached to the first/last symbol, so the segment count IS
+    * the symbol count). */
+  def bpeEncodeOracleSql(merges: Int = BpeMerges): String = {
+    val bests = (1 to merges).map(k =>
+      s"b$k.l AS l$k, b$k.r AS r$k, b$k.m AS m$k").mkString(", ")
+    val bestFrom = (1 to merges).map(k => s"best$k b$k").mkString(", ")
+    val chain = (1 to merges).foldLeft(
+      "'|' || array_to_string(list_append(string_split(wd, ''), '</w>'), '||') || '|'") {
+      case (inner, k) =>
+        s"replace($inner, '|' || l$k || '||' || r$k || '|', '|' || m$k || '|')"
+    }
+    s"""WITH ${bpeOracleCtes(merges).mkString(",\n")},
+       |bests AS (SELECT $bests FROM $bestFrom)
+       |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_alpha_words,
+       |  CAST(reduce(list_prepend(0::BIGINT, list_transform(ws, wd ->
+       |    len(string_split($chain, '||'))::BIGINT)),
+       |    (a, x) -> a + x) AS BIGINT) AS n_bpe_tokens
+       |FROM (
+       |  SELECT doc_id,
+       |    list_transform(list_filter(string_split(text, ' '),
+       |      x -> regexp_matches(x, '^[A-Za-z]+$$')), x -> lower(x)) AS ws
+       |  FROM documents) w, bests""".stripMargin
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t21_bpe_train" -> ((s, d) =>
       bpeTrain(Tables.documents(s, d), "text")),
+    "t23_bpe_encode" -> ((s, d) =>
+      bpeEncodeCounts(Tables.documents(s, d), "doc_id", "text",
+        sharedBpeMerges(s, d))),
     "t18_subword_tokens" -> ((s, d) => {
       graft.functions.VectorFunctions.register(s)
       Tables.documents(s, d).select(col("doc_id"),
@@ -953,6 +1069,9 @@ object TextOps {
     // bpeTrainOracleSql for the boundary-delimited replace ≡ greedy
     // fold argument
     "t21_bpe_train" -> bpeTrainOracleSql(BpeMerges),
+    // t23 — training re-derived in-SQL + the rank-ordered per-word
+    // replace chain; see bpeEncodeOracleSql
+    "t23_bpe_encode" -> bpeEncodeOracleSql(BpeMerges),
     // t18 — the identical nested chunk fold, polyhash in explicit
     // reduce form (the graft_polyhash oracle recipe)
     "t18_subword_tokens" ->

@@ -157,6 +157,49 @@ class RoundThirteenOpsSpec extends AnyFunSuite {
       "an all-pass predicate must reduce to the unfiltered k19 serve")
   }
 
+  test("t23: distributed BPE encode equals an in-memory reference " +
+    "encoder under the same learned merges, for every document") {
+    import org.apache.spark.sql.functions.col
+    val merges = TextOps.sharedBpeMerges(spark, sf)
+    assert(merges.size == TextOps.BpeMerges)
+    // reference: greedy leftmost non-overlapping merge, rank order
+    def encode(word: String): Seq[String] = {
+      var sym: Seq[String] = word.map(_.toString) :+ "</w>"
+      merges.foreach { case (l, r, m) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < sym.length) {
+          if (i + 1 < sym.length && sym(i) == l && sym(i + 1) == r) {
+            out += m; i += 2
+          } else { out += sym(i); i += 1 }
+        }
+        sym = out.toSeq
+      }
+      sym
+    }
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val want = docs.map { case (id, text) =>
+      val ws = text.split(" ", -1).filter(_.matches("[A-Za-z]+"))
+        .map(_.toLowerCase)
+      id -> ((ws.length.toLong, ws.map(w => encode(w).length.toLong).sum))
+    }
+    val got = TextOps.bpeEncodeCounts(Tables.documents(spark, sf),
+        "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got.keySet == docs.keySet, "one row per document, merges or not")
+    assert(got == want)
+    assert(want.values.exists(_._1 > 0), "fixture must contain alpha words")
+    // the merges compress: strictly fewer tokens than raw chars+markers
+    val rawSymbols = docs.map { case (_, text) =>
+      text.split(" ", -1).filter(_.matches("[A-Za-z]+"))
+        .map(_.length.toLong + 1).sum
+    }.sum
+    assert(got.values.map(_._2).sum < rawSymbols)
+  }
+
   test("k27: filtered recall answers every probe with recall in [0, 1]") {
     val out = graft.SparkEntry.queries("k27_filtered_recall")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
