@@ -165,7 +165,7 @@ object SparkEntry {
     * into bench_full.json's "phases" object. */
   def phases: Map[String, ((SparkSession, String) => Unit,
                            (SparkSession, String) => DataFrame)] = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{col, expr, lit}
     Map(
       "r06_bm25_persisted" -> ((
         (s: SparkSession, d: String) => {
@@ -257,6 +257,25 @@ object SparkEntry {
         (s: SparkSession, d: String) =>
           ops.Entity.entityRollupFromMap(ops.Tables.part(s, d), "p_name",
             ops.Entity.canonicalLoadMap(s, ops.IndexPaths.dir("p09_map", d))))),
+      "er10_delta_canonicalize" -> ((
+        (s: SparkSession, d: String) => {
+          graft.functions.VectorFunctions.register(s)
+          val standing = ops.Tables.part(s, d)
+            .filter(expr("graft_polyhash(p_name) % 4") =!= 3)
+          ops.Entity.canonicalWriteMap(
+            ops.Entity.canonicalMapFromPairs(standing, "p_name",
+              ops.Entity.jaroWinklerPairsUnion(standing, "p_name")),
+            ops.IndexPaths.dir("er10_map", d))
+        },
+        (s: SparkSession, d: String) => {
+          graft.functions.VectorFunctions.register(s)
+          val part = ops.Tables.part(s, d)
+          ops.Entity.deltaCanonicalize(
+            part.filter(expr("graft_polyhash(p_name) % 4") =!= 3),
+            part.filter(expr("graft_polyhash(p_name) % 4").isin(2, 3)),
+            "p_name",
+            ops.Entity.canonicalLoadMap(s, ops.IndexPaths.dir("er10_map", d)))
+        })),
       "p10_survivorship_serve" -> ((
         (s: SparkSession, d: String) =>
           ops.Entity.canonicalWriteMap(ops.Entity.sharedCanonicalMap(s, d),

@@ -366,6 +366,62 @@ object Entity {
   def canonicalLoadMap(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
 
+  /** DELTA CANONICALIZATION against the published map (er10) — the
+    * INGEST half of the nightly MDM loop, the piece p09/p10 (which
+    * apply the map to facts) leave open: NEW entity variants arrive
+    * and must resolve against the standing dictionary WITHOUT
+    * re-running the full pairwise machinery. Three-way triage, the
+    * standard incremental record-linkage flow:
+    *
+    *  1. EXACT: a delta name already in the published map adopts its
+    *     canonical (one broadcast join — the overwhelmingly common
+    *     case in a steady-state dictionary).
+    *  2. FUZZY: the misses cross-match the STANDING names under the
+    *     same union blocking + JW floor the map was built with
+    *     (er08's scheme); the best standing match per delta name —
+    *     (jw DESC, standing name ASC), a value-determined total
+    *     order — donates ITS canonical, so the delta variant joins
+    *     the existing entity rather than founding a duplicate.
+    *  3. NEW: still-unmatched names become their own canonical —
+    *     genuinely new entities, queued for the nightly full rebuild.
+    *
+    * Scale shape: the map broadcast-joins (dictionary-sized); the
+    * fuzzy pass pairs MISSES × standing within shared blocks —
+    * Σ|block|² with a delta-sized left side, never re-pairing the
+    * standing dictionary against itself; delta–delta pairs are
+    * deliberately deferred to the rebuild (minhashServeDelta's
+    * contract on the text seam). Output: `(name, canon_name)` per
+    * distinct delta name. */
+  def deltaCanonicalize(standing: DataFrame, delta: DataFrame,
+                        name: String, loadedMap: DataFrame,
+                        minJwQ6: Long = MinJwQ6,
+                        maxBlock: Int = MaxBlock): DataFrame = {
+    graft.functions.VectorFunctions.register(standing.sparkSession)
+    val deltaNames = delta.select(col(name).as("name")).distinct()
+    val hits = deltaNames.join(broadcast(loadedMap), Seq("name"), "left")
+    val misses = hits.filter(col("canon_name").isNull).select("name")
+    val cand = unionBlockedNames(misses, "name", maxBlock)
+      .select(col("name").as("d_name"), col("blk"))
+      .join(unionBlockedNames(standing, name, maxBlock)
+        .select(col("name").as("s_name"), col("blk")), Seq("blk"))
+      .select(col("d_name"), col("s_name")).distinct()
+      .withColumn("jw_q6",
+        round(expr("graft_jaro_winkler(d_name, s_name)") * lit(1e6))
+          .cast("long"))
+      .filter(col("jw_q6") >= minJwQ6)
+    val w = Window.partitionBy(col("d_name"))
+      .orderBy(col("jw_q6").desc, col("s_name"))
+    val best = cand.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .join(broadcast(loadedMap.select(col("name").as("s_name"),
+        col("canon_name").as("_fuzzy_canon"))), Seq("s_name"))
+      .select(col("d_name").as("name"), col("_fuzzy_canon"))
+    hits.join(best, Seq("name"), "left")
+      .select(col("name"),
+        coalesce(col("canon_name"), col("_fuzzy_canon"), col("name"))
+          .as("canon_name"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // er09: the er08 map round-tripped through parquet and served back
     // — write + load in one entry, hash-matching er08's oracle
@@ -377,6 +433,21 @@ object Entity {
         canonicalMapFromPairs(Tables.part(s, d), "p_name",
           jaroWinklerPairsUnion(Tables.part(s, d), "p_name")), dir)
       canonicalLoadMap(s, dir)
+    }),
+    // er10: the INGEST half of the MDM loop — the standing dictionary
+    // (names with polyhash % 4 ≠ 3) publishes its er08-scheme map;
+    // the arriving batch (polyhash % 4 ∈ {2,3} — an overlapping
+    // quarter plus a novel quarter, so all three triage branches
+    // exercise on real data) resolves against the LOADED copy only
+    "er10_delta_canonicalize" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val part = Tables.part(s, d)
+      val standing = part.filter(expr("graft_polyhash(p_name) % 4") =!= 3)
+      val delta = part.filter(expr("graft_polyhash(p_name) % 4").isin(2, 3))
+      val dir = IndexPaths.dir("er10_map", d)
+      canonicalWriteMap(canonicalMapFromPairs(standing, "p_name",
+        jaroWinklerPairsUnion(standing, "p_name")), dir)
+      deltaCanonicalize(standing, delta, "p_name", canonicalLoadMap(s, dir))
     }),
     "er06_blocking_audit" -> ((s, d) =>
       blockingAudit(Tables.part(s, d), "p_name",
@@ -472,6 +543,21 @@ object Entity {
        |  WHERE CAST(round(jaro_winkler_similarity(name_a, name_b) * 1000000.0)
        |    AS BIGINT) >= $MinJwQ6)""".stripMargin
 
+  /** [[unionBlockPrefixSql]]'s keyed/blocked/ok chain over an
+    * arbitrary names CTE with a CTE-name prefix, so er10 can block its
+    * standing and delta name sets independently (per-side oversized-
+    * block guards, mirroring two [[unionBlockedNames]] calls). Ends in
+    * `<p>ok(name, blk)`. */
+  private def unionBlockSql(namesCte: String, p: String): String =
+    s"""${p}keyed AS (
+       |  SELECT name, 'f_' || string_split(name, ' ')[1] AS blk FROM $namesCte
+       |  UNION ALL
+       |  SELECT name, 'l_' || string_split(name, ' ')[-1] AS blk FROM $namesCte),
+       |${p}blocked AS (
+       |  SELECT name, blk, count(*) OVER (PARTITION BY blk) AS bn
+       |  FROM ${p}keyed),
+       |${p}ok AS (SELECT name, blk FROM ${p}blocked WHERE bn <= $MaxBlock)""".stripMargin
+
   /** Shared pair-CTE body (er01's query verbatim), over `names`. */
   private def pairsSqlBody: String =
     s"""names AS (SELECT DISTINCT p_name AS name FROM part),
@@ -555,6 +641,60 @@ object Entity {
            |  CASE WHEN nt.n_true > 0
            |    THEN (fnd.n_found * 1000000) // nt.n_true END AS pc_q6
            |FROM nn, cand, ns, nt, fnd""".stripMargin,
+      // er10 — the standing map rebuilt in-SQL (er08's text over the
+      // hash-split standing names), then the three-way triage: exact
+      // map join, union-blocked cross JW with the (jw DESC, name ASC)
+      // rank-1 election, self for the rest
+      "er10_delta_canonicalize" ->
+        s"""WITH RECURSIVE
+           |snames AS (SELECT DISTINCT p_name AS name FROM part
+           |           WHERE (${ph("p_name")}) % 4 <> 3),
+           |${unionBlockSql("snames", "s")},
+           |ucand AS (
+           |  SELECT DISTINCT a.name AS name_a, b.name AS name_b
+           |  FROM sok a JOIN sok b ON a.blk = b.blk AND a.name < b.name),
+           |fuzzy AS (
+           |  SELECT name_a, name_b FROM ucand
+           |  WHERE CAST(round(jaro_winkler_similarity(name_a, name_b) * 1000000.0)
+           |    AS BIGINT) >= $MinJwQ6),
+           |${Clusters.componentsCte(
+                s"SELECT ${ph("name_a")} AS doc_a, ${ph("name_b")} AS doc_b FROM fuzzy")},
+           |hn AS (SELECT name, ${ph("name")} AS h FROM snames),
+           |canon AS (
+           |  SELECT l.cluster, min(hn.name) AS canon_name
+           |  FROM lab l JOIN hn ON hn.h = l.id GROUP BY l.cluster),
+           |smap AS (
+           |  SELECT hn.name, coalesce(c.canon_name, hn.name) AS canon_name
+           |  FROM hn LEFT JOIN lab l ON l.id = hn.h
+           |          LEFT JOIN canon c ON c.cluster = l.cluster),
+           |dnames AS (SELECT DISTINCT p_name AS name FROM part
+           |           WHERE (${ph("p_name")}) % 4 IN (2, 3)),
+           |miss AS (SELECT name FROM dnames
+           |         WHERE name NOT IN (SELECT name FROM smap)),
+           |${unionBlockSql("miss", "d")},
+           |xc AS (
+           |  SELECT DISTINCT d.name AS d_name, s.name AS s_name
+           |  FROM dok d JOIN sok s ON d.blk = s.blk),
+           |best AS (
+           |  SELECT d_name, s_name FROM (
+           |    SELECT d_name, s_name,
+           |      row_number() OVER (PARTITION BY d_name
+           |        ORDER BY jw_q6 DESC, s_name) AS rnk
+           |    FROM (
+           |      SELECT d_name, s_name,
+           |        CAST(round(jaro_winkler_similarity(d_name, s_name) * 1000000.0)
+           |          AS BIGINT) AS jw_q6
+           |      FROM xc) sc
+           |    WHERE jw_q6 >= $MinJwQ6) t
+           |  WHERE rnk = 1),
+           |fz AS (
+           |  SELECT b.d_name AS name, m.canon_name
+           |  FROM best b JOIN smap m ON m.name = b.s_name)
+           |SELECT d.name,
+           |  coalesce(sm.canon_name, fz.canon_name, d.name) AS canon_name
+           |FROM dnames d
+           |LEFT JOIN smap sm ON sm.name = d.name
+           |LEFT JOIN fz ON fz.name = d.name""".stripMargin,
       // er04 — DuckDB's built-in implements the same JW variant as the
       // native expression; both sides compare q6 integers
       "er04_jw_pairs" ->

@@ -211,6 +211,41 @@ class RoundThirteenOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("er10: delta triage takes the exact, fuzzy, and new branches " +
+    "correctly on a synthetic dictionary") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // standing: "acme corp"/"acme corpn" cluster (canon "acme corp"),
+    // "beta rod" singleton. delta: exact hit, fuzzy variant, new name.
+    val standing = Seq("acme corp", "acme corpn", "beta rod").toDF("p_name")
+    val delta = Seq("acme corp", "acme corq", "zzz unrelated").toDF("p_name")
+    val map = Entity.canonicalMapFromPairs(standing, "p_name",
+      Entity.jaroWinklerPairsUnion(standing, "p_name"))
+    assert(map.collect().map(r => (r.getString(0), r.getString(1))).toMap ==
+      Map("acme corp" -> "acme corp", "acme corpn" -> "acme corp",
+        "beta rod" -> "beta rod"),
+      "fixture must cluster the acme variants under 'acme corp'")
+    val got = Entity.deltaCanonicalize(standing, delta, "p_name", map)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got == Map(
+      "acme corp" -> "acme corp",      // exact: published canon adopted
+      "acme corq" -> "acme corp",      // fuzzy: best standing match donates its canon
+      "zzz unrelated" -> "zzz unrelated")) // new: self-canonical
+  }
+
+  test("er10: harness serve covers every distinct delta name exactly once") {
+    import org.apache.spark.sql.functions.{col, expr}
+    graft.functions.VectorFunctions.register(spark)
+    val part = Tables.part(spark, sf)
+    val out = graft.SparkEntry.queries("er10_delta_canonicalize")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val deltaNames = part.filter(expr("graft_polyhash(p_name) % 4").isin(2, 3))
+      .select(col("p_name")).distinct().collect().map(_.getString(0)).toSet
+    assert(out.map(_._1).toSet == deltaNames)
+    assert(out.length == deltaNames.size, "one verdict row per delta name")
+    assert(out.nonEmpty)
+  }
+
   test("v13: PSI readout has the constant bin spine, conserves counts, " +
     "and is zero for identical populations") {
     import org.apache.spark.sql.functions.col
