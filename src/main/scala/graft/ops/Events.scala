@@ -329,6 +329,83 @@ object Events {
     * — a degenerate experiment with no variance to test). */
   val ConvertValue = 150.0
 
+  /** e27's interim-analysis count. */
+  val SeqLooks = 4
+
+  /** Pocock's two-sided 5% group-sequential boundary for K=4 equally
+    * spaced looks (Pocock, Biometrika 1977, table 2: c = 2.361),
+    * micro-unit quantized for the integer compare. */
+  val PocockZq6K4 = 2361000L
+
+  /** GROUP-SEQUENTIAL A/B MONITORING (e27) — e24's experiment read at
+    * K interim looks with a Pocock boundary: the fix for the PEEKING
+    * problem every dashboard-watched experiment has (test the same
+    * stream repeatedly at z ≥ 1.96 and the realized false-positive
+    * rate at 4 looks is ~20%, not 5%; Pocock's constant boundary
+    * c = 2.361 holds the family-wise rate at 5%). Completes the causal
+    * readout family: e24 fixed-horizon z, e25 CUPED, e26 DiD, e27 the
+    * sequential monitor a platform actually runs between them.
+    *
+    * Look k's data = everything with timestamp ≤ the k-th boundary,
+    * where boundaries split [min ts, max ts] into K equal intervals by
+    * INTEGER microsecond arithmetic (`mn + ((mx−mn)·k) div K` — the
+    * e25 midpoint doctrine; look K's boundary is exactly `mx`, so the
+    * final look IS e24's fixed-horizon readout, pinned by spec). A
+    * user enters look k's denominator when their FIRST event precedes
+    * the boundary, and counts converted when their first CONVERTING
+    * event does — both exact integer compares on per-user minima.
+    *
+    * Scale shape: ONE user-keyed exchange for the per-user minima fold
+    * (map-side partial min), the K-row look spine and the 1-row time
+    * range broadcast back, then a K·2-row aggregation — the
+    * sequential readout costs one pass more than nothing after the
+    * per-user collapse, at any corpus size. Cross-engine exactness:
+    * counts are integers; each look's z evaluates e24's identical
+    * double op sequence on its four integers; the reject flag compares
+    * the already-quantized q6 against the q6 boundary constant (NULL z
+    * — degenerate look — yields NULL reject on both engines).
+    * Output: K rows `(look, n0, c0, n1, c1, z_q6, reject)`. */
+  def sequentialAbReadout(events: DataFrame, userCol: String, ts: String,
+                          convertIf: Column,
+                          looks: Int = SeqLooks): DataFrame = {
+    graft.functions.VectorFunctions.register(events.sparkSession)
+    val spark = events.sparkSession
+    val ev = events.select(col(userCol).as("user_id"),
+      unix_micros(col(ts)).as("us"),
+      when(convertIf, lit(1L)).otherwise(lit(0L)).as("cv"))
+    val rng = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+    val pu = ev.groupBy(col("user_id"))
+      .agg(min(col("us")).as("first_us"),
+        min(when(col("cv") === 1L, col("us"))).as("conv_us"))
+      .withColumn("variant",
+        expr("pmod(graft_polyhash(cast(user_id as string)), 2)"))
+    val spine = spark.range(1L, looks + 1L).select(col("id").as("look"))
+    val perLook = pu.crossJoin(broadcast(rng))
+      .crossJoin(broadcast(spine))
+      .withColumn("bound", expr(s"mn + (((mx - mn) * look) div $looks)"))
+      .filter(col("first_us") <= col("bound"))
+      .groupBy(col("look"), col("variant"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("conv_us").isNotNull && col("conv_us") <= col("bound"),
+          lit(1L)).otherwise(lit(0L))).as("c"))
+    perLook.groupBy(col("look"))
+      .agg(max(when(col("variant") === 0, col("n"))).as("n0"),
+        max(when(col("variant") === 0, col("c"))).as("c0"),
+        max(when(col("variant") === 1, col("n"))).as("n1"),
+        max(when(col("variant") === 1, col("c"))).as("c1"))
+      .select(col("look"), col("n0"), col("c0"), col("n1"), col("c1"),
+        expr(
+          "CASE WHEN n0 > 0 AND n1 > 0 AND (c0 + c1) > 0 " +
+            "AND (c0 + c1) < (n0 + n1) THEN " +
+            "cast(round(((cast(c1 as double) / cast(n1 as double)) - " +
+            "(cast(c0 as double) / cast(n0 as double))) / " +
+            "sqrt((cast(c0 + c1 as double) / cast(n0 + n1 as double)) * " +
+            "(1.0D - cast(c0 + c1 as double) / cast(n0 + n1 as double)) * " +
+            "(1.0D / cast(n0 as double) + 1.0D / cast(n1 as double))) * " +
+            "1000000.0D) as long) END").as("z_q6"))
+      .withColumn("reject", abs(col("z_q6")) >= lit(PocockZq6K4))
+  }
+
   /** CUPED EXPERIMENT READOUT (e25) — variance-reduced lift for a
     * CONTINUOUS metric (Deng et al., WSDM'13, the adjustment every
     * large experimentation platform applies): per user, post-period
@@ -522,6 +599,9 @@ object Events {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e24_ab_test" -> ((s, d) =>
       abTestReadout(Tables.events(s, d), "user_id", "event_type",
+        col("event_type") === "purchase" && col("value") >= ConvertValue)),
+    "e27_sequential_ab" -> ((s, d) =>
+      sequentialAbReadout(Tables.events(s, d), "user_id", "ts",
         col("event_type") === "purchase" && col("value") >= ConvertValue)),
     "e25_cuped" -> ((s, d) =>
       cupedReadout(Tables.events(s, d), "user_id", "ts",
@@ -852,6 +932,53 @@ object Events {
          |      (1.0 / n0::DOUBLE + 1.0 / n1::DOUBLE)) * 1000000.0) AS BIGINT)
          |  END AS z_q6
          |FROM w""".stripMargin
+    },
+    // e27 — e24's per-variant machinery cumulated at the K integer
+    // look boundaries; z is e24's double sequence per look; reject
+    // compares quantized integers (NULL z ⇒ NULL reject on both sides)
+    "e27_sequential_ab" -> {
+      val h = Hashing.polyHashSql("user_id::VARCHAR")
+      s"""WITH ev AS (
+         |  SELECT user_id,
+         |    date_diff('microsecond', TIMESTAMP '1970-01-01', ts::TIMESTAMP) AS us,
+         |    CASE WHEN event_type = 'purchase' AND value >= $ConvertValue
+         |      THEN 1 ELSE 0 END AS cv
+         |  FROM events),
+         |rng AS (SELECT min(us) AS mn, max(us) AS mx FROM ev),
+         |pu AS (
+         |  SELECT user_id, min(us) AS first_us,
+         |    min(CASE WHEN cv = 1 THEN us END) AS conv_us
+         |  FROM ev GROUP BY user_id),
+         |v AS (SELECT first_us, conv_us, ($h) % 2 AS variant FROM pu),
+         |lk AS (SELECT unnest(range(1, ${SeqLooks + 1})) AS look),
+         |bnd AS (
+         |  SELECT look, rng.mn + ((rng.mx - rng.mn) * look) // $SeqLooks AS bound
+         |  FROM lk, rng),
+         |pl AS (
+         |  SELECT b.look, v.variant, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN conv_us IS NOT NULL AND conv_us <= b.bound
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS c
+         |  FROM v JOIN bnd b ON v.first_us <= b.bound
+         |  GROUP BY 1, 2),
+         |w AS (
+         |  SELECT look,
+         |    max(CASE WHEN variant = 0 THEN n END) AS n0,
+         |    max(CASE WHEN variant = 0 THEN c END) AS c0,
+         |    max(CASE WHEN variant = 1 THEN n END) AS n1,
+         |    max(CASE WHEN variant = 1 THEN c END) AS c1
+         |  FROM pl GROUP BY look),
+         |zz AS (
+         |  SELECT look, n0, c0, n1, c1,
+         |    CASE WHEN n0 > 0 AND n1 > 0 AND (c0 + c1) > 0 AND (c0 + c1) < (n0 + n1) THEN
+         |    CAST(round(((c1::DOUBLE / n1::DOUBLE) - (c0::DOUBLE / n0::DOUBLE)) /
+         |      sqrt(((c0 + c1)::DOUBLE / (n0 + n1)::DOUBLE) *
+         |        (1.0 - (c0 + c1)::DOUBLE / (n0 + n1)::DOUBLE) *
+         |        (1.0 / n0::DOUBLE + 1.0 / n1::DOUBLE)) * 1000000.0) AS BIGINT)
+         |    END AS z_q6
+         |  FROM w)
+         |SELECT look, n0, c0, n1, c1, z_q6,
+         |  abs(z_q6) >= $PocockZq6K4 AS reject
+         |FROM zz""".stripMargin
     },
     // e25 — same q6 source quantization, midpoint split by integer
     // compare, HUGEINT second moments (≡ Spark decimal(38,0)), and the

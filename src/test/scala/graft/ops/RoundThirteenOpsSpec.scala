@@ -246,6 +246,33 @@ class RoundThirteenOpsSpec extends AnyFunSuite {
     assert(out.nonEmpty)
   }
 
+  test("e27: counts accumulate monotonically across looks and the " +
+    "final look IS e24's fixed-horizon readout") {
+    import org.apache.spark.sql.functions.col
+    val convertIf = col("event_type") === "purchase" &&
+      col("value") >= Events.ConvertValue
+    val looks = Events.sequentialAbReadout(Tables.events(spark, sf),
+        "user_id", "ts", convertIf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))
+      .sortBy(_._1)
+    assert(looks.map(_._1).toSeq == (1L to Events.SeqLooks.toLong))
+    looks.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 >= a._2 && b._3 >= a._3 && b._4 >= a._4 && b._5 >= a._5,
+        "per-variant denominators and conversions must be cumulative")
+    case _ => ()
+    }
+    val e24 = Events.abTestReadout(Tables.events(spark, sf), "user_id",
+      "event_type", convertIf).collect().head
+    val last = looks.last
+    assert((last._2, last._3, last._4, last._5) ==
+      (e24.getLong(0), e24.getLong(1), e24.getLong(3), e24.getLong(4)),
+      "look K covers [min, max] entirely — it must equal e24's counts")
+    assert(last._6 == (if (e24.isNullAt(7)) None else Some(e24.getLong(7))),
+      "and e24's z")
+  }
+
   test("v13: PSI readout has the constant bin spine, conserves counts, " +
     "and is zero for identical populations") {
     import org.apache.spark.sql.functions.col
