@@ -416,7 +416,11 @@ object Entity {
       .join(broadcast(loadedMap.select(col("name").as("s_name"),
         col("canon_name").as("_fuzzy_canon"))), Seq("s_name"))
       .select(col("d_name").as("name"), col("_fuzzy_canon"))
-    hits.join(best, Seq("name"), "left")
+    // best is bounded by the delta's MISS names — dictionary-sized at
+    // any corpus scale (names, never facts) — but its rank-1 window
+    // hides that from the size estimator, so hint the broadcast
+    // explicitly or the final verdict join degrades to a sort-merge
+    hits.join(broadcast(best), Seq("name"), "left")
       .select(col("name"),
         coalesce(col("canon_name"), col("_fuzzy_canon"), col("name"))
           .as("canon_name"))

@@ -75,6 +75,28 @@ class PlanAssertionsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(shuffles(p) <= 3, s.take(2000))
   }
 
+  test("er10 delta canonicalization joins broadcast end to end — map, " +
+    "blocks, and the rank-1 verdict — never sort-merge") {
+    // every join side is dictionary-sized (names, not facts); the
+    // rank-1 `best` frame's window hides that from the estimator, so
+    // the explicit hint is load-bearing and this contract pins it
+    val s = plan("er10_delta_canonicalize").toString
+    assert(s.contains("BroadcastHashJoin"), s.take(2000))
+    assert(!s.contains("SortMergeJoin"),
+      "the verdict join must broadcast, not sort-merge:\n" + s.take(2000))
+  }
+
+  test("e27 sequential monitor: one user-keyed exchange feeds all K " +
+    "looks; range and spine broadcast back") {
+    val p = plan("e27_sequential_ab")
+    val s = p.toString
+    assert(!s.contains("SortMergeJoin"), s.take(2000))
+    // per-user minima exchange + the K·2-row look/variant agg + final
+    // K-row pivot (+ the 1-row range agg under its broadcast) — the
+    // corpus is exchanged ONCE regardless of K
+    assert(shuffles(p) <= 4, s.take(2000))
+  }
+
   test("d03 minhash plans exactly two exchanges (bands + distinct), no token shuffle") {
     // map-side signatures: the only exchanges are the 4-key-per-doc band
     // bucket groupBy and the candidate-pair distinct
