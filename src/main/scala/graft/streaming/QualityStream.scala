@@ -44,10 +44,11 @@ object QualityStream {
   def runAvailableNow(spark: SparkSession, dir: String,
                       uniTop: DataFrame, biTop: DataFrame, outPath: String,
                       deltaFilter: org.apache.spark.sql.Column,
-                      checkpointDir: Option[String] = None): Unit = {
+                      checkpointDir: Option[String] = None,
+                      glob: String = "documents.parquet"): Unit = {
     val reader = spark.readStream
       .schema(rawSchema)
-      .option("pathGlobFilter", "documents.parquet")
+      .option("pathGlobFilter", glob)
       .parquet(dir)
       .filter(deltaFilter)
     val writer0 = reader.writeStream
