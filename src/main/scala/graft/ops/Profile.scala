@@ -449,6 +449,51 @@ object Profile {
   val PsiBins: Int = 10
   val PsiWidth: Double = 25.0
 
+  /** v13's clamped fixed-width bin index — ONE definition shared by
+    * the one-pass batch readout, the standalone count pass, and the
+    * streaming monitor, so the three can never bin differently. */
+  def psiBin(value: Column, width: Double = PsiWidth,
+             nBins: Int = PsiBins): Column =
+    least(greatest(floor(value / lit(width)), lit(0.0)),
+      lit((nBins - 1).toDouble)).cast("long")
+
+  /** One population's bin counts `(bin, n)` — the artifact a drift
+    * monitor PUBLISHES for its accepted reference distribution (10
+    * rows, not data) and accumulates in streaming state for the
+    * current one. */
+  def psiBinCounts(df: DataFrame, value: String, width: Double = PsiWidth,
+                   nBins: Int = PsiBins): DataFrame =
+    df.withColumn("bin", psiBin(col(value), width, nBins))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+
+  /** The PSI readout over two MATERIALIZED count tables `(bin, n)` —
+    * how the deployed monitor actually reads: reference counts frozen
+    * at publish time, current counts arriving from the stream's state
+    * snapshot. Identical arithmetic to [[driftPsi]] (pinned by spec:
+    * from-counts ≡ one-pass on any split), just fed from tables
+    * instead of a single scan. */
+  def driftPsiFrom(refCounts: DataFrame, curCounts: DataFrame,
+                   nBins: Int = PsiBins): DataFrame = {
+    val spark = refCounts.sparkSession
+    val spine = spark.range(nBins.toLong).select(col("id").as("bin"))
+    val joined = spine
+      .join(refCounts.select(col("bin"), col("n").as("n_ref")),
+        Seq("bin"), "left")
+      .join(curCounts.select(col("bin"), col("n").as("n_cur")),
+        Seq("bin"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+    val tot = joined.agg(sum(col("n_ref")).as("tot_ref"),
+      sum(col("n_cur")).as("tot_cur"))
+    joined.crossJoin(broadcast(tot))
+      .withColumn("p", (col("n_ref") + lit(1)).cast("double")
+        / (col("tot_ref") + lit(nBins)).cast("double"))
+      .withColumn("q", (col("n_cur") + lit(1)).cast("double")
+        / (col("tot_cur") + lit(nBins)).cast("double"))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round((col("p") - col("q")) * log(col("p") / col("q")) * lit(1e6))
+          .cast("long").as("psi_q6"))
+  }
+
   /** POPULATION STABILITY INDEX drift readout (v13) — the standard
     * model-monitoring statistic (Siddiqi 2006, credit-scorecard
     * practice): bin a numeric feature identically in a REFERENCE and a
@@ -475,8 +520,7 @@ object Profile {
                width: Double = PsiWidth, nBins: Int = PsiBins): DataFrame = {
     val spark = df.sparkSession
     val counts = df
-      .withColumn("bin", least(greatest(floor(col(value) / lit(width)),
-        lit(0.0)), lit((nBins - 1).toDouble)).cast("long"))
+      .withColumn("bin", psiBin(col(value), width, nBins))
       .withColumn("_ref", isRef)
       .groupBy(col("bin"))
       .agg(sum(when(col("_ref"), lit(1L)).otherwise(lit(0L))).as("n_ref"),
