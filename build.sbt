@@ -1,5 +1,9 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
+// The CJK operators (d20/t24) carry CJK literals in .scala sources;
+// under the container's POSIX locale the compiler would otherwise fall
+// back to the platform charset and silently mangle them.
+ThisBuild / scalacOptions ++= Seq("-encoding", "UTF-8")
 name := "medicalexaminationdataetlsystemspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")

@@ -80,39 +80,29 @@ object SparkEntry {
         // ops.Multimodal.curationPipeline).
         "p04_media_curation" -> ((s: SparkSession, d: String) =>
           ops.Multimodal.curationPipeline(s, d)),
-        // The NIGHTLY INCREMENTAL MAINTENANCE job end-to-end: persist
-        // the standing corpus's MinHash band index (d19 write), serve
-        // the arriving delta from the LOADED bands (cross-set pairs) +
-        // band the delta against itself, then merge the new pairs into
-        // the standing labels by star contraction (c19). Equals the
-        // one-shot full clustering exactly — band agreement and the
-        // Jaccard verify are pair-local, so within-set(evens) ∪
-        // within-set(odds) ∪ cross-set IS d08's full pair set, and the
-        // star merge preserves connectivity — so p05 shares c03's
-        // oracle verbatim. The point: labels roll forward nightly
-        // without the standing corpus ever being re-paired or its
-        // history re-convergred.
+        // The NIGHTLY INCREMENTAL MAINTENANCE job end-to-end: PUBLISH
+        // the standing corpus's index + verify arrays + component
+        // labels (Dedup.minhashPublishStanding), then serve the
+        // arriving delta entirely from the store — cross pairs from
+        // the loaded bands/arrays, delta-delta banded fresh, published
+        // labels rolled forward by one star merge (c19). The standing
+        // corpus is never re-paired, re-tokenized, or re-converged at
+        // serve time. Equals the one-shot full clustering exactly —
+        // band agreement and the Jaccard verify are pair-local, so
+        // within-set(evens) ∪ within-set(odds) ∪ cross-set IS d08's
+        // full pair set, the published labels are the standing class's
+        // components, and the star merge preserves connectivity — so
+        // p05 shares c03's oracle verbatim.
         "p05_incremental_maintenance" -> ((s: SparkSession, d: String) => {
           import org.apache.spark.sql.functions.col
           val docs = ops.Tables.documents(s, d)
-          val evens = docs.filter(col("doc_id") % 2 === 0)
-          val odds = docs.filter(col("doc_id") % 2 =!= 0)
           val idxDir = ops.IndexPaths.dir("p05_index", d)
-          ops.Dedup.minhashWriteIndex(evens, "doc_id", "text", idxDir)
-          val (_, bands) = ops.Dedup.minhashLoadIndex(s, idxDir)
-          val standing = ops.Clusters.connectedComponents(
-            ops.Dedup.minhashVerifiedPairs(evens, "doc_id", "text", 0.6),
-            "doc_a", "doc_b")
-          val cross = ops.Dedup.minhashServeDelta(evens,
-              bands.withColumnRenamed("doc_id", "corpus_id"), odds,
-              "doc_id", "text", 0.6)
-            .select(col("corpus_id").as("doc_a"),
-              col("delta_id").as("doc_b"))
-          val deltaSelf = ops.Dedup
-            .minhashVerifiedPairs(odds, "doc_id", "text", 0.6)
-            .select(col("doc_a"), col("doc_b"))
-          ops.Clusters.mergeComponents(standing,
-            cross.unionByName(deltaSelf))
+          ops.Dedup.minhashPublishStanding(
+            docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", 0.6,
+            idxDir)
+          ops.Dedup.minhashServeIncremental(s,
+            docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", 0.6,
+            idxDir)
         }),
         // The p05 move on the SEARCH seam: persist the standing (even)
         // corpus' BM25 index, load it back, build only the delta
@@ -287,29 +277,13 @@ object SparkEntry {
             .withColumn("p_size", col("p_size").cast("long")))),
       "p05_incremental_maintenance" -> ((
         (s: SparkSession, d: String) =>
-          ops.Dedup.minhashWriteIndex(
+          ops.Dedup.minhashPublishStanding(
             ops.Tables.documents(s, d).filter(col("doc_id") % 2 === 0),
-            "doc_id", "text", ops.IndexPaths.dir("p05_index", d)),
-        (s: SparkSession, d: String) => {
-          val docs = ops.Tables.documents(s, d)
-          val evens = docs.filter(col("doc_id") % 2 === 0)
-          val odds = docs.filter(col("doc_id") % 2 =!= 0)
-          val (_, bands) = ops.Dedup.minhashLoadIndex(s,
-            ops.IndexPaths.dir("p05_index", d))
-          val standing = ops.Clusters.connectedComponents(
-            ops.Dedup.minhashVerifiedPairs(evens, "doc_id", "text", 0.6),
-            "doc_a", "doc_b")
-          val cross = ops.Dedup.minhashServeDelta(evens,
-              bands.withColumnRenamed("doc_id", "corpus_id"), odds,
-              "doc_id", "text", 0.6)
-            .select(col("corpus_id").as("doc_a"),
-              col("delta_id").as("doc_b"))
-          val deltaSelf = ops.Dedup
-            .minhashVerifiedPairs(odds, "doc_id", "text", 0.6)
-            .select(col("doc_a"), col("doc_b"))
-          ops.Clusters.mergeComponents(standing,
-            cross.unionByName(deltaSelf))
-        })),
+            "doc_id", "text", 0.6, ops.IndexPaths.dir("p05_index", d)),
+        (s: SparkSession, d: String) =>
+          ops.Dedup.minhashServeIncremental(s,
+            ops.Tables.documents(s, d).filter(col("doc_id") % 2 =!= 0),
+            "doc_id", "text", 0.6, ops.IndexPaths.dir("p05_index", d)))),
       "t22_lm_quality_persisted" -> ((
         (s: SparkSession, d: String) => {
           val (uni, bi) = ops.TextOps.lmTrain(

@@ -371,6 +371,40 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
   }
 
+  /** d20's character-shingle width — 5 chars, the CCNet-practice n for
+    * unsegmented scripts (a 5-char window carries about the signal of a
+    * 1–2 word English window). Wider than the word n because single
+    * CJK chars are far more common across documents than words. */
+  val CjkCharShingleN = 5
+
+  /** CJK / UNSEGMENTED-SCRIPT NEAR-DUP (d20) — [[minhashVerifiedPairs]]
+    * behind a script-aware tokenizer: each CJK ideograph/kana is its
+    * own token ([[TextOps.scriptTokens]]), so shingles become CHARACTER
+    * n-grams and near-dup detection works on text with no word
+    * separators — which split-on-space reduces to ONE token, silently
+    * no-oping every word-level dedup operator (d02 finds nothing on an
+    * unsegmented corpus; the crafted pair in RoundFourteenOpsSpec pins
+    * the miss/catch contrast). Embedded Latin/digit runs stay
+    * word-like, so mixed-script documents shingle sensibly.
+    *
+    * MinHash (not the exact d02 bucket expansion) is load-bearing at
+    * scale here, not a convenience: single chars from a bounded
+    * repertoire make char n-grams dramatically more document-frequent
+    * than word n-grams (measured Σ df² at sf0.1: ~7.7·10⁸ for exact
+    * char-5-gram buckets vs the band-bounded candidate set), so the
+    * signature path — one native map-side pass, 4 band keys per doc
+    * shuffled, exact Jaccard verify only on band candidates — is the
+    * only shape that survives corpus growth. Same two-step
+    * recall/precision contract as d08.
+    * Output: `(doc_a, doc_b, inter, jaccard)`. */
+  def cjkNearDupPairs(docs: DataFrame, id: String, text: String,
+                      threshold: Double = 0.6,
+                      n: Int = CjkCharShingleN): DataFrame =
+    minhashVerifiedPairs(
+      docs.select(col(id).as("doc_id"),
+        concat_ws(" ", TextOps.scriptTokens(col(text))).as("_script_text")),
+      "doc_id", "_script_text", threshold, n)
+
   /** MinHash-ESTIMATED near-dup pairs (d15): band candidates scored by
     * signature agreement alone — `est_jaccard = matching components /
     * (Bands·RowsPerBand)`, the unbiased MinHash estimator — with NO
@@ -453,15 +487,22 @@ object Dedup {
     * never recomputed. `corpusBands` schema: `(corpus_id, band, key)`. */
   def minhashServeDelta(corpus: DataFrame, corpusBands: DataFrame,
                         delta: DataFrame, id: String, text: String,
-                        threshold: Double, n: Int = 3): DataFrame = {
-    graft.functions.VectorFunctions.register(corpus.sparkSession)
-    def arr(docs: DataFrame, out: String, hs: String, nsh: String): DataFrame =
-      docs
-        .select(col(id).as(out),
-          expr(s"filter(split($text, ' '), x -> x <> '')").as("tk"))
-        .filter(size(col("tk")) >= n)
-        .select(col(out), expr(s"graft_shingle_hashes(tk, $n, 1)").as(hs))
-        .select(col(out), col(hs), size(col(hs)).cast("long").as(nsh))
+                        threshold: Double, n: Int = 3): DataFrame =
+    minhashServeDeltaFrom(
+      shingleHashArrays(corpus, id, text, n)
+        .withColumnRenamed("doc_id", "corpus_id"),
+      corpusBands, delta, id, text, threshold, n)
+
+  /** [[minhashServeDelta]] with the corpus side's verify arrays
+    * supplied as a TABLE `(corpus_id, hs)` instead of re-derived from
+    * the corpus text — the fully store-served cross readout: band
+    * candidates from the loaded band table, exact verify from the
+    * loaded hash arrays, the standing corpus's TEXT never read (the
+    * last place the one-table form still touched it). */
+  def minhashServeDeltaFrom(corpusArrays: DataFrame, corpusBands: DataFrame,
+                            delta: DataFrame, id: String, text: String,
+                            threshold: Double, n: Int = 3): DataFrame = {
+    graft.functions.VectorFunctions.register(delta.sparkSession)
     val cand = corpusBands
       .join(minhashBandRows(delta, id, text, n)
           .withColumnRenamed("doc_id", "delta_id"),
@@ -469,14 +510,32 @@ object Dedup {
       .select(col("corpus_id"), col("delta_id"))
       .distinct()
     cand
-      .join(arr(corpus, "corpus_id", "hs_a", "n_a"), Seq("corpus_id"))
-      .join(arr(delta, "delta_id", "hs_b", "n_b"), Seq("delta_id"))
+      .join(corpusArrays.select(col("corpus_id"), col("hs").as("hs_a"),
+        size(col("hs")).cast("long").as("n_a")), Seq("corpus_id"))
+      .join(shingleHashArrays(delta, id, text, n)
+          .select(col("doc_id").as("delta_id"), col("hs").as("hs_b"),
+            size(col("hs")).cast("long").as("n_b")),
+        Seq("delta_id"))
       .withColumn("inter",
         size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("corpus_id"), col("delta_id"), col("inter"), col("jaccard"))
+  }
+
+  /** Per-doc sorted distinct combined shingle-hash arrays `(doc_id,
+    * hs)` — the verify-side artifact of the MinHash family (what
+    * [[minhashVerifiedPairs]] joins per candidate side), exposed so
+    * the p05 publisher can persist it beside the signatures/bands. */
+  def shingleHashArrays(docs: DataFrame, id: String, text: String,
+                        n: Int = 3): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    docs
+      .select(col(id).as("doc_id"),
+        expr(s"filter(split($text, ' '), x -> x <> '')").as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(col("doc_id"), expr(s"graft_shingle_hashes(tk, $n, 1)").as("hs"))
   }
 
   /** PERSIST the standing corpus's MinHash index (d19) as two parquet
@@ -502,6 +561,54 @@ object Dedup {
   def minhashLoadIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
     (spark.read.parquet(s"$dir/signatures"),
       spark.read.parquet(s"$dir/bands"))
+
+  /** p05's PUBLISH half — the d19 index plus the two artifacts that
+    * make the nightly serve a pure store read: the verify-side hash
+    * arrays ([[shingleHashArrays]], so the cross verify never
+    * re-tokenizes standing text) and the standing COMPONENT LABELS.
+    * Publishing the labels is the [[Multimodal.mediaServeFrom]] move on
+    * the text seam, with a stronger contract: MinHash band keys and
+    * pair Jaccards are pair-local (no corpus-wide df cap), so unlike
+    * media's guard the published labels stay exact UNCONDITIONALLY as
+    * deltas arrive — no drift check, no recompute branch, ever. */
+  def minhashPublishStanding(standing: DataFrame, id: String, text: String,
+                             threshold: Double, dir: String,
+                             n: Int = 3): Unit = {
+    minhashWriteIndex(standing, id, text, dir, n)
+    shingleHashArrays(standing, id, text, n)
+      .write.mode("overwrite").parquet(s"$dir/hashes")
+    Clusters.connectedComponents(
+      minhashVerifiedPairs(standing, id, text, threshold, n),
+      "doc_a", "doc_b")
+      .write.mode("overwrite").parquet(s"$dir/labels")
+  }
+
+  /** p05's SERVE half — the nightly incremental readout with the
+    * standing corpus NEVER touched: cross pairs from the loaded
+    * bands + loaded verify arrays ([[minhashServeDeltaFrom]]),
+    * delta-delta pairs banded fresh (delta-sized work), and the
+    * PUBLISHED standing labels rolled forward by one star merge —
+    * no standing-standing re-pair, no CC fixpoint over the standing
+    * history. Equals the one-shot full clustering exactly: the three
+    * pair classes partition the full pair set (band agreement and
+    * Jaccard are pair-local), the published labels ARE the standing
+    * class's components, and [[Clusters.mergeComponents]] preserves
+    * connectivity — so p05 keeps c03's oracle verbatim. */
+  def minhashServeIncremental(spark: SparkSession, delta: DataFrame,
+                              id: String, text: String, threshold: Double,
+                              dir: String, n: Int = 3): DataFrame = {
+    val (_, bands) = minhashLoadIndex(spark, dir)
+    val arrays = spark.read.parquet(s"$dir/hashes")
+      .withColumnRenamed("doc_id", "corpus_id")
+    val published = spark.read.parquet(s"$dir/labels")
+    val cross = minhashServeDeltaFrom(arrays,
+        bands.withColumnRenamed("doc_id", "corpus_id"),
+        delta, id, text, threshold, n)
+      .select(col("corpus_id").as("doc_a"), col("delta_id").as("doc_b"))
+    val deltaSelf = minhashVerifiedPairs(delta, id, text, threshold, n)
+      .select(col("doc_a"), col("doc_b"))
+    Clusters.mergeComponents(published, cross.unionByName(deltaSelf))
+  }
 
   /** NEAR-DUP decontamination (d17) — [[contaminationHits]]'s fuzzy
     * sibling: training docs that are near-duplicates (true Jaccard ≥
@@ -874,6 +981,14 @@ object Dedup {
     "d03_minhash_lsh" -> ((s, d) =>
       minhashCandidates(Tables.documents(s, d), "doc_id", "text")),
     "d08_minhash_verified" -> ((s, d) => Clusters.sharedMinhashPairs(s, d)),
+    // d20 harness: the unsegmented mixed-script fixture (TextOps
+    // .cjkFixture — same planted near-dups, now separator-free) under
+    // the char-shingle MinHash path
+    "d20_cjk_neardup" -> ((s, d) =>
+      cjkNearDupPairs(
+        Tables.documents(s, d).select(col("doc_id"),
+          TextOps.cjkFixture(col("text")).as("text")),
+        "doc_id", "text", 0.6)),
     "d15_minhash_estimate" -> ((s, d) =>
       minhashEstimatedPairs(Tables.documents(s, d), "doc_id", "text",
         threshold = 0.5)),
@@ -1137,6 +1252,45 @@ object Dedup {
            |JOIN cnt ca ON pr.doc_a = ca.doc_id
            |JOIN cnt cb ON pr.doc_b = cb.doc_id
            |WHERE inter::DOUBLE / (ca.n_sh + cb.n_sh - inter)::DOUBLE >= 0.6""".stripMargin,
+      // d20 = the d08 chain over CHAR-5-gram shingles of the derived
+      // unsegmented fixture: same fixture translate, same script-token
+      // regex (one string constant shared with the engine), same
+      // sig/bands/cand CTEs verbatim (they read from `sh`, which here
+      // holds the char shingles)
+      "d20_cjk_neardup" -> {
+        val n = CjkCharShingleN
+        val win = (0 until n)
+          .map(j => if (j == 0) "tk[i]" else s"tk[i+$j]")
+          .mkString(" || ' ' || ")
+        s"""WITH ctk AS (
+           |  SELECT doc_id, regexp_extract_all(${TextOps.cjkFixtureSql("text")},
+           |    '${TextOps.ScriptTokenRe}') AS tk
+           |  FROM documents),
+           |tk AS (SELECT doc_id, tk FROM ctk WHERE len(tk) >= $n),
+           |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+           |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - ${n - 2}),
+           |    i -> $win)) AS shingle FROM tk) raw),
+           |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+           |shk AS (SELECT DISTINCT doc_id,
+           |    (${Hashing.polyHashSql("shingle")}) * 1000000009
+           |      + (${Hashing.polyHashSql("reverse(shingle)")}) AS sk
+           |  FROM sh),
+           |$sigBandsCte,
+           |cand AS (
+           |  $candSelect),
+           |pr AS (
+           |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+           |  FROM cand c
+           |  JOIN shk a ON a.doc_id = c.doc_a
+           |  JOIN shk b ON b.doc_id = c.doc_b AND b.sk = a.sk
+           |  GROUP BY 1, 2)
+           |SELECT doc_a, doc_b, inter,
+           |  inter::DOUBLE / (ca.n_sh + cb.n_sh - inter)::DOUBLE AS jaccard
+           |FROM pr
+           |JOIN cnt ca ON pr.doc_a = ca.doc_id
+           |JOIN cnt cb ON pr.doc_b = cb.doc_id
+           |WHERE inter::DOUBLE / (ca.n_sh + cb.n_sh - inter)::DOUBLE >= 0.6""".stripMargin
+      },
       "d04_simhash" -> simhashSql,
       // d13 — the oracle is the SPEC, not the banding: every pair of
       // signatures within Hamming r (banding + verify is lossless, so

@@ -332,10 +332,19 @@ object Events {
   /** e27's interim-analysis count. */
   val SeqLooks = 4
 
-  /** Pocock's two-sided 5% group-sequential boundary for K=4 equally
-    * spaced looks (Pocock, Biometrika 1977, table 2: c = 2.361),
-    * micro-unit quantized for the integer compare. */
-  val PocockZq6K4 = 2361000L
+  /** Pocock's two-sided 5% group-sequential boundaries by look count K
+    * (Pocock, Biometrika 1977, table 2), micro-unit quantized for the
+    * integer compare. K=1 is the no-interim fixed-horizon 1.960.
+    * Keyed by K because the constant GROWS with the number of looks —
+    * rejecting K=8 data against the K=4 boundary (which an earlier
+    * signature quietly did for any non-default `looks`) under-controls
+    * the family-wise error rate. */
+  val PocockZq6: Map[Int, Long] = Map(
+    1 -> 1960000L, 2 -> 2178000L, 3 -> 2289000L, 4 -> 2361000L,
+    5 -> 2413000L)
+
+  /** The K=4 boundary (c = 2.361) the shipped e27 entry gates on. */
+  val PocockZq6K4: Long = PocockZq6(SeqLooks)
 
   /** GROUP-SEQUENTIAL A/B MONITORING (e27) — e24's experiment read at
     * K interim looks with a Pocock boundary: the fix for the PEEKING
@@ -368,6 +377,13 @@ object Events {
   def sequentialAbReadout(events: DataFrame, userCol: String, ts: String,
                           convertIf: Column,
                           looks: Int = SeqLooks): DataFrame = {
+    // the boundary must MATCH the look count — Pocock's c varies with
+    // K, so an unsupported K fails loudly instead of silently gating
+    // against the wrong constant
+    require(PocockZq6.contains(looks),
+      s"no Pocock boundary tabulated for looks=$looks " +
+        s"(supported: ${PocockZq6.keys.toSeq.sorted.mkString(", ")})")
+    val boundaryQ6 = PocockZq6(looks)
     graft.functions.VectorFunctions.register(events.sparkSession)
     val spark = events.sparkSession
     val ev = events.select(col(userCol).as("user_id"),
@@ -403,7 +419,7 @@ object Events {
             "(1.0D - cast(c0 + c1 as double) / cast(n0 + n1 as double)) * " +
             "(1.0D / cast(n0 as double) + 1.0D / cast(n1 as double))) * " +
             "1000000.0D) as long) END").as("z_q6"))
-      .withColumn("reject", abs(col("z_q6")) >= lit(PocockZq6K4))
+      .withColumn("reject", abs(col("z_q6")) >= lit(boundaryQ6))
   }
 
   /** CUPED EXPERIMENT READOUT (e25) — variance-reduced lift for a

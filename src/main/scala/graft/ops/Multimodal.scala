@@ -387,24 +387,43 @@ object Multimodal {
                      loadLabels: () => DataFrame,
                      floorQ6: Long = VideoJacFloorQ6,
                      maxDf: Int = MaxFrameDf): DataFrame = {
-    val (rare, sizes) =
-      rareFrameSets(standingFrames.unionByName(deltaFrames), maxDf)
+    // ONE df aggregate feeds everything: the distinct (doc, hash) set
+    // carries standing provenance, so global df (gdf) and standing df
+    // (sdf) fall out of a single count — where earlier rounds ran
+    // three separate df passes (rareFrameSets' own, plus one per guard
+    // side). A doc-hash present on both sides collapses to one row
+    // with _st = 1, matching the union-distinct + standing-distinct
+    // semantics of the separate passes exactly.
+    val fh = standingFrames.select(col("doc_id"), col("frame_hash"))
+      .withColumn("_st", lit(1L))
+      .unionByName(deltaFrames.select(col("doc_id"), col("frame_hash"))
+        .withColumn("_st", lit(0L)))
+      .groupBy(col("doc_id"), col("frame_hash"))
+      .agg(max(col("_st")).as("_st"))
+    val dfs = fh.groupBy(col("frame_hash"))
+      .agg(count(lit(1)).as("gdf"), sum(col("_st")).as("sdf"))
+    val rare = fh.select(col("doc_id"), col("frame_hash")).join(
+      dfs.filter(col("gdf") <= maxDf).select(col("frame_hash")),
+      Seq("frame_hash"), "left_semi")
+    val sizes = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     def pairsWhere(f: (Column, Column) => Column) =
       videoPairsOn(rare, sizes, f(col("a.doc_id"), col("b.doc_id")), floorQ6)
         .select(col("doc_a"), col("doc_b"))
-    val standingDfs = standingFrames
-      .select(col("doc_id"), col("frame_hash")).distinct()
-      .groupBy(col("frame_hash")).agg(count(lit(1)).as("sdf"))
-    val globalDfs = standingFrames.unionByName(deltaFrames)
-      .select(col("doc_id"), col("frame_hash")).distinct()
-      .groupBy(col("frame_hash")).agg(count(lit(1)).as("gdf"))
-    val crossover = globalDfs.filter(col("gdf") > maxDf)
-      .join(standingDfs.filter(col("sdf") <= maxDf),
-        Seq("frame_hash"), "left_semi")
+    // invalidation = some hash PRESENT in standing (sdf ≥ 1) was under
+    // the cap at publish time (sdf ≤ maxDf) but over it globally
+    val crossover = dfs.filter(col("gdf") > maxDf &&
+      col("sdf") >= 1 && col("sdf") <= maxDf)
+    def recompute() = Clusters.connectedComponents(
+      pairsWhere((a, b) => a % 2 === 0 && b % 2 === 0), "doc_a", "doc_b")
     val standing =
-      if (crossover.isEmpty) loadLabels()
-      else Clusters.connectedComponents(
-        pairsWhere((a, b) => a % 2 === 0 && b % 2 === 0), "doc_a", "doc_b")
+      if (crossover.isEmpty)
+        // a frame store published by an older publisher (or
+        // frameWriteStore alone) has no labels artifact — that must
+        // degrade to the recompute branch, not fail only when the
+        // guard happens to pass
+        try loadLabels()
+        catch { case _: org.apache.spark.sql.AnalysisException => recompute() }
+      else recompute()
     Clusters.mergeComponents(standing,
       pairsWhere((a, b) => a % 2 =!= 0 || b % 2 =!= 0))
   }

@@ -540,11 +540,55 @@ object Profile {
           .cast("long").as("psi_q6"))
   }
 
+  /** v14's alert bands — the industry PSI rules of thumb (<0.1 stable,
+    * 0.1–0.25 shifting, >0.25 drifted), micro-unit quantized so the
+    * verdict is an exact integer compare on both engines. */
+  val PsiStableQ6: Long = 100000L
+  val PsiDriftedQ6: Long = 250000L
+
+  private def psiBandCol(total: Column): Column =
+    when(total < lit(PsiStableQ6), lit("stable"))
+      .when(total <= lit(PsiDriftedQ6), lit("shifting"))
+      .otherwise(lit("drifted"))
+
+  /** HEADLINE DRIFT VERDICT (v14) — the one-row readout a deployed
+    * monitor actually alerts on: Σ psi_q6 over [[driftPsi]]'s per-bin
+    * rows plus its band under the standard 0.1/0.25 thresholds. v13
+    * publishes the per-bin diagnostic (WHERE the mass moved); v14 is
+    * the alert row, so the banding logic lives in the engine once
+    * instead of in every consumer. Summing the already-quantized
+    * per-bin longs keeps the verdict exactly reproducible from v13's
+    * oracled rows (the oracle literally sums the v13 text); the band
+    * compare is integer-only. One extra single-row aggregate over the
+    * ≤`nBins`-row readout — free at any scale.
+    * Output: one row `(psi_total_q6, band)`. */
+  def driftPsiVerdict(df: DataFrame, value: String, isRef: Column,
+                      width: Double = PsiWidth,
+                      nBins: Int = PsiBins): DataFrame =
+    driftPsi(df, value, isRef, width, nBins)
+      .agg(sum(col("psi_q6")).as("psi_total_q6"))
+      .select(col("psi_total_q6"), psiBandCol(col("psi_total_q6")).as("band"))
+
+  /** v14 over MATERIALIZED count tables — the stream edge's verdict:
+    * frozen reference counts vs the state snapshot, one row out.
+    * Identical arithmetic to [[driftPsiVerdict]] by the from-counts ≡
+    * one-pass identity [[driftPsiFrom]] pins. */
+  def driftPsiVerdictFrom(refCounts: DataFrame, curCounts: DataFrame,
+                          nBins: Int = PsiBins): DataFrame =
+    driftPsiFrom(refCounts, curCounts, nBins)
+      .agg(sum(col("psi_q6")).as("psi_total_q6"))
+      .select(col("psi_total_q6"), psiBandCol(col("psi_total_q6")).as("band"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Benford screen on the price column — the fabricated-numbers
     // tripwire, here documenting the synthetic harness' own deviation
     "v12_benford" -> ((s, d) =>
       benfordAudit(Tables.lineitem(s, d), "l_extendedprice")),
+    // v14 harness: the same even/odd split as v13 — the alert row over
+    // v13's per-bin diagnostic
+    "v14_drift_verdict" -> ((s, d) =>
+      driftPsiVerdict(Tables.events(s, d), "value",
+        col("user_id") % 2 === 0)),
     // v13 harness: even-user events are the accepted reference
     // distribution, odd-user events the arriving current one
     "v13_drift_psi" -> ((s, d) =>
@@ -603,12 +647,13 @@ object Profile {
         .unionByName(fdCheck(docs, "fd: source -> lang", Seq("source"), "lang"))
     }))
 
-  def oracle: Map[String, String] = Map(
-    // v13 — identical clamped fixed-width binning, integer counts, and
-    // ONE final double expression per bin evaluated in the same op
-    // order (p and q inlined verbatim on both sides of − and ln)
-    "v13_drift_psi" ->
-      s"""WITH b AS (
+  // v13 — identical clamped fixed-width binning, integer counts, and
+  // ONE final double expression per bin evaluated in the same op
+  // order (p and q inlined verbatim on both sides of − and ln).
+  // A val because v14's oracle SUMS this exact text — one definition,
+  // the same coordination rule as componentsCte.
+  private val psiOracleSql: String =
+    s"""WITH b AS (
          |  SELECT CAST(least(greatest(floor(value / $PsiWidth), 0), ${PsiBins - 1}) AS BIGINT) AS bin,
          |    user_id % 2 = 0 AS is_ref
          |  FROM events),
@@ -630,7 +675,19 @@ object Profile {
          |    * ln(((n_ref + 1)::DOUBLE / (t.tot_ref + $PsiBins)::DOUBLE)
          |       / ((n_cur + 1)::DOUBLE / (t.tot_cur + $PsiBins)::DOUBLE))
          |    * 1000000.0) AS BIGINT) AS psi_q6
-         |FROM j, t""".stripMargin,
+         |FROM j, t""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "v13_drift_psi" -> psiOracleSql,
+    // v14 — the sum of v13's already-quantized per-bin longs plus the
+    // integer band compare: exact given v13's exactness
+    "v14_drift_verdict" ->
+      s"""WITH v13 AS ($psiOracleSql)
+         |SELECT CAST(sum(psi_q6) AS BIGINT) AS psi_total_q6,
+         |  CASE WHEN sum(psi_q6) < $PsiStableQ6 THEN 'stable'
+         |       WHEN sum(psi_q6) <= $PsiDriftedQ6 THEN 'shifting'
+         |       ELSE 'drifted' END AS band
+         |FROM v13""".stripMargin,
     // v12 — same string-head digit, counts, q6 share division (both
     // operands non-negative, `//` ≡ `div`) and the same embedded
     // micro-unit Benford constants

@@ -46,6 +46,77 @@ object TextOps {
       .withColumn("n_re_tokens",
         regexp_count(col(text), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long"))
 
+  // ——— CJK / unsegmented-script support (t24, d20) ———————————————————
+  //
+  // Every other t/d-family operator tokenizes on ASCII whitespace, which
+  // silently no-ops on unsegmented scripts: a Chinese document is ONE
+  // token to split-on-space, so near-dup dedup, quality gates and token
+  // budgets all degenerate. The standard fix (CCNet / BigScience
+  // practice) is script-aware tokenization — each CJK ideograph or kana
+  // is its own token (character n-grams downstream), while embedded
+  // Latin / digit runs stay word-like — which these constants implement
+  // as ONE regex both engines parse identically: literal BMP range
+  // endpoints (no \p{Han}, whose repertoire varies by engine Unicode
+  // version) and two-char escapes for the explicit ASCII whitespace
+  // class (the d14 doctrine: never \s across Java/RE2).
+
+  private def cpStr(i: Int): String = new String(Character.toChars(i))
+  /** Kana (U+3040–U+30FF) + CJK Unified Ideographs (U+4E00–U+9FFF) as
+    * literal range endpoints. */
+  private val CjkRangesInner: String =
+    cpStr(0x3040) + "-" + cpStr(0x30ff) + cpStr(0x4e00) + "-" + cpStr(0x9fff)
+  /** Character class matching one CJK/kana code point. */
+  val CjkCharClass: String = s"[$CjkRangesInner]"
+  /** Script-aware token pattern: ONE CJK/kana char, OR a maximal run of
+    * non-CJK non-whitespace. Leftmost-first alternation is unambiguous
+    * (the run class excludes CJK), so Java and RE2 tokenize
+    * identically. */
+  val ScriptTokenRe: String =
+    s"$CjkCharClass|[^$CjkRangesInner \\t\\n\\r\\f\\x0B]+"
+
+  /** Script-aware tokenizer: CJK chars become single-char tokens,
+    * everything else splits into whitespace-delimited runs — the
+    * entry-point that makes the shingle/MinHash family (via
+    * `concat_ws(' ', ...)` re-joining, see d20) and the token counters
+    * work on unsegmented text. A pure codegen'd map expression. */
+  def scriptTokens(text: Column): Column =
+    regexp_extract_all(text, lit(ScriptTokenRe), lit(0))
+
+  /** Deterministic CJK-bearing fixture derivation, shared verbatim with
+    * the DuckDB oracles ([[cjkFixtureSql]]): the harness corpus is
+    * English-vocab, so the CJK entries derive an UNSEGMENTED
+    * mixed-script text from it — 21 letters map to ideographs and the
+    * space is DELETED (`translate` drops `from`-chars with no
+    * counterpart on both engines), leaving v-z as embedded Latin runs.
+    * Same-translation near-dups stay near-dups, so the planted pairs
+    * carry over to the char-n-gram operators. */
+  val CjkFrom: String = "abcdefghijklmnopqrstu "
+  val CjkTo: String = "一二三四五六七八九十百千万上下左右中大小山"
+  def cjkFixture(text: Column): Column = translate(lower(text), CjkFrom, CjkTo)
+  def cjkFixtureSql(c: String): String =
+    s"translate(lower($c), '$CjkFrom', '$CjkTo')"
+
+  /** SCRIPT-AWARE TOKEN COUNTING (t24) — t03's job on unsegmented text:
+    * total script tokens, CJK-char tokens, other (Latin/digit/symbol
+    * run) tokens, and the CJK share in exact micro-units. `n_cjk`
+    * avoids materializing the token array twice: every CJK char is one
+    * token by construction, so counting class matches over the RAW
+    * string equals counting single-char tokens. Zero shuffles — one
+    * codegen'd map over the scan, like every `withX` enricher.
+    * Appends `n_tokens, n_cjk, n_other, cjk_ratio_q6` (ratio NULL on
+    * token-free text; integer `div` on non-negative operands, the
+    * sign-safe case). */
+  def withScriptTokenCounts(df: DataFrame, text: String): DataFrame =
+    df
+      .withColumn("n_tokens",
+        size(scriptTokens(col(text))).cast("long"))
+      .withColumn("n_cjk",
+        regexp_count(col(text), lit(CjkCharClass)).cast("long"))
+      .withColumn("n_other", col("n_tokens") - col("n_cjk"))
+      .withColumn("cjk_ratio_q6",
+        when(col("n_tokens") > 0, expr("(n_cjk * 1000000) div n_tokens"))
+          .otherwise(lit(null).cast("long")))
+
   /** READABILITY (t19) — Flesch reading-ease with fully deterministic
     * count proxies: sentences = non-overlapping runs of `[.!?]`,
     * syllables = non-overlapping vowel-letter runs `[aeiouy]+` (the
@@ -1034,6 +1105,15 @@ object TextOps {
     "t03_token_counts" -> ((s, d) =>
       withTokenCounts(Tables.documents(s, d), "text")
         .select("doc_id", "n_ws_tokens", "n_re_tokens")),
+    // t24 harness: the unsegmented mixed-script fixture derivation (see
+    // cjkFixture) feeding the script-aware counter
+    "t24_cjk_tokens" -> ((s, d) =>
+      withScriptTokenCounts(
+        Tables.documents(s, d)
+          .select(col("doc_id"), cjkFixture(col("text")).as("cjk_text")),
+        "cjk_text")
+        .select(col("doc_id"), col("n_tokens"), col("n_cjk"),
+          col("n_other"), col("cjk_ratio_q6"))),
     "t04_fingerprint" -> ((s, d) =>
       withFingerprint(Tables.documents(s, d), "text")
         .select("doc_id", "fp")),
@@ -1178,6 +1258,18 @@ object TextOps {
         |  len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_ws_tokens,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_re_tokens
         |FROM documents""".stripMargin,
+    // t24 — the identical fixture translate, script-token regex (one
+    // string constant, literal BMP ranges both engines parse the same)
+    // and non-negative integer div
+    "t24_cjk_tokens" ->
+      s"""WITH c AS (SELECT doc_id, ${cjkFixtureSql("text")} AS t FROM documents),
+         |k AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(t, '$ScriptTokenRe')) AS BIGINT) AS n_tokens,
+         |    CAST(len(regexp_extract_all(t, '$CjkCharClass')) AS BIGINT) AS n_cjk
+         |  FROM c)
+         |SELECT doc_id, n_tokens, n_cjk, n_tokens - n_cjk AS n_other,
+         |  CASE WHEN n_tokens > 0 THEN (n_cjk * 1000000) // n_tokens END AS cjk_ratio_q6
+         |FROM k""".stripMargin,
     "t04_fingerprint" ->
       s"SELECT doc_id, ${Hashing.polyHashSql("text")} AS fp FROM documents",
     "t06_tf_df" ->

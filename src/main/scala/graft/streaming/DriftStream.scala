@@ -41,4 +41,33 @@ object DriftStream {
     values
       .withColumn("bin", graft.ops.Profile.psiBin(col(value), width, nBins))
       .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+
+  /** The deployed monitor end-to-end: accumulate the arriving values'
+    * bin counts in streaming state and, at each trigger, emit the v14
+    * ALERT ROW `(psi_total_q6, band)` against the frozen reference —
+    * the row a pager fires on, computed in the engine instead of in
+    * every consumer. Complete-mode `foreachBatch` hands each trigger
+    * the full O(bins) state snapshot, which feeds
+    * [[graft.ops.Profile.driftPsiVerdictFrom]] (itself the oracled sum
+    * of the per-bin v13 readout); verdict rows append to `outPath`, so
+    * the table is the monitor's alert history. State is O(bins) —
+    * never O(rows) — and survives restarts via `checkpointDir`
+    * (pinned by RestartRecoverySpec's PSI test). */
+  def runAvailableNowVerdict(spark: SparkSession, dir: String,
+                             refCounts: DataFrame, outPath: String,
+                             checkpointDir: Option[String] = None,
+                             glob: String = "*.parquet"): Unit = {
+    val writer0 = binCountsStream(readValues(spark, dir, glob)).writeStream
+    val writer = checkpointDir.fold(writer0)(cp =>
+      writer0.option("checkpointLocation", cp))
+    val q = writer
+      .outputMode("complete")
+      .foreachBatch { (snapshot: DataFrame, _: Long) =>
+        graft.ops.Profile.driftPsiVerdictFrom(refCounts, snapshot)
+          .write.mode("append").parquet(outPath)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

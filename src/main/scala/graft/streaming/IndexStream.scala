@@ -47,25 +47,14 @@ object IndexStream {
     * double in [[mergedIndex]]. */
   def runAvailableNow(spark: SparkSession, dir: String,
                       segDir: String,
-                      checkpointDir: Option[String] = None): Unit = {
-    val reader = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
-    val writer0 = reader.writeStream
-    val writer = checkpointDir.fold(writer0)(cp =>
-      writer0.option("checkpointLocation", cp))
-    val q = writer
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val (p, l, st) = Search.bm25BuildIndex(batch, "doc_id", "text")
-        p.write.mode("append").parquet(s"$segDir/postings")
-        l.write.mode("append").parquet(s"$segDir/lexicon")
-        st.write.mode("append").parquet(s"$segDir/stats")
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-  }
+                      checkpointDir: Option[String] = None): Unit =
+    Drain.availableNow(spark, dir, rawSchema, "documents.parquet",
+      org.apache.spark.sql.functions.lit(true), checkpointDir) { batch =>
+      val (p, l, st) = Search.bm25BuildIndex(batch, "doc_id", "text")
+      p.write.mode("append").parquet(s"$segDir/postings")
+      l.write.mode("append").parquet(s"$segDir/lexicon")
+      st.write.mode("append").parquet(s"$segDir/stats")
+    }
 
   /** Read the segment store back as ONE logical index: the r07 merge
     * over however many segments the stream appended — postings are

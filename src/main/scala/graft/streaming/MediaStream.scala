@@ -40,21 +40,9 @@ object MediaStream {
   private def drain(spark: SparkSession, dir: String,
                     deltaFilter: org.apache.spark.sql.Column,
                     checkpointDir: Option[String])
-                   (body: DataFrame => Unit): Unit = {
-    val reader = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
-      .filter(deltaFilter)
-    val writer0 = reader.writeStream
-    val writer = checkpointDir.fold(writer0)(cp =>
-      writer0.option("checkpointLocation", cp))
-    val q = writer
-      .foreachBatch { (batch: DataFrame, _: Long) => body(batch) }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-  }
+                   (body: DataFrame => Unit): Unit =
+    Drain.availableNow(spark, dir, rawSchema, "documents.parquet",
+      deltaFilter, checkpointDir)(body)
 
   /** Drain the current directory contents as a delta stream,
     * fingerprinting each micro-batch and appending its signature rows

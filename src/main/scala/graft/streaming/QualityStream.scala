@@ -45,25 +45,13 @@ object QualityStream {
                       uniTop: DataFrame, biTop: DataFrame, outPath: String,
                       deltaFilter: org.apache.spark.sql.Column,
                       checkpointDir: Option[String] = None,
-                      glob: String = "documents.parquet"): Unit = {
-    val reader = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", glob)
-      .parquet(dir)
-      .filter(deltaFilter)
-    val writer0 = reader.writeStream
-    val writer = checkpointDir.fold(writer0)(cp =>
-      writer0.option("checkpointLocation", cp))
-    val q = writer
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.ops.TextOps
-          .lmScoreWith(batch, "doc_id", "text", uniTop, biTop)
-          .withColumn("keep",
-            col("logp2_q6") >= lit(graft.ops.TextOps.LmKeepThresholdQ6))
-          .write.mode("append").parquet(outPath)
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-  }
+                      glob: String = "documents.parquet"): Unit =
+    Drain.availableNow(spark, dir, rawSchema, glob, deltaFilter,
+      checkpointDir) { batch =>
+      graft.ops.TextOps
+        .lmScoreWith(batch, "doc_id", "text", uniTop, biTop)
+        .withColumn("keep",
+          col("logp2_q6") >= lit(graft.ops.TextOps.LmKeepThresholdQ6))
+        .write.mode("append").parquet(outPath)
+    }
 }

@@ -50,6 +50,32 @@ class DriftStreamSpec extends AnyFunSuite {
       "monitor readout over streamed state must equal the batch PSI")
   }
 
+  test("runAvailableNowVerdict appends the v14 alert row, equal to the " +
+    "batch verdict, with a banded value") {
+    val events = Tables.events(spark, sf)
+    val isRef = col("user_id") % 2 === 0
+    val refCounts = Profile.psiBinCounts(events.filter(isRef), "value")
+    val watch = Files.createTempDirectory("graft_drift_v14_watch")
+    events.filter(!isRef).select(col("value"))
+      .coalesce(1).write.mode("overwrite").parquet(watch.toString)
+    val out = Files.createTempDirectory("graft_drift_v14_out").toString +
+      "/verdicts"
+    DriftStream.runAvailableNowVerdict(spark, watch.toString, refCounts, out)
+    val alerts = spark.read.parquet(out).collect()
+    assert(alerts.length == 1, "one trigger must append exactly one alert row")
+    val a = (alerts.head.getLong(0), alerts.head.getString(1))
+    val batch = Profile.driftPsiVerdict(events, "value", isRef).collect().head
+    assert(a == (batch.getLong(0), batch.getString(1)),
+      "streamed alert row must equal the batch v14 verdict")
+    assert(Set("stable", "shifting", "drifted").contains(a._2))
+    // the band is the integer compare it claims to be
+    val expectBand =
+      if (a._1 < Profile.PsiStableQ6) "stable"
+      else if (a._1 <= Profile.PsiDriftedQ6) "shifting"
+      else "drifted"
+    assert(a._2 == expectBand)
+  }
+
   test("driftPsiFrom over materialized counts equals the one-pass " +
     "driftPsi on any split") {
     val events = Tables.events(spark, sf)

@@ -52,8 +52,12 @@ class QualityStreamSpec extends AnyFunSuite {
     def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
       val tmp = Files.createTempDirectory("graft_lm_tranche")
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).filter(p =>
-        p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      // Files.list holds a directory handle until closed
+      val listing = Files.list(tmp)
+      val part =
+        try listing.filter(p =>
+          p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        finally listing.close()
       Files.copy(part, watch.resolve(s"$name.parquet"))
     }
     def runOnce(): Unit =

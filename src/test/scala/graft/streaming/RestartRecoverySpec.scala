@@ -32,8 +32,12 @@ class RestartRecoverySpec extends org.scalatest.funsuite.AnyFunSuite {
   private def stageTranche(df: DataFrame, watch: Path, name: String): Unit = {
     val tmp = Files.createTempDirectory("graft_tranche")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = Files.list(tmp).filter(p =>
-      p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+    // Files.list holds a directory handle until closed
+    val listing = Files.list(tmp)
+    val part =
+      try listing.filter(p =>
+        p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      finally listing.close()
     Files.copy(part, watch.resolve(s"$name.parquet"))
   }
 
@@ -309,5 +313,64 @@ class RestartRecoverySpec extends org.scalatest.funsuite.AnyFunSuite {
     }
     assert(crossKeys.nonEmpty,
       "no key exercised cross-tranche state recovery — split is insensitive")
+  }
+
+  test("PSI monitor: bin-count state survives restart bit-identically, " +
+    "verdict readout agrees with batch v13/v14") {
+    val watch = Files.createTempDirectory("graft_restart_psi")
+    val ckpt = Files.createTempDirectory("graft_ckpt_psi").toString
+    val events = Tables.events(spark, sf)
+    val isRef = col("user_id") % 2 === 0
+    val refCounts = graft.ops.Profile.psiBinCounts(events.filter(isRef), "value")
+    // current-population tranches split by event_id PARITY (the same
+    // cross-tranche doctrine as above: every bin draws from both
+    // tranches, so run 2's counts are only right if tranche A's came
+    // back from the state store), staged as value-only files — all the
+    // monitor's schema carries
+    val cur = events.filter(!isRef)
+    val t1 = cur.filter(pmod(col("event_id"), lit(2)) === 0).select(col("value"))
+    val t2 = cur.filter(pmod(col("event_id"), lit(2)) === 1).select(col("value"))
+
+    def runOnce(sink: String): Map[Long, Long] = {
+      val q = DriftStream.binCountsStream(
+          DriftStream.readValues(spark, watch.toString))
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+      spark.table(sink).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+
+    stageTranche(t1, watch, "t1")
+    val firstRun = runOnce("psi_restart_r1")
+    stageTranche(t2, watch, "t2")
+    val resumed = runOnce("psi_restart_r2")
+
+    val batchCounts = graft.ops.Profile.psiBinCounts(cur, "value")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resumed == batchCounts,
+      "post-restart bin counts must equal the uninterrupted batch counts")
+    assert(firstRun != batchCounts, "split produced no partial first run")
+    // the deployed readouts over the recovered snapshot: per-bin PSI
+    // equals the one-pass batch v13, and the alert row equals v14
+    def binRows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(binRows(graft.ops.Profile.driftPsiFrom(
+        refCounts, spark.table("psi_restart_r2"))) ==
+      binRows(graft.ops.Profile.driftPsi(events, "value", isRef)),
+      "per-bin readout over recovered state must equal batch v13")
+    val verdict = graft.ops.Profile.driftPsiVerdictFrom(
+      refCounts, spark.table("psi_restart_r2")).collect().head
+    val batchVerdict = graft.ops.Profile.driftPsiVerdict(
+      events, "value", isRef).collect().head
+    assert((verdict.getLong(0), verdict.getString(1)) ==
+      (batchVerdict.getLong(0), batchVerdict.getString(1)),
+      "alert row over recovered state must equal batch v14")
   }
 }
