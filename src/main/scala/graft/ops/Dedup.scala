@@ -304,8 +304,24 @@ object Dedup {
       .select(col("doc_id"), expr(s"graft_minhash(tk, $n)").as("mh"))
   }
 
+  /** Band-bucket guard for LOW-DIVERSITY shingle regimes: a band key
+    * shared by d docs yields O(d²) candidate pairs, and nothing in raw
+    * LSH bounds d — when the shingle space is small (single CJK chars
+    * from a bounded repertoire, heavily templated text), unrelated docs
+    * share signature minima and buckets grow WITH THE CORPUS, turning
+    * the candidate stage quadratic (measured on the sf1 probe: max
+    * bucket 1,937 docs, 23.8M candidates — vs 105/20k at sf0.1). The
+    * cap drops such buckets before pair expansion, the [[MaxShingleDf]]
+    * doctrine one level up; word-shingle callers keep the unbounded
+    * default (word windows are diverse enough that the cap never binds
+    * — sf0.1 max band bucket is the planted-dup cluster size), the
+    * char-shingle path ([[cjkNearDupPairs]]) caps by default. Mirrored
+    * in the d20 oracle. */
+  val MaxBandDocs = 200
+
   def minhashCandidates(docs: DataFrame, id: String, text: String,
-                        n: Int = 3): DataFrame = {
+                        n: Int = 3,
+                        maxBandDocs: Int = Int.MaxValue): DataFrame = {
     // The signature pass replaces the token-level explode + per-doc
     // groupBy shuffle entirely. The only remaining exchange carries 4
     // band keys per doc: at corpus scale that is the difference between
@@ -323,7 +339,7 @@ object Dedup {
     expandPairs(
       bands.groupBy(col("band"), col("key"))
         .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) > 1))
+        .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBandDocs))
       .distinct()
   }
 
@@ -350,9 +366,10 @@ object Dedup {
     * arrays through the band shuffle would multiply it by the array
     * width). Output: `(doc_a, doc_b, inter, jaccard)`. */
   def minhashVerifiedPairs(docs: DataFrame, id: String, text: String,
-                           threshold: Double, n: Int = 3): DataFrame = {
+                           threshold: Double, n: Int = 3,
+                           maxBandDocs: Int = Int.MaxValue): DataFrame = {
     graft.functions.VectorFunctions.register(docs.sparkSession)
-    val cand = minhashCandidates(docs, id, text, n)
+    val cand = minhashCandidates(docs, id, text, n, maxBandDocs)
     val arr = docs
       .select(col(id).as("doc_id"),
         expr(s"filter(split($text, ' '), x -> x <> '')").as("tk"))
@@ -395,15 +412,20 @@ object Dedup {
     * signature path — one native map-side pass, 4 band keys per doc
     * shuffled, exact Jaccard verify only on band candidates — is the
     * only shape that survives corpus growth. Same two-step
-    * recall/precision contract as d08.
+    * recall/precision contract as d08, plus the [[MaxBandDocs]] bucket
+    * cap the low-diversity regime additionally needs: signature minima
+    * collide across UNRELATED docs when the shingle space is small, so
+    * without the cap band buckets grow with the corpus and candidates
+    * go quadratic (the sf1 probe measured 1,937-doc buckets).
     * Output: `(doc_a, doc_b, inter, jaccard)`. */
   def cjkNearDupPairs(docs: DataFrame, id: String, text: String,
                       threshold: Double = 0.6,
-                      n: Int = CjkCharShingleN): DataFrame =
+                      n: Int = CjkCharShingleN,
+                      maxBandDocs: Int = MaxBandDocs): DataFrame =
     minhashVerifiedPairs(
       docs.select(col(id).as("doc_id"),
         concat_ws(" ", TextOps.scriptTokens(col(text))).as("_script_text")),
-      "doc_id", "_script_text", threshold, n)
+      "doc_id", "_script_text", threshold, n, maxBandDocs)
 
   /** MinHash-ESTIMATED near-dup pairs (d15): band candidates scored by
     * signature agreement alone — `est_jaccard = matching components /
@@ -597,16 +619,47 @@ object Dedup {
   def minhashServeIncremental(spark: SparkSession, delta: DataFrame,
                               id: String, text: String, threshold: Double,
                               dir: String, n: Int = 3): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
     val (_, bands) = minhashLoadIndex(spark, dir)
-    val arrays = spark.read.parquet(s"$dir/hashes")
-      .withColumnRenamed("doc_id", "corpus_id")
+    val standingArrays = spark.read.parquet(s"$dir/hashes")
     val published = spark.read.parquet(s"$dir/labels")
-    val cross = minhashServeDeltaFrom(arrays,
-        bands.withColumnRenamed("doc_id", "corpus_id"),
-        delta, id, text, threshold, n)
-      .select(col("corpus_id").as("doc_a"), col("delta_id").as("doc_b"))
-    val deltaSelf = minhashVerifiedPairs(delta, id, text, threshold, n)
-      .select(col("doc_a"), col("doc_b"))
+    // The delta's band rows and verify arrays each feed BOTH pair
+    // classes (cross candidates + self candidates; cross verify + self
+    // verify) — materialize each ONCE per nightly batch instead of
+    // letting the two subtrees re-tokenize the delta twice.
+    // localCheckpoint, not cache: the artifacts are delta-sized by
+    // construction and the truncated lineage keeps the merge fixpoint's
+    // plan from re-deriving them every iteration (the Clusters
+    // precedent).
+    val dBands = minhashBandRows(delta, id, text, n).localCheckpoint()
+    val dArr = shingleHashArrays(delta, id, text, n).localCheckpoint()
+    def withSizes(arr: DataFrame, key: String, hs: String, nsh: String) =
+      arr.select(col("doc_id").as(key), col("hs").as(hs),
+        size(col("hs")).cast("long").as(nsh))
+    def verified(cand: DataFrame, a: String, b: String,
+                 left: DataFrame, right: DataFrame) =
+      cand
+        .join(withSizes(left, a, "hs_a", "n_a"), Seq(a))
+        .join(withSizes(right, b, "hs_b", "n_b"), Seq(b))
+        .withColumn("inter",
+          size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+        .filter(col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double")
+          >= threshold)
+        .select(col(a).as("doc_a"), col(b).as("doc_b"))
+    val crossCand = bands.withColumnRenamed("doc_id", "corpus_id")
+      .join(dBands.withColumnRenamed("doc_id", "delta_id"),
+        Seq("band", "key"))
+      .select(col("corpus_id"), col("delta_id"))
+      .distinct()
+    val selfCand = expandPairs(
+      dBands.groupBy(col("band"), col("key"))
+        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1))
+      .distinct()
+    val cross = verified(crossCand, "corpus_id", "delta_id",
+      standingArrays, dArr)
+    val deltaSelf = verified(selfCand, "doc_a", "doc_b", dArr, dArr)
     Clusters.mergeComponents(published, cross.unionByName(deltaSelf))
   }
 
@@ -1276,8 +1329,12 @@ object Dedup {
            |      + (${Hashing.polyHashSql("reverse(shingle)")}) AS sk
            |  FROM sh),
            |$sigBandsCte,
+           |bok AS (SELECT band, key FROM bands GROUP BY band, key
+           |        HAVING count(*) BETWEEN 2 AND $MaxBandDocs),
            |cand AS (
-           |  $candSelect),
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bok USING (band, key) JOIN bands b
+           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
            |pr AS (
            |  SELECT c.doc_a, c.doc_b, count(*) AS inter
            |  FROM cand c

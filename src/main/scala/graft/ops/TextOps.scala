@@ -117,6 +117,29 @@ object TextOps {
         when(col("n_tokens") > 0, expr("(n_cjk * 1000000) div n_tokens"))
           .otherwise(lit(null).cast("long")))
 
+  /** SCRIPT-AWARE QUALITY GATE (t25) — the Gopher gate's unsegmented-
+    * script sibling: t09's word-count and stopword rules are
+    * meaningless on text with no separators (a Chinese document is ONE
+    * "word" and contains no English stopwords, so t09 both mis-counts
+    * and mis-gates it). The deployable gate for a CJK shard bounds the
+    * SCRIPT-token count (each ideograph = one token — the real length
+    * proxy) and requires a minimum CJK share (the standard
+    * valid-script-ratio screen that drops mojibake, markup dumps, and
+    * wrong-language contamination from a CJK pipeline). Entirely
+    * integer compares on t24's counts — exact on both engines, and
+    * like every gate it emits features + verdict, not just survivors.
+    * One codegen'd map over the scan, zero shuffles.
+    * Output: `(doc_id, n_tokens, n_cjk, cjk_ratio_q6, keep)`. */
+  def scriptGopherFilter(df: DataFrame, id: String, text: String,
+                         minTokens: Long = 50L, maxTokens: Long = 400L,
+                         minCjkRatioQ6: Long = 500000L): DataFrame =
+    withScriptTokenCounts(df, text)
+      .withColumn("keep",
+        col("n_tokens").between(minTokens, maxTokens) &&
+          col("cjk_ratio_q6") >= minCjkRatioQ6)
+      .select(col(id).as("doc_id"), col("n_tokens"), col("n_cjk"),
+        col("cjk_ratio_q6"), col("keep"))
+
   /** READABILITY (t19) — Flesch reading-ease with fully deterministic
     * count proxies: sentences = non-overlapping runs of `[.!?]`,
     * syllables = non-overlapping vowel-letter runs `[aeiouy]+` (the
@@ -1114,6 +1137,13 @@ object TextOps {
         "cjk_text")
         .select(col("doc_id"), col("n_tokens"), col("n_cjk"),
           col("n_other"), col("cjk_ratio_q6"))),
+    // t25 harness: the same fixture under the script-aware gate (both
+    // verdicts exercised — the token bounds drop ~10% of the corpus)
+    "t25_cjk_gate" -> ((s, d) =>
+      scriptGopherFilter(
+        Tables.documents(s, d)
+          .select(col("doc_id"), cjkFixture(col("text")).as("cjk_text")),
+        "doc_id", "cjk_text")),
     "t04_fingerprint" -> ((s, d) =>
       withFingerprint(Tables.documents(s, d), "text")
         .select("doc_id", "fp")),
@@ -1269,6 +1299,20 @@ object TextOps {
          |  FROM c)
          |SELECT doc_id, n_tokens, n_cjk, n_tokens - n_cjk AS n_other,
          |  CASE WHEN n_tokens > 0 THEN (n_cjk * 1000000) // n_tokens END AS cjk_ratio_q6
+         |FROM k""".stripMargin,
+    // t25 — t24's counts under the gate's integer compares (NULL ratio
+    // on token-free text gates false through the AND on both engines)
+    "t25_cjk_gate" ->
+      s"""WITH c AS (SELECT doc_id, ${cjkFixtureSql("text")} AS t FROM documents),
+         |k AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(t, '$ScriptTokenRe')) AS BIGINT) AS n_tokens,
+         |    CAST(len(regexp_extract_all(t, '$CjkCharClass')) AS BIGINT) AS n_cjk
+         |  FROM c)
+         |SELECT doc_id, n_tokens, n_cjk,
+         |  CASE WHEN n_tokens > 0 THEN (n_cjk * 1000000) // n_tokens END AS cjk_ratio_q6,
+         |  coalesce((n_tokens BETWEEN 50 AND 400)
+         |    AND (CASE WHEN n_tokens > 0 THEN (n_cjk * 1000000) // n_tokens END >= 500000),
+         |    FALSE) AS keep
          |FROM k""".stripMargin,
     "t04_fingerprint" ->
       s"SELECT doc_id, ${Hashing.polyHashSql("text")} AS fp FROM documents",

@@ -75,6 +75,33 @@ class PlanAssertionsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(shuffles(p) <= 3, s.take(2000))
   }
 
+  test("t24 script token counts plan with zero exchanges (pure map-side)") {
+    assert(shuffles(plan("t24_cjk_tokens")) == 0)
+  }
+
+  test("t25 script gate plans with zero exchanges (pure map-side)") {
+    assert(shuffles(plan("t25_cjk_gate")) == 0)
+  }
+
+  test("d20 CJK near-dup: band-bounded candidates, never cartesian or " +
+    "token-level pair shuffle") {
+    val p = plan("d20_cjk_neardup")
+    val s = p.toString
+    assert(!s.contains("CartesianProduct"),
+      "char shingles must pair through band buckets only:\n" + s.take(2000))
+    // band groupBy + candidate distinct (+ at most the two verify-join
+    // exchanges if the candidate set outgrows broadcast) — the shingle
+    // stream itself never shuffles
+    assert(shuffles(p) <= 4, s.take(2000))
+  }
+
+  test("v14 verdict plans v13's scan-bound shape + one single-row agg") {
+    val p = plan("v14_drift_verdict")
+    val s = p.toString
+    assert(!s.contains("SortMergeJoin"), s.take(2000))
+    assert(shuffles(p) <= 4, s.take(2000))
+  }
+
   test("er10 delta canonicalization joins broadcast end to end — map, " +
     "blocks, and the rank-1 verdict — never sort-merge") {
     // every join side is dictionary-sized (names, not facts); the

@@ -54,6 +54,29 @@ class RoundFourteenOpsSpec extends AnyFunSuite {
       ((5L, 2L, 3L, 400000L)))
   }
 
+  test("t25 script gate: token bounds and CJK-share screen, crafted " +
+    "verdicts") {
+    import spark.implicits._
+    val goodCjk = (1 to 60).map(i => TextOps.CjkTo(i % 21)).mkString
+    val docs = Seq(
+      (1L, goodCjk), // 60 CJK tokens, ratio 1.0 → keep
+      (2L, "latin only text with no ideographs at all " * 3), // ratio 0
+      (3L, "一二三"), // 3 tokens, under the floor
+      (4L, "")) // token-free: NULL ratio must gate FALSE, not null
+      .toDF("doc_id", "text")
+    val got = TextOps.scriptGopherFilter(docs, "doc_id", "text",
+        minTokens = 50L, maxTokens = 400L, minCjkRatioQ6 = 500000L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
+    // mixed text right AT the ratio boundary: 30 CJK + 30 Latin runs
+    // interleaved = ratio exactly 500000 → kept
+    val mixed = (1 to 30).map(i => TextOps.CjkTo(i % 21) + " ab ").mkString
+    val m = TextOps.scriptGopherFilter(
+      Seq((9L, mixed)).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head
+    assert(m.getLong(3) == 500000L && m.getBoolean(4))
+  }
+
   test("a Chinese duplicate pair that d02 MISSES and d20 CATCHES") {
     import spark.implicits._
     // unsegmented near-identical pair: doc 2 appends one ideograph —
@@ -74,6 +97,19 @@ class RoundFourteenOpsSpec extends AnyFunSuite {
     val row = caught.head
     assert(row.getLong(2) == 16L) // inter: a's 16 windows all in b
     assert(math.abs(row.getDouble(3) - 16.0 / 17.0) < 1e-12)
+  }
+
+  test("band-bucket cap: an over-cap bucket is dropped, under-cap pairs " +
+    "survive") {
+    import spark.implicits._
+    // 5 IDENTICAL docs band-agree everywhere: cap 3 drops every bucket
+    // (all have 5 members), cap 10 keeps the full clique
+    val clones = (1L to 5L).map(i => (i, "山川日月水火大小上下中左右"))
+      .toDF("doc_id", "text")
+    assert(Dedup.cjkNearDupPairs(clones, "doc_id", "text", 0.6,
+      maxBandDocs = 3).isEmpty)
+    assert(Dedup.cjkNearDupPairs(clones, "doc_id", "text", 0.6,
+      maxBandDocs = 10).count() == 10L) // C(5,2)
   }
 
   test("d20 harness entry ⊆ true char-gram near-dups and is non-empty " +
