@@ -427,6 +427,41 @@ object Dedup {
         concat_ws(" ", TextOps.scriptTokens(col(text))).as("_script_text")),
       "doc_id", "_script_text", threshold, n, maxBandDocs)
 
+  /** d21's PUBLISH half — the d19 two-table index plus verify arrays,
+    * over SCRIPT tokens: what a CJK corpus's ingest writes once so the
+    * nightly delta serve never touches standing text. */
+  def cjkPublishIndex(standing: DataFrame, id: String, text: String,
+                      dir: String, n: Int = CjkCharShingleN): Unit = {
+    val tok = standing.select(col(id).as("doc_id"),
+      concat_ws(" ", TextOps.scriptTokens(col(text))).as("_script_text"))
+    minhashWriteIndex(tok, "doc_id", "_script_text", dir, n)
+    shingleHashArrays(tok, "doc_id", "_script_text", n)
+      .write.mode("overwrite").parquet(s"$dir/hashes")
+  }
+
+  /** CJK INCREMENTAL SERVE (d21) — the d19/d10 persisted-index loop on
+    * the char seam, closing the CJK family the way d20 closed its
+    * one-shot: arriving unsegmented docs are script-tokenized, banded,
+    * and scored against the LOADED standing index (bands + verify
+    * arrays — standing text never re-read), with the [[MaxBandDocs]]
+    * gate FROZEN at the standing side (a pure function of the store,
+    * so a delta item's pairs never depend on which batch delivered it
+    * — m11's contract on this seam). Delta–delta pairs deferred to the
+    * nightly rebuild, exactly [[minhashServeDelta]]'s contract.
+    * Output: `(corpus_id, delta_id, inter, jaccard)`. */
+  def cjkServeDelta(spark: SparkSession, delta: DataFrame, id: String,
+                    text: String, threshold: Double, dir: String,
+                    n: Int = CjkCharShingleN,
+                    maxBandDocs: Int = MaxBandDocs): DataFrame =
+    minhashServeDeltaFrom(
+      spark.read.parquet(s"$dir/hashes")
+        .withColumnRenamed("doc_id", "corpus_id"),
+      spark.read.parquet(s"$dir/bands")
+        .withColumnRenamed("doc_id", "corpus_id"),
+      delta.select(col(id).as("doc_id"),
+        concat_ws(" ", TextOps.scriptTokens(col(text))).as("_script_text")),
+      "doc_id", "_script_text", threshold, n, maxBandDocs)
+
   /** MinHash-ESTIMATED near-dup pairs (d15): band candidates scored by
     * signature agreement alone — `est_jaccard = matching components /
     * (Bands·RowsPerBand)`, the unbiased MinHash estimator — with NO
@@ -520,12 +555,29 @@ object Dedup {
     * the corpus text — the fully store-served cross readout: band
     * candidates from the loaded band table, exact verify from the
     * loaded hash arrays, the standing corpus's TEXT never read (the
-    * last place the one-table form still touched it). */
+    * last place the one-table form still touched it).
+    *
+    * `maxBandDocs` is the cross-set face of the [[MaxBandDocs]] guard
+    * (needed by low-diversity shingle regimes — the CJK char path):
+    * band keys held by more than the cap's worth of STANDING docs are
+    * dropped before the candidate join, bounding per-key fan-out at
+    * `cap × delta-df`. The gate is a pure function of the FROZEN
+    * store — like m11's standing-only boilerplate list, so a delta
+    * item's pairs never depend on which micro-batch delivered it. */
   def minhashServeDeltaFrom(corpusArrays: DataFrame, corpusBands: DataFrame,
                             delta: DataFrame, id: String, text: String,
-                            threshold: Double, n: Int = 3): DataFrame = {
+                            threshold: Double, n: Int = 3,
+                            maxBandDocs: Int = Int.MaxValue): DataFrame = {
     graft.functions.VectorFunctions.register(delta.sparkSession)
-    val cand = corpusBands
+    val gatedBands =
+      if (maxBandDocs == Int.MaxValue) corpusBands
+      else corpusBands.join(
+        corpusBands.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("bdf"))
+          .filter(col("bdf") <= maxBandDocs)
+          .select(col("band"), col("key")),
+        Seq("band", "key"), "left_semi")
+    val cand = gatedBands
       .join(minhashBandRows(delta, id, text, n)
           .withColumnRenamed("doc_id", "delta_id"),
         Seq("band", "key"))
@@ -1042,6 +1094,17 @@ object Dedup {
         Tables.documents(s, d).select(col("doc_id"),
           TextOps.cjkFixture(col("text")).as("text")),
         "doc_id", "text", 0.6)),
+    // d21 harness: publish the standing (even) half's char index, serve
+    // the arriving (odd) half from the loaded artifacts
+    "d21_cjk_serve_delta" -> ((s, d) => {
+      def cjk(f: org.apache.spark.sql.Column) =
+        Tables.documents(s, d).filter(f).select(col("doc_id"),
+          TextOps.cjkFixture(col("text")).as("text"))
+      val idxDir = IndexPaths.dir("d21_index", d)
+      cjkPublishIndex(cjk(col("doc_id") % 2 === 0), "doc_id", "text", idxDir)
+      cjkServeDelta(s, cjk(col("doc_id") % 2 =!= 0), "doc_id", "text",
+        0.6, idxDir)
+    }),
     "d15_minhash_estimate" -> ((s, d) =>
       minhashEstimatedPairs(Tables.documents(s, d), "doc_id", "text",
         threshold = 0.5)),
@@ -1127,6 +1190,43 @@ object Dedup {
        |sh$sfx AS (SELECT DISTINCT doc_id, shingle FROM (
        |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle FROM tk$sfx) raw),
+       |cnt$sfx AS (SELECT doc_id, count(*) AS n_sh FROM sh$sfx GROUP BY doc_id),
+       |sk$sfx AS (SELECT DISTINCT doc_id,
+       |    (${Hashing.polyHashSql("shingle")}) * 1000000009
+       |      + (${Hashing.polyHashSql("reverse(shingle)")}) AS sk
+       |  FROM sh$sfx),
+       |h$sfx AS (SELECT doc_id, ${Hashing.polyHashSql("shingle")} AS h FROM sh$sfx),
+       |sig$sfx AS (SELECT doc_id,
+       |  $mhSel
+       |  FROM h$sfx GROUP BY doc_id),
+       |bands$sfx AS (
+       |  $bandSel)""".stripMargin
+  }
+
+  /** [[crossSideSql]]'s char-token sibling for the d21 oracle: the same
+    * per-side `tk/sh/cnt/sk/h/sig/bands` chain, fed by the shared CJK
+    * fixture + script-token regex at width [[CjkCharShingleN]]. */
+  private def cjkCrossSideSql(sfx: String, where: String): String = {
+    val n = CjkCharShingleN
+    val win = (0 until n)
+      .map(j => if (j == 0) "tk[i]" else s"tk[i+$j]")
+      .mkString(" || ' ' || ")
+    val bandSel = (0 until Bands).map { b =>
+      val key = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig$sfx"
+    }.mkString("\n  UNION ALL ")
+    val mhSel = (0 until Bands * RowsPerBand).map { i =>
+      s"min((${MinHashA(i)} * h + ${MinHashB(i)}) % $P) AS mh$i"
+    }.mkString(",\n  ")
+    s"""ctk$sfx AS (
+       |  SELECT doc_id, regexp_extract_all(${TextOps.cjkFixtureSql("text")},
+       |    '${TextOps.ScriptTokenRe}') AS tk
+       |  FROM documents WHERE ($where)),
+       |tk$sfx AS (SELECT doc_id, tk FROM ctk$sfx WHERE len(tk) >= $n),
+       |sh$sfx AS (SELECT DISTINCT doc_id, shingle FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - ${n - 2}),
+       |    i -> $win)) AS shingle FROM tk$sfx) raw),
        |cnt$sfx AS (SELECT doc_id, count(*) AS n_sh FROM sh$sfx GROUP BY doc_id),
        |sk$sfx AS (SELECT DISTINCT doc_id,
        |    (${Hashing.polyHashSql("shingle")}) * 1000000009
@@ -1348,6 +1448,31 @@ object Dedup {
            |JOIN cnt cb ON pr.doc_b = cb.doc_id
            |WHERE inter::DOUBLE / (ca.n_sh + cb.n_sh - inter)::DOUBLE >= 0.6""".stripMargin
       },
+      // d21 = the d10 cross-set chain over the char CTEs, with the
+      // standing-side band gate (HAVING ≤ MaxBandDocs on the EVEN side
+      // only — the frozen-store cap the engine applies before the
+      // candidate join)
+      "d21_cjk_serve_delta" ->
+        s"""WITH ${cjkCrossSideSql("e", "doc_id % 2 = 0")},
+           |${cjkCrossSideSql("o", "doc_id % 2 = 1")},
+           |bok AS (SELECT band, key FROM bandse GROUP BY band, key
+           |        HAVING count(*) <= $MaxBandDocs),
+           |cand AS (
+           |  SELECT DISTINCT e.doc_id AS corpus_id, o.doc_id AS delta_id
+           |  FROM bandse e JOIN bok USING (band, key)
+           |  JOIN bandso o ON e.band = o.band AND e.key = o.key),
+           |pr AS (
+           |  SELECT c.corpus_id, c.delta_id, count(*) AS inter
+           |  FROM cand c
+           |  JOIN ske a ON a.doc_id = c.corpus_id
+           |  JOIN sko b ON b.doc_id = c.delta_id AND b.sk = a.sk
+           |  GROUP BY 1, 2)
+           |SELECT corpus_id, delta_id, inter,
+           |  inter::DOUBLE / (ce.n_sh + co.n_sh - inter)::DOUBLE AS jaccard
+           |FROM pr
+           |JOIN cnte ce ON pr.corpus_id = ce.doc_id
+           |JOIN cnto co ON pr.delta_id = co.doc_id
+           |WHERE inter::DOUBLE / (ce.n_sh + co.n_sh - inter)::DOUBLE >= 0.6""".stripMargin,
       "d04_simhash" -> simhashSql,
       // d13 — the oracle is the SPEC, not the banding: every pair of
       // signatures within Hamming r (banding + verify is lossless, so

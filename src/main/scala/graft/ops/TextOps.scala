@@ -96,6 +96,16 @@ object TextOps {
   def cjkFixtureSql(c: String): String =
     s"translate(lower($c), '$CjkFrom', '$CjkTo')"
 
+  /** [[CjkTo]]'s Japanese-shaped sibling for the t26 harness: the five
+    * vowels map to KANA (the roughly-every-other-character cadence of
+    * real Japanese prose, where particles/okurigana interleave kanji),
+    * consonants to the same ideographs. */
+  val CjkKanaTo: String = "あ二三四え六七八い十百千万上お左右中大小う"
+  def cjkKanaFixture(text: Column): Column =
+    translate(lower(text), CjkFrom, CjkKanaTo)
+  def cjkKanaFixtureSql(c: String): String =
+    s"translate(lower($c), '$CjkFrom', '$CjkKanaTo')"
+
   /** SCRIPT-AWARE TOKEN COUNTING (t24) — t03's job on unsegmented text:
     * total script tokens, CJK-char tokens, other (Latin/digit/symbol
     * run) tokens, and the CJK share in exact micro-units. `n_cjk`
@@ -116,6 +126,46 @@ object TextOps {
       .withColumn("cjk_ratio_q6",
         when(col("n_tokens") > 0, expr("(n_cjk * 1000000) div n_tokens"))
           .otherwise(lit(null).cast("long")))
+
+  /** Kana-only class (hiragana U+3040–U+309F + katakana U+30A0–U+30FF)
+    * — the script feature that separates Japanese from Chinese text:
+    * Japanese prose is obligated to carry kana (particles, okurigana),
+    * Chinese never does. */
+  val KanaCharClass: String = s"[${cpStr(0x3040)}-${cpStr(0x30ff)}]"
+
+  /** SCRIPT-BASED LANGUAGE ID (t26) — the language-ID heuristic that
+    * works on the CJK languages the reference system actually serves
+    * (TC/JP/SC — `text_processing.py:15-28`), where t05's stopword
+    * heuristic can only ever answer "unk" (no English stopwords in
+    * unsegmented text). Script statistics are the standard first-stage
+    * signal (fastText/CLD route through script detection before any
+    * token model): kana present in meaningful share ⇒ Japanese
+    * (Japanese prose must carry particles/okurigana in kana; Chinese
+    * never uses kana), else a majority-CJK token stream ⇒ Chinese,
+    * else fall back to t05's stopword rule for Latin text. All
+    * integer compares (shares by cross-multiplication — no division,
+    * no floats), one codegen'd map over the scan, zero shuffles.
+    * Output: `(doc_id, n_tokens, n_cjk, n_kana, n_stop, guessed_lang)`. */
+  def scriptLangId(df: DataFrame, id: String, text: String): DataFrame =
+    df
+      .withColumn("n_tokens",
+        size(scriptTokens(col(text))).cast("long"))
+      .withColumn("n_cjk",
+        regexp_count(col(text), lit(CjkCharClass)).cast("long"))
+      .withColumn("n_kana",
+        regexp_count(col(text), lit(KanaCharClass)).cast("long"))
+      .withColumn("n_stop", expr(
+        s"size(filter(filter(split($text, ' '), x -> x <> ''), x -> x IN ($swList)))")
+        .cast("long"))
+      .withColumn("guessed_lang",
+        when(col("n_kana") >= 2 && col("n_kana") * 10 >= col("n_cjk"),
+          "ja")
+          .when(col("n_cjk") >= 2 && col("n_cjk") * 2 >= col("n_tokens"),
+            "zh")
+          .when(col("n_stop") >= 2, "en")
+          .otherwise("unk"))
+      .select(col(id).as("doc_id"), col("n_tokens"), col("n_cjk"),
+        col("n_kana"), col("n_stop"), col("guessed_lang"))
 
   /** SCRIPT-AWARE QUALITY GATE (t25) — the Gopher gate's unsegmented-
     * script sibling: t09's word-count and stopword rules are
@@ -1144,6 +1194,16 @@ object TextOps {
         Tables.documents(s, d)
           .select(col("doc_id"), cjkFixture(col("text")).as("cjk_text")),
         "doc_id", "cjk_text")),
+    // t26 harness: a three-language corpus from one table — raw English
+    // (ids ≡ 0 mod 10), han-only Chinese-shaped (other evens),
+    // kana-bearing Japanese-shaped (odds) — every verdict branch oracled
+    "t26_script_lang_id" -> ((s, d) =>
+      scriptLangId(
+        Tables.documents(s, d).select(col("doc_id"),
+          when(col("doc_id") % 10 === 0, col("text"))
+            .when(col("doc_id") % 2 === 0, cjkFixture(col("text")))
+            .otherwise(cjkKanaFixture(col("text"))).as("mx")),
+        "doc_id", "mx")),
     "t04_fingerprint" -> ((s, d) =>
       withFingerprint(Tables.documents(s, d), "text")
         .select("doc_id", "fp")),
@@ -1299,6 +1359,28 @@ object TextOps {
          |  FROM c)
          |SELECT doc_id, n_tokens, n_cjk, n_tokens - n_cjk AS n_other,
          |  CASE WHEN n_tokens > 0 THEN (n_cjk * 1000000) // n_tokens END AS cjk_ratio_q6
+         |FROM k""".stripMargin,
+    // t26 — identical fixture CASE, class counts, and verdict CASE in
+    // the same branch order (ja before zh — Japanese text passes the
+    // majority-CJK test too); shares are cross-multiplied integers
+    "t26_script_lang_id" ->
+      s"""WITH m AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 10 = 0 THEN text
+         |         WHEN doc_id % 2 = 0 THEN ${cjkFixtureSql("text")}
+         |         ELSE ${cjkKanaFixtureSql("text")} END AS mx
+         |  FROM documents),
+         |k AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(mx, '$ScriptTokenRe')) AS BIGINT) AS n_tokens,
+         |    CAST(len(regexp_extract_all(mx, '$CjkCharClass')) AS BIGINT) AS n_cjk,
+         |    CAST(len(regexp_extract_all(mx, '$KanaCharClass')) AS BIGINT) AS n_kana,
+         |    CAST(len(list_filter(list_filter(string_split(mx, ' '), x -> x <> ''),
+         |      x -> x IN ($swList))) AS BIGINT) AS n_stop
+         |  FROM m)
+         |SELECT doc_id, n_tokens, n_cjk, n_kana, n_stop,
+         |  CASE WHEN n_kana >= 2 AND n_kana * 10 >= n_cjk THEN 'ja'
+         |       WHEN n_cjk >= 2 AND n_cjk * 2 >= n_tokens THEN 'zh'
+         |       WHEN n_stop >= 2 THEN 'en'
+         |       ELSE 'unk' END AS guessed_lang
          |FROM k""".stripMargin,
     // t25 — t24's counts under the gate's integer compares (NULL ratio
     // on token-free text gates false through the AND on both engines)

@@ -54,6 +54,22 @@ class RoundFourteenOpsSpec extends AnyFunSuite {
       ((5L, 2L, 3L, 400000L)))
   }
 
+  test("t26 script language ID: every branch on crafted text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "山川日月水火"), // han only → zh
+      (2L, "山はきれいです"), // kanji + kana → ja
+      (3L, "the value of a table"), // stopword hits → en
+      (4L, "xyz qqq"), // no script signal at all → unk
+      (5L, "カタカナです"), // kana-only (no kanji) → ja, not zh
+      (6L, "mostly latin words with one 山 char in the middle")) // → en
+      .toDF("doc_id", "text")
+    val got = TextOps.scriptLangId(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(got == Map(1L -> "zh", 2L -> "ja", 3L -> "en", 4L -> "unk",
+      5L -> "ja", 6L -> "en"))
+  }
+
   test("t25 script gate: token bounds and CJK-share screen, crafted " +
     "verdicts") {
     import spark.implicits._
@@ -162,6 +178,31 @@ class RoundFourteenOpsSpec extends AnyFunSuite {
       else if (perBin <= Profile.PsiDriftedQ6) "shifting"
       else "drifted"
     assert(v.head.getString(1) == expectBand)
+  }
+
+  test("d21 frozen-cap serve is batch-independent: per-batch serves " +
+    "union to the one-shot serve") {
+    val docs = Tables.documents(spark, sf)
+    def cjk(f: org.apache.spark.sql.Column) =
+      docs.filter(f).select(col("doc_id"),
+        TextOps.cjkFixture(col("text")).as("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_d21_r14").toString
+    Dedup.cjkPublishIndex(cjk(col("doc_id") % 2 === 0), "doc_id", "text", dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val oneShot = rows(Dedup.cjkServeDelta(spark,
+      cjk(col("doc_id") % 2 =!= 0), "doc_id", "text", 0.6, dir))
+    assert(oneShot.nonEmpty, "fixture must contain cross-set CJK near-dups")
+    // split the delta into two arbitrary batches: the standing gate is
+    // a pure function of the frozen store, so the union must be exact
+    val b1 = rows(Dedup.cjkServeDelta(spark,
+      cjk(col("doc_id") % 4 === 1), "doc_id", "text", 0.6, dir))
+    val b2 = rows(Dedup.cjkServeDelta(spark,
+      cjk(col("doc_id") % 4 === 3), "doc_id", "text", 0.6, dir))
+    assert((b1 ++ b2) == oneShot)
+    assert(oneShot.forall { case (a, b, _, j) =>
+      a % 2 == 0 && b % 2 != 0 && j >= 0.6 })
   }
 
   test("p05 store serve: published labels + loaded verify arrays equal " +
