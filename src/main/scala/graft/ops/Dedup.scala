@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline (SURVEY.md
@@ -154,6 +154,38 @@ object Dedup {
     // by corpus assumption
     docs.groupBy(
         md5(regexp_replace(trim(lower(col(content))),
+          "[ \\t\\n\\r\\f\\x0B]+", " ")).as("sig"))
+      .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Full-width → ASCII folding table (d22): the FF01–FF5E "fullwidth
+    * forms" block maps 1:1 onto printable ASCII 21–7E, plus the
+    * ideographic space U+3000 → ASCII space — the width half of NFKC,
+    * which is the standard normalization a CJK pipeline runs before
+    * exact dedup (CJK text freely mixes ＡＢＣ１２３，！ with their
+    * ASCII twins; the reference's own X5 step exists because its
+    * TC/JP/SC source data carries full-width punctuation). Both
+    * engines' `translate` is code-point-wise, so the fold is exact
+    * cross-engine. */
+  val FullwidthFrom: String =
+    (0xFF01 to 0xFF5E).map(_.toChar).mkString + 0x3000.toChar
+  val FullwidthTo: String =
+    (0x21 to 0x7E).map(_.toChar).mkString + " "
+  /** The fold as a column; its SQL twin lives in the d22 oracle (with
+    * the embedded single quote doubled per SQL literal rules). */
+  def foldWidth(c: Column): Column = translate(c, FullwidthFrom, FullwidthTo)
+
+  /** WIDTH-FOLDED NORMALIZED DEDUP (d22) — [[exactDedupNormalized]]
+    * with the full-width fold prepended to the canonical form: fold →
+    * lowercase → trim → collapse whitespace → hash. Catches the dup
+    * class d14 structurally cannot — the same document typed through a
+    * CJK IME's full-width mode ("ＡＢＣ　１２３" vs "abc 123") hashes
+    * apart under d14 because no byte matches. Same one-shuffle
+    * hash-group shape; the fold is one more map-side `translate`.
+    * Output: `(sig, keep_id, n_dups)`. */
+  def exactDedupWidthFolded(docs: DataFrame, id: String,
+                            content: String): DataFrame =
+    docs.groupBy(
+        md5(regexp_replace(trim(lower(foldWidth(col(content)))),
           "[ \\t\\n\\r\\f\\x0B]+", " ")).as("sig"))
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_dups"))
 
@@ -1071,6 +1103,16 @@ object Dedup {
     }),
     "d14_normalized_dedup" -> ((s, d) =>
       exactDedupNormalized(Tables.documents(s, d), "doc_id", "text")),
+    // d22 harness: odd docs re-typed through "full-width mode" (the
+    // inverse translate, spaces → U+3000 included) — the fold must
+    // unify them with their ASCII twins
+    "d22_width_fold_dedup" -> ((s, d) =>
+      exactDedupWidthFolded(
+        Tables.documents(s, d).select(col("doc_id"),
+          when(col("doc_id") % 2 === 1,
+            translate(col("text"), FullwidthTo, FullwidthFrom))
+            .otherwise(col("text")).as("text")),
+        "doc_id", "text")),
     // Threshold 0.6 sits far from both the planted near-dups (≥0.9) and
     // the background (≤0.1) — no float-boundary ambiguity. Reads the
     // session-shared materialized pair table (same rows, computed once
@@ -1334,6 +1376,22 @@ object Dedup {
         """SELECT md5(regexp_replace(trim(lower(text)), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS sig,
           |  min(doc_id) AS keep_id, count(*) AS n_dups
           |FROM documents GROUP BY 1""".stripMargin,
+      // d22 — the identical widen CASE and fold translate (the single
+      // quote inside the ASCII table doubled per SQL literal rules),
+      // then d14's canonical chain
+      "d22_width_fold_dedup" -> {
+        def lit(s: String) = s.replace("'", "''")
+        val (fw, asc) = (lit(FullwidthFrom), lit(FullwidthTo))
+        s"""WITH w AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 2 = 1 THEN translate(text, '$asc', '$fw')
+           |         ELSE text END AS t
+           |  FROM documents)
+           |SELECT md5(regexp_replace(trim(lower(translate(t, '$fw', '$asc'))),
+           |    '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) AS sig,
+           |  min(doc_id) AS keep_id, count(*) AS n_dups
+           |FROM w GROUP BY 1""".stripMargin
+      },
       "d02_ngram_jaccard" -> jaccardSql,
       "d06_jaccard_prefix" -> jaccardSql,
       // d12 — the undirected intersections of the d02 machinery, each

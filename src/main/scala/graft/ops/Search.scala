@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Full-text retrieval over the document corpus (SURVEY.md §7.5
@@ -41,6 +41,62 @@ object Search {
     * vocabulary with distinct document frequencies). */
   val DefaultQuery: Seq[String] = Seq("spark", "query", "fast")
   val DefaultPhrase: (String, String) = ("fast", "query")
+
+  // ——— CJK search (r08) ————————————————————————————————————————————
+  //
+  // Unsegmented text can't be indexed by split-on-space (the whole
+  // document is one "term"); the standard fix with no segmenter
+  // dependency is UNIGRAM + BIGRAM indexing (the Lucene-CJK family):
+  // every CJK char indexes alone AND with its right neighbor, Latin /
+  // digit runs index whole, and the query is analyzed the same way.
+  // Bigrams carry the precision (two-char windows approximate CJK
+  // words, which average ~2 chars), unigrams keep single-char terms
+  // recallable.
+
+  private def cjkAnchored = s"^${graft.ops.TextOps.CjkCharClass}$$"
+
+  /** The unigram+bigram index terms of a text, as one map-side column:
+    * script tokens, plus the concatenation of every adjacent CJK-CJK
+    * token pair. Zero shuffles; feeds [[bm25TopK]]/[[bm25BuildIndex]]
+    * through a `concat_ws(' ', …)` re-join (terms contain no spaces,
+    * so the split recovers them exactly). */
+  def cjkIndexTerms(text: Column): Column = {
+    val tk = graft.ops.TextOps.scriptTokens(text)
+    val heads = slice(tk, lit(1), greatest(size(tk) - 1, lit(0)))
+    val tails = slice(tk, lit(2), greatest(size(tk) - 1, lit(0)))
+    val bigrams = filter(
+      zip_with(heads, tails, (a, b) =>
+        when(a.rlike(cjkAnchored) && b.rlike(cjkAnchored), concat(a, b))),
+      x => x.isNotNull)
+    concat(tk, bigrams)
+  }
+
+  /** Driver-side twin of [[cjkIndexTerms]] for analyzing QUERY strings
+    * (the same tokenizer + bigram rule, pinned equal by spec). */
+  def cjkAnalyze(s: String): Seq[String] = {
+    val m = java.util.regex.Pattern
+      .compile(graft.ops.TextOps.ScriptTokenRe).matcher(s)
+    val tk = Iterator.continually(m.find()).takeWhile(identity)
+      .map(_ => m.group()).toSeq
+    def isCjk(t: String) = t.matches(cjkAnchored)
+    tk ++ tk.zip(tk.drop(1)).collect {
+      case (a, b) if isCjk(a) && isCjk(b) => a + b
+    }
+  }
+
+  /** The r08 harness query: [[DefaultQuery]]'s words pushed through the
+    * SAME fixture translate the corpus gets, then analyzed — what a
+    * user typing the Chinese query actually sends. Computed once
+    * driver-side; the oracle embeds the identical literals. */
+  lazy val CjkQuery: Seq[String] = DefaultQuery.flatMap { w =>
+    val t = w.map { c =>
+      val i = graft.ops.TextOps.CjkFrom.indexOf(c)
+      if (i >= 0 && i < graft.ops.TextOps.CjkTo.length)
+        graft.ops.TextOps.CjkTo(i)
+      else c
+    }.mkString
+    cjkAnalyze(t)
+  }.distinct
 
   /** Dirichlet smoothing mass for [[dirichletTopK]] (standard μ). An
     * exact binary-representable double keeps cross-engine literals
@@ -336,6 +392,15 @@ object Search {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r01_bm25" -> ((s, d) =>
       bm25TopK(Tables.documents(s, d), "doc_id", "text")),
+    // r08 harness: the fixture-translated unsegmented corpus indexed
+    // unigram+bigram, queried with the same-analyzed Chinese query
+    "r08_cjk_bm25" -> ((s, d) =>
+      bm25TopK(
+        Tables.documents(s, d).select(col("doc_id"),
+          concat_ws(" ",
+            cjkIndexTerms(graft.ops.TextOps.cjkFixture(col("text"))))
+            .as("text")),
+        "doc_id", "text", terms = CjkQuery)),
     // the full index persisted and served back — write + load + query
     // in one entry; shares r01's oracle verbatim (same terms, same
     // scoring tail, postings pruned at the parquet scan)

@@ -180,6 +180,25 @@ class RoundFourteenOpsSpec extends AnyFunSuite {
     assert(v.head.getString(1) == expectBand)
   }
 
+  test("d22 width fold unifies full-width retypings that d14 cannot") {
+    import spark.implicits._
+    val fw = new String(Array(0xFF41, 0xFF42, 0xFF43, 0x3000,
+      0xFF11, 0xFF01).flatMap(Character.toChars)) // ａｂｃ　１！
+    val docs = Seq((1L, "abc 1!"), (2L, fw), (3L, "other")).toDF("doc_id", "text")
+    val folded = Dedup.exactDedupWidthFolded(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(folded == Set((1L, 2L), (3L, 1L)),
+      "full-width retyping must hash WITH its ASCII twin")
+    val plain = Dedup.exactDedupNormalized(docs, "doc_id", "text")
+    assert(plain.count() == 3L,
+      "d14 must NOT unify them — that gap is d22's reason to exist")
+    // the fold table is the 1:1 FF01-FF5E -> 21-7E map + U+3000
+    assert(Dedup.FullwidthFrom.length == 95 &&
+      Dedup.FullwidthTo.length == 95)
+    assert(Dedup.FullwidthFrom.head == 0xFF01.toChar &&
+      Dedup.FullwidthFrom.last == 0x3000.toChar)
+  }
+
   test("d21 frozen-cap serve is batch-independent: per-batch serves " +
     "union to the one-shot serve") {
     val docs = Tables.documents(spark, sf)
