@@ -385,4 +385,22 @@ object SparkEntry {
         "p06_search_maintenance" -> ops.Search.oracle("r01_bm25"),
         // p07's all-loaded IVFPQ serve equals the in-session k19
         "p07_ann_maintenance" -> ops.Similarity.oracle("k19_ivfpq"))
+
+  /** Catalog keys intentionally carrying NO DuckDB oracle, each pinned
+    * by golden-fixture tests instead. Every member must name a real
+    * `queries` key AND a golden spec; keep this EMPTY otherwise —
+    * today every catalog entry is oracled (even p01's report digest is
+    * a constant-SQL oracle), so an addition here needs the same
+    * justification in review. */
+  val RowsOnlyAllowlist: Set[String] = Set.empty
+
+  /** The half-landed-entry guard (a round-14 escape: r08 shipped with
+    * a `queries` entry but no oracle and rode a full round unverified
+    * — CORRECTNESS_r14's only red row). Structurally closed here:
+    * VerifyContractSpec asserts this is empty over the real catalog,
+    * and [[Verify]] prints any orphans loudly at dump time. */
+  def orphanKeys(qs: Iterable[String] = queries.keys,
+                 oracled: Set[String] = oracleSql.keySet,
+                 allow: Set[String] = RowsOnlyAllowlist): Set[String] =
+    qs.toSet -- oracled -- allow
 }

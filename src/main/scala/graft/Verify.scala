@@ -13,6 +13,13 @@ object Verify {
     val cpus = Conf.Env.cpus(default = 4)
     val spark = Conf.localSession(cpus)
     new java.io.File(outDir).mkdirs()
+    // Loud orphan report (the r08 lesson): an entry without an oracle
+    // or an allowlist row is half-landed — VerifyContractSpec fails the
+    // build on it; this print catches a stale-classes dump too.
+    val orphans = SparkEntry.orphanKeys()
+    if (orphans.nonEmpty)
+      System.err.println(s"[verify] UNORACLED catalog keys (add oracleSql " +
+        s"or RowsOnlyAllowlist + golden spec): ${orphans.toSeq.sorted.mkString(", ")}")
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

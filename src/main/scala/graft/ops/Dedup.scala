@@ -157,22 +157,17 @@ object Dedup {
           "[ \\t\\n\\r\\f\\x0B]+", " ")).as("sig"))
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Full-width → ASCII folding table (d22): the FF01–FF5E "fullwidth
-    * forms" block maps 1:1 onto printable ASCII 21–7E, plus the
-    * ideographic space U+3000 → ASCII space — the width half of NFKC,
-    * which is the standard normalization a CJK pipeline runs before
-    * exact dedup (CJK text freely mixes ＡＢＣ１２３，！ with their
-    * ASCII twins; the reference's own X5 step exists because its
-    * TC/JP/SC source data carries full-width punctuation). Both
-    * engines' `translate` is code-point-wise, so the fold is exact
-    * cross-engine. */
-  val FullwidthFrom: String =
-    (0xFF01 to 0xFF5E).map(_.toChar).mkString + 0x3000.toChar
-  val FullwidthTo: String =
-    (0x21 to 0x7E).map(_.toChar).mkString + " "
-  /** The fold as a column; its SQL twin lives in the d22 oracle (with
-    * the embedded single quote doubled per SQL literal rules). */
-  def foldWidth(c: Column): Column = translate(c, FullwidthFrom, FullwidthTo)
+  /** The width/CJK-punctuation fold tables now live at the tokenizer
+    * seam ([[TextOps.FoldFrom]]) so d20/d21/r08/t24-t26 fold
+    * identically; d22 keeps its aliases. The bijective width block
+    * ([[TextOps.FullwidthFrom]]) is what the d22 harness INVERTS to
+    * synthesize full-width text; the fold itself additionally maps the
+    * reference's CJK punctuation (。、【】“”‘’ —
+    * `data_preprocessing.py:41-50`). */
+  val FullwidthFrom: String = TextOps.FullwidthFrom
+  val FullwidthTo: String = TextOps.FullwidthTo
+  /** The fold as a column; its SQL twin is [[TextOps.foldWidthSql]]. */
+  def foldWidth(c: Column): Column = TextOps.foldWidth(c)
 
   /** WIDTH-FOLDED NORMALIZED DEDUP (d22) — [[exactDedupNormalized]]
     * with the full-width fold prepended to the canonical form: fold →
@@ -744,7 +739,20 @@ object Dedup {
     val cross = verified(crossCand, "corpus_id", "delta_id",
       standingArrays, dArr)
     val deltaSelf = verified(selfCand, "doc_a", "doc_b", dArr, dArr)
-    Clusters.mergeComponents(published, cross.unionByName(deltaSelf))
+    // The fresh-pair edge set is delta-sized by construction;
+    // checkpoint it so the empty-night decision is one cheap probe on
+    // materialized rows and the merge fixpoint's cached edge
+    // derivation reads them back instead of re-running the band joins
+    // + verifies. Disjoint nightly batches (no cross pair, no
+    // delta-self pair) are the common production case: merging an
+    // EMPTY edge set is an identity on the published labels (the star
+    // edges reconverge to the same components, the anti-join restores
+    // the same singletons), so that night's serve skips the CC
+    // fixpoint entirely and returns the store's labels as-is —
+    // exactness unchanged on either branch.
+    val edges = cross.unionByName(deltaSelf).localCheckpoint()
+    if (edges.isEmpty) published.select(col("doc_id"), col("cluster_id"))
+    else Clusters.mergeComponents(published, edges)
   }
 
   /** NEAR-DUP decontamination (d17) — [[contaminationHits]]'s fuzzy
@@ -1262,8 +1270,7 @@ object Dedup {
       s"min((${MinHashA(i)} * h + ${MinHashB(i)}) % $P) AS mh$i"
     }.mkString(",\n  ")
     s"""ctk$sfx AS (
-       |  SELECT doc_id, regexp_extract_all(${TextOps.cjkFixtureSql("text")},
-       |    '${TextOps.ScriptTokenRe}') AS tk
+       |  SELECT doc_id, ${TextOps.scriptTokensSql(TextOps.cjkFixtureSql("text"))} AS tk
        |  FROM documents WHERE ($where)),
        |tk$sfx AS (SELECT doc_id, tk FROM ctk$sfx WHERE len(tk) >= $n),
        |sh$sfx AS (SELECT DISTINCT doc_id, shingle FROM (
@@ -1376,18 +1383,19 @@ object Dedup {
         """SELECT md5(regexp_replace(trim(lower(text)), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS sig,
           |  min(doc_id) AS keep_id, count(*) AS n_dups
           |FROM documents GROUP BY 1""".stripMargin,
-      // d22 — the identical widen CASE and fold translate (the single
-      // quote inside the ASCII table doubled per SQL literal rules),
-      // then d14's canonical chain
+      // d22 — the identical widen CASE (inverting the bijective width
+      // block only) and the shared extended fold translate
+      // (TextOps.foldWidthSql — single quotes doubled per SQL literal
+      // rules), then d14's canonical chain
       "d22_width_fold_dedup" -> {
-        def lit(s: String) = s.replace("'", "''")
-        val (fw, asc) = (lit(FullwidthFrom), lit(FullwidthTo))
+        val (fw, asc) =
+          (TextOps.sqlLit(FullwidthFrom), TextOps.sqlLit(FullwidthTo))
         s"""WITH w AS (
            |  SELECT doc_id,
            |    CASE WHEN doc_id % 2 = 1 THEN translate(text, '$asc', '$fw')
            |         ELSE text END AS t
            |  FROM documents)
-           |SELECT md5(regexp_replace(trim(lower(translate(t, '$fw', '$asc'))),
+           |SELECT md5(regexp_replace(trim(lower(${TextOps.foldWidthSql("t")})),
            |    '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) AS sig,
            |  min(doc_id) AS keep_id, count(*) AS n_dups
            |FROM w GROUP BY 1""".stripMargin
@@ -1474,8 +1482,7 @@ object Dedup {
           .map(j => if (j == 0) "tk[i]" else s"tk[i+$j]")
           .mkString(" || ' ' || ")
         s"""WITH ctk AS (
-           |  SELECT doc_id, regexp_extract_all(${TextOps.cjkFixtureSql("text")},
-           |    '${TextOps.ScriptTokenRe}') AS tk
+           |  SELECT doc_id, ${TextOps.scriptTokensSql(TextOps.cjkFixtureSql("text"))} AS tk
            |  FROM documents),
            |tk AS (SELECT doc_id, tk FROM ctk WHERE len(tk) >= $n),
            |sh AS (SELECT DISTINCT doc_id, shingle FROM (

@@ -420,9 +420,21 @@ object Multimodal {
         // a frame store published by an older publisher (or
         // frameWriteStore alone) has no labels artifact — that must
         // degrade to the recompute branch, not fail only when the
-        // guard happens to pass
+        // guard happens to pass. The catch is NARROW (path-not-found
+        // only): a corrupt or unreadable labels table must FAIL, not
+        // silently run the expensive recompute forever — only the
+        // legitimately-absent artifact degrades, and it says so.
         try loadLabels()
-        catch { case _: org.apache.spark.sql.AnalysisException => recompute() }
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getCondition == "PATH_NOT_FOUND" =>
+            System.err.println(
+              "[p08] labels artifact absent (older publisher?) — " +
+                "serving via the full standing recompute: " +
+                Option(e.getMessage).getOrElse("").linesIterator
+                  .take(1).mkString)
+            recompute()
+        }
       else recompute()
     Clusters.mergeComponents(standing,
       pairsWhere((a, b) => a % 2 =!= 0 || b % 2 =!= 0))

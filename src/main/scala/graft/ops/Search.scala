@@ -53,34 +53,59 @@ object Search {
   // words, which average ~2 chars), unigrams keep single-char terms
   // recallable.
 
-  private def cjkAnchored = s"^${graft.ops.TextOps.CjkCharClass}$$"
+  /** Is this script token one CJK char? By [[TextOps.scriptTokens]]'s
+    * construction a CJK char is always a single-char token and a
+    * non-CJK run can never START with a CJK char, so whole-string
+    * range compares against the class endpoints decide membership
+    * with no regex at all — three codegen'd string compares per pair
+    * instead of two `rlike` matches. All three comparison orders
+    * (Spark's UTF8String byte-wise UTF-8, DuckDB's binary collation,
+    * Java's UTF-16 `compareTo` for the driver twin) agree on every
+    * verdict here: the decisive compare is the token's first char
+    * against BMP endpoints below U+A000, where all three orders
+    * coincide. */
+  private def isCjkTok(c: Column): Column =
+    graft.ops.TextOps.CjkRangePairs
+      .map { case (lo, hi) => c >= lit(lo) && c <= lit(hi) }
+      .reduce(_ || _)
+  private def isCjkTokStr(t: String): Boolean =
+    graft.ops.TextOps.CjkRangePairs
+      .exists { case (lo, hi) => t >= lo && t <= hi }
+  /** [[isCjkTok]] as a DuckDB predicate over SQL expression `e`. */
+  private def isCjkTokSql(e: String): String =
+    graft.ops.TextOps.CjkRangePairs
+      .map { case (lo, hi) => s"$e >= '$lo' AND $e <= '$hi'" }
+      .mkString("(", " OR ", ")")
 
   /** The unigram+bigram index terms of a text, as one map-side column:
     * script tokens, plus the concatenation of every adjacent CJK-CJK
-    * token pair. Zero shuffles; feeds [[bm25TopK]]/[[bm25BuildIndex]]
-    * through a `concat_ws(' ', …)` re-join (terms contain no spaces,
-    * so the split recovers them exactly). */
+    * token pair. Zero shuffles; feeds [[bm25TopKTokens]] directly as
+    * an array column (the r08 path materializes it ONCE — see the
+    * catalog entry). */
   def cjkIndexTerms(text: Column): Column = {
     val tk = graft.ops.TextOps.scriptTokens(text)
     val heads = slice(tk, lit(1), greatest(size(tk) - 1, lit(0)))
     val tails = slice(tk, lit(2), greatest(size(tk) - 1, lit(0)))
     val bigrams = filter(
       zip_with(heads, tails, (a, b) =>
-        when(a.rlike(cjkAnchored) && b.rlike(cjkAnchored), concat(a, b))),
+        when(isCjkTok(a) && isCjkTok(b), concat(a, b))),
       x => x.isNotNull)
     concat(tk, bigrams)
   }
 
   /** Driver-side twin of [[cjkIndexTerms]] for analyzing QUERY strings
-    * (the same tokenizer + bigram rule, pinned equal by spec). */
+    * — the same width fold, tokenizer, and bigram range rule, pinned
+    * equal to the column form by RoundFifteenOpsSpec's
+    * analyzer-equality test over crafted mixed-script /
+    * full-width / Ext-A strings. */
   def cjkAnalyze(s: String): Seq[String] = {
     val m = java.util.regex.Pattern
-      .compile(graft.ops.TextOps.ScriptTokenRe).matcher(s)
+      .compile(graft.ops.TextOps.ScriptTokenRe)
+      .matcher(graft.ops.TextOps.foldWidthStr(s))
     val tk = Iterator.continually(m.find()).takeWhile(identity)
       .map(_ => m.group()).toSeq
-    def isCjk(t: String) = t.matches(cjkAnchored)
     tk ++ tk.zip(tk.drop(1)).collect {
-      case (a, b) if isCjk(a) && isCjk(b) => a + b
+      case (a, b) if isCjkTokStr(a) && isCjkTokStr(b) => a + b
     }
   }
 
@@ -164,19 +189,34 @@ object Search {
     * Output: `(doc_id, score_q6)` — score in micro-units, ranked
     * `(score_q6 DESC, doc_id)` for a total order. */
   def bm25TopK(docs: DataFrame, id: String, text: String,
-               terms: Seq[String] = DefaultQuery, k: Int = 10): DataFrame = {
+               terms: Seq[String] = DefaultQuery, k: Int = 10): DataFrame =
+    bm25TopKTokens(
+      docs.select(col(id),
+        expr(s"filter(split($text, ' '), x -> x <> '')").as("__toks")),
+      id, "__toks", terms, k)
+
+  /** [[bm25TopK]] over a PRE-TOKENIZED corpus — `tokens` is an
+    * `array<string>` column. This is the seam that makes expensive
+    * analyzers affordable: the plan reads the token arrays for BOTH
+    * the corpus-scalar pass and the postings pass, so a caller whose
+    * tokenizer is regex-heavy (r08's fold + script regex + bigram
+    * build) materializes the arrays ONCE (localCheckpoint here; a
+    * persisted tokenized column at 100 TB) instead of re-running the
+    * tokenizer per pass. With a plain projected expression the plan is
+    * identical to the old inline form. */
+  def bm25TopKTokens(docs: DataFrame, id: String, tokens: String,
+                     terms: Seq[String] = DefaultQuery,
+                     k: Int = 10): DataFrame = {
     require(terms.nonEmpty, "at least one query term")
-    val termList = terms.map(t => s"'$t'").mkString(", ")
-    val words = s"filter(split($text, ' '), x -> x <> '')"
     // corpus scalars: one row, broadcast
     val stats = docs
-      .select(expr(s"size($words)").cast("long").as("dl"))
+      .select(size(col(tokens)).cast("long").as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     // query-term postings only: the explode drops every non-query token
     // before the exchange; dl rides along so no corpus rejoin is needed
     val tok = docs.select(col(id).as("doc_id"),
-      expr(s"size($words)").cast("long").as("dl"),
-      explode(expr(s"filter($words, x -> x IN ($termList))")).as("token"))
+      size(col(tokens)).cast("long").as("dl"),
+      explode(filter(col(tokens), t => t.isInCollection(terms))).as("token"))
     val tf = tok.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
@@ -213,14 +253,26 @@ object Search {
     * the same tf/df/stats values, computed once over every token
     * instead of per query over the query's terms. */
   def bm25BuildIndex(docs: DataFrame, id: String,
-                     text: String): (DataFrame, DataFrame, DataFrame) = {
-    val words = s"filter(split($text, ' '), x -> x <> '')"
+                     text: String): (DataFrame, DataFrame, DataFrame) =
+    bm25BuildIndexTokens(
+      docs.select(col(id),
+        expr(s"filter(split($text, ' '), x -> x <> '')").as("__toks")),
+      id, "__toks")
+
+  /** [[bm25BuildIndex]] over a PRE-TOKENIZED corpus (`array<string>`
+    * column) — the index-time half of the tokenize-once seam: the
+    * stats pass and the postings pass both read the token arrays, so
+    * a build over a materialized tokenized corpus runs exactly ONE
+    * tokenizer pass (at 100 TB the nightly build wants one corpus
+    * scan; pass a checkpointed/persisted token column here). */
+  def bm25BuildIndexTokens(docs: DataFrame, id: String,
+                           tokens: String): (DataFrame, DataFrame, DataFrame) = {
     val stats = docs
-      .select(expr(s"size($words)").cast("long").as("dl"))
+      .select(size(col(tokens)).cast("long").as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val postings = docs.select(col(id).as("doc_id"),
-        expr(s"size($words)").cast("long").as("dl"),
-        explode(expr(words)).as("token"))
+        size(col(tokens)).cast("long").as("dl"),
+        explode(col(tokens)).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
     val lexicon = postings.groupBy(col("token")).agg(count(lit(1)).as("df"))
@@ -393,14 +445,19 @@ object Search {
     "r01_bm25" -> ((s, d) =>
       bm25TopK(Tables.documents(s, d), "doc_id", "text")),
     // r08 harness: the fixture-translated unsegmented corpus indexed
-    // unigram+bigram, queried with the same-analyzed Chinese query
+    // unigram+bigram, queried with the same-analyzed Chinese query.
+    // The index terms are derived ONCE (localCheckpoint: the fold +
+    // script regex + bigram build is the expensive part of the whole
+    // entry; at 100 TB this materialization is the persisted tokenized
+    // column every CJK deployment stores anyway) and both bm25 passes
+    // read the arrays.
     "r08_cjk_bm25" -> ((s, d) =>
-      bm25TopK(
+      bm25TopKTokens(
         Tables.documents(s, d).select(col("doc_id"),
-          concat_ws(" ",
-            cjkIndexTerms(graft.ops.TextOps.cjkFixture(col("text"))))
-            .as("text")),
-        "doc_id", "text", terms = CjkQuery)),
+          cjkIndexTerms(graft.ops.TextOps.cjkFixture(col("text")))
+            .as("terms"))
+          .localCheckpoint(),
+        "doc_id", "terms", terms = CjkQuery)),
     // the full index persisted and served back — write + load + query
     // in one entry; shares r01's oracle verbatim (same terms, same
     // scoring tail, postings pruned at the parquet scan)
@@ -434,6 +491,24 @@ object Search {
 
   private def termList = DefaultQuery.map(t => s"'$t'").mkString(", ")
 
+  /** The BM25 scoring tail shared VERBATIM by every bm25 oracle (the
+    * r01 whitespace form and the r08 CJK unigram+bigram form — the
+    * same sharing the engine side gets from [[bm25ScoreTail]]):
+    * expects CTEs `tf(doc_id, token, tf, dl)`, `dfq(token, df)` and
+    * `stats(n_docs, sum_dl)` in scope. */
+  private lazy val bm25TailSql =
+      s"""sc AS (
+         |  SELECT tf.doc_id,
+         |    ln(1.0 + (stats.n_docs::DOUBLE - dfq.df::DOUBLE + 0.5)
+         |             / (dfq.df::DOUBLE + 0.5))
+         |    * (tf.tf::DOUBLE * ${K1 + 1})
+         |    / (tf.tf::DOUBLE + $K1 * (0.25 + $BTimesInv * tf.dl::DOUBLE
+         |        / (stats.sum_dl::DOUBLE / stats.n_docs::DOUBLE))) AS s
+         |  FROM tf JOIN dfq USING (token) CROSS JOIN stats)
+         |SELECT doc_id, CAST(round(sum(s) * 1000000.0) AS BIGINT) AS score_q6
+         |FROM sc GROUP BY doc_id
+         |ORDER BY score_q6 DESC, doc_id LIMIT 10""".stripMargin
+
   // r01/r03 texts as vals: r04's composed oracle references them, and a
   // def-map self-reference would recurse
   private lazy val bm25Sql =
@@ -453,17 +528,45 @@ object Search {
          |  SELECT doc_id, token, count(*)::BIGINT AS tf, max(dl) AS dl
          |  FROM tok GROUP BY 1, 2),
          |dfq AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
-         |sc AS (
-         |  SELECT tf.doc_id,
-         |    ln(1.0 + (stats.n_docs::DOUBLE - dfq.df::DOUBLE + 0.5)
-         |             / (dfq.df::DOUBLE + 0.5))
-         |    * (tf.tf::DOUBLE * ${K1 + 1})
-         |    / (tf.tf::DOUBLE + $K1 * (0.25 + $BTimesInv * tf.dl::DOUBLE
-         |        / (stats.sum_dl::DOUBLE / stats.n_docs::DOUBLE))) AS s
-         |  FROM tf JOIN dfq USING (token) CROSS JOIN stats)
-         |SELECT doc_id, CAST(round(sum(s) * 1000000.0) AS BIGINT) AS score_q6
-         |FROM sc GROUP BY doc_id
-         |ORDER BY score_q6 DESC, doc_id LIMIT 10""".stripMargin
+         |$bm25TailSql""".stripMargin
+
+  /** r08's oracle: the d20-pattern CJK derivation (fixture translate +
+    * fold + script-token regex — [[TextOps.scriptTokensSql]], the same
+    * string constants the engine compiles) extended with the
+    * unigram+bigram term build — adjacent CJK-CJK pairs selected by
+    * the SAME range compares as [[isCjkTok]] — then [[bm25TailSql]]
+    * verbatim over the [[CjkQuery]] literals the engine queries
+    * with. */
+  private lazy val cjkBm25Sql = {
+    val cjkTerms = CjkQuery.map(t => s"'$t'").mkString(", ")
+    s"""WITH c AS (
+       |  SELECT doc_id, ${graft.ops.TextOps.cjkFixtureSql("text")} AS t
+       |  FROM documents),
+       |tk0 AS (
+       |  SELECT doc_id, ${graft.ops.TextOps.scriptTokensSql("t")} AS tk
+       |  FROM c),
+       |tm AS (
+       |  SELECT doc_id, list_concat(tk,
+       |    list_filter(list_transform(range(2, len(tk) + 1), i ->
+       |      CASE WHEN ${isCjkTokSql("tk[i-1]")}
+       |            AND ${isCjkTokSql("tk[i]")}
+       |           THEN tk[i-1] || tk[i] END),
+       |      x -> x IS NOT NULL)) AS terms
+       |  FROM tk0),
+       |base AS (SELECT doc_id, terms, len(terms)::BIGINT AS dl FROM tm),
+       |stats AS (
+       |  SELECT count(*)::BIGINT AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+       |  FROM base),
+       |tok AS (
+       |  SELECT doc_id, dl,
+       |    unnest(list_filter(terms, x -> x IN ($cjkTerms))) AS token
+       |  FROM base),
+       |tf AS (
+       |  SELECT doc_id, token, count(*)::BIGINT AS tf, max(dl) AS dl
+       |  FROM tok GROUP BY 1, 2),
+       |dfq AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+       |$bm25TailSql""".stripMargin
+  }
 
   // r03 — the same index build relationally; the idf product is
   // written x·x (not pow) to match the Spark column expression
@@ -495,6 +598,7 @@ object Search {
 
   def oracle: Map[String, String] = Map(
     "r01_bm25" -> bm25Sql,
+    "r08_cjk_bm25" -> cjkBm25Sql,
     // r06 serves the persisted index back through r01's exact scoring
     // tail — the s05/s06 shared-oracle move on the search seam
     "r06_bm25_persisted" -> bm25Sql,

@@ -61,10 +61,19 @@ object TextOps {
   // class (the d14 doctrine: never \s across Java/RE2).
 
   private def cpStr(i: Int): String = new String(Character.toChars(i))
-  /** Kana (U+3040–U+30FF) + CJK Unified Ideographs (U+4E00–U+9FFF) as
-    * literal range endpoints. */
+  /** The CJK/kana repertoire as `(lo, hi)` literal range-endpoint
+    * strings: kana U+3040–U+30FF, CJK Extension A U+3400–U+4DBF (real
+    * TC medical text carries Ext-A characters — without this range
+    * they'd tokenize as opaque non-CJK runs and silently skew every
+    * cjk_ratio gate), and CJK Unified Ideographs U+4E00–U+9FFF. The
+    * pairs are public because the r08 bigram rule compares tokens
+    * against them directly (string range compares, the non-regex form
+    * of class membership) on BOTH engines. */
+  val CjkRangePairs: Seq[(String, String)] =
+    Seq((0x3040, 0x30ff), (0x3400, 0x4dbf), (0x4e00, 0x9fff))
+      .map { case (a, b) => (cpStr(a), cpStr(b)) }
   private val CjkRangesInner: String =
-    cpStr(0x3040) + "-" + cpStr(0x30ff) + cpStr(0x4e00) + "-" + cpStr(0x9fff)
+    CjkRangePairs.map { case (a, b) => s"$a-$b" }.mkString
   /** Character class matching one CJK/kana code point. */
   val CjkCharClass: String = s"[$CjkRangesInner]"
   /** Script-aware token pattern: ONE CJK/kana char, OR a maximal run of
@@ -74,13 +83,65 @@ object TextOps {
   val ScriptTokenRe: String =
     s"$CjkCharClass|[^$CjkRangesInner \\t\\n\\r\\f\\x0B]+"
 
-  /** Script-aware tokenizer: CJK chars become single-char tokens,
-    * everything else splits into whitespace-delimited runs — the
-    * entry-point that makes the shingle/MinHash family (via
-    * `concat_ws(' ', ...)` re-joining, see d20) and the token counters
-    * work on unsegmented text. A pure codegen'd map expression. */
+  // ——— Width / CJK-punctuation folding (the d22 seam, shared with the
+  // script tokenizer) ————————————————————————————————————————————————
+
+  /** Full-width → ASCII folding table: the FF01–FF5E "fullwidth forms"
+    * block maps 1:1 onto printable ASCII 21–7E, plus the ideographic
+    * space U+3000 → ASCII space — the width half of NFKC, which is the
+    * standard normalization a CJK pipeline runs before exact dedup
+    * (CJK text freely mixes ＡＢＣ１２３，！ with their ASCII twins;
+    * the reference's own X5 step exists because its TC/JP/SC source
+    * data carries full-width punctuation). This bijective table is
+    * what harness fixtures INVERT to synthesize full-width text; the
+    * engine folds with the wider [[FoldFrom]]. Both engines'
+    * `translate` is code-point-wise, so the fold is exact
+    * cross-engine. */
+  val FullwidthFrom: String =
+    (0xFF01 to 0xFF5E).map(_.toChar).mkString + 0x3000.toChar
+  val FullwidthTo: String =
+    (0x21 to 0x7E).map(_.toChar).mkString + " "
+  /** The reference's extra CJK-punctuation foldings
+    * (`data_preprocessing.py:41-50`) that live OUTSIDE the fullwidth
+    * block: ideographic full stop/comma, lenticular brackets, curly
+    * quotes — ubiquitous in TC/JP/SC prose. Folded only (never
+    * inverted by fixtures: the target chars `.,[]"'` repeat, so the
+    * inverse would be ambiguous). */
+  val PunctFoldFrom: String = "。、【】“”‘’"
+  val PunctFoldTo: String = ".,[]\"\"''"
+  /** The full fold table the engine applies: width block + ideographic
+    * space + the reference's punctuation mappings. */
+  val FoldFrom: String = FullwidthFrom + PunctFoldFrom
+  val FoldTo: String = FullwidthTo + PunctFoldTo
+  /** The fold as a column expression (one `translate`, pure map). */
+  def foldWidth(c: Column): Column = translate(c, FoldFrom, FoldTo)
+  /** Single-quote-doubled SQL string literal. */
+  def sqlLit(s: String): String = s.replace("'", "''")
+  /** [[foldWidth]]'s DuckDB twin — identical table, quote-escaped. */
+  def foldWidthSql(c: String): String =
+    s"translate($c, '${sqlLit(FoldFrom)}', '${sqlLit(FoldTo)}')"
+  /** [[foldWidth]]'s driver-side twin for analyzing QUERY strings
+    * (r08's analyzer must fold exactly like the corpus side). */
+  def foldWidthStr(s: String): String = s.map { c =>
+    val i = FoldFrom.indexOf(c)
+    if (i >= 0) FoldTo(i) else c
+  }
+
+  /** Script-aware tokenizer: width/punctuation-FOLDED first (so a
+    * full-width "ＡＢＣ１２３" run inside CJK text tokenizes as the
+    * word-like "ABC123" run it is, and ideographic spaces separate
+    * runs), then CJK chars become single-char tokens and everything
+    * else splits into whitespace-delimited runs — the entry-point that
+    * makes the shingle/MinHash family (via `concat_ws(' ', ...)`
+    * re-joining, see d20) and the token counters work on unsegmented
+    * text. Two codegen'd map expressions (translate + regex), zero
+    * shuffles. */
   def scriptTokens(text: Column): Column =
-    regexp_extract_all(text, lit(ScriptTokenRe), lit(0))
+    regexp_extract_all(foldWidth(text), lit(ScriptTokenRe), lit(0))
+  /** [[scriptTokens]]'s DuckDB twin — the identical fold table and
+    * token regex as SQL literals, for every oracle that tokenizes. */
+  def scriptTokensSql(c: String): String =
+    s"regexp_extract_all(${foldWidthSql(c)}, '$ScriptTokenRe')"
 
   /** Deterministic CJK-bearing fixture derivation, shared verbatim with
     * the DuckDB oracles ([[cjkFixtureSql]]): the harness corpus is
@@ -1354,7 +1415,7 @@ object TextOps {
     "t24_cjk_tokens" ->
       s"""WITH c AS (SELECT doc_id, ${cjkFixtureSql("text")} AS t FROM documents),
          |k AS (SELECT doc_id,
-         |    CAST(len(regexp_extract_all(t, '$ScriptTokenRe')) AS BIGINT) AS n_tokens,
+         |    CAST(len(${scriptTokensSql("t")}) AS BIGINT) AS n_tokens,
          |    CAST(len(regexp_extract_all(t, '$CjkCharClass')) AS BIGINT) AS n_cjk
          |  FROM c)
          |SELECT doc_id, n_tokens, n_cjk, n_tokens - n_cjk AS n_other,
@@ -1370,7 +1431,7 @@ object TextOps {
          |         ELSE ${cjkKanaFixtureSql("text")} END AS mx
          |  FROM documents),
          |k AS (SELECT doc_id,
-         |    CAST(len(regexp_extract_all(mx, '$ScriptTokenRe')) AS BIGINT) AS n_tokens,
+         |    CAST(len(${scriptTokensSql("mx")}) AS BIGINT) AS n_tokens,
          |    CAST(len(regexp_extract_all(mx, '$CjkCharClass')) AS BIGINT) AS n_cjk,
          |    CAST(len(regexp_extract_all(mx, '$KanaCharClass')) AS BIGINT) AS n_kana,
          |    CAST(len(list_filter(list_filter(string_split(mx, ' '), x -> x <> ''),
@@ -1387,7 +1448,7 @@ object TextOps {
     "t25_cjk_gate" ->
       s"""WITH c AS (SELECT doc_id, ${cjkFixtureSql("text")} AS t FROM documents),
          |k AS (SELECT doc_id,
-         |    CAST(len(regexp_extract_all(t, '$ScriptTokenRe')) AS BIGINT) AS n_tokens,
+         |    CAST(len(${scriptTokensSql("t")}) AS BIGINT) AS n_tokens,
          |    CAST(len(regexp_extract_all(t, '$CjkCharClass')) AS BIGINT) AS n_cjk
          |  FROM c)
          |SELECT doc_id, n_tokens, n_cjk,

@@ -20,7 +20,8 @@ class RoundFourteenOpsSpec extends AnyFunSuite {
       "each CJK char must be ONE UTF-16 code unit (BMP)")
     assert(TextOps.CjkTo.head == 0x4E00.toChar) // 一
     assert(TextOps.CjkTo.forall(c => c >= 0x4E00.toChar && c <= 0x9FFF.toChar))
-    assert(TextOps.CjkCharClass.length == 8) // [x-x x-x]: 4 literal chars
+    // [x-x x-x x-x]: 6 literal chars (kana, Ext-A, Unified) + brackets
+    assert(TextOps.CjkCharClass.length == 11)
   }
 
   test("cjkFixture maps letters to ideographs and DELETES spaces") {
