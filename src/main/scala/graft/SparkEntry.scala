@@ -169,6 +169,22 @@ object SparkEntry {
             ops.IndexPaths.dir("r06_index", d))
           ops.Search.bm25QueryIndex(lp, ll, ls)
         })),
+      "r09_cjk_bm25_persisted" -> ((
+        (s: SparkSession, d: String) => {
+          val toks = ops.Tables.documents(s, d).select(col("doc_id"),
+            ops.Search.cjkIndexTerms(
+              graft.ops.TextOps.cjkFixture(col("text"))).as("terms"))
+            .localCheckpoint()
+          val (p, l, st) = ops.Search.bm25BuildIndexTokens(
+            toks, "doc_id", "terms")
+          ops.Search.bm25WriteIndex(p, l, st,
+            ops.IndexPaths.dir("r09_index", d))
+        },
+        (s: SparkSession, d: String) => {
+          val (lp, ll, ls) = ops.Search.bm25LoadIndex(s,
+            ops.IndexPaths.dir("r09_index", d))
+          ops.Search.bm25QueryIndex(lp, ll, ls, terms = ops.Search.CjkQuery)
+        })),
       "k15_pq_persisted" -> ((
         (s: SparkSession, d: String) => {
           val (codes, cbs) = ops.Similarity.sharedPqIndex(s, d)

@@ -461,6 +461,26 @@ object Search {
     // the full index persisted and served back — write + load + query
     // in one entry; shares r01's oracle verbatim (same terms, same
     // scoring tail, postings pruned at the parquet scan)
+    // the p06 move on the CJK seam (r09): the tokenized corpus is
+    // derived ONCE (the r08 checkpoint), the full unigram+bigram index
+    // built from the arrays in one corpus pass and persisted, and the
+    // Chinese query served entirely from the loaded tables — postings
+    // pruned at the parquet scan. For any term subset the pruned
+    // tf/df/stats equal the query-time ones (r06's argument), so r09
+    // shares r08's oracle verbatim. This is the nightly shape a CJK
+    // deployment actually runs: tokenize+index once at ingest, serve
+    // every query from the store.
+    "r09_cjk_bm25_persisted" -> ((s, d) => {
+      val idxDir = IndexPaths.dir("r09_index", d)
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        cjkIndexTerms(graft.ops.TextOps.cjkFixture(col("text")))
+          .as("terms"))
+        .localCheckpoint()
+      val (p, l, st) = bm25BuildIndexTokens(toks, "doc_id", "terms")
+      bm25WriteIndex(p, l, st, idxDir)
+      val (lp, ll, ls) = bm25LoadIndex(s, idxDir)
+      bm25QueryIndex(lp, ll, ls, terms = CjkQuery)
+    }),
     "r06_bm25_persisted" -> ((s, d) => {
       val idxDir = IndexPaths.dir("r06_index", d)
       val (p, l, st) = bm25BuildIndex(Tables.documents(s, d), "doc_id", "text")
@@ -599,6 +619,9 @@ object Search {
   def oracle: Map[String, String] = Map(
     "r01_bm25" -> bm25Sql,
     "r08_cjk_bm25" -> cjkBm25Sql,
+    // r09 serves the persisted CJK index back through r08's exact
+    // scoring tail — the r06/r01 shared-oracle move on the CJK seam
+    "r09_cjk_bm25_persisted" -> cjkBm25Sql,
     // r06 serves the persisted index back through r01's exact scoring
     // tail — the s05/s06 shared-oracle move on the search seam
     "r06_bm25_persisted" -> bm25Sql,

@@ -119,4 +119,27 @@ class RoundFifteenOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(viaArrays.toSeq == viaText.toSeq && viaArrays.nonEmpty)
   }
+
+  test("r09: the persisted CJK index served back equals the one-shot " +
+    "r08 ranking bit-for-bit") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "大左一中百大左 右山五中y"),
+      (2L, "六一大小 六一大小 extra"),
+      (3L, "中右山 middle run"),
+      (4L, "一二三四五"),
+      (5L, "no cjk at all")).toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"),
+      Search.cjkIndexTerms(col("text")).as("terms"))
+    val dir = java.nio.file.Files.createTempDirectory("r09spec").toString
+    val (p, l, st) = Search.bm25BuildIndexTokens(toks, "doc_id", "terms")
+    Search.bm25WriteIndex(p, l, st, dir)
+    val (lp, ll, ls) = Search.bm25LoadIndex(spark, dir)
+    val served = Search.bm25QueryIndex(lp, ll, ls, terms = Search.CjkQuery)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val oneShot = Search.bm25TopKTokens(toks, "doc_id", "terms",
+      terms = Search.CjkQuery)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(served.toSeq == oneShot.toSeq && served.nonEmpty)
+  }
 }
