@@ -96,4 +96,50 @@ object IncrementalDedupStream {
       .start()
     q.awaitTermination()
   }
+
+  /** The CJK seam's stream edge — [[runAvailableNowIndexed]]'s
+    * char-path sibling, serving ENTIRELY from the published d21 store:
+    * each arriving micro-batch of unsegmented documents is
+    * script-tokenized, banded, and scored against the LOADED standing
+    * char-shingle artifacts (verify hash arrays + band table, both
+    * bound ONCE outside the loop — standing text is never read at
+    * all), with the band-bucket cap FROZEN at the standing side.
+    * Every global input is a pure function of the frozen store (d21's
+    * batch-independence contract, RoundFourteenOpsSpec), so the union
+    * over any micro-batch split equals the one-shot
+    * [[graft.ops.Dedup.cjkServeDelta]] exactly — pinned by
+    * IncrementalDedupStreamSpec's CJK test. foreachBatch with zero
+    * streaming state, the same rationale as [[runAvailableNow]].
+    * `textOf` lets the harness inject the fixture translate; a real
+    * deployment leaves the default raw column. */
+  def runAvailableNowCjk(spark: SparkSession, dir: String, indexDir: String,
+                         outPath: String, threshold: Double = 0.6,
+                         deltaFilter: org.apache.spark.sql.Column,
+                         textOf: org.apache.spark.sql.Column = col("text"),
+                         checkpointDir: Option[String] = None): Unit = {
+    val hashes = spark.read.parquet(s"$indexDir/hashes")
+      .withColumnRenamed("doc_id", "corpus_id")
+    val bands = spark.read.parquet(s"$indexDir/bands")
+      .withColumnRenamed("doc_id", "corpus_id")
+    val reader = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .filter(deltaFilter)
+    val writer0 = reader.writeStream
+    val writer = checkpointDir.fold(writer0)(cp =>
+      writer0.option("checkpointLocation", cp))
+    val q = writer
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Dedup.minhashServeDeltaFrom(hashes, bands,
+          batch.select(col("doc_id"), concat_ws(" ",
+            graft.ops.TextOps.scriptTokens(textOf)).as("_script_text")),
+          "doc_id", "_script_text", threshold,
+          graft.ops.Dedup.CjkCharShingleN, graft.ops.Dedup.MaxBandDocs)
+          .write.mode("append").parquet(outPath)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -45,4 +45,29 @@ class IncrementalDedupStreamSpec extends AnyFunSuite {
     assert(streamed == batch,
       "serving micro-batches from the loaded band table must equal batch d10")
   }
+
+  test("CJK stream edge: micro-batches served from the loaded d21 store " +
+    "equal the one-shot cjkServeDelta") {
+    def cjk(f: org.apache.spark.sql.Column) =
+      Tables.documents(spark, sf).filter(f).select(col("doc_id"),
+        graft.ops.TextOps.cjkFixture(col("text")).as("text"))
+    val idxDir = Files.createTempDirectory("graft_cjk_idx").toString
+    Dedup.cjkPublishIndex(cjk(col("doc_id") % 2 === 0), "doc_id", "text",
+      idxDir)
+    val out = Files.createTempDirectory("graft_cjk_out").toString + "/pairs"
+    IncrementalDedupStream.runAvailableNowCjk(spark, sf, idxDir, out,
+      deltaFilter = col("doc_id") % 2 =!= 0,
+      textOf = graft.ops.TextOps.cjkFixture(col("text")))
+    val streamed = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sorted.toSeq
+    val batch = Dedup.cjkServeDelta(spark, cjk(col("doc_id") % 2 =!= 0),
+        "doc_id", "text", 0.6, idxDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sorted.toSeq
+    assert(batch.nonEmpty, "fixture must contain cross-set CJK near-dups")
+    assert(streamed == batch,
+      "standing text must never be needed: the loaded hashes/bands alone " +
+        "reproduce the one-shot serve")
+  }
 }
