@@ -116,14 +116,15 @@ object IncrementalDedupStream {
                          outPath: String, threshold: Double = 0.6,
                          deltaFilter: org.apache.spark.sql.Column,
                          textOf: org.apache.spark.sql.Column = col("text"),
-                         checkpointDir: Option[String] = None): Unit = {
+                         checkpointDir: Option[String] = None,
+                         glob: String = "documents.parquet"): Unit = {
     val hashes = spark.read.parquet(s"$indexDir/hashes")
       .withColumnRenamed("doc_id", "corpus_id")
     val bands = spark.read.parquet(s"$indexDir/bands")
       .withColumnRenamed("doc_id", "corpus_id")
     val reader = spark.readStream
       .schema(rawSchema)
-      .option("pathGlobFilter", "documents.parquet")
+      .option("pathGlobFilter", glob)
       .parquet(dir)
       .filter(deltaFilter)
     val writer0 = reader.writeStream

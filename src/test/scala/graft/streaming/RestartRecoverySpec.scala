@@ -373,4 +373,50 @@ class RestartRecoverySpec extends org.scalatest.funsuite.AnyFunSuite {
       (batchVerdict.getLong(0), batchVerdict.getString(1)),
       "alert row over recovered state must equal batch v14")
   }
+
+  test("CJK stream edge: restart from checkpoint processes only the " +
+    "unseen tranche, appended union equals the one-shot serve") {
+    // The CJK serve is stateless foreachBatch, so the recovery contract
+    // is the SOURCE's: file offsets come back from the checkpoint and
+    // tranche A must not re-append after the kill — exactly-once on the
+    // pair sink. (d21's frozen-cap batch-independence is what makes
+    // per-tranche serves compose to the one-shot at all.)
+    val watch = Files.createTempDirectory("graft_restart_cjk")
+    val ckpt = Files.createTempDirectory("graft_ckpt_cjk").toString
+    def cjk(f: org.apache.spark.sql.Column) =
+      Tables.documents(spark, sf).filter(f).select(col("doc_id"),
+        graft.ops.TextOps.cjkFixture(col("text")).as("text"))
+    val idxDir = Files.createTempDirectory("graft_cjk_restart_idx").toString
+    graft.ops.Dedup.cjkPublishIndex(cjk(col("doc_id") % 2 === 0),
+      "doc_id", "text", idxDir)
+    val out = Files.createTempDirectory("graft_cjk_restart_out").toString +
+      "/pairs"
+    // delta tranches: raw document rows (the runner's read schema), the
+    // fixture translate injected via textOf as in deployment
+    val docs = Tables.documents(spark, sf)
+    stageTranche(docs.filter(col("doc_id") % 4 === 1), watch, "docsA")
+    def runOnce(): Unit =
+      IncrementalDedupStream.runAvailableNowCjk(spark, watch.toString,
+        idxDir, out, deltaFilter = col("doc_id") % 2 =!= 0,
+        textOf = graft.ops.TextOps.cjkFixture(col("text")),
+        checkpointDir = Some(ckpt), glob = "*.parquet")
+    runOnce() // run 1 sees tranche A only, then "dies"
+    def pairs() = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sorted.toSeq
+    val afterA = pairs()
+    stageTranche(docs.filter(col("doc_id") % 4 === 3), watch, "docsB")
+    runOnce() // restart from the same checkpoint
+    val resumed = pairs()
+    val oneShot = graft.ops.Dedup.cjkServeDelta(spark,
+        cjk(col("doc_id") % 2 =!= 0), "doc_id", "text", 0.6, idxDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sorted.toSeq
+    assert(oneShot.nonEmpty, "fixture must contain cross-set CJK near-dups")
+    assert(resumed == oneShot,
+      "restart must append exactly the unseen tranche's pairs — no " +
+        "duplicates, no gaps")
+    assert(afterA != resumed, "split produced no partial first run")
+  }
 }
