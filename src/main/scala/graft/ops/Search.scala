@@ -407,6 +407,62 @@ object Search {
       .agg(count(lit(1)).as("n_occurrences"))
   }
 
+  /** The r10 harness phrase: [[DefaultPhrase]]._1 pushed through the
+    * fixture translate and analyzed — its consecutive char tokens (the
+    * unigrams of [[cjkAnalyze]], in order). What a user typing the
+    * Chinese word actually sends to phrase search. */
+  lazy val CjkPhrase: Seq[String] = {
+    val t = DefaultPhrase._1.map { c =>
+      val i = graft.ops.TextOps.CjkFrom.indexOf(c)
+      if (i >= 0 && i < graft.ops.TextOps.CjkTo.length)
+        graft.ops.TextOps.CjkTo(i)
+      else c
+    }.mkString
+    cjkAnalyze(t).filter(_.length == 1)
+  }
+
+  /** Documents containing an exact CONSECUTIVE CJK char sequence (r10)
+    * — [[phraseMatch]]'s unsegmented sibling, generalized to L terms:
+    * positional postings over SCRIPT tokens (each CJK char is one
+    * position), the anchor char's postings chained through L−1
+    * adjacency joins (`pos_i = pos_anchor + i`). This is how an
+    * inverted index answers CJK phrase queries the unigram+bigram r08
+    * index can only approximate (bigrams pin 2-windows; true phrase
+    * semantics need positions) — and the positional-postings shape is
+    * why it scales: every side is pruned to the PHRASE'S chars before
+    * any exchange, the chain co-shuffles on `doc_id`, and a substring
+    * scan over the corpus (the naive `instr` plan) is never run.
+    * Output: `(doc_id, n_occurrences)` — one row per matching doc,
+    * counting anchor positions whose full chain matches. */
+  def cjkPhraseMatch(docs: DataFrame, id: String, text: String,
+                     phrase: Seq[String] = CjkPhrase): DataFrame = {
+    require(phrase.length >= 2, "a phrase needs at least two terms")
+    val toks = graft.ops.TextOps.scriptTokens(col(text))
+    // ONE corpus pass: tokenize + posexplode once, prune to the
+    // phrase's chars map-side, and CHECKPOINT the pruned postings
+    // (phrase-postings-sized — tiny) so the L−1 chain joins read the
+    // materialized rows instead of each re-tokenizing the corpus (the
+    // r08 tokenize-once doctrine; without this the plan runs L corpus
+    // scans — measured 6.8× at the sf1 probe vs ~4× after).
+    val pruned = docs
+      .select(col(id).as("doc_id"), posexplode(toks).as(Seq("pos", "token")))
+      .filter(col("token").isInCollection(phrase))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
+      .localCheckpoint()
+    def postings(t: String): DataFrame = pruned
+      .filter(col("token") === t)
+      .select(col("doc_id"), col("pos"))
+    val matched = phrase.tail.zipWithIndex.foldLeft(postings(phrase.head)) {
+      case (acc, (t, i)) =>
+        val nxt = postings(t)
+          .select(col("doc_id").as("_d"), col("pos").as("_p"))
+        acc.join(nxt, acc("doc_id") === nxt("_d") &&
+            nxt("_p") === acc("pos") + lit(i + 1L))
+          .select(acc("doc_id"), acc("pos"))
+    }
+    matched.groupBy(col("doc_id")).agg(count(lit(1)).as("n_occurrences"))
+  }
+
   /** Reciprocal-rank-fusion constant (the standard RRF-60). */
   val RrfC = 60
 
@@ -500,6 +556,13 @@ object Search {
     }),
     "r05_dirichlet_ql" -> ((s, d) =>
       dirichletTopK(Tables.documents(s, d), "doc_id", "text")),
+    // r10: exact consecutive-char phrase over the unsegmented corpus —
+    // positional postings over script tokens, the true-phrase
+    // complement of r08's bigram approximation
+    "r10_cjk_phrase" -> ((s, d) =>
+      cjkPhraseMatch(Tables.documents(s, d).select(col("doc_id"),
+          graft.ops.TextOps.cjkFixture(col("text")).as("text")),
+        "doc_id", "text")),
     "r02_phrase" -> ((s, d) =>
       phraseMatch(Tables.documents(s, d), "doc_id", "text")),
     "r03_tfidf_cosine" -> ((s, d) =>
@@ -673,6 +736,33 @@ object Search {
          |FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
          |WHERE a.tok = '${DefaultPhrase._1}' AND b.tok = '${DefaultPhrase._2}'
          |GROUP BY a.doc_id""".stripMargin,
+    // r10 — r02's positional idiom over the script tokens of the
+    // shared fixture, the L−1 adjacency joins generated from the SAME
+    // CjkPhrase literals the engine chains (1-based positions here,
+    // 0-based in Spark — adjacency is base-invariant)
+    "r10_cjk_phrase" -> {
+      val ph = CjkPhrase
+      val joins = ph.tail.zipWithIndex.map { case (t, i) =>
+        s"JOIN p t${i + 1} ON t${i + 1}.doc_id = t0.doc_id " +
+          s"AND t${i + 1}.pos = t0.pos + ${i + 1} AND t${i + 1}.tok = '$t'"
+      }.mkString("\n  ")
+      s"""WITH c AS (
+         |  SELECT doc_id, ${graft.ops.TextOps.cjkFixtureSql("text")} AS t
+         |  FROM documents),
+         |w AS (SELECT doc_id, ${graft.ops.TextOps.scriptTokensSql("t")} AS tk
+         |      FROM c),
+         |tok AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(tk) + 1),
+         |      i -> struct_pack(pos := i, tok := tk[i]))) AS u
+         |  FROM w),
+         |p AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM tok)
+         |SELECT t0.doc_id, count(*) AS n_occurrences
+         |FROM p t0
+         |  $joins
+         |WHERE t0.tok = '${ph.head}'
+         |GROUP BY t0.doc_id""".stripMargin
+    },
     "r03_tfidf_cosine" -> tfidfCosineSql,
     // r04 — the two retriever oracles verbatim as subqueries (nested
     // WITH is legal inside a derived table), re-ranked and RRF-fused

@@ -142,4 +142,26 @@ class RoundFifteenOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(served.toSeq == oneShot.toSeq && served.nonEmpty)
   }
+
+  test("r10 CJK phrase: consecutive chars only, interruptions break " +
+    "adjacency, occurrences counted") {
+    import spark.implicits._
+    // CjkPhrase = fixture("fast") = 六一大小
+    assert(Search.CjkPhrase == Seq("六", "一", "大", "小"))
+    val docs = Seq(
+      (1L, "前六一大小後"),      // one occurrence, embedded
+      (2L, "六一大小六一大小"),  // two occurrences
+      (3L, "六一大 小"),         // whitespace is NOT a token: positions
+                                 //  are token ordinals, so the chars
+                                 //  stay adjacent (standard positional-
+                                 //  index semantics)
+      (4L, "六一ab大小"),        // a Latin RUN occupies a position and
+                                 //  breaks the chain
+      (5L, "六一大"),            // prefix only
+      (6L, "小大一六"))          // right chars, wrong order
+      .toDF("doc_id", "text")
+    val got = Search.cjkPhraseMatch(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
 }
