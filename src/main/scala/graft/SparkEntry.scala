@@ -104,6 +104,26 @@ object SparkEntry {
             docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", 0.6,
             idxDir)
         }),
+        // p03's CJK sibling — the full curation pipeline a CJK shard
+        // runs end-to-end: char-gram near-dup dedup (min-id keeper over
+        // the shared d20 components) → script-aware quality gate (t25)
+        // → deterministic split assignment. Every stage is an existing
+        // catalog operator; the composed DuckDB oracle chains their
+        // oracle texts (d20's pair CTEs under the recursive component
+        // closure, t24's counts, the shared splitSql).
+        "p11_cjk_curation" -> ((s: SparkSession, d: String) => {
+          import org.apache.spark.sql.functions.col
+          val docs = ops.Tables.documents(s, d).select(col("doc_id"),
+            graft.ops.TextOps.cjkFixture(col("text")).as("text"))
+          val kept = ops.Clusters.dedupCorpusFromComponents(docs, "doc_id",
+            ops.Clusters.sharedCjkComponents(s, d))
+          val good = kept.join(
+            ops.TextOps.scriptGopherFilter(kept, "doc_id", "text")
+              .filter(col("keep")).select("doc_id"),
+            Seq("doc_id"), "left_semi")
+          ops.Sampling.splitAssign(good, "doc_id", ops.Sampling.DefaultSplits)
+            .select(col("doc_id"), col("split"))
+        }),
         // The p05 move on the SEARCH seam: persist the standing (even)
         // corpus' BM25 index, load it back, build only the delta
         // (odd) batch's postings, fold them in with the exact integer
@@ -393,6 +413,28 @@ object SparkEntry {
              |FROM good""".stripMargin
         },
         "p04_media_curation" -> ops.Multimodal.curationOracleSql,
+        "p11_cjk_curation" -> {
+          val to = graft.ops.TextOps
+          s"""WITH RECURSIVE ${ops.Clusters.componentsCte(ops.Dedup.oracle("d20_cjk_neardup"))},
+             |cf AS (SELECT doc_id, ${to.cjkFixtureSql("text")} AS t
+             |       FROM documents),
+             |kept AS (
+             |  SELECT doc_id, t FROM cf
+             |  WHERE doc_id NOT IN (SELECT id FROM lab WHERE cluster < id)),
+             |k AS (SELECT doc_id,
+             |    CAST(len(${to.scriptTokensSql("t")}) AS BIGINT) AS n_tokens,
+             |    CAST(len(regexp_extract_all(t, '${to.CjkCharClass}')) AS BIGINT) AS n_cjk
+             |  FROM kept),
+             |good AS (
+             |  SELECT doc_id FROM k
+             |  WHERE (n_tokens BETWEEN 50 AND 400)
+             |    AND coalesce((CASE WHEN n_tokens > 0
+             |          THEN (n_cjk * 1000000) // n_tokens END) >= 500000,
+             |        FALSE))
+             |SELECT doc_id,
+             |  ${ops.Sampling.splitSql("doc_id", ops.Sampling.DefaultSplits)} AS split
+             |FROM good""".stripMargin
+        },
         // p05 reconstructs c03's labels incrementally (see the query's
         // comment for the pair-set equality argument)
         "p05_incremental_maintenance" ->

@@ -311,6 +311,24 @@ object Clusters {
       connectedComponents(sharedMinhashPairs(s, d), "doc_a", "doc_b")
     }
 
+  /** The CJK char-gram near-dup pair table (d20's output over the
+    * fixture-derived unsegmented corpus), computed once per (session,
+    * dir) — shared by d20 and the p11 curation composition, the
+    * [[sharedPairs]] move on the char seam. */
+  def sharedCjkPairs(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "cjk_pairs") {
+      Dedup.cjkNearDupPairs(
+        Tables.documents(s, d).select(col("doc_id"),
+          graft.ops.TextOps.cjkFixture(col("text")).as("text")),
+        "doc_id", "text", 0.6).localCheckpoint()
+    }
+
+  /** The component table over [[sharedCjkPairs]] (p11). */
+  def sharedCjkComponents(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "cjk_cc") {
+      connectedComponents(sharedCjkPairs(s, d), "doc_a", "doc_b")
+    }
+
   /** The end of the dedup pipeline: the corpus with every non-keeper
     * removed — each duplicate cluster keeps exactly its min-id doc,
     * unpaired docs pass through untouched. One anti-join against the

@@ -1138,12 +1138,11 @@ object Dedup {
     "d08_minhash_verified" -> ((s, d) => Clusters.sharedMinhashPairs(s, d)),
     // d20 harness: the unsegmented mixed-script fixture (TextOps
     // .cjkFixture — same planted near-dups, now separator-free) under
-    // the char-shingle MinHash path
-    "d20_cjk_neardup" -> ((s, d) =>
-      cjkNearDupPairs(
-        Tables.documents(s, d).select(col("doc_id"),
-          TextOps.cjkFixture(col("text")).as("text")),
-        "doc_id", "text", 0.6)),
+    // the char-shingle MinHash path. Reads the session-shared
+    // materialized pair table (same rows, computed once across d20 and
+    // the p11 curation composition — see Clusters.sharedCjkPairs, the
+    // d02/sharedPairs convention).
+    "d20_cjk_neardup" -> ((s, d) => Clusters.sharedCjkPairs(s, d)),
     // d21 harness: publish the standing (even) half's char index, serve
     // the arriving (odd) half from the loaded artifacts
     "d21_cjk_serve_delta" -> ((s, d) => {

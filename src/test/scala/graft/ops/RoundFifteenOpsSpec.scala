@@ -164,4 +164,29 @@ class RoundFifteenOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
   }
+
+  test("p11 composition: near-dup loser dropped BEFORE the gate, short " +
+    "and low-CJK docs gated, survivors split-assigned") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => TextOps.CjkTo(i % 21)).mkString
+    val docs = Seq(
+      (1L, base),            // keeper of the dup pair (min id), passes gate
+      (2L, base + "一"),      // near-dup of 1 → dropped by dedup
+      (3L, "一二三"),          // unique but too short → gated
+      (4L, base.reverse),    // unique, 60 CJK tokens → kept
+      (5L, ("ab " * 60).trim)) // unique, 60 tokens but zero CJK → gated
+      .toDF("doc_id", "text")
+    val labels = Clusters.connectedComponents(
+      Dedup.cjkNearDupPairs(docs, "doc_id", "text", 0.6)
+        .select(col("doc_a"), col("doc_b")), "doc_a", "doc_b")
+    val kept = Clusters.dedupCorpusFromComponents(docs, "doc_id", labels)
+    val good = kept.join(
+      TextOps.scriptGopherFilter(kept, "doc_id", "text")
+        .filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
+    val out = Sampling.splitAssign(good, "doc_id", Sampling.DefaultSplits)
+      .select(col("doc_id"), col("split")).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 4L))
+    assert(out.forall(r =>
+      Sampling.DefaultSplits.map(_._1).contains(r.getString(1))))
+  }
 }
