@@ -436,8 +436,17 @@ object Multimodal {
             recompute()
         }
       else recompute()
-    Clusters.mergeComponents(standing,
-      pairsWhere((a, b) => a % 2 =!= 0 || b % 2 =!= 0))
+    // The delta-touching pair set is delta-sized by construction;
+    // checkpoint it so the empty-night decision is one cheap probe and
+    // the merge fixpoint's cached edge derivation reads materialized
+    // rows instead of re-running the pair join. Merging an EMPTY edge
+    // set is an identity on the standing labels (p05's argument on the
+    // text seam), so a pair-free night returns them as-is.
+    val deltaEdges = pairsWhere((a, b) => a % 2 =!= 0 || b % 2 =!= 0)
+      .localCheckpoint()
+    if (deltaEdges.isEmpty)
+      standing.select(col("doc_id"), col("cluster_id"))
+    else Clusters.mergeComponents(standing, deltaEdges)
   }
 
   /** Cross-set near-dup readout of arriving media vs the STANDING
