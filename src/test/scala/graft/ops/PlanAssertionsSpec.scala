@@ -85,7 +85,15 @@ class PlanAssertionsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
 
   test("d20 CJK near-dup: band-bounded candidates, never cartesian or " +
     "token-level pair shuffle") {
-    val p = plan("d20_cjk_neardup")
+    // the catalog entry now serves the session-memoized checkpoint
+    // (sharedCjkPairs), so assert on the underlying operator directly
+    // — the k04 precedent
+    import org.apache.spark.sql.functions.col
+    val p = Dedup.cjkNearDupPairs(
+        Tables.documents(spark, sf).select(col("doc_id"),
+          TextOps.cjkFixture(col("text")).as("text")),
+        "doc_id", "text", 0.6)
+      .queryExecution.executedPlan
     val s = p.toString
     assert(!s.contains("CartesianProduct"),
       "char shingles must pair through band buckets only:\n" + s.take(2000))
@@ -585,5 +593,38 @@ class PlanAssertionsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(found == allowed,
       s"unexpected global windows: ${(found -- allowed).toSeq.sorted}; " +
         s"stale allowlist entries: ${(allowed -- found).toSeq.sorted}")
+  }
+
+  test("r08 tokenize-once: the executed plan contains ZERO tokenizer " +
+    "expressions — every pass reads the checkpointed arrays") {
+    val s = plan("r08_cjk_bm25").toString
+    assert(!s.contains("regexp_extract_all") && !s.contains("translate"),
+      "the fold+regex+bigram derivation must run exactly once, into " +
+        "the checkpoint, never inside the bm25 passes:\n" + s.take(2000))
+  }
+
+  test("r09 serve: the CJK term predicate reaches the index parquet " +
+    "scans (PushedFilters)") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("r09plan").toString
+    val toks = Tables.documents(spark, sf).select(col("doc_id"),
+      Search.cjkIndexTerms(TextOps.cjkFixture(col("text"))).as("terms"))
+    val (pst, lex, st) = Search.bm25BuildIndexTokens(toks, "doc_id", "terms")
+    Search.bm25WriteIndex(pst, lex, st, dir)
+    val (lp, ll, ls) = Search.bm25LoadIndex(spark, dir)
+    val formatted = Search.bm25QueryIndex(lp, ll, ls, terms = Search.CjkQuery)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("PushedFilters: [In(token"),
+      "term pruning must reach the postings scan:\n" + formatted.take(3000))
+  }
+
+  test("r10 phrase: chain joins read the pruned checkpoint — no " +
+    "re-tokenize, no cartesian") {
+    val s = plan("r10_cjk_phrase").toString
+    assert(!s.contains("regexp_extract_all"),
+      "positional postings must come from the single pruned pass:\n" +
+        s.take(2000))
+    assert(!s.contains("CartesianProduct"), s.take(2000))
   }
 }
