@@ -191,10 +191,7 @@ object SparkEntry {
         })),
       "r09_cjk_bm25_persisted" -> ((
         (s: SparkSession, d: String) => {
-          val toks = ops.Tables.documents(s, d).select(col("doc_id"),
-            ops.Search.cjkIndexTerms(
-              graft.ops.TextOps.cjkFixture(col("text"))).as("terms"))
-            .localCheckpoint()
+          val toks = ops.Clusters.sharedCjkTerms(s, d)
           val (p, l, st) = ops.Search.bm25BuildIndexTokens(
             toks, "doc_id", "terms")
           ops.Search.bm25WriteIndex(p, l, st,

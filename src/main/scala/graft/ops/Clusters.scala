@@ -329,6 +329,20 @@ object Clusters {
       connectedComponents(sharedCjkPairs(s, d), "doc_a", "doc_b")
     }
 
+  /** The unigram+bigram index-term arrays of the fixture-derived
+    * corpus (`doc_id, terms`), tokenized ONCE per (session, dir) and
+    * checkpointed — the materialized "tokenized column" a CJK
+    * deployment stores, shared by the r08 query and the r09 index
+    * build instead of each re-running the fold+regex+bigram
+    * derivation. */
+  def sharedCjkTerms(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "cjk_terms") {
+      Tables.documents(s, d).select(col("doc_id"),
+        graft.ops.Search.cjkIndexTerms(
+          graft.ops.TextOps.cjkFixture(col("text"))).as("terms"))
+        .localCheckpoint()
+    }
+
   /** The end of the dedup pipeline: the corpus with every non-keeper
     * removed — each duplicate cluster keeps exactly its min-id doc,
     * unpaired docs pass through untouched. One anti-join against the

