@@ -356,12 +356,22 @@ object Search {
     * aggregate cross-joined in. Top-k is `TakeOrderedAndProject`.
     * Score micro-quantized like r01. Output: `(doc_id, score_q6)`. */
   def tfidfCosineTopK(docs: DataFrame, id: String, text: String,
-                      terms: Seq[String] = DefaultQuery, k: Int = 10): DataFrame = {
+                      terms: Seq[String] = DefaultQuery, k: Int = 10): DataFrame =
+    tfidfCosineTopKTokens(
+      docs.select(col(id),
+        expr(s"filter(split($text, ' '), x -> x <> '')").as("__toks")),
+      id, "__toks", terms, k)
+
+  /** [[tfidfCosineTopK]] over a PRE-TOKENIZED corpus (`array<string>`
+    * column) — the r08 tokenize-once seam on the vector-space ranker,
+    * which r11 feeds with the shared CJK term arrays. */
+  def tfidfCosineTopKTokens(docs: DataFrame, id: String, tokens: String,
+                            terms: Seq[String] = DefaultQuery,
+                            k: Int = 10): DataFrame = {
     require(terms.nonEmpty, "at least one query term")
     val termCols = terms.map(lit)
-    val words = s"filter(split($text, ' '), x -> x <> '')"
     val tok = docs.select(col(id).as("doc_id"),
-      explode(expr(words)).as("token"))
+      explode(col(tokens)).as("token"))
     val tf = tok.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
     val dfr = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
@@ -564,7 +574,18 @@ object Search {
     "r04_hybrid_rrf" -> ((s, d) =>
       rrfFuse(bm25TopK(Tables.documents(s, d), "doc_id", "text"),
         tfidfCosineTopK(Tables.documents(s, d), "doc_id", "text"),
-        "doc_id")))
+        "doc_id")),
+    // r11: r04's sparse+vector-space hybrid on the CJK seam — both
+    // retrievers run over the session-shared term arrays (ONE
+    // tokenizer pass feeds lexical BM25, TF-IDF cosine, and the r09
+    // index build), fused by the same calibration-free RRF
+    "r11_cjk_hybrid_rrf" -> ((s, d) => {
+      val toks = Clusters.sharedCjkTerms(s, d)
+      rrfFuse(
+        bm25TopKTokens(toks, "doc_id", "terms", terms = CjkQuery),
+        tfidfCosineTopKTokens(toks, "doc_id", "terms", terms = CjkQuery),
+        "doc_id")
+    }))
 
   private def termList = DefaultQuery.map(t => s"'$t'").mkString(", ")
 
@@ -614,9 +635,15 @@ object Search {
     * the SAME range compares as [[isCjkTok]] — then [[bm25TailSql]]
     * verbatim over the [[CjkQuery]] literals the engine queries
     * with. */
-  private lazy val cjkBm25Sql = {
-    val cjkTerms = CjkQuery.map(t => s"'$t'").mkString(", ")
-    s"""WITH c AS (
+  private lazy val cjkTermList = CjkQuery.map(t => s"'$t'").mkString(", ")
+
+  /** The shared CJK term-derivation CTE chain (fixture → fold+tokenize
+    * → unigram+bigram `tm(doc_id, terms)`) — the oracle-side twin of
+    * [[graft.ops.Clusters.sharedCjkTerms]], plugged into r08's bm25
+    * head and r11's tfidf token source so both retrievers derive terms
+    * from ONE text. */
+  private lazy val cjkTermCtes =
+    s"""c AS (
        |  SELECT doc_id, ${graft.ops.TextOps.cjkFixtureSql("text")} AS t
        |  FROM documents),
        |tk0 AS (
@@ -629,7 +656,11 @@ object Search {
        |            AND ${isCjkTokSql("tk[i]")}
        |           THEN tk[i-1] || tk[i] END),
        |      x -> x IS NOT NULL)) AS terms
-       |  FROM tk0),
+       |  FROM tk0)""".stripMargin
+
+  private lazy val cjkBm25Sql = {
+    val cjkTerms = cjkTermList
+    s"""WITH $cjkTermCtes,
        |base AS (SELECT doc_id, terms, len(terms)::BIGINT AS dl FROM tm),
        |stats AS (
        |  SELECT count(*)::BIGINT AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
@@ -646,11 +677,11 @@ object Search {
   }
 
   // r03 — the same index build relationally; the idf product is
-  // written x·x (not pow) to match the Spark column expression
-  private lazy val tfidfCosineSql =
-      s"""WITH tok AS (
-         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
-         |  FROM documents),
+  // written x·x (not pow) to match the Spark column expression.
+  // Parametrized over the token source + query terms so the CJK
+  // sibling (r11's vector-space side) shares the arithmetic verbatim.
+  private def tfidfCosineSqlFor(tokCtes: String, termList: String) =
+      s"""WITH $tokCtes,
          |tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
          |dfq AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
          |nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
@@ -673,9 +704,33 @@ object Search {
          |WHERE dot > 0
          |ORDER BY score_q6 DESC, doc_id LIMIT 10""".stripMargin
 
+  private lazy val tfidfCosineSql = tfidfCosineSqlFor(
+    """tok AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+      |  FROM documents)""".stripMargin, termList)
+
+  // r11's vector-space side: the shared CJK term CTEs feeding the
+  // identical tfidf arithmetic
+  private lazy val cjkTfidfSql = tfidfCosineSqlFor(
+    s"""$cjkTermCtes,
+       |tok AS (SELECT doc_id, unnest(terms) AS token FROM tm)""".stripMargin,
+    cjkTermList)
+
   def oracle: Map[String, String] = Map(
     "r01_bm25" -> bm25Sql,
     "r08_cjk_bm25" -> cjkBm25Sql,
+    // r11 — r04's RRF composition verbatim over the two CJK retrievers
+    "r11_cjk_hybrid_rrf" ->
+      s"""WITH ra AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score_q6 DESC, doc_id) AS rk
+         |  FROM ($cjkBm25Sql) r1),
+         |rb AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score_q6 DESC, doc_id) AS rk
+         |  FROM ($cjkTfidfSql) r3)
+         |SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+         |  CAST(round((coalesce(1.0 / (60.0 + ra.rk), 0.0)
+         |            + coalesce(1.0 / (60.0 + rb.rk), 0.0)) * 1000000.0) AS BIGINT) AS rrf_q6
+         |FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id""".stripMargin,
     // r09 serves the persisted CJK index back through r08's exact
     // scoring tail — the r06/r01 shared-oracle move on the CJK seam
     "r09_cjk_bm25_persisted" -> cjkBm25Sql,

@@ -189,4 +189,28 @@ class RoundFifteenOpsSpec extends AnyFunSuite {
     assert(out.forall(r =>
       Sampling.DefaultSplits.map(_._1).contains(r.getString(1))))
   }
+
+  test("r11 fusion: fused set = union of the two CJK retrievers' " +
+    "top-k lists, surfaced-by-both docs outrank single-list docs " +
+    "at equal ranks") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "大左一中百大左 右山五中y"),
+      (2L, "六一大小 六一大小 extra"),
+      (3L, "中右山 middle run"),
+      (4L, "一二三四五"),
+      (5L, "no cjk at all")).toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"),
+      Search.cjkIndexTerms(col("text")).as("terms"))
+    val a = Search.bm25TopKTokens(toks, "doc_id", "terms",
+      terms = Search.CjkQuery)
+    val b = Search.tfidfCosineTopKTokens(toks, "doc_id", "terms",
+      terms = Search.CjkQuery)
+    val fused = Search.rrfFuse(a, b, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = (a.collect().map(_.getLong(0)) ++
+      b.collect().map(_.getLong(0))).toSet
+    assert(fused.keySet == ids && ids.nonEmpty)
+    assert(fused.values.forall(_ > 0))
+  }
 }
