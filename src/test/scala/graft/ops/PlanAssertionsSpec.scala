@@ -580,6 +580,7 @@ class PlanAssertionsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       "s13_waterfill",         // per-stratum waterfill levels (#strata)
       "s11_dsir_select",       // bucket-model totals (rows = B buckets)
       "r04_hybrid_rrf",        // rank fuse of two top-k lists (2k rows)
+      "r11_cjk_hybrid_rrf",    // same rank fuse on the CJK seam (2k rows)
       "v12_benford")           // leading-digit masses (rows = 9 digits)
     val found = graft.SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val lp = graft.SparkEntry.queries(name)(spark, sf)
