@@ -825,6 +825,27 @@ object Dedup {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
   }
 
+  /** CJK DECONTAMINATION (d23) — [[contaminationHits]] behind the
+    * script tokenizer: the benchmark-leakage tripwire for an
+    * UNSEGMENTED shard, where d09's word 3-grams see a whole document
+    * as one token and the tripwire goes silently blind (the d02→d20
+    * argument on the decontamination seam; the reference's own corpus
+    * is TC/JP/SC medical text). Char-[[CjkCharShingleN]]-gram hits vs
+    * the benchmark's char-gram set — same broadcast-probe-set shape,
+    * the wider n because single CJK chars are far more
+    * document-frequent than words. Output: `(doc_id, n_hits)`. */
+  def cjkContaminationHits(corpus: DataFrame, id: String, text: String,
+                           probe: DataFrame, probeText: String,
+                           n: Int = CjkCharShingleN): DataFrame =
+    contaminationHits(
+      corpus.select(col(id),
+        concat_ws(" ", TextOps.scriptTokens(col(text))).as("_script_text")),
+      id, "_script_text",
+      probe.select(
+        concat_ws(" ", TextOps.scriptTokens(col(probeText)))
+          .as("_script_text")),
+      "_script_text", n)
+
   /** 32-bit SimHash signature per doc from term-frequency-weighted token
     * hashes, as ONE map-side native expression
     * ([[graft.functions.SimHash]]) — zero shuffles, embarrassingly
@@ -1196,6 +1217,15 @@ object Dedup {
     "d09_decontaminate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       contaminationHits(
+        docs.filter(col("source") =!= "src0"), "doc_id", "text",
+        docs.filter(col("source") === "src0"), "text")
+    }),
+    // d23 harness: d09's benchmark stand-in (src0) on the unsegmented
+    // fixture corpus — the char-gram tripwire
+    "d23_cjk_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        TextOps.cjkFixture(col("text")).as("text"))
+      cjkContaminationHits(
         docs.filter(col("source") =!= "src0"), "doc_id", "text",
         docs.filter(col("source") === "src0"), "text")
     }),
@@ -1642,6 +1672,33 @@ object Dedup {
              |sh$cte AS (SELECT DISTINCT doc_id, shingle FROM (
              |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
              |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle FROM tk$cte) raw),
+             |sk$cte AS (SELECT DISTINCT doc_id,
+             |    (${Hashing.polyHashSql("shingle")}) * 1000000009
+             |      + (${Hashing.polyHashSql("reverse(shingle)")}) AS sk
+             |  FROM sh$cte)""".stripMargin
+        s"""WITH ${shingleKeys("c", "source <> 'src0'")},
+           |${shingleKeys("p", "source = 'src0'")},
+           |probe AS (SELECT DISTINCT sk FROM skp)
+           |SELECT c.doc_id, count(*) AS n_hits
+           |FROM skc c JOIN probe USING (sk)
+           |GROUP BY c.doc_id""".stripMargin
+      },
+      // d23 — d09's CTE chain over char-5-gram shingles of the shared
+      // fixture: the same fixture translate + fold + script-token regex
+      // as d20, the same sk arithmetic as d09
+      "d23_cjk_decontaminate" -> {
+        val n = CjkCharShingleN
+        val win = (0 until n)
+          .map(j => if (j == 0) "tk[i]" else s"tk[i+$j]")
+          .mkString(" || ' ' || ")
+        def shingleKeys(cte: String, where: String) =
+          s"""ctk$cte AS (SELECT doc_id,
+             |    ${TextOps.scriptTokensSql(TextOps.cjkFixtureSql("text"))} AS tk
+             |  FROM documents WHERE ($where)),
+             |tk$cte AS (SELECT doc_id, tk FROM ctk$cte WHERE len(tk) >= $n),
+             |sh$cte AS (SELECT DISTINCT doc_id, shingle FROM (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - ${n - 2}),
+             |    i -> $win)) AS shingle FROM tk$cte) raw),
              |sk$cte AS (SELECT DISTINCT doc_id,
              |    (${Hashing.polyHashSql("shingle")}) * 1000000009
              |      + (${Hashing.polyHashSql("reverse(shingle)")}) AS sk

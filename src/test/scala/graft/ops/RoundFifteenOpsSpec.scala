@@ -213,4 +213,23 @@ class RoundFifteenOpsSpec extends AnyFunSuite {
     assert(fused.keySet == ids && ids.nonEmpty)
     assert(fused.values.forall(_ > 0))
   }
+
+  test("CJK benchmark leakage that d09 MISSES and d23 CATCHES") {
+    import spark.implicits._
+    // an unsegmented benchmark doc quoted verbatim inside a training
+    // doc: word-level sees each doc as ONE token (no 3-gram exists,
+    // the tripwire is blind); char-level shares every 5-gram of the
+    // quoted span
+    val benchText = "山川日月水火大小上下中左右"
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "前置" + benchText + "後置"),
+      (2L, "完全無関係な別の文書内容です")).toDF("doc_id", "text")
+    assert(Dedup.contaminationHits(train, "doc_id", "text", bench, "text")
+      .isEmpty, "the word-level tripwire must be blind on unsegmented text")
+    val hits = Dedup.cjkContaminationHits(train, "doc_id", "text",
+      bench, "text").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.keySet == Set(1L) && hits(1L) >= (benchText.length - 4).toLong,
+      s"char-gram tripwire must flag the quoting doc: $hits")
+  }
 }
