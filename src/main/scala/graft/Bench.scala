@@ -140,6 +140,13 @@ object Bench {
       warm(ops.Clusters.sharedCommunities(spark, sfDir))
       warm(ops.Clusters.sharedMinhashPairs(spark, sfDir))
       warm(ops.Clusters.sharedMinhashComponents(spark, sfDir))
+      // the CJK family's shared artifacts (r16): the persisted token
+      // arrays feed r08-r11 and the d20/p11 pair build — warming them
+      // here makes each timed CJK number the entry's own serve cost
+      warm(ops.Clusters.sharedCjkTokens(spark, sfDir))
+      warm(ops.Clusters.sharedCjkTerms(spark, sfDir))
+      warm(ops.Clusters.sharedCjkPairs(spark, sfDir))
+      warm(ops.Clusters.sharedCjkComponents(spark, sfDir))
       warm(ops.Similarity.sharedNormalized(spark, sfDir))
       warm(ops.Similarity.sharedKmeansAssign(spark, sfDir))
       warm(ops.Similarity.sharedPqIndex(spark, sfDir)._1)

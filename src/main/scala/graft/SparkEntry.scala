@@ -196,8 +196,10 @@ object SparkEntry {
             toks, "doc_id", "terms")
           ops.Search.bm25WriteIndex(p, l, st,
             ops.IndexPaths.dir("r09_index", d))
+          ops.IndexMeta.stamp(ops.IndexPaths.dir("r09_index", d))
         },
         (s: SparkSession, d: String) => {
+          ops.IndexMeta.check(ops.IndexPaths.dir("r09_index", d))
           val (lp, ll, ls) = ops.Search.bm25LoadIndex(s,
             ops.IndexPaths.dir("r09_index", d))
           ops.Search.bm25QueryIndex(lp, ll, ls, terms = ops.Search.CjkQuery)

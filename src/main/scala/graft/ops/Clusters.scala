@@ -317,10 +317,15 @@ object Clusters {
     * [[sharedPairs]] move on the char seam. */
   def sharedCjkPairs(s: SparkSession, d: String): DataFrame =
     memo(s, d, "cjk_pairs") {
-      Dedup.cjkNearDupPairs(
-        Tables.documents(s, d).select(col("doc_id"),
-          graft.ops.TextOps.cjkFixture(col("text")).as("text")),
-        "doc_id", "text", 0.6).localCheckpoint()
+      // shingle from the persisted token arrays (re-joined on the
+      // space the shingler splits on — an exact round-trip because
+      // script tokens never contain ASCII space), so the pair build
+      // shares the artifact's one tokenizer pass with r08-r11
+      Dedup.minhashVerifiedPairs(
+        sharedCjkTokens(s, d).select(col("doc_id"),
+          concat_ws(" ", col("toks")).as("_script_text")),
+        "doc_id", "_script_text", 0.6,
+        Dedup.CjkCharShingleN, Dedup.MaxBandDocs).localCheckpoint()
     }
 
   /** The component table over [[sharedCjkPairs]] (p11). */
@@ -329,18 +334,33 @@ object Clusters {
       connectedComponents(sharedCjkPairs(s, d), "doc_a", "doc_b")
     }
 
-  /** The unigram+bigram index-term arrays of the fixture-derived
-    * corpus (`doc_id, terms`), tokenized ONCE per (session, dir) and
-    * checkpointed — the materialized "tokenized column" a CJK
-    * deployment stores, shared by the r08 query and the r09 index
-    * build instead of each re-running the fold+regex+bigram
-    * derivation. */
+  /** The session's PERSISTED script-token arrays over the CJK fixture
+    * corpus — written once per (session, dir) through the real
+    * artifact seam ([[TextOps.cjkTokensWrite]]: parquet + tokenizer
+    * stamp) and read back, so every consumer is the load path a
+    * deployment actually serves from. The ONE fold+regex pass of the
+    * whole CJK family lives here. */
+  def sharedCjkTokens(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "cjk_tokens") {
+      val dir = IndexPaths.dir("cjk_tokens", d)
+      graft.ops.TextOps.cjkTokensWrite(
+        Tables.documents(s, d).select(col("doc_id"),
+          graft.ops.TextOps.cjkFixture(col("text")).as("text")),
+        "doc_id", "text", dir)
+      graft.ops.TextOps.cjkTokensLoad(s, dir)
+    }
+
+  /** Unigram+bigram term arrays derived from [[sharedCjkTokens]] —
+    * a cheap array projection (slices + one zip_with, NO regex) over
+    * the parquet-backed tokens, so r08/r09/r11 all source from the
+    * stored artifact and a solo run costs the same as an in-catalog
+    * one (the r15 verdict's r11 item). Not checkpointed: the parquet
+    * store IS the materialization; re-deriving bigrams per pass is
+    * array arithmetic. */
   def sharedCjkTerms(s: SparkSession, d: String): DataFrame =
     memo(s, d, "cjk_terms") {
-      Tables.documents(s, d).select(col("doc_id"),
-        graft.ops.Search.cjkIndexTerms(
-          graft.ops.TextOps.cjkFixture(col("text"))).as("terms"))
-        .localCheckpoint()
+      sharedCjkTokens(s, d).select(col("doc_id"),
+        graft.ops.Search.cjkIndexTermsFromTokens(col("toks")).as("terms"))
     }
 
   /** The end of the dedup pipeline: the corpus with every non-keeper

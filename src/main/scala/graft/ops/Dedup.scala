@@ -464,6 +464,9 @@ object Dedup {
     minhashWriteIndex(tok, "doc_id", "_script_text", dir, n)
     shingleHashArrays(tok, "doc_id", "_script_text", n)
       .write.mode("overwrite").parquet(s"$dir/hashes")
+    // script-token-derived store: stamp the tokenizer version LAST, so
+    // a publish that died mid-write can never be served (IndexMeta)
+    IndexMeta.stamp(dir)
   }
 
   /** CJK INCREMENTAL SERVE (d21) — the d19/d10 persisted-index loop on
@@ -479,7 +482,10 @@ object Dedup {
   def cjkServeDelta(spark: SparkSession, delta: DataFrame, id: String,
                     text: String, threshold: Double, dir: String,
                     n: Int = CjkCharShingleN,
-                    maxBandDocs: Int = MaxBandDocs): DataFrame =
+                    maxBandDocs: Int = MaxBandDocs): DataFrame = {
+    // the store's shingles must come from THIS tokenizer, or delta
+    // bands silently stop colliding with standing bands (IndexMeta)
+    IndexMeta.check(dir)
     minhashServeDeltaFrom(
       spark.read.parquet(s"$dir/hashes")
         .withColumnRenamed("doc_id", "corpus_id"),
@@ -488,6 +494,7 @@ object Dedup {
       delta.select(col(id).as("doc_id"),
         concat_ws(" ", TextOps.scriptTokens(col(text))).as("_script_text")),
       "doc_id", "_script_text", threshold, n, maxBandDocs)
+  }
 
   /** MinHash-ESTIMATED near-dup pairs (d15): band candidates scored by
     * signature agreement alone — `est_jaccard = matching components /

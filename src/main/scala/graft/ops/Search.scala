@@ -57,13 +57,15 @@ object Search {
     * construction a CJK char is always a single-char token and a
     * non-CJK run can never START with a CJK char, so whole-string
     * range compares against the class endpoints decide membership
-    * with no regex at all — three codegen'd string compares per pair
-    * instead of two `rlike` matches. All three comparison orders
-    * (Spark's UTF8String byte-wise UTF-8, DuckDB's binary collation,
-    * Java's UTF-16 `compareTo` for the driver twin) agree on every
-    * verdict here: the decisive compare is the token's first char
-    * against BMP endpoints below U+A000, where all three orders
-    * coincide. */
+    * with no regex at all — a handful of codegen'd string compares
+    * per pair instead of two `rlike` matches. All three comparison
+    * orders (Spark's UTF8String byte-wise UTF-8, DuckDB's binary
+    * collation, Java's UTF-16 `compareTo` for the driver twin) agree
+    * on every verdict here: the decisive compare is the token's first
+    * char against BMP endpoints below U+D800, and UTF-8 vs UTF-16
+    * order can only diverge when a supplementary char meets a char in
+    * [U+E000, U+FFFF] — no endpoint lies there (the
+    * [[TextOps.CjkRangePairs]] doctrine). */
   private def isCjkTok(c: Column): Column =
     graft.ops.TextOps.CjkRangePairs
       .map { case (lo, hi) => c >= lit(lo) && c <= lit(hi) }
@@ -82,8 +84,16 @@ object Search {
     * token pair. Zero shuffles; feeds [[bm25TopKTokens]] directly as
     * an array column (the r08 path materializes it ONCE — see the
     * catalog entry). */
-  def cjkIndexTerms(text: Column): Column = {
-    val tk = graft.ops.TextOps.scriptTokens(text)
+  def cjkIndexTerms(text: Column): Column =
+    cjkIndexTermsFromTokens(graft.ops.TextOps.scriptTokens(text))
+
+  /** The unigram+bigram term build over an EXISTING script-token
+    * array column — the cheap half of [[cjkIndexTerms]] (array slices
+    * + one zip_with, no regex), split out so a corpus with a
+    * PERSISTED token-array artifact ([[TextOps.cjkTokensWrite]])
+    * derives terms without ever re-running the fold+regex tokenizer:
+    * the r16 seam that sources r08/r09/r11 from the stored arrays. */
+  def cjkIndexTermsFromTokens(tk: Column): Column = {
     val heads = slice(tk, lit(1), greatest(size(tk) - 1, lit(0)))
     val tails = slice(tk, lit(2), greatest(size(tk) - 1, lit(0)))
     val bigrams = filter(
@@ -99,11 +109,7 @@ object Search {
     * analyzer-equality test over crafted mixed-script /
     * full-width / Ext-A strings. */
   def cjkAnalyze(s: String): Seq[String] = {
-    val m = java.util.regex.Pattern
-      .compile(graft.ops.TextOps.ScriptTokenRe)
-      .matcher(graft.ops.TextOps.foldWidthStr(s))
-    val tk = Iterator.continually(m.find()).takeWhile(identity)
-      .map(_ => m.group()).toSeq
+    val tk = graft.ops.TextOps.scriptTokensStr(s)
     tk ++ tk.zip(tk.drop(1)).collect {
       case (a, b) if isCjkTokStr(a) && isCjkTokStr(b) => a + b
     }
@@ -418,9 +424,15 @@ object Search {
   }
 
   /** The r10 harness phrase: [[DefaultPhrase]]._1 pushed through the
-    * fixture translate and analyzed — its consecutive char tokens (the
-    * unigrams of [[cjkAnalyze]], in order). What a user typing the
-    * Chinese word actually sends to phrase search. */
+    * fixture translate and tokenized — the FULL script-token sequence
+    * of the analyzed text, required all-CJK. Deriving the phrase from
+    * the complete sequence (not a `length == 1` filter over the
+    * analyzer's mixed output) is load-bearing: if the analyzed text
+    * ever carried a Latin/digit run, that run would occupy a token
+    * POSITION, and silently dropping it would make the `pos + i`
+    * adjacency chain in [[cjkPhraseMatch]] search a gap-collapsed
+    * phrase the user never typed — so a non-CJK token fails loudly
+    * here instead. */
   lazy val CjkPhrase: Seq[String] = {
     val t = DefaultPhrase._1.map { c =>
       val i = graft.ops.TextOps.CjkFrom.indexOf(c)
@@ -428,7 +440,11 @@ object Search {
         graft.ops.TextOps.CjkTo(i)
       else c
     }.mkString
-    cjkAnalyze(t).filter(_.length == 1)
+    val toks = graft.ops.TextOps.scriptTokensStr(t)
+    require(toks.forall(isCjkTokStr),
+      s"CjkPhrase: analyzed phrase '$t' contains a non-CJK token — " +
+        "positional adjacency would search a different phrase")
+    toks
   }
 
   /** Documents containing an exact CONSECUTIVE CJK char sequence (r10)
@@ -445,17 +461,29 @@ object Search {
     * Output: `(doc_id, n_occurrences)` — one row per matching doc,
     * counting anchor positions whose full chain matches. */
   def cjkPhraseMatch(docs: DataFrame, id: String, text: String,
-                     phrase: Seq[String] = CjkPhrase): DataFrame = {
+                     phrase: Seq[String] = CjkPhrase): DataFrame =
+    cjkPhraseMatchTokens(
+      docs.select(col(id),
+        graft.ops.TextOps.scriptTokens(col(text)).as("__toks")),
+      id, "__toks", phrase)
+
+  /** [[cjkPhraseMatch]] over a PRE-TOKENIZED corpus (`array<string>`
+    * script-token column) — the persisted-token-array seam on the
+    * positional path: positions are indices INTO the token array, so
+    * the stored arrays serve phrase queries with no tokenizer run at
+    * all (the r16 artifact feeds r10 through here). */
+  def cjkPhraseMatchTokens(docs: DataFrame, id: String, tokens: String,
+                           phrase: Seq[String] = CjkPhrase): DataFrame = {
     require(phrase.length >= 2, "a phrase needs at least two terms")
-    val toks = graft.ops.TextOps.scriptTokens(col(text))
-    // ONE corpus pass: tokenize + posexplode once, prune to the
-    // phrase's chars map-side, and CHECKPOINT the pruned postings
+    // ONE corpus pass: posexplode once, prune to the phrase's chars
+    // map-side, and CHECKPOINT the pruned postings
     // (phrase-postings-sized — tiny) so the L−1 chain joins read the
-    // materialized rows instead of each re-tokenizing the corpus (the
+    // materialized rows instead of each re-deriving them (the
     // r08 tokenize-once doctrine; without this the plan runs L corpus
     // scans — measured 6.8× at the sf1 probe vs ~4× after).
     val pruned = docs
-      .select(col(id).as("doc_id"), posexplode(toks).as(Seq("pos", "token")))
+      .select(col(id).as("doc_id"),
+        posexplode(col(tokens)).as(Seq("pos", "token")))
       .filter(col("token").isInCollection(phrase))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
       .localCheckpoint()
@@ -538,6 +566,8 @@ object Search {
       val toks = Clusters.sharedCjkTerms(s, d)
       val (p, l, st) = bm25BuildIndexTokens(toks, "doc_id", "terms")
       bm25WriteIndex(p, l, st, idxDir)
+      IndexMeta.stamp(idxDir)
+      IndexMeta.check(idxDir)
       val (lp, ll, ls) = bm25LoadIndex(s, idxDir)
       bm25QueryIndex(lp, ll, ls, terms = CjkQuery)
     }),
@@ -561,12 +591,12 @@ object Search {
     "r05_dirichlet_ql" -> ((s, d) =>
       dirichletTopK(Tables.documents(s, d), "doc_id", "text")),
     // r10: exact consecutive-char phrase over the unsegmented corpus —
-    // positional postings over script tokens, the true-phrase
-    // complement of r08's bigram approximation
+    // positional postings over the PERSISTED script-token arrays (one
+    // artifact feeds r08-r11), the true-phrase complement of r08's
+    // bigram approximation
     "r10_cjk_phrase" -> ((s, d) =>
-      cjkPhraseMatch(Tables.documents(s, d).select(col("doc_id"),
-          graft.ops.TextOps.cjkFixture(col("text")).as("text")),
-        "doc_id", "text")),
+      cjkPhraseMatchTokens(Clusters.sharedCjkTokens(s, d),
+        "doc_id", "toks")),
     "r02_phrase" -> ((s, d) =>
       phraseMatch(Tables.documents(s, d), "doc_id", "text")),
     "r03_tfidf_cosine" -> ((s, d) =>

@@ -61,16 +61,26 @@ object TextOps {
   // class (the d14 doctrine: never \s across Java/RE2).
 
   private def cpStr(i: Int): String = new String(Character.toChars(i))
-  /** The CJK/kana repertoire as `(lo, hi)` literal range-endpoint
-    * strings: kana U+3040–U+30FF, CJK Extension A U+3400–U+4DBF (real
-    * TC medical text carries Ext-A characters — without this range
-    * they'd tokenize as opaque non-CJK runs and silently skew every
-    * cjk_ratio gate), and CJK Unified Ideographs U+4E00–U+9FFF. The
-    * pairs are public because the r08 bigram rule compares tokens
-    * against them directly (string range compares, the non-regex form
-    * of class membership) on BOTH engines. */
+  /** The CJK/kana/Hangul repertoire as `(lo, hi)` literal
+    * range-endpoint strings: Hangul jamo U+1100–U+11FF, kana
+    * U+3040–U+30FF, CJK Extension A U+3400–U+4DBF (real TC medical
+    * text carries Ext-A characters — without this range they'd
+    * tokenize as opaque non-CJK runs and silently skew every
+    * cjk_ratio gate), CJK Unified Ideographs U+4E00–U+9FFF, and
+    * Hangul syllables U+AC00–U+D7AF (Korean text is otherwise
+    * invisible to every cjk_ratio gate, and t26 can never answer
+    * `ko` where script alone decides it). The pairs are public
+    * because the r08 bigram rule compares tokens against them
+    * directly (string range compares, the non-regex form of class
+    * membership) on BOTH engines — sound because every endpoint is a
+    * BMP char below U+D800: UTF-8 byte order (Spark's UTF8String,
+    * DuckDB's binary collation) and UTF-16 unit order (Java's
+    * `compareTo`) can only disagree when a supplementary char meets a
+    * char in [U+E000, U+FFFF], and no endpoint lies in that zone, so
+    * all three orders return the same verdict for every input. */
   val CjkRangePairs: Seq[(String, String)] =
-    Seq((0x3040, 0x30ff), (0x3400, 0x4dbf), (0x4e00, 0x9fff))
+    Seq((0x1100, 0x11ff), (0x3040, 0x30ff), (0x3400, 0x4dbf),
+      (0x4e00, 0x9fff), (0xac00, 0xd7af))
       .map { case (a, b) => (cpStr(a), cpStr(b)) }
   private val CjkRangesInner: String =
     CjkRangePairs.map { case (a, b) => s"$a-$b" }.mkString
@@ -138,6 +148,56 @@ object TextOps {
     * shuffles. */
   def scriptTokens(text: Column): Column =
     regexp_extract_all(foldWidth(text), lit(ScriptTokenRe), lit(0))
+  /** [[scriptTokens]]'s driver-side twin for QUERY strings — the same
+    * fold and token regex, shared by the r08 analyzer and the r10
+    * phrase derivation (pinned ≡ the column form by the analyzer-
+    * equality spec). */
+  def scriptTokensStr(s: String): Seq[String] = {
+    val m = java.util.regex.Pattern.compile(ScriptTokenRe)
+      .matcher(foldWidthStr(s))
+    Iterator.continually(m.find()).takeWhile(identity)
+      .map(_ => m.group()).toSeq
+  }
+
+  /** Persist the corpus's SCRIPT-TOKEN ARRAYS — the tokenized-column
+    * artifact every CJK deployment stores at ingest (the fold+regex
+    * tokenizer is the expensive pass of the whole CJK family; at
+    * 100 TB it runs once here, and every consumer — BM25 term build,
+    * TF-IDF, positional phrase, shingle derivation — reads the arrays
+    * from parquet instead of re-tokenizing). Stamped with the
+    * tokenizer version ([[IndexMeta]]); [[cjkTokensLoad]] fails
+    * loudly if the engine's tokenizer has moved since publish.
+    * Layout: `dir/tokens` parquet `(doc_id, toks array<string>)`. */
+  def cjkTokensWrite(docs: DataFrame, id: String, text: String,
+                     dir: String): Unit = {
+    docs.select(col(id).as("doc_id"), scriptTokens(col(text)).as("toks"))
+      .write.mode("overwrite").parquet(s"$dir/tokens")
+    IndexMeta.stamp(dir)
+  }
+
+  /** Load a persisted token-array artifact (version-checked). */
+  def cjkTokensLoad(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): DataFrame = {
+    IndexMeta.check(dir)
+    spark.read.parquet(s"$dir/tokens")
+  }
+
+  /** Fingerprint of the script-tokenizer DEFINITION — the fold table
+    * plus the token regex (which embeds the CJK repertoire), FNV-1a
+    * over the exact constants. Persisted script-token artifacts (the
+    * d21 char index, the r09 BM25 index, the shared token arrays, the
+    * stream stores) are valid only under the tokenizer that built
+    * them: a repertoire or fold change (r15 added Ext-A + punctuation
+    * folds; r16 added Hangul) silently re-derives every shingle and
+    * term, so a stale store would drop near-dup pairs and postings
+    * with no error. [[IndexMeta]] writes this stamp at publish time
+    * and fails loudly at load time on mismatch. */
+  lazy val tokenizerVersion: String = {
+    val src = FoldFrom + "\u0000" + FoldTo + "\u0000" + ScriptTokenRe
+    var h = 0xcbf29ce484222325L
+    src.foreach { c => h ^= c.toLong; h *= 0x100000001b3L }
+    f"tok-$h%016x"
+  }
   /** [[scriptTokens]]'s DuckDB twin — the identical fold table and
     * token regex as SQL literals, for every oracle that tokenizes. */
   def scriptTokensSql(c: String): String =
@@ -167,6 +227,18 @@ object TextOps {
   def cjkKanaFixtureSql(c: String): String =
     s"translate(lower($c), '$CjkFrom', '$CjkKanaTo')"
 
+  /** [[CjkTo]]'s Korean-shaped sibling for the t26 harness: 21 distinct
+    * Hangul SYLLABLES (U+AC00 block) — unsegmented like the other CJK
+    * fixtures (Korean orthography does space words, but the harness
+    * derivation deletes the space for every script fixture so the
+    * planted near-dup structure carries over identically; the `ko`
+    * verdict rests on the Hangul class alone either way). */
+  val CjkHangulTo: String = "가나다라마바사아자차카타파하거너더러머버서"
+  def cjkHangulFixture(text: Column): Column =
+    translate(lower(text), CjkFrom, CjkHangulTo)
+  def cjkHangulFixtureSql(c: String): String =
+    s"translate(lower($c), '$CjkFrom', '$CjkHangulTo')"
+
   /** SCRIPT-AWARE TOKEN COUNTING (t24) — t03's job on unsegmented text:
     * total script tokens, CJK-char tokens, other (Latin/digit/symbol
     * run) tokens, and the CJK share in exact micro-units. `n_cjk`
@@ -194,6 +266,14 @@ object TextOps {
     * Chinese never does. */
   val KanaCharClass: String = s"[${cpStr(0x3040)}-${cpStr(0x30ff)}]"
 
+  /** Hangul-only class (syllables U+AC00–U+D7AF + jamo U+1100–U+11FF)
+    * — Korean's counterpart to [[KanaCharClass]]: Hangul appears in
+    * Korean text and nowhere else among the CJK languages, so its
+    * presence decides `ko` from script alone the way kana decides
+    * `ja`. */
+  val HangulCharClass: String =
+    s"[${cpStr(0x1100)}-${cpStr(0x11ff)}${cpStr(0xac00)}-${cpStr(0xd7af)}]"
+
   /** SCRIPT-BASED LANGUAGE ID (t26) — the language-ID heuristic that
     * works on the CJK languages the reference system actually serves
     * (TC/JP/SC — `text_processing.py:15-28`), where t05's stopword
@@ -202,11 +282,15 @@ object TextOps {
     * signal (fastText/CLD route through script detection before any
     * token model): kana present in meaningful share ⇒ Japanese
     * (Japanese prose must carry particles/okurigana in kana; Chinese
-    * never uses kana), else a majority-CJK token stream ⇒ Chinese,
-    * else fall back to t05's stopword rule for Latin text. All
-    * integer compares (shares by cross-multiplication — no division,
-    * no floats), one codegen'd map over the scan, zero shuffles.
-    * Output: `(doc_id, n_tokens, n_cjk, n_kana, n_stop, guessed_lang)`. */
+    * never uses kana), else Hangul-dominated CJK content ⇒ Korean
+    * (Hangul appears in Korean and in no other CJK language — the
+    * order matters because Hangul chars COUNT in `n_cjk`, so a Korean
+    * doc passes the majority-CJK test too and must be decided first),
+    * else a majority-CJK token stream ⇒ Chinese, else fall back to
+    * t05's stopword rule for Latin text. All integer compares (shares
+    * by cross-multiplication — no division, no floats), one codegen'd
+    * map over the scan, zero shuffles. Output: `(doc_id, n_tokens,
+    * n_cjk, n_kana, n_hangul, n_stop, guessed_lang)`. */
   def scriptLangId(df: DataFrame, id: String, text: String): DataFrame =
     df
       .withColumn("n_tokens",
@@ -215,18 +299,22 @@ object TextOps {
         regexp_count(col(text), lit(CjkCharClass)).cast("long"))
       .withColumn("n_kana",
         regexp_count(col(text), lit(KanaCharClass)).cast("long"))
+      .withColumn("n_hangul",
+        regexp_count(col(text), lit(HangulCharClass)).cast("long"))
       .withColumn("n_stop", expr(
         s"size(filter(filter(split($text, ' '), x -> x <> ''), x -> x IN ($swList)))")
         .cast("long"))
       .withColumn("guessed_lang",
         when(col("n_kana") >= 2 && col("n_kana") * 10 >= col("n_cjk"),
           "ja")
+          .when(col("n_hangul") >= 2 && col("n_hangul") * 2 >= col("n_cjk"),
+            "ko")
           .when(col("n_cjk") >= 2 && col("n_cjk") * 2 >= col("n_tokens"),
             "zh")
           .when(col("n_stop") >= 2, "en")
           .otherwise("unk"))
       .select(col(id).as("doc_id"), col("n_tokens"), col("n_cjk"),
-        col("n_kana"), col("n_stop"), col("guessed_lang"))
+        col("n_kana"), col("n_hangul"), col("n_stop"), col("guessed_lang"))
 
   /** SCRIPT-AWARE QUALITY GATE (t25) — the Gopher gate's unsegmented-
     * script sibling: t09's word-count and stopword rules are
@@ -1262,6 +1350,7 @@ object TextOps {
       scriptLangId(
         Tables.documents(s, d).select(col("doc_id"),
           when(col("doc_id") % 10 === 0, col("text"))
+            .when(col("doc_id") % 10 === 5, cjkHangulFixture(col("text")))
             .when(col("doc_id") % 2 === 0, cjkFixture(col("text")))
             .otherwise(cjkKanaFixture(col("text"))).as("mx")),
         "doc_id", "mx")),
@@ -1422,11 +1511,13 @@ object TextOps {
          |  CASE WHEN n_tokens > 0 THEN (n_cjk * 1000000) // n_tokens END AS cjk_ratio_q6
          |FROM k""".stripMargin,
     // t26 — identical fixture CASE, class counts, and verdict CASE in
-    // the same branch order (ja before zh — Japanese text passes the
-    // majority-CJK test too); shares are cross-multiplied integers
+    // the same branch order (ja before ko before zh — Japanese text
+    // passes the majority-CJK test too, and Hangul counts in n_cjk so
+    // Korean does as well); shares are cross-multiplied integers
     "t26_script_lang_id" ->
       s"""WITH m AS (SELECT doc_id,
          |    CASE WHEN doc_id % 10 = 0 THEN text
+         |         WHEN doc_id % 10 = 5 THEN ${cjkHangulFixtureSql("text")}
          |         WHEN doc_id % 2 = 0 THEN ${cjkFixtureSql("text")}
          |         ELSE ${cjkKanaFixtureSql("text")} END AS mx
          |  FROM documents),
@@ -1434,11 +1525,13 @@ object TextOps {
          |    CAST(len(${scriptTokensSql("mx")}) AS BIGINT) AS n_tokens,
          |    CAST(len(regexp_extract_all(mx, '$CjkCharClass')) AS BIGINT) AS n_cjk,
          |    CAST(len(regexp_extract_all(mx, '$KanaCharClass')) AS BIGINT) AS n_kana,
+         |    CAST(len(regexp_extract_all(mx, '$HangulCharClass')) AS BIGINT) AS n_hangul,
          |    CAST(len(list_filter(list_filter(string_split(mx, ' '), x -> x <> ''),
          |      x -> x IN ($swList))) AS BIGINT) AS n_stop
          |  FROM m)
-         |SELECT doc_id, n_tokens, n_cjk, n_kana, n_stop,
+         |SELECT doc_id, n_tokens, n_cjk, n_kana, n_hangul, n_stop,
          |  CASE WHEN n_kana >= 2 AND n_kana * 10 >= n_cjk THEN 'ja'
+         |       WHEN n_hangul >= 2 AND n_hangul * 2 >= n_cjk THEN 'ko'
          |       WHEN n_cjk >= 2 AND n_cjk * 2 >= n_tokens THEN 'zh'
          |       WHEN n_stop >= 2 THEN 'en'
          |       ELSE 'unk' END AS guessed_lang

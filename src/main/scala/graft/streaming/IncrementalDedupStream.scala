@@ -118,6 +118,10 @@ object IncrementalDedupStream {
                          textOf: org.apache.spark.sql.Column = col("text"),
                          checkpointDir: Option[String] = None,
                          glob: String = "documents.parquet"): Unit = {
+    // the stream tokenizes every delta batch with the ENGINE's current
+    // tokenizer; the store's shingles must come from the same one or
+    // band collisions silently stop happening (IndexMeta contract)
+    graft.ops.IndexMeta.check(indexDir)
     val hashes = spark.read.parquet(s"$indexDir/hashes")
       .withColumnRenamed("doc_id", "corpus_id")
     val bands = spark.read.parquet(s"$indexDir/bands")

@@ -20,8 +20,14 @@ class RoundFourteenOpsSpec extends AnyFunSuite {
       "each CJK char must be ONE UTF-16 code unit (BMP)")
     assert(TextOps.CjkTo.head == 0x4E00.toChar) // 一
     assert(TextOps.CjkTo.forall(c => c >= 0x4E00.toChar && c <= 0x9FFF.toChar))
-    // [x-x x-x x-x]: 6 literal chars (kana, Ext-A, Unified) + brackets
-    assert(TextOps.CjkCharClass.length == 11)
+    // [x-x x-x x-x x-x x-x]: 10 literal chars (jamo, kana, Ext-A,
+    // Unified, Hangul syllables) + brackets + 5 dashes
+    assert(TextOps.CjkCharClass.length == 17)
+    assert(TextOps.CjkHangulTo.length == 21 &&
+      TextOps.CjkHangulTo.toSet.size == 21,
+      "each Hangul fixture char must be ONE distinct BMP code unit")
+    assert(TextOps.CjkHangulTo.forall(c =>
+      c >= 0xAC00.toChar && c <= 0xD7AF.toChar))
   }
 
   test("cjkFixture maps letters to ideographs and DELETES spaces") {
@@ -63,12 +69,15 @@ class RoundFourteenOpsSpec extends AnyFunSuite {
       (3L, "the value of a table"), // stopword hits → en
       (4L, "xyz qqq"), // no script signal at all → unk
       (5L, "カタカナです"), // kana-only (no kanji) → ja, not zh
-      (6L, "mostly latin words with one 山 char in the middle")) // → en
+      (6L, "mostly latin words with one 山 char in the middle"), // → en
+      (7L, "한국어 텍스트입니다"), // Hangul syllables → ko, not zh
+      (8L, "한자 混用 문장이다"), // Korean with embedded hanja → ko
+      (9L, "한")) // decomposed jamo → ko
       .toDF("doc_id", "text")
     val got = TextOps.scriptLangId(docs, "doc_id", "text")
-      .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+      .collect().map(r => r.getLong(0) -> r.getString(6)).toMap
     assert(got == Map(1L -> "zh", 2L -> "ja", 3L -> "en", 4L -> "unk",
-      5L -> "ja", 6L -> "en"))
+      5L -> "ja", 6L -> "en", 7L -> "ko", 8L -> "ko", 9L -> "ko"))
   }
 
   test("t25 script gate: token bounds and CJK-share screen, crafted " +

@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.etl.TestSpark
+
+/** Round-16 additions: Hangul in the script repertoire (+ `ko` in
+  * t26), the persisted CJK token-array artifact behind a
+  * tokenizer-version stamp, and the stamp's loud-failure contract. */
+class RoundSixteenOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+  private val sf = "/root/testdata/sf0.001"
+
+  private def toks(s: String): Seq[String] = {
+    import spark.implicits._
+    Seq(s).toDF("t").select(TextOps.scriptTokens(col("t")))
+      .head.getSeq[String](0)
+  }
+
+  test("Hangul syllables and jamo are single script tokens; embedded " +
+    "Latin runs stay word-like") {
+    assert(toks("한국어") == Seq("한", "국", "어"))
+    assert(toks("한ab국 12어") == Seq("한", "ab", "국", "12", "어"))
+    // decomposed jamo (U+1100 block) tokenize per code point too
+    assert(toks("ᄀᄂ") == Seq("ᄀ", "ᄂ"))
+    // driver twin agrees (the analyzer-equality doctrine)
+    assert(TextOps.scriptTokensStr("한ab국 12어") ==
+      Seq("한", "ab", "국", "12", "어"))
+  }
+
+  test("Korean text is no longer invisible to the cjk_ratio gate: a " +
+    "Hangul doc passes t25 where the old repertoire mis-gated it") {
+    import spark.implicits._
+    val ko = (1 to 60).map(i => TextOps.CjkHangulTo(i % 21)).mkString
+    val got = TextOps.scriptGopherFilter(
+      Seq((1L, ko)).toDF("doc_id", "text"), "doc_id", "text",
+      minTokens = 50L, maxTokens = 400L, minCjkRatioQ6 = 500000L)
+      .collect().head
+    assert(got.getLong(3) == 1000000L && got.getBoolean(4),
+      "60 Hangul chars must read as 60 CJK tokens at ratio 1.0")
+  }
+
+  test("t26 answers ko: syllable text, jamo text, and Korean with " +
+    "embedded hanja — and kana still wins for Japanese") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "한국어로 쓴 문장"),
+      (2L, "한자 混用 문장이다"), // hanja minority → still ko
+      (3L, "日本語の文です")) // kana present → ja even with kanji
+      .toDF("doc_id", "text")
+    val got = TextOps.scriptLangId(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(6)).toMap
+    assert(got == Map(1L -> "ko", 2L -> "ko", 3L -> "ja"))
+  }
+
+  test("r08 analyzer forms Hangul-Hangul bigrams (Lucene-CJK treats " +
+    "Hangul like the other CJK scripts)") {
+    assert(Search.cjkAnalyze("한국어") ==
+      Seq("한", "국", "어", "한국", "국어"))
+    assert(Search.cjkAnalyze("한ab국") == Seq("한", "ab", "국"),
+      "a Latin run breaks the bigram chain")
+  }
+
+  test("cjkHangulFixture maps the 21 letters to distinct syllables " +
+    "and deletes spaces, like the other script fixtures") {
+    import spark.implicits._
+    val out = Seq("the part").toDF("text")
+      .select(TextOps.cjkHangulFixture(col("text"))).head.getString(0)
+    val expected = "the part".filter(_ != ' ')
+      .map(c => TextOps.CjkHangulTo(TextOps.CjkFrom.indexOf(c))).mkString
+    assert(out == expected && !out.contains(' '))
+  }
+
+  test("persisted token arrays ≡ in-session derivation: the artifact " +
+    "round-trips parquet exactly and terms derived from it equal " +
+    "cjkIndexTerms run directly") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"),
+      TextOps.cjkFixture(col("text")).as("text"))
+    val dir = IndexPaths.dir("r16_tokens_spec", sf)
+    TextOps.cjkTokensWrite(docs, "doc_id", "text", dir)
+    val loaded = TextOps.cjkTokensLoad(spark, dir)
+    val direct = docs.select(col("doc_id"),
+      TextOps.scriptTokens(col("text")).as("toks"))
+    assert(loaded.exceptAll(direct).isEmpty &&
+      direct.exceptAll(loaded).isEmpty)
+    val termsFromStore = loaded.select(col("doc_id"),
+      Search.cjkIndexTermsFromTokens(col("toks")).as("terms"))
+    val termsDirect = docs.select(col("doc_id"),
+      Search.cjkIndexTerms(col("text")).as("terms"))
+    assert(termsFromStore.exceptAll(termsDirect).isEmpty &&
+      termsDirect.exceptAll(termsFromStore).isEmpty)
+  }
+
+  test("tokenizer-version stamp: a stale or absent stamp fails loudly " +
+    "at load, a current one passes") {
+    val dir = IndexPaths.dir("r16_stamp_spec", sf)
+    new java.io.File(dir).mkdirs()
+    // absent stamp (pre-versioning store, or a publish that died)
+    val eAbsent = intercept[IllegalStateException] { IndexMeta.check(dir) }
+    assert(eAbsent.getMessage.contains("tokenizer version mismatch"))
+    // stale stamp (store built by an older tokenizer definition)
+    java.nio.file.Files.write(
+      new java.io.File(dir, "_TOKENIZER_VERSION").toPath,
+      "tok-0000000000000000".getBytes("UTF-8"))
+    val eStale = intercept[IllegalStateException] { IndexMeta.check(dir) }
+    assert(eStale.getMessage.contains("tok-0000000000000000"))
+    IndexMeta.stamp(dir)
+    IndexMeta.check(dir) // current: no throw
+  }
+
+  test("cjkServeDelta refuses an unstamped store (the d21 load seam)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select(col("doc_id"),
+      TextOps.cjkFixture(col("text")).as("text"))
+    val dir = IndexPaths.dir("r16_d21_stamp_spec", sf)
+    Dedup.cjkPublishIndex(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", dir)
+    // published by the current tokenizer: serves fine
+    Dedup.cjkServeDelta(spark, docs.filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", 0.6, dir).count()
+    // simulate a tokenizer change since publish: the serve must fail
+    // loudly, not silently miss every pair
+    java.nio.file.Files.write(
+      new java.io.File(dir, "_TOKENIZER_VERSION").toPath,
+      "tok-ffffffffffffffff".getBytes("UTF-8"))
+    intercept[IllegalStateException] {
+      Dedup.cjkServeDelta(spark, docs.filter(col("doc_id") % 2 =!= 0),
+        "doc_id", "text", 0.6, dir)
+    }
+  }
+}
