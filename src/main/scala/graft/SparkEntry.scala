@@ -162,7 +162,28 @@ object SparkEntry {
           val idxDir = ops.IndexPaths.dir("p07_index", d)
           ops.Similarity.ivfPqWriteAll(s, d, idxDir)
           ops.Similarity.ivfPqServeLoaded(s, d, idxDir)
+        }),
+        // The r06/r07 seam at the STREAM edge on the CJK analyzer
+        // (r12): documents drain as micro-batches, each batch's
+        // unigram+bigram postings append as an immutable segment, the
+        // Chinese query serves from the exact-integer segment merge —
+        // equal to the one-shot r09 build by r07's token-agnostic
+        // merge theorem, so r12 shares r08's oracle verbatim. The
+        // segment store is fresh per invocation (this catalog entry
+        // runs without a stream checkpoint, so a reused store would
+        // double its postings — the IndexStream scaladoc contract).
+        "r12_cjk_index_stream" -> ((s: SparkSession, d: String) => {
+          import org.apache.spark.sql.functions.col
+          val segDir = ops.IndexPaths.dir(
+            s"r12_seg_${r12Invocation.incrementAndGet()}", d)
+          graft.streaming.IndexStream.runAvailableNowCjk(s, d, segDir,
+            textOf = graft.ops.TextOps.cjkFixture(col("text")))
+          val (p, l, st) =
+            graft.streaming.IndexStream.mergedIndexCjk(s, segDir)
+          ops.Search.bm25QueryIndex(p, l, st, terms = ops.Search.CjkQuery)
         }))
+
+  private val r12Invocation = new java.util.concurrent.atomic.AtomicLong()
 
   /** Build/serve decomposition of the persistence catalog entries —
     * the bench's sub-metric seam: the one-shot entries time parquet
@@ -441,7 +462,10 @@ object SparkEntry {
         // p06's persisted+merged serve equals the one-shot r01 ranking
         "p06_search_maintenance" -> ops.Search.oracle("r01_bm25"),
         // p07's all-loaded IVFPQ serve equals the in-session k19
-        "p07_ann_maintenance" -> ops.Similarity.oracle("k19_ivfpq"))
+        "p07_ann_maintenance" -> ops.Similarity.oracle("k19_ivfpq"),
+        // r12's merged CJK segments serve the exact one-shot r08
+        // ranking (r07's integer merge theorem, token-agnostic)
+        "r12_cjk_index_stream" -> ops.Search.oracle("r08_cjk_bm25"))
 
   /** Catalog keys intentionally carrying NO DuckDB oracle, each pinned
     * by golden-fixture tests instead. Every member must name a real

@@ -853,6 +853,38 @@ object Dedup {
           .as("_script_text")),
       "_script_text", n)
 
+  /** CJK NEAR-DUP DECONTAMINATION (d24) — [[decontaminateNearDup]]'s
+    * char-seam sibling, closing the d09/d17 symmetry on unsegmented
+    * text: training docs whose char-[[CjkCharShingleN]]-gram Jaccard
+    * vs ANY benchmark doc clears `threshold`. The gap it closes: a
+    * CJK benchmark quote with light edits evades d17 outright (word
+    * 3-grams need ≥3 whitespace tokens — an unsegmented doc is ONE,
+    * so the word path emits nothing) and is indistinguishable to d23,
+    * whose any-shared-gram tripwire also fires on docs sharing one
+    * incidental formulaic 5-gram — the flag is real but not
+    * ACTIONABLE (you cannot drop every doc sharing one 5-gram with a
+    * benchmark). The Jaccard verify is what separates "quoted with
+    * edits" (high overlap, drop it) from "happens to share a phrase"
+    * (noise, keep it); d24 ⊆ d23's flag set by construction (a
+    * verified near-dup shares ≥1 gram — spec'd), the d17 ⊆ d09
+    * relationship restated on the char seam.
+    *
+    * Pure composition: [[minhashVerifiedAgainst]] behind the script
+    * tokenizer with the benchmark as the small (delta) side, collapsed
+    * per training doc — the scale shape is d17's (benchmark bands
+    * broadcast-sized, corpus side one map-side signature pass, no
+    * corpus-vs-corpus pairs). Output: `(doc_id, n_bench_matches,
+    * max_jaccard)`. */
+  def cjkDecontaminateNearDup(corpus: DataFrame, probe: DataFrame,
+                              id: String, text: String, threshold: Double,
+                              n: Int = CjkCharShingleN): DataFrame =
+    decontaminateNearDup(
+      corpus.select(col(id),
+        concat_ws(" ", TextOps.scriptTokens(col(text))).as("_script_text")),
+      probe.select(col(id),
+        concat_ws(" ", TextOps.scriptTokens(col(text))).as("_script_text")),
+      id, "_script_text", threshold, n)
+
   /** 32-bit SimHash signature per doc from term-frequency-weighted token
     * hashes, as ONE map-side native expression
     * ([[graft.functions.SimHash]]) — zero shuffles, embarrassingly
@@ -1235,6 +1267,16 @@ object Dedup {
       cjkContaminationHits(
         docs.filter(col("source") =!= "src0"), "doc_id", "text",
         docs.filter(col("source") === "src0"), "text")
+    }),
+    // d24 harness: d17's corpus/benchmark split on the unsegmented
+    // fixture — the paraphrase-catching sweep d23's tripwire can't do
+    "d24_cjk_decontaminate_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        TextOps.cjkFixture(col("text")).as("text"))
+      cjkDecontaminateNearDup(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", threshold = 0.6)
     }),
     // near-dup decontamination: same benchmark stand-in as d09 (src0),
     // but flagging only true near-duplicates of a benchmark doc
@@ -1647,6 +1689,34 @@ object Dedup {
       // corpus/benchmark split, collapsed per training doc
       "d17_decontaminate_neardup" -> {
         val side = crossSideSql _
+        s"""WITH ${side("c", "source <> 'src0'")},
+           |${side("d", "source = 'src0'")},
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS corpus_id, b.doc_id AS delta_id
+           |  FROM bandsc a JOIN bandsd b ON a.band = b.band AND a.key = b.key),
+           |pr AS (
+           |  SELECT cand.corpus_id, cand.delta_id, count(*) AS inter
+           |  FROM cand
+           |  JOIN skc a ON a.doc_id = cand.corpus_id
+           |  JOIN skd b ON b.doc_id = cand.delta_id AND b.sk = a.sk
+           |  GROUP BY 1, 2),
+           |v AS (
+           |  SELECT corpus_id, delta_id,
+           |    inter::DOUBLE / (ca.n_sh + cb.n_sh - inter)::DOUBLE AS jaccard
+           |  FROM pr
+           |  JOIN cntc ca ON pr.corpus_id = ca.doc_id
+           |  JOIN cntd cb ON pr.delta_id = cb.doc_id
+           |  WHERE inter::DOUBLE / (ca.n_sh + cb.n_sh - inter)::DOUBLE >= 0.6)
+           |SELECT corpus_id AS doc_id, count(*) AS n_bench_matches,
+           |  max(jaccard) AS max_jaccard
+           |FROM v GROUP BY corpus_id""".stripMargin
+      },
+      // d24 — d17's cross-set band+verify tail VERBATIM over the char
+      // CTE chain (the same fixture + fold + script-token regex +
+      // 5-gram windows as d20/d21, the same corpus/benchmark split as
+      // d09/d17/d23), collapsed per training doc
+      "d24_cjk_decontaminate_neardup" -> {
+        val side = cjkCrossSideSql _
         s"""WITH ${side("c", "source <> 'src0'")},
            |${side("d", "source = 'src0'")},
            |cand AS (

@@ -56,6 +56,55 @@ object IndexStream {
       st.write.mode("append").parquet(s"$segDir/stats")
     }
 
+  /** [[runAvailableNow]]'s CJK twin (r12) — the last seam where the
+    * CJK family lacked its word-family symmetry: each arriving
+    * micro-batch of unsegmented documents is analyzed with the r08
+    * unigram+bigram CJK analyzer (via the array-input index build, so
+    * the batch is tokenized exactly once) and appended as an
+    * immutable segment; queries serve from
+    * [[mergedIndex]] after r07's exact-integer merge, which is
+    * token-AGNOSTIC — postings concatenate, dfs ADD, stats ADD — so
+    * merged CJK segments equal the one-shot r09 build bit-for-bit
+    * over ANY micro-batch partitioning (IndexStreamSpec pins it, and
+    * the serve hash-matches r08's oracle). Segments are script-token-
+    * derived persisted artifacts, so the store carries the tokenizer-
+    * version stamp ([[graft.ops.IndexMeta]]): stamped after each
+    * append, checked before any serve — an analyzer change between
+    * segment writes fails loudly instead of silently splitting the
+    * lexicon. `textOf` lets the harness inject the fixture translate;
+    * a real deployment leaves the default raw column. */
+  def runAvailableNowCjk(spark: SparkSession, dir: String,
+                         segDir: String,
+                         textOf: org.apache.spark.sql.Column =
+                           org.apache.spark.sql.functions.col("text"),
+                         checkpointDir: Option[String] = None,
+                         glob: String = "documents.parquet"): Unit = {
+    // appending a segment built by a DIFFERENT tokenizer than the
+    // standing segments would corrupt the merged lexicon silently —
+    // check first if segments already exist, stamp after
+    if (new java.io.File(segDir, "postings").exists())
+      graft.ops.IndexMeta.check(segDir)
+    Drain.availableNow(spark, dir, rawSchema, glob,
+      org.apache.spark.sql.functions.lit(true), checkpointDir) { batch =>
+      import org.apache.spark.sql.functions.col
+      val toks = batch.select(col("doc_id"),
+        Search.cjkIndexTerms(textOf).as("terms"))
+      val (p, l, st) = Search.bm25BuildIndexTokens(toks, "doc_id", "terms")
+      p.write.mode("append").parquet(s"$segDir/postings")
+      l.write.mode("append").parquet(s"$segDir/lexicon")
+      st.write.mode("append").parquet(s"$segDir/stats")
+    }
+    graft.ops.IndexMeta.stamp(segDir)
+  }
+
+  /** [[mergedIndex]] with the CJK store's tokenizer-version check —
+    * the serve seam for [[runAvailableNowCjk]] segment stores. */
+  def mergedIndexCjk(spark: SparkSession,
+                     segDir: String): (DataFrame, DataFrame, DataFrame) = {
+    graft.ops.IndexMeta.check(segDir)
+    mergedIndex(spark, segDir)
+  }
+
   /** Read the segment store back as ONE logical index: the r07 merge
     * over however many segments the stream appended — postings are
     * already concatenated by the append writes; lexicon dfs and the

@@ -108,6 +108,85 @@ class RoundSixteenOpsSpec extends AnyFunSuite {
     IndexMeta.check(dir) // current: no throw
   }
 
+  test("d24 precision vs d23 recall: a lightly-edited CJK benchmark " +
+    "quote is verified near-dup (actionable), an incidental one-gram " +
+    "share is not — and the word-level d17 sees neither") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def cjkStr(n: Int): String =
+      Seq.fill(n)(TextOps.CjkTo(rnd.nextInt(21))).mkString
+    val bench = cjkStr(60)
+    // one mid-string edit: kills ≤5 of ~56 5-gram windows → J ≥ ~0.8
+    val edited = bench.updated(30,
+      TextOps.CjkTo((TextOps.CjkTo.indexOf(bench(30)) + 1) % 21))
+    // shares exactly the benchmark's FIRST window, otherwise unrelated
+    val incidental = bench.take(5) + cjkStr(55)
+    val unrelated = cjkStr(60)
+    val corpus = Seq((10L, edited), (11L, incidental), (12L, unrelated))
+      .toDF("doc_id", "text")
+    val probe = Seq((1L, bench)).toDF("doc_id", "text")
+    // d23's tripwire fires on BOTH the quote and the incidental share —
+    // high recall, but the flag alone cannot say which doc to drop
+    val hits = Dedup.cjkContaminationHits(corpus, "doc_id", "text",
+      probe, "text").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.contains(10L) && hits(10L) >= 40,
+      "the edited quote shares most windows")
+    assert(hits.get(11L).contains(1L),
+      "the incidental doc shares exactly one window")
+    assert(!hits.contains(12L))
+    // d24's Jaccard verify separates them: the quote is flagged with
+    // high overlap, the incidental share is not flagged at all
+    val d24 = Dedup.cjkDecontaminateNearDup(corpus, probe,
+      "doc_id", "text", threshold = 0.6).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(d24.contains(10L) && d24(10L) >= 0.6 && !d24.contains(11L))
+    // and the word-level d17 is blind to the whole unsegmented corpus
+    // (every doc is ONE whitespace token — below the 3-gram floor)
+    assert(Dedup.decontaminateNearDup(corpus, probe,
+      "doc_id", "text", threshold = 0.6).isEmpty)
+  }
+
+  test("d24 ⊆ d23 on the harness corpus: every verified near-dup of a " +
+    "benchmark doc shares at least one char gram with it") {
+    val d24 = Dedup.queries("d24_cjk_decontaminate_neardup")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val d23 = Dedup.queries("d23_cjk_decontaminate")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(d24.nonEmpty, "the planted near-dups must cross the src0 split")
+    assert(d24.subsetOf(d23))
+  }
+
+  test("empty-night serve: a delta producing ZERO pairs returns the " +
+    "published labels exactly, and equals mergeComponents over an " +
+    "empty edge set — the two branches can never diverge") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val dir = IndexPaths.dir("r16_empty_night", sf)
+    Dedup.minhashPublishStanding(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", 0.6, dir)
+    // a delta sharing NO 3-gram with anything: every token unique to
+    // its doc and absent from the corpus vocabulary — band candidates
+    // may still collide, but the exact-Jaccard verify kills them all
+    val delta = (1 to 4).map { i =>
+      (9000L + i, (1 to 12).map(j => s"zz${i}x$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val served = Dedup.minhashServeIncremental(spark, delta,
+      "doc_id", "text", 0.6, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val published = spark.read.parquet(s"$dir/labels")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served == published,
+      "an empty delta night must return the store's labels as-is")
+    // and the fast path's argued identity holds literally: merging an
+    // EMPTY edge set reproduces the published labels
+    val emptyEdges = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val merged = Clusters.mergeComponents(
+        spark.read.parquet(s"$dir/labels"), emptyEdges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(merged == published,
+      "mergeComponents over zero edges must be an identity on labels")
+  }
+
   test("cjkServeDelta refuses an unstamped store (the d21 load seam)") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).select(col("doc_id"),

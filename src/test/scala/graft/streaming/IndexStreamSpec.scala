@@ -34,4 +34,65 @@ class IndexStreamSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(served == direct)
   }
+
+  test("CJK segment stream: two drained tranches merge to the one-shot " +
+    "r09 build bit-for-bit and serve r08's exact ranking") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    // two tranches staged as separate files behind ONE checkpoint, so
+    // the second drain processes only the unseen file — two real
+    // segments in the store, not one batch re-split
+    val watch = java.nio.file.Files.createTempDirectory("graft_cjk_watch")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_cjk_seg_ckpt").toString
+    val segDir = java.nio.file.Files
+      .createTempDirectory("graft_cjk_seg").toString
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cjk_tr")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val listing = java.nio.file.Files.list(tmp)
+      val part =
+        try listing.filter(p =>
+          p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        finally listing.close()
+      java.nio.file.Files.copy(part, watch.resolve(s"$name.parquet"))
+      ()
+    }
+    def runOnce(): Unit =
+      IndexStream.runAvailableNowCjk(spark, watch.toString, segDir,
+        textOf = graft.ops.TextOps.cjkFixture(col("text")),
+        checkpointDir = Some(ckpt), glob = "*.parquet")
+    stage(docs.filter(col("doc_id") % 2 === 0), "evens")
+    runOnce()
+    stage(docs.filter(col("doc_id") % 2 =!= 0), "odds")
+    runOnce()
+    assert(spark.read.parquet(s"$segDir/stats").count() == 2,
+      "two drains over disjoint tranches must append two segments")
+    val (p, l, st) = IndexStream.mergedIndexCjk(spark, segDir)
+    val full = Search.bm25BuildIndexTokens(
+      docs.select(col("doc_id"), Search.cjkIndexTerms(
+        graft.ops.TextOps.cjkFixture(col("text"))).as("terms")),
+      "doc_id", "terms")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(p) == rows(full._1), "segment postings must union exactly")
+    assert(rows(l) == rows(full._2), "segment lexicons must re-sum exactly")
+    assert(rows(st) == rows(full._3), "segment stats must re-sum exactly")
+    // and the serve lands on r08's exact ranking (the shared oracle)
+    val served = Search.bm25QueryIndex(p, l, st, terms = Search.CjkQuery)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val direct = Search.bm25TopKTokens(
+      docs.select(col("doc_id"), Search.cjkIndexTerms(
+        graft.ops.TextOps.cjkFixture(col("text"))).as("terms")),
+      "doc_id", "terms", terms = Search.CjkQuery)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(served == direct)
+    // the CJK store is tokenizer-stamped: a stale stamp refuses to serve
+    java.nio.file.Files.write(
+      new java.io.File(segDir, "_TOKENIZER_VERSION").toPath,
+      "tok-ffffffffffffffff".getBytes("UTF-8"))
+    intercept[IllegalStateException] {
+      IndexStream.mergedIndexCjk(spark, segDir)
+    }
+  }
 }

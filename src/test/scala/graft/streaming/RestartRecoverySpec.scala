@@ -417,6 +417,13 @@ class RestartRecoverySpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(resumed == oneShot,
       "restart must append exactly the unseen tranche's pairs — no " +
         "duplicates, no gaps")
-    assert(afterA != resumed, "split produced no partial first run")
+    // tranche A's pairs must be a STRICT subset of the resumed total:
+    // run 1 appended a genuine partial (⊆) and tranche B contributed
+    // pairs of its own (<) — a plain != would pass vacuously if the
+    // doc_id%4==3 tranche ever contributed zero pairs
+    assert(afterA.toSet.subsetOf(resumed.toSet),
+      "run 1 must only contain pairs the one-shot serve also emits")
+    assert(afterA.size < resumed.size,
+      "tranche B must add pairs of its own, or the split tests nothing")
   }
 }
