@@ -16,13 +16,36 @@ import org.apache.spark.sql.functions._
   *    copies are disjoint but every FK still joins to its parent copy —
   *    join fan-outs, group sizes and key cardinalities all scale
   *    linearly;
-  *  - `documents.text` gets a per-copy suffix on every whitespace token
-  *    (copy 0 stays byte-identical). This keeps the INTRA-copy
-  *    duplicate/shingle structure exactly and makes copies pairwise
-  *    shingle-disjoint. Without it, every doc would be an exact dup of
-  *    its N-1 siblings: LSH buckets would grow N×, candidate pairs N²×,
-  *    and the probe would report a quadratic blowup that is an artifact
-  *    of naive replication, not of the operators under test;
+  *  - `documents.text` is decorrelated per copy at BOTH seams (copy 0
+  *    stays byte-identical):
+  *    (a) a per-copy ROTATION CIPHER over the letters a–u — the exact
+  *    alphabet the CJK fixture translate maps to ideographs — so after
+  *    the downstream `cjkFixture`/`scriptTokens` derivation, copies
+  *    share no char n-grams either. This closes the r15 verdict's
+  *    probe-fidelity hole: the old token SUFFIX decorrelated word
+  *    shingles but left the long CJK char runs between suffixes
+  *    identical across copies, inflating char-gram pair density ~4000×
+  *    (BENCH_SCALE.md r15) — the sf1 CJK rows measured the generator,
+  *    not the operators. A cipher keyed only on the copy is a
+  *    BIJECTION applied uniformly within each copy, so every intra-copy
+  *    shingle equality (word- or char-level) is preserved EXACTLY —
+  *    planted near-dups stay near-dups at the same Jaccard — while
+  *    cross-copy windows differ in every rotated char; and because it
+  *    permutes WITHIN a–u, the fixture maps exactly the same positions
+  *    to CJK, so length, script mix, and df SHAPE are all preserved.
+  *    True pair density then scales linearly (N× the sf0.1 pairs),
+  *    like a real corpus of independent shards. Guaranteed distinct
+  *    for factor ≤ 21 rotations (the probe uses 10);
+  *    (b) the per-copy `_cN` token suffix, kept for the tokens the
+  *    cipher cannot separate (pure v–z/digit tokens) and for exact-dup
+  *    word-level disjointness. Without decorrelation, every doc would
+  *    be an exact dup of its N-1 siblings: LSH buckets would grow N×,
+  *    candidate pairs N²×, and the probe would report a quadratic
+  *    blowup that is an artifact of naive replication, not of the
+  *    operators under test. Deliberate trade-off: per-copy vocabularies
+  *    are disjoint, so a QUERY term's posting lists stay copy-0-sized
+  *    rather than growing N× — search-entry ratios measure the corpus
+  *    scan + index build (the parts that scale), not posting growth;
   *  - `embeddings.embedding` gets a small deterministic per-element
   *    jitter (±0.05, hash-keyed) on copies ≥1 — same reasoning as text:
   *    identical vectors across copies would put N duplicates in every
@@ -62,6 +85,27 @@ object ScaleGen {
         t => when(length(t) === 0, t)
           .otherwise(concat(t, lit("_c"), copy.cast("string"))))))
 
+  /** The CJK-fixture alphabet (a–u, both cases — the corpus is
+    * lowercase, upper kept for safety since `cjkFixture` lowers
+    * first). Rotating WITHIN this set keeps the fixture translate
+    * total on the same positions. */
+  private val RotAlphabet = "abcdefghijklmnopqrstu"
+  private def rotTo(k: Int): String = {
+    val n = RotAlphabet.length
+    val lo = RotAlphabet.drop(k % n) + RotAlphabet.take(k % n)
+    lo + lo.toUpperCase
+  }
+  private val RotFrom = RotAlphabet + RotAlphabet.toUpperCase
+
+  /** Per-copy rotation cipher over the fixture alphabet — one
+    * `translate` per copy value, selected by a when-chain (factor
+    * branches, all codegen'd maps). Copy 0 is the identity. */
+  private def rotateLetters(text: Column, copy: Column,
+                            copies: Int): Column =
+    (1 until copies).foldLeft(when(copy === 0, text)) { (acc, k) =>
+      acc.when(copy === k, translate(text, RotFrom, rotTo(k)))
+    }.otherwise(text)
+
   /** Deterministic per-copy jitter: hash(vec_id, pos, copy) → ±0.05. */
   private def jitter(emb: Column, vecId: Column, copy: Column): Column =
     when(copy === 0, emb).otherwise(
@@ -89,7 +133,8 @@ object ScaleGen {
       .drop("_copy"), dst, "events", factor)
     val docs = replicate(in("documents"), factor, Seq("doc_id"))
     write(docs
-      .withColumn("text", suffixTokens(col("text"), col("_copy")))
+      .withColumn("text", suffixTokens(
+        rotateLetters(col("text"), col("_copy"), factor), col("_copy")))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .drop("_copy"), dst, "documents", factor)
     val embs = replicate(in("embeddings"), factor, Seq("vec_id"))
