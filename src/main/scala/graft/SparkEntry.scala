@@ -164,20 +164,42 @@ object SparkEntry {
           ops.Similarity.ivfPqServeLoaded(s, d, idxDir)
         }),
         // The r06/r07 seam at the STREAM edge on the CJK analyzer
-        // (r12): documents drain as micro-batches, each batch's
-        // unigram+bigram postings append as an immutable segment, the
-        // Chinese query serves from the exact-integer segment merge —
-        // equal to the one-shot r09 build by r07's token-agnostic
-        // merge theorem, so r12 shares r08's oracle verbatim. The
-        // segment store is fresh per invocation (this catalog entry
-        // runs without a stream checkpoint, so a reused store would
-        // double its postings — the IndexStream scaladoc contract).
+        // (r12), in the deployment shape: the STANDING (even) half is
+        // one segment built from the persisted token arrays (the
+        // nightly ingest product — no re-tokenize), and only the
+        // arriving (odd) half drains through the stream, each
+        // micro-batch's unigram+bigram postings appending as an
+        // immutable segment. The Chinese query serves from the
+        // exact-integer segment merge — equal to the one-shot r09
+        // build by r07's token-agnostic merge theorem (segments
+        // partition the corpus, postings concatenate, dfs/stats ADD),
+        // so r12 shares r08's oracle verbatim. The segment store is
+        // fresh per invocation (this catalog entry runs without a
+        // stream checkpoint, so a reused store would double its
+        // postings — the IndexStream scaladoc contract).
         "r12_cjk_index_stream" -> ((s: SparkSession, d: String) => {
           import org.apache.spark.sql.functions.col
           val segDir = ops.IndexPaths.dir(
             s"r12_seg_${r12Invocation.incrementAndGet()}", d)
-          graft.streaming.IndexStream.runAvailableNowCjk(s, d, segDir,
-            textOf = graft.ops.TextOps.cjkFixture(col("text")))
+          val standing = ops.Search.bm25BuildIndexTokens(
+            ops.Clusters.sharedCjkTerms(s, d)
+              .filter(col("doc_id") % 2 === 0), "doc_id", "terms")
+          standing._1.write.mode("append").parquet(s"$segDir/postings")
+          standing._2.write.mode("append").parquet(s"$segDir/lexicon")
+          standing._3.write.mode("append").parquet(s"$segDir/stats")
+          ops.IndexMeta.stamp(segDir)
+          // documents.parquet is a single FILE at the driver's sf dirs
+          // but a parquet DIRECTORY in ScaleGen output — the stream's
+          // pathGlobFilter matches LEAF file names, so point the drain
+          // at whichever level holds the part files
+          val src = new java.io.File(d, "documents.parquet")
+          val (srcDir, glob) =
+            if (src.isDirectory) (src.getPath, "*.parquet")
+            else (d, "documents.parquet")
+          graft.streaming.IndexStream.runAvailableNowCjk(s, srcDir, segDir,
+            textOf = graft.ops.TextOps.cjkFixture(col("text")),
+            glob = glob,
+            deltaFilter = col("doc_id") % 2 =!= 0)
           val (p, l, st) =
             graft.streaming.IndexStream.mergedIndexCjk(s, segDir)
           ops.Search.bm25QueryIndex(p, l, st, terms = ops.Search.CjkQuery)

@@ -78,17 +78,24 @@ object IndexStream {
                          textOf: org.apache.spark.sql.Column =
                            org.apache.spark.sql.functions.col("text"),
                          checkpointDir: Option[String] = None,
-                         glob: String = "documents.parquet"): Unit = {
+                         glob: String = "documents.parquet",
+                         deltaFilter: org.apache.spark.sql.Column =
+                           org.apache.spark.sql.functions.lit(true)): Unit = {
     // appending a segment built by a DIFFERENT tokenizer than the
     // standing segments would corrupt the merged lexicon silently —
     // check first if segments already exist, stamp after
     if (new java.io.File(segDir, "postings").exists())
       graft.ops.IndexMeta.check(segDir)
     Drain.availableNow(spark, dir, rawSchema, glob,
-      org.apache.spark.sql.functions.lit(true), checkpointDir) { batch =>
+      deltaFilter, checkpointDir) { batch =>
       import org.apache.spark.sql.functions.col
+      // tokenize ONCE per micro-batch (the r08 doctrine at the stream
+      // edge): the index build reads the term arrays twice (corpus
+      // scalars + postings), so an unmaterialized projection would run
+      // the fold+regex+bigram analyzer twice per batch — measured 2×
+      // the whole entry's analyzer cost at sf0.1
       val toks = batch.select(col("doc_id"),
-        Search.cjkIndexTerms(textOf).as("terms"))
+        Search.cjkIndexTerms(textOf).as("terms")).localCheckpoint()
       val (p, l, st) = Search.bm25BuildIndexTokens(toks, "doc_id", "terms")
       p.write.mode("append").parquet(s"$segDir/postings")
       l.write.mode("append").parquet(s"$segDir/lexicon")
