@@ -350,17 +350,20 @@ object Clusters {
       graft.ops.TextOps.cjkTokensLoad(s, dir)
     }
 
-  /** Unigram+bigram term arrays derived from [[sharedCjkTokens]] —
-    * a cheap array projection (slices + one zip_with, NO regex) over
-    * the parquet-backed tokens, so r08/r09/r11 all source from the
-    * stored artifact and a solo run costs the same as an in-catalog
-    * one (the r15 verdict's r11 item). Not checkpointed: the parquet
-    * store IS the materialization; re-deriving bigrams per pass is
-    * array arithmetic. */
+  /** Unigram+bigram term arrays derived from [[sharedCjkTokens]] — no
+    * regex (slices + one zip_with over the parquet-backed tokens), so
+    * r08/r09/r11 all source from the stored artifact and a solo run
+    * costs the same as an in-catalog one (the r15 verdict's r11
+    * item). STILL materialized (localCheckpoint): the bm25/tfidf
+    * consumers each read the terms twice (corpus scalars + postings),
+    * and re-running even the cheap bigram build per pass measured
+    * 2.7× on r08 — derive once per session, serve from the
+    * checkpoint. */
   def sharedCjkTerms(s: SparkSession, d: String): DataFrame =
     memo(s, d, "cjk_terms") {
       sharedCjkTokens(s, d).select(col("doc_id"),
         graft.ops.Search.cjkIndexTermsFromTokens(col("toks")).as("terms"))
+        .localCheckpoint()
     }
 
   /** The end of the dedup pipeline: the corpus with every non-keeper
