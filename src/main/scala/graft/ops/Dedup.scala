@@ -557,8 +557,15 @@ object Dedup {
     * cross-set join ([[minhashVerifiedAgainst]]) and the persisted
     * signature store ([[minhashWriteIndex]]/[[minhashLoadIndex]]). */
   def minhashBandRows(docs: DataFrame, id: String, text: String,
-                      n: Int = 3): DataFrame = {
-    val sig = minhashSignatures(docs, id, text, n)
+                      n: Int = 3): DataFrame =
+    bandRowsFromSignatures(minhashSignatures(docs, id, text, n))
+
+  /** The band-key explode alone, over an ALREADY-COMPUTED signature
+    * frame `(doc_id, mh)` — cheap array slicing, no text touched.
+    * Split from [[minhashBandRows]] so a caller that materializes
+    * signatures once (d24's one-scan corpus artifact) can derive its
+    * band table without a second tokenize+hash pass. */
+  def bandRowsFromSignatures(sig: DataFrame): DataFrame = {
     val bandKeys = (0 until Bands).map { b =>
       val cols = (0 until RowsPerBand).map(r => s"mh[${b * RowsPerBand + r}]")
       expr(s"concat_ws('_', ${cols.mkString(", ")})")
@@ -869,21 +876,78 @@ object Dedup {
     * verified near-dup shares ≥1 gram — spec'd), the d17 ⊆ d09
     * relationship restated on the char seam.
     *
-    * Pure composition: [[minhashVerifiedAgainst]] behind the script
-    * tokenizer with the benchmark as the small (delta) side, collapsed
-    * per training doc — the scale shape is d17's (benchmark bands
-    * broadcast-sized, corpus side one map-side signature pass, no
-    * corpus-vs-corpus pairs). Output: `(doc_id, n_bench_matches,
+    * Composition: the capped cross-set band+verify
+    * ([[minhashServeDeltaFrom]]) behind the script tokenizer with the
+    * benchmark as the small (delta) side, collapsed per training doc.
+    * Unlike d17's word path, the [[MaxBandDocs]] bucket cap on the
+    * TRAINING-CORPUS side is load-bearing (the d20-vs-d08 distinction
+    * restated): char-shingle signatures on a bounded repertoire
+    * collide across unrelated docs, so uncapped corpus band buckets
+    * grow with the corpus and candidates go quadratic — the uncapped
+    * first cut measured 12.2× at the 10× sf1 probe; capped it is the
+    * d21 shape, bounded by the benchmark's band hits. The recall
+    * trade is the family's standard one: a contaminated doc reachable
+    * only through an over-populated (formulaic) bucket can be missed
+    * by the band stage — exactly the bucket class where incidental
+    * overlap lives, which the Jaccard verify would reject anyway.
+    *
+    * The corpus side is ONE scan: verify arrays and the MinHash
+    * signature are two map-side expressions over the same token
+    * array, materialized together (localCheckpoint, the
+    * serve-delta convention at Dedup.scala's d21 edge) so the band
+    * table, the bucket gate's df count, and the verify join all read
+    * the checkpoint — the naive form re-tokenized and re-hashed the
+    * full training corpus three times (arrays + each side of the
+    * gate's self-join), which tripled the linear term that dominates
+    * this op at scale. Output: `(doc_id, n_bench_matches,
     * max_jaccard)`. */
   def cjkDecontaminateNearDup(corpus: DataFrame, probe: DataFrame,
                               id: String, text: String, threshold: Double,
-                              n: Int = CjkCharShingleN): DataFrame =
-    decontaminateNearDup(
-      corpus.select(col(id),
-        concat_ws(" ", TextOps.scriptTokens(col(text))).as("_script_text")),
-      probe.select(col(id),
-        concat_ws(" ", TextOps.scriptTokens(col(text))).as("_script_text")),
-      id, "_script_text", threshold, n)
+                              n: Int = CjkCharShingleN,
+                              maxBandDocs: Int = MaxBandDocs): DataFrame =
+    cjkDecontaminateNearDupTokens(
+      corpus.select(col(id).as("doc_id"),
+        TextOps.scriptTokens(col(text)).as("toks")),
+      probe.select(col(id).as("doc_id"),
+        TextOps.scriptTokens(col(text)).as("toks")),
+      threshold, n, maxBandDocs)
+
+  /** [[cjkDecontaminateNearDup]] over PRE-TOKENIZED sides `(doc_id,
+    * toks)` — the artifact seam: a deployment sources both from the
+    * persisted script-token arrays (Clusters.sharedCjkTokens), so
+    * decontamination shares the corpus's one tokenizer pass with the
+    * dedup/search consumers instead of re-running fold+regex over
+    * 100 TB. The space re-join is exact (script tokens never contain
+    * ASCII space — the sharedCjkPairs round-trip argument). */
+  def cjkDecontaminateNearDupTokens(corpusToks: DataFrame,
+                                    probeToks: DataFrame,
+                                    threshold: Double,
+                                    n: Int = CjkCharShingleN,
+                                    maxBandDocs: Int = MaxBandDocs): DataFrame = {
+    graft.functions.VectorFunctions.register(corpusToks.sparkSession)
+    // one corpus scan → (corpus_id, hs, mh); bands + gate + verify all
+    // read this checkpoint
+    val cart = corpusToks
+      .select(col("doc_id"), expr("filter(toks, x -> x <> '')").as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(col("doc_id").as("corpus_id"),
+        expr(s"graft_shingle_hashes(tk, $n, 1)").as("hs"),
+        expr(s"graft_minhash(tk, $n)").as("mh"))
+      .localCheckpoint()
+    val cbands = bandRowsFromSignatures(
+      cart.select(col("corpus_id").as("doc_id"), col("mh")))
+      .withColumnRenamed("doc_id", "corpus_id")
+    val ptok = probeToks.select(col("doc_id"),
+      concat_ws(" ", col("toks")).as("_script_text"))
+    minhashServeDeltaFrom(
+      cart.select(col("corpus_id"), col("hs")),
+      cbands, ptok, "doc_id", "_script_text", threshold, n, maxBandDocs)
+      .groupBy(col("corpus_id"))
+      .agg(count(lit(1)).as("n_bench_matches"),
+        max(col("jaccard")).as("max_jaccard"))
+      .select(col("corpus_id").as("doc_id"),
+        col("n_bench_matches"), col("max_jaccard"))
+  }
 
   /** 32-bit SimHash signature per doc from term-frequency-weighted token
     * hashes, as ONE map-side native expression
@@ -1269,14 +1333,17 @@ object Dedup {
         docs.filter(col("source") === "src0"), "text")
     }),
     // d24 harness: d17's corpus/benchmark split on the unsegmented
-    // fixture — the paraphrase-catching sweep d23's tripwire can't do
+    // fixture — the paraphrase-catching sweep d23's tripwire can't do.
+    // Both sides come from the persisted token artifact (the family's
+    // one tokenizer pass); the source split is a narrow doc_id join.
     "d24_cjk_decontaminate_neardup" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
-        TextOps.cjkFixture(col("text")).as("text"))
-      cjkDecontaminateNearDup(
-        docs.filter(col("source") =!= "src0"),
-        docs.filter(col("source") === "src0"),
-        "doc_id", "text", threshold = 0.6)
+      val toks = Clusters.sharedCjkTokens(s, d)
+        .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+      cjkDecontaminateNearDupTokens(
+        toks.filter(col("source") =!= "src0").select(col("doc_id"), col("toks")),
+        toks.filter(col("source") === "src0").select(col("doc_id"), col("toks")),
+        threshold = 0.6)
     }),
     // near-dup decontamination: same benchmark stand-in as d09 (src0),
     // but flagging only true near-duplicates of a benchmark doc
@@ -1711,17 +1778,22 @@ object Dedup {
            |  max(jaccard) AS max_jaccard
            |FROM v GROUP BY corpus_id""".stripMargin
       },
-      // d24 — d17's cross-set band+verify tail VERBATIM over the char
-      // CTE chain (the same fixture + fold + script-token regex +
-      // 5-gram windows as d20/d21, the same corpus/benchmark split as
-      // d09/d17/d23), collapsed per training doc
+      // d24 — d17's cross-set band+verify tail over the char CTE chain
+      // (the same fixture + fold + script-token regex + 5-gram windows
+      // as d20/d21, the same corpus/benchmark split as d09/d17/d23),
+      // with d21's TRAINING-SIDE band gate (HAVING ≤ MaxBandDocs on
+      // the corpus side — the cap the engine applies before the
+      // candidate join), collapsed per training doc
       "d24_cjk_decontaminate_neardup" -> {
         val side = cjkCrossSideSql _
         s"""WITH ${side("c", "source <> 'src0'")},
            |${side("d", "source = 'src0'")},
+           |bok AS (SELECT band, key FROM bandsc GROUP BY band, key
+           |        HAVING count(*) <= $MaxBandDocs),
            |cand AS (
            |  SELECT DISTINCT a.doc_id AS corpus_id, b.doc_id AS delta_id
-           |  FROM bandsc a JOIN bandsd b ON a.band = b.band AND a.key = b.key),
+           |  FROM bandsc a JOIN bok USING (band, key)
+           |  JOIN bandsd b ON a.band = b.band AND a.key = b.key),
            |pr AS (
            |  SELECT cand.corpus_id, cand.delta_id, count(*) AS inter
            |  FROM cand
