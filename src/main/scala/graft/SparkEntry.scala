@@ -275,17 +275,17 @@ object SparkEntry {
             ops.IndexPaths.dir("p07_index", d)))),
       "d21_cjk_serve_delta" -> ((
         (s: SparkSession, d: String) =>
-          ops.Dedup.cjkPublishIndex(
-            ops.Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
-              .select(col("doc_id"),
-                graft.ops.TextOps.cjkFixture(col("text")).as("text")),
-            "doc_id", "text", ops.IndexPaths.dir("d21_index", d)),
+          ops.Dedup.cjkPublishIndexTokens(
+            ops.Clusters.sharedCjkTokens(s, d)
+              .filter(col("doc_id") % 2 === 0)
+              .select(col("doc_id"), col("toks")),
+            ops.IndexPaths.dir("d21_index", d)),
         (s: SparkSession, d: String) =>
-          ops.Dedup.cjkServeDelta(s,
-            ops.Tables.documents(s, d).filter(col("doc_id") % 2 =!= 0)
-              .select(col("doc_id"),
-                graft.ops.TextOps.cjkFixture(col("text")).as("text")),
-            "doc_id", "text", 0.6, ops.IndexPaths.dir("d21_index", d)))),
+          ops.Dedup.cjkServeDeltaTokens(s,
+            ops.Clusters.sharedCjkTokens(s, d)
+              .filter(col("doc_id") % 2 =!= 0)
+              .select(col("doc_id"), col("toks")),
+            0.6, ops.IndexPaths.dir("d21_index", d)))),
       "d19_minhash_persisted" -> ((
         (s: SparkSession, d: String) =>
           ops.Dedup.minhashWriteIndex(

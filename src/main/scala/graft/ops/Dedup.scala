@@ -394,14 +394,30 @@ object Dedup {
     * width). Output: `(doc_a, doc_b, inter, jaccard)`. */
   def minhashVerifiedPairs(docs: DataFrame, id: String, text: String,
                            threshold: Double, n: Int = 3,
-                           maxBandDocs: Int = Int.MaxValue): DataFrame = {
-    graft.functions.VectorFunctions.register(docs.sparkSession)
-    val cand = minhashCandidates(docs, id, text, n, maxBandDocs)
-    val arr = docs
-      .select(col(id).as("doc_id"),
-        expr(s"filter(split($text, ' '), x -> x <> '')").as("tk"))
-      .filter(size(col("tk")) >= n)
-      .select(col("doc_id"), expr(s"graft_shingle_hashes(tk, $n, 1)").as("hs"))
+                           maxBandDocs: Int = Int.MaxValue): DataFrame =
+    minhashVerifiedPairsFromArtifacts(
+      minhashDocArtifacts(docs, id, text, n).localCheckpoint(),
+      threshold, maxBandDocs)
+
+  /** [[minhashVerifiedPairs]] over an already-MATERIALIZED per-doc
+    * artifact frame `(doc_id, hs, mh)` ([[minhashDocArtifacts]]) —
+    * the candidate explode, the bucket cap, and both verify sides all
+    * read the artifact, so the corpus text is tokenized and hashed
+    * exactly once per build (the raw-text form above checkpoints it;
+    * [[minhashPublishStanding]] reuses the very frame it writes as
+    * the store). Within-set banding means the caller materializes a
+    * corpus-sized frame — which is precisely the d19 index, so the
+    * build's working set equals the artifact it exists to produce,
+    * not an extra copy. */
+  def minhashVerifiedPairsFromArtifacts(art: DataFrame, threshold: Double,
+                                        maxBandDocs: Int = Int.MaxValue): DataFrame = {
+    val bands = bandRowsFromSignatures(art.select(col("doc_id"), col("mh")))
+    val cand = expandPairs(
+      bands.groupBy(col("band"), col("key"))
+        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBandDocs))
+      .distinct()
+    val arr = art.select(col("doc_id"), col("hs"))
     cand
       .join(arr.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
         size(col("hs")).cast("long").as("n_a")), Seq("doc_a"))
@@ -458,11 +474,37 @@ object Dedup {
     * over SCRIPT tokens: what a CJK corpus's ingest writes once so the
     * nightly delta serve never touches standing text. */
   def cjkPublishIndex(standing: DataFrame, id: String, text: String,
-                      dir: String, n: Int = CjkCharShingleN): Unit = {
-    val tok = standing.select(col(id).as("doc_id"),
-      concat_ws(" ", TextOps.scriptTokens(col(text))).as("_script_text"))
-    minhashWriteIndex(tok, "doc_id", "_script_text", dir, n)
-    shingleHashArrays(tok, "doc_id", "_script_text", n)
+                      dir: String, n: Int = CjkCharShingleN): Unit =
+    cjkPublishIndexTokens(
+      standing.select(col(id).as("doc_id"),
+        TextOps.scriptTokens(col(text)).as("toks")), dir, n)
+
+  /** [[cjkPublishIndex]] over PRE-TOKENIZED docs `(doc_id, toks)` —
+    * the artifact seam: an ingest that has already written the
+    * persisted script-token arrays (TextOps.cjkTokensWrite) publishes
+    * the char index FROM them, so the fold+regex pass is not re-run
+    * per published store (the cjkDecontaminateNearDupTokens
+    * convention; the space re-join is exact because script tokens
+    * never contain ASCII space). */
+  def cjkPublishIndexTokens(standingToks: DataFrame, dir: String,
+                            n: Int = CjkCharShingleN): Unit = {
+    val tok = standingToks.select(col("doc_id"),
+      concat_ws(" ", col("toks")).as("_script_text"))
+    // ONE script-tokenize+hash scan feeds all three store tables (the
+    // naive three-derivation publish ran the fold+regex+hash pipeline
+    // once per table — 3x the linear term that dominates a CJK
+    // publish); the checkpoint is exactly the store's own contents
+    val art = minhashDocArtifacts(tok, "doc_id", "_script_text", n)
+      .localCheckpoint()
+    art.select(col("doc_id"), col("mh"))
+      .write.mode("overwrite").parquet(s"$dir/signatures")
+    // bands explode off the signatures JUST WRITTEN — a columnar read
+    // that prunes the fat hash arrays, where the row-based checkpoint
+    // cannot (longs round-trip parquet bit-exactly)
+    bandRowsFromSignatures(
+      art.sparkSession.read.parquet(s"$dir/signatures"))
+      .write.mode("overwrite").parquet(s"$dir/bands")
+    art.select(col("doc_id"), col("hs"))
       .write.mode("overwrite").parquet(s"$dir/hashes")
     // script-token-derived store: stamp the tokenizer version LAST, so
     // a publish that died mid-write can never be served (IndexMeta)
@@ -482,7 +524,23 @@ object Dedup {
   def cjkServeDelta(spark: SparkSession, delta: DataFrame, id: String,
                     text: String, threshold: Double, dir: String,
                     n: Int = CjkCharShingleN,
-                    maxBandDocs: Int = MaxBandDocs): DataFrame = {
+                    maxBandDocs: Int = MaxBandDocs): DataFrame =
+    cjkServeDeltaTokens(spark,
+      delta.select(col(id).as("doc_id"),
+        TextOps.scriptTokens(col(text)).as("toks")),
+      threshold, dir, n, maxBandDocs)
+
+  /** [[cjkServeDelta]] over a PRE-TOKENIZED delta `(doc_id, toks)` —
+    * the shape a deployment actually serves: the delta was tokenized
+    * ONCE at ingest into the persisted token arrays, and the nightly
+    * serve's two delta passes (bands + verify arrays) run over the
+    * stored arrays instead of re-running fold+regex per pass. The
+    * raw-text form above remains the stream-edge arrival shape (a
+    * just-arrived batch is not in the artifact yet). */
+  def cjkServeDeltaTokens(spark: SparkSession, deltaToks: DataFrame,
+                          threshold: Double, dir: String,
+                          n: Int = CjkCharShingleN,
+                          maxBandDocs: Int = MaxBandDocs): DataFrame = {
     // the store's shingles must come from THIS tokenizer, or delta
     // bands silently stop colliding with standing bands (IndexMeta)
     IndexMeta.check(dir)
@@ -491,8 +549,8 @@ object Dedup {
         .withColumnRenamed("doc_id", "corpus_id"),
       spark.read.parquet(s"$dir/bands")
         .withColumnRenamed("doc_id", "corpus_id"),
-      delta.select(col(id).as("doc_id"),
-        concat_ws(" ", TextOps.scriptTokens(col(text))).as("_script_text")),
+      deltaToks.select(col("doc_id"),
+        concat_ws(" ", col("toks")).as("_script_text")),
       "doc_id", "_script_text", threshold, n, maxBandDocs)
   }
 
@@ -574,6 +632,28 @@ object Dedup {
       posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
   }
 
+  /** ONE scan of `docs` → the MinHash family's complete per-doc
+    * artifact row `(doc_id, hs, mh)`: verify-side shingle-hash arrays
+    * and the band-side signature as two map-side expressions over the
+    * same token array. Every site that needs both MUST derive them
+    * from one materialization of this frame (localCheckpoint in-flow,
+    * parquet at the publish seams) — consuming bands and arrays as
+    * separate derivations re-executes the tokenize+hash subtree per
+    * consumer, and that doubled/tripled linear term is what the d24
+    * sf1 probe measured before the rework (BENCH_SCALE's d24
+    * section). */
+  def minhashDocArtifacts(docs: DataFrame, id: String, text: String,
+                          n: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    docs
+      .select(col(id).as("doc_id"),
+        expr(s"filter(split($text, ' '), x -> x <> '')").as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(col("doc_id"),
+        expr(s"graft_shingle_hashes(tk, $n, 1)").as("hs"),
+        expr(s"graft_minhash(tk, $n)").as("mh"))
+  }
+
   /** Serve a DELTA batch against a standing corpus's band table —
     * the candidate + verify half of [[minhashVerifiedAgainst]], split
     * out so `corpusBands` can come from either an in-flow computation
@@ -618,6 +698,16 @@ object Dedup {
           .filter(col("bdf") <= maxBandDocs)
           .select(col("band"), col("key")),
         Seq("band", "key"), "left_semi")
+    // the delta's band rows and verify arrays are each consumed by
+    // exactly ONE join here, so the two lazy derivations below run
+    // once apiece — two streaming passes over the delta text, nothing
+    // materialized. Deliberately NOT the one-scan checkpoint shape
+    // ([[minhashDocArtifacts]]): that trades the second tokenize pass
+    // for re-reading the row-based checkpoint's fat hash arrays from
+    // both consumers, which measured a wash on the CJK path and a
+    // regression on the word path; the checkpoint shape pays off only
+    // where consumers multiply (the incremental serve's 2×2, the
+    // publish's four tables).
     val cand = gatedBands
       .join(minhashBandRows(delta, id, text, n)
           .withColumnRenamed("doc_id", "delta_id"),
@@ -667,7 +757,12 @@ object Dedup {
                         dir: String, n: Int = 3): Unit = {
     minhashSignatures(corpus, id, text, n)
       .write.mode("overwrite").parquet(s"$dir/signatures")
-    minhashBandRows(corpus, id, text, n)
+    // bands are a pure explode of the signatures just written — derive
+    // them from the stored artifact (longs round-trip parquet
+    // bit-exactly) instead of tokenizing + hashing the corpus a second
+    // time
+    bandRowsFromSignatures(
+      corpus.sparkSession.read.parquet(s"$dir/signatures"))
       .write.mode("overwrite").parquet(s"$dir/bands")
   }
 
@@ -689,11 +784,24 @@ object Dedup {
   def minhashPublishStanding(standing: DataFrame, id: String, text: String,
                              threshold: Double, dir: String,
                              n: Int = 3): Unit = {
-    minhashWriteIndex(standing, id, text, dir, n)
-    shingleHashArrays(standing, id, text, n)
+    // ONE tokenize+hash scan of the standing corpus feeds all four
+    // store tables — signatures, bands, verify arrays, AND the pair
+    // build behind the published labels (the naive composition ran
+    // the scan ~6x: twice in writeIndex, once for hashes, three times
+    // inside verifiedPairs)
+    val art = minhashDocArtifacts(standing, id, text, n).localCheckpoint()
+    art.select(col("doc_id"), col("mh"))
+      .write.mode("overwrite").parquet(s"$dir/signatures")
+    // bands explode off the signatures JUST WRITTEN — a columnar read
+    // that prunes the fat hash arrays, where the row-based checkpoint
+    // cannot (longs round-trip parquet bit-exactly)
+    bandRowsFromSignatures(
+      art.sparkSession.read.parquet(s"$dir/signatures"))
+      .write.mode("overwrite").parquet(s"$dir/bands")
+    art.select(col("doc_id"), col("hs"))
       .write.mode("overwrite").parquet(s"$dir/hashes")
     Clusters.connectedComponents(
-      minhashVerifiedPairs(standing, id, text, threshold, n),
+      minhashVerifiedPairsFromArtifacts(art, threshold),
       "doc_a", "doc_b")
       .write.mode("overwrite").parquet(s"$dir/labels")
   }
@@ -718,14 +826,21 @@ object Dedup {
     val published = spark.read.parquet(s"$dir/labels")
     // The delta's band rows and verify arrays each feed BOTH pair
     // classes (cross candidates + self candidates; cross verify + self
-    // verify) — materialize each ONCE per nightly batch instead of
-    // letting the two subtrees re-tokenize the delta twice.
+    // verify) — materialize ONE tokenize+hash scan per nightly batch
+    // and let every consumer read it. The band rows get their own
+    // NARROW checkpoint on top: localCheckpoint storage is row-based
+    // (no column pruning), so the two band consumers would otherwise
+    // drag the fat hash arrays through deserialization twice just to
+    // extract the signature — one extra delta-sized materialization
+    // buys both of them a (doc_id, band, key)-only read.
     // localCheckpoint, not cache: the artifacts are delta-sized by
-    // construction and the truncated lineage keeps the merge fixpoint's
-    // plan from re-deriving them every iteration (the Clusters
-    // precedent).
-    val dBands = minhashBandRows(delta, id, text, n).localCheckpoint()
-    val dArr = shingleHashArrays(delta, id, text, n).localCheckpoint()
+    // construction and the truncated lineage keeps the merge
+    // fixpoint's plan from re-deriving them every iteration (the
+    // Clusters precedent).
+    val dArt = minhashDocArtifacts(delta, id, text, n).localCheckpoint()
+    val dBands = bandRowsFromSignatures(dArt.select(col("doc_id"), col("mh")))
+      .localCheckpoint()
+    val dArr = dArt.select(col("doc_id"), col("hs"))
     def withSizes(arr: DataFrame, key: String, hs: String, nsh: String) =
       arr.select(col("doc_id").as(key), col("hs").as(hs),
         size(col("hs")).cast("long").as(nsh))
@@ -934,9 +1049,14 @@ object Dedup {
         expr(s"graft_shingle_hashes(tk, $n, 1)").as("hs"),
         expr(s"graft_minhash(tk, $n)").as("mh"))
       .localCheckpoint()
+    // narrow checkpoint: the band table feeds BOTH the bucket-cap
+    // gate's count and the candidate join, and the fat (hs) checkpoint
+    // is row-based — without this each consumer would deserialize the
+    // verify arrays just to read the signature-derived keys
     val cbands = bandRowsFromSignatures(
       cart.select(col("corpus_id").as("doc_id"), col("mh")))
       .withColumnRenamed("doc_id", "corpus_id")
+      .localCheckpoint()
     val ptok = probeToks.select(col("doc_id"),
       concat_ws(" ", col("toks")).as("_script_text"))
     minhashServeDeltaFrom(
@@ -1268,15 +1388,16 @@ object Dedup {
     // d02/sharedPairs convention).
     "d20_cjk_neardup" -> ((s, d) => Clusters.sharedCjkPairs(s, d)),
     // d21 harness: publish the standing (even) half's char index, serve
-    // the arriving (odd) half from the loaded artifacts
+    // the arriving (odd) half from the loaded artifacts — both sides
+    // sourced from the persisted token arrays (tokenized once at
+    // ingest, the family's artifact seam)
     "d21_cjk_serve_delta" -> ((s, d) => {
-      def cjk(f: org.apache.spark.sql.Column) =
-        Tables.documents(s, d).filter(f).select(col("doc_id"),
-          TextOps.cjkFixture(col("text")).as("text"))
+      def toks(f: org.apache.spark.sql.Column) =
+        Clusters.sharedCjkTokens(s, d).filter(f)
+          .select(col("doc_id"), col("toks"))
       val idxDir = IndexPaths.dir("d21_index", d)
-      cjkPublishIndex(cjk(col("doc_id") % 2 === 0), "doc_id", "text", idxDir)
-      cjkServeDelta(s, cjk(col("doc_id") % 2 =!= 0), "doc_id", "text",
-        0.6, idxDir)
+      cjkPublishIndexTokens(toks(col("doc_id") % 2 === 0), idxDir)
+      cjkServeDeltaTokens(s, toks(col("doc_id") % 2 =!= 0), 0.6, idxDir)
     }),
     "d15_minhash_estimate" -> ((s, d) =>
       minhashEstimatedPairs(Tables.documents(s, d), "doc_id", "text",

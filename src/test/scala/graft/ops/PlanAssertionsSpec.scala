@@ -471,8 +471,9 @@ class PlanAssertionsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
   test("d19 serve plan never recomputes corpus signatures (bands scan from parquet)") {
     // the persisted-index contract, pinned on the plan: the serve's
     // only graft_minhash evaluation is the DELTA side's map-side band
-    // pass — the corpus bands arrive from the parquet index scan. The
-    // corpus text appears only under graft_shingle_hashes (the verify
+    // pass (lazy, single-consumer — the serve-delta doctrine) — the
+    // corpus bands arrive from the parquet index scan. The corpus
+    // text appears only under graft_shingle_hashes (the verify
     // stage), never under a second signature computation.
     val s = plan("d19_minhash_persisted").toString
     val minhashCount = "graft_minhash".r.findAllIn(s).size

@@ -207,4 +207,36 @@ class RoundSixteenOpsSpec extends AnyFunSuite {
         "doc_id", "text", 0.6, dir)
     }
   }
+
+  test("d21 tokens seam ≡ raw text: publish+serve from pre-tokenized " +
+    "arrays equals publish+serve from the raw documents exactly") {
+    // the artifact-sourced harness shape (cjkPublishIndexTokens /
+    // cjkServeDeltaTokens over stored toks) must be a pure plumbing
+    // change: same pairs, same jaccards, bit for bit
+    val docs = Tables.documents(spark, sf).select(col("doc_id"),
+      TextOps.cjkFixture(col("text")).as("text"))
+    val toksDf = docs.select(col("doc_id"),
+      TextOps.scriptTokens(col("text")).as("toks"))
+    val dirRaw = IndexPaths.dir("r16_d21_raw_spec", sf)
+    val dirTok = IndexPaths.dir("r16_d21_tok_spec", sf)
+    Dedup.cjkPublishIndex(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", dirRaw)
+    Dedup.cjkPublishIndexTokens(
+      toksDf.filter(col("doc_id") % 2 === 0), dirTok)
+    def out(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    val raw = out(Dedup.cjkServeDelta(spark,
+      docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", 0.6, dirRaw))
+    val tok = out(Dedup.cjkServeDeltaTokens(spark,
+      toksDf.filter(col("doc_id") % 2 =!= 0), 0.6, dirTok))
+    assert(raw.nonEmpty, "spec needs a non-empty pair set to compare")
+    assert(tok == raw, "tokens-seam serve must equal raw-text serve")
+    // cross-wiring also agrees: tokens delta against the raw-published
+    // store (one artifact, two arrival shapes)
+    val crossWired = out(Dedup.cjkServeDeltaTokens(spark,
+      toksDf.filter(col("doc_id") % 2 =!= 0), 0.6, dirRaw))
+    assert(crossWired == raw,
+      "a pre-tokenized delta must band identically against a raw-published store")
+  }
 }
