@@ -158,6 +158,32 @@ object TextHash { // public: whole-stage generated code calls into it
     new GenericArrayData(mins)
   }
 
+  /** Intersection COUNT of two SORTED DISTINCT long arrays — one
+    * two-pointer merge pass, zero allocation. Replaces
+    * `size(array_intersect(a, b))` on the dedup verify paths, where
+    * Spark's generic set-intersection builds a hash set from one side
+    * and materializes the common elements as a new array per pair just
+    * to take its length; the verify stage evaluates this once per band
+    * CANDIDATE, so it sits directly on the pair-scoring hot path.
+    * Correct ONLY for sorted inputs — every caller's arrays come from
+    * [[shingleHashes]] (sorted distinct by construction; parquet and
+    * `array_except` both preserve order). */
+  def sortedInterCount(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    val m = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < n && j < m) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1L; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** 32-bit SimHash over token OCCURRENCES: each occurrence of a token
     * with hash h moves bit-counter j by +1 if bit j of h is set, else
     * −1 — linear in occurrences, so it equals the reference shape
@@ -244,6 +270,35 @@ case class MinHashSig(child: Expression, n: Int)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** `graft_inter_count(a, b)` — intersection count of two sorted
+  * distinct long arrays ([[TextHash.sortedInterCount]]): the MinHash
+  * verify stage's inner loop as one codegen'd two-pointer merge. */
+case class SortedInterCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_inter_count"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> columns, got ${l.sql}, ${r.sql}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHash.sortedInterCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.TextHash.sortedInterCount($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `graft_simhash(tk)` — 32-bit SimHash of a token array as one map-side

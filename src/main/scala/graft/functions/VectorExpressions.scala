@@ -294,6 +294,10 @@ object VectorFunctions {
       (exprs: Seq[Expression]) => SimHash(exprs.head),
       "built-in")
     reg.createOrReplaceTempFunction(
+      "graft_inter_count",
+      (exprs: Seq[Expression]) => SortedInterCount(exprs(0), exprs(1)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
       "graft_jaro_winkler",
       (exprs: Seq[Expression]) => JaroWinkler(exprs(0), exprs(1)),
       "built-in")

@@ -303,8 +303,7 @@ object Dedup {
       .join(arr.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
       .crossJoin(broadcast(capped))
       .withColumn("inter",
-        size(array_intersect(array_except(col("hs_a"), col("capped_hs")), col("hs_b")))
-          .cast("long"))
+        expr("graft_inter_count(array_except(hs_a, capped_hs), hs_b)"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -411,6 +410,7 @@ object Dedup {
     * not an extra copy. */
   def minhashVerifiedPairsFromArtifacts(art: DataFrame, threshold: Double,
                                         maxBandDocs: Int = Int.MaxValue): DataFrame = {
+    graft.functions.VectorFunctions.register(art.sparkSession)
     val bands = bandRowsFromSignatures(art.select(col("doc_id"), col("mh")))
     val cand = expandPairs(
       bands.groupBy(col("band"), col("key"))
@@ -424,7 +424,7 @@ object Dedup {
       .join(arr.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"),
         size(col("hs")).cast("long").as("n_b")), Seq("doc_b"))
       .withColumn("inter",
-        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+        expr("graft_inter_count(hs_a, hs_b)"))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -722,7 +722,7 @@ object Dedup {
             size(col("hs")).cast("long").as("n_b")),
         Seq("delta_id"))
       .withColumn("inter",
-        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+        expr("graft_inter_count(hs_a, hs_b)"))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -850,7 +850,7 @@ object Dedup {
         .join(withSizes(left, a, "hs_a", "n_a"), Seq(a))
         .join(withSizes(right, b, "hs_b", "n_b"), Seq(b))
         .withColumn("inter",
-          size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+          expr("graft_inter_count(hs_a, hs_b)"))
         .filter(col("inter").cast("double") /
           (col("n_a") + col("n_b") - col("inter")).cast("double")
           >= threshold)

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotProduct, JaroWinkler, MinHashSig, PolyHash, ShingleHashes, SimHash}
+import graft.functions.{DotProduct, JaroWinkler, MinHashSig, PolyHash, ShingleHashes, SimHash, SortedInterCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
@@ -85,6 +85,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
       (exprs: Seq[Expression]) => JaroWinkler(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_inter_count"),
+      new ExpressionInfo(classOf[SortedInterCount].getName, "graft_inter_count"),
+      (exprs: Seq[Expression]) => SortedInterCount(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
   }
 }

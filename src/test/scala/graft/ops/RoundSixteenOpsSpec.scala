@@ -239,4 +239,34 @@ class RoundSixteenOpsSpec extends AnyFunSuite {
     assert(crossWired == raw,
       "a pre-tokenized delta must band identically against a raw-published store")
   }
+
+  test("graft_inter_count ≡ size(array_intersect) on every real " +
+    "shingle-array pair, plus the empty/disjoint/identical edges") {
+    graft.functions.VectorFunctions.register(spark)
+    // every cross pair of real sorted-distinct shingle arrays from the
+    // fixture corpus — the exact input class the verify paths feed it
+    val hs = Dedup.shingleHashArrays(
+      Tables.documents(spark, sf).select(col("doc_id"),
+        TextOps.cjkFixture(col("text")).as("text"))
+        .select(col("doc_id"),
+          concat_ws(" ", TextOps.scriptTokens(col("text"))).as("t")),
+      "doc_id", "t", 5)
+    val pairs = hs.select(col("hs").as("hs_a"))
+      .crossJoin(hs.select(col("hs").as("hs_b")))
+    val mismatches = pairs
+      .withColumn("fast", expr("graft_inter_count(hs_a, hs_b)"))
+      .withColumn("ref", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .filter(col("fast") =!= col("ref"))
+      .count()
+    assert(mismatches == 0L,
+      "two-pointer count must equal array_intersect size on sorted distinct arrays")
+    // crafted edges: empty vs non-empty, disjoint, identical, subset
+    import spark.implicits._
+    val edges = Seq(
+      (Seq.empty[Long], Seq(1L, 2L), 0L),
+      (Seq(1L, 3L, 5L), Seq(2L, 4L, 6L), 0L),
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L), 3L),
+      (Seq(2L, 3L), Seq(1L, 2L, 3L, 9L), 2L)).toDF("a", "b", "want")
+    assert(edges.filter(expr("graft_inter_count(a, b)") =!= col("want")).count() == 0L)
+  }
 }
