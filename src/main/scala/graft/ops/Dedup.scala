@@ -934,6 +934,44 @@ object Dedup {
     * Output: `(doc_id, n_hits)` — corpus docs with ≥1 shared n-gram and
     * how many distinct probe n-grams they contain. Anti-join the ids
     * against the corpus to decontaminate. */
+  /** SEMANTIC decontamination (d25) — the embedding-space member of
+    * the decontamination family, closing its third seam: d09/d17
+    * catch exact and near-verbatim word overlap, d23/d24 the same on
+    * the unsegmented char seam, but a benchmark item REWRITTEN —
+    * translated, re-worded beyond shingle reach, code re-implemented —
+    * shares no n-grams in any tokenization and is visible only in
+    * embedding space (the "semantic dedup" argument of SemDeDup,
+    * Abbas et al. 2023, pointed cross-set at the benchmark). Flags
+    * every corpus vector whose cosine against ANY benchmark vector
+    * meets `threshold`, aggregated per corpus item like the rest of
+    * the family: `(vec_id, n_bench_matches, max_cos)`.
+    *
+    * Scale shape: the benchmark side is small BY DEFINITION, so it
+    * broadcasts whole and the operator is ONE map-side pass over the
+    * corpus vectors — |corpus|·|bench| native [[graft_dot]]s, no
+    * shuffle of the corpus, no within-corpus pairs (c05's k-means
+    * blocking is for corpus×corpus; cross-set against a broadcast
+    * probe needs none). A benchmark too large to broadcast composes
+    * the d07 hyperplane-bucket gate on both sides first — the same
+    * recall-for-cost trade, deliberately NOT defaulted here because
+    * decontamination wants recall and the small side makes exactness
+    * affordable. Cosines reproduce the oracle's IEEE doubles exactly
+    * (index-order accumulation, the d05 contract). */
+  def semanticDecontaminate(corpus: DataFrame, probe: DataFrame,
+                            id: String, vec: String,
+                            threshold: Double): DataFrame = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
+    val c = corpus.select(col(id).as("vec_id"), col(vec).as("v"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+    val b = probe.select(col(id).as("bench_id"), col(vec).as("pv"))
+      .withColumn("pnrm", expr("sqrt(graft_dot(pv, pv))"))
+    c.crossJoin(broadcast(b))
+      .withColumn("cos", expr("graft_dot(v, pv)") / (col("nrm") * col("pnrm")))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_bench_matches"), max(col("cos")).as("max_cos"))
+  }
+
   def contaminationHits(corpus: DataFrame, id: String, text: String,
                         probe: DataFrame, probeText: String,
                         n: Int = 3): DataFrame = {
@@ -1408,6 +1446,16 @@ object Dedup {
       simhash(Tables.documents(s, d), "doc_id", "text")),
     "d05_embedding_neardup" -> ((s, d) =>
       cosineNearDup(Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.45)),
+    // d25 harness: every 10th vector stands in for the held-out
+    // benchmark's embeddings, the rest are the training corpus (the
+    // d09/d23 corpus/benchmark split on the vector table)
+    "d25_semantic_decontaminate" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+      semanticDecontaminate(
+        vecs.filter(col("vec_id") % 10 =!= 0),
+        vecs.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", threshold = 0.45)
+    }),
     "d07_neardup_lsh" -> ((s, d) =>
       cosineNearDupLsh(Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.45)),
     // incremental dedup: odd doc ids are the arriving delta, even ids
@@ -1827,6 +1875,26 @@ object Dedup {
           |           (acc, x) -> acc + x) / (a.nrm * b.nrm) AS cos
           |  FROM n a JOIN n b ON a.vec_id < b.vec_id) pairs
           |WHERE cos >= 0.45""".stripMargin,
+      // d25 — d05's dot/norm CTEs verbatim, cross-set on the %10
+      // benchmark split, aggregated per corpus vector (the family's
+      // n_matches/max shape); cosines are the same index-order double
+      // folds, so max() compares exactly
+      "d25_semantic_decontaminate" ->
+        """WITH v AS (
+          |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+          |n AS (
+          |  SELECT vec_id, v,
+          |    sqrt(reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+          |  FROM v),
+          |c AS (SELECT * FROM n WHERE vec_id % 10 <> 0),
+          |b AS (SELECT * FROM n WHERE vec_id % 10 = 0)
+          |SELECT vec_id, count(*) AS n_bench_matches, max(cos) AS max_cos FROM (
+          |  SELECT c.vec_id,
+          |    reduce(list_prepend(0.0, list_transform(range(1, len(c.v) + 1), i -> c.v[i] * b.v[i])),
+          |           (acc, x) -> acc + x) / (c.nrm * b.nrm) AS cos
+          |  FROM c JOIN b ON true) pairs
+          |WHERE cos >= 0.45
+          |GROUP BY vec_id""".stripMargin,
       "d07_neardup_lsh" -> {
         val wLists = (0 until Similarity.NumPlanes).map { i =>
           (0 until 64).map(j => Similarity.weight(i, j)).mkString("[", ", ", "]")

@@ -269,4 +269,46 @@ class RoundSixteenOpsSpec extends AnyFunSuite {
       (Seq(2L, 3L), Seq(1L, 2L, 3L, 9L), 2L)).toDF("a", "b", "want")
     assert(edges.filter(expr("graft_inter_count(a, b)") =!= col("want")).count() == 0L)
   }
+
+  test("d25 semantic decontamination: an embedding-space copy is " +
+    "flagged where every token-level tripwire is blind; orthogonal " +
+    "vectors are not; and the flags agree with d05's exact pair set") {
+    import spark.implicits._
+    // crafted: bench vector b, corpus has an exact copy (a rewritten
+    // benchmark item embeds where the original does — zero shared
+    // n-grams, cosine ≈ 1), a mild paraphrase direction, and an
+    // orthogonal unrelated doc
+    val bench = Seq((0L, Seq(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),     // exact semantic copy
+      (2L, Seq(0.9f, 0.1f, 0f, 0f)), // close paraphrase
+      (3L, Seq(0f, 0f, 1f, 0f)))     // unrelated
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semanticDecontaminate(corpus, bench,
+      "vec_id", "embedding", 0.45)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.keySet == Set(1L, 2L), s"expected 1,2 flagged, got $out")
+    assert(math.abs(out(1L) - 1.0) < 1e-9)
+    assert(!out.contains(3L), "orthogonal corpus vector must not be flagged")
+    // harness-table consistency: per corpus vector, n_bench_matches
+    // equals the number of d05 exact pairs linking it to a bench
+    // vector at the same threshold
+    val vecs = Tables.embeddings(spark, sf)
+    val d25 = Dedup.semanticDecontaminate(
+      vecs.filter(col("vec_id") % 10 =!= 0),
+      vecs.filter(col("vec_id") % 10 === 0),
+      "vec_id", "embedding", 0.45)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d05 = Dedup.cosineNearDup(vecs, "vec_id", "embedding", 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val crossCounts = d05
+      .flatMap { case (a, b) =>
+        if (a % 10 == 0 && b % 10 != 0) Some(b)
+        else if (b % 10 == 0 && a % 10 != 0) Some(a)
+        else None
+      }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(d25 == crossCounts,
+      s"d25 flags must equal d05's cross-set pair counts: $d25 vs $crossCounts")
+  }
 }
