@@ -972,6 +972,47 @@ object Dedup {
       .agg(count(lit(1)).as("n_bench_matches"), max(col("cos")).as("max_cos"))
   }
 
+  /** [[semanticDecontaminate]]'s bucketed scale path (d26) — for the
+    * regime where the probe side is NOT broadcast-small (a benchmark
+    * suite of millions of items, or decontaminating against another
+    * whole corpus): both sides hash to d07's random-hyperplane
+    * buckets and only same-bucket cross pairs are scored, cutting the
+    * |corpus|·|bench| dot products ~2^planes-fold. Same trade as
+    * d07-vs-d05: output ⊆ the exact operator's (a qualifying pair at
+    * cosine t shares the bucket with probability (1−arccos(t)/π)^p),
+    * and a production deployment ORs several independent plane sets
+    * for recall — the d03 band trick. The bucket is the shuffle key
+    * of a plain cross-set equi-join: buckets co-locate without
+    * materializing, a hot bucket spills rather than OOMs. Identical
+    * and near-identical vectors land in the same bucket by
+    * construction (same side of every plane), so the contamination
+    * class that matters most — copies — is caught at full recall.
+    * Output: `(vec_id, n_bench_matches, max_cos)` ⊆ d25's rows with
+    * counts ≤ d25's. */
+  def semanticDecontaminateLsh(corpus: DataFrame, probe: DataFrame,
+                               id: String, vec: String, threshold: Double,
+                               planes: Int = Similarity.NumPlanes,
+                               dims: Int = 64): DataFrame = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
+    def bucketed(df: DataFrame, idOut: String, vOut: String,
+                 nrmOut: String): DataFrame = {
+      val bitCols = (0 until planes).map { i =>
+        val w = (0 until dims).map(j => s"${Similarity.weight(i, j, dims)}D")
+          .mkString(", ")
+        when(expr(s"graft_dot($vOut, array($w))") > 0d, 1 << i).otherwise(0)
+      }
+      df.select(col(id).as(idOut), col(vec).as(vOut))
+        .withColumn(nrmOut, expr(s"sqrt(graft_dot($vOut, $vOut))"))
+        .withColumn("bucket", bitCols.reduce(_ + _))
+    }
+    bucketed(corpus, "vec_id", "v", "nrm")
+      .join(bucketed(probe, "bench_id", "pv", "pnrm"), Seq("bucket"))
+      .withColumn("cos", expr("graft_dot(v, pv)") / (col("nrm") * col("pnrm")))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_bench_matches"), max(col("cos")).as("max_cos"))
+  }
+
   def contaminationHits(corpus: DataFrame, id: String, text: String,
                         probe: DataFrame, probeText: String,
                         n: Int = 3): DataFrame = {
@@ -1456,6 +1497,14 @@ object Dedup {
         vecs.filter(col("vec_id") % 10 === 0),
         "vec_id", "embedding", threshold = 0.45)
     }),
+    // d26 harness: d25's split through the hyperplane-bucket gate
+    "d26_semantic_decontaminate_lsh" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+      semanticDecontaminateLsh(
+        vecs.filter(col("vec_id") % 10 =!= 0),
+        vecs.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", threshold = 0.45)
+    }),
     "d07_neardup_lsh" -> ((s, d) =>
       cosineNearDupLsh(Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.45)),
     // incremental dedup: odd doc ids are the arriving delta, even ids
@@ -1895,6 +1944,35 @@ object Dedup {
           |  FROM c JOIN b ON true) pairs
           |WHERE cos >= 0.45
           |GROUP BY vec_id""".stripMargin,
+      // d26 — d25's cross-set count/max tail behind d07's hyperplane
+      // bucket CTE (identical integer-LCG plane weights inlined), the
+      // engine's bucket equi-join as a SQL join condition
+      "d26_semantic_decontaminate_lsh" -> {
+        val wLists = (0 until Similarity.NumPlanes).map { i =>
+          (0 until 64).map(j => Similarity.weight(i, j)).mkString("[", ", ", "]")
+        }
+        val bucketSql = (0 until Similarity.NumPlanes).map { i =>
+          s"""CASE WHEN reduce(list_prepend(0.0, list_transform(range(1, 65),
+             |  k -> v[k] * (${wLists(i)}::BIGINT[])[k])), (acc, x) -> acc + x) > 0
+             |  THEN ${1 << i} ELSE 0 END""".stripMargin
+        }.mkString(" + ")
+        s"""WITH v AS (
+           |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+           |n AS (
+           |  SELECT vec_id, v,
+           |    sqrt(reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm,
+           |    $bucketSql AS bucket
+           |  FROM v),
+           |c AS (SELECT * FROM n WHERE vec_id % 10 <> 0),
+           |b AS (SELECT * FROM n WHERE vec_id % 10 = 0)
+           |SELECT vec_id, count(*) AS n_bench_matches, max(cos) AS max_cos FROM (
+           |  SELECT c.vec_id,
+           |    reduce(list_prepend(0.0, list_transform(range(1, len(c.v) + 1), i -> c.v[i] * b.v[i])),
+           |           (acc, x) -> acc + x) / (c.nrm * b.nrm) AS cos
+           |  FROM c JOIN b ON c.bucket = b.bucket) pairs
+           |WHERE cos >= 0.45
+           |GROUP BY vec_id""".stripMargin
+      },
       "d07_neardup_lsh" -> {
         val wLists = (0 until Similarity.NumPlanes).map { i =>
           (0 until 64).map(j => Similarity.weight(i, j)).mkString("[", ", ", "]")

@@ -311,4 +311,37 @@ class RoundSixteenOpsSpec extends AnyFunSuite {
     assert(d25 == crossCounts,
       s"d25 flags must equal d05's cross-set pair counts: $d25 vs $crossCounts")
   }
+
+  test("d26 ⊆ d25: the bucket-gated sweep flags a subset with counts " +
+    "bounded by the exact sweep's, and an exact copy is always caught") {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, sf)
+    def run(f: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+                String, String, Double) => org.apache.spark.sql.DataFrame) =
+      f(vecs.filter(col("vec_id") % 10 =!= 0),
+        vecs.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", 0.45)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = run(Dedup.semanticDecontaminate)
+    val gated = run(Dedup.semanticDecontaminateLsh(_, _, _, _, _))
+    assert(gated.keySet.subsetOf(exact.keySet),
+      "bucket gate must never invent a flag the exact sweep lacks")
+    gated.foreach { case (id, (n, mx)) =>
+      assert(n <= exact(id)._1, s"gated count for $id exceeds exact")
+      assert(mx <= exact(id)._2 + 1e-12, s"gated max_cos for $id exceeds exact")
+    }
+    // the contamination class that matters most — an exact copy —
+    // shares every hyperplane side with its original, so the gate
+    // cannot lose it
+    val bench = Seq((0L, Seq.fill(64)(0.1f).updated(0, 1f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq((1L, Seq.fill(64)(0.1f).updated(0, 1f)),
+      (2L, Seq.fill(64)(0f).updated(1, -1f).map(x => x)))
+      .toDF("vec_id", "embedding")
+    val copyCaught = Dedup.semanticDecontaminateLsh(corpus, bench,
+      "vec_id", "embedding", 0.45)
+      .collect().map(_.getLong(0)).toSet
+    assert(copyCaught == Set(1L),
+      "an exact copy must be flagged by the gated sweep at full recall")
+  }
 }
