@@ -1087,10 +1087,10 @@ object Dedup {
     *
     * The corpus side is ONE scan: verify arrays and the MinHash
     * signature are two map-side expressions over the same token
-    * array, materialized together (localCheckpoint, the
-    * serve-delta convention at Dedup.scala's d21 edge) so the band
-    * table, the bucket gate's df count, and the verify join all read
-    * the checkpoint — the naive form re-tokenized and re-hashed the
+    * array, materialized together ([[minhashDocArtifacts]] +
+    * localCheckpoint — the multi-consumer half of the one-scan
+    * discipline) so the band table, the bucket gate's df count, and
+    * the verify join all read the checkpoint — the naive form re-tokenized and re-hashed the
     * full training corpus three times (arrays + each side of the
     * gate's self-join), which tripled the linear term that dominates
     * this op at scale. Output: `(doc_id, n_bench_matches,
