@@ -336,7 +336,7 @@ class RoundSixteenOpsSpec extends AnyFunSuite {
     val bench = Seq((0L, Seq.fill(64)(0.1f).updated(0, 1f)))
       .toDF("vec_id", "embedding")
     val corpus = Seq((1L, Seq.fill(64)(0.1f).updated(0, 1f)),
-      (2L, Seq.fill(64)(0f).updated(1, -1f).map(x => x)))
+      (2L, Seq.fill(64)(0f).updated(1, -1f)))
       .toDF("vec_id", "embedding")
     val copyCaught = Dedup.semanticDecontaminateLsh(corpus, bench,
       "vec_id", "embedding", 0.45)
