@@ -173,14 +173,17 @@ object SparkEntry {
         // exact-integer segment merge — equal to the one-shot r09
         // build by r07's token-agnostic merge theorem (segments
         // partition the corpus, postings concatenate, dfs/stats ADD),
-        // so r12 shares r08's oracle verbatim. The segment store is
-        // fresh per invocation (this catalog entry runs without a
-        // stream checkpoint, so a reused store would double its
-        // postings — the IndexStream scaladoc contract).
+        // so r12 shares r08's oracle verbatim. The segment store is a
+        // FIXED per-(entry, dataDir) path CLEARED at entry start: this
+        // catalog entry runs without a stream checkpoint, so an
+        // un-cleared reused store would double its postings (the
+        // IndexStream scaladoc contract), while a fresh path per
+        // invocation would leak one full postings/lexicon/stats copy
+        // per timed bench iteration until JVM exit.
         "r12_cjk_index_stream" -> ((s: SparkSession, d: String) => {
           import org.apache.spark.sql.functions.col
-          val segDir = ops.IndexPaths.dir(
-            s"r12_seg_${r12Invocation.incrementAndGet()}", d)
+          val segDir = ops.IndexPaths.dir("r12_seg", d)
+          ops.IndexPaths.clear(segDir)
           val standing = ops.Search.bm25BuildIndexTokens(
             ops.Clusters.sharedCjkTerms(s, d)
               .filter(col("doc_id") % 2 === 0), "doc_id", "terms")
@@ -204,8 +207,6 @@ object SparkEntry {
             graft.streaming.IndexStream.mergedIndexCjk(s, segDir)
           ops.Search.bm25QueryIndex(p, l, st, terms = ops.Search.CjkQuery)
         }))
-
-  private val r12Invocation = new java.util.concurrent.atomic.AtomicLong()
 
   /** Build/serve decomposition of the persistence catalog entries —
     * the bench's sub-metric seam: the one-shot entries time parquet
@@ -242,8 +243,7 @@ object SparkEntry {
           ops.IndexMeta.stamp(ops.IndexPaths.dir("r09_index", d))
         },
         (s: SparkSession, d: String) => {
-          ops.IndexMeta.check(ops.IndexPaths.dir("r09_index", d))
-          val (lp, ll, ls) = ops.Search.bm25LoadIndex(s,
+          val (lp, ll, ls) = ops.Search.bm25LoadIndexChecked(s,
             ops.IndexPaths.dir("r09_index", d))
           ops.Search.bm25QueryIndex(lp, ll, ls, terms = ops.Search.CjkQuery)
         })),

@@ -2,51 +2,86 @@ package graft.ops
 
 import java.nio.charset.StandardCharsets.UTF_8
 
-/** Tokenizer-version stamping for PERSISTED script-token artifacts —
-  * the d21 char-shingle index, the r09 CJK BM25 index, the shared
-  * token-array store, and the streaming stores served from them.
+/** Artifact-version stamping for PERSISTED derived stores — any store
+  * that is a pure function of (data, some engine definition) where the
+  * DEFINITION moves between releases:
   *
-  * Why this exists: those stores are pure functions of
-  * [[TextOps.scriptTokens]], and the tokenizer DEFINITION moves
-  * (round 15 widened the fold table and added Ext-A; round 16 added
-  * Hangul). An index published under an older definition is silently
-  * incompatible with new delta-side tokenization — shingles and terms
-  * simply stop matching, so near-dup pairs and postings are MISSED
-  * with no error anywhere. A version stamp turns that silent recall
-  * hole into a loud load-time failure, the same contract every search
-  * engine enforces between its analyzer version and its segments.
+  *  - TOKEN stores (the d21 char-shingle index, the r09 CJK BM25
+  *    index, the shared token-array store, the r12 segment stores):
+  *    pure functions of [[TextOps.scriptTokens]], whose definition
+  *    moved in round 15 (fold table, Ext-A) and round 16 (Hangul). An
+  *    index published under an older tokenizer is silently
+  *    incompatible with new delta-side tokenization — shingles and
+  *    terms simply stop matching, so near-dup pairs and postings are
+  *    MISSED with no error anywhere.
+  *  - VECTOR stores (k15 PQ codes/codebooks, k24 SQ8 stats/codes, p07
+  *    IVF coarse layer, m10 frame signatures): pure functions of the
+  *    embedding/encoder version and the quantizer geometry
+  *    ([[Similarity.annVersion]], [[Multimodal.frameVersion]]). A
+  *    re-trained or swapped encoder silently zeroes ANN recall
+  *    against a stale index — same failure class, embedding space
+  *    instead of token space.
+  *
+  * A version stamp turns both silent recall holes into a loud
+  * load-time failure, the same contract every search engine enforces
+  * between its analyzer version and its segments (and FAISS leaves to
+  * the user, to everyone's regret).
   *
   * The stamp is one tiny driver-side file next to the parquet
   * subtables; it is written AFTER the artifact's data (a crash
   * mid-publish leaves an unstamped, therefore unloadable, store —
-  * failing closed). */
+  * failing closed). Append-mode stores ([[graft.streaming.IndexStream]]
+  * segment dirs) additionally [[unstamp]] BEFORE each append and
+  * re-stamp after, so a crash mid-append also fails closed instead of
+  * serving a torn segment under the previous valid stamp. */
 object IndexMeta {
-  private val StampFile = "_TOKENIZER_VERSION"
+  private val StampFile = "_ARTIFACT_VERSION"
 
-  /** Mark `dir`'s artifacts as built by the CURRENT tokenizer. */
-  def stamp(dir: String): Unit = {
+  /** Mark `dir`'s artifacts as built by the CURRENT tokenizer — the
+    * token-store convenience form of [[stampVersion]]. */
+  def stamp(dir: String): Unit = stampVersion(dir, TextOps.tokenizerVersion)
+
+  /** Mark `dir`'s artifacts as built under `version` (an
+    * engine-definition fingerprint: tokenizer version for token
+    * stores, encoder+quantizer fingerprint for vector stores). */
+  def stampVersion(dir: String, version: String): Unit = {
     val d = new java.io.File(dir)
     d.mkdirs()
     java.nio.file.Files.write(new java.io.File(d, StampFile).toPath,
-      TextOps.tokenizerVersion.getBytes(UTF_8))
+      version.getBytes(UTF_8))
     ()
   }
 
-  /** Fail loudly unless `dir` was stamped by the CURRENT tokenizer.
+  /** Remove `dir`'s stamp (tolerating its absence) — the append-seam
+    * half of the torn-write contract: an appender unstamps, appends,
+    * and re-stamps, so a crash mid-append leaves the store unloadable
+    * rather than serving half a segment under the old valid stamp. */
+  def unstamp(dir: String): Unit = {
+    java.nio.file.Files.deleteIfExists(
+      new java.io.File(dir, StampFile).toPath)
+    ()
+  }
+
+  /** Fail loudly unless `dir` was stamped by the CURRENT tokenizer —
+    * the token-store convenience form of [[checkVersion]]. */
+  def check(dir: String): Unit = checkVersion(dir, TextOps.tokenizerVersion)
+
+  /** Fail loudly unless `dir` was stamped with exactly `expected`.
     * An absent stamp fails too: it means the store predates
-    * versioning (or a publish died mid-write) — both cases where
-    * serving would silently miss matches. */
-  def check(dir: String): Unit = {
+    * versioning, a publish died mid-write, or an append died between
+    * [[unstamp]] and re-stamp — all cases where serving would
+    * silently miss matches. */
+  def checkVersion(dir: String, expected: String): Unit = {
     val f = new java.io.File(dir, StampFile)
     val found =
       if (f.isFile)
         new String(java.nio.file.Files.readAllBytes(f.toPath), UTF_8).trim
       else "<unstamped>"
-    if (found != TextOps.tokenizerVersion)
+    if (found != expected)
       throw new IllegalStateException(
-        s"tokenizer version mismatch for persisted index at $dir: " +
-          s"store=$found, engine=${TextOps.tokenizerVersion} — " +
-          "rebuild the index with the current tokenizer (a stale store " +
-          "would silently miss shingle/term matches)")
+        s"artifact version mismatch for persisted index at $dir: " +
+          s"store=$found, engine=$expected — " +
+          "rebuild the store with the current engine definition (a stale " +
+          "store would silently miss matches / zero recall)")
   }
 }

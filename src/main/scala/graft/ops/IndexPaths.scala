@@ -55,4 +55,17 @@ object IndexPaths {
     val safe = dataDir.replaceAll("[^A-Za-z0-9._-]", "_")
     new java.io.File(base, s"${tag}_$safe").getPath
   }
+
+  /** Recursively clear a scratch directory so an append-mode entry can
+    * reuse ONE stable path per invocation (clear-then-append) instead
+    * of monotonically allocating fresh stores — repeated timed bench
+    * iterations would otherwise accumulate unbounded scratch disk
+    * until JVM exit. Refuses paths outside [[base]]: this is a scratch
+    * sweeper, not a general delete. */
+  def clear(dirPath: String): Unit = {
+    val f = new java.io.File(dirPath)
+    require(f.toPath.normalize.startsWith(base.toPath.normalize),
+      s"IndexPaths.clear refuses non-scratch path $dirPath")
+    deleteRec(f)
+  }
 }

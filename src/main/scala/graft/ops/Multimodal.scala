@@ -290,12 +290,32 @@ object Multimodal {
     * item ONCE at ingest and every nightly dedup pass reads this
     * store instead of re-decoding blobs. All-int64 columns, bit-exact
     * through parquet (m10 shares m08's oracle verbatim). */
-  def frameWriteStore(frames: DataFrame, dir: String): Unit =
+  def frameWriteStore(frames: DataFrame, dir: String): Unit = {
+    // unstamp → write → stamp ([[IndexMeta]]'s torn-write contract);
+    // the stamp file starts with '_' so Spark's parquet reader treats
+    // it as hidden metadata, like _SUCCESS
+    IndexMeta.unstamp(dir)
     frames.write.mode("overwrite").parquet(dir)
+    IndexMeta.stampVersion(dir, frameVersion)
+  }
 
-  /** Load a persisted frame-signature store. */
-  def frameLoadStore(spark: SparkSession, dir: String): DataFrame =
+  /** Load a persisted frame-signature store, failing loudly unless its
+    * [[frameVersion]] stamp matches the current codec + fingerprint
+    * definition — a store fingerprinted under a different frame size
+    * or hash would silently miss every cross-store near-dup. */
+  def frameLoadStore(spark: SparkSession, dir: String): DataFrame = {
+    IndexMeta.checkVersion(dir, frameVersion)
     spark.read.parquet(dir)
+  }
+
+  /** Version fingerprint of a persisted frame-signature store
+    * ([[frameWriteStore]]): the decode stub revision + every constant
+    * `frame_hash` is a function of. Derived from the live constants,
+    * so changing the frame size or hash auto-invalidates stale
+    * stores. */
+  def frameVersion: String =
+    s"graft-frame-1 codec=stub-ascii frame_bytes=$FrameBytes " +
+      "hash=graft_polyhash"
 
   /** m10 — the persisted-store round trip: fingerprint the corpus,
     * WRITE the frame store, and serve the m08 near-dup pairs entirely

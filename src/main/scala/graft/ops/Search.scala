@@ -305,6 +305,19 @@ object Search {
       spark.read.parquet(s"$dir/lexicon"),
       spark.read.parquet(s"$dir/stats"))
 
+  /** [[bm25LoadIndex]] for TOKENIZER-DERIVED stores (the r09 CJK
+    * index): verifies the [[IndexMeta]] tokenizer-version stamp before
+    * reading, so EVERY load path of a script-token store is guarded —
+    * the same load-seam placement as `TextOps.cjkTokensLoad`, rather
+    * than trusting each caller to remember the check. Word-tokenized
+    * stores (r06/p06) load unchecked: split-on-space has no versioned
+    * definition to drift. */
+  def bm25LoadIndexChecked(spark: SparkSession,
+                           dir: String): (DataFrame, DataFrame, DataFrame) = {
+    IndexMeta.check(dir)
+    bm25LoadIndex(spark, dir)
+  }
+
   /** MERGE two disjoint-corpus indexes (the r07 incremental
     * maintenance step — Lucene's segment-merge semantics on the three
     * tables): postings concatenate (a doc lives in exactly one side),
@@ -567,8 +580,7 @@ object Search {
       val (p, l, st) = bm25BuildIndexTokens(toks, "doc_id", "terms")
       bm25WriteIndex(p, l, st, idxDir)
       IndexMeta.stamp(idxDir)
-      IndexMeta.check(idxDir)
-      val (lp, ll, ls) = bm25LoadIndex(s, idxDir)
+      val (lp, ll, ls) = bm25LoadIndexChecked(s, idxDir)
       bm25QueryIndex(lp, ll, ls, terms = CjkQuery)
     }),
     "r06_bm25_persisted" -> ((s, d) => {

@@ -45,6 +45,36 @@ object Similarity {
     * `floor` lands on the same integer in every engine. */
   val Quant = 1048576L
 
+  /** The EMBEDDING-ENCODER revision every persisted vector artifact is
+    * a function of. The harness embeddings are fixed test data, so
+    * this is a literal; a real deployment sets it to the model
+    * checkpoint hash that produced the vectors. Baked into each
+    * store family's version fingerprint below: re-encoding the corpus
+    * bumps this, and every stale persisted index then FAILS AT LOAD
+    * instead of silently serving near-zero recall (the
+    * [[IndexMeta]] contract, closed over the vector seam — a PQ code
+    * or coarse cell is meaningless against vectors from a different
+    * encoder, but nothing about the parquet bytes says so). */
+  val EncoderVersion = "emb-v1"
+
+  /** Version fingerprint of a persisted PQ index ([[pqWriteIndex]]):
+    * encoder revision + every constant the codes/codebooks are a
+    * function of. Derived from the live constants, so changing any of
+    * them auto-invalidates stale stores. */
+  def pqVersion: String =
+    s"graft-pq-1 $EncoderVersion dims=64 m=$PqSubspaces k=$PqK " +
+      s"iters=$PqIters quant=$Quant"
+
+  /** Version fingerprint of a persisted SQ8 index ([[sqWriteIndex]]). */
+  def sqVersion: String =
+    s"graft-sq8-1 $EncoderVersion dims=64 quant=$Quant"
+
+  /** Version fingerprint of a persisted IVF coarse quantizer
+    * ([[ivfWriteCoarse]]). */
+  def ivfVersion: String =
+    s"graft-ivf-1 $EncoderVersion dims=64 k=$KmeansK " +
+      s"iters=$KmeansIters quant=$Quant"
+
   private def cosExpr: String =
     "graft_dot(a.v, b.v) / (a.nrm * b.nrm)"
 
@@ -592,14 +622,24 @@ object Similarity {
     * k08's verbatim). */
   def pqWriteIndex(codes: DataFrame, codebooks: DataFrame,
                    dir: String): Unit = {
+    // unstamp → write → stamp: a crash mid-publish (or mid-REpublish
+    // over a previously valid store) leaves the dir unstamped, so the
+    // load seam fails closed instead of serving torn codes under the
+    // previous stamp
+    IndexMeta.unstamp(dir)
     codes.write.mode("overwrite").parquet(s"$dir/codes")
     codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
+    IndexMeta.stampVersion(dir, pqVersion)
   }
 
-  /** Load a persisted PQ index written by [[pqWriteIndex]]. */
-  def pqLoadIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+  /** Load a persisted PQ index written by [[pqWriteIndex]], failing
+    * loudly unless its [[pqVersion]] stamp matches the current
+    * encoder + quantizer definition. */
+  def pqLoadIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    IndexMeta.checkVersion(dir, pqVersion)
     (spark.read.parquet(s"$dir/codes"),
       spark.read.parquet(s"$dir/codebooks"))
+  }
 
   /** Serve the catalog probes from a PUBLISHED PQ index directory
     * (codes + codebooks loaded from parquet, corpus floats touched
@@ -1140,17 +1180,23 @@ object Similarity {
     * spec). */
   def ivfWriteCoarse(assign: DataFrame, cellCentroids: DataFrame,
                      dir: String): Unit = {
+    IndexMeta.unstamp(dir)
     assign.select(col("vec_id"), col("cluster"))
       .write.mode("overwrite").parquet(s"$dir/assign")
     cellCentroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    IndexMeta.stampVersion(dir, ivfVersion)
   }
 
   /** Load a persisted coarse quantizer written by [[ivfWriteCoarse]]:
-    * `(assign, cellCentroids)`. */
+    * `(assign, cellCentroids)` — failing loudly unless its
+    * [[ivfVersion]] stamp matches the current encoder + quantizer
+    * definition. */
   def ivfLoadCoarse(spark: SparkSession,
-                    dir: String): (DataFrame, DataFrame) =
+                    dir: String): (DataFrame, DataFrame) = {
+    IndexMeta.checkVersion(dir, ivfVersion)
     (spark.read.parquet(s"$dir/assign"),
       spark.read.parquet(s"$dir/centroids"))
+  }
 
   /** Assign NEW vectors to cells of a FROZEN coarse quantizer (the
     * k18 move on the coarse layer): cosine argmax against the stored
@@ -1391,15 +1437,20 @@ object Similarity {
     * train-then-serve (k24 shares k21's oracle verbatim; pinned by
     * the load≡train spec). */
   def sqWriteIndex(stats: DataFrame, codes: DataFrame, dir: String): Unit = {
+    IndexMeta.unstamp(dir)
     stats.write.mode("overwrite").parquet(s"$dir/stats")
     codes.write.mode("overwrite").parquet(s"$dir/codes")
+    IndexMeta.stampVersion(dir, sqVersion)
   }
 
   /** Load a persisted SQ8 index written by [[sqWriteIndex]]:
-    * `(stats, codes)`. */
-  def sqLoadIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    * `(stats, codes)` — failing loudly unless its [[sqVersion]] stamp
+    * matches the current encoder + quantizer definition. */
+  def sqLoadIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    IndexMeta.checkVersion(dir, sqVersion)
     (spark.read.parquet(s"$dir/stats"),
       spark.read.parquet(s"$dir/codes"))
+  }
 
   /** THE SQ8 decode formula — `qmin + code·width div 255` over a frame
     * carrying `codes`/`widths`/`qmins` — defined once so the in-session

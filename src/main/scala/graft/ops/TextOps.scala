@@ -274,11 +274,13 @@ object TextOps {
   val HangulCharClass: String =
     s"[${cpStr(0x1100)}-${cpStr(0x11ff)}${cpStr(0xac00)}-${cpStr(0xd7af)}]"
 
-  /** SCRIPT-BASED LANGUAGE ID (t26) — the language-ID heuristic that
-    * works on the CJK languages the reference system actually serves
-    * (TC/JP/SC — `text_processing.py:15-28`), where t05's stopword
-    * heuristic can only ever answer "unk" (no English stopwords in
-    * unsegmented text). Script statistics are the standard first-stage
+  /** SCRIPT-BASED LANGUAGE ID (t26) — the language-ID heuristic for
+    * unsegmented scripts, where t05's stopword heuristic can only
+    * ever answer "unk" (no English stopwords in unsegmented text). It
+    * covers the CJK languages the reference system serves (TC/JP/SC —
+    * `text_processing.py:15-28`) and additionally answers `ko`
+    * (Korean, Hangul-decided) — an ENGINE EXTENSION beyond the
+    * reference's LANG_NO 1–4 set, not reference parity. Script statistics are the standard first-stage
     * signal (fastText/CLD route through script detection before any
     * token model): kana present in meaningful share ⇒ Japanese
     * (Japanese prose must carry particles/okurigana in kana; Chinese

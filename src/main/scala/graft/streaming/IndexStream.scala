@@ -68,11 +68,17 @@ object IndexStream {
     * over ANY micro-batch partitioning (IndexStreamSpec pins it, and
     * the serve hash-matches r08's oracle). Segments are script-token-
     * derived persisted artifacts, so the store carries the tokenizer-
-    * version stamp ([[graft.ops.IndexMeta]]): stamped after each
-    * append, checked before any serve — an analyzer change between
-    * segment writes fails loudly instead of silently splitting the
-    * lexicon. `textOf` lets the harness inject the fixture translate;
-    * a real deployment leaves the default raw column. */
+    * version stamp ([[graft.ops.IndexMeta]]), guarding TWO failure
+    * classes at the serve seam: an analyzer change between segment
+    * writes fails loudly instead of silently splitting the lexicon
+    * (checked before appending to a standing store), and a TORN
+    * append — postings written, lexicon/stats not — also fails
+    * closed, because the stamp is REMOVED before the drain starts and
+    * re-written only after it completes, so a crash mid-append leaves
+    * the store unstamped rather than serving wrong df/stats sums
+    * under the previous valid stamp. `textOf` lets the harness inject
+    * the fixture translate; a real deployment leaves the default raw
+    * column. */
   def runAvailableNowCjk(spark: SparkSession, dir: String,
                          segDir: String,
                          textOf: org.apache.spark.sql.Column =
@@ -83,9 +89,12 @@ object IndexStream {
                            org.apache.spark.sql.functions.lit(true)): Unit = {
     // appending a segment built by a DIFFERENT tokenizer than the
     // standing segments would corrupt the merged lexicon silently —
-    // check first if segments already exist, stamp after
+    // check first if segments already exist; then UNSTAMP for the
+    // duration of the append (torn-append fail-closed contract) and
+    // re-stamp only once the drain has fully committed
     if (new java.io.File(segDir, "postings").exists())
       graft.ops.IndexMeta.check(segDir)
+    graft.ops.IndexMeta.unstamp(segDir)
     Drain.availableNow(spark, dir, rawSchema, glob,
       deltaFilter, checkpointDir) { batch =>
       import org.apache.spark.sql.functions.col

@@ -53,11 +53,23 @@ object MediaStream {
   def runAvailableNowIngest(spark: SparkSession, dir: String,
                             storePath: String,
                             deltaFilter: org.apache.spark.sql.Column,
-                            checkpointDir: Option[String] = None): Unit =
+                            checkpointDir: Option[String] = None): Unit = {
+    // the stream edge maintains the store's version stamp like every
+    // other frame-store writer: appending under a DIFFERENT codec/
+    // fingerprint definition fails loudly, and the stamp is absent
+    // for the duration of the append so a torn append fails closed at
+    // the load seam (the IndexStream contract on the media store)
+    if (new java.io.File(storePath).exists())
+      graft.ops.IndexMeta.checkVersion(storePath,
+        graft.ops.Multimodal.frameVersion)
+    graft.ops.IndexMeta.unstamp(storePath)
     drain(spark, dir, deltaFilter, checkpointDir) { batch =>
       graft.ops.Multimodal.framesOf(batch)
         .write.mode("append").parquet(storePath)
     }
+    graft.ops.IndexMeta.stampVersion(storePath,
+      graft.ops.Multimodal.frameVersion)
+  }
 
   /** Drain the current directory contents as a delta stream, scoring
     * each micro-batch's items against the standing store at `indexDir`

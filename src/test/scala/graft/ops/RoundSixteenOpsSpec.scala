@@ -97,10 +97,10 @@ class RoundSixteenOpsSpec extends AnyFunSuite {
     new java.io.File(dir).mkdirs()
     // absent stamp (pre-versioning store, or a publish that died)
     val eAbsent = intercept[IllegalStateException] { IndexMeta.check(dir) }
-    assert(eAbsent.getMessage.contains("tokenizer version mismatch"))
+    assert(eAbsent.getMessage.contains("artifact version mismatch"))
     // stale stamp (store built by an older tokenizer definition)
     java.nio.file.Files.write(
-      new java.io.File(dir, "_TOKENIZER_VERSION").toPath,
+      new java.io.File(dir, "_ARTIFACT_VERSION").toPath,
       "tok-0000000000000000".getBytes("UTF-8"))
     val eStale = intercept[IllegalStateException] { IndexMeta.check(dir) }
     assert(eStale.getMessage.contains("tok-0000000000000000"))
@@ -200,7 +200,7 @@ class RoundSixteenOpsSpec extends AnyFunSuite {
     // simulate a tokenizer change since publish: the serve must fail
     // loudly, not silently miss every pair
     java.nio.file.Files.write(
-      new java.io.File(dir, "_TOKENIZER_VERSION").toPath,
+      new java.io.File(dir, "_ARTIFACT_VERSION").toPath,
       "tok-ffffffffffffffff".getBytes("UTF-8"))
     intercept[IllegalStateException] {
       Dedup.cjkServeDelta(spark, docs.filter(col("doc_id") % 2 =!= 0),

@@ -89,7 +89,7 @@ class IndexStreamSpec extends AnyFunSuite {
     assert(served == direct)
     // the CJK store is tokenizer-stamped: a stale stamp refuses to serve
     java.nio.file.Files.write(
-      new java.io.File(segDir, "_TOKENIZER_VERSION").toPath,
+      new java.io.File(segDir, "_ARTIFACT_VERSION").toPath,
       "tok-ffffffffffffffff".getBytes("UTF-8"))
     intercept[IllegalStateException] {
       IndexStream.mergedIndexCjk(spark, segDir)
