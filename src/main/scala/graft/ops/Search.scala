@@ -354,6 +354,73 @@ object Search {
       stats, k)
   }
 
+  /** SERVE a query from a persisted index under a STANDING DELETE SET
+    * (r13/r14) — k25's tombstone move on the search seam: a removed
+    * document (takedown, opt-out, dedup-loser) must stop being served
+    * NOW, not at the next full index rebuild, and Lucene's answer is
+    * serve-time doc exclusion against a tombstone set. This is the
+    * DF-CORRECTED variant (one step past Lucene, which leaves df
+    * stale until segment compaction): the lexicon's document
+    * frequencies and the corpus stats are corrected from the
+    * tombstoned docs' own posting rows, so the served ranking equals
+    * a FULL REBUILD over corpus-minus-tombstones bit-for-bit — the
+    * merge-theorem discipline (r07) extended to deletes, and what
+    * makes the oracle a plain build-over-remainder.
+    *
+    * Scale shape: the tombstone set is deletes — small by definition —
+    * so it broadcasts and never shuffles the postings. Query-side work
+    * stays proportional to the QUERY's posting lists (the `token IN`
+    * filter still reaches the parquet scan; the anti/semi joins apply
+    * to the pruned rows). The removed-stats aggregate is the one pass
+    * that touches all of the tombstoned docs' postings — it depends
+    * only on (store, tombstones), not the query, so a deployment
+    * computes it once per tombstone-set update alongside the set
+    * itself and serves every query from the cached one-row frame;
+    * expressed inline here so the oracle checks the whole composition.
+    *
+    * Lucene-shared caveat: a doc with ZERO index terms has no posting
+    * rows and is invisible to the index, so tombstoning it cannot
+    * reclaim its n_docs slot from the store alone (a deployment
+    * deleting such docs records (doc_id, dl) in the tombstone table
+    * at delete time). Output: `(doc_id, score_q6)`, r01's shape. */
+  def bm25QueryIndexTombstoned(postings: DataFrame, lexicon: DataFrame,
+                               stats: DataFrame, tombstones: DataFrame,
+                               terms: Seq[String] = DefaultQuery,
+                               k: Int = 10): DataFrame = {
+    require(terms.nonEmpty, "at least one query term")
+    val ts = broadcast(tombstones.select(col("doc_id")).distinct())
+    // query-term postings (pushed scan filter), split live/removed
+    val qp = postings.filter(col("token").isin(terms: _*))
+      .select(col("doc_id"), col("token"), col("tf"), col("dl"))
+    val live = qp.join(ts, Seq("doc_id"), "left_anti")
+    // df correction needs only the QUERY terms' removed postings —
+    // (doc, token) is unique in the store, so count(*) is the number
+    // of removed docs containing the term
+    val rmDf = qp.join(ts, Seq("doc_id"), "left_semi")
+      .groupBy(col("token")).agg(count(lit(1)).as("rm_df"))
+    val lex = lexicon.filter(col("token").isin(terms: _*))
+      .join(rmDf, Seq("token"), "left")
+      .select(col("token"),
+        (col("df") - coalesce(col("rm_df"), lit(0L))).as("df"))
+      .filter(col("df") > 0)
+    // removed corpus stats from the tombstoned docs' posting rows:
+    // every row of a doc carries its dl, so max-per-doc then sum is
+    // exact integers — the once-per-tombstone-update half (see above)
+    val rm = postings.join(ts, Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("rm_n"),
+        coalesce(sum(col("dl")), lit(0L)).as("rm_dl"))
+    val st = stats.crossJoin(broadcast(rm))
+      .select((col("n_docs") - col("rm_n")).as("n_docs"),
+        (col("sum_dl") - col("rm_dl")).as("sum_dl"))
+    bm25ScoreTail(live, lex, st, k)
+  }
+
+  /** The r13/r14 harness tombstone set: every doc_id ≡ 2 (mod 5) is
+    * deleted — k25's membership encoding on the search seam. */
+  def harnessTombstones(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 5 === 2).select(col("doc_id"))
+
   /** Top-`k` documents by TF-IDF COSINE similarity to a bag-of-words
     * query (r03) — the vector-space-model twin of [[bm25TopK]]: doc
     * weight `tf·ln(N/df)`, query weight `ln(N/df)` per distinct term,
@@ -590,6 +657,33 @@ object Search {
       val (lp, ll, ls) = bm25LoadIndex(s, idxDir)
       bm25QueryIndex(lp, ll, ls)
     }),
+    // r13: the r06 persisted store served under a standing delete set
+    // (docs ≡ 2 mod 5 tombstoned) — deletes WITHOUT rebuild. The
+    // df-corrected serve equals a full rebuild over the remaining
+    // corpus bit-for-bit, so the oracle is r01's SQL with the
+    // tombstone predicate on the base table.
+    "r13_bm25_tombstoned" -> ((s, d) => {
+      val idxDir = IndexPaths.dir("r13_index", d)
+      val docs = Tables.documents(s, d)
+      val (p, l, st) = bm25BuildIndex(docs, "doc_id", "text")
+      bm25WriteIndex(p, l, st, idxDir)
+      val (lp, ll, ls) = bm25LoadIndex(s, idxDir)
+      bm25QueryIndexTombstoned(lp, ll, ls, harnessTombstones(docs))
+    }),
+    // r14: the tombstone serve on the CJK seam — the r09 persisted
+    // unigram+bigram store under the same delete set, served with the
+    // Chinese query. Shares r08's oracle text under the tombstone
+    // WHERE (the r09 shared-oracle move composed with r13's).
+    "r14_cjk_tombstoned" -> ((s, d) => {
+      val idxDir = IndexPaths.dir("r14_index", d)
+      val toks = Clusters.sharedCjkTerms(s, d)
+      val (p, l, st) = bm25BuildIndexTokens(toks, "doc_id", "terms")
+      bm25WriteIndex(p, l, st, idxDir)
+      IndexMeta.stamp(idxDir)
+      val (lp, ll, ls) = bm25LoadIndexChecked(s, idxDir)
+      bm25QueryIndexTombstoned(lp, ll, ls,
+        harnessTombstones(Tables.documents(s, d)), terms = CjkQuery)
+    }),
     // nightly maintenance: the standing (even) index merged with the
     // delta (odd) batch's, served without any rebuild — exact integer
     // merge ⇒ equals build(all) ⇒ shares r01's oracle too
@@ -650,12 +744,15 @@ object Search {
          |ORDER BY score_q6 DESC, doc_id LIMIT 10""".stripMargin
 
   // r01/r03 texts as vals: r04's composed oracle references them, and a
-  // def-map self-reference would recurse
-  private lazy val bm25Sql =
+  // def-map self-reference would recurse. Parametrized over a base-table
+  // predicate so the tombstone serve (r13) — whose df-corrected ranking
+  // equals a rebuild over corpus-minus-tombstones — shares the text
+  // under `doc_id % 5 <> 2`.
+  private def bm25SqlOver(where: String) =
       s"""WITH base AS (
          |  SELECT doc_id, text,
          |    len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS dl
-         |  FROM documents),
+         |  FROM documents WHERE $where),
          |stats AS (
          |  SELECT count(*)::BIGINT AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
          |  FROM base),
@@ -669,6 +766,12 @@ object Search {
          |  FROM tok GROUP BY 1, 2),
          |dfq AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
          |$bm25TailSql""".stripMargin
+
+  private lazy val bm25Sql = bm25SqlOver("TRUE")
+
+  /** The r13/r14 tombstone predicate, oracle-side: the docs that
+    * REMAIN after deleting [[harnessTombstones]]' set. */
+  private val tombstoneWhere = "doc_id % 5 <> 2"
 
   /** r08's oracle: the d20-pattern CJK derivation (fixture translate +
     * fold + script-token regex — [[TextOps.scriptTokensSql]], the same
@@ -684,10 +787,10 @@ object Search {
     * [[graft.ops.Clusters.sharedCjkTerms]], plugged into r08's bm25
     * head and r11's tfidf token source so both retrievers derive terms
     * from ONE text. */
-  private lazy val cjkTermCtes =
+  private def cjkTermCtesOver(where: String) =
     s"""c AS (
        |  SELECT doc_id, ${graft.ops.TextOps.cjkFixtureSql("text")} AS t
-       |  FROM documents),
+       |  FROM documents WHERE $where),
        |tk0 AS (
        |  SELECT doc_id, ${graft.ops.TextOps.scriptTokensSql("t")} AS tk
        |  FROM c),
@@ -700,9 +803,11 @@ object Search {
        |      x -> x IS NOT NULL)) AS terms
        |  FROM tk0)""".stripMargin
 
-  private lazy val cjkBm25Sql = {
+  private lazy val cjkTermCtes = cjkTermCtesOver("TRUE")
+
+  private def cjkBm25SqlOver(where: String) = {
     val cjkTerms = cjkTermList
-    s"""WITH $cjkTermCtes,
+    s"""WITH ${cjkTermCtesOver(where)},
        |base AS (SELECT doc_id, terms, len(terms)::BIGINT AS dl FROM tm),
        |stats AS (
        |  SELECT count(*)::BIGINT AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
@@ -717,6 +822,8 @@ object Search {
        |dfq AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
        |$bm25TailSql""".stripMargin
   }
+
+  private lazy val cjkBm25Sql = cjkBm25SqlOver("TRUE")
 
   // r03 — the same index build relationally; the idf product is
   // written x·x (not pow) to match the Spark column expression.
@@ -779,6 +886,12 @@ object Search {
     // r06 serves the persisted index back through r01's exact scoring
     // tail — the s05/s06 shared-oracle move on the search seam
     "r06_bm25_persisted" -> bm25Sql,
+    // r13's df-corrected tombstone serve equals a full rebuild over
+    // corpus-minus-tombstones, so the oracle is r01's text with the
+    // tombstone predicate on the base table
+    "r13_bm25_tombstoned" -> bm25SqlOver(tombstoneWhere),
+    // r14 — the same composition on the CJK persisted store
+    "r14_cjk_tombstoned" -> cjkBm25SqlOver(tombstoneWhere),
     // r07's exact-integer segment merge equals build(all)
     "r07_bm25_incremental" -> bm25Sql,
     // r05 — same pruned-posting CTEs, candidate x term grid via CROSS

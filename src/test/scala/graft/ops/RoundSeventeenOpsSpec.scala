@@ -68,6 +68,61 @@ class RoundSeventeenOpsSpec extends AnyFunSuite {
     intercept[IllegalStateException] { Multimodal.frameLoadStore(spark, dir) }
   }
 
+  // ——— BM25 tombstone serve (r13/r14) ———————————————————————————————
+
+  private def ranking(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  test("delete-then-serve on the r06 store: the df-corrected tombstone " +
+    "serve equals a full rebuild over corpus-minus-tombstones, and a " +
+    "top-ranked deleted doc stops being served immediately") {
+    val docs = Tables.documents(spark, sf)
+    val dir = IndexPaths.dir("r17_ts_r06", sf)
+    val (p, l, st) = Search.bm25BuildIndex(docs, "doc_id", "text")
+    Search.bm25WriteIndex(p, l, st, dir)
+    val (lp, ll, ls) = Search.bm25LoadIndex(spark, dir)
+    val full = ranking(Search.bm25QueryIndex(lp, ll, ls))
+    assert(full.nonEmpty)
+    // tombstone the CURRENT top hit specifically — the serve must
+    // re-rank, not just filter the output list
+    val topDoc = full.head._1
+    import spark.implicits._
+    val served = ranking(Search.bm25QueryIndexTombstoned(lp, ll, ls,
+      Seq(topDoc).toDF("doc_id")))
+    val rebuilt = ranking(Search.bm25TopK(
+      docs.filter(col("doc_id") =!= topDoc), "doc_id", "text"))
+    assert(!served.exists(_._1 == topDoc))
+    assert(served == rebuilt,
+      "tombstone serve must equal build(corpus minus tombstones) bit-for-bit")
+  }
+
+  test("delete-then-serve on an r12 CJK segment store: tombstones " +
+    "anti-join the merged segments and the serve equals a rebuild " +
+    "over the remaining corpus") {
+    val toks = Clusters.sharedCjkTerms(spark, sf)
+    val segDir = IndexPaths.dir("r17_ts_seg", sf)
+    // two stream-shaped segments (evens standing, odds delta) — the
+    // r12 store layout, appended manually like the catalog entry's
+    // standing half
+    Seq(col("doc_id") % 2 === 0, col("doc_id") % 2 =!= 0).foreach { pred =>
+      val (p, l, st) =
+        Search.bm25BuildIndexTokens(toks.filter(pred), "doc_id", "terms")
+      p.write.mode("append").parquet(s"$segDir/postings")
+      l.write.mode("append").parquet(s"$segDir/lexicon")
+      st.write.mode("append").parquet(s"$segDir/stats")
+    }
+    IndexMeta.stamp(segDir)
+    val (mp, ml, ms) =
+      graft.streaming.IndexStream.mergedIndexCjk(spark, segDir)
+    val served = ranking(Search.bm25QueryIndexTombstoned(mp, ml, ms,
+      Search.harnessTombstones(Tables.documents(spark, sf)),
+      terms = Search.CjkQuery))
+    val rebuilt = ranking(Search.bm25TopKTokens(
+      toks.filter(col("doc_id") % 5 =!= 2), "doc_id", "terms",
+      terms = Search.CjkQuery))
+    assert(served.nonEmpty && served == rebuilt)
+  }
+
   test("the version fingerprints derive from the live constants — a " +
     "constant change cannot leave a stale store loadable") {
     assert(Similarity.pqVersion.contains(s"m=${Similarity.PqSubspaces}") &&
