@@ -979,9 +979,10 @@ object Dedup {
     * buckets and only same-bucket cross pairs are scored, cutting the
     * |corpus|·|bench| dot products ~2^planes-fold. Same trade as
     * d07-vs-d05: output ⊆ the exact operator's (a qualifying pair at
-    * cosine t shares the bucket with probability (1−arccos(t)/π)^p),
-    * and a production deployment ORs several independent plane sets
-    * for recall — the d03 band trick. The bucket is the shuffle key
+    * cosine t shares the bucket with probability (1−arccos(t)/π)^p);
+    * a production deployment ORs several independent plane sets for
+    * recall — the d03 band trick, materialized as
+    * [[semanticDecontaminateLshMulti]] (d28). The bucket is the shuffle key
     * of a plain cross-set equi-join: buckets co-locate without
     * materializing, a hot bucket spills rather than OOMs. Identical
     * and near-identical vectors land in the same bucket by
@@ -995,18 +996,89 @@ object Dedup {
                                dims: Int = 64): DataFrame = {
     graft.functions.VectorFunctions.register(corpus.sparkSession)
     def bucketed(df: DataFrame, idOut: String, vOut: String,
-                 nrmOut: String): DataFrame = {
-      val bitCols = (0 until planes).map { i =>
-        val w = (0 until dims).map(j => s"${Similarity.weight(i, j, dims)}D")
-          .mkString(", ")
-        when(expr(s"graft_dot($vOut, array($w))") > 0d, 1 << i).otherwise(0)
-      }
+                 nrmOut: String): DataFrame =
       df.select(col(id).as(idOut), col(vec).as(vOut))
         .withColumn(nrmOut, expr(s"sqrt(graft_dot($vOut, $vOut))"))
-        .withColumn("bucket", bitCols.reduce(_ + _))
-    }
+        .withColumn("bucket", hyperplaneBucket(vOut, 0, planes, dims))
     bucketed(corpus, "vec_id", "v", "nrm")
       .join(bucketed(probe, "bench_id", "pv", "pnrm"), Seq("bucket"))
+      .withColumn("cos", expr("graft_dot(v, pv)") / (col("nrm") * col("pnrm")))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_bench_matches"), max(col("cos")).as("max_cos"))
+  }
+
+  /** The d07/d26 random-hyperplane bucket of vector column `vExpr`,
+    * for PLANE SET `set`: sign bits of `planes` integer-LCG
+    * hyperplanes, set `s` drawing planes `s·planes … s·planes+planes−1`
+    * from [[Similarity.weight]]'s deterministic matrix — so set 0 is
+    * exactly d26's single bucket and higher sets are independent
+    * draws of the same family. */
+  private def hyperplaneBucket(vExpr: String, set: Int, planes: Int,
+                               dims: Int): Column =
+    (0 until planes).map { i =>
+      val w = (0 until dims)
+        .map(j => s"${Similarity.weight(set * planes + i, j, dims)}D")
+        .mkString(", ")
+      when(expr(s"graft_dot($vExpr, array($w))") > 0d, 1 << i).otherwise(0)
+    }.reduce(_ + _)
+
+  /** How many independent plane sets [[semanticDecontaminateLshMulti]]
+    * ORs by default. Recall at cosine t rises from (1−arccos(t)/π)^p
+    * to 1−(1−(1−arccos(t)/π)^p)^sets — at t = 0.45's angle and p = 4,
+    * two sets already recover most of what one set leaves behind,
+    * and each extra set costs one more map-side bucket column and one
+    * more band join of the same size. */
+  val NumPlaneSets = 2
+
+  /** [[semanticDecontaminateLsh]] with MULTI-PROBE OR-BANDING (d28) —
+    * the d03 band trick its doc-comment promises, materialized:
+    * `sets` independent hyperplane sets each gate a candidate join,
+    * the per-set candidate id-pairs UNION and de-duplicate BEFORE the
+    * exact verify, and every surviving pair is scored exactly once.
+    * One plane set leaves real paraphrase-contamination recall on the
+    * table in precisely the regime d26 exists for (a benchmark too
+    * large to broadcast): a qualifying pair at cosine t shares one
+    * set's bucket only with probability (1−arccos(t)/π)^p; OR-ing
+    * independent sets drives the miss rate down geometrically while
+    * the verify filter keeps precision exact.
+    *
+    * Scale shape: all `sets` bucket columns compute in ONE map-side
+    * pass per side; each per-set join is the same plain equi-join as
+    * d26 (bucket = shuffle key, spills not OOMs); the pair dedup is a
+    * distinct over 16-byte id pairs (never vectors); the verify
+    * re-attaches vectors by plain equi-joins on the ids — candidates
+    * shuffle, the corpus does not re-shuffle per set. Output ⊆ d25's
+    * rows with counts ≤ d25's (exact verify) and ⊇ d26's (set 0 IS
+    * d26's gate). */
+  def semanticDecontaminateLshMulti(corpus: DataFrame, probe: DataFrame,
+                                    id: String, vec: String,
+                                    threshold: Double,
+                                    planes: Int = Similarity.NumPlanes,
+                                    sets: Int = NumPlaneSets,
+                                    dims: Int = 64): DataFrame = {
+    require(sets >= 1, "at least one plane set")
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
+    def sided(df: DataFrame, idOut: String, vOut: String,
+              nrmOut: String): DataFrame =
+      (0 until sets).foldLeft(
+        df.select(col(id).as(idOut), col(vec).as(vOut))
+          .withColumn(nrmOut, expr(s"sqrt(graft_dot($vOut, $vOut))"))) {
+        (acc, s) =>
+          acc.withColumn(s"bk$s", hyperplaneBucket(vOut, s, planes, dims))
+      }
+    val c = sided(corpus, "vec_id", "v", "nrm")
+    val b = sided(probe, "bench_id", "pv", "pnrm")
+    val cand = (0 until sets).map { s =>
+      c.select(col("vec_id"), col(s"bk$s").as("bucket"))
+        .join(b.select(col("bench_id"), col(s"bk$s").as("bucket")),
+          Seq("bucket"))
+        .select(col("vec_id"), col("bench_id"))
+    }.reduce(_.unionByName(_)).distinct()
+    cand
+      .join(c.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
+      .join(b.select(col("bench_id"), col("pv"), col("pnrm")),
+        Seq("bench_id"))
       .withColumn("cos", expr("graft_dot(v, pv)") / (col("nrm") * col("pnrm")))
       .filter(col("cos") >= threshold)
       .groupBy(col("vec_id"))
@@ -1505,6 +1577,15 @@ object Dedup {
         vecs.filter(col("vec_id") % 10 === 0),
         "vec_id", "embedding", threshold = 0.45)
     }),
+    // d28 harness: d26's split OR-banded over NumPlaneSets independent
+    // plane sets — recall between d26's and d25's, verify-exact
+    "d28_semantic_multiprobe" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+      semanticDecontaminateLshMulti(
+        vecs.filter(col("vec_id") % 10 =!= 0),
+        vecs.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", threshold = 0.45)
+    }),
     "d07_neardup_lsh" -> ((s, d) =>
       cosineNearDupLsh(Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.45)),
     // incremental dedup: odd doc ids are the arriving delta, even ids
@@ -1970,6 +2051,47 @@ object Dedup {
            |    reduce(list_prepend(0.0, list_transform(range(1, len(c.v) + 1), i -> c.v[i] * b.v[i])),
            |           (acc, x) -> acc + x) / (c.nrm * b.nrm) AS cos
            |  FROM c JOIN b ON c.bucket = b.bucket) pairs
+           |WHERE cos >= 0.45
+           |GROUP BY vec_id""".stripMargin
+      },
+      // d28 — d26's oracle with per-set bucket exprs, candidates as a
+      // UNION (set-deduplicating) of the per-set equi-joins, vectors
+      // re-attached by id for the exact verify — the engine's
+      // composition restated relationally
+      "d28_semantic_multiprobe" -> {
+        val bucketSqls = (0 until NumPlaneSets).map { s =>
+          (0 until Similarity.NumPlanes).map { i =>
+            val wl = (0 until 64)
+              .map(j => Similarity.weight(s * Similarity.NumPlanes + i, j))
+              .mkString("[", ", ", "]")
+            s"""CASE WHEN reduce(list_prepend(0.0, list_transform(range(1, 65),
+               |  k -> v[k] * ($wl::BIGINT[])[k])), (acc, x) -> acc + x) > 0
+               |  THEN ${1 << i} ELSE 0 END""".stripMargin
+          }.mkString(" + ")
+        }
+        val bucketCols = bucketSqls.zipWithIndex
+          .map { case (e, s) => s"$e AS bk$s" }.mkString(",\n    ")
+        val candUnion = (0 until NumPlaneSets).map { s =>
+          s"SELECT c.vec_id, b.vec_id AS bench_id FROM c JOIN b ON c.bk$s = b.bk$s"
+        }.mkString("\n  UNION\n  ")
+        s"""WITH v AS (
+           |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+           |n AS (
+           |  SELECT vec_id, v,
+           |    sqrt(reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm,
+           |    $bucketCols
+           |  FROM v),
+           |c AS (SELECT * FROM n WHERE vec_id % 10 <> 0),
+           |b AS (SELECT * FROM n WHERE vec_id % 10 = 0),
+           |cand AS (
+           |  $candUnion)
+           |SELECT vec_id, count(*) AS n_bench_matches, max(cos) AS max_cos FROM (
+           |  SELECT cand.vec_id,
+           |    reduce(list_prepend(0.0, list_transform(range(1, len(cv.v) + 1), i -> cv.v[i] * bv.v[i])),
+           |           (acc, x) -> acc + x) / (cv.nrm * bv.nrm) AS cos
+           |  FROM cand
+           |  JOIN n cv ON cv.vec_id = cand.vec_id
+           |  JOIN n bv ON bv.vec_id = cand.bench_id) pairs
            |WHERE cos >= 0.45
            |GROUP BY vec_id""".stripMargin
       },

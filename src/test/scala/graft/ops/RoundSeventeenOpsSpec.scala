@@ -123,6 +123,72 @@ class RoundSeventeenOpsSpec extends AnyFunSuite {
     assert(served.nonEmpty && served == rebuilt)
   }
 
+  // ——— d28 multi-probe OR-banding ———————————————————————————————————
+
+  private def deconMap(df: org.apache.spark.sql.DataFrame)
+      : Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("d26 ⊆ d28 ⊆ d25: OR-banding recovers gate misses while the " +
+    "exact verify keeps the result inside the exact operator's") {
+    val vecs = Tables.embeddings(spark, sf)
+    val c = vecs.filter(col("vec_id") % 10 =!= 0)
+    val b = vecs.filter(col("vec_id") % 10 === 0)
+    val d25 = deconMap(
+      Dedup.semanticDecontaminate(c, b, "vec_id", "embedding", 0.45))
+    val d26 = deconMap(
+      Dedup.semanticDecontaminateLsh(c, b, "vec_id", "embedding", 0.45))
+    val d28 = deconMap(
+      Dedup.semanticDecontaminateLshMulti(c, b, "vec_id", "embedding", 0.45))
+    assert(d25.nonEmpty && d26.nonEmpty)
+    assert(d26.keySet.subsetOf(d28.keySet) &&
+      d26.forall { case (k, n) => d28(k) >= n },
+      "set 0 IS d26's gate, so d28 can only add candidates")
+    assert(d28.keySet.subsetOf(d25.keySet) &&
+      d28.forall { case (k, n) => n <= d25(k) },
+      "every served pair passes the exact cosine verify")
+  }
+
+  test("d28 catches a near-threshold contaminated pair the single-set " +
+    "d26 gate misses (the recall the multi-probe exists for)") {
+    import spark.implicits._
+    // mirror the engine's arithmetic: float elements widened to
+    // double, index-order left fold against the integer LCG planes
+    def dot(v: Array[Float], set: Int, i: Int): Double =
+      v.indices.foldLeft(0.0)((acc, j) => acc +
+        v(j).toDouble *
+          Similarity.weight(set * Similarity.NumPlanes + i, j, 64).toDouble)
+    def bucket(v: Array[Float], set: Int): Int =
+      (0 until Similarity.NumPlanes)
+        .map(i => if (dot(v, set, i) > 0) 1 << i else 0).sum
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def d(x: Array[Float], y: Array[Float]) =
+        x.indices.foldLeft(0.0)((acc, j) => acc + x(j).toDouble * y(j).toDouble)
+      d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b)))
+    }
+    val rnd = new scala.util.Random(17)
+    val found = Iterator.continually {
+      val u = Array.fill(64)(rnd.nextGaussian().toFloat)
+      val v = u.map(x => x + rnd.nextGaussian().toFloat * 0.55f)
+      (u, v)
+    }.take(20000).find { case (u, v) =>
+      cos(u, v) >= 0.5 &&
+        bucket(u, 0) != bucket(v, 0) && bucket(u, 1) == bucket(v, 1)
+    }
+    assert(found.isDefined,
+      "generator must craft a set-0-miss/set-1-hit near-dup pair")
+    val (u, v) = found.get
+    val corpus = Seq((1L, u.toSeq)).toDF("vec_id", "embedding")
+    val probe = Seq((2L, v.toSeq)).toDF("vec_id", "embedding")
+    assert(Dedup.semanticDecontaminateLsh(
+      corpus, probe, "vec_id", "embedding", 0.45).count() == 0,
+      "the single-set gate must miss this pair")
+    val got = Dedup.semanticDecontaminateLshMulti(
+      corpus, probe, "vec_id", "embedding", 0.45).collect()
+    assert(got.length == 1 && got.head.getLong(0) == 1L &&
+      got.head.getLong(1) == 1L)
+  }
+
   test("the version fingerprints derive from the live constants — a " +
     "constant change cannot leave a stale store loadable") {
     assert(Similarity.pqVersion.contains(s"m=${Similarity.PqSubspaces}") &&
