@@ -206,6 +206,34 @@ object SparkEntry {
           val (p, l, st) =
             graft.streaming.IndexStream.mergedIndexCjk(s, segDir)
           ops.Search.bm25QueryIndex(p, l, st, terms = ops.Search.CjkQuery)
+        }),
+        // The decontamination family's stream edge (d27): corpus
+        // vectors drain as delta micro-batches, each checked against
+        // the STANDING broadcast benchmark with d25's exact cosine
+        // sweep and appended to the audit sink — the ingest-time gate
+        // a real pipeline runs. Zero streaming state (a verdict
+        // depends only on (vector, benchmark)), so the union over
+        // batches equals one-shot d25 identically and d27 shares its
+        // oracle verbatim. Sink cleared at entry start (the r12
+        // clear-then-append discipline — this entry runs without a
+        // stream checkpoint).
+        "d27_semantic_decon_stream" -> ((s: SparkSession, d: String) => {
+          import org.apache.spark.sql.functions.col
+          val out = ops.IndexPaths.dir("d27_out", d)
+          ops.IndexPaths.clear(out)
+          val bench = ops.Tables.embeddings(s, d)
+            .filter(col("vec_id") % 10 === 0)
+          // embeddings.parquet is a single FILE at the driver's sf
+          // dirs but a parquet DIRECTORY in ScaleGen output (the r12
+          // source-layout note)
+          val src = new java.io.File(d, "embeddings.parquet")
+          val (srcDir, glob) =
+            if (src.isDirectory) (src.getPath, "*.parquet")
+            else (d, "embeddings.parquet")
+          graft.streaming.DeconStream.runAvailableNow(s, srcDir, bench,
+            out, threshold = 0.45,
+            deltaFilter = col("vec_id") % 10 =!= 0, glob = glob)
+          s.read.parquet(out)
         }))
 
   /** Build/serve decomposition of the persistence catalog entries —
@@ -487,7 +515,11 @@ object SparkEntry {
         "p07_ann_maintenance" -> ops.Similarity.oracle("k19_ivfpq"),
         // r12's merged CJK segments serve the exact one-shot r08
         // ranking (r07's integer merge theorem, token-agnostic)
-        "r12_cjk_index_stream" -> ops.Search.oracle("r08_cjk_bm25"))
+        "r12_cjk_index_stream" -> ops.Search.oracle("r08_cjk_bm25"),
+        // d27's per-batch exact sweeps union to one-shot d25 (zero
+        // streaming state — see the entry comment)
+        "d27_semantic_decon_stream" ->
+          ops.Dedup.oracle("d25_semantic_decontaminate"))
 
   /** Catalog keys intentionally carrying NO DuckDB oracle, each pinned
     * by golden-fixture tests instead. Every member must name a real

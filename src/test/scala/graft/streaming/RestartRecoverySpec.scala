@@ -426,4 +426,46 @@ class RestartRecoverySpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(afterA.size < resumed.size,
       "tranche B must add pairs of its own, or the split tests nothing")
   }
+
+  test("decontamination stream edge: restart from checkpoint scores " +
+    "only the unseen tranche, appended union equals one-shot d25") {
+    // d27 is stateless foreachBatch against a standing broadcast
+    // benchmark, so the recovery contract is purely the SOURCE's:
+    // file offsets come back from the checkpoint and tranche A's
+    // verdicts must not re-append after the kill — exactly-once on
+    // the audit sink.
+    val watch = Files.createTempDirectory("graft_restart_decon")
+    val ckpt = Files.createTempDirectory("graft_ckpt_decon").toString
+    val out = Files.createTempDirectory("graft_decon_restart_out")
+      .toString + "/flags"
+    val emb = graft.ops.Tables.embeddings(spark, sf)
+    val bench = emb.filter(col("vec_id") % 10 === 0)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    // 0.35: both parity tranches contribute rows at sf0.001 (the
+    // DeconStreamSpec threshold note)
+    val threshold = 0.35
+
+    stageTranche(corpus.filter(col("vec_id") % 2 === 0), watch, "vecsA")
+    def runOnce(): Unit =
+      DeconStream.runAvailableNow(spark, watch.toString, bench, out,
+        threshold, checkpointDir = Some(ckpt), glob = "*.parquet")
+    runOnce() // run 1 sees tranche A only, then "dies"
+    def flags() = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val afterA = flags()
+    stageTranche(corpus.filter(col("vec_id") % 2 =!= 0), watch, "vecsB")
+    runOnce() // restart from the same checkpoint
+    val resumed = flags()
+    val oneShot = graft.ops.Dedup.semanticDecontaminate(
+        corpus, bench, "vec_id", "embedding", threshold)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(oneShot.nonEmpty, "fixture must contain contamination hits")
+    assert(resumed == oneShot,
+      "restart must append exactly the unseen tranche's verdicts — no " +
+        "duplicates, no gaps")
+    assert(afterA.toSet.subsetOf(resumed.toSet) &&
+      afterA.size < resumed.size,
+      "run 1 must be a genuine strict partial of the one-shot result")
+  }
 }
