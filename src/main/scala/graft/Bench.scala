@@ -162,6 +162,26 @@ object Bench {
     // measured phase doesn't run under their GC pressure
     spark.catalog.clearCache()
     System.gc()
+    // BOX-SPEED CANARY: one fixed query (a full lineitem scan-agg —
+    // catalog-independent, memo-free, scan+shuffle+agg shaped) timed
+    // as a 3-rep median immediately BEFORE and AFTER the measured
+    // phase. Round-over-round bench comparisons on a shared box kept
+    // needing a separate remeasure artifact to tell real plan
+    // regressions from machine-load drift (r15/r16); the canary bakes
+    // the adjudication INTO the artifact: canary drift vs last round's
+    // canary rescales the round's numbers, and a start/end gap flags a
+    // load spike DURING this run.
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      materialize(spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(expr("sum(l_quantity) as sum_qty"),
+          expr("sum(l_extendedprice * (1 - l_discount)) as sum_disc"),
+          expr("avg(l_tax) as avg_tax"), expr("count(*) as n")))
+      (System.nanoTime() - t0) / 1e9
+    }
+    canaryOnce() // untimed: compile the canary's codegen once
+    val canaryStart = median((1 to 3).map(_ => canaryOnce()))
     // Measured phase: a failure is REPORTED per query, never swallowed —
     // a timing whose query aborted mid-run is fiction, and the err field
     // is what distinguishes it from an honest number.
@@ -197,6 +217,7 @@ object Bench {
             name -> Right((b, sv))
           } catch { case e: Throwable => name -> Left(errSummary(e)) }
         }
+    val canaryEnd = median((1 to 3).map(_ => canaryOnce()))
     val names = catalog.keys.toSeq.sorted
     val results = names.map { name =>
       name -> median(samples.map(_.get(name).map(_._1).getOrElse(-1.0)))
@@ -232,7 +253,9 @@ object Bench {
           "\"" + k + "\":{\"error\":" + jsonStr(err) + "}"
       }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$errJson,"n_err":$nErr,"phases":$phasesJson,"sf":"$sfDir","reps":${math.max(1, reps)},"cpus":$cpus}"""
+    val canaryJson =
+      s"""{"start":$canaryStart,"end":$canaryEnd}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$errJson,"n_err":$nErr,"phases":$phasesJson,"canary":$canaryJson,"sf":"$sfDir","reps":${math.max(1, reps)},"cpus":$cpus}"""
     try {
       val w = new java.io.PrintWriter(fullPath, "UTF-8")
       try w.println(full) finally w.close()
@@ -246,7 +269,7 @@ object Bench {
       val piece = (if (kept.isEmpty) "" else ",") + "\"" + k + "\":" + round3(v)
       if (kept.length + piece.length <= budget) kept.append(piece) else omitted += 1
     }
-    println(s"""{"metric":"total","value":${round3(total)},"unit":"sec","queries":{${kept.result()}},"queries_omitted":$omitted,"full":"$fullPath","n_err":$nErr,"sf":"$sfDir","reps":${math.max(1, reps)},"cpus":$cpus}""")
+    println(s"""{"metric":"total","value":${round3(total)},"unit":"sec","queries":{${kept.result()}},"queries_omitted":$omitted,"full":"$fullPath","n_err":$nErr,"canary":{"start":${round3(canaryStart)},"end":${round3(canaryEnd)}},"sf":"$sfDir","reps":${math.max(1, reps)},"cpus":$cpus}""")
     spark.stop()
   }
 }
