@@ -434,7 +434,20 @@ object Dedup {
   /** d20's character-shingle width — 5 chars, the CCNet-practice n for
     * unsegmented scripts (a 5-char window carries about the signal of a
     * 1–2 word English window). Wider than the word n because single
-    * CJK chars are far more common across documents than words. */
+    * CJK chars are far more common across documents than words.
+    *
+    * Per-script note (Korean): Hangul syllables pack roughly 2× the
+    * information of an ideograph, so an equal-CONTENT Korean doc is
+    * ~half the chars and a single-syllable edit costs ~2× the Jaccard
+    * (an edit kills ~n of the L−n+1 shingles). At paragraph lengths
+    * n = 5 recalls lightly-edited Korean pairs fine (pinned by the
+    * crafted ko near-dup in RoundSeventeenOpsSpec, through both d20
+    * and d24); for corpora dominated by SHORT Korean docs (single
+    * sentences), pass n = 4 at the call sites — the same spec pins a
+    * one-sentence pair that falls below the 0.6 threshold at n = 5
+    * and is caught at n = 4. Keep n uniform per corpus/artifact: the
+    * persisted stores bake n into their shingles (stamp-guarded for
+    * the tokenizer, n chosen at publish). */
   val CjkCharShingleN = 5
 
   /** CJK / UNSEGMENTED-SCRIPT NEAR-DUP (d20) — [[minhashVerifiedPairs]]

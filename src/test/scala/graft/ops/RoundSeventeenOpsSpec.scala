@@ -189,6 +189,64 @@ class RoundSeventeenOpsSpec extends AnyFunSuite {
       got.head.getLong(1) == 1L)
   }
 
+  // ——— Korean recall on the char-dedup path ————————————————————————
+
+  test("a lightly-edited Korean near-dup is caught by d20's " +
+    "band+verify at the default n=5, and d24 flags it against a " +
+    "Korean benchmark (Hangul entered the repertoire in r16; this " +
+    "pins that the char path actually RECALLS on it)") {
+    import spark.implicits._
+    val base = "오늘 회의에서 데이터 정제 파이프라인의 중복 제거 단계가 " +
+      "예상보다 오래 걸린다는 문제가 논의되었고 다음 분기에는 해시 기반 " +
+      "방법으로 교체하기로 결정했다 참석자 전원이 새로운 지표 정의와 " +
+      "실험 계획을 검토한 뒤 회의록을 공유하기로 했다"
+    // two single-syllable substitutions ~100 syllables apart — the
+    // "quoted with light edits" contamination class
+    val edited = base.replace("걸린다는", "걸렸다는")
+      .replace("방법으로", "기법으로")
+    assert(edited != base)
+    val docs = Seq(
+      (1L, base), (2L, edited),
+      (3L, "서울의 가을 하늘은 맑고 바람은 차가웠다"),
+      (4L, "모델 학습에 사용된 말뭉치는 여러 출처에서 수집되었다"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.cjkNearDupPairs(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)),
+      s"exactly the edited pair must surface, got ${pairs.toSeq}")
+    assert(pairs.head._3 >= 0.6,
+      "the light edit must keep char-5-gram Jaccard above threshold")
+    // d24: the edited version as the BENCHMARK side — the training
+    // doc quoting it is flagged, the unrelated Korean docs are not
+    val flags = Dedup.cjkDecontaminateNearDup(
+      docs.filter(col("doc_id") =!= 2L),
+      Seq((100L, edited)).toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(flags.toSeq == Seq((1L, 1L)),
+      s"d24 must flag exactly the quoting doc, got ${flags.toSeq}")
+  }
+
+  test("per-script shingle width is a real knob for SHORT Korean: " +
+    "Hangul packs ~2x the information per char, so an equal-content " +
+    "edit costs ~2x the Jaccard — on a one-sentence doc the same " +
+    "single-syllable edit falls below threshold at n=5 and is caught " +
+    "at n=4") {
+    import spark.implicits._
+    // 19 syllables, one mid substitution (내부 → 외부): kills 5 of 15
+    // 5-gram shingles (J = 10/20 = 0.50 < 0.6) but only 4 of 16
+    // 4-grams (J = 12/20 = 0.60 ≥ 0.6)
+    val a = "실험 결과는 내부 회의에서 공유된 뒤 보관된다"
+    val b = a.replace("내부", "외부")
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    assert(Dedup.cjkNearDupPairs(docs, "doc_id", "text").count() == 0,
+      "at n=5 the edit fraction pushes the pair below the threshold")
+    val caught = Dedup.cjkNearDupPairs(docs, "doc_id", "text", n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(caught.toSeq == Seq((1L, 2L)),
+      "n=4 must recover the short-Korean pair")
+  }
+
   test("the version fingerprints derive from the live constants — a " +
     "constant change cannot leave a stale store loadable") {
     assert(Similarity.pqVersion.contains(s"m=${Similarity.PqSubspaces}") &&
