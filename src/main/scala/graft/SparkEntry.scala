@@ -275,6 +275,34 @@ object SparkEntry {
             ops.IndexPaths.dir("r09_index", d))
           ops.Search.bm25QueryIndex(lp, ll, ls, terms = ops.Search.CjkQuery)
         })),
+      "r13_bm25_tombstoned" -> ((
+        (s: SparkSession, d: String) => {
+          val (p, l, st) = ops.Search.bm25BuildIndex(
+            ops.Tables.documents(s, d), "doc_id", "text")
+          ops.Search.bm25WriteIndex(p, l, st,
+            ops.IndexPaths.dir("r13_index", d))
+        },
+        (s: SparkSession, d: String) => {
+          val (lp, ll, ls) = ops.Search.bm25LoadIndex(s,
+            ops.IndexPaths.dir("r13_index", d))
+          ops.Search.bm25QueryIndexTombstoned(lp, ll, ls,
+            ops.Search.harnessTombstones(ops.Tables.documents(s, d)))
+        })),
+      "r14_cjk_tombstoned" -> ((
+        (s: SparkSession, d: String) => {
+          val (p, l, st) = ops.Search.bm25BuildIndexTokens(
+            ops.Clusters.sharedCjkTerms(s, d), "doc_id", "terms")
+          ops.Search.bm25WriteIndex(p, l, st,
+            ops.IndexPaths.dir("r14_index", d))
+          ops.IndexMeta.stamp(ops.IndexPaths.dir("r14_index", d))
+        },
+        (s: SparkSession, d: String) => {
+          val (lp, ll, ls) = ops.Search.bm25LoadIndexChecked(s,
+            ops.IndexPaths.dir("r14_index", d))
+          ops.Search.bm25QueryIndexTombstoned(lp, ll, ls,
+            ops.Search.harnessTombstones(ops.Tables.documents(s, d)),
+            terms = ops.Search.CjkQuery)
+        })),
       "k15_pq_persisted" -> ((
         (s: SparkSession, d: String) => {
           val (codes, cbs) = ops.Similarity.sharedPqIndex(s, d)

@@ -621,6 +621,30 @@ class PlanAssertionsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       "term pruning must reach the postings scan:\n" + formatted.take(3000))
   }
 
+  test("r13 tombstone serve: the term predicate still reaches the " +
+    "postings scans and the tombstone set joins broadcast") {
+    val formatted = graft.SparkEntry.queries("r13_bm25_tombstoned")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("PushedFilters: [In(token"),
+      "term pruning must survive the tombstone anti/semi joins:\n" +
+        formatted.take(3000))
+    assert(formatted.contains("BroadcastHashJoin"),
+      "the delete set must broadcast, never shuffle the postings:\n" +
+        formatted.take(3000))
+    assert(!formatted.contains("SortMergeJoin"),
+      "no posting-store shuffle joins at serve:\n" + formatted.take(3000))
+  }
+
+  test("d28 multi-probe: candidates come from bucket equi-joins — " +
+    "never a cartesian or nested-loop pairing") {
+    val s = plan("d28_semantic_multiprobe").toString
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      "every pairing must be gated by a bucket/id equi-join:\n" +
+        s.take(2000))
+  }
+
   test("r10 phrase: chain joins read the pruned checkpoint — no " +
     "re-tokenize, no cartesian") {
     val s = plan("r10_cjk_phrase").toString
