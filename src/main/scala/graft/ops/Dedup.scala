@@ -567,6 +567,40 @@ object Dedup {
       "doc_id", "_script_text", threshold, n, maxBandDocs)
   }
 
+  /** [[cjkServeDeltaTokens]] under a STANDING DELETE SET (d29) — the
+    * r13/k25 tombstone move on the third persisted family, the
+    * near-dup index: a standing doc removed after publish (takedown,
+    * opt-out, or itself deleted as a dup-loser) must stop MATCHING
+    * arriving deltas now, not at the next nightly republish —
+    * otherwise the dedup gate keeps dropping fresh docs as "dups of"
+    * a document that no longer exists. The broadcast tombstone set
+    * anti-joins BOTH loaded tables (bands before the candidate join,
+    * verify arrays before the Jaccard), and because bands/hashes are
+    * per-doc pure functions — and the [[MaxBandDocs]] gate counts the
+    * FILTERED bands — the serve equals publish(standing minus
+    * tombstones) + serve bit-for-bit, the same rebuild-equivalence
+    * contract as [[Search.bm25QueryIndexTombstoned]]. Deletes stay
+    * O(tombstones) at serve; nothing republishes. */
+  def cjkServeDeltaTombstonedTokens(spark: SparkSession,
+                                    deltaToks: DataFrame,
+                                    threshold: Double, dir: String,
+                                    tombstones: DataFrame,
+                                    n: Int = CjkCharShingleN,
+                                    maxBandDocs: Int = MaxBandDocs): DataFrame = {
+    IndexMeta.check(dir)
+    val ts = broadcast(tombstones.select(col("doc_id")).distinct())
+    minhashServeDeltaFrom(
+      spark.read.parquet(s"$dir/hashes")
+        .join(ts, Seq("doc_id"), "left_anti")
+        .withColumnRenamed("doc_id", "corpus_id"),
+      spark.read.parquet(s"$dir/bands")
+        .join(ts, Seq("doc_id"), "left_anti")
+        .withColumnRenamed("doc_id", "corpus_id"),
+      deltaToks.select(col("doc_id"),
+        concat_ws(" ", col("toks")).as("_script_text")),
+      "doc_id", "_script_text", threshold, n, maxBandDocs)
+  }
+
   /** MinHash-ESTIMATED near-dup pairs (d15): band candidates scored by
     * signature agreement alone — `est_jaccard = matching components /
     * (Bands·RowsPerBand)`, the unbiased MinHash estimator — with NO
@@ -1563,6 +1597,20 @@ object Dedup {
       cjkPublishIndexTokens(toks(col("doc_id") % 2 === 0), idxDir)
       cjkServeDeltaTokens(s, toks(col("doc_id") % 2 =!= 0), 0.6, idxDir)
     }),
+    // d29 harness: d21's publish/serve split under the family's
+    // standard delete set (standing docs ≡ 2 mod 5 tombstoned at
+    // serve; arriving delta docs are new and never tombstoned)
+    "d29_cjk_tombstone_serve" -> ((s, d) => {
+      def toks(f: org.apache.spark.sql.Column) =
+        Clusters.sharedCjkTokens(s, d).filter(f)
+          .select(col("doc_id"), col("toks"))
+      val idxDir = IndexPaths.dir("d29_index", d)
+      cjkPublishIndexTokens(toks(col("doc_id") % 2 === 0), idxDir)
+      cjkServeDeltaTombstonedTokens(s, toks(col("doc_id") % 2 =!= 0),
+        0.6, idxDir,
+        Tables.documents(s, d).filter(col("doc_id") % 5 === 2)
+          .select(col("doc_id")))
+    }),
     "d15_minhash_estimate" -> ((s, d) =>
       minhashEstimatedPairs(Tables.documents(s, d), "doc_id", "text",
         threshold = 0.5)),
@@ -1974,6 +2022,30 @@ object Dedup {
       // standing-side band gate (HAVING ≤ MaxBandDocs on the EVEN side
       // only — the frozen-store cap the engine applies before the
       // candidate join)
+      // d29 — d21's oracle with the tombstone predicate folded into
+      // the STANDING side's WHERE (the rebuild-equivalence contract:
+      // serve-under-tombstones ≡ publish-over-remainder + serve)
+      "d29_cjk_tombstone_serve" ->
+        s"""WITH ${cjkCrossSideSql("e", "doc_id % 2 = 0 AND doc_id % 5 <> 2")},
+           |${cjkCrossSideSql("o", "doc_id % 2 = 1")},
+           |bok AS (SELECT band, key FROM bandse GROUP BY band, key
+           |        HAVING count(*) <= $MaxBandDocs),
+           |cand AS (
+           |  SELECT DISTINCT e.doc_id AS corpus_id, o.doc_id AS delta_id
+           |  FROM bandse e JOIN bok USING (band, key)
+           |  JOIN bandso o ON e.band = o.band AND e.key = o.key),
+           |pr AS (
+           |  SELECT c.corpus_id, c.delta_id, count(*) AS inter
+           |  FROM cand c
+           |  JOIN ske a ON a.doc_id = c.corpus_id
+           |  JOIN sko b ON b.doc_id = c.delta_id AND b.sk = a.sk
+           |  GROUP BY 1, 2)
+           |SELECT corpus_id, delta_id, inter,
+           |  inter::DOUBLE / (ce.n_sh + co.n_sh - inter)::DOUBLE AS jaccard
+           |FROM pr
+           |JOIN cnte ce ON pr.corpus_id = ce.doc_id
+           |JOIN cnto co ON pr.delta_id = co.doc_id
+           |WHERE inter::DOUBLE / (ce.n_sh + co.n_sh - inter)::DOUBLE >= 0.6""".stripMargin,
       "d21_cjk_serve_delta" ->
         s"""WITH ${cjkCrossSideSql("e", "doc_id % 2 = 0")},
            |${cjkCrossSideSql("o", "doc_id % 2 = 1")},

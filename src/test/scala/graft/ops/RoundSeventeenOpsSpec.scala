@@ -123,6 +123,39 @@ class RoundSeventeenOpsSpec extends AnyFunSuite {
     assert(served.nonEmpty && served == rebuilt)
   }
 
+  test("delete-then-serve on the d21 near-dup store (d29): a " +
+    "tombstoned standing doc stops matching deltas immediately, and " +
+    "the serve equals publish-over-remainder + serve bit-for-bit") {
+    def toks(f: org.apache.spark.sql.Column) =
+      Clusters.sharedCjkTokens(spark, sf).filter(f)
+        .select(col("doc_id"), col("toks"))
+    val dir = IndexPaths.dir("r17_d29_idx", sf)
+    Dedup.cjkPublishIndexTokens(toks(col("doc_id") % 2 === 0), dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sorted.toSeq
+    val full = rows(Dedup.cjkServeDeltaTokens(spark,
+      toks(col("doc_id") % 2 =!= 0), 0.6, dir))
+    assert(full.nonEmpty, "fixture must contain cross-set CJK near-dups")
+    // tombstone a standing doc that actually HAS pairs — the serve
+    // must drop its matches, not just filter an empty set
+    val dead = full.head._1
+    import spark.implicits._
+    val served = rows(Dedup.cjkServeDeltaTombstonedTokens(spark,
+      toks(col("doc_id") % 2 =!= 0), 0.6, dir, Seq(dead).toDF("doc_id")))
+    assert(!served.exists(_._1 == dead) && served == full.filter(_._1 != dead),
+      "tombstoning one standing doc must remove exactly its pairs")
+    // rebuild-equivalence: publish over standing-minus-tombstone,
+    // serve plain — must equal the tombstoned serve of the full store
+    val dir2 = IndexPaths.dir("r17_d29_remainder", sf)
+    Dedup.cjkPublishIndexTokens(
+      toks(col("doc_id") % 2 === 0 && col("doc_id") =!= dead), dir2)
+    val rebuilt = rows(Dedup.cjkServeDeltaTokens(spark,
+      toks(col("doc_id") % 2 =!= 0), 0.6, dir2))
+    assert(served == rebuilt,
+      "serve-under-tombstones must equal publish-over-remainder + serve")
+  }
+
   // ——— d28 multi-probe OR-banding ———————————————————————————————————
 
   private def deconMap(df: org.apache.spark.sql.DataFrame)
