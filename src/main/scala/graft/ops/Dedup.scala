@@ -501,6 +501,10 @@ object Dedup {
     * never contain ASCII space). */
   def cjkPublishIndexTokens(standingToks: DataFrame, dir: String,
                             n: Int = CjkCharShingleN): Unit = {
+    // unstamp → write → stamp (the IndexMeta torn-write contract on a
+    // three-subtable publish: a crash between the signature and band
+    // writes must not leave the previous stamp validating the mix)
+    IndexMeta.unstamp(dir)
     val tok = standingToks.select(col("doc_id"),
       concat_ws(" ", col("toks")).as("_script_text"))
     // ONE script-tokenize+hash scan feeds all three store tables (the
@@ -1091,11 +1095,15 @@ object Dedup {
     * the verify filter keeps precision exact.
     *
     * Scale shape: all `sets` bucket columns compute in ONE map-side
-    * pass per side; each per-set join is the same plain equi-join as
-    * d26 (bucket = shuffle key, spills not OOMs); the pair dedup is a
-    * distinct over 16-byte id pairs (never vectors); the verify
-    * re-attaches vectors by plain equi-joins on the ids — candidates
-    * shuffle, the corpus does not re-shuffle per set. Output ⊆ d25's
+    * pass per side into a NARROW `(id, bk0…bk{sets−1})` checkpoint —
+    * an unmaterialized frame would be re-scanned and re-bucketed by
+    * every candidate branch (Catalyst does not share subtrees across
+    * union arms); at full corpus scale persist this table instead,
+    * the k15 discipline. Each per-set join is the same plain
+    * equi-join as d26 (bucket = shuffle key, spills not OOMs); the
+    * pair dedup is a distinct over 16-byte id pairs (never vectors);
+    * the verify re-reads each side's vectors exactly once and
+    * attaches them by plain equi-joins on the ids. Output ⊆ d25's
     * rows with counts ≤ d25's (exact verify) and ⊇ d26's (set 0 IS
     * d26's gate). */
   def semanticDecontaminateLshMulti(corpus: DataFrame, probe: DataFrame,
@@ -1106,26 +1114,26 @@ object Dedup {
                                     dims: Int = 64): DataFrame = {
     require(sets >= 1, "at least one plane set")
     graft.functions.VectorFunctions.register(corpus.sparkSession)
-    def sided(df: DataFrame, idOut: String, vOut: String,
-              nrmOut: String): DataFrame =
+    def buckets(df: DataFrame, idOut: String): DataFrame =
       (0 until sets).foldLeft(
-        df.select(col(id).as(idOut), col(vec).as(vOut))
-          .withColumn(nrmOut, expr(s"sqrt(graft_dot($vOut, $vOut))"))) {
-        (acc, s) =>
-          acc.withColumn(s"bk$s", hyperplaneBucket(vOut, s, planes, dims))
-      }
-    val c = sided(corpus, "vec_id", "v", "nrm")
-    val b = sided(probe, "bench_id", "pv", "pnrm")
+        df.select(col(id).as(idOut), col(vec).as("_bv"))) { (acc, s) =>
+          acc.withColumn(s"bk$s", hyperplaneBucket("_bv", s, planes, dims))
+      }.drop("_bv").localCheckpoint()
+    val cb = buckets(corpus, "vec_id")
+    val bb = buckets(probe, "bench_id")
     val cand = (0 until sets).map { s =>
-      c.select(col("vec_id"), col(s"bk$s").as("bucket"))
-        .join(b.select(col("bench_id"), col(s"bk$s").as("bucket")),
+      cb.select(col("vec_id"), col(s"bk$s").as("bucket"))
+        .join(bb.select(col("bench_id"), col(s"bk$s").as("bucket")),
           Seq("bucket"))
         .select(col("vec_id"), col("bench_id"))
     }.reduce(_.unionByName(_)).distinct()
+    val cv = corpus.select(col(id).as("vec_id"), col(vec).as("v"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+    val bv = probe.select(col(id).as("bench_id"), col(vec).as("pv"))
+      .withColumn("pnrm", expr("sqrt(graft_dot(pv, pv))"))
     cand
-      .join(c.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
-      .join(b.select(col("bench_id"), col("pv"), col("pnrm")),
-        Seq("bench_id"))
+      .join(cv, Seq("vec_id"))
+      .join(bv, Seq("bench_id"))
       .withColumn("cos", expr("graft_dot(v, pv)") / (col("nrm") * col("pnrm")))
       .filter(col("cos") >= threshold)
       .groupBy(col("vec_id"))
@@ -1598,8 +1606,10 @@ object Dedup {
       cjkServeDeltaTokens(s, toks(col("doc_id") % 2 =!= 0), 0.6, idxDir)
     }),
     // d29 harness: d21's publish/serve split under the family's
-    // standard delete set (standing docs ≡ 2 mod 5 tombstoned at
-    // serve; arriving delta docs are new and never tombstoned)
+    // standard delete set. The tombstones apply to the STANDING side
+    // only (serve-time store exclusion, k25's semantics) — the ≡2 mod
+    // 5 set also contains delta-side ids (7, 17, …), which keep
+    // serving as arrivals; the oracle filters only the even side.
     "d29_cjk_tombstone_serve" -> ((s, d) => {
       def toks(f: org.apache.spark.sql.Column) =
         Clusters.sharedCjkTokens(s, d).filter(f)

@@ -62,6 +62,14 @@ object IndexMeta {
     ()
   }
 
+  /** Does `dir` carry any stamp at all? Appenders use this to tell a
+    * HEALTHY standing store (stamped — verify the version, then
+    * append) from one torn by a crashed append (unstamped — only a
+    * checkpointed restart may complete it; see
+    * [[graft.streaming.IndexStream.runAvailableNowCjk]]). */
+  def isStamped(dir: String): Boolean =
+    new java.io.File(dir, StampFile).isFile
+
   /** Fail loudly unless `dir` was stamped by the CURRENT tokenizer —
     * the token-store convenience form of [[checkVersion]]. */
   def check(dir: String): Unit = checkVersion(dir, TextOps.tokenizerVersion)

@@ -67,5 +67,13 @@ object IndexPaths {
     require(f.toPath.normalize.startsWith(base.toPath.normalize),
       s"IndexPaths.clear refuses non-scratch path $dirPath")
     deleteRec(f)
+    // deleteRec is best-effort by design (it doubles as the shutdown
+    // sweep), but clear-then-append callers depend on the clear for
+    // CORRECTNESS: a leftover file would let the subsequent appends
+    // double the store's rows silently. Fail loudly instead.
+    if (f.exists())
+      throw new IllegalStateException(
+        s"IndexPaths.clear could not fully remove $dirPath — appending " +
+          "into a partially cleared store would silently double its rows")
   }
 }

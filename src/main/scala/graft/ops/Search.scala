@@ -290,6 +290,13 @@ object Search {
     * half, k15/d19's move on the search seam. */
   def bm25WriteIndex(postings: DataFrame, lexicon: DataFrame,
                      stats: DataFrame, dir: String): Unit = {
+    // torn-write contract: remove any previous publish's stamp before
+    // overwriting the subtables, so a crash mid-REpublish leaves the
+    // store unloadable at the checked (CJK) load seams rather than
+    // serving torn postings/lexicon under the old valid stamp. The
+    // caller re-stamps after this returns (CJK stores only; word
+    // stores stay unstamped, and for them this is a no-op).
+    IndexMeta.unstamp(dir)
     postings.write.mode("overwrite").parquet(s"$dir/postings")
     lexicon.write.mode("overwrite").parquet(s"$dir/lexicon")
     stats.write.mode("overwrite").parquet(s"$dir/stats")
@@ -379,10 +386,13 @@ object Search {
     * expressed inline here so the oracle checks the whole composition.
     *
     * Lucene-shared caveat: a doc with ZERO index terms has no posting
-    * rows and is invisible to the index, so tombstoning it cannot
-    * reclaim its n_docs slot from the store alone (a deployment
-    * deleting such docs records (doc_id, dl) in the tombstone table
-    * at delete time). Output: `(doc_id, score_q6)`, r01's shape. */
+    * rows and is invisible to the index, so a doc_id-only tombstone
+    * cannot reclaim its n_docs slot from the store alone. The
+    * deployment remedy is SUPPORTED here: pass a tombstone table that
+    * also carries a `dl` column (every deletion knows its doc's
+    * length at delete time) and the removed stats come straight off
+    * it — exact for zero-term docs AND skipping the full-postings
+    * scan entirely. Output: `(doc_id, score_q6)`, r01's shape. */
   def bm25QueryIndexTombstoned(postings: DataFrame, lexicon: DataFrame,
                                stats: DataFrame, tombstones: DataFrame,
                                terms: Seq[String] = DefaultQuery,
@@ -403,13 +413,20 @@ object Search {
       .select(col("token"),
         (col("df") - coalesce(col("rm_df"), lit(0L))).as("df"))
       .filter(col("df") > 0)
-    // removed corpus stats from the tombstoned docs' posting rows:
-    // every row of a doc carries its dl, so max-per-doc then sum is
-    // exact integers — the once-per-tombstone-update half (see above)
-    val rm = postings.join(ts, Seq("doc_id"), "left_semi")
-      .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
-      .agg(count(lit(1)).as("rm_n"),
-        coalesce(sum(col("dl")), lit(0L)).as("rm_dl"))
+    // removed corpus stats: from the tombstone table itself when it
+    // carries dl (exact for zero-term docs, zero store scans), else
+    // derived from the tombstoned docs' posting rows — every row of a
+    // doc carries its dl, so max-per-doc then sum is exact integers —
+    // the once-per-tombstone-update half (see above)
+    val rm =
+      if (tombstones.columns.contains("dl"))
+        tombstones.select(col("doc_id"), col("dl")).distinct()
+          .agg(count(lit(1)).as("rm_n"),
+            coalesce(sum(col("dl")), lit(0L)).as("rm_dl"))
+      else postings.join(ts, Seq("doc_id"), "left_semi")
+        .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+        .agg(count(lit(1)).as("rm_n"),
+          coalesce(sum(col("dl")), lit(0L)).as("rm_dl"))
     val st = stats.crossJoin(broadcast(rm))
       .select((col("n_docs") - col("rm_n")).as("n_docs"),
         (col("sum_dl") - col("rm_dl")).as("sum_dl"))

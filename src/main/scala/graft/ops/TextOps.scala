@@ -170,6 +170,10 @@ object TextOps {
     * Layout: `dir/tokens` parquet `(doc_id, toks array<string>)`. */
   def cjkTokensWrite(docs: DataFrame, id: String, text: String,
                      dir: String): Unit = {
+    // unstamp → write → stamp (the IndexMeta torn-write contract): a
+    // crash mid-REpublish must not leave the previous stamp validating
+    // a half-overwritten store
+    IndexMeta.unstamp(dir)
     docs.select(col(id).as("doc_id"), scriptTokens(col(text)).as("toks"))
       .write.mode("overwrite").parquet(s"$dir/tokens")
     IndexMeta.stamp(dir)

@@ -91,9 +91,21 @@ object IndexStream {
     // standing segments would corrupt the merged lexicon silently —
     // check first if segments already exist; then UNSTAMP for the
     // duration of the append (torn-append fail-closed contract) and
-    // re-stamp only once the drain has fully committed
-    if (new java.io.File(segDir, "postings").exists())
-      graft.ops.IndexMeta.check(segDir)
+    // re-stamp only once the drain has fully committed. An EXISTING
+    // but UNSTAMPED store is a crashed append: only a CHECKPOINTED
+    // restart may touch it (the checkpoint replays exactly the
+    // uncommitted batches, completing the append consistently); an
+    // uncheckpointed re-run would reprocess everything and double the
+    // standing postings, so it fails loudly here instead.
+    if (new java.io.File(segDir, "postings").exists()) {
+      if (graft.ops.IndexMeta.isStamped(segDir))
+        graft.ops.IndexMeta.check(segDir)
+      else require(checkpointDir.isDefined,
+        s"segment store at $segDir is mid-append (unstamped); only a " +
+          "restart from the original stream checkpoint can complete it " +
+          "— an uncheckpointed re-run would double its postings. " +
+          "Provide the checkpoint or clear the store.")
+    }
     graft.ops.IndexMeta.unstamp(segDir)
     Drain.availableNow(spark, dir, rawSchema, glob,
       deltaFilter, checkpointDir) { batch =>

@@ -58,10 +58,19 @@ object MediaStream {
     // other frame-store writer: appending under a DIFFERENT codec/
     // fingerprint definition fails loudly, and the stamp is absent
     // for the duration of the append so a torn append fails closed at
-    // the load seam (the IndexStream contract on the media store)
-    if (new java.io.File(storePath).exists())
-      graft.ops.IndexMeta.checkVersion(storePath,
-        graft.ops.Multimodal.frameVersion)
+    // the load seam. An existing-but-unstamped store is a crashed
+    // append: only a checkpointed restart may complete it (the
+    // IndexStream recovery contract on the media store).
+    if (new java.io.File(storePath).exists()) {
+      if (graft.ops.IndexMeta.isStamped(storePath))
+        graft.ops.IndexMeta.checkVersion(storePath,
+          graft.ops.Multimodal.frameVersion)
+      else require(checkpointDir.isDefined,
+        s"frame store at $storePath is mid-append (unstamped); only a " +
+          "restart from the original stream checkpoint can complete it " +
+          "— an uncheckpointed re-run would double its signatures. " +
+          "Provide the checkpoint or clear the store.")
+    }
     graft.ops.IndexMeta.unstamp(storePath)
     drain(spark, dir, deltaFilter, checkpointDir) { batch =>
       graft.ops.Multimodal.framesOf(batch)

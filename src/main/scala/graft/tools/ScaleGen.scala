@@ -101,18 +101,19 @@ object ScaleGen {
     * `translate` per copy value, selected by a when-chain (factor
     * branches, all codegen'd maps). Copy 0 is the identity.
     *
-    * Rotations repeat with period |alphabet|+1 (copies k and k+22 get
-    * the identical cipher), which would silently re-correlate char
-    * runs between those copies — the exact density inflation the
-    * cipher exists to remove — so an oversized factor FAILS here
-    * instead of quietly corrupting probe fidelity. A >21× probe needs
-    * a second per-copy permutation composed in, not a bigger loop. */
+    * Rotations repeat with period |alphabet| = 21 — `rotTo(21)` wraps
+    * to `rotTo(0)`, the identity, so copy 21 would get copy 0's
+    * cipher — which would silently re-correlate char runs between
+    * those copies, the exact density inflation the cipher exists to
+    * remove. An oversized factor therefore FAILS here instead of
+    * quietly corrupting probe fidelity; a >21× probe needs a second
+    * per-copy permutation composed in, not a bigger loop. */
   private def rotateLetters(text: Column, copy: Column,
                             copies: Int): Column = {
-    require(copies <= RotAlphabet.length + 1,
-      s"rotateLetters supports at most ${RotAlphabet.length + 1} copies " +
-        s"(got $copies): rotation ciphers repeat past the alphabet " +
-        "length, re-correlating cross-copy char n-grams")
+    require(copies <= RotAlphabet.length,
+      s"rotateLetters supports at most ${RotAlphabet.length} copies " +
+        s"(got $copies): rotation ciphers repeat with period " +
+        s"${RotAlphabet.length}, re-correlating cross-copy char n-grams")
     (1 until copies).foldLeft(when(copy === 0, text)) { (acc, k) =>
       acc.when(copy === k, translate(text, RotFrom, rotTo(k)))
     }.otherwise(text)

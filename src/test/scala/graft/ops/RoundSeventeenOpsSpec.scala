@@ -94,6 +94,16 @@ class RoundSeventeenOpsSpec extends AnyFunSuite {
     assert(!served.exists(_._1 == topDoc))
     assert(served == rebuilt,
       "tombstone serve must equal build(corpus minus tombstones) bit-for-bit")
+    // deployment shape: a tombstone table carrying dl (known at delete
+    // time) yields the same ranking with ZERO store scans for the
+    // removed stats — and is the exact remedy for zero-term docs,
+    // which have no posting rows to derive stats from
+    val dl = lp.filter(col("doc_id") === topDoc)
+      .agg(max(col("dl"))).head.getLong(0)
+    val servedDl = ranking(Search.bm25QueryIndexTombstoned(lp, ll, ls,
+      Seq((topDoc, dl)).toDF("doc_id", "dl")))
+    assert(servedDl == rebuilt,
+      "dl-carrying tombstones must produce the identical ranking")
   }
 
   test("delete-then-serve on an r12 CJK segment store: tombstones " +

@@ -95,4 +95,62 @@ class IndexStreamSpec extends AnyFunSuite {
       IndexStream.mergedIndexCjk(spark, segDir)
     }
   }
+
+  test("torn-append recovery: a crashed (unstamped) segment store " +
+    "refuses an uncheckpointed re-append, serves nothing, and a " +
+    "checkpointed restart completes it to the exact one-shot") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val watch = java.nio.file.Files.createTempDirectory("graft_torn_watch")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_torn_ckpt").toString
+    val segDir = java.nio.file.Files
+      .createTempDirectory("graft_torn_seg").toString
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_torn_tr")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val listing = java.nio.file.Files.list(tmp)
+      val part =
+        try listing.filter(p =>
+          p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        finally listing.close()
+      java.nio.file.Files.copy(part, watch.resolve(s"$name.parquet"))
+      ()
+    }
+    stage(docs.filter(col("doc_id") % 2 === 0), "evens")
+    IndexStream.runAvailableNowCjk(spark, watch.toString, segDir,
+      textOf = graft.ops.TextOps.cjkFixture(col("text")),
+      checkpointDir = Some(ckpt), glob = "*.parquet")
+    // simulate a crash mid-append: a real one dies between unstamp and
+    // re-stamp, so the store state it leaves is exactly "data present,
+    // stamp absent"
+    graft.ops.IndexMeta.unstamp(segDir)
+    // torn store must not serve…
+    intercept[IllegalStateException] {
+      IndexStream.mergedIndexCjk(spark, segDir)
+    }
+    // …and must refuse an UNCHECKPOINTED re-append (it would replay
+    // everything and double the standing postings)
+    intercept[IllegalArgumentException] {
+      IndexStream.runAvailableNowCjk(spark, watch.toString, segDir,
+        textOf = graft.ops.TextOps.cjkFixture(col("text")),
+        glob = "*.parquet")
+    }
+    // a restart from the ORIGINAL checkpoint replays only the unseen
+    // tranche, completes the append, and re-stamps
+    stage(docs.filter(col("doc_id") % 2 =!= 0), "odds")
+    IndexStream.runAvailableNowCjk(spark, watch.toString, segDir,
+      textOf = graft.ops.TextOps.cjkFixture(col("text")),
+      checkpointDir = Some(ckpt), glob = "*.parquet")
+    val (p, l, st) = IndexStream.mergedIndexCjk(spark, segDir)
+    val served = Search.bm25QueryIndex(p, l, st, terms = Search.CjkQuery)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val direct = Search.bm25TopKTokens(
+      docs.select(col("doc_id"), Search.cjkIndexTerms(
+        graft.ops.TextOps.cjkFixture(col("text"))).as("terms")),
+      "doc_id", "terms", terms = Search.CjkQuery)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(served == direct,
+      "the recovered store must serve the exact one-shot ranking")
+  }
 }
