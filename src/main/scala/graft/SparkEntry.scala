@@ -342,6 +342,21 @@ object SparkEntry {
               .filter(col("doc_id") % 2 =!= 0)
               .select(col("doc_id"), col("toks")),
             0.6, ops.IndexPaths.dir("d21_index", d)))),
+      "d29_cjk_tombstone_serve" -> ((
+        (s: SparkSession, d: String) =>
+          ops.Dedup.cjkPublishIndexTokens(
+            ops.Clusters.sharedCjkTokens(s, d)
+              .filter(col("doc_id") % 2 === 0)
+              .select(col("doc_id"), col("toks")),
+            ops.IndexPaths.dir("d29_index", d)),
+        (s: SparkSession, d: String) =>
+          ops.Dedup.cjkServeDeltaTombstonedTokens(s,
+            ops.Clusters.sharedCjkTokens(s, d)
+              .filter(col("doc_id") % 2 =!= 0)
+              .select(col("doc_id"), col("toks")),
+            0.6, ops.IndexPaths.dir("d29_index", d),
+            ops.Tables.documents(s, d).filter(col("doc_id") % 5 === 2)
+              .select(col("doc_id"))))),
       "d19_minhash_persisted" -> ((
         (s: SparkSession, d: String) =>
           ops.Dedup.minhashWriteIndex(
