@@ -357,6 +357,30 @@ object SparkEntry {
             0.6, ops.IndexPaths.dir("d29_index", d),
             ops.Tables.documents(s, d).filter(col("doc_id") % 5 === 2)
               .select(col("doc_id"))))),
+      "d30_cjk_decon_from_store" -> ((
+        (s: SparkSession, d: String) =>
+          ops.Dedup.cjkPublishIndexTokens(
+            ops.Clusters.sharedCjkTokens(s, d)
+              .join(ops.Tables.documents(s, d)
+                .select(col("doc_id"), col("source")), Seq("doc_id"))
+              .filter(col("source") =!= "src0")
+              .select(col("doc_id"), col("toks")),
+            ops.IndexPaths.dir("d30_index", d)),
+        (s: SparkSession, d: String) =>
+          ops.Dedup.cjkServeDeltaTokens(s,
+            ops.Clusters.sharedCjkTokens(s, d)
+              .join(ops.Tables.documents(s, d)
+                .select(col("doc_id"), col("source")), Seq("doc_id"))
+              .filter(col("source") === "src0")
+              .select(col("doc_id"), col("toks")),
+            0.6, ops.IndexPaths.dir("d30_index", d))
+            .groupBy(col("corpus_id"))
+            .agg(org.apache.spark.sql.functions.count(lit(1))
+              .as("n_bench_matches"),
+              org.apache.spark.sql.functions.max(col("jaccard"))
+                .as("max_jaccard"))
+            .select(col("corpus_id").as("doc_id"),
+              col("n_bench_matches"), col("max_jaccard")))),
       "d19_minhash_persisted" -> ((
         (s: SparkSession, d: String) =>
           ops.Dedup.minhashWriteIndex(
@@ -562,7 +586,13 @@ object SparkEntry {
         // d27's per-batch exact sweeps union to one-shot d25 (zero
         // streaming state — see the entry comment)
         "d27_semantic_decon_stream" ->
-          ops.Dedup.oracle("d25_semantic_decontaminate"))
+          ops.Dedup.oracle("d25_semantic_decontaminate"),
+        // d30 serves d24's band+verify from the persisted store —
+        // identical bands, caps, and verify arithmetic, so it shares
+        // d24's oracle verbatim (the r09/r08 shared-oracle move on
+        // the decontamination seam)
+        "d30_cjk_decon_from_store" ->
+          ops.Dedup.oracle("d24_cjk_decontaminate_neardup"))
 
   /** Catalog keys intentionally carrying NO DuckDB oracle, each pinned
     * by golden-fixture tests instead. Every member must name a real

@@ -166,6 +166,34 @@ class RoundSeventeenOpsSpec extends AnyFunSuite {
       "serve-under-tombstones must equal publish-over-remainder + serve")
   }
 
+  test("d30 store-backed decontamination equals in-session d24 " +
+    "bit-for-bit: same bands, same caps, same verify — just loaded " +
+    "from the persisted tables instead of a session checkpoint") {
+    val toks = Clusters.sharedCjkTokens(spark, sf)
+      .join(Tables.documents(spark, sf)
+        .select(col("doc_id"), col("source")), Seq("doc_id"))
+    def side(f: org.apache.spark.sql.Column) =
+      toks.filter(f).select(col("doc_id"), col("toks"))
+    val inSession = Dedup.cjkDecontaminateNearDupTokens(
+      side(col("source") =!= "src0"), side(col("source") === "src0"),
+      threshold = 0.6)
+    val dir = IndexPaths.dir("r17_d30_idx", sf)
+    Dedup.cjkPublishIndexTokens(side(col("source") =!= "src0"), dir)
+    val fromStore = Dedup.cjkServeDeltaTokens(spark,
+        side(col("source") === "src0"), 0.6, dir)
+      .groupBy(col("corpus_id"))
+      .agg(count(lit(1)).as("n_bench_matches"),
+        max(col("jaccard")).as("max_jaccard"))
+      .select(col("corpus_id").as("doc_id"),
+        col("n_bench_matches"), col("max_jaccard"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sorted.toSeq
+    val a = rows(inSession)
+    assert(a.nonEmpty, "fixture must contain CJK contamination hits")
+    assert(rows(fromStore) == a)
+  }
+
   // ——— d28 multi-probe OR-banding ———————————————————————————————————
 
   private def deconMap(df: org.apache.spark.sql.DataFrame)
