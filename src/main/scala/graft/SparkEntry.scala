@@ -207,6 +207,36 @@ object SparkEntry {
             graft.streaming.IndexStream.mergedIndexCjk(s, segDir)
           ops.Search.bm25QueryIndex(p, l, st, terms = ops.Search.CjkQuery)
         }),
+        // Segment COMPACTION with expunge-deletes (r15): the
+        // background half of the r12 stream edge — two segments are
+        // appended (the stream's shape), then compactCjk folds them
+        // into ONE segment while dropping the tombstoned docs'
+        // postings and correcting dfs/stats (Lucene's
+        // forceMergeDeletes), and the query serves from the compacted
+        // store with NO tombstone logic at all. The compacted store
+        // equals a fresh build over corpus-minus-tombstones exactly,
+        // so r15 shares r14's oracle text. Store cleared at entry
+        // start (the r12 clear-then-append discipline).
+        "r15_cjk_compacted_serve" -> ((s: SparkSession, d: String) => {
+          import org.apache.spark.sql.functions.col
+          val segDir = ops.IndexPaths.dir("r15_seg", d)
+          ops.IndexPaths.clear(segDir)
+          val toks = ops.Clusters.sharedCjkTerms(s, d)
+          Seq(col("doc_id") % 2 === 0, col("doc_id") % 2 =!= 0)
+            .foreach { pred =>
+              val (p, l, st) = ops.Search.bm25BuildIndexTokens(
+                toks.filter(pred), "doc_id", "terms")
+              p.write.mode("append").parquet(s"$segDir/postings")
+              l.write.mode("append").parquet(s"$segDir/lexicon")
+              st.write.mode("append").parquet(s"$segDir/stats")
+            }
+          ops.IndexMeta.stamp(segDir)
+          graft.streaming.IndexStream.compactCjk(s, segDir,
+            Some(ops.Search.harnessTombstones(ops.Tables.documents(s, d))))
+          val (p, l, st) =
+            graft.streaming.IndexStream.mergedIndexCjk(s, segDir)
+          ops.Search.bm25QueryIndex(p, l, st, terms = ops.Search.CjkQuery)
+        }),
         // The decontamination family's stream edge (d27): corpus
         // vectors drain as delta micro-batches, each checked against
         // the STANDING broadcast benchmark with d25's exact cosine
@@ -587,6 +617,10 @@ object SparkEntry {
         // streaming state — see the entry comment)
         "d27_semantic_decon_stream" ->
           ops.Dedup.oracle("d25_semantic_decontaminate"),
+        // r15's compacted-with-expunged-deletes store equals a fresh
+        // build over corpus-minus-tombstones, so it shares r14's text
+        "r15_cjk_compacted_serve" ->
+          ops.Search.oracle("r14_cjk_tombstoned"),
         // d30 serves d24's band+verify from the persisted store —
         // identical bands, caps, and verify arithmetic, so it shares
         // d24's oracle verbatim (the r09/r08 shared-oracle move on

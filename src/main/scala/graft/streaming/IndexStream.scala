@@ -148,4 +148,82 @@ object IndexStream {
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
     (postings, lexicon, stats)
   }
+
+  /** COMPACT a CJK segment store down to one segment (r15) — the
+    * background half this object's scaladoc promises: every appended
+    * micro-batch adds one lexicon/stats row-group per term, so an
+    * unattended stream's serve-time merge re-sums an ever-growing
+    * segment count (Lucene's exact problem, Lucene's exact answer).
+    * One pass reads the merged view ([[mergedIndex]] — exact integer
+    * adds), rewrites it as a single segment BESIDE the live store,
+    * then swaps the subtables in. The swap runs under the
+    * [[graft.ops.IndexMeta]] torn-write contract: the stamp comes off
+    * before the first destructive move and back after the last, so a
+    * crash mid-swap leaves an unstamped (unservable, un-appendable-
+    * without-checkpoint) store instead of a silent mix of old and new
+    * segments. On a real object store the swap is a manifest pointer
+    * flip; the filesystem moves here are the local-mode equivalent.
+    *
+    * `tombstones` (optional) makes this Lucene's EXPUNGE-DELETES: the
+    * rewritten segment drops the tombstoned docs' postings and
+    * corrects the lexicon dfs and corpus stats from those same rows —
+    * the store-wide, rebuild-time counterpart of
+    * [[graft.ops.Search.bm25QueryIndexTombstoned]]'s serve-time
+    * correction, after which the tombstone set can be retired. The
+    * compacted store equals a fresh build over corpus-minus-tombstones
+    * exactly (same integer arithmetic), so serving it needs no
+    * tombstone logic at all. */
+  def compactCjk(spark: SparkSession, segDir: String,
+                 tombstones: Option[DataFrame] = None): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, lit, max, sum}
+    graft.ops.IndexMeta.check(segDir)
+    val (p0, l0, st0) = mergedIndex(spark, segDir)
+    val (p, l, st) = tombstones match {
+      case None => (p0, l0, st0)
+      case Some(tsRaw) =>
+        val ts = broadcast(tsRaw.select(col("doc_id")).distinct())
+        val live = p0.join(ts, Seq("doc_id"), "left_anti")
+        // store-wide df correction: one row per (doc, token) in the
+        // postings, so count(*) per token over the removed rows is
+        // the number of removed docs carrying it
+        val rmDf = p0.join(ts, Seq("doc_id"), "left_semi")
+          .groupBy(col("token")).agg(count(lit(1)).as("rm_df"))
+        val lex = l0.join(rmDf, Seq("token"), "left")
+          .select(col("token"),
+            (col("df") - coalesce(col("rm_df"), lit(0L))).as("df"))
+          .filter(col("df") > 0)
+        val rm = p0.join(ts, Seq("doc_id"), "left_semi")
+          .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+          .agg(count(lit(1)).as("rm_n"),
+            coalesce(sum(col("dl")), lit(0L)).as("rm_dl"))
+        val stats = st0.crossJoin(broadcast(rm))
+          .select((col("n_docs") - col("rm_n")).as("n_docs"),
+            (col("sum_dl") - col("rm_dl")).as("sum_dl"))
+        (live, lex, stats)
+    }
+    // rewrite beside the live store (reads old paths, writes new —
+    // never overlapping), then swap
+    val tmp = s"$segDir.compacting"
+    deleteTree(new java.io.File(tmp))
+    graft.ops.Search.bm25WriteIndex(p, l, st, tmp)
+    graft.ops.IndexMeta.unstamp(segDir)
+    Seq("postings", "lexicon", "stats").foreach { sub =>
+      deleteTree(new java.io.File(segDir, sub))
+      java.nio.file.Files.move(
+        new java.io.File(tmp, sub).toPath,
+        new java.io.File(segDir, sub).toPath)
+      ()
+    }
+    deleteTree(new java.io.File(tmp))
+    graft.ops.IndexMeta.stamp(segDir)
+  }
+
+  private def deleteTree(f: java.io.File): Unit = {
+    if (!java.nio.file.Files.isSymbolicLink(f.toPath)) {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(deleteTree)
+    }
+    f.delete()
+    ()
+  }
 }

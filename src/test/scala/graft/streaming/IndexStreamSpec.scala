@@ -96,6 +96,61 @@ class IndexStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction folds segments to one with the serve unchanged, " +
+    "and with tombstones it expunges deletes: the compacted store " +
+    "equals a fresh build over corpus-minus-tombstones") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    def terms(f: org.apache.spark.sql.Column) = docs.filter(f)
+      .select(col("doc_id"), Search.cjkIndexTerms(
+        graft.ops.TextOps.cjkFixture(col("text"))).as("terms"))
+    def freshStore(): String = {
+      val segDir = java.nio.file.Files
+        .createTempDirectory("graft_compact_seg").toString
+      Seq(col("doc_id") % 2 === 0, col("doc_id") % 2 =!= 0).foreach { p =>
+        val (ps, l, st) = Search.bm25BuildIndexTokens(terms(p),
+          "doc_id", "terms")
+        ps.write.mode("append").parquet(s"$segDir/postings")
+        l.write.mode("append").parquet(s"$segDir/lexicon")
+        st.write.mode("append").parquet(s"$segDir/stats")
+      }
+      graft.ops.IndexMeta.stamp(segDir)
+      segDir
+    }
+    def ranked(t: (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)) =
+      Search.bm25QueryIndex(t._1, t._2, t._3, terms = Search.CjkQuery)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    // plain compaction: one segment, identical serve
+    val seg1 = freshStore()
+    val before = ranked(IndexStream.mergedIndexCjk(spark, seg1))
+    IndexStream.compactCjk(spark, seg1)
+    assert(spark.read.parquet(s"$seg1/stats").count() == 1,
+      "compaction must fold the stats rows to one segment's")
+    assert(ranked(IndexStream.mergedIndexCjk(spark, seg1)) == before,
+      "compaction must not change the served ranking")
+    // the compacted store still accepts appends (stamp round-tripped)
+    graft.ops.IndexMeta.check(seg1)
+
+    // expunge-deletes: compacted-with-tombstones ≡ fresh build over
+    // the remaining corpus, table for table
+    val dead = Search.harnessTombstones(docs)
+    val seg2 = freshStore()
+    IndexStream.compactCjk(spark, seg2, Some(dead))
+    val got = IndexStream.mergedIndexCjk(spark, seg2)
+    val want = Search.bm25BuildIndexTokens(
+      terms(col("doc_id") % 5 =!= 2), "doc_id", "terms")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(got._1) == rows(want._1),
+      "expunged postings must equal the remainder build's")
+    assert(rows(got._2) == rows(want._2),
+      "corrected lexicon dfs must equal the remainder build's")
+    assert(rows(got._3) == rows(want._3),
+      "corrected stats must equal the remainder build's")
+  }
+
   test("torn-append recovery: a crashed (unstamped) segment store " +
     "refuses an uncheckpointed re-append, serves nothing, and a " +
     "checkpointed restart completes it to the exact one-shot") {
