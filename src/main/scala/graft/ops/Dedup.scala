@@ -1378,7 +1378,8 @@ object Dedup {
     * cosine t lands in the same bucket with probability
     * (1 − arccos(t)/π)^p — p trades recall against cost, and a
     * production deployment ORs several independent plane sets for
-    * recall amplification (exactly d03's band trick). The bucket is the
+    * recall amplification (exactly d03's band trick, materialized as
+    * [[cosineNearDupLshMulti]] — d31). The bucket is the
     * shuffle key of a plain self-equi-join: buckets co-locate without
     * ever materializing a bucket in memory, so a hot bucket spills
     * rather than OOMs; raise p to keep buckets balanced at corpus
@@ -1400,6 +1401,55 @@ object Dedup {
       .withColumn("cos", expr("graft_dot(a.v, b.v)") / (col("a.nrm") * col("b.nrm")))
       .filter(col("cos") >= threshold)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
+  }
+
+  /** [[cosineNearDupLsh]] with MULTI-PROBE OR-BANDING (d31) — d28's
+    * move on the WITHIN-corpus seam: `sets` independent hyperplane
+    * sets each gate a self-join, per-set candidate id-pairs UNION and
+    * de-duplicate before the exact verify, every surviving pair
+    * scored once. Recall per qualifying pair rises from
+    * (1−arccos(t)/π)^p to 1−(1−(1−arccos(t)/π)^p)^sets with the
+    * verify keeping precision exact — the d03 multi-band recall
+    * amplifier on the embedding seam, for the corpus sizes where the
+    * exact d05 is unaffordable and one plane set leaves real near-dup
+    * recall on the table.
+    *
+    * Scale shape = d28's: all bucket columns compute in ONE map-side
+    * pass into a narrow `(id, bk0…bk{sets−1})` checkpoint (persist it
+    * at full corpus scale); each per-set self-join shuffles on its
+    * bucket (spills, never OOMs); the dedup is a distinct over
+    * 16-byte id pairs; the verify re-reads vectors once and attaches
+    * them by id equi-joins. Output: `(vec_a, vec_b, cos)` — ⊆ d05's
+    * rows (exact verify) and ⊇ d07's (set 0 IS d07's bucket). */
+  def cosineNearDupLshMulti(vectors: DataFrame, id: String, vec: String,
+                            threshold: Double,
+                            planes: Int = Similarity.NumPlanes,
+                            sets: Int = NumPlaneSets,
+                            dims: Int = 64): DataFrame = {
+    require(sets >= 1, "at least one plane set")
+    graft.functions.VectorFunctions.register(vectors.sparkSession)
+    val bk = (0 until sets).foldLeft(
+      vectors.select(col(id).as("vec_id"), col(vec).as("_bv"))) {
+        (acc, s) =>
+          acc.withColumn(s"bk$s", hyperplaneBucket("_bv", s, planes, dims))
+    }.drop("_bv").localCheckpoint()
+    val cand = (0 until sets).map { s =>
+      bk.select(col("vec_id").as("vec_a"), col(s"bk$s").as("bucket"))
+        .join(bk.select(col("vec_id").as("vec_b"), col(s"bk$s").as("bucket")),
+          Seq("bucket"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"))
+    }.reduce(_.unionByName(_)).distinct()
+    val v = vectors.select(col(id).as("vec_id"), col(vec).as("v"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+    cand
+      .join(v.select(col("vec_id").as("vec_a"), col("v").as("va"),
+        col("nrm").as("na")), Seq("vec_a"))
+      .join(v.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+        col("nrm").as("nb")), Seq("vec_b"))
+      .withColumn("cos", expr("graft_dot(va, vb)") / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
   }
 
   /** Cross-document duplicated n-gram statistics (d11) — the
@@ -1664,6 +1714,11 @@ object Dedup {
     }),
     "d07_neardup_lsh" -> ((s, d) =>
       cosineNearDupLsh(Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.45)),
+    // d31: d07 OR-banded over NumPlaneSets independent plane sets —
+    // the within-corpus twin of d28, recall between d07's and d05's
+    "d31_neardup_multiprobe" -> ((s, d) =>
+      cosineNearDupLshMulti(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.45)),
     // incremental dedup: odd doc ids are the arriving delta, even ids
     // the standing corpus
     "d10_incremental_dedup" -> ((s, d) => {
@@ -2225,6 +2280,45 @@ object Dedup {
            |  JOIN n bv ON bv.vec_id = cand.bench_id) pairs
            |WHERE cos >= 0.45
            |GROUP BY vec_id""".stripMargin
+      },
+      // d31 — d07's oracle with per-set bucket exprs, candidates as a
+      // UNION (deduplicating) of the per-set self-joins, vectors
+      // re-attached by id for the exact verify (d28's shape, within
+      // the corpus)
+      "d31_neardup_multiprobe" -> {
+        val bucketSqls = (0 until NumPlaneSets).map { s =>
+          (0 until Similarity.NumPlanes).map { i =>
+            val wl = (0 until 64)
+              .map(j => Similarity.weight(s * Similarity.NumPlanes + i, j))
+              .mkString("[", ", ", "]")
+            s"""CASE WHEN reduce(list_prepend(0.0, list_transform(range(1, 65),
+               |  k -> v[k] * ($wl::BIGINT[])[k])), (acc, x) -> acc + x) > 0
+               |  THEN ${1 << i} ELSE 0 END""".stripMargin
+          }.mkString(" + ")
+        }
+        val bucketCols = bucketSqls.zipWithIndex
+          .map { case (e, s) => s"$e AS bk$s" }.mkString(",\n    ")
+        val candUnion = (0 until NumPlaneSets).map { s =>
+          s"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM n a " +
+            s"JOIN n b ON a.bk$s = b.bk$s AND a.vec_id < b.vec_id"
+        }.mkString("\n  UNION\n  ")
+        s"""WITH v AS (
+           |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+           |n AS (
+           |  SELECT vec_id, v,
+           |    sqrt(reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm,
+           |    $bucketCols
+           |  FROM v),
+           |cand AS (
+           |  $candUnion)
+           |SELECT vec_a, vec_b, cos FROM (
+           |  SELECT cand.vec_a, cand.vec_b,
+           |    reduce(list_prepend(0.0, list_transform(range(1, len(av.v) + 1), i -> av.v[i] * bv.v[i])),
+           |           (acc, x) -> acc + x) / (av.nrm * bv.nrm) AS cos
+           |  FROM cand
+           |  JOIN n av ON av.vec_id = cand.vec_a
+           |  JOIN n bv ON bv.vec_id = cand.vec_b) pairs
+           |WHERE cos >= 0.45""".stripMargin
       },
       "d07_neardup_lsh" -> {
         val wLists = (0 until Similarity.NumPlanes).map { i =>

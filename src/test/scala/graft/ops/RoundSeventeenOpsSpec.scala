@@ -318,6 +318,49 @@ class RoundSeventeenOpsSpec extends AnyFunSuite {
       "n=4 must recover the short-Korean pair")
   }
 
+  test("d07 ⊆ d31 ⊆ d05 within the corpus, and d31 catches a " +
+    "near-threshold pair the single-set d07 bucket misses") {
+    val vecs = Tables.embeddings(spark, sf)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val d05 = pairs(Dedup.cosineNearDup(vecs, "vec_id", "embedding", 0.45))
+    val d07 = pairs(Dedup.cosineNearDupLsh(vecs, "vec_id", "embedding", 0.45))
+    val d31 = pairs(Dedup.cosineNearDupLshMulti(vecs, "vec_id", "embedding", 0.45))
+    assert(d05.nonEmpty && d07.subsetOf(d31) && d31.subsetOf(d05))
+    // the d28 crafted pair, placed WITHIN one corpus: set-0 buckets
+    // differ (d07 misses), set-1 agree (d31 catches)
+    import spark.implicits._
+    def dot(v: Array[Float], set: Int, i: Int): Double =
+      v.indices.foldLeft(0.0)((acc, j) => acc +
+        v(j).toDouble *
+          Similarity.weight(set * Similarity.NumPlanes + i, j, 64).toDouble)
+    def bucket(v: Array[Float], set: Int): Int =
+      (0 until Similarity.NumPlanes)
+        .map(i => if (dot(v, set, i) > 0) 1 << i else 0).sum
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def d(x: Array[Float], y: Array[Float]) =
+        x.indices.foldLeft(0.0)((acc, j) => acc + x(j).toDouble * y(j).toDouble)
+      d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b)))
+    }
+    val rnd = new scala.util.Random(29)
+    val found = Iterator.continually {
+      val u = Array.fill(64)(rnd.nextGaussian().toFloat)
+      val v = u.map(x => x + rnd.nextGaussian().toFloat * 0.55f)
+      (u, v)
+    }.take(20000).find { case (u, v) =>
+      cos(u, v) >= 0.5 &&
+        bucket(u, 0) != bucket(v, 0) && bucket(u, 1) == bucket(v, 1)
+    }
+    assert(found.isDefined)
+    val crafted = Seq((1L, found.get._1.toSeq), (2L, found.get._2.toSeq))
+      .toDF("vec_id", "embedding")
+    assert(Dedup.cosineNearDupLsh(crafted, "vec_id", "embedding", 0.45)
+      .count() == 0, "the single-set bucket must miss this pair")
+    val got = Dedup.cosineNearDupLshMulti(crafted, "vec_id", "embedding", 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L)))
+  }
+
   test("the version fingerprints derive from the live constants — a " +
     "constant change cannot leave a stale store loadable") {
     assert(Similarity.pqVersion.contains(s"m=${Similarity.PqSubspaces}") &&
