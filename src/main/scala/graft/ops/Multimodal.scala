@@ -539,7 +539,33 @@ object Multimodal {
       framesOf(Tables.documents(s, d).filter(col("doc_id") % 2 =!= 0)))
   }
 
+  /** m12 — [[streamEdgeNearDup]] under a STANDING DELETE SET: the
+    * r13/k25/d29 tombstone move on the media store, completing the
+    * symmetry across all four persisted families. A taken-down media
+    * item must stop matching arrivals NOW, not at the next nightly
+    * p08 republish; the broadcast tombstone set anti-joins the loaded
+    * store BEFORE the readout, and because every global input of
+    * [[crossNearDupVsStore]] (boilerplate list, standing set sizes)
+    * is a pure function of the store frame it receives, the result
+    * equals publish(standing minus tombstones) + serve exactly — the
+    * family's rebuild-equivalence contract, which is what lets the
+    * oracle be m11's text with the tombstone predicate folded into
+    * the standing side. */
+  def tombstonedNearDup(s: SparkSession, d: String): DataFrame = {
+    val dir = IndexPaths.dir("m12_frames", d)
+    frameWriteStore(framesOf(Tables.documents(s, d)
+      .filter(col("doc_id") % 2 === 0)), dir)
+    val dead = Tables.documents(s, d).filter(col("doc_id") % 5 === 2)
+      .select(col("doc_id"))
+    crossNearDupVsStore(
+      frameLoadStore(s, dir).join(broadcast(dead), Seq("doc_id"), "left_anti"),
+      framesOf(Tables.documents(s, d).filter(col("doc_id") % 2 =!= 0)))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // m12: m11 under a standing delete set — the tombstone move on
+    // the media store (see tombstonedNearDup)
+    "m12_tombstone_serve" -> ((s, d) => tombstonedNearDup(s, d)),
     // frame-set Jaccard between media items — re-encode/trim/watermark
     // near-dups the text shingle family can't see
     // m09: the c01 closure over m08's pairs — duplicate-media CLUSTERS
@@ -721,6 +747,44 @@ object Multimodal {
          |JOIN sizes sb ON sb.doc_id = p.doc_b
          |WHERE (inter * 1000000) // (sa.n + sb.n - inter) >= $VideoJacFloorQ6""".stripMargin
 
+  /** The m11/m12 cross-readout oracle, parametrized over the STANDING
+    * side's predicate: the m08 CTE skeleton with the corpus split by
+    * parity, the boilerplate list computed from the standing side
+    * only, and pairs restricted to standing×delta. m11 passes the
+    * plain parity split; m12 folds the tombstone predicate in. */
+  private def crossNearDupSqlOver(standingWhere: String): String =
+    s"""WITH fr AS (
+       |  SELECT doc_id, ${Hashing.polyHashSql("frame")} AS frame_hash
+       |  FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(0, ((length(text) - 1) // $FrameBytes) + 1),
+       |        i -> substring(text, (i * $FrameBytes + 1)::INTEGER, $FrameBytes))) AS frame
+       |    FROM documents WHERE length(text) > 0) frames),
+       |fh AS (SELECT DISTINCT doc_id, frame_hash FROM fr),
+       |sfh AS (SELECT doc_id, frame_hash FROM fh WHERE $standingWhere),
+       |dfh AS (SELECT doc_id, frame_hash FROM fh WHERE doc_id % 2 <> 0),
+       |boiler AS (SELECT frame_hash FROM sfh GROUP BY frame_hash
+       |           HAVING count(*) > $MaxFrameDf),
+       |srare AS (SELECT doc_id, frame_hash FROM sfh
+       |          WHERE frame_hash NOT IN (SELECT frame_hash FROM boiler)),
+       |drare AS (SELECT doc_id, frame_hash FROM dfh
+       |          WHERE frame_hash NOT IN (SELECT frame_hash FROM boiler)),
+       |ssizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+       |           FROM srare GROUP BY doc_id),
+       |dsizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+       |           FROM drare GROUP BY doc_id),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(count(*) AS BIGINT) AS inter
+       |  FROM srare a JOIN drare b ON a.frame_hash = b.frame_hash
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, inter, sa.n + sb.n - inter AS union_sz,
+       |  (inter * 1000000) // (sa.n + sb.n - inter) AS jac_q6
+       |FROM p
+       |JOIN ssizes sa ON sa.doc_id = p.doc_a
+       |JOIN dsizes sb ON sb.doc_id = p.doc_b
+       |WHERE (inter * 1000000) // (sa.n + sb.n - inter) >= $VideoJacFloorQ6""".stripMargin
+
   def oracle: Map[String, String] = Map(
     // m08 — the m05 frame CTE → distinct sets → df cap → hash-keyed
     // pair counts → integer micro-unit Jaccard (all operands
@@ -738,38 +802,12 @@ object Multimodal {
     // the corpus split by parity, the boilerplate list computed from
     // the STANDING (even) side only (the frozen gate is the only
     // batch-independent one), and pairs restricted to standing×delta
-    "m11_stream_neardup" ->
-      s"""WITH fr AS (
-         |  SELECT doc_id, ${Hashing.polyHashSql("frame")} AS frame_hash
-         |  FROM (
-         |    SELECT doc_id,
-         |      unnest(list_transform(range(0, ((length(text) - 1) // $FrameBytes) + 1),
-         |        i -> substring(text, (i * $FrameBytes + 1)::INTEGER, $FrameBytes))) AS frame
-         |    FROM documents WHERE length(text) > 0) frames),
-         |fh AS (SELECT DISTINCT doc_id, frame_hash FROM fr),
-         |sfh AS (SELECT doc_id, frame_hash FROM fh WHERE doc_id % 2 = 0),
-         |dfh AS (SELECT doc_id, frame_hash FROM fh WHERE doc_id % 2 <> 0),
-         |boiler AS (SELECT frame_hash FROM sfh GROUP BY frame_hash
-         |           HAVING count(*) > $MaxFrameDf),
-         |srare AS (SELECT doc_id, frame_hash FROM sfh
-         |          WHERE frame_hash NOT IN (SELECT frame_hash FROM boiler)),
-         |drare AS (SELECT doc_id, frame_hash FROM dfh
-         |          WHERE frame_hash NOT IN (SELECT frame_hash FROM boiler)),
-         |ssizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
-         |           FROM srare GROUP BY doc_id),
-         |dsizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
-         |           FROM drare GROUP BY doc_id),
-         |p AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    CAST(count(*) AS BIGINT) AS inter
-         |  FROM srare a JOIN drare b ON a.frame_hash = b.frame_hash
-         |  GROUP BY 1, 2)
-         |SELECT doc_a, doc_b, inter, sa.n + sb.n - inter AS union_sz,
-         |  (inter * 1000000) // (sa.n + sb.n - inter) AS jac_q6
-         |FROM p
-         |JOIN ssizes sa ON sa.doc_id = p.doc_a
-         |JOIN dsizes sb ON sb.doc_id = p.doc_b
-         |WHERE (inter * 1000000) // (sa.n + sb.n - inter) >= $VideoJacFloorQ6""".stripMargin,
+    "m11_stream_neardup" -> crossNearDupSqlOver("doc_id % 2 = 0"),
+    // m12 — m11's text with the tombstone predicate folded into the
+    // standing side (serve-under-tombstones ≡ publish-over-remainder
+    // + serve: boilerplate and sizes are pure functions of the store)
+    "m12_tombstone_serve" ->
+      crossNearDupSqlOver("doc_id % 2 = 0 AND doc_id % 5 <> 2"),
     // p08 reconstructs m09's labels incrementally (see
     // mediaMaintenance's pair-class partition argument)
     "p08_media_maintenance" ->

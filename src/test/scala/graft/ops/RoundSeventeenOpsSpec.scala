@@ -166,6 +166,34 @@ class RoundSeventeenOpsSpec extends AnyFunSuite {
       "serve-under-tombstones must equal publish-over-remainder + serve")
   }
 
+  test("delete-then-serve on the media frame store (m12): a " +
+    "tombstoned standing item stops matching arrivals and the serve " +
+    "equals publish-over-remainder + serve") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val dir = IndexPaths.dir("r17_m12_idx", sf)
+    Multimodal.frameWriteStore(
+      Multimodal.framesOf(docs.filter(col("doc_id") % 2 === 0)), dir)
+    val delta = Multimodal.framesOf(docs.filter(col("doc_id") % 2 =!= 0))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sorted.toSeq
+    val full = rows(Multimodal.crossNearDupVsStore(
+      Multimodal.frameLoadStore(spark, dir), delta))
+    assert(full.nonEmpty, "fixture must contain cross-set media near-dups")
+    val dead = full.head._1
+    val served = rows(Multimodal.crossNearDupVsStore(
+      Multimodal.frameLoadStore(spark, dir)
+        .join(broadcast(Seq(dead).toDF("doc_id")), Seq("doc_id"), "left_anti"),
+      delta))
+    val rebuilt = rows(Multimodal.crossNearDupVsStore(
+      Multimodal.framesOf(
+        docs.filter(col("doc_id") % 2 === 0 && col("doc_id") =!= dead)),
+      delta))
+    assert(!served.exists(_._1 == dead) && served == rebuilt,
+      "tombstone serve must equal publish(standing minus tombstones) + serve")
+  }
+
   test("d30 store-backed decontamination equals in-session d24 " +
     "bit-for-bit: same bands, same caps, same verify — just loaded " +
     "from the persisted tables instead of a session checkpoint") {
