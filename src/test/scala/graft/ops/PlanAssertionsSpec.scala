@@ -645,6 +645,15 @@ class PlanAssertionsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
         s.take(2000))
   }
 
+  test("d31 multi-probe: candidates come from bucket self-equi-joins — " +
+    "never a cartesian or nested-loop pairing") {
+    val s = plan("d31_neardup_multiprobe").toString
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      "every pairing must be gated by a bucket/id equi-join:\n" +
+        s.take(2000))
+  }
+
   test("r10 phrase: chain joins read the pruned checkpoint — no " +
     "re-tokenize, no cartesian") {
     val s = plan("r10_cjk_phrase").toString
