@@ -172,7 +172,17 @@ object IndexStream {
     * correction, after which the tombstone set can be retired. The
     * compacted store equals a fresh build over corpus-minus-tombstones
     * exactly (same integer arithmetic), so serving it needs no
-    * tombstone logic at all. */
+    * tombstone logic at all. Same zero-term-doc contract as the
+    * serve-time variant: a doc with no index terms has no posting
+    * rows, so a doc_id-only tombstone cannot reclaim its n_docs slot
+    * from the store — pass a tombstone table carrying `dl` (known at
+    * delete time) and the removed stats come straight off it, exact
+    * for zero-term docs and skipping the removed-postings pass.
+    *
+    * Cost shape: two passes over the merged postings — the rewrite
+    * itself and one extraction of the (deletes-sized, checkpointed)
+    * removed posting rows that both corrections read; one pass with
+    * dl-carrying tombstones. */
   def compactCjk(spark: SparkSession, segDir: String,
                  tombstones: Option[DataFrame] = None): Unit = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, lit, max, sum}
@@ -183,19 +193,30 @@ object IndexStream {
       case Some(tsRaw) =>
         val ts = broadcast(tsRaw.select(col("doc_id")).distinct())
         val live = p0.join(ts, Seq("doc_id"), "left_anti")
+        // ONE extraction of the removed posting rows (deletes-sized),
+        // checkpointed so the df and stats corrections don't each
+        // re-scan the merged postings (the file's own tokenize-once
+        // discipline, applied to the store scan)
+        val rmPost = p0.join(ts, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("token"), col("dl"))
+          .localCheckpoint()
         // store-wide df correction: one row per (doc, token) in the
         // postings, so count(*) per token over the removed rows is
         // the number of removed docs carrying it
-        val rmDf = p0.join(ts, Seq("doc_id"), "left_semi")
-          .groupBy(col("token")).agg(count(lit(1)).as("rm_df"))
+        val rmDf = rmPost.groupBy(col("token")).agg(count(lit(1)).as("rm_df"))
         val lex = l0.join(rmDf, Seq("token"), "left")
           .select(col("token"),
             (col("df") - coalesce(col("rm_df"), lit(0L))).as("df"))
           .filter(col("df") > 0)
-        val rm = p0.join(ts, Seq("doc_id"), "left_semi")
-          .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
-          .agg(count(lit(1)).as("rm_n"),
-            coalesce(sum(col("dl")), lit(0L)).as("rm_dl"))
+        val rm =
+          if (tsRaw.columns.contains("dl"))
+            tsRaw.select(col("doc_id"), col("dl")).distinct()
+              .agg(count(lit(1)).as("rm_n"),
+                coalesce(sum(col("dl")), lit(0L)).as("rm_dl"))
+          else rmPost
+            .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+            .agg(count(lit(1)).as("rm_n"),
+              coalesce(sum(col("dl")), lit(0L)).as("rm_dl"))
         val stats = st0.crossJoin(broadcast(rm))
           .select((col("n_docs") - col("rm_n")).as("n_docs"),
             (col("sum_dl") - col("rm_dl")).as("sum_dl"))
@@ -204,11 +225,16 @@ object IndexStream {
     // rewrite beside the live store (reads old paths, writes new —
     // never overlapping), then swap
     val tmp = s"$segDir.compacting"
-    deleteTree(new java.io.File(tmp))
+    clearTree(new java.io.File(tmp),
+      "stale compaction scratch — remove it and re-run")
     graft.ops.Search.bm25WriteIndex(p, l, st, tmp)
     graft.ops.IndexMeta.unstamp(segDir)
     Seq("postings", "lexicon", "stats").foreach { sub =>
-      deleteTree(new java.io.File(segDir, sub))
+      // a clear that silently left residue would surface as a
+      // confusing Files.move failure mid-swap; fail loudly instead —
+      // the store is already unstamped, so it cannot serve torn
+      clearTree(new java.io.File(segDir, sub),
+        "store left unstamped (unservable); clear it and re-compact")
       java.nio.file.Files.move(
         new java.io.File(tmp, sub).toPath,
         new java.io.File(segDir, sub).toPath)
@@ -216,6 +242,15 @@ object IndexStream {
     }
     deleteTree(new java.io.File(tmp))
     graft.ops.IndexMeta.stamp(segDir)
+  }
+
+  /** [[deleteTree]] with the clear VERIFIED — for the swap sites where
+    * leftover files would corrupt or confuse the subsequent move. */
+  private def clearTree(f: java.io.File, consequence: String): Unit = {
+    deleteTree(f)
+    if (f.exists())
+      throw new IllegalStateException(
+        s"could not fully remove $f — $consequence")
   }
 
   private def deleteTree(f: java.io.File): Unit = {

@@ -149,6 +149,20 @@ class IndexStreamSpec extends AnyFunSuite {
       "corrected lexicon dfs must equal the remainder build's")
     assert(rows(got._3) == rows(want._3),
       "corrected stats must equal the remainder build's")
+
+    // dl-carrying tombstones (the zero-term-doc remedy, known at
+    // delete time): identical compacted tables, no removed-postings
+    // stats pass
+    val dlTs = terms(col("doc_id") % 5 === 2)
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(col("terms"))
+          .cast("long").as("dl"))
+    val seg3 = freshStore()
+    IndexStream.compactCjk(spark, seg3, Some(dlTs))
+    val got3 = IndexStream.mergedIndexCjk(spark, seg3)
+    assert(rows(got3._1) == rows(want._1) && rows(got3._2) == rows(want._2)
+      && rows(got3._3) == rows(want._3),
+      "dl-carrying tombstones must compact to the identical store")
   }
 
   test("torn-append recovery: a crashed (unstamped) segment store " +
