@@ -171,22 +171,41 @@ object Bench {
     // the adjudication INTO the artifact: canary drift vs last round's
     // canary rescales the round's numbers, and a start/end gap flags a
     // load spike DURING this run.
-    def canaryOnce(): Double = {
-      val t0 = System.nanoTime()
-      materialize(spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(expr("sum(l_quantity) as sum_qty"),
-          expr("sum(l_extendedprice * (1 - l_discount)) as sum_disc"),
-          expr("avg(l_tax) as avg_tax"), expr("count(*) as n")))
-      (System.nanoTime() - t0) / 1e9
-    }
+    // The canary runs OUTSIDE the per-query error isolation, so it is
+    // error-guarded itself: a data dir without lineitem (a graft-only
+    // layout) must degrade to a -1.0 sentinel in the canary field, not
+    // abort the whole bench before the measured phase produced any
+    // artifact.
+    def canaryOnce(): Double =
+      try {
+        val t0 = System.nanoTime()
+        materialize(spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(expr("sum(l_quantity) as sum_qty"),
+            expr("sum(l_extendedprice * (1 - l_discount)) as sum_disc"),
+            expr("avg(l_tax) as avg_tax"), expr("count(*) as n")))
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
     canaryOnce() // untimed: compile the canary's codegen once
     val canaryStart = median((1 to 3).map(_ => canaryOnce()))
     // Measured phase: a failure is REPORTED per query, never swallowed —
     // a timing whose query aborted mid-run is fiction, and the err field
     // is what distinguishes it from an honest number.
+    //
+    // One extra DISCARDED pass runs first at the bench scale factor
+    // (rep 0 below, dropped before the median): the sf0.001 warmup
+    // compiles codegen and the memo block trains shared artifacts, but
+    // first-touch costs keyed to the bench dir itself (OS page cache,
+    // parquet footer caches, per-entry scratch-store publishes) land
+    // on whichever rep reads the data first — and with reps=3 a single
+    // first-rep transient already moves the median. r17's one
+    // unexplained in-loop outlier (d18 at 6.6 s vs 1.1 s in both
+    // same-code probes) was exactly this class; discarding a warm rep
+    // makes every kept rep a steady-state measurement, so the headline
+    // artifact no longer needs side probes to adjudicate localized
+    // spikes.
     val samples: Seq[Map[String, (Double, Option[String])]] =
-      (1 to math.max(1, reps)).map { _ =>
+      (0 to math.max(1, reps)).map { _ =>
         ordered.map { case (name, fn) =>
           val t0 = System.nanoTime()
           val err =
@@ -194,7 +213,7 @@ object Bench {
             catch { case e: Throwable => Some(errSummary(e)) }
           name -> ((System.nanoTime() - t0) / 1e9, err)
         }.toMap
-      }
+      }.drop(1)
     // Build/serve sub-metrics for the persistence entries: the
     // one-shot catalog timing above includes index-write I/O, so a
     // serve-path regression could hide under build cost. Timed once

@@ -139,7 +139,7 @@ object SparkEntry {
             docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
           ops.Search.bm25WriteIndex(standing._1, standing._2, standing._3,
             idxDir)
-          val loaded = ops.Search.bm25LoadIndex(s, idxDir)
+          val loaded = ops.Search.bm25LoadIndexWs(s, idxDir)
           val delta = ops.Search.bm25BuildIndex(
             docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text")
           val merged = ops.Search.bm25MergeIndex(loaded, delta)
@@ -237,6 +237,35 @@ object SparkEntry {
             graft.streaming.IndexStream.mergedIndexCjk(s, segDir)
           ops.Search.bm25QueryIndex(p, l, st, terms = ops.Search.CjkQuery)
         }),
+        // Tombstones AS A STREAM (r16): deletes arrive as micro-batches
+        // (a takedown feed), each batch growing the standing tombstone
+        // set (TombstoneStream — batchId-keyed idempotent appends), and
+        // the r13 df-corrected serve runs against the ACCUMULATED set —
+        // the maintenance loop every tombstone family's static-table
+        // serve assumes. The set union over any batch split equals the
+        // static harnessTombstones table (zero streaming state; serves
+        // distinct() the set), so r16 shares r13's oracle verbatim.
+        // Set dir cleared at entry start (the r12 clear-then-append
+        // discipline — this entry runs without a stream checkpoint).
+        "r16_bm25_tombstone_stream" -> ((s: SparkSession, d: String) => {
+          import org.apache.spark.sql.functions.col
+          val idxDir = ops.IndexPaths.dir("r16_index", d)
+          val setDir = ops.IndexPaths.dir("r16_tombstones", d)
+          ops.IndexPaths.clear(setDir)
+          val docs = ops.Tables.documents(s, d)
+          val (p, l, st) = ops.Search.bm25BuildIndex(docs, "doc_id", "text")
+          ops.Search.bm25WriteIndex(p, l, st, idxDir)
+          val src = new java.io.File(d, "documents.parquet")
+          val (srcDir, glob) =
+            if (src.isDirectory) (src.getPath, "*.parquet")
+            else (d, "documents.parquet")
+          graft.streaming.TombstoneStream.runAvailableNow(s, srcDir,
+            graft.streaming.IndexStream.rawSchema, "doc_id", setDir,
+            deltaFilter = col("doc_id") % 5 === 2, glob = glob)
+          val (lp, ll, ls) = ops.Search.bm25LoadIndexWs(s, idxDir)
+          ops.Search.bm25QueryIndexTombstoned(lp, ll, ls,
+            graft.streaming.TombstoneStream.loadSet(s, setDir))
+        }),
         // The decontamination family's stream edge (d27): corpus
         // vectors drain as delta micro-batches, each checked against
         // the STANDING broadcast benchmark with d25's exact cosine
@@ -263,7 +292,7 @@ object SparkEntry {
           graft.streaming.DeconStream.runAvailableNow(s, srcDir, bench,
             out, threshold = 0.45,
             deltaFilter = col("vec_id") % 10 =!= 0, glob = glob)
-          s.read.parquet(out)
+          graft.streaming.Drain.readSink(s, out)
         }))
 
   /** Build/serve decomposition of the persistence catalog entries —
@@ -287,7 +316,7 @@ object SparkEntry {
             ops.IndexPaths.dir("r06_index", d))
         },
         (s: SparkSession, d: String) => {
-          val (lp, ll, ls) = ops.Search.bm25LoadIndex(s,
+          val (lp, ll, ls) = ops.Search.bm25LoadIndexWs(s,
             ops.IndexPaths.dir("r06_index", d))
           ops.Search.bm25QueryIndex(lp, ll, ls)
         })),
@@ -297,8 +326,8 @@ object SparkEntry {
           val (p, l, st) = ops.Search.bm25BuildIndexTokens(
             toks, "doc_id", "terms")
           ops.Search.bm25WriteIndex(p, l, st,
-            ops.IndexPaths.dir("r09_index", d))
-          ops.IndexMeta.stamp(ops.IndexPaths.dir("r09_index", d))
+            ops.IndexPaths.dir("r09_index", d),
+            ops.TextOps.tokenizerVersion)
         },
         (s: SparkSession, d: String) => {
           val (lp, ll, ls) = ops.Search.bm25LoadIndexChecked(s,
@@ -313,7 +342,7 @@ object SparkEntry {
             ops.IndexPaths.dir("r13_index", d))
         },
         (s: SparkSession, d: String) => {
-          val (lp, ll, ls) = ops.Search.bm25LoadIndex(s,
+          val (lp, ll, ls) = ops.Search.bm25LoadIndexWs(s,
             ops.IndexPaths.dir("r13_index", d))
           ops.Search.bm25QueryIndexTombstoned(lp, ll, ls,
             ops.Search.harnessTombstones(ops.Tables.documents(s, d)))
@@ -323,8 +352,8 @@ object SparkEntry {
           val (p, l, st) = ops.Search.bm25BuildIndexTokens(
             ops.Clusters.sharedCjkTerms(s, d), "doc_id", "terms")
           ops.Search.bm25WriteIndex(p, l, st,
-            ops.IndexPaths.dir("r14_index", d))
-          ops.IndexMeta.stamp(ops.IndexPaths.dir("r14_index", d))
+            ops.IndexPaths.dir("r14_index", d),
+            ops.TextOps.tokenizerVersion)
         },
         (s: SparkSession, d: String) => {
           val (lp, ll, ls) = ops.Search.bm25LoadIndexChecked(s,
@@ -411,6 +440,101 @@ object SparkEntry {
                 .as("max_jaccard"))
             .select(col("corpus_id").as("doc_id"),
               col("n_bench_matches"), col("max_jaccard")))),
+      "d33_cjk_compacted_serve" -> ((
+        (s: SparkSession, d: String) => {
+          val idxDir = ops.IndexPaths.dir("d33_index", d)
+          ops.Dedup.cjkPublishIndexTokens(
+            ops.Clusters.sharedCjkTokens(s, d)
+              .filter(col("doc_id") % 2 === 0)
+              .select(col("doc_id"), col("toks")), idxDir)
+          ops.Dedup.cjkCompactStore(s, idxDir,
+            ops.Tables.documents(s, d).filter(col("doc_id") % 5 === 2)
+              .select(col("doc_id")))
+        },
+        (s: SparkSession, d: String) =>
+          ops.Dedup.cjkServeDeltaTokens(s,
+            ops.Clusters.sharedCjkTokens(s, d)
+              .filter(col("doc_id") % 2 =!= 0)
+              .select(col("doc_id"), col("toks")),
+            0.6, ops.IndexPaths.dir("d33_index", d)))),
+      "d32_semantic_decon_store" -> ((
+        (s: SparkSession, d: String) =>
+          ops.Dedup.semanticBucketsWrite(
+            ops.Tables.embeddings(s, d).filter(col("vec_id") % 10 =!= 0),
+            "vec_id", "embedding", ops.IndexPaths.dir("d32_index", d)),
+        (s: SparkSession, d: String) => {
+          val vecs = ops.Tables.embeddings(s, d)
+          ops.Dedup.semanticDecontaminateFromStore(s,
+            ops.IndexPaths.dir("d32_index", d),
+            vecs.filter(col("vec_id") % 10 =!= 0),
+            vecs.filter(col("vec_id") % 10 === 0),
+            "vec_id", "embedding", threshold = 0.45)
+        })),
+      "d34_semantic_decon_tombstoned" -> ((
+        (s: SparkSession, d: String) =>
+          ops.Dedup.semanticBucketsWrite(
+            ops.Tables.embeddings(s, d).filter(col("vec_id") % 10 =!= 0),
+            "vec_id", "embedding", ops.IndexPaths.dir("d34_index", d)),
+        (s: SparkSession, d: String) => {
+          val vecs = ops.Tables.embeddings(s, d)
+          ops.Dedup.semanticDecontaminateFromStore(s,
+            ops.IndexPaths.dir("d34_index", d),
+            vecs.filter(col("vec_id") % 10 =!= 0),
+            vecs.filter(col("vec_id") % 10 === 0),
+            "vec_id", "embedding", threshold = 0.45,
+            tombstones = Some(vecs.filter(col("vec_id") % 7 === 3)
+              .select(col("vec_id"))))
+        })),
+      "m13_compacted_serve" -> ((
+        (s: SparkSession, d: String) => {
+          val dir = ops.IndexPaths.dir("m13_frames", d)
+          ops.Multimodal.frameWriteStore(
+            ops.Multimodal.framesOf(ops.Tables.documents(s, d)
+              .filter(col("doc_id") % 2 === 0)), dir)
+          ops.Multimodal.frameCompactStore(s, dir,
+            ops.Tables.documents(s, d).filter(col("doc_id") % 5 === 2)
+              .select(col("doc_id")))
+        },
+        (s: SparkSession, d: String) =>
+          ops.Multimodal.crossNearDupVsStore(
+            ops.Multimodal.frameLoadStore(s,
+              ops.IndexPaths.dir("m13_frames", d)),
+            ops.Multimodal.framesOf(ops.Tables.documents(s, d)
+              .filter(col("doc_id") % 2 =!= 0))))),
+      "k28_ann_compacted_serve" -> ((
+        (s: SparkSession, d: String) => {
+          val dir = ops.IndexPaths.dir("k28_index", d)
+          ops.Similarity.ivfPqWriteAll(s, d, dir)
+          ops.Similarity.ivfPqCompactStore(s, dir,
+            ops.Tables.embeddings(s, d).select(col("vec_id"))
+              .filter(col("vec_id") % 7 === 3))
+        },
+        (s: SparkSession, d: String) =>
+          ops.Similarity.ivfPqServeLoaded(s, d,
+            ops.IndexPaths.dir("k28_index", d)))),
+      "r16_bm25_tombstone_stream" -> ((
+        (s: SparkSession, d: String) => {
+          val idxDir = ops.IndexPaths.dir("r16_index", d)
+          val setDir = ops.IndexPaths.dir("r16_tombstones", d)
+          ops.IndexPaths.clear(setDir)
+          val (p, l, st) = ops.Search.bm25BuildIndex(
+            ops.Tables.documents(s, d), "doc_id", "text")
+          ops.Search.bm25WriteIndex(p, l, st, idxDir)
+          val src = new java.io.File(d, "documents.parquet")
+          val (srcDir, glob) =
+            if (src.isDirectory) (src.getPath, "*.parquet")
+            else (d, "documents.parquet")
+          graft.streaming.TombstoneStream.runAvailableNow(s, srcDir,
+            graft.streaming.IndexStream.rawSchema, "doc_id", setDir,
+            deltaFilter = col("doc_id") % 5 === 2, glob = glob)
+        },
+        (s: SparkSession, d: String) => {
+          val (lp, ll, ls) = ops.Search.bm25LoadIndexWs(s,
+            ops.IndexPaths.dir("r16_index", d))
+          ops.Search.bm25QueryIndexTombstoned(lp, ll, ls,
+            graft.streaming.TombstoneStream.loadSet(s,
+              ops.IndexPaths.dir("r16_tombstones", d)))
+        })),
       "d19_minhash_persisted" -> ((
         (s: SparkSession, d: String) =>
           ops.Dedup.minhashWriteIndex(
@@ -525,7 +649,7 @@ object SparkEntry {
             ops.IndexPaths.dir("p06_index", d))
         },
         (s: SparkSession, d: String) => {
-          val loaded = ops.Search.bm25LoadIndex(s,
+          val loaded = ops.Search.bm25LoadIndexWs(s,
             ops.IndexPaths.dir("p06_index", d))
           val delta = ops.Search.bm25BuildIndex(
             ops.Tables.documents(s, d).filter(col("doc_id") % 2 =!= 0),
@@ -621,6 +745,10 @@ object SparkEntry {
         // build over corpus-minus-tombstones, so it shares r14's text
         "r15_cjk_compacted_serve" ->
           ops.Search.oracle("r14_cjk_tombstoned"),
+        // r16's streamed delete set unions to the static harness
+        // tombstone table, so the serve shares r13's text
+        "r16_bm25_tombstone_stream" ->
+          ops.Search.oracle("r13_bm25_tombstoned"),
         // d30 serves d24's band+verify from the persisted store —
         // identical bands, caps, and verify arithmetic, so it shares
         // d24's oracle verbatim (the r09/r08 shared-oracle move on

@@ -605,6 +605,44 @@ object Dedup {
       "doc_id", "_script_text", threshold, n, maxBandDocs)
   }
 
+  /** EXPUNGE-DELETES compaction of a d21-format near-dup store (d33) —
+    * the r15 move generalized to the second tombstoned family: d29's
+    * serve anti-joins its delete set on every query, so serve cost
+    * degrades monotonically as deletions accrue; this one pass drops
+    * the tombstoned docs' rows from all three persisted tables
+    * (signatures, bands, hashes), rewrites them beside the live store,
+    * and swaps under the [[IndexMeta]] stamp-off/stamp-on torn-write
+    * contract ([[StoreSwap]]) — after which the tombstone set RETIRES.
+    *
+    * Unlike the BM25 store there is NOTHING to correct: every store
+    * row is a pure per-doc function (a doc's signature, band keys, and
+    * verify hashes depend on its own text alone), and the serve-time
+    * [[MaxBandDocs]] gate counts the store's band rows at query time —
+    * so the compacted store equals `publish(corpus minus tombstones)`
+    * BIT-FOR-BIT, and `compact → serve` equals d29's tombstone serve
+    * equals publish-over-remainder (the family's rebuild-equivalence
+    * contract, now closed at rebuild time too).
+    *
+    * Cost shape: one anti-join pass per table, each keyed on `doc_id`
+    * with the deletes broadcast — corpus-linear I/O, zero pair work,
+    * the once-per-accumulation cost that keeps every subsequent serve
+    * free of tombstone logic. */
+  def cjkCompactStore(spark: SparkSession, dir: String,
+                      tombstones: DataFrame): Unit = {
+    // refuse to compact a torn or stale store — compaction would
+    // launder the tear under a fresh stamp
+    IndexMeta.check(dir)
+    val ts = broadcast(tombstones.select(col("doc_id")).distinct())
+    val subs = Seq("signatures", "bands", "hashes")
+    val tmp = StoreSwap.freshScratch(dir)
+    subs.foreach { sub =>
+      spark.read.parquet(s"$dir/$sub")
+        .join(ts, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$tmp/$sub")
+    }
+    StoreSwap.swapSubtables(dir, subs, TextOps.tokenizerVersion)
+  }
+
   /** MinHash-ESTIMATED near-dup pairs (d15): band candidates scored by
     * signature agreement alone — `est_jaccard = matching components /
     * (Bands·RowsPerBand)`, the unbiased MinHash estimator — with NO
@@ -1114,13 +1152,40 @@ object Dedup {
                                     dims: Int = 64): DataFrame = {
     require(sets >= 1, "at least one plane set")
     graft.functions.VectorFunctions.register(corpus.sparkSession)
-    def buckets(df: DataFrame, idOut: String): DataFrame =
-      (0 until sets).foldLeft(
-        df.select(col(id).as(idOut), col(vec).as("_bv"))) { (acc, s) =>
-          acc.withColumn(s"bk$s", hyperplaneBucket("_bv", s, planes, dims))
-      }.drop("_bv").localCheckpoint()
-    val cb = buckets(corpus, "vec_id")
-    val bb = buckets(probe, "bench_id")
+    semanticMultiProbeServe(
+      multiProbeBuckets(corpus, id, vec, "vec_id", planes, sets, dims)
+        .localCheckpoint(),
+      corpus, probe, id, vec, threshold, planes, sets, dims)
+  }
+
+  /** The one map-side pass that derives ALL `sets` hyperplane buckets
+    * of a vector frame — the narrow `(idOut, bk0…bk{sets−1})` table
+    * d28/d31/d32 gate their candidate joins on. NOT materialized here:
+    * in-flow callers `localCheckpoint()` it (Catalyst does not share
+    * subtrees across union arms), the store publisher
+    * ([[semanticBucketsWrite]]) persists it instead — the k15
+    * discipline the d28 doc-comment promised. */
+  private[ops] def multiProbeBuckets(df: DataFrame, id: String,
+                                     vec: String, idOut: String,
+                                     planes: Int, sets: Int,
+                                     dims: Int): DataFrame =
+    (0 until sets).foldLeft(
+      df.select(col(id).as(idOut), col(vec).as("_bv"))) { (acc, s) =>
+        acc.withColumn(s"bk$s", hyperplaneBucket("_bv", s, planes, dims))
+    }.drop("_bv")
+
+  /** The shared d28/d32 serve tail over an ALREADY-MATERIALIZED corpus
+    * bucket table (a localCheckpoint in-flow, the loaded store at the
+    * persisted seam): per-set candidate equi-joins vs the
+    * freshly-bucketed probe side, UNION+dedup over 16-byte id pairs,
+    * then ONE exact verify with vectors re-attached by id. */
+  private def semanticMultiProbeServe(cb: DataFrame, corpus: DataFrame,
+                                      probe: DataFrame, id: String,
+                                      vec: String, threshold: Double,
+                                      planes: Int, sets: Int,
+                                      dims: Int): DataFrame = {
+    val bb = multiProbeBuckets(probe, id, vec, "bench_id", planes, sets, dims)
+      .localCheckpoint()
     val cand = (0 until sets).map { s =>
       cb.select(col("vec_id"), col(s"bk$s").as("bucket"))
         .join(bb.select(col("bench_id"), col(s"bk$s").as("bucket")),
@@ -1138,6 +1203,83 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .groupBy(col("vec_id"))
       .agg(count(lit(1)).as("n_bench_matches"), max(col("cos")).as("max_cos"))
+  }
+
+  /** Version fingerprint of a persisted multi-probe bucket store: the
+    * embedding-encoder revision plus every constant the buckets are a
+    * function of — the LCG that generates the hyperplane weights and
+    * the (sets × planes × dims) geometry. Derived from the live
+    * constants ([[Similarity.weight]]'s LCG is pinned by its oracle
+    * literals), so changing ANY of them auto-invalidates stale
+    * stores: buckets from a different plane set silently stop
+    * colliding, the exact recall-zeroing failure the [[IndexMeta]]
+    * contract exists to make loud. */
+  def hplshVersion(planes: Int = Similarity.NumPlanes,
+                   sets: Int = NumPlaneSets, dims: Int = 64): String =
+    s"graft-hplsh-1 ${Similarity.EncoderVersion} " +
+      "lcg=1103515245,12345,2039,-1019 " +
+      s"planes=$planes sets=$sets dims=$dims"
+
+  /** PUBLISH the corpus side's multi-probe bucket table (d32) — the
+    * d30/k15 move on the semantic-decontamination seam, closing d28's
+    * documented residual: the corpus buckets were a per-run
+    * `localCheckpoint()` (executor-memory, recomputed every serve),
+    * while at 100 TB they are a nightly artifact — one narrow
+    * `(vec_id, bk0…bk{sets−1})` row per corpus vector, written once at
+    * ingest and served against until the next republish. Stamped with
+    * [[hplshVersion]] under the torn-write contract (unstamp → write →
+    * stamp). */
+  def semanticBucketsWrite(corpus: DataFrame, id: String, vec: String,
+                           dir: String,
+                           planes: Int = Similarity.NumPlanes,
+                           sets: Int = NumPlaneSets,
+                           dims: Int = 64): Unit = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
+    IndexMeta.unstamp(dir)
+    multiProbeBuckets(corpus, id, vec, "vec_id", planes, sets, dims)
+      .write.mode("overwrite").parquet(s"$dir/buckets")
+    IndexMeta.stampVersion(dir, hplshVersion(planes, sets, dims))
+  }
+
+  /** Load a persisted bucket store, failing loudly unless its
+    * [[hplshVersion]] stamp matches the live plane-set definition. */
+  def semanticBucketsLoad(spark: SparkSession, dir: String,
+                          planes: Int = Similarity.NumPlanes,
+                          sets: Int = NumPlaneSets,
+                          dims: Int = 64): DataFrame = {
+    IndexMeta.checkVersion(dir, hplshVersion(planes, sets, dims))
+    spark.read.parquet(s"$dir/buckets")
+  }
+
+  /** [[semanticDecontaminateLshMulti]] served FROM the persisted
+    * bucket store (d32), optionally under a STANDING DELETE SET (d34,
+    * the d29 move for family symmetry): the corpus side re-tokenizes
+    * and re-buckets NOTHING standing — its bucket table loads from
+    * `dir`, tombstoned ids are anti-joined off the loaded buckets
+    * (per-vector pure rows, so the filtered store equals
+    * publish-over-remainder bit-for-bit, and a deleted vector can
+    * never reach the candidate union), and only the benchmark side is
+    * bucketed fresh. `corpus` supplies the verify-side VECTORS — the
+    * standing corpus table itself; candidates attach to it by plain
+    * id equi-joins, touching only banded rows. Identical candidate
+    * set, dedup, and verify arithmetic as the in-flow d28 (the serve
+    * tail is shared code), so d32 shares d28's oracle verbatim and
+    * d34 shares it under the tombstone WHERE. */
+  def semanticDecontaminateFromStore(spark: SparkSession, dir: String,
+                                     corpus: DataFrame, probe: DataFrame,
+                                     id: String, vec: String,
+                                     threshold: Double,
+                                     tombstones: Option[DataFrame] = None,
+                                     planes: Int = Similarity.NumPlanes,
+                                     sets: Int = NumPlaneSets,
+                                     dims: Int = 64): DataFrame = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
+    val cb0 = semanticBucketsLoad(spark, dir, planes, sets, dims)
+    val cb = tombstones.fold(cb0)(t =>
+      cb0.join(broadcast(t.select(col("vec_id")).distinct()),
+        Seq("vec_id"), "left_anti"))
+    semanticMultiProbeServe(cb, corpus, probe, id, vec, threshold,
+      planes, sets, dims)
   }
 
   def contaminationHits(corpus: DataFrame, id: String, text: String,
@@ -1428,11 +1570,8 @@ object Dedup {
                             dims: Int = 64): DataFrame = {
     require(sets >= 1, "at least one plane set")
     graft.functions.VectorFunctions.register(vectors.sparkSession)
-    val bk = (0 until sets).foldLeft(
-      vectors.select(col(id).as("vec_id"), col(vec).as("_bv"))) {
-        (acc, s) =>
-          acc.withColumn(s"bk$s", hyperplaneBucket("_bv", s, planes, dims))
-    }.drop("_bv").localCheckpoint()
+    val bk = multiProbeBuckets(vectors, id, vec, "vec_id", planes, sets, dims)
+      .localCheckpoint()
     val cand = (0 until sets).map { s =>
       bk.select(col("vec_id").as("vec_a"), col(s"bk$s").as("bucket"))
         .join(bk.select(col("vec_id").as("vec_b"), col(s"bk$s").as("bucket")),
@@ -1676,6 +1815,56 @@ object Dedup {
         Tables.documents(s, d).filter(col("doc_id") % 5 === 2)
           .select(col("doc_id")))
     }),
+    // d33: d29's delete problem solved at REBUILD time — publish the
+    // standing (even) store, EXPUNGE the tombstoned docs' rows from
+    // all three tables (cjkCompactStore: anti-join + stamp-swap, the
+    // r15 move on the near-dup family), then serve the delta with NO
+    // tombstone logic at all. Compacted store ≡ publish-over-remainder
+    // bit-for-bit (per-doc pure rows), so d33 shares d29's oracle.
+    "d33_cjk_compacted_serve" -> ((s, d) => {
+      def toks(f: org.apache.spark.sql.Column) =
+        Clusters.sharedCjkTokens(s, d).filter(f)
+          .select(col("doc_id"), col("toks"))
+      val idxDir = IndexPaths.dir("d33_index", d)
+      cjkPublishIndexTokens(toks(col("doc_id") % 2 === 0), idxDir)
+      cjkCompactStore(s, idxDir,
+        Tables.documents(s, d).filter(col("doc_id") % 5 === 2)
+          .select(col("doc_id")))
+      cjkServeDeltaTokens(s, toks(col("doc_id") % 2 =!= 0), 0.6, idxDir)
+    }),
+    // d32: d28 FROM THE PERSISTED BUCKET STORE — the corpus side's
+    // multi-probe buckets are a published, hplshVersion-stamped
+    // artifact; the serve re-buckets only the benchmark and attaches
+    // verify vectors by id. Shares d28's oracle verbatim (identical
+    // candidate union + exact verify).
+    "d32_semantic_decon_store" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+      val idxDir = IndexPaths.dir("d32_index", d)
+      semanticBucketsWrite(vecs.filter(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", idxDir)
+      semanticDecontaminateFromStore(s, idxDir,
+        vecs.filter(col("vec_id") % 10 =!= 0),
+        vecs.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", threshold = 0.45)
+    }),
+    // d34: d32 under a standing delete set (the vector family's
+    // standard ≡ 3 mod 7 tombstones, k25's set) — the d29 move on the
+    // semantic seam: deleted vectors anti-join off the LOADED buckets,
+    // so they can never reach the candidate union, and the serve
+    // equals publish-over-remainder. Oracle = d28's text with the
+    // tombstone predicate folded into the corpus WHERE.
+    "d34_semantic_decon_tombstoned" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+      val idxDir = IndexPaths.dir("d34_index", d)
+      semanticBucketsWrite(vecs.filter(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", idxDir)
+      semanticDecontaminateFromStore(s, idxDir,
+        vecs.filter(col("vec_id") % 10 =!= 0),
+        vecs.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", threshold = 0.45,
+        tombstones = Some(vecs.filter(col("vec_id") % 7 === 3)
+          .select(col("vec_id"))))
+    }),
     "d15_minhash_estimate" -> ((s, d) =>
       minhashEstimatedPairs(Tables.documents(s, d), "doc_id", "text",
         threshold = 0.5)),
@@ -1896,6 +2085,73 @@ object Dedup {
   }
 
   def oracle: Map[String, String] = {
+    // d29 — d21's oracle with the tombstone predicate folded into
+    // the STANDING side's WHERE (the rebuild-equivalence contract:
+    // serve-under-tombstones ≡ publish-over-remainder + serve);
+    // shared verbatim by d33 (compaction realizes the remainder
+    // publish physically)
+    val d29Sql =
+      s"""WITH ${cjkCrossSideSql("e", "doc_id % 2 = 0 AND doc_id % 5 <> 2")},
+         |${cjkCrossSideSql("o", "doc_id % 2 = 1")},
+         |bok AS (SELECT band, key FROM bandse GROUP BY band, key
+         |        HAVING count(*) <= $MaxBandDocs),
+         |cand AS (
+         |  SELECT DISTINCT e.doc_id AS corpus_id, o.doc_id AS delta_id
+         |  FROM bandse e JOIN bok USING (band, key)
+         |  JOIN bandso o ON e.band = o.band AND e.key = o.key),
+         |pr AS (
+         |  SELECT c.corpus_id, c.delta_id, count(*) AS inter
+         |  FROM cand c
+         |  JOIN ske a ON a.doc_id = c.corpus_id
+         |  JOIN sko b ON b.doc_id = c.delta_id AND b.sk = a.sk
+         |  GROUP BY 1, 2)
+         |SELECT corpus_id, delta_id, inter,
+         |  inter::DOUBLE / (ce.n_sh + co.n_sh - inter)::DOUBLE AS jaccard
+         |FROM pr
+         |JOIN cnte ce ON pr.corpus_id = ce.doc_id
+         |JOIN cnto co ON pr.delta_id = co.doc_id
+         |WHERE inter::DOUBLE / (ce.n_sh + co.n_sh - inter)::DOUBLE >= 0.6""".stripMargin
+    // d28's oracle, parametrized over the corpus side's WHERE so the
+    // store-backed twin (d32, same predicate) and its tombstone serve
+    // (d34, tombstone predicate folded in) share the text — the
+    // engine's candidate union + exact verify restated relationally
+    def d28SqlOver(corpusWhere: String): String = {
+      val bucketSqls = (0 until NumPlaneSets).map { s =>
+        (0 until Similarity.NumPlanes).map { i =>
+          val wl = (0 until 64)
+            .map(j => Similarity.weight(s * Similarity.NumPlanes + i, j))
+            .mkString("[", ", ", "]")
+          s"""CASE WHEN reduce(list_prepend(0.0, list_transform(range(1, 65),
+             |  k -> v[k] * ($wl::BIGINT[])[k])), (acc, x) -> acc + x) > 0
+             |  THEN ${1 << i} ELSE 0 END""".stripMargin
+        }.mkString(" + ")
+      }
+      val bucketCols = bucketSqls.zipWithIndex
+        .map { case (e, s) => s"$e AS bk$s" }.mkString(",\n    ")
+      val candUnion = (0 until NumPlaneSets).map { s =>
+        s"SELECT c.vec_id, b.vec_id AS bench_id FROM c JOIN b ON c.bk$s = b.bk$s"
+      }.mkString("\n  UNION\n  ")
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, v,
+         |    sqrt(reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm,
+         |    $bucketCols
+         |  FROM v),
+         |c AS (SELECT * FROM n WHERE $corpusWhere),
+         |b AS (SELECT * FROM n WHERE vec_id % 10 = 0),
+         |cand AS (
+         |  $candUnion)
+         |SELECT vec_id, count(*) AS n_bench_matches, max(cos) AS max_cos FROM (
+         |  SELECT cand.vec_id,
+         |    reduce(list_prepend(0.0, list_transform(range(1, len(cv.v) + 1), i -> cv.v[i] * bv.v[i])),
+         |           (acc, x) -> acc + x) / (cv.nrm * bv.nrm) AS cos
+         |  FROM cand
+         |  JOIN n cv ON cv.vec_id = cand.vec_id
+         |  JOIN n bv ON bv.vec_id = cand.bench_id) pairs
+         |WHERE cos >= 0.45
+         |GROUP BY vec_id""".stripMargin
+    }
     val mh = (0 until Bands * RowsPerBand).map { i =>
       s"min((${MinHashA(i)} * h + ${MinHashB(i)}) % $P) AS mh$i"
     }.mkString(",\n  ")
@@ -2126,27 +2382,11 @@ object Dedup {
       // d29 — d21's oracle with the tombstone predicate folded into
       // the STANDING side's WHERE (the rebuild-equivalence contract:
       // serve-under-tombstones ≡ publish-over-remainder + serve)
-      "d29_cjk_tombstone_serve" ->
-        s"""WITH ${cjkCrossSideSql("e", "doc_id % 2 = 0 AND doc_id % 5 <> 2")},
-           |${cjkCrossSideSql("o", "doc_id % 2 = 1")},
-           |bok AS (SELECT band, key FROM bandse GROUP BY band, key
-           |        HAVING count(*) <= $MaxBandDocs),
-           |cand AS (
-           |  SELECT DISTINCT e.doc_id AS corpus_id, o.doc_id AS delta_id
-           |  FROM bandse e JOIN bok USING (band, key)
-           |  JOIN bandso o ON e.band = o.band AND e.key = o.key),
-           |pr AS (
-           |  SELECT c.corpus_id, c.delta_id, count(*) AS inter
-           |  FROM cand c
-           |  JOIN ske a ON a.doc_id = c.corpus_id
-           |  JOIN sko b ON b.doc_id = c.delta_id AND b.sk = a.sk
-           |  GROUP BY 1, 2)
-           |SELECT corpus_id, delta_id, inter,
-           |  inter::DOUBLE / (ce.n_sh + co.n_sh - inter)::DOUBLE AS jaccard
-           |FROM pr
-           |JOIN cnte ce ON pr.corpus_id = ce.doc_id
-           |JOIN cnto co ON pr.delta_id = co.doc_id
-           |WHERE inter::DOUBLE / (ce.n_sh + co.n_sh - inter)::DOUBLE >= 0.6""".stripMargin,
+      "d29_cjk_tombstone_serve" -> d29Sql,
+      // d33 — compact-then-serve equals d29's tombstone serve equals
+      // publish-over-remainder (per-doc pure store rows), so the
+      // compacted entry shares d29's oracle verbatim
+      "d33_cjk_compacted_serve" -> d29Sql,
       "d21_cjk_serve_delta" ->
         s"""WITH ${cjkCrossSideSql("e", "doc_id % 2 = 0")},
            |${cjkCrossSideSql("o", "doc_id % 2 = 1")},
@@ -2244,43 +2484,15 @@ object Dedup {
       // UNION (set-deduplicating) of the per-set equi-joins, vectors
       // re-attached by id for the exact verify — the engine's
       // composition restated relationally
-      "d28_semantic_multiprobe" -> {
-        val bucketSqls = (0 until NumPlaneSets).map { s =>
-          (0 until Similarity.NumPlanes).map { i =>
-            val wl = (0 until 64)
-              .map(j => Similarity.weight(s * Similarity.NumPlanes + i, j))
-              .mkString("[", ", ", "]")
-            s"""CASE WHEN reduce(list_prepend(0.0, list_transform(range(1, 65),
-               |  k -> v[k] * ($wl::BIGINT[])[k])), (acc, x) -> acc + x) > 0
-               |  THEN ${1 << i} ELSE 0 END""".stripMargin
-          }.mkString(" + ")
-        }
-        val bucketCols = bucketSqls.zipWithIndex
-          .map { case (e, s) => s"$e AS bk$s" }.mkString(",\n    ")
-        val candUnion = (0 until NumPlaneSets).map { s =>
-          s"SELECT c.vec_id, b.vec_id AS bench_id FROM c JOIN b ON c.bk$s = b.bk$s"
-        }.mkString("\n  UNION\n  ")
-        s"""WITH v AS (
-           |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-           |n AS (
-           |  SELECT vec_id, v,
-           |    sqrt(reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm,
-           |    $bucketCols
-           |  FROM v),
-           |c AS (SELECT * FROM n WHERE vec_id % 10 <> 0),
-           |b AS (SELECT * FROM n WHERE vec_id % 10 = 0),
-           |cand AS (
-           |  $candUnion)
-           |SELECT vec_id, count(*) AS n_bench_matches, max(cos) AS max_cos FROM (
-           |  SELECT cand.vec_id,
-           |    reduce(list_prepend(0.0, list_transform(range(1, len(cv.v) + 1), i -> cv.v[i] * bv.v[i])),
-           |           (acc, x) -> acc + x) / (cv.nrm * bv.nrm) AS cos
-           |  FROM cand
-           |  JOIN n cv ON cv.vec_id = cand.vec_id
-           |  JOIN n bv ON bv.vec_id = cand.bench_id) pairs
-           |WHERE cos >= 0.45
-           |GROUP BY vec_id""".stripMargin
-      },
+      "d28_semantic_multiprobe" -> d28SqlOver("vec_id % 10 <> 0"),
+      // d32 serves the identical candidate union + verify from the
+      // persisted bucket store, so it shares d28's text verbatim
+      "d32_semantic_decon_store" -> d28SqlOver("vec_id % 10 <> 0"),
+      // d34 — d32 under the standing delete set: the anti-joined
+      // loaded buckets equal publish-over-remainder, so the oracle is
+      // d28's text with the tombstone predicate on the corpus side
+      "d34_semantic_decon_tombstoned" ->
+        d28SqlOver("vec_id % 10 <> 0 AND vec_id % 7 <> 3"),
       // d31 — d07's oracle with per-set bucket exprs, candidates as a
       // UNION (deduplicating) of the per-set self-joins, vectors
       // re-attached by id for the exact verify (d28's shape, within

@@ -305,7 +305,9 @@ object Multimodal {
     * or hash would silently miss every cross-store near-dup. */
   def frameLoadStore(spark: SparkSession, dir: String): DataFrame = {
     IndexMeta.checkVersion(dir, frameVersion)
-    spark.read.parquet(dir)
+    // recursive: a store may mix a flat publisher write with
+    // stream-appended batchId subdirs (MediaStream's idempotent sink)
+    graft.streaming.Drain.readSink(spark, dir)
   }
 
   /** Version fingerprint of a persisted frame-signature store
@@ -316,6 +318,46 @@ object Multimodal {
   def frameVersion: String =
     s"graft-frame-1 codec=stub-ascii frame_bytes=$FrameBytes " +
       "hash=graft_polyhash"
+
+  /** EXPUNGE-DELETES compaction of a frame-signature store (m13) — the
+    * r15 move on the media family: m12's serve anti-joins its delete
+    * set per query forever, so serve cost degrades as deletions
+    * accrue; this one pass drops the tombstoned items' signature rows,
+    * rewrites the store beside itself, and swaps under the
+    * [[IndexMeta]] stamp-off/stamp-on contract ([[StoreSwap]]) — after
+    * which the tombstone set RETIRES. Nothing to correct: every store
+    * row is a pure per-item function (frames of the item's own blob),
+    * and every global readout input (boilerplate list, set sizes) is
+    * recomputed from the store at serve time — so the compacted store
+    * equals `fingerprint(corpus minus tombstones)` bit-for-bit and
+    * `compact → serve` equals m12's tombstone serve. One broadcast
+    * anti-join over the signature rows; blobs are never touched. */
+  def frameCompactStore(spark: SparkSession, dir: String,
+                        tombstones: DataFrame): Unit = {
+    // frameLoadStore checks the stamp — compacting a torn or stale
+    // store would launder the tear under a fresh stamp
+    val live = frameLoadStore(spark, dir)
+      .join(broadcast(tombstones.select(col("doc_id")).distinct()),
+        Seq("doc_id"), "left_anti")
+    val tmp = StoreSwap.freshScratch(dir)
+    live.write.mode("overwrite").parquet(tmp)
+    StoreSwap.swapDir(dir, frameVersion)
+  }
+
+  /** m13 — [[tombstonedNearDup]]'s rebuild-time twin: publish the
+    * standing store, COMPACT the tombstoned items out, and serve the
+    * delta readout with no tombstone logic at all. Shares m12's
+    * oracle (compact → serve ≡ publish-over-remainder + serve). */
+  def compactedNearDup(s: SparkSession, d: String): DataFrame = {
+    val dir = IndexPaths.dir("m13_frames", d)
+    frameWriteStore(framesOf(Tables.documents(s, d)
+      .filter(col("doc_id") % 2 === 0)), dir)
+    frameCompactStore(s, dir,
+      Tables.documents(s, d).filter(col("doc_id") % 5 === 2)
+        .select(col("doc_id")))
+    crossNearDupVsStore(frameLoadStore(s, dir),
+      framesOf(Tables.documents(s, d).filter(col("doc_id") % 2 =!= 0)))
+  }
 
   /** m10 — the persisted-store round trip: fingerprint the corpus,
     * WRITE the frame store, and serve the m08 near-dup pairs entirely
@@ -566,6 +608,9 @@ object Multimodal {
     // m12: m11 under a standing delete set — the tombstone move on
     // the media store (see tombstonedNearDup)
     "m12_tombstone_serve" -> ((s, d) => tombstonedNearDup(s, d)),
+    // m13: m12's deletes EXPUNGED at rebuild time — compact the store,
+    // retire the tombstone set, serve clean (see compactedNearDup)
+    "m13_compacted_serve" -> ((s, d) => compactedNearDup(s, d)),
     // frame-set Jaccard between media items — re-encode/trim/watermark
     // near-dups the text shingle family can't see
     // m09: the c01 closure over m08's pairs — duplicate-media CLUSTERS
@@ -807,6 +852,11 @@ object Multimodal {
     // standing side (serve-under-tombstones ≡ publish-over-remainder
     // + serve: boilerplate and sizes are pure functions of the store)
     "m12_tombstone_serve" ->
+      crossNearDupSqlOver("doc_id % 2 = 0 AND doc_id % 5 <> 2"),
+    // m13 — compact-then-serve equals m12's tombstone serve equals
+    // fingerprint-over-remainder + serve (per-item pure store rows,
+    // globals recomputed from the store), so it shares m12's text
+    "m13_compacted_serve" ->
       crossNearDupSqlOver("doc_id % 2 = 0 AND doc_id % 5 <> 2"),
     // p08 reconstructs m09's labels incrementally (see
     // mediaMaintenance's pair-class partition argument)

@@ -285,40 +285,66 @@ object Search {
     (postings, lexicon, stats)
   }
 
+  /** Version fingerprint of a persisted WORD-analyzed BM25 store: the
+    * whitespace analyzer is a DEFINITION too (split on ' ', drop
+    * empties — r01's tokenization), and a store is additionally a
+    * completeness artifact — so even the "unversionable" word family
+    * carries a stamp, closing the one seam the round-17 torn-publish
+    * contract skipped: a nightly publish that dies between `postings`
+    * and `stats` now leaves an unstamped store that FAILS at load,
+    * instead of serving torn rankings under no check at all. */
+  val WsVersion = "graft-bm25-ws-1"
+
   /** Persist the three index tables under `dir` (postings/lexicon/
-    * stats parquet subdirectories) — the nightly index build's write
-    * half, k15/d19's move on the search seam. */
+    * stats parquet subdirectories) and stamp them with `version` —
+    * the nightly index build's write half, k15/d19's move on the
+    * search seam. Word stores take the default [[WsVersion]]; CJK
+    * callers pass the live tokenizer version. */
   def bm25WriteIndex(postings: DataFrame, lexicon: DataFrame,
-                     stats: DataFrame, dir: String): Unit = {
+                     stats: DataFrame, dir: String,
+                     version: String = WsVersion): Unit = {
     // torn-write contract: remove any previous publish's stamp before
     // overwriting the subtables, so a crash mid-REpublish leaves the
-    // store unloadable at the checked (CJK) load seams rather than
-    // serving torn postings/lexicon under the old valid stamp. The
-    // caller re-stamps after this returns (CJK stores only; word
-    // stores stay unstamped, and for them this is a no-op).
+    // store unloadable at every checked load seam rather than serving
+    // torn postings/lexicon under the old valid stamp; the stamp is
+    // re-written only after all three tables committed.
     IndexMeta.unstamp(dir)
     postings.write.mode("overwrite").parquet(s"$dir/postings")
     lexicon.write.mode("overwrite").parquet(s"$dir/lexicon")
     stats.write.mode("overwrite").parquet(s"$dir/stats")
+    IndexMeta.stampVersion(dir, version)
   }
 
-  /** Load a persisted index. The serve path filters these parquet
-    * scans by token, so the predicate REACHES THE READER
-    * (PushedFilters) — a query touches the query's posting lists on
-    * disk, never the corpus and never the rest of the index. */
-  def bm25LoadIndex(spark: SparkSession,
+  /** Load a persisted index, UNGUARDED — every public load path goes
+    * through [[bm25LoadIndexWs]] (word stores) or
+    * [[bm25LoadIndexChecked]] (tokenizer-derived stores); this stays
+    * package-private so new code cannot reach for the uncheckable
+    * form by accident. The serve path filters these parquet scans by
+    * token, so the predicate REACHES THE READER (PushedFilters) — a
+    * query touches the query's posting lists on disk, never the
+    * corpus and never the rest of the index. */
+  private[graft] def bm25LoadIndex(spark: SparkSession,
                     dir: String): (DataFrame, DataFrame, DataFrame) =
     (spark.read.parquet(s"$dir/postings"),
       spark.read.parquet(s"$dir/lexicon"),
       spark.read.parquet(s"$dir/stats"))
 
+  /** [[bm25LoadIndex]] for WORD-analyzed stores (r06/r13/p06):
+    * verifies the [[WsVersion]] stamp — an absent stamp means the
+    * publish died mid-write (torn store), a different one means the
+    * analyzer definition moved; both fail loudly instead of serving
+    * wrong rankings. */
+  def bm25LoadIndexWs(spark: SparkSession,
+                      dir: String): (DataFrame, DataFrame, DataFrame) = {
+    IndexMeta.checkVersion(dir, WsVersion)
+    bm25LoadIndex(spark, dir)
+  }
+
   /** [[bm25LoadIndex]] for TOKENIZER-DERIVED stores (the r09 CJK
     * index): verifies the [[IndexMeta]] tokenizer-version stamp before
     * reading, so EVERY load path of a script-token store is guarded —
     * the same load-seam placement as `TextOps.cjkTokensLoad`, rather
-    * than trusting each caller to remember the check. Word-tokenized
-    * stores (r06/p06) load unchecked: split-on-space has no versioned
-    * definition to drift. */
+    * than trusting each caller to remember the check. */
   def bm25LoadIndexChecked(spark: SparkSession,
                            dir: String): (DataFrame, DataFrame, DataFrame) = {
     IndexMeta.check(dir)
@@ -392,7 +418,15 @@ object Search {
     * also carries a `dl` column (every deletion knows its doc's
     * length at delete time) and the removed stats come straight off
     * it — exact for zero-term docs AND skipping the full-postings
-    * scan entirely. Output: `(doc_id, score_q6)`, r01's shape. */
+    * scan entirely. Caller contract on the dl-carrying form: every id
+    * must name a doc actually in the indexed corpus — the store
+    * CANNOT validate that (zero-term docs are legitimately invisible
+    * to its postings, so a semi-join would wrongly drop them), and an
+    * id never indexed would decrement n_docs/sum_dl for a doc the
+    * stats never counted. Duplicate delivery of one id (a delete feed
+    * replaying, possibly with drifted dl) is tolerated: ids collapse
+    * to max(dl) before the stats aggregate, so each doc decrements
+    * exactly once. Output: `(doc_id, score_q6)`, r01's shape. */
   def bm25QueryIndexTombstoned(postings: DataFrame, lexicon: DataFrame,
                                stats: DataFrame, tombstones: DataFrame,
                                terms: Seq[String] = DefaultQuery,
@@ -420,7 +454,11 @@ object Search {
     // the once-per-tombstone-update half (see above)
     val rm =
       if (tombstones.columns.contains("dl"))
-        tombstones.select(col("doc_id"), col("dl")).distinct()
+        // collapse per doc FIRST (max(dl)) — a plain distinct() would
+        // count an id twice when the feed delivered it with two
+        // different dl values
+        tombstones.select(col("doc_id"), col("dl"))
+          .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
           .agg(count(lit(1)).as("rm_n"),
             coalesce(sum(col("dl")), lit(0L)).as("rm_dl"))
       else postings.join(ts, Seq("doc_id"), "left_semi")
@@ -662,8 +700,7 @@ object Search {
       val idxDir = IndexPaths.dir("r09_index", d)
       val toks = Clusters.sharedCjkTerms(s, d)
       val (p, l, st) = bm25BuildIndexTokens(toks, "doc_id", "terms")
-      bm25WriteIndex(p, l, st, idxDir)
-      IndexMeta.stamp(idxDir)
+      bm25WriteIndex(p, l, st, idxDir, graft.ops.TextOps.tokenizerVersion)
       val (lp, ll, ls) = bm25LoadIndexChecked(s, idxDir)
       bm25QueryIndex(lp, ll, ls, terms = CjkQuery)
     }),
@@ -671,7 +708,7 @@ object Search {
       val idxDir = IndexPaths.dir("r06_index", d)
       val (p, l, st) = bm25BuildIndex(Tables.documents(s, d), "doc_id", "text")
       bm25WriteIndex(p, l, st, idxDir)
-      val (lp, ll, ls) = bm25LoadIndex(s, idxDir)
+      val (lp, ll, ls) = bm25LoadIndexWs(s, idxDir)
       bm25QueryIndex(lp, ll, ls)
     }),
     // r13: the r06 persisted store served under a standing delete set
@@ -684,7 +721,7 @@ object Search {
       val docs = Tables.documents(s, d)
       val (p, l, st) = bm25BuildIndex(docs, "doc_id", "text")
       bm25WriteIndex(p, l, st, idxDir)
-      val (lp, ll, ls) = bm25LoadIndex(s, idxDir)
+      val (lp, ll, ls) = bm25LoadIndexWs(s, idxDir)
       bm25QueryIndexTombstoned(lp, ll, ls, harnessTombstones(docs))
     }),
     // r14: the tombstone serve on the CJK seam — the r09 persisted
@@ -695,8 +732,7 @@ object Search {
       val idxDir = IndexPaths.dir("r14_index", d)
       val toks = Clusters.sharedCjkTerms(s, d)
       val (p, l, st) = bm25BuildIndexTokens(toks, "doc_id", "terms")
-      bm25WriteIndex(p, l, st, idxDir)
-      IndexMeta.stamp(idxDir)
+      bm25WriteIndex(p, l, st, idxDir, graft.ops.TextOps.tokenizerVersion)
       val (lp, ll, ls) = bm25LoadIndexChecked(s, idxDir)
       bm25QueryIndexTombstoned(lp, ll, ls,
         harnessTombstones(Tables.documents(s, d)), terms = CjkQuery)

@@ -1246,6 +1246,48 @@ object Similarity {
       _ < NumProbes, TopK, nprobe, PqSubspaces, PqRefine, 64)
   }
 
+  /** EXPUNGE-DELETES compaction of a published IVFPQ store (k28) — the
+    * r15 move on the ANN family, the last of the four tombstoned
+    * stores: k25's serve anti-joins its delete set on every query, so
+    * serve cost degrades monotonically as deletions accrue; this pass
+    * drops the tombstoned vectors' rows from the PER-VECTOR tables —
+    * the PQ code list and the coarse cell assignment — while the
+    * TRAINED artifacts (codebooks, cell centroids) stay untouched
+    * (they are corpus statistics, not memberships; FAISS's
+    * remove_ids does exactly this). Each family dir rewrites beside
+    * itself and swaps under its own [[IndexMeta]] stamp
+    * ([[StoreSwap]]), so a crash mid-swap leaves that dir unservable
+    * rather than mixed; after the swap the tombstone set RETIRES.
+    *
+    * Rebuild equivalence: the serve's only use of the two compacted
+    * tables is the codes⋈assignment inner join feeding ADC — dropping
+    * a vec_id from codes (k25's anti-join) and dropping it from both
+    * tables produce the identical joined set, so
+    * `compact → ivfPqServeLoaded` equals k25's tombstone serve
+    * bit-for-bit and k28 shares its oracle. Cost: two broadcast
+    * anti-joins over narrow int tables — corpus-linear I/O, no
+    * retraining, no re-encode. */
+  def ivfPqCompactStore(spark: SparkSession, dir: String,
+                        tombstones: DataFrame): Unit = {
+    val ts = broadcast(tombstones.select(col("vec_id")).distinct())
+    locally { // PQ family: codes shrink, codebooks persist
+      val pqDir = s"$dir/pq"
+      val (codes, _) = pqLoadIndex(spark, pqDir) // stamp-checked
+      val tmp = StoreSwap.freshScratch(pqDir)
+      codes.join(ts, Seq("vec_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$tmp/codes")
+      StoreSwap.swapSubtables(pqDir, Seq("codes"), pqVersion)
+    }
+    locally { // coarse family: assignment shrinks, centroids persist
+      val cDir = s"$dir/coarse"
+      val (assign, _) = ivfLoadCoarse(spark, cDir) // stamp-checked
+      val tmp = StoreSwap.freshScratch(cDir)
+      assign.join(ts, Seq("vec_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$tmp/assign")
+      StoreSwap.swapSubtables(cDir, Seq("assign"), ivfVersion)
+    }
+  }
+
   /** The generic IVFPQ search over CALLER artifacts (the library-API
     * form the catalog instantiates): normalized vectors, a trained
     * cell `assign`ment, its `cellCentroids`, and a PQ index — gate
@@ -1521,6 +1563,18 @@ object Similarity {
       ivfPqServeTombstoned(s, d,
         Tables.embeddings(s, d).select(col("vec_id"))
           .filter(col("vec_id") % 7 === 3))),
+    // k28: k25's deletes EXPUNGED at rebuild time — publish the full
+    // IVFPQ store, compact the tombstoned vectors out of codes +
+    // assignment (trained artifacts untouched), retire the set, and
+    // serve all-loaded with no tombstone logic; equals k25 exactly
+    "k28_ann_compacted_serve" -> ((s, d) => {
+      val dir = IndexPaths.dir("k28_index", d)
+      ivfPqWriteAll(s, d, dir)
+      ivfPqCompactStore(s, dir,
+        Tables.embeddings(s, d).select(col("vec_id"))
+          .filter(col("vec_id") % 7 === 3))
+      ivfPqServeLoaded(s, d, dir)
+    }),
     // k19 under a metadata predicate (even labels only): the
     // eligibility set semi-joins the code list before ADC, so every
     // probe ranks its full top-k among the eligible vectors
@@ -2352,6 +2406,17 @@ object Similarity {
             val guard = "WHERE a0.vec_id <> pc.probe_id)"
             require(k19Sql.contains(guard),
               "k19Sql scored-CTE text changed; update the k25 injection")
+            k19Sql.replace(guard,
+              "WHERE a0.vec_id <> pc.probe_id AND a0.vec_id % 7 <> 3)")
+          }) +
+          // k28 — compact-then-serve equals k25's tombstone serve
+          // (dropping a vec_id from codes alone or from codes AND
+          // assignment yields the same codes⋈assignment join), so the
+          // compacted entry shares k25's text
+          ("k28_ann_compacted_serve" -> {
+            val guard = "WHERE a0.vec_id <> pc.probe_id)"
+            require(k19Sql.contains(guard),
+              "k19Sql scored-CTE text changed; update the k28 injection")
             k19Sql.replace(guard,
               "WHERE a0.vec_id <> pc.probe_id AND a0.vec_id % 7 <> 3)")
           }) +

@@ -38,11 +38,13 @@ object DeconStream {
 
   /** Drain the directory as a delta stream of corpus vectors, scoring
     * each micro-batch against the standing `bench` frame and appending
-    * flagged rows to `outPath`.
+    * flagged rows to `outPath` (batchId-keyed — read back with
+    * [[Drain.readSink]]).
     *
     * Exactly-once across restarts requires `checkpointDir` (the
-    * [[Drain]] contract): with one, a re-run replays nothing already
-    * committed; without one, every invocation reprocesses the whole
+    * [[Drain]] contract): with one, a re-run replays only the
+    * uncommitted batch, whose batchId-keyed overwrite cannot double
+    * rows; without one, every invocation reprocesses the whole
     * directory and must write to a fresh `outPath`. */
   def runAvailableNow(spark: SparkSession, dir: String, bench: DataFrame,
                       outPath: String, threshold: Double,
@@ -51,9 +53,10 @@ object DeconStream {
                       checkpointDir: Option[String] = None,
                       glob: String = "embeddings.parquet"): Unit =
     Drain.availableNow(spark, dir, rawSchema, glob, deltaFilter,
-      checkpointDir) { batch =>
-      graft.ops.Dedup.semanticDecontaminate(batch, bench,
-          "vec_id", "embedding", threshold)
-        .write.mode("append").parquet(outPath)
+      checkpointDir) { (batch, id) =>
+      Drain.appendBatch(
+        graft.ops.Dedup.semanticDecontaminate(batch, bench,
+          "vec_id", "embedding", threshold),
+        outPath, id)
     }
 }

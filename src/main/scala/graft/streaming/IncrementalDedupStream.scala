@@ -34,31 +34,22 @@ object IncrementalDedupStream {
 
   /** Drain the current directory contents as a delta stream (odd doc
     * ids in the harness wiring), appending near-dup pairs vs `corpus`
-    * to `outPath` as parquet. Exactly-once across restarts requires
-    * `checkpointDir` (see [[IndexStream.runAvailableNow]]); without
-    * one, re-runs reprocess everything and need a fresh `outPath`. */
+    * to `outPath` (batchId-keyed — read back with [[Drain.readSink]]).
+    * Exactly-once across restarts requires `checkpointDir` (see
+    * [[IndexStream.runAvailableNow]]); with one, a replayed batch
+    * overwrites its own subdir; without one, re-runs reprocess
+    * everything and need a fresh `outPath`. */
   def runAvailableNow(spark: SparkSession, dir: String, corpus: DataFrame,
                       outPath: String, threshold: Double = 0.6,
                       deltaFilter: org.apache.spark.sql.Column,
-                      checkpointDir: Option[String] = None): Unit = {
-    val reader = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
-      .filter(deltaFilter)
-    val writer0 = reader.writeStream
-    val writer = checkpointDir.fold(writer0)(cp =>
-      writer0.option("checkpointLocation", cp))
-    val q = writer
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+                      checkpointDir: Option[String] = None): Unit =
+    Drain.availableNow(spark, dir, rawSchema, "documents.parquet",
+      deltaFilter, checkpointDir) { (batch, id) =>
+      Drain.appendBatch(
         graft.ops.Dedup
-          .minhashVerifiedAgainst(corpus, batch, "doc_id", "text", threshold)
-          .write.mode("append").parquet(outPath)
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-  }
+          .minhashVerifiedAgainst(corpus, batch, "doc_id", "text", threshold),
+        outPath, id)
+    }
 
   /** [[runAvailableNow]] served from a PERSISTED MinHash index (d19):
     * the corpus's band table is loaded from `indexDir` ONCE and every
@@ -77,24 +68,14 @@ object IncrementalDedupStream {
                              checkpointDir: Option[String] = None): Unit = {
     val (_, bands) = graft.ops.Dedup.minhashLoadIndex(spark, indexDir)
     val corpusBands = bands.withColumnRenamed("doc_id", "corpus_id")
-    val reader = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
-      .filter(deltaFilter)
-    val writer0 = reader.writeStream
-    val writer = checkpointDir.fold(writer0)(cp =>
-      writer0.option("checkpointLocation", cp))
-    val q = writer
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+    Drain.availableNow(spark, dir, rawSchema, "documents.parquet",
+      deltaFilter, checkpointDir) { (batch, id) =>
+      Drain.appendBatch(
         graft.ops.Dedup
           .minhashServeDelta(corpus, corpusBands, batch, "doc_id", "text",
-            threshold)
-          .write.mode("append").parquet(outPath)
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+            threshold),
+        outPath, id)
+    }
   }
 
   /** The CJK seam's stream edge — [[runAvailableNowIndexed]]'s
@@ -126,25 +107,15 @@ object IncrementalDedupStream {
       .withColumnRenamed("doc_id", "corpus_id")
     val bands = spark.read.parquet(s"$indexDir/bands")
       .withColumnRenamed("doc_id", "corpus_id")
-    val reader = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", glob)
-      .parquet(dir)
-      .filter(deltaFilter)
-    val writer0 = reader.writeStream
-    val writer = checkpointDir.fold(writer0)(cp =>
-      writer0.option("checkpointLocation", cp))
-    val q = writer
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+    Drain.availableNow(spark, dir, rawSchema, glob,
+      deltaFilter, checkpointDir) { (batch, id) =>
+      Drain.appendBatch(
         graft.ops.Dedup.minhashServeDeltaFrom(hashes, bands,
           batch.select(col("doc_id"), concat_ws(" ",
             graft.ops.TextOps.scriptTokens(textOf)).as("_script_text")),
           "doc_id", "_script_text", threshold,
-          graft.ops.Dedup.CjkCharShingleN, graft.ops.Dedup.MaxBandDocs)
-          .write.mode("append").parquet(outPath)
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+          graft.ops.Dedup.CjkCharShingleN, graft.ops.Dedup.MaxBandDocs),
+        outPath, id)
+    }
   }
 }

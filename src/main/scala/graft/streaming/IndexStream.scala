@@ -8,13 +8,13 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * §2.9/§7.5): the r06/r07 seam at the stream edge — documents arrive,
   * each micro-batch's postings/lexicon/stats are built with
   * [[graft.ops.Search.bm25BuildIndex]] and appended as a SEGMENT
-  * (three parquet subtables per batch), and queries serve from the
-  * segment store after an exact-integer merge — precisely the
+  * (three batchId-keyed parquet subdirs per batch), and queries serve
+  * from the segment store after an exact-integer merge — precisely the
   * Lucene/Elasticsearch shape: writers append immutable segments,
-  * readers merge at query time, a background compaction (here: one
-  * [[graft.ops.Search.bm25MergeIndex]] pass rewritten through
-  * [[graft.ops.Search.bm25WriteIndex]]) folds segments together when
-  * they accumulate.
+  * readers merge at query time, a background compaction
+  * ([[compactCjk]]) folds segments together when they accumulate —
+  * scheduled by [[runAvailableNowCjk]]'s `maxSegments` trigger, the
+  * minimal merge policy.
   *
   * NO state store at all: a batch's segment is a pure function of the
   * batch (tf/dl are per-doc, df and stats are per-segment sums), and
@@ -22,8 +22,17 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * all exact integers — makes the merged read independent of how the
   * corpus was split into batches. Stream ≡ batch is therefore an
   * identity over ANY micro-batch partitioning (IndexStreamSpec pins
-  * it against the one-shot r01 ranking).
-  */
+  * it).
+  *
+  * Exactly-once: segment appends go through [[Drain.appendBatch]] —
+  * each batch's three tables land in batchId-keyed subdirs with
+  * overwrite semantics, so a checkpointed restart that replays the one
+  * uncommitted batch overwrites its own subdirs instead of doubling
+  * rows. Recovery is therefore exact for a crash at ANY point of a
+  * checkpointed run, including inside a batch (a torn batch's partial
+  * subdirs are overwritten whole on replay); [[mergedIndex]] reads the
+  * store recursively so flat publisher segments and streamed batch
+  * subdirs merge identically. */
 object IndexStream {
   /** The harness documents schema, declared explicitly — streaming
     * reads never infer. */
@@ -34,26 +43,35 @@ object IndexStream {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
+  /** Append one micro-batch's three index tables as a segment — the
+    * idempotent sink both drains share: batchId-keyed subdirs under
+    * each subtable, overwrite on replay ([[Drain.appendBatch]]). */
+  private def appendSegment(p: DataFrame, l: DataFrame, st: DataFrame,
+                            segDir: String, batchId: Long): Unit = {
+    Drain.appendBatch(p, s"$segDir/postings", batchId)
+    Drain.appendBatch(l, s"$segDir/lexicon", batchId)
+    Drain.appendBatch(st, s"$segDir/stats", batchId)
+  }
+
   /** Drain the directory as a delta stream, appending one index
     * segment (postings/lexicon/stats parquet) per micro-batch under
     * `segDir`.
     *
     * Exactly-once across restarts REQUIRES `checkpointDir`: with a
-    * checkpoint, a re-run over the same source directory replays
-    * nothing already committed, so segments never double. Without one
-    * (None — the single-shot spec/harness mode) every invocation
-    * reprocesses the whole directory and MUST therefore write to a
-    * fresh `segDir`, or the appended postings/df/stats would silently
-    * double in [[mergedIndex]]. */
+    * checkpoint, a re-run over the same source directory replays only
+    * the uncommitted batch, whose batchId-keyed overwrite cannot
+    * double rows. Without one (None — the single-shot spec/harness
+    * mode) every invocation reprocesses the whole directory under
+    * fresh batchIds that need not match the previous run's split, and
+    * MUST therefore write to a fresh `segDir`, or the appended
+    * postings/df/stats would silently double in [[mergedIndex]]. */
   def runAvailableNow(spark: SparkSession, dir: String,
                       segDir: String,
                       checkpointDir: Option[String] = None): Unit =
     Drain.availableNow(spark, dir, rawSchema, "documents.parquet",
-      org.apache.spark.sql.functions.lit(true), checkpointDir) { batch =>
+      org.apache.spark.sql.functions.lit(true), checkpointDir) { (batch, id) =>
       val (p, l, st) = Search.bm25BuildIndex(batch, "doc_id", "text")
-      p.write.mode("append").parquet(s"$segDir/postings")
-      l.write.mode("append").parquet(s"$segDir/lexicon")
-      st.write.mode("append").parquet(s"$segDir/stats")
+      appendSegment(p, l, st, segDir, id)
     }
 
   /** [[runAvailableNow]]'s CJK twin (r12) — the last seam where the
@@ -73,12 +91,29 @@ object IndexStream {
     * writes fails loudly instead of silently splitting the lexicon
     * (checked before appending to a standing store), and a TORN
     * append — postings written, lexicon/stats not — also fails
-    * closed, because the stamp is REMOVED before the drain starts and
-    * re-written only after it completes, so a crash mid-append leaves
-    * the store unstamped rather than serving wrong df/stats sums
-    * under the previous valid stamp. `textOf` lets the harness inject
-    * the fixture translate; a real deployment leaves the default raw
-    * column. */
+    * closed, because the stamp is REMOVED before the first mutation
+    * and re-written only after the drain completes, so a crash
+    * mid-append leaves the store unstamped rather than serving wrong
+    * df/stats sums under the previous valid stamp. The unstamp is
+    * LAZY (first batch, not stream start): a failure that never
+    * touches the store — bad source dir, bad glob, an analysis error
+    * in the first batch's plan — leaves a healthy standing store
+    * stamped and servable instead of forcing a rebuild.
+    *
+    * `maxSegments` (0 = off) is the MERGE POLICY, minimal version:
+    * after the drain commits and re-stamps, if the store holds more
+    * than `maxSegments` segments, one [[compactCjk]] pass folds them
+    * to one — Lucene's segment-count merge trigger. The trigger runs
+    * BETWEEN drains, never inside the foreachBatch loop: a mid-drain
+    * compaction would fold rows a not-yet-committed batch also wrote,
+    * and the checkpoint's replay of that batch after a crash would
+    * then double them — compaction and the exactly-once replay
+    * contract only compose when compaction sees exclusively committed
+    * segments. Serve is unchanged bit-for-bit (the r07 merge
+    * theorem; pinned by IndexStreamSpec's scheduled-compaction case).
+    *
+    * `textOf` lets the harness inject the fixture translate; a real
+    * deployment leaves the default raw column. */
   def runAvailableNowCjk(spark: SparkSession, dir: String,
                          segDir: String,
                          textOf: org.apache.spark.sql.Column =
@@ -86,17 +121,17 @@ object IndexStream {
                          checkpointDir: Option[String] = None,
                          glob: String = "documents.parquet",
                          deltaFilter: org.apache.spark.sql.Column =
-                           org.apache.spark.sql.functions.lit(true)): Unit = {
+                           org.apache.spark.sql.functions.lit(true),
+                         maxSegments: Int = 0): Unit = {
     // appending a segment built by a DIFFERENT tokenizer than the
     // standing segments would corrupt the merged lexicon silently —
-    // check first if segments already exist; then UNSTAMP for the
-    // duration of the append (torn-append fail-closed contract) and
-    // re-stamp only once the drain has fully committed. An EXISTING
-    // but UNSTAMPED store is a crashed append: only a CHECKPOINTED
-    // restart may touch it (the checkpoint replays exactly the
-    // uncommitted batches, completing the append consistently); an
-    // uncheckpointed re-run would reprocess everything and double the
-    // standing postings, so it fails loudly here instead.
+    // check first if segments already exist. An EXISTING but UNSTAMPED
+    // store is a crashed append: only a CHECKPOINTED restart may touch
+    // it (the checkpoint replays exactly the one uncommitted batch,
+    // whose batchId-keyed overwrite completes the append without
+    // doubling); an uncheckpointed re-run would reprocess everything
+    // under fresh batchIds that need not match the standing subdirs,
+    // so it fails loudly here instead.
     if (new java.io.File(segDir, "postings").exists()) {
       if (graft.ops.IndexMeta.isStamped(segDir))
         graft.ops.IndexMeta.check(segDir)
@@ -106,10 +141,16 @@ object IndexStream {
           "— an uncheckpointed re-run would double its postings. " +
           "Provide the checkpoint or clear the store.")
     }
-    graft.ops.IndexMeta.unstamp(segDir)
+    // torn-append fail-closed contract: unstamp for the duration of
+    // the append — but LAZILY, at the first actual store mutation, so
+    // a drain that fails before touching the store leaves the stamp
+    // (and the store's servability) intact
+    val unstamped = new java.util.concurrent.atomic.AtomicBoolean(false)
     Drain.availableNow(spark, dir, rawSchema, glob,
-      deltaFilter, checkpointDir) { batch =>
+      deltaFilter, checkpointDir) { (batch, id) =>
       import org.apache.spark.sql.functions.col
+      if (unstamped.compareAndSet(false, true))
+        graft.ops.IndexMeta.unstamp(segDir)
       // tokenize ONCE per micro-batch (the r08 doctrine at the stream
       // edge): the index build reads the term arrays twice (corpus
       // scalars + postings), so an unmaterialized projection would run
@@ -118,12 +159,19 @@ object IndexStream {
       val toks = batch.select(col("doc_id"),
         Search.cjkIndexTerms(textOf).as("terms")).localCheckpoint()
       val (p, l, st) = Search.bm25BuildIndexTokens(toks, "doc_id", "terms")
-      p.write.mode("append").parquet(s"$segDir/postings")
-      l.write.mode("append").parquet(s"$segDir/lexicon")
-      st.write.mode("append").parquet(s"$segDir/stats")
+      appendSegment(p, l, st, segDir, id)
     }
     graft.ops.IndexMeta.stamp(segDir)
+    if (maxSegments > 0 && segmentCount(spark, segDir) > maxSegments)
+      compactCjk(spark, segDir)
   }
+
+  /** How many segments the store currently holds — each append wrote
+    * exactly one stats row, and compaction folds them to one, so the
+    * stats row count IS the segment count (the number the merge
+    * policy triggers on). */
+  def segmentCount(spark: SparkSession, segDir: String): Long =
+    Drain.readSink(spark, s"$segDir/stats").count()
 
   /** [[mergedIndex]] with the CJK store's tokenizer-version check —
     * the serve seam for [[runAvailableNowCjk]] segment stores. */
@@ -136,15 +184,17 @@ object IndexStream {
   /** Read the segment store back as ONE logical index: the r07 merge
     * over however many segments the stream appended — postings are
     * already concatenated by the append writes; lexicon dfs and the
-    * corpus stats re-sum exactly. Serve with
+    * corpus stats re-sum exactly. Reads are RECURSIVE
+    * ([[Drain.readSink]]): a store may mix flat publisher segments
+    * with streamed batchId subdirs. Serve with
     * [[graft.ops.Search.bm25QueryIndex]]. */
   def mergedIndex(spark: SparkSession,
                   segDir: String): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.functions.{col, sum}
-    val postings = spark.read.parquet(s"$segDir/postings")
-    val lexicon = spark.read.parquet(s"$segDir/lexicon")
+    val postings = Drain.readSink(spark, s"$segDir/postings")
+    val lexicon = Drain.readSink(spark, s"$segDir/lexicon")
       .groupBy(col("token")).agg(sum(col("df")).as("df"))
-    val stats = spark.read.parquet(s"$segDir/stats")
+    val stats = Drain.readSink(spark, s"$segDir/stats")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
     (postings, lexicon, stats)
   }
@@ -156,13 +206,11 @@ object IndexStream {
     * segment count (Lucene's exact problem, Lucene's exact answer).
     * One pass reads the merged view ([[mergedIndex]] — exact integer
     * adds), rewrites it as a single segment BESIDE the live store,
-    * then swaps the subtables in. The swap runs under the
-    * [[graft.ops.IndexMeta]] torn-write contract: the stamp comes off
-    * before the first destructive move and back after the last, so a
-    * crash mid-swap leaves an unstamped (unservable, un-appendable-
-    * without-checkpoint) store instead of a silent mix of old and new
-    * segments. On a real object store the swap is a manifest pointer
-    * flip; the filesystem moves here are the local-mode equivalent.
+    * then swaps the subtables in under the [[graft.ops.IndexMeta]]
+    * torn-write contract ([[graft.ops.StoreSwap]]): a crash mid-swap
+    * leaves an unstamped (unservable, un-appendable-without-
+    * checkpoint) store instead of a silent mix of old and new
+    * segments.
     *
     * `tombstones` (optional) makes this Lucene's EXPUNGE-DELETES: the
     * rewritten segment drops the tombstoned docs' postings and
@@ -178,6 +226,11 @@ object IndexStream {
     * from the store — pass a tombstone table carrying `dl` (known at
     * delete time) and the removed stats come straight off it, exact
     * for zero-term docs and skipping the removed-postings pass.
+    * Caller contract on the dl-carrying form (shared with the serve
+    * variant): every id must name a doc actually in the indexed
+    * corpus — the store cannot validate that, because zero-term docs
+    * are legitimately invisible to its postings. Conflicting dl rows
+    * for one id collapse to max(dl) rather than double-counting.
     *
     * Cost shape: two passes over the merged postings — the rewrite
     * itself and one extraction of the (deletes-sized, checkpointed)
@@ -208,9 +261,16 @@ object IndexStream {
           .select(col("token"),
             (col("df") - coalesce(col("rm_df"), lit(0L))).as("df"))
           .filter(col("df") > 0)
+        // removed corpus stats: from the tombstone table itself when
+        // it carries dl (exact for zero-term docs, zero store scans),
+        // else derived from the tombstoned docs' posting rows. Either
+        // way the set is collapsed PER DOC first — max(dl) per id —
+        // so a delete feed that delivered the same id twice (possibly
+        // with drifted dl) decrements n_docs/sum_dl exactly once.
         val rm =
           if (tsRaw.columns.contains("dl"))
-            tsRaw.select(col("doc_id"), col("dl")).distinct()
+            tsRaw.select(col("doc_id"), col("dl"))
+              .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
               .agg(count(lit(1)).as("rm_n"),
                 coalesce(sum(col("dl")), lit(0L)).as("rm_dl"))
           else rmPost
@@ -223,42 +283,12 @@ object IndexStream {
         (live, lex, stats)
     }
     // rewrite beside the live store (reads old paths, writes new —
-    // never overlapping), then swap
-    val tmp = s"$segDir.compacting"
-    clearTree(new java.io.File(tmp),
-      "stale compaction scratch — remove it and re-run")
+    // never overlapping), then swap under the stamp-off/stamp-on
+    // contract
+    val tmp = graft.ops.StoreSwap.freshScratch(segDir)
     graft.ops.Search.bm25WriteIndex(p, l, st, tmp)
-    graft.ops.IndexMeta.unstamp(segDir)
-    Seq("postings", "lexicon", "stats").foreach { sub =>
-      // a clear that silently left residue would surface as a
-      // confusing Files.move failure mid-swap; fail loudly instead —
-      // the store is already unstamped, so it cannot serve torn
-      clearTree(new java.io.File(segDir, sub),
-        "store left unstamped (unservable); clear it and re-compact")
-      java.nio.file.Files.move(
-        new java.io.File(tmp, sub).toPath,
-        new java.io.File(segDir, sub).toPath)
-      ()
-    }
-    deleteTree(new java.io.File(tmp))
-    graft.ops.IndexMeta.stamp(segDir)
-  }
-
-  /** [[deleteTree]] with the clear VERIFIED — for the swap sites where
-    * leftover files would corrupt or confuse the subsequent move. */
-  private def clearTree(f: java.io.File, consequence: String): Unit = {
-    deleteTree(f)
-    if (f.exists())
-      throw new IllegalStateException(
-        s"could not fully remove $f — $consequence")
-  }
-
-  private def deleteTree(f: java.io.File): Unit = {
-    if (!java.nio.file.Files.isSymbolicLink(f.toPath)) {
-      val kids = f.listFiles()
-      if (kids != null) kids.foreach(deleteTree)
-    }
-    f.delete()
-    ()
+    graft.ops.StoreSwap.swapSubtables(segDir,
+      Seq("postings", "lexicon", "stats"),
+      graft.ops.TextOps.tokenizerVersion)
   }
 }

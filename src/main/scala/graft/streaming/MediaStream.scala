@@ -31,7 +31,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * state (blobs carry no event time to watermark on). `foreachBatch`
   * gives each batch exact batch semantics with the frozen store bound
   * once — stream ≡ batch is pinned by MediaStreamSpec.
-  */
+  *
+  * Both sinks append through [[Drain.appendBatch]] (batchId-keyed
+  * overwrite), so a checkpointed restart's replay of the one
+  * uncommitted batch lands on its own subdir and cannot double rows —
+  * recovery is exact even for a crash INSIDE a batch, the same
+  * contract as [[IndexStream]]'s segment store. */
 object MediaStream {
   /** The harness documents schema — streaming reads never infer. */
   val rawSchema: org.apache.spark.sql.types.StructType =
@@ -39,9 +44,9 @@ object MediaStream {
 
   private def drain(spark: SparkSession, dir: String,
                     deltaFilter: org.apache.spark.sql.Column,
-                    checkpointDir: Option[String])
-                   (body: DataFrame => Unit): Unit =
-    Drain.availableNow(spark, dir, rawSchema, "documents.parquet",
+                    checkpointDir: Option[String], glob: String)
+                   (body: (DataFrame, Long) => Unit): Unit =
+    Drain.availableNow(spark, dir, rawSchema, glob,
       deltaFilter, checkpointDir)(body)
 
   /** Drain the current directory contents as a delta stream,
@@ -49,18 +54,21 @@ object MediaStream {
     * to `storePath` as parquet — the stream-edge writer of the m10
     * store. Exactly-once across restarts requires `checkpointDir`
     * (see [[IndexStream.runAvailableNow]]); without one, re-runs
-    * reprocess everything and need a fresh `storePath`. */
+    * reprocess everything under fresh batchIds and need a fresh
+    * `storePath`. */
   def runAvailableNowIngest(spark: SparkSession, dir: String,
                             storePath: String,
                             deltaFilter: org.apache.spark.sql.Column,
-                            checkpointDir: Option[String] = None): Unit = {
+                            checkpointDir: Option[String] = None,
+                            glob: String = "documents.parquet"): Unit = {
     // the stream edge maintains the store's version stamp like every
     // other frame-store writer: appending under a DIFFERENT codec/
     // fingerprint definition fails loudly, and the stamp is absent
     // for the duration of the append so a torn append fails closed at
     // the load seam. An existing-but-unstamped store is a crashed
-    // append: only a checkpointed restart may complete it (the
-    // IndexStream recovery contract on the media store).
+    // append: only a checkpointed restart may complete it (the replay
+    // of the one uncommitted batch overwrites its own batchId subdir
+    // — the IndexStream recovery contract on the media store).
     if (new java.io.File(storePath).exists()) {
       if (graft.ops.IndexMeta.isStamped(storePath))
         graft.ops.IndexMeta.checkVersion(storePath,
@@ -71,10 +79,15 @@ object MediaStream {
           "— an uncheckpointed re-run would double its signatures. " +
           "Provide the checkpoint or clear the store.")
     }
-    graft.ops.IndexMeta.unstamp(storePath)
-    drain(spark, dir, deltaFilter, checkpointDir) { batch =>
-      graft.ops.Multimodal.framesOf(batch)
-        .write.mode("append").parquet(storePath)
+    // unstamp LAZILY at the first actual store mutation (the
+    // IndexStream discipline): a drain that fails before any batch —
+    // bad source dir, bad glob — leaves a healthy store stamped
+    val unstamped = new java.util.concurrent.atomic.AtomicBoolean(false)
+    drain(spark, dir, deltaFilter, checkpointDir, glob) { (batch, id) =>
+      if (unstamped.compareAndSet(false, true))
+        graft.ops.IndexMeta.unstamp(storePath)
+      Drain.appendBatch(graft.ops.Multimodal.framesOf(batch),
+        storePath, id)
     }
     graft.ops.IndexMeta.stampVersion(storePath,
       graft.ops.Multimodal.frameVersion)
@@ -83,18 +96,21 @@ object MediaStream {
   /** Drain the current directory contents as a delta stream, scoring
     * each micro-batch's items against the standing store at `indexDir`
     * (loaded once, df cap frozen there) and appending the cross
-    * near-dup pairs to `outPath`. Output ≡ the one-shot
+    * near-dup pairs to `outPath` (batchId-keyed — read back with
+    * [[Drain.readSink]]). Output ≡ the one-shot
     * [[graft.ops.Multimodal.crossNearDupVsStore]] over the whole
     * delta (pinned by MediaStreamSpec). */
   def runAvailableNowIndexed(spark: SparkSession, dir: String,
                              indexDir: String, outPath: String,
                              deltaFilter: org.apache.spark.sql.Column,
-                             checkpointDir: Option[String] = None): Unit = {
+                             checkpointDir: Option[String] = None,
+                             glob: String = "documents.parquet"): Unit = {
     val store = graft.ops.Multimodal.frameLoadStore(spark, indexDir)
-    drain(spark, dir, deltaFilter, checkpointDir) { batch =>
-      graft.ops.Multimodal
-        .crossNearDupVsStore(store, graft.ops.Multimodal.framesOf(batch))
-        .write.mode("append").parquet(outPath)
+    drain(spark, dir, deltaFilter, checkpointDir, glob) { (batch, id) =>
+      Drain.appendBatch(
+        graft.ops.Multimodal
+          .crossNearDupVsStore(store, graft.ops.Multimodal.framesOf(batch)),
+        outPath, id)
     }
   }
 }

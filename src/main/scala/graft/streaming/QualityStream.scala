@@ -35,10 +35,12 @@ object QualityStream {
 
   /** Drain the current directory contents as a delta stream, scoring
     * each micro-batch against the frozen `(uniTop, biTop)` model and
-    * appending the gated verdicts to `outPath` as parquet.
+    * appending the gated verdicts to `outPath` (batchId-keyed — read
+    * back with [[Drain.readSink]]).
     *
     * Exactly-once across restarts requires `checkpointDir` (see
-    * [[IndexStream.runAvailableNow]]): without one, each invocation
+    * [[IndexStream.runAvailableNow]]): with one, a replayed batch
+    * overwrites its own batchId subdir; without one, each invocation
     * reprocesses the whole directory and must append to a fresh
     * `outPath` or verdict rows duplicate. */
   def runAvailableNow(spark: SparkSession, dir: String,
@@ -47,11 +49,12 @@ object QualityStream {
                       checkpointDir: Option[String] = None,
                       glob: String = "documents.parquet"): Unit =
     Drain.availableNow(spark, dir, rawSchema, glob, deltaFilter,
-      checkpointDir) { batch =>
-      graft.ops.TextOps
-        .lmScoreWith(batch, "doc_id", "text", uniTop, biTop)
-        .withColumn("keep",
-          col("logp2_q6") >= lit(graft.ops.TextOps.LmKeepThresholdQ6))
-        .write.mode("append").parquet(outPath)
+      checkpointDir) { (batch, id) =>
+      Drain.appendBatch(
+        graft.ops.TextOps
+          .lmScoreWith(batch, "doc_id", "text", uniTop, biTop)
+          .withColumn("keep",
+            col("logp2_q6") >= lit(graft.ops.TextOps.LmKeepThresholdQ6)),
+        outPath, id)
     }
 }

@@ -35,16 +35,35 @@ class DeconStreamSpec extends org.scalatest.funsuite.AnyFunSuite {
     val out1 = Files.createTempDirectory("graft_decon_o1").toString + "/f"
     DeconStream.runAvailableNow(spark, sf, bench, out1, Threshold,
       deltaFilter = col("vec_id") % 10 =!= 0)
-    assert(rows(spark.read.parquet(out1)) == oneShot)
+    assert(rows(Drain.readSink(spark, out1)) == oneShot)
 
-    // the corpus split into two disjoint drains appending to ONE sink
-    // — a forced micro-batch boundary
+    // the corpus staged as two files behind ONE checkpoint, drained
+    // into ONE sink — a real micro-batch boundary with distinct
+    // batchIds (two uncheckpointed invocations would both number their
+    // batches from 0 and collide in the idempotent batchId-keyed sink;
+    // the Drain contract demands the checkpoint for shared sinks)
+    val watch = Files.createTempDirectory("graft_decon_watch")
+    val ckpt = Files.createTempDirectory("graft_decon_ckpt").toString
+    def stage(df: DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_decon_tr")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val listing = Files.list(tmp)
+      val part =
+        try listing.filter(p =>
+          p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        finally listing.close()
+      Files.copy(part, watch.resolve(s"$name.parquet"))
+      ()
+    }
     val out2 = Files.createTempDirectory("graft_decon_o2").toString + "/f"
-    DeconStream.runAvailableNow(spark, sf, bench, out2, Threshold,
-      deltaFilter = col("vec_id") % 10 =!= 0 && col("vec_id") % 2 === 0)
-    DeconStream.runAvailableNow(spark, sf, bench, out2, Threshold,
-      deltaFilter = col("vec_id") % 10 =!= 0 && col("vec_id") % 2 =!= 0)
-    assert(rows(spark.read.parquet(out2)) == oneShot,
+    def runOnce(): Unit =
+      DeconStream.runAvailableNow(spark, watch.toString, bench, out2,
+        Threshold, checkpointDir = Some(ckpt), glob = "*.parquet")
+    stage(corpus.filter(col("vec_id") % 2 === 0), "evens")
+    runOnce()
+    stage(corpus.filter(col("vec_id") % 2 =!= 0), "odds")
+    runOnce()
+    assert(rows(Drain.readSink(spark, out2)) == oneShot,
       "a batch boundary must not change any vector's verdict")
   }
 }

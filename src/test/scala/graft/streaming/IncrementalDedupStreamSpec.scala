@@ -19,7 +19,7 @@ class IncrementalDedupStreamSpec extends AnyFunSuite {
     val out = Files.createTempDirectory("graft_incdedup").toString + "/pairs"
     IncrementalDedupStream.runAvailableNow(spark, sf, corpus, out,
       deltaFilter = col("doc_id") % 2 =!= 0)
-    val streamed = spark.read.parquet(out)
+    val streamed = Drain.readSink(spark, out)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       .sorted.toSeq
     val batch = Dedup.queries("d10_incremental_dedup")(spark, sf)
@@ -36,7 +36,7 @@ class IncrementalDedupStreamSpec extends AnyFunSuite {
     val out = Files.createTempDirectory("graft_incdedup2").toString + "/pairs"
     IncrementalDedupStream.runAvailableNowIndexed(spark, sf, corpus, idxDir,
       out, deltaFilter = col("doc_id") % 2 =!= 0)
-    val streamed = spark.read.parquet(out)
+    val streamed = Drain.readSink(spark, out)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       .sorted.toSeq
     val batch = Dedup.queries("d10_incremental_dedup")(spark, sf)
@@ -58,7 +58,7 @@ class IncrementalDedupStreamSpec extends AnyFunSuite {
     IncrementalDedupStream.runAvailableNowCjk(spark, sf, idxDir, out,
       deltaFilter = col("doc_id") % 2 =!= 0,
       textOf = graft.ops.TextOps.cjkFixture(col("text")))
-    val streamed = spark.read.parquet(out)
+    val streamed = Drain.readSink(spark, out)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       .sorted.toSeq
     val batch = Dedup.cjkServeDelta(spark, cjk(col("doc_id") % 2 =!= 0),

@@ -66,7 +66,7 @@ class IndexStreamSpec extends AnyFunSuite {
     runOnce()
     stage(docs.filter(col("doc_id") % 2 =!= 0), "odds")
     runOnce()
-    assert(spark.read.parquet(s"$segDir/stats").count() == 2,
+    assert(IndexStream.segmentCount(spark, segDir) == 2,
       "two drains over disjoint tranches must append two segments")
     val (p, l, st) = IndexStream.mergedIndexCjk(spark, segDir)
     val full = Search.bm25BuildIndexTokens(
@@ -126,7 +126,7 @@ class IndexStreamSpec extends AnyFunSuite {
     val seg1 = freshStore()
     val before = ranked(IndexStream.mergedIndexCjk(spark, seg1))
     IndexStream.compactCjk(spark, seg1)
-    assert(spark.read.parquet(s"$seg1/stats").count() == 1,
+    assert(IndexStream.segmentCount(spark, seg1) == 1,
       "compaction must fold the stats rows to one segment's")
     assert(ranked(IndexStream.mergedIndexCjk(spark, seg1)) == before,
       "compaction must not change the served ranking")
@@ -163,6 +163,90 @@ class IndexStreamSpec extends AnyFunSuite {
     assert(rows(got3._1) == rows(want._1) && rows(got3._2) == rows(want._2)
       && rows(got3._3) == rows(want._3),
       "dl-carrying tombstones must compact to the identical store")
+  }
+
+  test("scheduled compaction: a long stream run under the maxSegments " +
+    "merge policy ends at one segment with the serve unchanged " +
+    "bit-for-bit") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val watch = java.nio.file.Files.createTempDirectory("graft_sched_watch")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_sched_ckpt").toString
+    val segDir = java.nio.file.Files
+      .createTempDirectory("graft_sched_seg").toString
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sched_tr")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val listing = java.nio.file.Files.list(tmp)
+      val part =
+        try listing.filter(p =>
+          p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        finally listing.close()
+      java.nio.file.Files.copy(part, watch.resolve(s"$name.parquet"))
+      ()
+    }
+    // five tranches drained one at a time under maxSegments = 3: the
+    // store crosses the trigger mid-run (4 segments after the fourth
+    // drain), compacts back to one, and can never end above the bound
+    (0 until 5).foreach { i =>
+      stage(docs.filter(col("doc_id") % 5 === i), s"t$i")
+      IndexStream.runAvailableNowCjk(spark, watch.toString, segDir,
+        textOf = graft.ops.TextOps.cjkFixture(col("text")),
+        checkpointDir = Some(ckpt), glob = "*.parquet", maxSegments = 3)
+    }
+    assert(IndexStream.segmentCount(spark, segDir) <= 3,
+      "the merge policy must keep the store at or under maxSegments")
+    val (p, l, st) = IndexStream.mergedIndexCjk(spark, segDir)
+    val served = Search.bm25QueryIndex(p, l, st, terms = Search.CjkQuery)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val direct = Search.bm25TopKTokens(
+      docs.select(col("doc_id"), Search.cjkIndexTerms(
+        graft.ops.TextOps.cjkFixture(col("text"))).as("terms")),
+      "doc_id", "terms", terms = Search.CjkQuery)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(served == direct,
+      "compaction mid-run must not change the served ranking")
+  }
+
+  test("a drain that fails before touching the store leaves a healthy " +
+    "stamped store servable (the lazy-unstamp contract)") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val segDir = java.nio.file.Files
+      .createTempDirectory("graft_lazy_seg").toString
+    // a healthy standing store, one flat segment
+    val (p, l, st) = Search.bm25BuildIndexTokens(
+      docs.select(col("doc_id"), Search.cjkIndexTerms(
+        graft.ops.TextOps.cjkFixture(col("text"))).as("terms")),
+      "doc_id", "terms")
+    p.write.mode("append").parquet(s"$segDir/postings")
+    l.write.mode("append").parquet(s"$segDir/lexicon")
+    st.write.mode("append").parquet(s"$segDir/stats")
+    graft.ops.IndexMeta.stamp(segDir)
+    val before = Search.bm25QueryIndex(
+      IndexStream.mergedIndexCjk(spark, segDir)._1,
+      IndexStream.mergedIndexCjk(spark, segDir)._2,
+      IndexStream.mergedIndexCjk(spark, segDir)._3,
+      terms = Search.CjkQuery)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // a read-side failure: the source directory does not exist, so the
+    // drain dies before any batch could mutate the store
+    intercept[Throwable] {
+      IndexStream.runAvailableNowCjk(spark,
+        "/nonexistent/graft/source/dir", segDir,
+        textOf = graft.ops.TextOps.cjkFixture(col("text")),
+        glob = "*.parquet")
+    }
+    assert(graft.ops.IndexMeta.isStamped(segDir),
+      "a pre-batch failure must not unstamp a healthy store")
+    val after = Search.bm25QueryIndex(
+      IndexStream.mergedIndexCjk(spark, segDir)._1,
+      IndexStream.mergedIndexCjk(spark, segDir)._2,
+      IndexStream.mergedIndexCjk(spark, segDir)._3,
+      terms = Search.CjkQuery)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(after == before, "the store must keep serving unchanged")
   }
 
   test("torn-append recovery: a crashed (unstamped) segment store " +

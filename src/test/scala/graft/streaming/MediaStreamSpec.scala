@@ -37,7 +37,7 @@ class MediaStreamSpec extends AnyFunSuite {
     val store = Files.createTempDirectory("graft_mstream").toString + "/frames"
     MediaStream.runAvailableNowIngest(spark, sf, store,
       deltaFilter = col("doc_id") % 2 =!= 0)
-    val streamed = frameRows(spark.read.parquet(store))
+    val streamed = frameRows(Drain.readSink(spark, store))
     val oneShot = frameRows(Multimodal.framesOf(
       Tables.documents(spark, sf).filter(col("doc_id") % 2 =!= 0)))
     assert(oneShot.nonEmpty)
@@ -59,17 +59,37 @@ class MediaStreamSpec extends AnyFunSuite {
     val out1 = Files.createTempDirectory("graft_mstream_o1").toString + "/p"
     MediaStream.runAvailableNowIndexed(spark, sf, idx, out1,
       deltaFilter = col("doc_id") % 2 =!= 0)
-    assert(pairRows(spark.read.parquet(out1)) == oneShot)
+    assert(pairRows(Drain.readSink(spark, out1)) == oneShot)
 
-    // the delta split into two disjoint drains appending to ONE sink —
-    // a forced micro-batch boundary; the frozen store is what makes
-    // the union identical to the single drain
+    // the delta staged as two files behind ONE checkpoint, drained
+    // into ONE sink — a real micro-batch boundary with distinct
+    // batchIds (shared sinks require the checkpoint under the
+    // idempotent batchId-keyed append; the frozen store is what makes
+    // the union identical to the single drain)
+    val watch = Files.createTempDirectory("graft_mstream_watch")
+    val ckpt = Files.createTempDirectory("graft_mstream_ckpt").toString
+    def stage(df: DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_mstream_tr")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val listing = Files.list(tmp)
+      val part =
+        try listing.filter(p =>
+          p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        finally listing.close()
+      Files.copy(part, watch.resolve(s"$name.parquet"))
+      ()
+    }
     val out2 = Files.createTempDirectory("graft_mstream_o2").toString + "/p"
-    MediaStream.runAvailableNowIndexed(spark, sf, idx, out2,
-      deltaFilter = col("doc_id") % 4 === 1)
-    MediaStream.runAvailableNowIndexed(spark, sf, idx, out2,
-      deltaFilter = col("doc_id") % 4 === 3)
-    assert(pairRows(spark.read.parquet(out2)) == oneShot,
+    val odds = Tables.documents(spark, sf).filter(col("doc_id") % 2 =!= 0)
+    def runOnce(): Unit =
+      MediaStream.runAvailableNowIndexed(spark, watch.toString, idx, out2,
+        deltaFilter = lit(true), checkpointDir = Some(ckpt),
+        glob = "*.parquet")
+    stage(odds.filter(col("doc_id") % 4 === 1), "one")
+    runOnce()
+    stage(odds.filter(col("doc_id") % 4 === 3), "three")
+    runOnce()
+    assert(pairRows(Drain.readSink(spark, out2)) == oneShot,
       "a batch boundary must not change any delta item's pairs")
   }
 

@@ -31,7 +31,7 @@ class QualityStreamSpec extends AnyFunSuite {
     def norm(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getBoolean(3))).sortBy(_._1).toSeq
-    val streamed = norm(spark.read.parquet(out))
+    val streamed = norm(Drain.readSink(spark, out))
     val batch = norm(TextOps.lmScoreWith(
         docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", uni, bi)
       .withColumn("keep", col("logp2_q6") >= TextOps.LmKeepThresholdQ6))
@@ -64,7 +64,7 @@ class QualityStreamSpec extends AnyFunSuite {
       QualityStream.runAvailableNow(spark, watch.toString, uni, bi, out,
         deltaFilter = lit(true), checkpointDir = Some(ckpt),
         glob = "*.parquet")
-    def readOut() = spark.read.parquet(out).collect()
+    def readOut() = Drain.readSink(spark, out).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
 
     val arriving = docs.filter(col("doc_id") % 2 =!= 0)

@@ -401,7 +401,7 @@ class RestartRecoverySpec extends org.scalatest.funsuite.AnyFunSuite {
         textOf = graft.ops.TextOps.cjkFixture(col("text")),
         checkpointDir = Some(ckpt), glob = "*.parquet")
     runOnce() // run 1 sees tranche A only, then "dies"
-    def pairs() = spark.read.parquet(out).collect()
+    def pairs() = Drain.readSink(spark, out).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       .sorted.toSeq
     val afterA = pairs()
@@ -450,7 +450,7 @@ class RestartRecoverySpec extends org.scalatest.funsuite.AnyFunSuite {
       DeconStream.runAvailableNow(spark, watch.toString, bench, out,
         threshold, checkpointDir = Some(ckpt), glob = "*.parquet")
     runOnce() // run 1 sees tranche A only, then "dies"
-    def flags() = spark.read.parquet(out).collect()
+    def flags() = Drain.readSink(spark, out).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
     val afterA = flags()
     stageTranche(corpus.filter(col("vec_id") % 2 =!= 0), watch, "vecsB")
@@ -467,5 +467,43 @@ class RestartRecoverySpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(afterA.toSet.subsetOf(resumed.toSet) &&
       afterA.size < resumed.size,
       "run 1 must be a genuine strict partial of the one-shot result")
+  }
+
+  test("tombstone stream: restart from checkpoint appends only the " +
+    "unseen delete tranche, and the recovered set serves the exact " +
+    "static-set ranking") {
+    // the set sink is batchId-keyed (Drain.appendBatch), so the kill/
+    // resume must neither double tranche A's ids nor drop tranche B's
+    val docs = graft.ops.Tables.documents(spark, sf)
+    val idxDir = Files.createTempDirectory("graft_ts_restart_idx").toString
+    val (p, l, st) = graft.ops.Search.bm25BuildIndex(docs, "doc_id", "text")
+    graft.ops.Search.bm25WriteIndex(p, l, st, idxDir)
+    val watch = Files.createTempDirectory("graft_restart_ts")
+    val ckpt = Files.createTempDirectory("graft_ckpt_ts").toString
+    val setDir = Files.createTempDirectory("graft_ts_restart_set")
+      .toString + "/set"
+    def runOnce(): Unit =
+      TombstoneStream.runAvailableNow(spark, watch.toString,
+        IndexStream.rawSchema, "doc_id", setDir,
+        deltaFilter = col("doc_id") % 5 === 2,
+        checkpointDir = Some(ckpt), glob = "*.parquet")
+    stageTranche(docs.filter(col("doc_id") % 10 === 2), watch, "delA")
+    runOnce() // run 1 sees tranche A only, then "dies"
+    val afterA = TombstoneStream.loadSet(spark, setDir).count()
+    stageTranche(docs.filter(col("doc_id") % 10 === 7), watch, "delB")
+    runOnce() // restart from the same checkpoint
+    val set = TombstoneStream.loadSet(spark, setDir)
+    assert(set.count() ==
+      afterA + docs.filter(col("doc_id") % 10 === 7).count(),
+      "resume must append exactly the unseen tranche's ids — no " +
+        "duplicates, no gaps")
+    val (lp, ll, ls) = graft.ops.Search.bm25LoadIndexWs(spark, idxDir)
+    def ranking(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ranking(graft.ops.Search.bm25QueryIndexTombstoned(
+        lp, ll, ls, set)) ==
+      ranking(graft.ops.Search.bm25QueryIndexTombstoned(lp, ll, ls,
+        graft.ops.Search.harnessTombstones(docs))),
+      "the recovered set must serve the static-set ranking exactly")
   }
 }
