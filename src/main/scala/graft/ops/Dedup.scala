@@ -1136,8 +1136,10 @@ object Dedup {
     * pass per side into a NARROW `(id, bk0…bk{sets−1})` checkpoint —
     * an unmaterialized frame would be re-scanned and re-bucketed by
     * every candidate branch (Catalyst does not share subtrees across
-    * union arms); at full corpus scale persist this table instead,
-    * the k15 discipline. Each per-set join is the same plain
+    * union arms); at full corpus scale the corpus side's table is the
+    * PERSISTED bucket store instead — [[semanticBucketsWrite]] /
+    * [[semanticDecontaminateFromStore]] (d32), the k15 discipline
+    * materialized. Each per-set join is the same plain
     * equi-join as d26 (bucket = shuffle key, spills not OOMs); the
     * pair dedup is a distinct over 16-byte id pairs (never vectors);
     * the verify re-reads each side's vectors exactly once and
