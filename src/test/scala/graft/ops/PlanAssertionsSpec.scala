@@ -654,6 +654,30 @@ class PlanAssertionsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
         s.take(2000))
   }
 
+  test("d32 store-backed multi-probe: candidates come from loaded-" +
+    "bucket equi-joins — never a cartesian or nested-loop pairing") {
+    val s = plan("d32_semantic_decon_store").toString
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      "every pairing must be gated by a bucket/id equi-join:\n" +
+        s.take(2000))
+  }
+
+  test("r16 streamed-tombstone serve: term pruning reaches the posting " +
+    "scan and the accumulated delete set broadcasts") {
+    val formatted = graft.SparkEntry.queries("r16_bm25_tombstone_stream")(
+      spark, sf).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("PushedFilters"),
+      "term pruning must survive the streamed-set anti/semi joins:\n" +
+        formatted.take(3000))
+    assert(formatted.contains("BroadcastHashJoin"),
+      "the accumulated delete set must broadcast, never shuffle the " +
+        "postings:\n" + formatted.take(3000))
+    assert(!formatted.contains("SortMergeJoin"),
+      "no posting-store shuffle joins at serve:\n" + formatted.take(3000))
+  }
+
   test("r10 phrase: chain joins read the pruned checkpoint — no " +
     "re-tokenize, no cartesian") {
     val s = plan("r10_cjk_phrase").toString
