@@ -627,6 +627,27 @@ object Dedup {
     * with the deletes broadcast — corpus-linear I/O, zero pair work,
     * the once-per-accumulation cost that keeps every subsequent serve
     * free of tombstone logic. */
+  /** [[cjkCompactStore]] behind the deletes-ratio merge policy
+    * ([[StoreSwap.deletesExceed]]): compact only when the tombstone
+    * set has grown past `maxDeleteRatio` of the store's docs — below
+    * that, the d29 serve-time anti-join is the cheaper deal and the
+    * store is left untouched. Returns whether it compacted, so the
+    * caller knows when the tombstone set can retire — the decision
+    * loop a nightly maintenance job actually runs (the maxSegments
+    * trigger's sibling on the delete axis; both are one driver-side
+    * count, the k-means convergence-counter precedent). */
+  def cjkCompactIfNeeded(spark: SparkSession, dir: String,
+                         tombstones: DataFrame,
+                         maxDeleteRatio: Double = 0.1): Boolean = {
+    IndexMeta.check(dir)
+    val sig = spark.read.parquet(s"$dir/signatures")
+    val dead = sig.join(tombstones.select(col("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi").count()
+    val go = StoreSwap.deletesExceed(dead, sig.count(), maxDeleteRatio)
+    if (go) cjkCompactStore(spark, dir, tombstones)
+    go
+  }
+
   def cjkCompactStore(spark: SparkSession, dir: String,
                       tombstones: DataFrame): Unit = {
     // refuse to compact a torn or stale store — compaction would

@@ -332,6 +332,21 @@ object Multimodal {
     * equals `fingerprint(corpus minus tombstones)` bit-for-bit and
     * `compact → serve` equals m12's tombstone serve. One broadcast
     * anti-join over the signature rows; blobs are never touched. */
+  /** [[frameCompactStore]] behind the deletes-ratio merge policy
+    * ([[StoreSwap.deletesExceed]]) — compact only when the tombstoned
+    * signature rows exceed `maxDeleteRatio` of the store; returns
+    * whether it compacted (true ⇒ the tombstone set retires). */
+  def frameCompactIfNeeded(spark: SparkSession, dir: String,
+                           tombstones: DataFrame,
+                           maxDeleteRatio: Double = 0.1): Boolean = {
+    val store = frameLoadStore(spark, dir)
+    val dead = store.join(tombstones.select(col("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi").count()
+    val go = StoreSwap.deletesExceed(dead, store.count(), maxDeleteRatio)
+    if (go) frameCompactStore(spark, dir, tombstones)
+    go
+  }
+
   def frameCompactStore(spark: SparkSession, dir: String,
                         tombstones: DataFrame): Unit = {
     // frameLoadStore checks the stamp — compacting a torn or stale

@@ -1267,6 +1267,21 @@ object Similarity {
     * bit-for-bit and k28 shares its oracle. Cost: two broadcast
     * anti-joins over narrow int tables — corpus-linear I/O, no
     * retraining, no re-encode. */
+  /** [[ivfPqCompactStore]] behind the deletes-ratio merge policy
+    * ([[StoreSwap.deletesExceed]]) — compact only when the tombstoned
+    * code rows exceed `maxDeleteRatio` of the store; returns whether
+    * it compacted (true ⇒ the tombstone set retires). */
+  def ivfPqCompactIfNeeded(spark: SparkSession, dir: String,
+                           tombstones: DataFrame,
+                           maxDeleteRatio: Double = 0.1): Boolean = {
+    val (codes, _) = pqLoadIndex(spark, s"$dir/pq")
+    val dead = codes.join(tombstones.select(col("vec_id")).distinct(),
+      Seq("vec_id"), "left_semi").count()
+    val go = StoreSwap.deletesExceed(dead, codes.count(), maxDeleteRatio)
+    if (go) ivfPqCompactStore(spark, dir, tombstones)
+    go
+  }
+
   def ivfPqCompactStore(spark: SparkSession, dir: String,
                         tombstones: DataFrame): Unit = {
     val ts = broadcast(tombstones.select(col("vec_id")).distinct())

@@ -28,6 +28,15 @@ object StoreSwap {
     * rename, not a copy). */
   def scratch(dir: String): String = s"$dir.compacting"
 
+  /** Lucene's deletes-percentage merge policy, minimal version: pay
+    * the rebuild when the tombstoned rows have grown past `maxRatio`
+    * of the store's rows. Below the threshold the serve-time
+    * anti-join stays the cheaper deal; above it, every query is
+    * re-paying more than one compaction would cost — the trigger each
+    * family's `compactIfNeeded` wrapper decides on. */
+  def deletesExceed(dead: Long, total: Long, maxRatio: Double): Boolean =
+    total > 0 && dead.toDouble >= maxRatio * total.toDouble
+
   /** Clear any stale scratch at [[scratch]]`(dir)` and return its path
     * — every compaction's first step (a previous crashed compaction
     * may have left one behind; its content is garbage by definition,
