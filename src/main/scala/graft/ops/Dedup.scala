@@ -1264,6 +1264,30 @@ object Dedup {
     IndexMeta.stampVersion(dir, hplshVersion(planes, sets, dims))
   }
 
+  /** APPEND a delta batch's bucket rows to a standing bucket store —
+    * the k18 frozen-artifact move on the d32 seam: a bucket is a pure
+    * per-vector function of the FIXED plane sets, so a nightly delta
+    * batch enters the standing store by appending its own narrow rows;
+    * nothing standing is re-bucketed, re-read, or re-written. Runs
+    * under the torn-append contract: the stamp is CHECKED first
+    * (appending buckets from a different plane-set definition would
+    * silently never collide with the standing ones), comes off for
+    * the duration of the append, and returns after — a crash
+    * mid-append leaves the store unloadable at
+    * [[semanticBucketsLoad]] rather than serving half a batch. */
+  def semanticBucketsAppend(delta: DataFrame, id: String, vec: String,
+                            dir: String,
+                            planes: Int = Similarity.NumPlanes,
+                            sets: Int = NumPlaneSets,
+                            dims: Int = 64): Unit = {
+    graft.functions.VectorFunctions.register(delta.sparkSession)
+    IndexMeta.checkVersion(dir, hplshVersion(planes, sets, dims))
+    IndexMeta.unstamp(dir)
+    multiProbeBuckets(delta, id, vec, "vec_id", planes, sets, dims)
+      .write.mode("append").parquet(s"$dir/buckets")
+    IndexMeta.stampVersion(dir, hplshVersion(planes, sets, dims))
+  }
+
   /** Load a persisted bucket store, failing loudly unless its
     * [[hplshVersion]] stamp matches the live plane-set definition. */
   def semanticBucketsLoad(spark: SparkSession, dir: String,

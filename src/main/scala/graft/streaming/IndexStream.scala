@@ -55,7 +55,12 @@ object IndexStream {
 
   /** Drain the directory as a delta stream, appending one index
     * segment (postings/lexicon/stats parquet) per micro-batch under
-    * `segDir`.
+    * `segDir` — the WORD-analyzed twin of [[runAvailableNowCjk]],
+    * sharing its whole guard/stamp/merge-policy body
+    * ([[runSegmented]]) under the word analyzer's [[Search.WsVersion]]
+    * fingerprint: the round that stamped the word PUBLISH store left
+    * its stream-edge segment store unstamped, the same torn-append
+    * hole one family over. Serve through [[mergedIndexWs]].
     *
     * Exactly-once across restarts REQUIRES `checkpointDir`: with a
     * checkpoint, a re-run over the same source directory replays only
@@ -67,11 +72,14 @@ object IndexStream {
     * postings/df/stats would silently double in [[mergedIndex]]. */
   def runAvailableNow(spark: SparkSession, dir: String,
                       segDir: String,
-                      checkpointDir: Option[String] = None): Unit =
-    Drain.availableNow(spark, dir, rawSchema, "documents.parquet",
-      org.apache.spark.sql.functions.lit(true), checkpointDir) { (batch, id) =>
-      val (p, l, st) = Search.bm25BuildIndex(batch, "doc_id", "text")
-      appendSegment(p, l, st, segDir, id)
+                      checkpointDir: Option[String] = None,
+                      glob: String = "documents.parquet",
+                      deltaFilter: org.apache.spark.sql.Column =
+                        org.apache.spark.sql.functions.lit(true),
+                      maxSegments: Int = 0): Unit =
+    runSegmented(spark, dir, segDir, Search.WsVersion, checkpointDir,
+      glob, deltaFilter, maxSegments) { batch =>
+      Search.bm25BuildIndex(batch, "doc_id", "text")
     }
 
   /** [[runAvailableNow]]'s CJK twin (r12) — the last seam where the
@@ -122,35 +130,11 @@ object IndexStream {
                          glob: String = "documents.parquet",
                          deltaFilter: org.apache.spark.sql.Column =
                            org.apache.spark.sql.functions.lit(true),
-                         maxSegments: Int = 0): Unit = {
-    // appending a segment built by a DIFFERENT tokenizer than the
-    // standing segments would corrupt the merged lexicon silently —
-    // check first if segments already exist. An EXISTING but UNSTAMPED
-    // store is a crashed append: only a CHECKPOINTED restart may touch
-    // it (the checkpoint replays exactly the one uncommitted batch,
-    // whose batchId-keyed overwrite completes the append without
-    // doubling); an uncheckpointed re-run would reprocess everything
-    // under fresh batchIds that need not match the standing subdirs,
-    // so it fails loudly here instead.
-    if (new java.io.File(segDir, "postings").exists()) {
-      if (graft.ops.IndexMeta.isStamped(segDir))
-        graft.ops.IndexMeta.check(segDir)
-      else require(checkpointDir.isDefined,
-        s"segment store at $segDir is mid-append (unstamped); only a " +
-          "restart from the original stream checkpoint can complete it " +
-          "— an uncheckpointed re-run would double its postings. " +
-          "Provide the checkpoint or clear the store.")
-    }
-    // torn-append fail-closed contract: unstamp for the duration of
-    // the append — but LAZILY, at the first actual store mutation, so
-    // a drain that fails before touching the store leaves the stamp
-    // (and the store's servability) intact
-    val unstamped = new java.util.concurrent.atomic.AtomicBoolean(false)
-    Drain.availableNow(spark, dir, rawSchema, glob,
-      deltaFilter, checkpointDir) { (batch, id) =>
+                         maxSegments: Int = 0): Unit =
+    runSegmented(spark, dir, segDir,
+      graft.ops.TextOps.tokenizerVersion, checkpointDir, glob,
+      deltaFilter, maxSegments) { batch =>
       import org.apache.spark.sql.functions.col
-      if (unstamped.compareAndSet(false, true))
-        graft.ops.IndexMeta.unstamp(segDir)
       // tokenize ONCE per micro-batch (the r08 doctrine at the stream
       // edge): the index build reads the term arrays twice (corpus
       // scalars + postings), so an unmaterialized projection would run
@@ -158,12 +142,54 @@ object IndexStream {
       // the whole entry's analyzer cost at sf0.1
       val toks = batch.select(col("doc_id"),
         Search.cjkIndexTerms(textOf).as("terms")).localCheckpoint()
-      val (p, l, st) = Search.bm25BuildIndexTokens(toks, "doc_id", "terms")
+      Search.bm25BuildIndexTokens(toks, "doc_id", "terms")
+    }
+
+  /** The guard / torn-append / merge-policy body both analyzer
+    * families share — one place for the exactly-once wiring:
+    *  - appending a segment built under a DIFFERENT analyzer than the
+    *    standing segments would corrupt the merged lexicon silently —
+    *    an existing stamped store is version-checked first. An
+    *    EXISTING but UNSTAMPED store is a crashed append: only a
+    *    CHECKPOINTED restart may touch it (the checkpoint replays
+    *    exactly the one uncommitted batch, whose batchId-keyed
+    *    overwrite completes the append without doubling); an
+    *    uncheckpointed re-run would reprocess everything under fresh
+    *    batchIds that need not match the standing subdirs, so it
+    *    fails loudly instead.
+    *  - torn-append fail-closed contract: the stamp comes off for the
+    *    duration of the append — but LAZILY, at the first actual
+    *    store mutation, so a drain that fails before touching the
+    *    store leaves the stamp (and the store's servability) intact.
+    *  - after the drain commits and re-stamps, the `maxSegments`
+    *    merge policy compacts when crossed (see
+    *    [[runAvailableNowCjk]]'s scaladoc for why never mid-drain). */
+  private def runSegmented(spark: SparkSession, dir: String,
+                           segDir: String, version: String,
+                           checkpointDir: Option[String], glob: String,
+                           deltaFilter: org.apache.spark.sql.Column,
+                           maxSegments: Int)
+                          (build: DataFrame => (DataFrame, DataFrame, DataFrame)): Unit = {
+    if (new java.io.File(segDir, "postings").exists()) {
+      if (graft.ops.IndexMeta.isStamped(segDir))
+        graft.ops.IndexMeta.checkVersion(segDir, version)
+      else require(checkpointDir.isDefined,
+        s"segment store at $segDir is mid-append (unstamped); only a " +
+          "restart from the original stream checkpoint can complete it " +
+          "— an uncheckpointed re-run would double its postings. " +
+          "Provide the checkpoint or clear the store.")
+    }
+    val unstamped = new java.util.concurrent.atomic.AtomicBoolean(false)
+    Drain.availableNow(spark, dir, rawSchema, glob,
+      deltaFilter, checkpointDir) { (batch, id) =>
+      if (unstamped.compareAndSet(false, true))
+        graft.ops.IndexMeta.unstamp(segDir)
+      val (p, l, st) = build(batch)
       appendSegment(p, l, st, segDir, id)
     }
-    graft.ops.IndexMeta.stamp(segDir)
+    graft.ops.IndexMeta.stampVersion(segDir, version)
     if (maxSegments > 0 && segmentCount(spark, segDir) > maxSegments)
-      compactCjk(spark, segDir)
+      compactSegments(spark, segDir, version)
   }
 
   /** How many segments the store currently holds — each append wrote
@@ -178,6 +204,16 @@ object IndexStream {
   def mergedIndexCjk(spark: SparkSession,
                      segDir: String): (DataFrame, DataFrame, DataFrame) = {
     graft.ops.IndexMeta.check(segDir)
+    mergedIndex(spark, segDir)
+  }
+
+  /** [[mergedIndex]] with the word store's [[Search.WsVersion]] check —
+    * the serve seam for [[runAvailableNow]] segment stores: a torn
+    * append or a moved analyzer definition fails here instead of
+    * serving wrong df/stats sums. */
+  def mergedIndexWs(spark: SparkSession,
+                    segDir: String): (DataFrame, DataFrame, DataFrame) = {
+    graft.ops.IndexMeta.checkVersion(segDir, Search.WsVersion)
     mergedIndex(spark, segDir)
   }
 
@@ -237,9 +273,23 @@ object IndexStream {
     * removed posting rows that both corrections read; one pass with
     * dl-carrying tombstones. */
   def compactCjk(spark: SparkSession, segDir: String,
-                 tombstones: Option[DataFrame] = None): Unit = {
+                 tombstones: Option[DataFrame] = None): Unit =
+    compactSegments(spark, segDir, graft.ops.TextOps.tokenizerVersion,
+      tombstones)
+
+  /** [[compactCjk]] for WORD-analyzed segment stores
+    * ([[runAvailableNow]]) — identical merge/expunge arithmetic (the
+    * r07 merge theorem is token-agnostic), verified and re-stamped
+    * under [[Search.WsVersion]]. */
+  def compactWs(spark: SparkSession, segDir: String,
+                tombstones: Option[DataFrame] = None): Unit =
+    compactSegments(spark, segDir, Search.WsVersion, tombstones)
+
+  private def compactSegments(spark: SparkSession, segDir: String,
+                              version: String,
+                              tombstones: Option[DataFrame] = None): Unit = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, lit, max, sum}
-    graft.ops.IndexMeta.check(segDir)
+    graft.ops.IndexMeta.checkVersion(segDir, version)
     val (p0, l0, st0) = mergedIndex(spark, segDir)
     val (p, l, st) = tombstones match {
       case None => (p0, l0, st0)
@@ -286,9 +336,8 @@ object IndexStream {
     // never overlapping), then swap under the stamp-off/stamp-on
     // contract
     val tmp = graft.ops.StoreSwap.freshScratch(segDir)
-    graft.ops.Search.bm25WriteIndex(p, l, st, tmp)
+    graft.ops.Search.bm25WriteIndex(p, l, st, tmp, version)
     graft.ops.StoreSwap.swapSubtables(segDir,
-      Seq("postings", "lexicon", "stats"),
-      graft.ops.TextOps.tokenizerVersion)
+      Seq("postings", "lexicon", "stats"), version)
   }
 }

@@ -233,4 +233,31 @@ class RoundEighteenOpsSpec extends AnyFunSuite {
       Dedup.semanticBucketsLoad(spark, dir)
     }
   }
+
+  test("bucket-store delta append: publish(evens) + append(odds) " +
+    "equals publish(all) row for row, a stale store refuses the " +
+    "append, and a torn append fails closed") {
+    val vecs = Tables.embeddings(spark, sf)
+    val corpus = vecs.filter(col("vec_id") % 10 =!= 0)
+    val dirInc = IndexPaths.dir("r18_d32_inc", sf)
+    Dedup.semanticBucketsWrite(corpus.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", dirInc)
+    Dedup.semanticBucketsAppend(corpus.filter(col("vec_id") % 2 =!= 0),
+      "vec_id", "embedding", dirInc)
+    val dirAll = IndexPaths.dir("r18_d32_all", sf)
+    Dedup.semanticBucketsWrite(corpus, "vec_id", "embedding", dirAll)
+    assert(pairRows(Dedup.semanticBucketsLoad(spark, dirInc)) ==
+      pairRows(Dedup.semanticBucketsLoad(spark, dirAll)),
+      "appended buckets must equal the one-shot publish (frozen planes)")
+    // appending under a DIFFERENT plane-set definition refuses
+    IndexMeta.stampVersion(dirInc, "graft-hplsh-0 other")
+    intercept[IllegalStateException] {
+      Dedup.semanticBucketsAppend(corpus, "vec_id", "embedding", dirInc)
+    }
+    // a torn append (crash between unstamp and re-stamp) fails closed
+    IndexMeta.unstamp(dirInc)
+    intercept[IllegalStateException] {
+      Dedup.semanticBucketsLoad(spark, dirInc)
+    }
+  }
 }

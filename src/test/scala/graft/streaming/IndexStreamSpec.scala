@@ -17,7 +17,7 @@ class IndexStreamSpec extends AnyFunSuite {
     val segDir = java.nio.file.Files
       .createTempDirectory("graft_index_stream").toString
     IndexStream.runAvailableNow(spark, sf, segDir)
-    val (p, l, st) = IndexStream.mergedIndex(spark, segDir)
+    val (p, l, st) = IndexStream.mergedIndexWs(spark, segDir)
     // merged segments equal the one-shot index build bit-for-bit
     val full = Search.bm25BuildIndex(Tables.documents(spark, sf),
       "doc_id", "text")
@@ -33,6 +33,25 @@ class IndexStreamSpec extends AnyFunSuite {
       "doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(served == direct)
+    // the word segment store is ws-stamped too: a torn append (stamp
+    // absent) refuses the checked serve, exactly like the CJK store
+    graft.ops.IndexMeta.unstamp(segDir)
+    intercept[IllegalStateException] {
+      IndexStream.mergedIndexWs(spark, segDir)
+    }
+    // compactWs refuses the torn store for the same reason
+    intercept[IllegalStateException] {
+      IndexStream.compactWs(spark, segDir)
+    }
+    // a healthy store compacts to one segment with the serve unchanged
+    graft.ops.IndexMeta.stampVersion(segDir, Search.WsVersion)
+    IndexStream.compactWs(spark, segDir)
+    assert(IndexStream.segmentCount(spark, segDir) == 1)
+    val (cp, cl, cst) = IndexStream.mergedIndexWs(spark, segDir)
+    val compacted = Search.bm25QueryIndex(cp, cl, cst).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(compacted == direct,
+      "word-store compaction must not change the served ranking")
   }
 
   test("CJK segment stream: two drained tranches merge to the one-shot " +
