@@ -865,6 +865,11 @@ object Dedup {
     * d19's oracle, which is d10's verbatim). */
   def minhashWriteIndex(corpus: DataFrame, id: String, text: String,
                         dir: String, n: Int = 3): Unit = {
+    // unstamp → write → stamp: the torn-publish fail-closed contract
+    // (round 18, closing the word-MinHash seam the same round closed
+    // for word BM25 — a publish that dies between the two tables must
+    // not serve under any valid stamp)
+    IndexMeta.unstamp(dir)
     minhashSignatures(corpus, id, text, n)
       .write.mode("overwrite").parquet(s"$dir/signatures")
     // bands are a pure explode of the signatures just written — derive
@@ -874,13 +879,31 @@ object Dedup {
     bandRowsFromSignatures(
       corpus.sparkSession.read.parquet(s"$dir/signatures"))
       .write.mode("overwrite").parquet(s"$dir/bands")
+    IndexMeta.stampVersion(dir, mhVersion(n))
   }
 
+  /** Version fingerprint of a persisted word-MinHash store
+    * ([[minhashWriteIndex]] / [[minhashPublishStanding]]): the shingle
+    * width, the banding geometry, and the MinHash seed family — a
+    * store built under any other value silently stops banding against
+    * current delta signatures (zero candidate collisions, zero error
+    * anywhere), the exact recall hole the [[IndexMeta]] contract makes
+    * loud. The seed digest is content-derived (MurmurHash3 of the
+    * seed sequences — stable across JVMs), so editing a seed
+    * auto-invalidates stale stores. */
+  def mhVersion(n: Int = 3): String =
+    s"graft-mh-1 n=$n bands=$Bands r=$RowsPerBand p=$P " +
+      s"seeds=${(MinHashA ++ MinHashB).hashCode}"
+
   /** Load a persisted MinHash index written by [[minhashWriteIndex]]:
-    * `(signatures, bands)`. */
-  def minhashLoadIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    * `(signatures, bands)` — failing loudly unless the [[mhVersion]]
+    * stamp matches (an absent stamp is a torn publish). */
+  def minhashLoadIndex(spark: SparkSession, dir: String,
+                       n: Int = 3): (DataFrame, DataFrame) = {
+    IndexMeta.checkVersion(dir, mhVersion(n))
     (spark.read.parquet(s"$dir/signatures"),
       spark.read.parquet(s"$dir/bands"))
+  }
 
   /** p05's PUBLISH half — the d19 index plus the two artifacts that
     * make the nightly serve a pure store read: the verify-side hash
@@ -894,6 +917,9 @@ object Dedup {
   def minhashPublishStanding(standing: DataFrame, id: String, text: String,
                              threshold: Double, dir: String,
                              n: Int = 3): Unit = {
+    // torn-publish fail-closed: stamp off for the duration of the
+    // four-table publish, back only after the last write
+    IndexMeta.unstamp(dir)
     // ONE tokenize+hash scan of the standing corpus feeds all four
     // store tables — signatures, bands, verify arrays, AND the pair
     // build behind the published labels (the naive composition ran
@@ -914,6 +940,7 @@ object Dedup {
       minhashVerifiedPairsFromArtifacts(art, threshold),
       "doc_a", "doc_b")
       .write.mode("overwrite").parquet(s"$dir/labels")
+    IndexMeta.stampVersion(dir, mhVersion(n))
   }
 
   /** p05's SERVE half — the nightly incremental readout with the
@@ -931,7 +958,9 @@ object Dedup {
                               id: String, text: String, threshold: Double,
                               dir: String, n: Int = 3): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    val (_, bands) = minhashLoadIndex(spark, dir)
+    // minhashLoadIndex verifies the store's mhVersion stamp — the
+    // hashes/labels tables below ride the same stamped publish
+    val (_, bands) = minhashLoadIndex(spark, dir, n)
     val standingArrays = spark.read.parquet(s"$dir/hashes")
     val published = spark.read.parquet(s"$dir/labels")
     // The delta's band rows and verify arrays each feed BOTH pair

@@ -357,14 +357,28 @@ object Entity {
     * survivorship/dedup pass. A deployment publishes it nightly and
     * every consumer broadcast-joins the published copy instead of
     * re-resolving. */
-  def canonicalWriteMap(cmap: DataFrame, dir: String): Unit =
+  def canonicalWriteMap(cmap: DataFrame, dir: String): Unit = {
+    // unstamp → write → stamp (torn-publish fail-closed, round 18):
+    // a crash mid-overwrite must leave an unloadable map, not a
+    // partial dictionary under no check at all
+    IndexMeta.unstamp(dir)
     cmap.write.mode("overwrite").parquet(dir)
+    IndexMeta.stampVersion(dir, erVersion)
+  }
+
+  /** Version fingerprint of a persisted canonical map: the match
+    * floor the pairs were generated under — a map published at a
+    * different floor canonicalizes by a different equivalence and
+    * must not serve silently. */
+  def erVersion: String = s"graft-ermap-1 jw_floor_q6=$MinJwQ6"
 
   /** Load a published canonical map back. Serving is
     * [[entityRollupFromMap]] / [[survivorshipFromMap]] over the loaded
     * frame — the apply half never touches the pair machinery. */
-  def canonicalLoadMap(spark: SparkSession, dir: String): DataFrame =
+  def canonicalLoadMap(spark: SparkSession, dir: String): DataFrame = {
+    IndexMeta.checkVersion(dir, erVersion)
     spark.read.parquet(dir)
+  }
 
   /** DELTA CANONICALIZATION against the published map (er10) — the
     * INGEST half of the nightly MDM loop, the piece p09/p10 (which

@@ -418,12 +418,25 @@ object Multimodal {
     val framesDir = IndexPaths.dir("p08_frames", d)
     frameWriteStore(mediaFrames(s, d).filter(col("doc_id") % 2 === 0),
       framesDir)
+    val labelsDir = IndexPaths.dir("p08_labels", d)
+    // unstamp → write → stamp: a torn labels publish must fail loudly
+    // at serve (present-but-unstamped), while an ABSENT artifact —
+    // an older publisher — still degrades to the recompute branch
+    // (see mediaServeFrom's narrow catch)
+    IndexMeta.unstamp(labelsDir)
     Clusters.connectedComponents(
       videoNearDupPairs(frameLoadStore(s, framesDir))
         .select(col("doc_a"), col("doc_b")),
       "doc_a", "doc_b")
-      .write.mode("overwrite").parquet(IndexPaths.dir("p08_labels", d))
+      .write.mode("overwrite").parquet(labelsDir)
+    IndexMeta.stampVersion(labelsDir, labelsVersion)
   }
+
+  /** Version fingerprint of a published labels artifact: the frame
+    * fingerprint definition plus every constant the pair set (and so
+    * the components) is a function of. */
+  def labelsVersion: String =
+    s"$frameVersion labels-1 floor=$VideoJacFloorQ6 df=$MaxFrameDf"
 
   /** p08's serve half: standing signatures from the store, delta
     * fingerprinted fresh, labels rolled forward (see
@@ -432,7 +445,16 @@ object Multimodal {
     mediaServeFrom(
       frameLoadStore(s, IndexPaths.dir("p08_frames", d)),
       mediaFrames(s, d).filter(col("doc_id") % 2 =!= 0),
-      () => s.read.parquet(IndexPaths.dir("p08_labels", d)))
+      () => {
+        val labelsDir = IndexPaths.dir("p08_labels", d)
+        // artifact PRESENT but unstamped/stale = a torn or foreign
+        // publish → loud failure; artifact ABSENT entirely = an older
+        // publisher → the read below throws PATH_NOT_FOUND and
+        // mediaServeFrom's narrow catch degrades to the recompute
+        if (new java.io.File(labelsDir).exists())
+          IndexMeta.checkVersion(labelsDir, labelsVersion)
+        s.read.parquet(labelsDir)
+      })
 
   /** The p08 serve body over caller-supplied tables (standing docs
     * carry EVEN ids, delta docs ODD — the harness's membership

@@ -738,15 +738,27 @@ object TextOps {
     * Coalesced to one file each — a published LM is a dictionary-sized
     * artifact (V + B rows), not a distributed table. */
   def lmWriteModel(uniTop: DataFrame, biTop: DataFrame, dir: String): Unit = {
+    // unstamp → write → stamp (torn-publish fail-closed, round 18): a
+    // crash between the uni and bi writes must not let the gate score
+    // with a vocabulary from one model and bigrams from another
+    IndexMeta.unstamp(dir)
     uniTop.coalesce(1).write.mode("overwrite").parquet(s"$dir/uni")
     biTop.coalesce(1).write.mode("overwrite").parquet(s"$dir/bi")
+    IndexMeta.stampVersion(dir, lmVersion)
   }
+
+  /** Version fingerprint of a persisted quality-LM model: tokenizer
+    * (whitespace) + smoothing scheme — and, above all, a COMPLETENESS
+    * marker for the two-table publish. */
+  val lmVersion: String = "graft-lm-1 ws add1"
 
   /** Load the published model tables back. Longs and strings
     * round-trip parquet byte-exactly, so scoring with the loaded model
     * equals scoring with the in-session one bit-for-bit. */
-  def lmLoadModel(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+  def lmLoadModel(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    IndexMeta.checkVersion(dir, lmVersion)
     (spark.read.parquet(s"$dir/uni"), spark.read.parquet(s"$dir/bi"))
+  }
 
   /** The t22 catalog entry end-to-end: train the bigram LM on the
     * STANDING (even-id) half, publish it, then score + gate the

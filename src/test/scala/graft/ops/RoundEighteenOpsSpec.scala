@@ -260,4 +260,61 @@ class RoundEighteenOpsSpec extends AnyFunSuite {
       Dedup.semanticBucketsLoad(spark, dirInc)
     }
   }
+
+  test("every remaining persisted artifact is stamped: the MinHash " +
+    "index, the p05 publish, the canonical map, and the LM model all " +
+    "fail at load when the publish is torn") {
+    val docs = Tables.documents(spark, sf)
+    // d19-format MinHash index
+    val mhDir = IndexPaths.dir("r18_mh_stamp", sf)
+    Dedup.minhashWriteIndex(docs, "doc_id", "text", mhDir)
+    Dedup.minhashLoadIndex(spark, mhDir) // fresh publish: no throw
+    IndexMeta.unstamp(mhDir)
+    intercept[IllegalStateException] { Dedup.minhashLoadIndex(spark, mhDir) }
+    // p05's four-table publish rides the same stamp at its serve seam
+    val p05Dir = IndexPaths.dir("r18_p05_stamp", sf)
+    Dedup.minhashPublishStanding(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", 0.6, p05Dir)
+    assert(Dedup.minhashServeIncremental(spark,
+      docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", 0.6,
+      p05Dir).count() >= 0)
+    IndexMeta.unstamp(p05Dir)
+    intercept[IllegalStateException] {
+      Dedup.minhashServeIncremental(spark,
+        docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", 0.6,
+        p05Dir).count()
+    }
+    // canonical map
+    val erDir = IndexPaths.dir("r18_er_stamp", sf)
+    Entity.canonicalWriteMap(Entity.sharedCanonicalMap(spark, sf), erDir)
+    Entity.canonicalLoadMap(spark, erDir)
+    IndexMeta.unstamp(erDir)
+    intercept[IllegalStateException] { Entity.canonicalLoadMap(spark, erDir) }
+    // quality-LM model (a torn publish = uni written, bi not — the
+    // stamp is the completeness marker for the two-table write)
+    val lmDir = IndexPaths.dir("r18_lm_stamp", sf)
+    val (uni, bi) = TextOps.lmTrain(docs, "doc_id", "text")
+    TextOps.lmWriteModel(uni, bi, lmDir)
+    TextOps.lmLoadModel(spark, lmDir)
+    IndexMeta.unstamp(lmDir)
+    intercept[IllegalStateException] { TextOps.lmLoadModel(spark, lmDir) }
+  }
+
+  test("p08's labels artifact: torn (present-but-unstamped) fails " +
+    "loudly at serve; absent entirely still degrades to the recompute") {
+    // publish the full p08 store, then simulate a torn labels publish
+    Multimodal.mediaStorePublish(spark, sf)
+    val labelsDir = IndexPaths.dir("p08_labels", sf)
+    val healthy = pairRows(Multimodal.mediaServeMerged(spark, sf))
+    IndexMeta.unstamp(labelsDir)
+    intercept[IllegalStateException] {
+      Multimodal.mediaServeMerged(spark, sf).count()
+    }
+    // absent artifact = older publisher → recompute branch, same labels
+    StoreSwap.deleteTree(new java.io.File(labelsDir))
+    assert(pairRows(Multimodal.mediaServeMerged(spark, sf)) == healthy,
+      "the degrade branch must recompute the identical labels")
+    // republish restores the fast path for later entries in this JVM
+    Multimodal.mediaStorePublish(spark, sf)
+  }
 }
