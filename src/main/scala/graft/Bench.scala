@@ -185,7 +185,11 @@ object Bench {
             expr("sum(l_extendedprice * (1 - l_discount)) as sum_disc"),
             expr("avg(l_tax) as avg_tax"), expr("count(*) as n")))
         (System.nanoTime() - t0) / 1e9
-      } catch { case _: Throwable => -1.0 }
+      // NonFatal only: the sentinel is for a missing/unreadable
+      // canary table, not for OOM or interruption — a fatal error
+      // must abort the bench, not let the measured phase run on a
+      // JVM that just blew up
+      } catch { case scala.util.control.NonFatal(_) => -1.0 }
     canaryOnce() // untimed: compile the canary's codegen once
     val canaryStart = median((1 to 3).map(_ => canaryOnce()))
     // Measured phase: a failure is REPORTED per query, never swallowed —

@@ -640,10 +640,9 @@ object Dedup {
                          tombstones: DataFrame,
                          maxDeleteRatio: Double = 0.1): Boolean = {
     IndexMeta.check(dir)
-    val sig = spark.read.parquet(s"$dir/signatures")
-    val dead = sig.join(tombstones.select(col("doc_id")).distinct(),
-      Seq("doc_id"), "left_semi").count()
-    val go = StoreSwap.deletesExceed(dead, sig.count(), maxDeleteRatio)
+    val (dead, total) = StoreSwap.deadAndTotal(
+      spark.read.parquet(s"$dir/signatures"), "doc_id", tombstones)
+    val go = StoreSwap.deletesExceed(dead, total, maxDeleteRatio)
     if (go) cjkCompactStore(spark, dir, tombstones)
     go
   }
@@ -1267,10 +1266,18 @@ object Dedup {
     * colliding, the exact recall-zeroing failure the [[IndexMeta]]
     * contract exists to make loud. */
   def hplshVersion(planes: Int = Similarity.NumPlanes,
-                   sets: Int = NumPlaneSets, dims: Int = 64): String =
+                   sets: Int = NumPlaneSets, dims: Int = 64): String = {
+    // the weight digest is computed FROM the live weight function
+    // (content-stable MurmurHash3 over the full plane matrix), so any
+    // change to the LCG — constants or formula — auto-invalidates
+    // stale stores; a frozen literal here would keep matching them
+    val wDigest = (for {
+      i <- 0 until sets * planes
+      j <- 0 until dims
+    } yield Similarity.weight(i, j, dims)).hashCode
     s"graft-hplsh-1 ${Similarity.EncoderVersion} " +
-      "lcg=1103515245,12345,2039,-1019 " +
-      s"planes=$planes sets=$sets dims=$dims"
+      s"planes=$planes sets=$sets dims=$dims wdigest=$wDigest"
+  }
 
   /** PUBLISH the corpus side's multi-probe bucket table (d32) — the
     * d30/k15 move on the semantic-decontamination seam, closing d28's

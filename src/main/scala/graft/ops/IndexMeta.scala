@@ -35,7 +35,7 @@ import java.nio.charset.StandardCharsets.UTF_8
   * re-stamp after, so a crash mid-append also fails closed instead of
   * serving a torn segment under the previous valid stamp. */
 object IndexMeta {
-  private val StampFile = "_ARTIFACT_VERSION"
+  private[ops] val StampFile = "_ARTIFACT_VERSION"
 
   /** Mark `dir`'s artifacts as built by the CURRENT tokenizer — the
     * token-store convenience form of [[stampVersion]]. */

@@ -339,10 +339,9 @@ object Multimodal {
   def frameCompactIfNeeded(spark: SparkSession, dir: String,
                            tombstones: DataFrame,
                            maxDeleteRatio: Double = 0.1): Boolean = {
-    val store = frameLoadStore(spark, dir)
-    val dead = store.join(tombstones.select(col("doc_id")).distinct(),
-      Seq("doc_id"), "left_semi").count()
-    val go = StoreSwap.deletesExceed(dead, store.count(), maxDeleteRatio)
+    val (dead, total) = StoreSwap.deadAndTotal(
+      frameLoadStore(spark, dir), "doc_id", tombstones)
+    val go = StoreSwap.deletesExceed(dead, total, maxDeleteRatio)
     if (go) frameCompactStore(spark, dir, tombstones)
     go
   }

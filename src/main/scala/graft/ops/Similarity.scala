@@ -1274,10 +1274,9 @@ object Similarity {
   def ivfPqCompactIfNeeded(spark: SparkSession, dir: String,
                            tombstones: DataFrame,
                            maxDeleteRatio: Double = 0.1): Boolean = {
-    val (codes, _) = pqLoadIndex(spark, s"$dir/pq")
-    val dead = codes.join(tombstones.select(col("vec_id")).distinct(),
-      Seq("vec_id"), "left_semi").count()
-    val go = StoreSwap.deletesExceed(dead, codes.count(), maxDeleteRatio)
+    val (dead, total) = StoreSwap.deadAndTotal(
+      pqLoadIndex(spark, s"$dir/pq")._1, "vec_id", tombstones)
+    val go = StoreSwap.deletesExceed(dead, total, maxDeleteRatio)
     if (go) ivfPqCompactStore(spark, dir, tombstones)
     go
   }

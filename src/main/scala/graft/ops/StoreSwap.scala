@@ -6,12 +6,13 @@ import java.io.File
   * (the r15 search-segment move, generalized in round 18 to the
   * near-dup, media, and ANN stores): a compaction writes its rewritten
   * tables into a scratch sibling of the live store, then swaps them in
-  * under the [[IndexMeta]] torn-write contract — the stamp comes off
-  * before the first destructive move and back after the last, so a
-  * crash mid-swap leaves an unstamped (unservable) store instead of a
-  * silent mix of old and new rows. On a real object store the swap is
-  * a manifest pointer flip; the filesystem moves here are the
-  * local-mode equivalent.
+  * under the [[IndexMeta]] torn-write contract — the stamp is replaced
+  * by [[SwapPoison]] before the first destructive move and by the real
+  * version after the last, so a crash mid-swap leaves a
+  * poison-stamped (unservable, un-appendable, un-RE-compactable) store
+  * instead of a silent mix of old and new rows. On a real object store
+  * the swap is a manifest pointer flip; the filesystem moves here are
+  * the local-mode equivalent.
   *
   * Two layouts, matching the two persisted-store shapes in the engine:
   *  - [[swapSubtables]] for multi-subtable stores (BM25
@@ -37,6 +38,22 @@ object StoreSwap {
   def deletesExceed(dead: Long, total: Long, maxRatio: Double): Boolean =
     total > 0 && dead.toDouble >= maxRatio * total.toDouble
 
+  /** ONE store scan for the ratio probe's two counts: total rows and
+    * rows whose `key` is tombstoned (a separate semi-join count plus a
+    * full count would scan the corpus-sized table twice for a
+    * decision that usually says "don't compact"). The deletes side is
+    * small by definition — broadcast left join, count(non-null). */
+  def deadAndTotal(store: org.apache.spark.sql.DataFrame, key: String,
+                   tombstones: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit}
+    val row = store.select(col(key))
+      .join(broadcast(tombstones.select(col(key)).distinct()
+        .withColumn("_dead", lit(1))), Seq(key), "left")
+      .agg(count(lit(1)).as("total"), count(col("_dead")).as("dead"))
+      .head()
+    (row.getLong(1), row.getLong(0))
+  }
+
   /** Clear any stale scratch at [[scratch]]`(dir)` and return its path
     * — every compaction's first step (a previous crashed compaction
     * may have left one behind; its content is garbage by definition,
@@ -48,20 +65,35 @@ object StoreSwap {
     tmp
   }
 
+  /** The stamp value a store carries WHILE a swap is rewriting it —
+    * a POISON stamp, not a mere unstamp: an unstamped store is
+    * indistinguishable from a torn APPEND, whose recovery contract
+    * (checkpointed restart replays the in-flight batch and re-stamps)
+    * would LAUNDER a half-swapped store back to validity. Under the
+    * poison value every checked load and every appender's version
+    * check fails with a self-explanatory `store=compaction-in-progress`
+    * message, re-compaction refuses too (checkVersion at its top), and
+    * the only way forward is a full republish — which unstamps,
+    * rewrites everything, and stamps clean. */
+  val SwapPoison = "compaction-in-progress"
+
   /** Swap subdirectories `subs` of the live store at `dir` for the
     * same-named subdirectories under [[scratch]]`(dir)` (already fully
     * written by the caller), then re-stamp with `version`. The caller
     * must have verified the live store's stamp BEFORE rewriting (a
-    * compaction of a torn store would launder the tear). */
+    * compaction of a torn store would launder the tear). A crash
+    * anywhere inside the swap leaves the [[SwapPoison]] stamp — every
+    * consumer fails loudly, nothing can mistake the mix of old and
+    * new subtables for either generation. */
   def swapSubtables(dir: String, subs: Seq[String], version: String): Unit = {
+    IndexMeta.stampVersion(dir, SwapPoison)
     val tmp = scratch(dir)
-    IndexMeta.unstamp(dir)
     subs.foreach { sub =>
       // a clear that silently left residue would surface as a
       // confusing Files.move failure mid-swap; fail loudly instead —
-      // the store is already unstamped, so it cannot serve torn
+      // the store is poison-stamped, so it cannot serve torn
       clearTree(new File(dir, sub),
-        "store left unstamped (unservable); clear it and re-compact")
+        "store left poison-stamped (unservable); republish it")
       java.nio.file.Files.move(
         new File(tmp, sub).toPath,
         new File(dir, sub).toPath)
@@ -72,14 +104,29 @@ object StoreSwap {
   }
 
   /** Whole-directory variant of [[swapSubtables]] for single-table
-    * stores: replace the live store's entire contents with the
-    * scratch dir's, then re-stamp. */
+    * stores: replace the live store's DATA FILES with the scratch
+    * dir's, then re-stamp. The store directory itself (and its poison
+    * stamp) survive the whole swap — deleting the directory would
+    * open a store-never-existed window in which an appender's
+    * existing-store guards simply don't fire and the standing corpus
+    * silently vanishes under a fresh valid stamp. */
   def swapDir(dir: String, version: String): Unit = {
+    IndexMeta.stampVersion(dir, SwapPoison)
     val tmp = scratch(dir)
-    IndexMeta.unstamp(dir)
-    clearTree(new File(dir),
-      "store left unstamped (unservable); clear it and re-compact")
-    java.nio.file.Files.move(new File(tmp).toPath, new File(dir).toPath)
+    val d = new File(dir)
+    val kids = d.listFiles()
+    if (kids != null) kids.foreach { kid =>
+      if (kid.getName != IndexMeta.StampFile)
+        clearTree(kid,
+          "store left poison-stamped (unservable); republish it")
+    }
+    val tkids = new File(tmp).listFiles()
+    if (tkids != null) tkids.foreach { kid =>
+      java.nio.file.Files.move(kid.toPath,
+        new File(d, kid.getName).toPath)
+      ()
+    }
+    deleteTree(new File(tmp))
     IndexMeta.stampVersion(dir, version)
   }
 

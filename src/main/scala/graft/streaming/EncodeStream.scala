@@ -30,32 +30,24 @@ object EncodeStream {
 
   /** Drain the current directory contents as a delta stream, encoding
     * each micro-batch against `codebooks` and appending the code
-    * tuples to `outPath` as parquet.
+    * tuples to `outPath` (batchId-keyed — read back with
+    * [[Drain.readSink]]).
     *
     * Exactly-once across restarts requires `checkpointDir` (see
-    * [[IndexStream.runAvailableNow]]): without one, each invocation
-    * reprocesses the whole directory and must append to a fresh
-    * `outPath` or code rows duplicate. */
+    * [[IndexStream.runAvailableNow]]): with one, a replayed in-flight
+    * batch overwrites its own batchId subdir instead of doubling its
+    * code rows; without one, each invocation reprocesses the whole
+    * directory and must append to a fresh `outPath`. */
   def runAvailableNow(spark: SparkSession, dir: String,
                       codebooks: DataFrame, outPath: String,
                       deltaFilter: org.apache.spark.sql.Column,
-                      checkpointDir: Option[String] = None): Unit = {
-    val reader = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "embeddings.parquet")
-      .parquet(dir)
-      .filter(deltaFilter)
-    val writer0 = reader.writeStream
-    val writer = checkpointDir.fold(writer0)(cp =>
-      writer0.option("checkpointLocation", cp))
-    val q = writer
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+                      checkpointDir: Option[String] = None,
+                      glob: String = "embeddings.parquet"): Unit =
+    Drain.availableNow(spark, dir, rawSchema, glob, deltaFilter,
+      checkpointDir) { (batch, id) =>
+      Drain.appendBatch(
         graft.ops.Similarity
-          .pqEncodeWith(batch, "vec_id", "embedding", codebooks)
-          .write.mode("append").parquet(outPath)
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-  }
+          .pqEncodeWith(batch, "vec_id", "embedding", codebooks),
+        outPath, id)
+    }
 }

@@ -65,15 +65,16 @@ object IncrementalDedupStream {
                              corpus: DataFrame, indexDir: String,
                              outPath: String, threshold: Double = 0.6,
                              deltaFilter: org.apache.spark.sql.Column,
-                             checkpointDir: Option[String] = None): Unit = {
-    val (_, bands) = graft.ops.Dedup.minhashLoadIndex(spark, indexDir)
+                             checkpointDir: Option[String] = None,
+                             n: Int = 3): Unit = {
+    val (_, bands) = graft.ops.Dedup.minhashLoadIndex(spark, indexDir, n)
     val corpusBands = bands.withColumnRenamed("doc_id", "corpus_id")
     Drain.availableNow(spark, dir, rawSchema, "documents.parquet",
       deltaFilter, checkpointDir) { (batch, id) =>
       Drain.appendBatch(
         graft.ops.Dedup
           .minhashServeDelta(corpus, corpusBands, batch, "doc_id", "text",
-            threshold),
+            threshold, n),
         outPath, id)
     }
   }

@@ -28,11 +28,16 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * each batch's three tables land in batchId-keyed subdirs with
   * overwrite semantics, so a checkpointed restart that replays the one
   * uncommitted batch overwrites its own subdirs instead of doubling
-  * rows. Recovery is therefore exact for a crash at ANY point of a
-  * checkpointed run, including inside a batch (a torn batch's partial
-  * subdirs are overwritten whole on replay); [[mergedIndex]] reads the
-  * store recursively so flat publisher segments and streamed batch
-  * subdirs merge identically. */
+  * rows. APPEND recovery is therefore exact for a crash at any point
+  * of a checkpointed run, including inside a batch (a torn batch's
+  * partial subdirs are overwritten whole on replay). A crashed
+  * COMPACTION is the one failure no replay can complete — the store
+  * is a mix of swapped and unswapped subtables with nothing pending in
+  * the checkpoint — so it is NOT recovered but poison-stamped
+  * ([[graft.ops.StoreSwap.SwapPoison]]): every serve, append, and
+  * re-compaction fails loudly until a full republish. [[mergedIndex]]
+  * reads the store recursively so flat publisher segments and
+  * streamed batch subdirs merge identically. */
 object IndexStream {
   /** The harness documents schema, declared explicitly — streaming
     * reads never infer. */
@@ -170,7 +175,14 @@ object IndexStream {
                            deltaFilter: org.apache.spark.sql.Column,
                            maxSegments: Int)
                           (build: DataFrame => (DataFrame, DataFrame, DataFrame)): Unit = {
-    if (new java.io.File(segDir, "postings").exists()) {
+    val preexisting = new java.io.File(segDir, "postings").exists()
+    val tornAppend = preexisting && !graft.ops.IndexMeta.isStamped(segDir)
+    if (preexisting) {
+      // a POISON-stamped store is a crashed compaction swap, NOT a
+      // torn append — a checkpointed restart would replay nothing and
+      // re-stamping would launder the half-swapped mix as valid, so
+      // the version check below fails it loudly (store=
+      // compaction-in-progress); only a full republish heals it
       if (graft.ops.IndexMeta.isStamped(segDir))
         graft.ops.IndexMeta.checkVersion(segDir, version)
       else require(checkpointDir.isDefined,
@@ -187,8 +199,18 @@ object IndexStream {
       val (p, l, st) = build(batch)
       appendSegment(p, l, st, segDir, id)
     }
-    graft.ops.IndexMeta.stampVersion(segDir, version)
-    if (maxSegments > 0 && segmentCount(spark, segDir) > maxSegments)
+    // stamp only when this run mutated the store OR it is completing a
+    // torn append whose batches had all committed (crash between drain
+    // return and stamp): a zero-arrival drain over a NEVER-EXISTING
+    // store must not mint a stamped-but-empty store, and one over a
+    // healthy store has nothing to re-stamp
+    if (unstamped.get() || tornAppend)
+      graft.ops.IndexMeta.stampVersion(segDir, version)
+    // the stats-exists guard covers the zero-arrival fresh-store edge:
+    // a drain that appended nothing to a store that never existed has
+    // no stats table to count
+    if (maxSegments > 0 && new java.io.File(segDir, "stats").exists() &&
+        segmentCount(spark, segDir) > maxSegments)
       compactSegments(spark, segDir, version)
   }
 

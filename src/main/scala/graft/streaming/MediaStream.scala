@@ -69,7 +69,12 @@ object MediaStream {
     // append: only a checkpointed restart may complete it (the replay
     // of the one uncommitted batch overwrites its own batchId subdir
     // — the IndexStream recovery contract on the media store).
-    if (new java.io.File(storePath).exists()) {
+    val preexisting = new java.io.File(storePath).exists()
+    val tornAppend = preexisting &&
+      !graft.ops.IndexMeta.isStamped(storePath)
+    if (preexisting) {
+      // a poison-stamped store (crashed compaction swap) fails the
+      // version check loudly here — see IndexStream.runSegmented
       if (graft.ops.IndexMeta.isStamped(storePath))
         graft.ops.IndexMeta.checkVersion(storePath,
           graft.ops.Multimodal.frameVersion)
@@ -89,8 +94,11 @@ object MediaStream {
       Drain.appendBatch(graft.ops.Multimodal.framesOf(batch),
         storePath, id)
     }
-    graft.ops.IndexMeta.stampVersion(storePath,
-      graft.ops.Multimodal.frameVersion)
+    // stamp only when this run mutated the store or it completes a
+    // torn append (the IndexStream.runSegmented rationale)
+    if (unstamped.get() || tornAppend)
+      graft.ops.IndexMeta.stampVersion(storePath,
+        graft.ops.Multimodal.frameVersion)
   }
 
   /** Drain the current directory contents as a delta stream, scoring

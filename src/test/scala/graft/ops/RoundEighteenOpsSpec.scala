@@ -300,6 +300,61 @@ class RoundEighteenOpsSpec extends AnyFunSuite {
     intercept[IllegalStateException] { TextOps.lmLoadModel(spark, lmDir) }
   }
 
+  test("a crashed compaction swap is poison-stamped: serve, append, " +
+    "and re-compaction all refuse it — no checkpointed replay can " +
+    "launder the half-swapped mix back to validity") {
+    val docs = Tables.documents(spark, sf)
+    def terms = docs.select(col("doc_id"), Search.cjkIndexTerms(
+      graft.ops.TextOps.cjkFixture(col("text"))).as("terms"))
+    val segDir = java.nio.file.Files
+      .createTempDirectory("graft_poison_seg").toString
+    val (ps, lx, st) = Search.bm25BuildIndexTokens(terms, "doc_id", "terms")
+    ps.write.mode("append").parquet(s"$segDir/postings")
+    lx.write.mode("append").parquet(s"$segDir/lexicon")
+    st.write.mode("append").parquet(s"$segDir/stats")
+    IndexMeta.stamp(segDir)
+    // a real crash dies between StoreSwap's poison stamp and the final
+    // re-stamp, so the state it leaves is exactly "poison stamp"
+    IndexMeta.stampVersion(segDir, StoreSwap.SwapPoison)
+    val eServe = intercept[IllegalStateException] {
+      graft.streaming.IndexStream.mergedIndexCjk(spark, segDir)
+    }
+    assert(eServe.getMessage.contains(StoreSwap.SwapPoison))
+    // an appender refuses too — EVEN WITH a checkpoint (the laundering
+    // hole: a replay completes torn appends, not torn swaps)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_poison_ckpt").toString
+    intercept[IllegalStateException] {
+      graft.streaming.IndexStream.runAvailableNowCjk(spark,
+        "/root/testdata/sf0.001", segDir,
+        textOf = graft.ops.TextOps.cjkFixture(col("text")),
+        checkpointDir = Some(ckpt))
+    }
+    // and re-compaction refuses (it would read the mixed generations)
+    intercept[IllegalStateException] {
+      graft.streaming.IndexStream.compactCjk(spark, segDir)
+    }
+    // the media whole-dir swap keeps the store PRESENT throughout —
+    // a poisoned frame store refuses load but still trips the
+    // existing-store guard of a later ingest (no store-never-existed
+    // window)
+    val mDir = java.nio.file.Files
+      .createTempDirectory("graft_poison_m").toString + "/frames"
+    Multimodal.frameWriteStore(
+      Multimodal.framesOf(docs.filter(col("doc_id") % 2 === 0)), mDir)
+    IndexMeta.stampVersion(mDir, StoreSwap.SwapPoison)
+    intercept[IllegalStateException] {
+      Multimodal.frameLoadStore(spark, mDir)
+    }
+    intercept[IllegalStateException] {
+      graft.streaming.MediaStream.runAvailableNowIngest(spark,
+        "/root/testdata/sf0.001", mDir,
+        deltaFilter = col("doc_id") % 2 =!= 0,
+        checkpointDir = Some(java.nio.file.Files
+          .createTempDirectory("graft_poison_mc").toString))
+    }
+  }
+
   test("p08's labels artifact: torn (present-but-unstamped) fails " +
     "loudly at serve; absent entirely still degrades to the recompute") {
     // publish the full p08 store, then simulate a torn labels publish

@@ -29,7 +29,7 @@ class EncodeStreamSpec extends AnyFunSuite {
     def norm(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0),
         (1 until r.size).map(r.getLong).toSeq)).sortBy(_._1).toSeq
-    val streamed = norm(spark.read.parquet(out))
+    val streamed = norm(Drain.readSink(spark, out))
     val batch = norm(Similarity.pqEncodeWith(
       e.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding", cbs))
     assert(batch.nonEmpty)
