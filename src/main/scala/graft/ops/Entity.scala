@@ -357,26 +357,32 @@ object Entity {
     * survivorship/dedup pass. A deployment publishes it nightly and
     * every consumer broadcast-joins the published copy instead of
     * re-resolving. */
-  def canonicalWriteMap(cmap: DataFrame, dir: String): Unit = {
+  def canonicalWriteMap(cmap: DataFrame, dir: String,
+                        minJwQ6: Long = MinJwQ6): Unit = {
     // unstamp → write → stamp (torn-publish fail-closed, round 18):
     // a crash mid-overwrite must leave an unloadable map, not a
     // partial dictionary under no check at all
     IndexMeta.unstamp(dir)
     cmap.write.mode("overwrite").parquet(dir)
-    IndexMeta.stampVersion(dir, erVersion)
+    IndexMeta.stampVersion(dir, erVersion(minJwQ6))
   }
 
   /** Version fingerprint of a persisted canonical map: the match
     * floor the pairs were generated under — a map published at a
     * different floor canonicalizes by a different equivalence and
-    * must not serve silently. */
-  def erVersion: String = s"graft-ermap-1 jw_floor_q6=$MinJwQ6"
+    * must not serve silently. THREADED, not a constant: the pair
+    * builders take the floor as a parameter, so a publisher that used
+    * a custom floor passes the same value here (the mhVersion(n)
+    * discipline). */
+  def erVersion(minJwQ6: Long = MinJwQ6): String =
+    s"graft-ermap-1 jw_floor_q6=$minJwQ6"
 
   /** Load a published canonical map back. Serving is
     * [[entityRollupFromMap]] / [[survivorshipFromMap]] over the loaded
     * frame — the apply half never touches the pair machinery. */
-  def canonicalLoadMap(spark: SparkSession, dir: String): DataFrame = {
-    IndexMeta.checkVersion(dir, erVersion)
+  def canonicalLoadMap(spark: SparkSession, dir: String,
+                       minJwQ6: Long = MinJwQ6): DataFrame = {
+    IndexMeta.checkVersion(dir, erVersion(minJwQ6))
     spark.read.parquet(dir)
   }
 

@@ -415,14 +415,20 @@ object Multimodal {
     * sets (they are iff no standing hash crossed the df cap). */
   def mediaStorePublish(s: SparkSession, d: String): Unit = {
     val framesDir = IndexPaths.dir("p08_frames", d)
+    val labelsDir = IndexPaths.dir("p08_labels", d)
+    // PAIR-publish contract: the labels stamp comes off BEFORE the
+    // frames are touched. The two artifacts are separately stamped
+    // pure-definition fingerprints, so without this a crash between
+    // the frames write and the labels write would leave BOTH
+    // individually valid — last night's labels served against
+    // tonight's frames, silently mixing generations. With the early
+    // unstamp, any crash after the frames start changing leaves the
+    // labels either absent (first publish → the recompute degrade,
+    // correct over the new frames) or present-but-unstamped (torn →
+    // loud at serve).
+    IndexMeta.unstamp(labelsDir)
     frameWriteStore(mediaFrames(s, d).filter(col("doc_id") % 2 === 0),
       framesDir)
-    val labelsDir = IndexPaths.dir("p08_labels", d)
-    // unstamp → write → stamp: a torn labels publish must fail loudly
-    // at serve (present-but-unstamped), while an ABSENT artifact —
-    // an older publisher — still degrades to the recompute branch
-    // (see mediaServeFrom's narrow catch)
-    IndexMeta.unstamp(labelsDir)
     Clusters.connectedComponents(
       videoNearDupPairs(frameLoadStore(s, framesDir))
         .select(col("doc_a"), col("doc_b")),

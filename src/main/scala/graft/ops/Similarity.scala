@@ -1284,14 +1284,14 @@ object Similarity {
   def ivfPqCompactStore(spark: SparkSession, dir: String,
                         tombstones: DataFrame): Unit = {
     val ts = broadcast(tombstones.select(col("vec_id")).distinct())
-    locally { // PQ family: codes shrink, codebooks persist
-      val pqDir = s"$dir/pq"
-      val (codes, _) = pqLoadIndex(spark, pqDir) // stamp-checked
-      val tmp = StoreSwap.freshScratch(pqDir)
-      codes.join(ts, Seq("vec_id"), "left_anti")
-        .write.mode("overwrite").parquet(s"$tmp/codes")
-      StoreSwap.swapSubtables(pqDir, Seq("codes"), pqVersion)
-    }
+    // ORDER MATTERS: coarse first, pq second. The ratio probe
+    // ([[ivfPqCompactIfNeeded]]) reads the CODES table, so a crash
+    // between the two swaps must leave codes still carrying its dead
+    // rows — the retry's probe then still fires and the rerun heals
+    // both dirs (each anti-join is idempotent over already-compacted
+    // rows). The reverse order would leave codes clean and assign
+    // dirty, the probe reading dead≈0 forever — a half-compacted
+    // state the policy could never see.
     locally { // coarse family: assignment shrinks, centroids persist
       val cDir = s"$dir/coarse"
       val (assign, _) = ivfLoadCoarse(spark, cDir) // stamp-checked
@@ -1299,6 +1299,14 @@ object Similarity {
       assign.join(ts, Seq("vec_id"), "left_anti")
         .write.mode("overwrite").parquet(s"$tmp/assign")
       StoreSwap.swapSubtables(cDir, Seq("assign"), ivfVersion)
+    }
+    locally { // PQ family: codes shrink, codebooks persist
+      val pqDir = s"$dir/pq"
+      val (codes, _) = pqLoadIndex(spark, pqDir) // stamp-checked
+      val tmp = StoreSwap.freshScratch(pqDir)
+      codes.join(ts, Seq("vec_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$tmp/codes")
+      StoreSwap.swapSubtables(pqDir, Seq("codes"), pqVersion)
     }
   }
 

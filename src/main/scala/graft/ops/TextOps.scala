@@ -737,26 +737,32 @@ object TextOps {
   /** PUBLISH the trained model tables (the t22 persistence seam).
     * Coalesced to one file each — a published LM is a dictionary-sized
     * artifact (V + B rows), not a distributed table. */
-  def lmWriteModel(uniTop: DataFrame, biTop: DataFrame, dir: String): Unit = {
+  def lmWriteModel(uniTop: DataFrame, biTop: DataFrame, dir: String,
+                   vocabSize: Int = 32, bigramTop: Int = 64): Unit = {
     // unstamp → write → stamp (torn-publish fail-closed, round 18): a
     // crash between the uni and bi writes must not let the gate score
     // with a vocabulary from one model and bigrams from another
     IndexMeta.unstamp(dir)
     uniTop.coalesce(1).write.mode("overwrite").parquet(s"$dir/uni")
     biTop.coalesce(1).write.mode("overwrite").parquet(s"$dir/bi")
-    IndexMeta.stampVersion(dir, lmVersion)
+    IndexMeta.stampVersion(dir, lmVersion(vocabSize, bigramTop))
   }
 
   /** Version fingerprint of a persisted quality-LM model: tokenizer
-    * (whitespace) + smoothing scheme — and, above all, a COMPLETENESS
-    * marker for the two-table publish. */
-  val lmVersion: String = "graft-lm-1 ws add1"
+    * (whitespace) + smoothing scheme + the caps the tables were
+    * truncated at (threaded like mhVersion(n) — lmTrain takes them as
+    * parameters) — and, above all, a COMPLETENESS marker for the
+    * two-table publish. */
+  def lmVersion(vocabSize: Int = 32, bigramTop: Int = 64): String =
+    s"graft-lm-1 ws add1 vocab=$vocabSize bitop=$bigramTop"
 
   /** Load the published model tables back. Longs and strings
     * round-trip parquet byte-exactly, so scoring with the loaded model
     * equals scoring with the in-session one bit-for-bit. */
-  def lmLoadModel(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    IndexMeta.checkVersion(dir, lmVersion)
+  def lmLoadModel(spark: SparkSession, dir: String,
+                  vocabSize: Int = 32,
+                  bigramTop: Int = 64): (DataFrame, DataFrame) = {
+    IndexMeta.checkVersion(dir, lmVersion(vocabSize, bigramTop))
     (spark.read.parquet(s"$dir/uni"), spark.read.parquet(s"$dir/bi"))
   }
 

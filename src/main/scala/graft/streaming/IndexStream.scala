@@ -175,7 +175,14 @@ object IndexStream {
                            deltaFilter: org.apache.spark.sql.Column,
                            maxSegments: Int)
                           (build: DataFrame => (DataFrame, DataFrame, DataFrame)): Unit = {
-    val preexisting = new java.io.File(segDir, "postings").exists()
+    // "preexisting" must key on postings OR any stamp: a compaction
+    // crash between clearTree(postings) and its move leaves a
+    // poison-stamped store with NO postings subdir, and a
+    // postings-only test would treat it as fresh — skipping the
+    // poison check, draining over the corpse, and re-stamping it
+    // valid (the laundering hole, one window over)
+    val preexisting = new java.io.File(segDir, "postings").exists() ||
+      graft.ops.IndexMeta.isStamped(segDir)
     val tornAppend = preexisting && !graft.ops.IndexMeta.isStamped(segDir)
     if (preexisting) {
       // a POISON-stamped store is a crashed compaction swap, NOT a

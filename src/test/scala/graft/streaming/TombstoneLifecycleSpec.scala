@@ -97,12 +97,7 @@ class TombstoneLifecycleSpec extends AnyFunSuite {
       "the post-expunge clean serve must equal the tombstone serve")
     // retired: the set directory can be cleared; the store needs
     // nothing from it ever again
-    StoreSwapTestHook.deleteTree(new java.io.File(setDir))
+    graft.ops.StoreSwap.deleteTree(new java.io.File(setDir))
     assert(rows(Dedup.cjkServeDeltaTokens(spark, odd, 0.6, dir)).nonEmpty)
   }
-}
-
-/** Test-only alias so the spec can reuse the store sweeper. */
-private object StoreSwapTestHook {
-  def deleteTree(f: java.io.File): Unit = graft.ops.StoreSwap.deleteTree(f)
 }
